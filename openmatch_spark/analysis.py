@@ -1,0 +1,171 @@
+"""Text analysis: extraction + tokenization as vectorized Arrow UDFs.
+
+Two analyzer profiles, both pure functions of the input string so engine and
+oracle tokenize byte-identically (BASELINE input_hint invariant):
+
+- ``"dpr"``   — the reference's DPR/Anserini-lineage ``SimpleTokenizer``
+  semantics (reference: src/openmatch/qa_utils.py:144-187): regex-module
+  pattern ``([\\p{L}\\p{N}\\p{M}]+)|([^\\p{Z}\\p{C}])`` with
+  IGNORECASE|UNICODE|MULTILINE, NFD-normalized (qa_utils.py:202-204),
+  lowercased (``words(uncased=True)``, qa_utils.py:44-48). Java regex
+  ``\\p{L}`` differs on some codepoints, so this lives in a Python pandas
+  UDF on BOTH the engine and oracle sides — never in JVM regexp.
+- ``"simple"`` — lowercase + split on ``[^a-z0-9]+``. SQL-expressible
+  (DuckDB ``regexp_split_to_array``), used for the driver's DuckDB
+  cross-check path; same function is also available as a pure-JVM column
+  expression (:func:`tokenize_col_simple`) so the hot path stays inside
+  whole-stage codegen.
+
+Extraction: html -> text. The reference renders templates verbatim over the
+already-extracted ``text`` field (src/openmatch/utils.py:230-259), so the
+per-url invariant is byte-identical passthrough of ``text`` when present,
+with an html-strip fallback for rows that only carry ``html``.
+"""
+
+from __future__ import annotations
+
+import unicodedata
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, StringType
+
+try:  # the reference hard-requires `regex`; we degrade to a close re fallback
+    import regex as _regex
+
+    _HAVE_REGEX = True
+except ImportError:  # pragma: no cover
+    import re as _regex
+
+    _HAVE_REGEX = False
+
+SIMPLE_SPLIT_PATTERN = "[^a-z0-9]+"
+
+_DPR_PATTERN = r"([\p{L}\p{N}\p{M}]+)|([^\p{Z}\p{C}])"
+_dpr_regexp = None
+
+
+def _get_dpr_regexp():
+    global _dpr_regexp
+    if _dpr_regexp is None:
+        if _HAVE_REGEX:
+            _dpr_regexp = _regex.compile(
+                _DPR_PATTERN,
+                flags=_regex.IGNORECASE | _regex.UNICODE | _regex.MULTILINE,
+            )
+        else:  # pragma: no cover - sandbox always has `regex`
+            _dpr_regexp = _regex.compile(
+                r"(\w+)|([^\s\w])", flags=_regex.IGNORECASE | _regex.MULTILINE
+            )
+    return _dpr_regexp
+
+
+def tokenize_dpr_py(text: str) -> list[str]:
+    """Reference-exact tokenization of one string (oracle + UDF kernel).
+
+    NFD normalize (qa_utils.py:202-204) -> regex finditer (qa_utils.py:153-156)
+    -> lowercase (qa_utils.py:44-48).
+    """
+    if text is None:
+        return []
+    text = unicodedata.normalize("NFD", text)
+    rx = _get_dpr_regexp()
+    return [m.group().lower() for m in rx.finditer(text)]
+
+
+def tokenize_simple_py(text: str) -> list[str]:
+    """SQL-expressible tokenization of one string; mirrors
+    DuckDB ``regexp_split_to_array(lower(text), '[^a-z0-9]+')`` minus empties.
+    """
+    if text is None:
+        return []
+    import re
+
+    return [t for t in re.split(SIMPLE_SPLIT_PATTERN, text.lower()) if t]
+
+
+def tokenize_py(text: str, analyzer: str = "dpr") -> list[str]:
+    return tokenize_dpr_py(text) if analyzer == "dpr" else tokenize_simple_py(text)
+
+
+@pandas_udf(ArrayType(StringType()))
+def tokenize_dpr_udf(texts: pd.Series) -> pd.Series:
+    return texts.map(tokenize_dpr_py)
+
+
+def tokenize_col_simple(col: Column) -> Column:
+    """JVM-side simple tokenizer: stays inside whole-stage codegen (no Python).
+
+    `split` on an ASCII class is identical between Java and Python regex, so
+    this is safe to pair with the DuckDB oracle. Leading empty strings from a
+    leading delimiter are filtered like the Python/DuckDB sides.
+    """
+    return F.filter(F.split(F.lower(col), SIMPLE_SPLIT_PATTERN), lambda t: t != "")
+
+
+def tokenize_col(col: Column, analyzer: str = "dpr") -> Column:
+    if analyzer == "dpr":
+        return tokenize_dpr_udf(col)
+    return tokenize_col_simple(col)
+
+
+@pandas_udf(StringType())
+def extract_text_udf(html: pd.Series, text: pd.Series) -> pd.Series:
+    """Byte-identical text per url (input_hint invariant).
+
+    If ``text`` is present it is passed through verbatim (the reference
+    operates on pre-extracted text; templates fill it unchanged,
+    utils.py:230-259). Rows with only ``html`` get a deterministic minimal
+    strip: drop <script>/<style> blocks, strip tags, collapse nothing else
+    (no whitespace squeezing — byte determinism beats prettiness).
+    """
+    import re
+
+    script = re.compile(rb"(?is)<(script|style)[^>]*>.*?</\1>")
+    tag = re.compile(rb"(?s)<[^>]*>")
+
+    def one(h, t):
+        if t is not None:
+            return t
+        if h is None:
+            return None
+        raw = tag.sub(b" ", script.sub(b" ", bytes(h)))
+        return raw.decode("utf-8", errors="replace")
+
+    return pd.Series([one(h, t) for h, t in zip(html, text)], dtype=object)
+
+
+def extract_corpus(pages: DataFrame, analyzer: str = "dpr") -> DataFrame:
+    """pages(url, warc_ts, html, text, lang) -> (doc_id, terms, doclen).
+
+    doc_id is the url (string end-to-end; reference coerces ids via str(),
+    inference_dataset.py:17-28). One Arrow batch pipeline: extract -> tokenize.
+    """
+    cols = set(pages.columns)
+    doc_id = F.col("url") if "url" in cols else F.col("doc_id").cast("string")
+    html = F.col("html") if "html" in cols else F.lit(None).cast("binary")
+    text = F.col("text") if "text" in cols else F.lit(None).cast("string")
+    extracted = pages.select(
+        doc_id.alias("doc_id"),
+        extract_text_udf(html, text).alias("text"),
+    )
+    return extracted.select(
+        "doc_id",
+        tokenize_col(F.col("text"), analyzer).alias("terms"),
+    ).withColumn("doclen", F.size("terms"))
+
+
+def iter_tokenize(batches: Iterator[pd.DataFrame], analyzer: str = "dpr") -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel variant (used by the streaming/incremental path)."""
+    for pdf in batches:
+        out = pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype(str),
+                "terms": pdf["text"].map(lambda t: tokenize_py(t, analyzer)),
+            }
+        )
+        out["doclen"] = out["terms"].map(len)
+        yield out

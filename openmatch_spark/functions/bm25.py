@@ -1,0 +1,49 @@
+"""BM25 scoring kernel (Lucene/Anserini flavor), float64 throughout.
+
+The reference consumes BM25 runs from a previous-stage ranker
+(docs/rr-msmarco-passage.md:164) and names BM25 as its standard negative
+source (docs/models/ance-tele_msmarco_qry-psg-encoder.md:11); this module is
+the native rebuild of that first stage. Constants from BASELINE.json:
+k1=0.9, b=0.4; idf is Lucene's ``ln(1 + (N - df + 0.5)/(df + 0.5))``.
+
+Scores are computed in float64 and never re-associated across partitionings
+in a way that changes the sum order per (query, doc): each per-term weight is
+exact given (tf, doclen, df), and the per-doc score is a sum over the query's
+matched terms in canonical term order — so the engine is rank-identical under
+any partitioning (SURVEY §7.4).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+K1 = 0.9
+B = 0.4
+
+
+def lucene_idf(df: np.ndarray | float, n_docs: float) -> np.ndarray | float:
+    """idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5))."""
+    return np.log(1.0 + (n_docs - np.asarray(df, dtype=np.float64) + 0.5) / (np.asarray(df, dtype=np.float64) + 0.5))
+
+
+def bm25_weight(
+    tf: np.ndarray | float,
+    doclen: np.ndarray | float,
+    idf: np.ndarray | float,
+    avgdl: float,
+    k1: float = K1,
+    b: float = B,
+) -> np.ndarray | float:
+    """w(t, d) = idf(t) * tf / (tf + k1 * (1 - b + b * dl/avgdl))."""
+    tf = np.asarray(tf, dtype=np.float64)
+    dl = np.asarray(doclen, dtype=np.float64)
+    return np.asarray(idf, dtype=np.float64) * tf / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+
+def bm25_weight_scalar(tf: int, doclen: int, df: int, n_docs: int, avgdl: float,
+                       k1: float = K1, b: float = B) -> float:
+    """Pure-scalar variant used by the Python oracle (no numpy reassociation)."""
+    import math
+
+    idf = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+    return idf * tf / (tf + k1 * (1.0 - b + b * doclen / avgdl))

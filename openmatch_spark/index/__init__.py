@@ -1,0 +1,2 @@
+from openmatch_spark.index.build import build_index, IndexPaths  # noqa: F401
+from openmatch_spark.index.load import load_index, BM25Index  # noqa: F401

@@ -1,0 +1,121 @@
+"""On-disk index layout (Iceberg-ready, Parquet in the sandbox).
+
+All table I/O goes through these helpers so the engine can target an Iceberg
+catalog when one is configured (`spark.sql.catalog.local` set) and plain
+Parquet paths otherwise — identical schemas either way (SURVEY §7.4).
+
+Layout under <index_dir>/:
+  stats.json                 — {"n_docs", "avgdl", "total_terms", build params}
+  dictionary/                — (term, df, cf, idf, term_bucket)   [parquet]
+  docmap/                    — (shard, doc_ord, doc_id, doclen)   [partitioned by shard]
+  postings/                  — (term, shard, block_id, first_ord, last_ord,
+                                n, max_score, docs BINARY, scores BINARY)
+                               [partitioned by term_bucket]
+  manifest/                  — (shard, n_docs, n_blocks, committed_at)
+                               append-only; a shard is COMPLETE iff present.
+
+The doc_ord is a dense per-shard int64 assigned by sorting doc_id within the
+shard; (shard, doc_ord) <-> doc_id via docmap. Posting payloads are
+delta+varbyte docIDs and float64 little-endian precomputed BM25 weights
+(weights are fully determined at build time once corpus stats are fixed —
+an impact-ordered layout that removes the doclen join from the query path).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+POSTING_SCHEMA = StructType(
+    [
+        StructField("term", StringType()),
+        StructField("term_bucket", IntegerType()),
+        StructField("shard", IntegerType()),
+        StructField("block_id", IntegerType()),
+        StructField("first_ord", LongType()),
+        StructField("last_ord", LongType()),
+        StructField("n", IntegerType()),
+        StructField("max_score", DoubleType()),
+        StructField("docs", BinaryType()),
+        StructField("scores", BinaryType()),
+    ]
+)
+
+DOCMAP_SCHEMA = StructType(
+    [
+        StructField("shard", IntegerType()),
+        StructField("doc_ord", LongType()),
+        StructField("doc_id", StringType()),
+        StructField("doclen", LongType()),
+    ]
+)
+
+DICT_SCHEMA = StructType(
+    [
+        StructField("term", StringType()),
+        StructField("df", LongType()),
+        StructField("cf", LongType()),
+        StructField("idf", DoubleType()),
+        StructField("term_bucket", IntegerType()),
+    ]
+)
+
+MANIFEST_SCHEMA = StructType(
+    [
+        StructField("shard", IntegerType()),
+        StructField("n_docs", LongType()),
+        StructField("n_blocks", LongType()),
+        StructField("n_postings", LongType()),
+        StructField("committed_at", DoubleType()),
+    ]
+)
+
+
+@dataclass
+class IndexPaths:
+    root: str
+
+    @property
+    def stats(self) -> str:
+        return os.path.join(self.root, "stats.json")
+
+    @property
+    def dictionary(self) -> str:
+        return os.path.join(self.root, "dictionary")
+
+    @property
+    def docmap(self) -> str:
+        return os.path.join(self.root, "docmap")
+
+    @property
+    def postings(self) -> str:
+        return os.path.join(self.root, "postings")
+
+    @property
+    def manifest(self) -> str:
+        return os.path.join(self.root, "manifest")
+
+    def write_stats(self, stats: dict) -> None:
+        os.makedirs(self.root, exist_ok=True)
+        tmp = self.stats + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(stats, f, indent=1, sort_keys=True)
+        os.replace(tmp, self.stats)  # atomic: stats exist fully or not at all
+
+    def read_stats(self) -> dict:
+        with open(self.stats) as f:
+            return json.load(f)
+
+    def has_stats(self) -> bool:
+        return os.path.exists(self.stats)

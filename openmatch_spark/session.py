@@ -1,0 +1,56 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+Single place that owns engine configuration so tests, bench, and spark-submit
+jobs share identical semantics. On a real cluster the same conf applies; only
+master/parallelism change (passed via spark-submit, never hardcoded here).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "openmatch-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    Defaults target the sandbox (local[N]); on a cluster, pass master=None and
+    let spark-submit supply it. shuffle_partitions defaults to the declared
+    core count so small-scale runs don't fragment into 200 empty tasks; a
+    100 TB run would set this to ~2-3x total cores (and rely on AQE coalesce).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = SparkSession.builder.appName(app_name)
+    if master is not None:
+        builder = builder.master(master)
+    elif not os.environ.get("SPARK_SUBMIT_DEPLOY_MODE"):
+        builder = builder.master(f"local[{cpus}]")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus)
+    conf = {
+        "spark.sql.shuffle.partitions": str(shuffle_partitions),
+        # Arrow everywhere: all Python-side work is vectorized pandas UDFs.
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+        # AQE: runtime coalesce + skew-join splitting; we still salt explicitly
+        # for groupBy skew (AQE only fixes join skew).
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEM", "48g"),
+        "spark.sql.session.timeZone": "UTC",
+        "spark.ui.enabled": "false",
+        "spark.driver.extraJavaOptions": "-Dio.netty.tryReflectionSetAccessible=true",
+    }
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,14 @@
+from openmatch_spark.operators.runio import save_as_trec, load_from_trec, trec_lines  # noqa: F401
+from openmatch_spark.operators.mining import (  # noqa: F401
+    build_hard_negatives,
+    add_ground_truth,
+    combine_negatives,
+    depth_cut,
+)
+from openmatch_spark.operators.metrics import (  # noqa: F401
+    mrr_at_k,
+    ndcg_at_k,
+    recall_at_k,
+    accuracy_at_k,
+    duplicate_docs,
+)

@@ -1,0 +1,167 @@
+"""Rank metrics as Spark aggregations (SURVEY §2.4 A3-A6).
+
+Reference implementations these mirror:
+- MRR@cutoff: scripts/evaluate.py:16-39 and the official
+  scripts/ANCE-Tele/ms_marco_eval.py:120-150 (MaxMRRRank=10) — mean over
+  qrels qids of 1/first-relevant-rank within cutoff (0 when none).
+- nDCG@k: driver/beir_eval_pipeline.py:106-107 delegates to pytrec_eval
+  ndcg_cut.10; we implement the standard formulation natively:
+  DCG = sum(gain/log2(rank+1)) over relevant retrieved docs at rank<=k with
+  gain = 2^rel - 1, IDCG from the qrels sorted by rel desc.
+- Accuracy@k (QA): scripts/evaluate.py:76-94 + has_answers
+  (qa_utils.py:206-221): indicator that some rank<=k doc contains an answer.
+- duplicate check: ms_marco_eval.py:100-117.
+
+Denominator convention (reference: evaluate.py:23-26, ms_marco_eval.py:133-143):
+metrics average over qids PRESENT IN QRELS; a qrels qid missing from the run
+contributes 0.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import BooleanType
+
+from openmatch_spark.operators.runio import with_rank
+
+
+def _ranked(run: DataFrame) -> DataFrame:
+    return run if "rank" in run.columns else with_rank(run)
+
+
+def mrr_at_k(run: DataFrame, qrels: DataFrame, k: int = 10) -> DataFrame:
+    """One row: (mrr double, n_queries long)."""
+    r = _ranked(run).where(F.col("rank") <= k)
+    hit = r.join(qrels.select("query_id", "doc_id"), ["query_id", "doc_id"])
+    first = hit.groupBy("query_id").agg(F.min("rank").alias("first_rank"))
+    per_q = (
+        qrels.select("query_id").distinct()
+        .join(first, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(1.0 / F.col("first_rank"), F.lit(0.0)).alias("rr"),
+        )
+    )
+    return per_q.agg(
+        F.avg("rr").alias("mrr"), F.count(F.lit(1)).alias("n_queries")
+    )
+
+
+def recall_at_k(run: DataFrame, qrels: DataFrame, k: int = 100) -> DataFrame:
+    """One row: (recall double, n_queries long) — macro-averaged per query."""
+    r = _ranked(run).where(F.col("rank") <= k)
+    found = (
+        qrels.select("query_id", "doc_id")
+        .join(r.select("query_id", "doc_id"), ["query_id", "doc_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_found"))
+    )
+    total = qrels.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_rel"))
+    per_q = total.join(found, "query_id", "left").select(
+        "query_id",
+        (F.coalesce(F.col("n_found"), F.lit(0)) / F.col("n_rel")).alias("recall_q"),
+    )
+    return per_q.agg(
+        F.avg("recall_q").alias("recall"), F.count(F.lit(1)).alias("n_queries")
+    )
+
+
+def ndcg_at_k(run: DataFrame, qrels: DataFrame, k: int = 10) -> DataFrame:
+    """One row: (ndcg double, n_queries long). Gain 2^rel - 1 (trec_eval)."""
+    r = _ranked(run).where(F.col("rank") <= k)
+    dcg = (
+        r.join(qrels, ["query_id", "doc_id"])
+        .groupBy("query_id")
+        .agg(
+            F.sum(
+                (F.pow(F.lit(2.0), F.col("rel")) - 1.0)
+                / F.log2(F.col("rank") + 1.0)
+            ).alias("dcg")
+        )
+    )
+    from pyspark.sql import Window
+
+    iw = Window.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("doc_id"))
+    idcg = (
+        qrels.withColumn("irank", F.row_number().over(iw))
+        .where(F.col("irank") <= k)
+        .groupBy("query_id")
+        .agg(
+            F.sum(
+                (F.pow(F.lit(2.0), F.col("rel")) - 1.0)
+                / F.log2(F.col("irank") + 1.0)
+            ).alias("idcg")
+        )
+    )
+    per_q = idcg.join(dcg, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("dcg") / F.col("idcg"), F.lit(0.0)).alias("ndcg_q"),
+    )
+    return per_q.agg(
+        F.avg("ndcg_q").alias("ndcg"), F.count(F.lit(1)).alias("n_queries")
+    )
+
+
+@pandas_udf(BooleanType())
+def has_answers_udf(text: pd.Series, answers: pd.Series) -> pd.Series:
+    """Vectorized has_answers (qa_utils.py:206-221): NFD-normalized, uncased,
+    token-level sliding-window subsequence match using the DPR tokenizer."""
+    import unicodedata
+
+    from openmatch_spark.analysis import tokenize_dpr_py
+
+    def one(t, ans):
+        if t is None or ans is None:
+            return False
+        toks = tokenize_dpr_py(unicodedata.normalize("NFD", t))
+        for a in ans:
+            at = tokenize_dpr_py(unicodedata.normalize("NFD", a))
+            if not at:
+                continue
+            for i in range(0, len(toks) - len(at) + 1):
+                if toks[i : i + len(at)] == at:
+                    return True
+        return False
+
+    return pd.Series([one(t, a) for t, a in zip(text, answers)])
+
+
+def accuracy_at_k(
+    run: DataFrame, corpus: DataFrame, answers: DataFrame, ks: list[int] | None = None
+) -> DataFrame:
+    """(k, accuracy, n_queries) rows for k in ks (scripts/evaluate.py:76-94).
+
+    corpus: (doc_id, text); answers: (query_id, answers array<string>).
+    """
+    ks = ks or [1, 5, 20, 100]
+    r = _ranked(run).where(F.col("rank") <= max(ks))
+    hydrated = r.join(corpus.select("doc_id", "text"), "doc_id").join(
+        F.broadcast(answers), "query_id"
+    )
+    flagged = hydrated.withColumn("hit", has_answers_udf("text", "answers"))
+    first = flagged.where("hit").groupBy("query_id").agg(F.min("rank").alias("first_hit"))
+    base = answers.select("query_id").distinct().join(first, "query_id", "left")
+    out = None
+    for k in ks:
+        o = base.agg(
+            F.lit(k).alias("k"),
+            F.avg(
+                F.when(F.col("first_hit") <= k, 1.0).otherwise(0.0)
+            ).alias("accuracy"),
+            F.count(F.lit(1)).alias("n_queries"),
+        )
+        out = o if out is None else out.unionByName(o)
+    return out
+
+
+def duplicate_docs(run: DataFrame) -> DataFrame:
+    """(query_id, doc_id, n) rows where a doc is ranked more than once per
+    query (ms_marco_eval.py:100-117 sanity check)."""
+    return (
+        run.groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+    )

@@ -1,0 +1,114 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Image/audio/video payloads are `binary` columns moved through Arrow-batched
+pandas UDFs (`mapInPandas`), never row-at-a-time Python. The decode kernels
+are STUBBED (the sandbox has no PIL/ffmpeg — see `_require_decoder`): the
+Spark-side contract — schema, batch shape, partitioning, metadata extraction
+— is real and tested; dropping in a real decoder is a one-function change.
+
+Reference note: OpenMatch's image path loads HF imagefolder bytes with
+decode=False (inference_dataset.py:304-312) and defers decode to the model
+processor — the same opaque-bytes-until-the-UDF design used here.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+MEDIA_SCHEMA = (
+    "media_id string, kind string, payload binary, mime string, n_bytes long"
+)
+
+FEATURE_SCHEMA = (
+    "media_id string, kind string, n_bytes long, sha1 string, "
+    "width int, height int, n_frames int, feature array<float>"
+)
+
+
+class DecoderUnavailable(NotImplementedError):
+    pass
+
+
+def _require_decoder(kind: str):
+    raise DecoderUnavailable(
+        f"no {kind} decoder in this environment — plug a real decode fn into "
+        "decode_features(decoder=...); the Spark plumbing around it is live."
+    )
+
+
+def as_media_table(df: DataFrame, id_col: str, payload_col: str, kind: str) -> DataFrame:
+    """Normalize any (id, binary) pair into the canonical media table."""
+    return df.select(
+        F.col(id_col).cast("string").alias("media_id"),
+        F.lit(kind).alias("kind"),
+        F.col(payload_col).cast("binary").alias("payload"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.length(F.col(payload_col).cast("binary")).cast("long").alias("n_bytes"),
+    )
+
+
+def _stub_decoder(kind: str, payload: bytes) -> dict:
+    """Deterministic fake decode for tests: derives 'dimensions' and an
+    8-dim feature from the bytes themselves. Swap for PIL/ffmpeg in prod."""
+    import hashlib
+
+    h = hashlib.sha1(payload or b"").digest()
+    feat = [((b / 255.0) * 2 - 1) for b in h[:8]]
+    return {
+        "sha1": hashlib.sha1(payload or b"").hexdigest(),
+        "width": 1 + h[0] % 64,
+        "height": 1 + h[1] % 64,
+        "n_frames": 1 if kind == "image" else 1 + h[2] % 30,
+        "feature": feat,
+    }
+
+
+def decode_features(media: DataFrame, decoder=None, batch_hint: int = 1024) -> DataFrame:
+    """media table -> feature table via Arrow-batched mapInPandas.
+
+    decoder(kind, payload_bytes) -> dict(sha1,width,height,n_frames,feature);
+    defaults to the deterministic stub. Passing decoder="strict" raises
+    DecoderUnavailable (prod behavior without a real decoder installed).
+    """
+    if decoder == "strict":
+        def decoder(kind, payload):  # noqa: F811
+            _require_decoder(kind)
+    dec = decoder or _stub_decoder
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                d = dec(r["kind"], bytes(r["payload"]) if r["payload"] is not None else b"")
+                rows.append(
+                    {
+                        "media_id": r["media_id"],
+                        "kind": r["kind"],
+                        "n_bytes": int(r["n_bytes"]),
+                        **d,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def frame_sample(features: DataFrame, every_n: int = 5) -> DataFrame:
+    """(media_id, frame_idx) sampled frame indices for video rows —
+    pure column algebra (sequence + filter), no decode needed."""
+    return (
+        features.where(F.col("kind") == "video")
+        .select(
+            "media_id",
+            F.explode(
+                F.filter(
+                    F.sequence(F.lit(0), F.col("n_frames") - 1),
+                    lambda i: i % every_n == 0,
+                )
+            ).alias("frame_idx"),
+        )
+    )

@@ -1,0 +1,81 @@
+"""Incremental index maintenance via Structured Streaming.
+
+The reference's only "streaming" runtime is a polling loop that watches a
+directory and processes each new checkpoint exactly once
+(driver/async_eval_dr.py:136-189). The Spark-native equivalent is a
+file-source stream with Trigger.AvailableNow: each micro-batch of newly
+arrived corpus files becomes one new index shard batch, committed through the
+same write-then-manifest protocol as the batch build — so batch and streaming
+paths share all index code and the index stays queryable mid-ingest.
+
+New docs get fresh shard ids (max existing + batch id) — BM25 stats (idf,
+avgdl) stay FROZEN at base-build values, the standard trade-off of
+incremental sparse indexing; a periodic full rebuild re-baselines stats.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import SparkSession
+
+from openmatch_spark.fixtures import PAGES_SCHEMA
+from openmatch_spark.index.build import build_index
+from openmatch_spark.index.layout import IndexPaths
+
+
+def incremental_index_available_now(
+    spark: SparkSession,
+    watch_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    analyzer: str | None = None,
+) -> int:
+    """Drain currently-available new parquet files in watch_dir into the
+    index; returns number of micro-batches processed. Exactly-once per file
+    comes from the stream checkpoint; idempotent shard commit comes from the
+    manifest protocol."""
+    paths = IndexPaths(index_dir)
+    stats = paths.read_stats()
+    n_existing = int(stats["num_shards"])
+    processed = {"n": 0}
+
+    def handle_batch(batch_df, batch_id: int):
+        if batch_df.isEmpty():
+            return
+        # one new shard per micro-batch, appended after existing shards
+        shard_id = n_existing + processed["n"]
+        pages = batch_df
+        # reuse the batch builder on this slice only, pinning its docs into
+        # the new shard by overriding num_shards/base offset
+        from openmatch_spark.index import build as b
+
+        orig = b.shard_col
+        b.shard_col = lambda col, n: F.lit(shard_id).cast("int")  # single shard
+        try:
+            build_index(
+                spark,
+                pages,
+                index_dir,
+                analyzer=analyzer or stats["analyzer"],
+                num_shards=shard_id + 1,
+                num_term_buckets=int(stats["num_term_buckets"]),
+                block_size=int(stats["block_size"]),
+                resume=True,  # keeps frozen stats.json; skips committed shards
+            )
+        finally:
+            b.shard_col = orig
+        processed["n"] += 1
+
+    stream = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(watch_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return processed["n"]

@@ -145,3 +145,48 @@ def documents_as_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text"),
         F.col("lang"),
     )
+
+
+def synth_pages_spark(spark: SparkSession, n_docs: int, vocab: int = 30000,
+                      seed: int = 42, partitions: int | None = None) -> DataFrame:
+    """Distributed deterministic Common-Crawl-style corpus, generated fully
+    JVM-side (no driver loop, no Python UDF) — used for scale benchmarks.
+
+    Zipf-ish skew via a log-uniform inverse CDF on a per-(doc,pos) hash:
+    rank = floor(exp(u * ln(vocab))) spreads mass ~1/rank. Deterministic in
+    (seed, doc_id, position) so any two runs (or cluster sizes) generate the
+    identical corpus.
+    """
+    import pyspark.sql.functions as F
+
+    parts = partitions or spark.sparkContext.defaultParallelism
+    base = spark.range(0, n_docs, 1, parts).withColumnRenamed("id", "i")
+    doclen = (F.pmod(F.xxhash64(F.col("i"), F.lit(seed)), F.lit(181)) + 20).cast("int")
+    text = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(0), F.col("doclen") - 1),
+            lambda pos: F.concat(
+                F.lit("term"),
+                F.lpad(
+                    (
+                        F.floor(
+                            F.exp(
+                                (F.pmod(F.xxhash64(F.col("i"), pos, F.lit(seed)), F.lit(1000000)) / 1000000.0)
+                                * float(__import__("math").log(vocab))
+                            )
+                        )
+                    ).cast("string"),
+                    6,
+                    "0",
+                ),
+            ),
+        ),
+    )
+    return base.withColumn("doclen", doclen).select(
+        F.concat(F.lit("https://site"), F.pmod(F.col("i"), F.lit(997)), F.lit(".example/"), F.col("i")).alias("url"),
+        (F.lit(_EPOCH) + F.make_interval(secs=F.col("i").cast("double"))).alias("warc_ts"),
+        F.encode(text, "utf-8").alias("html"),
+        text.alias("text"),
+        F.lit("en").alias("lang"),
+    )

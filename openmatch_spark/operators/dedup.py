@@ -66,10 +66,13 @@ def shingles(corpus: DataFrame, n: int = 3, id_col: str = "doc_id",
     sh = toks.select(
         "doc_id",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.greatest(F.size("terms") - n, F.lit(-1))),
-                lambda i: F.concat_ws(" ", F.slice(F.col("terms"), i + 1, n)),
-            )
+            F.when(
+                F.size("terms") >= n,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("terms") - n),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("terms"), i + 1, n)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
         ).alias("shingle"),
     )
     return sh.distinct()

@@ -33,7 +33,7 @@ def trec_lines(run: DataFrame, run_id: str = "om-spark") -> DataFrame:
             F.lit("Q0"),
             F.col("doc_id"),
             F.col("rank").cast("string"),
-            F.format_number(F.col("score"), 6),
+            F.format_string("%.6f", F.col("score")),  # no locale separators
             F.lit(run_id),
         ).alias("value")
     )

@@ -78,11 +78,14 @@ def bm25_score_adhoc(
         .groupBy("query_id", "doc_id")
         .agg(F.sum("w").alias("score"))
     )
-    if round_to is not None:
-        scored = scored.withColumn("score", F.round("score", round_to))
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
-    return (
+    out = (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "doc_id", "score", "rank")
     )
+    if round_to is not None:
+        # round AFTER ranking: both engines rank on their own raw float64
+        # sums (identical to ~1e-12 rel), and the rounded output hashes equal
+        out = out.withColumn("score", F.round("score", round_to))
+    return out

@@ -76,14 +76,16 @@ def brute_force_topk(
             yield pd.DataFrame(rows)
 
     partial = embeddings.select(id_col, vec_col).mapInPandas(score_partition, TOPK_SCHEMA)
-    if round_to is not None:
-        partial = partial.withColumn("score", F.round("score", round_to))
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
-    return (
+    out = (
         partial.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "vec_id", "score", "rank")
     )
+    if round_to is not None:
+        # rank on raw scores; round only the emitted value (cross-engine hash)
+        out = out.withColumn("score", F.round("score", round_to))
+    return out
 
 
 def _centroids(dim: int, n_centroids: int, seed: int = 42) -> np.ndarray:
@@ -113,6 +115,7 @@ def assign_buckets(
             )
             b = np.argmax(M @ C.T, axis=1)
             out = pdf[[id_col, vec_col]].copy()
+            out[id_col] = out[id_col].astype(str)
             out["bucket"] = b.astype("int32")
             yield out
 

@@ -124,21 +124,25 @@ def _scaling_job(cores: int, n_docs: int) -> dict:
     from openmatch_spark.query import search
 
     spark = get_spark(
-        f"om-scale-{cores}", master=f"local[{cores}]", shuffle_partitions=cores
+        f"om-scale-{cores}", master=f"local[{cores}]", shuffle_partitions=cores,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
     spark.sparkContext.setLogLevel("ERROR")
-    pages = synth_pages_spark(spark, n_docs, partitions=cores * 2)
+    # IDENTICAL job at both parallelism levels: same shard/bucket/block
+    # layout, same input partition count — only cores/shuffle width differ.
+    pages = synth_pages_spark(spark, n_docs, partitions=64)
     idx_dir = tempfile.mkdtemp(prefix=f"om_scale_{cores}_")
+    phase: dict[str, float] = {}
     t_build, _ = _timed(
         lambda: build_index(
             spark, pages, idx_dir, analyzer="dpr",
-            num_shards=max(cores, 8), num_term_buckets=16, block_size=128,
+            num_shards=32, num_term_buckets=16, block_size=128, timings=phase,
         )
     )
-    qrows = _gen_queries(64)
+    qrows = _gen_queries(256)
     queries = spark.createDataFrame(qrows, "query_id string, text string")
     idx = load_index(spark, idx_dir)
-    t_query, n_hits = _timed(lambda: search(idx, queries, k=100).count())
+    t_query, n_hits = _timed(lambda: search(idx, queries, k=100, mode="batch").count())
     spark.stop()
     return {
         "cores": cores,
@@ -148,6 +152,7 @@ def _scaling_job(cores: int, n_docs: int) -> dict:
         "query_batch_sec": round(t_query, 2),
         "queries_per_sec": round(len(qrows) / t_query, 2),
         "n_hits": n_hits,
+        "phases": {k: round(v, 2) for k, v in phase.items()},
     }
 
 
@@ -167,6 +172,8 @@ def scaling(n_docs: int = 150_000) -> dict:
             "query_qps_32": r32["queries_per_sec"],
             "efficiency_query": round(eff_query, 3),
         },
+        "phases_8": r8["phases"],
+        "phases_32": r32["phases"],
         "sf": -1.0,
         "n_docs": n_docs,
     }
@@ -174,10 +181,11 @@ def scaling(n_docs: int = 150_000) -> dict:
 ## Measured scaling (sandbox proxy for N -> 4N executors)
 
 Same deterministic synthetic corpus ({n_docs:,} docs, Zipf vocab 30k,
-`synth_pages_spark`), same job (`build_index` analyzer=dpr + 64-query
-batch search k=100), two parallelism levels:
+`synth_pages_spark`), IDENTICAL job (`build_index` analyzer=dpr, 32 shards,
+16 buckets, block 128 + 256-query batch search k=100), two parallelism
+levels. Phase split 8c: {r8['phases']} / 32c: {r32['phases']}.
 
-| cores | build sec | docs/sec | 64q batch sec | q/s |
+| cores | build sec | docs/sec | 256q batch sec | q/s |
 |---|---|---|---|---|
 | local[8] | {r8['build_sec']} | {r8['docs_per_sec']} | {r8['query_batch_sec']} | {r8['queries_per_sec']} |
 | local[32] | {r32['build_sec']} | {r32['docs_per_sec']} | {r32['query_batch_sec']} | {r32['queries_per_sec']} |

@@ -60,6 +60,10 @@ from openmatch_spark.functions.codec import encode_postings
 from openmatch_spark.index.layout import MANIFEST_SCHEMA, IndexPaths
 from openmatch_spark.stats import global_stats, term_stats
 
+# coarse ord-range per packing group: bounds any single reducer's list to
+# <= 2^20 postings (16 MiB of (ord, weight)) regardless of term skew
+_COARSE_RANGE = 1 << 20
+
 _BLOCK_STRUCT = StructType(
     [
         StructField("first_ord", LongType()),
@@ -73,18 +77,23 @@ _BLOCK_STRUCT = StructType(
 
 
 @pandas_udf(_BLOCK_STRUCT)
-def _encode_block_udf(plists: pd.Series) -> pd.DataFrame:
-    """Encode one posting block: sorted (doc_ord, weight) structs -> payloads."""
+def _encode_block_udf(ords_s: pd.Series, weights_s: pd.Series) -> pd.DataFrame:
+    """Encode one posting block: parallel (ords, weights) arrays -> payloads.
+
+    Takes two primitive-array columns (Arrow hands them over as numpy
+    arrays) instead of an array<struct> — struct rows materialize as Python
+    dicts and were the dominant index-build cost at profile time.
+    """
     first, last, n, mx, docs, scores = [], [], [], [], [], []
-    for plist in plists:
-        ords = np.array([e["doc_ord"] for e in plist], dtype=np.int64)
-        w = np.array([e["weight"] for e in plist], dtype=np.float64)
+    for o, w in zip(ords_s, weights_s):
+        ords = np.asarray(o, dtype=np.int64)
+        wts = np.asarray(w, dtype=np.float64)
         first.append(int(ords[0]))
         last.append(int(ords[-1]))
         n.append(len(ords))
-        mx.append(float(w.max()))
+        mx.append(float(wts.max()))
         docs.append(encode_postings(ords))
-        scores.append(w.tobytes())
+        scores.append(wts.tobytes())
     return pd.DataFrame(
         {"first_ord": first, "last_ord": last, "n": n, "max_score": mx,
          "docs": docs, "scores": scores}
@@ -131,6 +140,7 @@ def build_index(
     shard_batch_size: int | None = None,
     resume: bool = False,
     fail_after_batches: int | None = None,
+    timings: dict | None = None,
 ) -> dict:
     """Build (or resume) the BM25 index at index_dir. Returns stats dict.
 
@@ -140,6 +150,10 @@ def build_index(
     """
     paths = IndexPaths(index_dir)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    t = timings if timings is not None else {}
+
+    def _mark(name, t0):
+        t[name] = t.get(name, 0.0) + (time.time() - t0)
 
     corpus = extract_corpus(pages, analyzer=analyzer).withColumn(
         "shard", shard_col(F.col("doc_id"), num_shards)
@@ -151,6 +165,7 @@ def build_index(
         stats = paths.read_stats()
         dictionary = spark.read.parquet(paths.dictionary)
     else:
+        t0 = time.time()
         g = global_stats(corpus)
         dictionary = term_stats(corpus).select(
             "term",
@@ -172,6 +187,7 @@ def build_index(
             b=b,
         )
         paths.write_stats(stats)
+        _mark("stats_phase", t0)
 
     avgdl = float(stats["avgdl"]) if stats["avgdl"] else 1.0
 
@@ -191,8 +207,11 @@ def build_index(
             corpus.unpersist()
             raise RuntimeError(f"injected failure before batch {bi} (test hook)")
         part = corpus.where(F.col("shard").isin(shards))
+        t0 = time.time()
         docmap = build_docmap(part)
         docmap.write.mode("overwrite").partitionBy("shard").parquet(paths.docmap)
+        _mark("docmap_write", t0)
+        t0 = time.time()
 
         tf = (
             part.select("shard", "doc_id", F.explode("terms").alias("term"))
@@ -214,25 +233,66 @@ def build_index(
                 ).alias("weight"),
             )
         )
-        blocks = (
-            weighted.withColumn("block_id", (F.col("doc_ord") / block_size).cast("int"))
-            .groupBy("shard", "term_bucket", "term", "block_id")
+        # Pack CONSECUTIVE postings into blocks of block_size. Grouping key
+        # adds a coarse ord-range (2^20 ords) so a head term's per-shard list
+        # never lands in one reducer unbounded (Zipf-skew defense) while tail
+        # terms (df << range) still pack into a single dense block. Block
+        # boundaries depend only on (ord order, block_size, range) — the
+        # index is identical under any parallelism. The list is collected,
+        # sorted and sliced JVM-side; Python sees only primitive arrays.
+        per_block = block_size
+        nblocks_per_grp = (_COARSE_RANGE + per_block - 1) // per_block
+        grouped = (
+            weighted.withColumn("grp", (F.col("doc_ord") / _COARSE_RANGE).cast("int"))
+            .groupBy("shard", "term_bucket", "term", "grp")
             .agg(F.sort_array(F.collect_list(F.struct("doc_ord", "weight"))).alias("plist"))
-            .withColumn("enc", _encode_block_udf("plist"))
-            .select(
-                "term",
-                "term_bucket",
-                "shard",
-                "block_id",
-                F.col("enc.first_ord").alias("first_ord"),
-                F.col("enc.last_ord").alias("last_ord"),
-                F.col("enc.n").alias("n"),
-                F.col("enc.max_score").alias("max_score"),
-                F.col("enc.docs").alias("docs"),
-                F.col("enc.scores").alias("scores"),
-            )
         )
-        blocks.write.mode("overwrite").partitionBy("shard", "term_bucket").parquet(paths.postings)
+        sliced = grouped.select(
+            "shard",
+            "term_bucket",
+            "term",
+            "grp",
+            F.posexplode(
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.floor((F.size("plist") - 1) / per_block).cast("int"),
+                    ),
+                    lambda i: F.slice(F.col("plist"), i * per_block + 1, per_block),
+                )
+            ).alias("block_off", "chunk"),
+        ).select(
+            "shard",
+            "term_bucket",
+            "term",
+            (F.col("grp").cast("long") * nblocks_per_grp + F.col("block_off")).cast("int").alias("block_id"),
+            F.transform("chunk", lambda s: s["doc_ord"]).alias("ords"),
+            F.transform("chunk", lambda s: s["weight"]).alias("weights"),
+        )
+        blocks = sliced.withColumn(
+            "enc", _encode_block_udf("ords", "weights")
+        ).select(
+            "term",
+            "term_bucket",
+            "shard",
+            "block_id",
+            F.col("enc.first_ord").alias("first_ord"),
+            F.col("enc.last_ord").alias("last_ord"),
+            F.col("enc.n").alias("n"),
+            F.col("enc.max_score").alias("max_score"),
+            F.col("enc.docs").alias("docs"),
+            F.col("enc.scores").alias("scores"),
+        )
+        # align physical partitioning with the directory layout before the
+        # write: without this every write task emits a file into every
+        # (shard, term_bucket) dir it holds rows for — tens of thousands of
+        # tiny files whose creation overhead dominates and kills scaling.
+        # Encoded blocks are compact, so this extra shuffle is cheap.
+        blocks.repartition("shard", "term_bucket").write.mode("overwrite").partitionBy(
+            "shard", "term_bucket"
+        ).parquet(paths.postings)
+        _mark("postings_write", t0)
+        t0 = time.time()
 
         # write-then-manifest: a shard is committed only once its data is down.
         summary = (
@@ -256,6 +316,7 @@ def build_index(
             )
         )
         spark.createDataFrame(manifest_rows.collect(), MANIFEST_SCHEMA).write.mode("append").parquet(paths.manifest)
+        _mark("manifest_commit", t0)
 
     corpus.unpersist()
     return stats

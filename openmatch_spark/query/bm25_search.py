@@ -42,7 +42,6 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from openmatch_spark.analysis import tokenize_col
 from openmatch_spark.functions.codec import decode_postings
 from openmatch_spark.index.load import BM25Index
 
@@ -56,18 +55,39 @@ _KERNEL_OUT = StructType(
 )
 
 
-def query_terms(index: BM25Index, queries: DataFrame) -> DataFrame:
-    """(query_id, term, qtf, term_bucket, idf) for in-vocabulary terms."""
+def query_terms(index: BM25Index, queries: DataFrame) -> list:
+    """[(query_id, term, qtf, term_bucket)] for in-vocabulary terms.
+
+    Queries are small by contract (the reference materializes the whole query
+    set too, dense_retriever.py:226-241), so tokenization happens driver-side
+    with the *identical* Python tokenizer, and the dictionary lookup is one
+    bucket/term-pruned parquet scan (PushedFilters: In(term, ...)) instead of
+    a full-dictionary join.
+    """
+    from collections import Counter
+
+    from openmatch_spark.analysis import tokenize_py
+
     analyzer = index.stats["analyzer"]
-    qt = (
-        queries.select(
-            F.col("query_id").cast("string").alias("query_id"),
-            F.explode(tokenize_col(F.col("text"), analyzer)).alias("term"),
-        )
-        .groupBy("query_id", "term")
-        .agg(F.count(F.lit(1)).cast("double").alias("qtf"))
+    qrows = queries.select(
+        F.col("query_id").cast("string").alias("query_id"), "text"
+    ).collect()
+    qtf: dict[tuple[str, str], int] = {}
+    for r in qrows:
+        for t, c in Counter(tokenize_py(r["text"], analyzer)).items():
+            qtf[(r["query_id"], t)] = c
+    terms = sorted({t for (_, t) in qtf})
+    if not terms:
+        return []
+    matched = (
+        index.dictionary.where(F.col("term").isin(terms))
+        .select("term", "term_bucket")
+        .collect()
     )
-    return qt.join(index.dictionary.select("term", "term_bucket"), "term")
+    bucket_of = {r["term"]: r["term_bucket"] for r in matched}
+    return [
+        (q, t, float(c), bucket_of[t]) for (q, t), c in sorted(qtf.items()) if t in bucket_of
+    ]
 
 
 def _accumulate(ords_list, weights_list):
@@ -168,45 +188,139 @@ def _score_group(pdf: pd.DataFrame, k: int, mode: str) -> pd.DataFrame:
     )
 
 
+def _batch_partials(pruned: DataFrame, matched: list, k: int) -> DataFrame:
+    """Batch scatter-gather mode: one pass over each matched posting block.
+
+    Per-query modes duplicate every block row once per query that contains
+    the term (the broadcast join); for 100+ query batches over Zipfian
+    vocabularies that multiplies shuffle volume by the mean term fan-out.
+    Batch mode instead repartitions blocks by shard (a doc's postings never
+    leave its shard, so per-shard accumulation yields COMPLETE scores) and
+    scores all queries in one vectorized kernel per shard.
+
+    Canonical determinism: the kernel buffers encoded payloads per (shard,
+    term) and accumulates terms in ascending-term order, so sums are
+    bit-identical to the per-query modes and the oracle.
+    """
+    qids = sorted({q for (q, _, _, _) in matched})
+    qidx = {q: i for i, q in enumerate(qids)}
+    # term -> [(query_index, qtf)]
+    fanout: dict[str, list[tuple[int, float]]] = {}
+    for q, t, c, _ in matched:
+        fanout.setdefault(t, []).append((qidx[q], c))
+
+    def kernel(batches):
+        buf: dict[int, dict[str, list]] = {}  # shard -> term -> [(ords, w)]
+        for pdf in batches:
+            for shard, term, docs, scores in zip(
+                pdf["shard"], pdf["term"], pdf["docs"], pdf["scores"]
+            ):
+                buf.setdefault(int(shard), {}).setdefault(term, []).append((docs, scores))
+        for shard, terms in buf.items():
+            acc: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+            max_ord = 0
+            decoded = {}
+            for term in sorted(terms):
+                pairs = [
+                    (decode_postings(d), np.frombuffer(s, dtype=np.float64))
+                    for d, s in terms[term]
+                ]
+                o = np.concatenate([p[0] for p in pairs])
+                w = np.concatenate([p[1] for p in pairs])
+                order = np.argsort(o, kind="stable")
+                decoded[term] = (o[order], w[order])
+                max_ord = max(max_ord, int(o.max()) if o.size else 0)
+            touched = np.zeros(max_ord + 1, dtype=bool)
+            for term in decoded:
+                touched[decoded[term][0]] = True
+            cand = np.flatnonzero(touched)
+            if not cand.size:
+                continue
+            # bound accumulator memory: chunk queries so the dense matrix
+            # stays under ~1 GiB regardless of shard size
+            chunk = max(1, int(128e6 // (max_ord + 1)))
+            out = {"query_id": [], "shard": [], "doc_ord": [], "score": []}
+            for q0 in range(0, len(qids), chunk):
+                qs = range(q0, min(q0 + chunk, len(qids)))
+                dense = np.zeros((len(qs), max_ord + 1), dtype=np.float64)
+                for term in sorted(decoded):
+                    o, w = decoded[term]
+                    for qi, qtf in fanout[term]:
+                        if q0 <= qi < q0 + chunk:
+                            dense[qi - q0, o] += qtf * w
+                for row, qi in enumerate(qs):
+                    s = dense[row, cand]
+                    nz = np.flatnonzero(s > 0)
+                    if not nz.size:
+                        continue
+                    kk = min(k, nz.size)
+                    sel = nz[np.argpartition(-s[nz], kk - 1)[:kk]] if nz.size > kk else nz
+                    order = np.lexsort((cand[sel], -s[sel]))
+                    sel = sel[order][:k]
+                    out["query_id"].extend([qids[qi]] * len(sel))
+                    out["shard"].extend([shard] * len(sel))
+                    out["doc_ord"].extend(cand[sel].tolist())
+                    out["score"].extend(s[sel].tolist())
+            yield pd.DataFrame(out)
+
+    return (
+        pruned.select("shard", "term", "docs", "scores")
+        .repartition("shard")
+        .mapInPandas(kernel, _KERNEL_OUT)
+    )
+
+
 def search(
     index: BM25Index,
     queries: DataFrame,
     k: int = 100,
-    mode: str = "maxscore",
+    mode: str = "batch",
     remove_identical: bool = False,
 ) -> DataFrame:
     """Top-k BM25 run: (query_id, doc_id, score, rank).
+
+    mode="batch" (default): single-pass scatter-gather, best throughput and
+    latency for typical query batches. mode="maxscore": per-(query, shard)
+    block-max pruning kernel — the scale path when an individual query's
+    posting volume dwarfs its shard's doc count. mode="daat": exhaustive
+    per-query kernel (test oracle for the pruned paths). All three are
+    bit-identical (canonical ascending-term accumulation).
 
     remove_identical drops hits where doc_id == query_id
     (reference dense_retriever.py:252-253, flag arguments.py:207).
     """
     spark = index.spark
-    qt = query_terms(index, queries)
-    matched = qt.collect()  # queries are small (reference materializes them too)
+    matched = query_terms(index, queries)
     if not matched:
         return spark.createDataFrame(
             [], "query_id string, doc_id string, score double, rank int"
         )
-    buckets = sorted({r["term_bucket"] for r in matched})
-    qt_small = spark.createDataFrame(
-        [(r["query_id"], r["term"], float(r["qtf"])) for r in matched],
-        "query_id string, term string, qtf double",
+    buckets = sorted({b for (_, _, _, b) in matched})
+    terms = sorted({t for (_, t, _, _) in matched})
+    pruned = index.postings.where(
+        F.col("term_bucket").isin(buckets)  # partition (directory) pruning
+        & F.col("term").isin(terms)  # row-group pruning (PushedFilters)
     )
-    blocks = (
-        index.postings.where(F.col("term_bucket").isin(buckets))  # partition pruning
-        .join(F.broadcast(qt_small), "term")
-        .select(
+    if mode == "batch":
+        partial = _batch_partials(pruned, matched, k)
+    else:
+        qt_small = spark.createDataFrame(
+            [(q, t, c) for (q, t, c, _) in matched],
+            "query_id string, term string, qtf double",
+        )
+        blocks = pruned.join(F.broadcast(qt_small), "term").select(
             "query_id", "shard", "term", "qtf", "block_id",
             "first_ord", "last_ord", "max_score", "docs", "scores",
         )
-    )
-    partial = (
-        blocks.repartition("query_id", "shard")
-        .groupBy("query_id", "shard")
-        .applyInPandas(lambda pdf: _score_group(pdf, k, mode), _KERNEL_OUT)
-    )
-    hits = partial.join(
-        index.docmap.select("shard", "doc_ord", "doc_id"), ["shard", "doc_ord"]
+        partial = (
+            blocks.repartition("query_id", "shard")
+            .groupBy("query_id", "shard")
+            .applyInPandas(lambda pdf: _score_group(pdf, k, mode), _KERNEL_OUT)
+        )
+    # hits are tiny (<= queries x shards x k); broadcast them against the
+    # docmap scan so the (potentially huge) docmap is never shuffled
+    hits = index.docmap.select("shard", "doc_ord", "doc_id").join(
+        F.broadcast(partial), ["shard", "doc_ord"]
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     run = (

@@ -1,0 +1,76 @@
+"""Template fill (P1), robust04 cleanup (P7), crop (F11), softmax (W4),
+hydration (J1/J2)."""
+
+import math
+
+import pytest
+import pyspark.sql.functions as F
+
+from openmatch_spark.operators.transforms import (
+    fill_template,
+    find_all_markers,
+    hydrate_run,
+    random_crop_col,
+    robust04_clean_col,
+    softmax_scores,
+)
+
+
+def test_find_all_markers():
+    assert find_all_markers("Title: <title> Text: <text>") == ["title", "text"]
+
+
+def test_fill_template(spark):
+    df = spark.createDataFrame([("t1", "b1"), (None, "b2")], "title string, body string")
+    out = fill_template(df, "Title: <title> Text: <body>").collect()
+    assert out[0]["rendered"] == "Title: t1 Text: b1"
+    # missing value -> "" (utils.py:246-257 allow_not_found)
+    assert out[1]["rendered"] == "Title:  Text: b2"
+
+
+def test_fill_template_missing_column(spark):
+    df = spark.createDataFrame([("x",)], "a string")
+    out = fill_template(df, "<a>|<nope>|end").collect()
+    assert out[0]["rendered"] == "x||end"
+
+
+def test_fill_template_struct_path(spark):
+    df = spark.createDataFrame([((1, "inner"),)], "s struct<x:int, y:string>")
+    out = fill_template(df, "v=<s.y>").collect()
+    assert out[0]["rendered"] == "v=inner"
+
+
+def test_robust04_clean(spark):
+    df = spark.createDataFrame([("a&b   c#d (x), y!",)], "t string")
+    got = df.select(robust04_clean_col(F.col("t")).alias("c")).collect()[0]["c"]
+    assert got == "a b c d (x), y!"
+
+
+def test_random_crop_deterministic(spark):
+    df = spark.createDataFrame([(list("abcdefghij"),)], "arr array<string>")
+    a = df.select(random_crop_col(F.col("arr"), 4).alias("c")).collect()[0]["c"]
+    b = df.select(random_crop_col(F.col("arr"), 4).alias("c")).collect()[0]["c"]
+    assert a == b and len(a) == 4
+    short = spark.createDataFrame([(["x", "y"],)], "arr array<string>")
+    assert short.select(random_crop_col(F.col("arr"), 4).alias("c")).collect()[0]["c"] == ["x", "y"]
+
+
+def test_softmax(spark):
+    run = spark.createDataFrame(
+        [("q1", "a", 1.0), ("q1", "b", 2.0), ("q2", "c", 5.0)],
+        "query_id string, doc_id string, score double",
+    )
+    rows = {(r["query_id"], r["doc_id"]): r["score_softmax"] for r in softmax_scores(run).collect()}
+    e1, e2 = math.exp(1.0), math.exp(2.0)
+    assert rows[("q1", "a")] == pytest.approx(e1 / (e1 + e2))
+    assert rows[("q2", "c")] == pytest.approx(1.0)
+    logrows = {(r["query_id"], r["doc_id"]): r["score_softmax"] for r in softmax_scores(run, log=True).collect()}
+    assert logrows[("q1", "b")] == pytest.approx(math.log(e2 / (e1 + e2)))
+
+
+def test_hydrate_run(spark):
+    run = spark.createDataFrame([("q1", "d1", 1.0)], "query_id string, doc_id string, score double")
+    corpus = spark.createDataFrame([("d1", "doc text")], "doc_id string, text string")
+    queries = spark.createDataFrame([("q1", "query text")], "query_id string, text string")
+    row = hydrate_run(run, corpus, queries).collect()[0]
+    assert row["doc_text"] == "doc text" and row["query_text"] == "query text"

@@ -69,6 +69,7 @@ def incremental_index_available_now(
     stream = (
         spark.readStream.schema(PAGES_SCHEMA)
         .option("maxFilesPerTrigger", 4)
+        .option("recursiveFileLookup", "true")  # writers drop dir-per-batch
         .parquet(watch_dir)
     )
     q = (

@@ -494,14 +494,14 @@ WITH {tok_cte},
 dl AS (SELECT doc_id, COUNT(*) AS doclen FROM tok GROUP BY doc_id)
 SELECT COUNT(*) AS n_docs,
        ROUND(AVG(CAST(doclen AS DOUBLE)), 6) AS avgdl,
-       SUM(doclen) AS total_terms
+       CAST(SUM(doclen) AS BIGINT) AS total_terms
 FROM dl
 """
 
     sql["term_stats"] = f"""
 WITH {tok_cte},
 tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
-stats AS (SELECT term, COUNT(*) AS df, SUM(tf) AS cf FROM tf GROUP BY term),
+stats AS (SELECT term, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS cf FROM tf GROUP BY term),
 ranked AS (
   SELECT term, df, cf,
          CAST(ROW_NUMBER() OVER (ORDER BY df DESC, term ASC) AS INTEGER) AS rnk

@@ -117,7 +117,14 @@ def suite() -> dict:
 
 
 def _scaling_job(cores: int, n_docs: int) -> dict:
-    """One full build+query run at a given parallelism; returns throughputs."""
+    """One full build+query run at a given parallelism; returns throughputs.
+
+    Run this in a subprocess pinned to exactly `cores` CPUs (taskset) — see
+    scaling(). Unpinned, a local[8] job on a 32-core box silently borrows the
+    24 idle cores for JVM shuffle/GC/parquet threads, which makes the N-core
+    datapoint look faster than N cores really are and destroys the measured
+    N->4N efficiency. Pinning makes each datapoint an honest N-core machine.
+    """
     from openmatch_spark import get_spark
     from openmatch_spark.fixtures import synth_pages_spark
     from openmatch_spark.index import build_index, load_index
@@ -156,9 +163,27 @@ def _scaling_job(cores: int, n_docs: int) -> dict:
     }
 
 
-def scaling(n_docs: int = 150_000) -> dict:
-    r8 = _scaling_job(8, n_docs)
-    r32 = _scaling_job(32, n_docs)
+def _pinned_job(cores: int, n_docs: int) -> dict:
+    """Run _scaling_job in a subprocess confined to `cores` CPUs via taskset."""
+    import subprocess
+
+    cpu_list = f"0-{cores - 1}" if cores > 1 else "0"
+    cmd = ["taskset", "-c", cpu_list, sys.executable, os.path.abspath(__file__),
+           "--scaling-worker", str(cores), str(n_docs)]
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+    if out.returncode != 0:
+        raise RuntimeError(f"pinned job failed: {out.stderr[-2000:]}")
+    last = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
+    return json.loads(last)
+
+
+def scaling(n_docs: int = 150_000, n_lo: int = 2, n_hi: int = 8) -> dict:
+    """North-rule scaling evidence: identical job on identical input at N and
+    4N cores, each run CPU-pinned so N cores means N cores. Efficiency =
+    throughput(4N) / (4 x throughput(N))."""
+    assert n_hi == 4 * n_lo, "north rule compares N vs 4N"
+    r8 = _pinned_job(n_lo, n_docs)
+    r32 = _pinned_job(n_hi, n_docs)
     eff_build = r32["docs_per_sec"] / (4 * r8["docs_per_sec"])
     eff_query = r32["queries_per_sec"] / (4 * r8["queries_per_sec"])
     out = {
@@ -166,16 +191,17 @@ def scaling(n_docs: int = 150_000) -> dict:
         "value": round(eff_build, 3),
         "unit": "ratio",
         "queries": {
-            "build_docs_per_sec_8": r8["docs_per_sec"],
-            "build_docs_per_sec_32": r32["docs_per_sec"],
-            "query_qps_8": r8["queries_per_sec"],
-            "query_qps_32": r32["queries_per_sec"],
+            f"build_docs_per_sec_{n_lo}": r8["docs_per_sec"],
+            f"build_docs_per_sec_{n_hi}": r32["docs_per_sec"],
+            f"query_qps_{n_lo}": r8["queries_per_sec"],
+            f"query_qps_{n_hi}": r32["queries_per_sec"],
             "efficiency_query": round(eff_query, 3),
         },
-        "phases_8": r8["phases"],
-        "phases_32": r32["phases"],
+        "phases_lo": r8["phases"],
+        "phases_hi": r32["phases"],
         "sf": -1.0,
         "n_docs": n_docs,
+        "cores": [n_lo, n_hi],
     }
     md = f"""
 ## Measured scaling (sandbox proxy for N -> 4N executors)
@@ -183,12 +209,15 @@ def scaling(n_docs: int = 150_000) -> dict:
 Same deterministic synthetic corpus ({n_docs:,} docs, Zipf vocab 30k,
 `synth_pages_spark`), IDENTICAL job (`build_index` analyzer=dpr, 32 shards,
 16 buckets, block 128 + 256-query batch search k=100), two parallelism
-levels. Phase split 8c: {r8['phases']} / 32c: {r32['phases']}.
+levels: local[{n_lo}] and local[{n_hi}], each subprocess **CPU-pinned with
+`taskset` to exactly that many cores** (unpinned, the small run silently
+borrows idle cores for JVM shuffle/GC threads, inflating its throughput).
+Phase split {n_lo}c: {r8['phases']} / {n_hi}c: {r32['phases']}.
 
-| cores | build sec | docs/sec | 256q batch sec | q/s |
+| cores (pinned) | build sec | docs/sec | 256q batch sec | q/s |
 |---|---|---|---|---|
-| local[8] | {r8['build_sec']} | {r8['docs_per_sec']} | {r8['query_batch_sec']} | {r8['queries_per_sec']} |
-| local[32] | {r32['build_sec']} | {r32['docs_per_sec']} | {r32['query_batch_sec']} | {r32['queries_per_sec']} |
+| local[{n_lo}] | {r8['build_sec']} | {r8['docs_per_sec']} | {r8['query_batch_sec']} | {r8['queries_per_sec']} |
+| local[{n_hi}] | {r32['build_sec']} | {r32['docs_per_sec']} | {r32['query_batch_sec']} | {r32['queries_per_sec']} |
 
 **Scaling efficiency (build)** = {r32['docs_per_sec']} / (4 x {r8['docs_per_sec']}) = **{eff_build:.3f}**
 **Scaling efficiency (query)** = {r32['queries_per_sec']} / (4 x {r8['queries_per_sec']}) = **{eff_query:.3f}**
@@ -200,8 +229,12 @@ levels. Phase split 8c: {r8['phases']} / 32c: {r32['phases']}.
 
 
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
-        n = int(sys.argv[sys.argv.index("--scaling") + 1]) if len(sys.argv) > sys.argv.index("--scaling") + 1 and sys.argv[sys.argv.index("--scaling") + 1].isdigit() else 150_000
+    if "--scaling-worker" in sys.argv:
+        i = sys.argv.index("--scaling-worker")
+        print(json.dumps(_scaling_job(int(sys.argv[i + 1]), int(sys.argv[i + 2]))))
+    elif "--scaling" in sys.argv:
+        i = sys.argv.index("--scaling")
+        n = int(sys.argv[i + 1]) if len(sys.argv) > i + 1 and sys.argv[i + 1].isdigit() else 150_000
         print(json.dumps(scaling(n)))
     else:
         print(json.dumps(suite()))

@@ -29,19 +29,16 @@ def delta_decode(gaps: np.ndarray) -> np.ndarray:
     return np.cumsum(np.asarray(gaps, dtype=np.int64))
 
 
-def varbyte_encode(values: np.ndarray) -> bytes:
-    """Unsigned varbyte (LEB128-style, continuation bit 0x80 on non-final).
-
-    Vectorized: compute byte-length per value, scatter 7-bit groups into a
-    ragged byte matrix, compress out the unused slots.
-    """
+def _varbyte_parts(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """(encoded buffer, per-value byte count) — shared by the single-block and
+    batched encoders so any contiguous value range can be sliced back out of
+    the buffer by byte offset."""
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
-        return b""
+        return b"", np.empty(0, dtype=np.int64)
     # bytes needed per value: ceil(bitlen/7), min 1
     bitlen = np.zeros(v.shape, dtype=np.int64)
-    nz = v > 0
-    # bit_length via log2 on float is unsafe for >2**53; use frexp-free loop over 10 shifts
+    # bit_length via log2 on float is unsafe for >2**53; use frexp-free shift loop
     tmp = v.copy()
     while np.any(tmp > 0):
         bitlen[tmp > 0] += 1
@@ -55,7 +52,60 @@ def varbyte_encode(values: np.ndarray) -> bytes:
     # continuation bit on every byte except the last of each value
     last = np.arange(maxb)[None, :] == (nbytes[:, None] - 1)
     groups[mask & ~last] |= 0x80
-    return groups[mask].tobytes()
+    return groups[mask].tobytes(), nbytes
+
+
+def varbyte_encode(values: np.ndarray) -> bytes:
+    """Unsigned varbyte (LEB128-style, continuation bit 0x80 on non-final).
+
+    Vectorized: compute byte-length per value, scatter 7-bit groups into a
+    ragged byte matrix, compress out the unused slots.
+    """
+    return _varbyte_parts(values)[0]
+
+
+def encode_blocks_batch(
+    ords: np.ndarray, weights: np.ndarray, block_starts: np.ndarray
+) -> dict:
+    """Encode MANY posting blocks in one vectorized pass.
+
+    ords/weights are flat arrays covering all blocks back-to-back;
+    block_starts[i] is the index where block i begins (block i ends at
+    block_starts[i+1], the last at len(ords)). Delta encoding resets at each
+    block start (the first ord of a block is stored raw), so every block's
+    payload decodes independently with decode_postings — byte-identical to
+    encoding each block separately, at O(total postings) numpy cost instead
+    of O(blocks) python calls (the old per-block UDF spent ~40us of numpy
+    fixed overhead on every ~6-posting tail-term block).
+    """
+    ords = np.asarray(ords, dtype=np.int64)
+    weights = np.asarray(weights, dtype=np.float64)
+    starts = np.asarray(block_starts, dtype=np.int64)
+    nb = starts.shape[0]
+    if nb == 0:
+        return {"first_ord": [], "last_ord": [], "n": [], "max_score": [],
+                "docs": [], "scores": []}
+    ends = np.empty(nb, dtype=np.int64)
+    ends[:-1] = starts[1:]
+    ends[-1] = ords.shape[0]
+
+    deltas = np.empty_like(ords)
+    deltas[1:] = ords[1:] - ords[:-1]
+    deltas[starts] = ords[starts]  # raw first value per block (delta reset)
+    buf, nbytes = _varbyte_parts(deltas)
+    byte_off = np.zeros(ords.shape[0] + 1, dtype=np.int64)
+    np.cumsum(nbytes, out=byte_off[1:])
+    b0, b1 = byte_off[starts], byte_off[ends]
+
+    wbuf = weights.tobytes()
+    return {
+        "first_ord": ords[starts],
+        "last_ord": ords[ends - 1],
+        "n": (ends - starts).astype(np.int32),
+        "max_score": np.maximum.reduceat(weights, starts),
+        "docs": [buf[s:e] for s, e in zip(b0.tolist(), b1.tolist())],
+        "scores": [wbuf[8 * s : 8 * e] for s, e in zip(starts.tolist(), ends.tolist())],
+    }
 
 
 def varbyte_decode(buf: bytes) -> np.ndarray:

@@ -8,20 +8,22 @@ Dataflow (one declarative plan per phase; Catalyst owns the physical plan):
              docmap:   shard-local dense doc_ord by doc_id sort
              explode ──groupBy(shard,term,doc)──► tf
                      ──join docmap + dictionary──► weight (float64, index-time BM25)
-                     ──groupBy(shard,term,block)──► sorted block arrays
-                     ──Arrow encode──► delta+varbyte docs, f64 scores, max_score
+                     ──repartition(shard,term_bucket)+sortWithinPartitions──►
+                     ──mapInArrow single-pass packer──► delta+varbyte blocks
              write postings/docmap (dynamic partition overwrite by shard)
              append manifest row per shard   (write-then-manifest ⇒ idempotent resume)
 
 Skew strategy (Zipf head terms like "the" appear in ~every doc):
   * the tf groupBy keys on (shard, term, doc_id) — doc_id spreads hot terms
     across all partitions; partial aggregation combines map-side.
-  * block packing keys on (shard, term, block_id) where
-    block_id = doc_ord // block_size — a head term's posting list is split
-    into bounded groups of <= block_size rows, so no reducer ever receives
-    an unbounded collect_list. This replaces hand-salting with a
-    deterministic, globally-consistent split (block ids don't depend on the
-    physical partitioning, so the index is identical under any parallelism).
+  * block packing is SORT-based, not collect_list-based: postings are hash
+    partitioned on (shard, term_bucket), sorted (Tungsten external sort —
+    spills, never OOMs), and a streaming Arrow kernel chunks each
+    (shard, term) run into block_size blocks with O(block_size) state.
+    A head term's multi-million-posting run emits complete blocks eagerly;
+    no reducer ever materializes an unbounded list. Block boundaries are a
+    pure function of corpus content, so the index is identical under any
+    parallelism (property-tested).
   * doc-sharding bounds every per-(shard,term) list by docs-per-shard,
     which is what makes query-side groups bounded too.
 
@@ -41,63 +43,144 @@ from __future__ import annotations
 import time
 
 import numpy as np
-import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
-from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import (
-    BinaryType,
-    DoubleType,
-    IntegerType,
-    LongType,
-    StructField,
-    StructType,
-)
 
 from openmatch_spark.analysis import extract_corpus
 from openmatch_spark.functions.bm25 import B, K1
-from openmatch_spark.functions.codec import encode_postings
-from openmatch_spark.index.layout import MANIFEST_SCHEMA, IndexPaths
+from openmatch_spark.functions.codec import encode_blocks_batch
+from openmatch_spark.index.layout import POSTING_SCHEMA, MANIFEST_SCHEMA, IndexPaths
 from openmatch_spark.stats import global_stats, term_stats
 
-# coarse ord-range per packing group: bounds any single reducer's list to
-# <= 2^20 postings (16 MiB of (ord, weight)) regardless of term skew
-_COARSE_RANGE = 1 << 20
-
-_BLOCK_STRUCT = StructType(
-    [
-        StructField("first_ord", LongType()),
-        StructField("last_ord", LongType()),
-        StructField("n", IntegerType()),
-        StructField("max_score", DoubleType()),
-        StructField("docs", BinaryType()),
-        StructField("scores", BinaryType()),
-    ]
-)
+# postings buffered per task before a vectorized encode+emit; bounds kernel
+# memory to ~10 MB/task regardless of partition size
+_PACK_BUFFER_ROWS = 1 << 17
 
 
-@pandas_udf(_BLOCK_STRUCT)
-def _encode_block_udf(ords_s: pd.Series, weights_s: pd.Series) -> pd.DataFrame:
-    """Encode one posting block: parallel (ords, weights) arrays -> payloads.
+def _pack_blocks_arrow(block_size: int):
+    """mapInArrow kernel: sorted (shard, term_bucket, term, doc_ord, weight)
+    stream -> encoded posting blocks, one pass, no collect_list.
 
-    Takes two primitive-array columns (Arrow hands them over as numpy
-    arrays) instead of an array<struct> — struct rows materialize as Python
-    dicts and were the dominant index-build cost at profile time.
+    The input partition is hash-distributed on (shard, term_bucket) and
+    sorted by (shard, term_bucket, term, doc_ord), so each (shard, term)
+    run is contiguous. Blocks are consecutive `block_size` chunks of a run —
+    a pure function of corpus content, independent of parallelism. Runs that
+    out-grow the buffer emit their COMPLETE blocks eagerly (block boundaries
+    never depend on later postings), so a head term's multi-million-posting
+    run never accumulates: carried state stays < block_size rows.
     """
-    first, last, n, mx, docs, scores = [], [], [], [], [], []
-    for o, w in zip(ords_s, weights_s):
-        ords = np.asarray(o, dtype=np.int64)
-        wts = np.asarray(w, dtype=np.float64)
-        first.append(int(ords[0]))
-        last.append(int(ords[-1]))
-        n.append(len(ords))
-        mx.append(float(wts.max()))
-        docs.append(encode_postings(ords))
-        scores.append(wts.tobytes())
-    return pd.DataFrame(
-        {"first_ord": first, "last_ord": last, "n": n, "max_score": mx,
-         "docs": docs, "scores": scores}
+    import pyarrow as pa
+
+    out_schema = pa.schema(
+        [
+            ("term", pa.string()),
+            ("term_bucket", pa.int32()),
+            ("shard", pa.int32()),
+            ("block_id", pa.int32()),
+            ("first_ord", pa.int64()),
+            ("last_ord", pa.int64()),
+            ("n", pa.int32()),
+            ("max_score", pa.float64()),
+            ("docs", pa.binary()),
+            ("scores", pa.binary()),
+        ]
     )
+
+    def kernel(batches):
+        bs = block_size
+        buf: list = []  # accumulated input batches
+        nbuf = 0
+        carry_blocks = 0  # blocks already emitted for the run at buffer head
+
+        def flush(final: bool):
+            nonlocal buf, nbuf, carry_blocks
+            if not nbuf:
+                return None
+            tbl = pa.Table.from_batches(buf).combine_chunks()
+            shard = tbl.column("shard").to_numpy()
+            bucket = tbl.column("term_bucket").to_numpy()
+            terms = tbl.column("term").to_numpy(zero_copy_only=False)
+            ords = tbl.column("doc_ord").to_numpy()
+            weights = tbl.column("weight").to_numpy()
+            nrows = len(ords)
+
+            change = np.empty(nrows, dtype=bool)
+            change[0] = True
+            change[1:] = (terms[1:] != terms[:-1]) | (shard[1:] != shard[:-1])
+            run_starts = np.flatnonzero(change)
+
+            tail_start = int(run_starts[-1])
+            if final:
+                emit_upto = nrows
+            else:
+                # emit only COMPLETE blocks of the (possibly unfinished) tail
+                # run; its residual (< bs rows) carries to the next flush.
+                emit_upto = tail_start + ((nrows - tail_start) // bs) * bs
+            out = None
+            if emit_upto > 0:
+                rs = run_starts[run_starts < emit_upto]
+                lens = np.empty(rs.shape[0], dtype=np.int64)
+                lens[:-1] = rs[1:] - rs[:-1]
+                lens[-1] = emit_upto - rs[-1]
+                nblk = (lens + bs - 1) // bs
+                total = int(nblk.sum())
+                run_of_block = np.repeat(np.arange(rs.shape[0]), nblk)
+                first_blk = np.cumsum(nblk) - nblk
+                blk_in_run = np.arange(total) - first_blk[run_of_block]
+                block_starts = rs[run_of_block] + blk_in_run * bs
+                # block ids continue across flushes for the carried head run
+                base = np.zeros(rs.shape[0], dtype=np.int64)
+                base[0] = carry_blocks
+                block_ids = (base[run_of_block] + blk_in_run).astype(np.int32)
+
+                enc = encode_blocks_batch(
+                    ords[:emit_upto], weights[:emit_upto], block_starts
+                )
+                out = pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(terms[rs][run_of_block], type=pa.string()),
+                        pa.array(bucket[block_starts], type=pa.int32()),
+                        pa.array(shard[block_starts], type=pa.int32()),
+                        pa.array(block_ids, type=pa.int32()),
+                        pa.array(enc["first_ord"], type=pa.int64()),
+                        pa.array(enc["last_ord"], type=pa.int64()),
+                        pa.array(enc["n"], type=pa.int32()),
+                        pa.array(enc["max_score"], type=pa.float64()),
+                        pa.array(enc["docs"], type=pa.binary()),
+                        pa.array(enc["scores"], type=pa.binary()),
+                    ],
+                    schema=out_schema,
+                )
+            # carried residual: rows past emit_upto (all one run, < bs rows)
+            if final or emit_upto == nrows:
+                buf, nbuf, carry_blocks = [], 0, 0
+            else:
+                rest = tbl.slice(emit_upto)
+                buf = rest.to_batches()
+                nbuf = nrows - emit_upto
+                if emit_upto > tail_start:  # tail run emitted some blocks
+                    carry_blocks = (
+                        (carry_blocks if tail_start == 0 else 0)
+                        + (emit_upto - tail_start) // bs
+                    )
+                elif tail_start > 0:
+                    carry_blocks = 0  # fresh run carried, nothing emitted yet
+            return out
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            buf.append(batch)
+            nbuf += batch.num_rows
+            if nbuf >= _PACK_BUFFER_ROWS:
+                out = flush(final=False)
+                if out is not None:
+                    yield out
+        out = flush(final=True)
+        if out is not None:
+            yield out
+
+    return kernel
 
 
 def shard_col(doc_id_col, num_shards: int):
@@ -233,62 +316,22 @@ def build_index(
                 ).alias("weight"),
             )
         )
-        # Pack CONSECUTIVE postings into blocks of block_size. Grouping key
-        # adds a coarse ord-range (2^20 ords) so a head term's per-shard list
-        # never lands in one reducer unbounded (Zipf-skew defense) while tail
-        # terms (df << range) still pack into a single dense block. Block
-        # boundaries depend only on (ord order, block_size, range) — the
-        # index is identical under any parallelism. The list is collected,
-        # sorted and sliced JVM-side; Python sees only primitive arrays.
-        per_block = block_size
-        nblocks_per_grp = (_COARSE_RANGE + per_block - 1) // per_block
-        grouped = (
-            weighted.withColumn("grp", (F.col("doc_ord") / _COARSE_RANGE).cast("int"))
-            .groupBy("shard", "term_bucket", "term", "grp")
-            .agg(F.sort_array(F.collect_list(F.struct("doc_ord", "weight"))).alias("plist"))
+        # Sort-based block packing (one shuffle, no collect_list): hash the
+        # postings to (shard, term_bucket) partitions — the same axes as the
+        # directory layout, so each output dir is written by exactly one
+        # task — sort within partitions, then a single-pass Arrow kernel
+        # packs consecutive block_size chunks per (shard, term) run.
+        # Head-term skew: a hot term's run streams through the kernel with
+        # O(block_size) state (complete blocks emit eagerly), and Tungsten's
+        # sort spills — no reducer ever materializes a full posting list.
+        # Block boundaries are a pure function of (doc_ord order, block_size)
+        # so the index bytes are identical under any parallelism.
+        blocks = (
+            weighted.repartition("shard", "term_bucket")
+            .sortWithinPartitions("shard", "term_bucket", "term", "doc_ord")
+            .mapInArrow(_pack_blocks_arrow(block_size), POSTING_SCHEMA)
         )
-        sliced = grouped.select(
-            "shard",
-            "term_bucket",
-            "term",
-            "grp",
-            F.posexplode(
-                F.transform(
-                    F.sequence(
-                        F.lit(0),
-                        F.floor((F.size("plist") - 1) / per_block).cast("int"),
-                    ),
-                    lambda i: F.slice(F.col("plist"), i * per_block + 1, per_block),
-                )
-            ).alias("block_off", "chunk"),
-        ).select(
-            "shard",
-            "term_bucket",
-            "term",
-            (F.col("grp").cast("long") * nblocks_per_grp + F.col("block_off")).cast("int").alias("block_id"),
-            F.transform("chunk", lambda s: s["doc_ord"]).alias("ords"),
-            F.transform("chunk", lambda s: s["weight"]).alias("weights"),
-        )
-        blocks = sliced.withColumn(
-            "enc", _encode_block_udf("ords", "weights")
-        ).select(
-            "term",
-            "term_bucket",
-            "shard",
-            "block_id",
-            F.col("enc.first_ord").alias("first_ord"),
-            F.col("enc.last_ord").alias("last_ord"),
-            F.col("enc.n").alias("n"),
-            F.col("enc.max_score").alias("max_score"),
-            F.col("enc.docs").alias("docs"),
-            F.col("enc.scores").alias("scores"),
-        )
-        # align physical partitioning with the directory layout before the
-        # write: without this every write task emits a file into every
-        # (shard, term_bucket) dir it holds rows for — tens of thousands of
-        # tiny files whose creation overhead dominates and kills scaling.
-        # Encoded blocks are compact, so this extra shuffle is cheap.
-        blocks.repartition("shard", "term_bucket").write.mode("overwrite").partitionBy(
+        blocks.write.mode("overwrite").partitionBy(
             "shard", "term_bucket"
         ).parquet(paths.postings)
         _mark("postings_write", t0)

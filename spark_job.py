@@ -1,0 +1,170 @@
+#!/usr/bin/env python
+"""spark-submit entrypoint for the openmatch_spark engine (north_rule launch
+mode: `spark-submit --py-files openmatch_spark.zip spark_job.py <cmd> ...`).
+
+Subcommands
+-----------
+build-index   pages parquet/Iceberg table -> BM25 index directory
+              (resumable: rerun with --resume to skip committed shards)
+search        index + queries TSV/parquet -> TREC run file
+eval          run + qrels -> MRR@k / Recall@k / nDCG@k JSON on stdout
+package       write openmatch_spark.zip next to this file (for --py-files)
+
+On a cluster, master/executor conf comes from spark-submit; this script never
+hardcodes parallelism. In the sandbox:
+  python spark_job.py package
+  spark-submit --py-files openmatch_spark.zip spark_job.py build-index \
+      --pages /root/testdata/sf0.01/documents.parquet --pages-format documents \
+      --index /tmp/idx --num-shards 8
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _spark(app: str):
+    # inside spark-submit the session inherits submit-time conf; get_spark
+    # only fills in sandbox defaults when run bare.
+    from openmatch_spark import get_spark
+
+    return get_spark(app, master=None if os.environ.get("SPARK_SUBMIT_DEPLOY_MODE") else None)
+
+
+def cmd_package(args) -> int:
+    """Zip the openmatch_spark package for --py-files distribution."""
+    import zipfile
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    pkg = os.path.join(here, "openmatch_spark")
+    out = args.out or os.path.join(here, "openmatch_spark.zip")
+    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as z:
+        for root, _, files in os.walk(pkg):
+            if "__pycache__" in root:
+                continue
+            for f in files:
+                if f.endswith(".py"):
+                    p = os.path.join(root, f)
+                    z.write(p, os.path.relpath(p, here))
+    print(out)
+    return 0
+
+
+def _load_pages(spark, args):
+    from openmatch_spark.fixtures import documents_as_pages
+
+    if args.pages_format == "documents":
+        return documents_as_pages(spark, os.path.dirname(args.pages)) if args.pages.endswith(
+            "documents.parquet"
+        ) else documents_as_pages(spark, args.pages)
+    if args.pages_format == "table":  # Iceberg / catalog table name
+        return spark.read.table(args.pages)
+    return spark.read.parquet(args.pages)  # pages-schema parquet
+
+
+def cmd_build_index(args) -> int:
+    from openmatch_spark.index import build_index
+
+    spark = _spark("om-build-index")
+    pages = _load_pages(spark, args)
+    stats = build_index(
+        spark,
+        pages,
+        args.index,
+        analyzer=args.analyzer,
+        num_shards=args.num_shards,
+        num_term_buckets=args.num_term_buckets,
+        block_size=args.block_size,
+        shard_batch_size=args.shard_batch_size,
+        resume=args.resume,
+    )
+    print(json.dumps({k: v for k, v in stats.items() if not hasattr(v, "toPandas")}))
+    return 0
+
+
+def cmd_search(args) -> int:
+    from openmatch_spark.index import load_index
+    from openmatch_spark.operators.runio import save_as_trec
+    from openmatch_spark.query import search
+
+    spark = _spark("om-search")
+    idx = load_index(spark, args.index)
+    if args.queries.endswith(".parquet"):
+        queries = spark.read.parquet(args.queries)
+    else:
+        queries = (
+            spark.read.option("sep", "\t")
+            .schema("query_id string, text string")
+            .csv(args.queries)
+        )
+    run = search(idx, queries, k=args.k, mode=args.mode)
+    save_as_trec(run, args.out, run_id=args.run_id)
+    print(json.dumps({"out": args.out, "k": args.k, "mode": args.mode}))
+    return 0
+
+
+def cmd_eval(args) -> int:
+    from openmatch_spark.operators.metrics import mrr_at_k, ndcg_at_k, recall_at_k
+    from openmatch_spark.operators.runio import load_from_trec
+
+    spark = _spark("om-eval")
+    run = load_from_trec(spark, args.run)
+    qrels = (
+        spark.read.option("sep", "\t")
+        .schema("query_id string, q0 string, doc_id string, rel int")
+        .csv(args.qrels)
+        .select("query_id", "doc_id", "rel")
+    )
+    out = {}
+    for k in args.k:
+        out[f"mrr@{k}"] = mrr_at_k(run, qrels, k=k).first()["mrr"]
+        out[f"recall@{k}"] = recall_at_k(run, qrels, k=k).first()["recall"]
+        out[f"ndcg@{k}"] = ndcg_at_k(run, qrels, k=k).first()["ndcg"]
+    print(json.dumps(out))
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="spark_job.py")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pk = sub.add_parser("package")
+    pk.add_argument("--out", default=None)
+    pk.set_defaults(fn=cmd_package)
+
+    bi = sub.add_parser("build-index")
+    bi.add_argument("--pages", required=True, help="parquet path or table name")
+    bi.add_argument("--pages-format", choices=["pages", "documents", "table"], default="pages")
+    bi.add_argument("--index", required=True)
+    bi.add_argument("--analyzer", choices=["dpr", "simple"], default="dpr")
+    bi.add_argument("--num-shards", type=int, default=8)
+    bi.add_argument("--num-term-buckets", type=int, default=16)
+    bi.add_argument("--block-size", type=int, default=128)
+    bi.add_argument("--shard-batch-size", type=int, default=None)
+    bi.add_argument("--resume", action="store_true")
+    bi.set_defaults(fn=cmd_build_index)
+
+    se = sub.add_parser("search")
+    se.add_argument("--index", required=True)
+    se.add_argument("--queries", required=True, help="TSV (qid\\ttext) or parquet")
+    se.add_argument("--out", required=True)
+    se.add_argument("--k", type=int, default=100)
+    se.add_argument("--mode", choices=["batch", "maxscore", "daat"], default="batch")
+    se.add_argument("--run-id", default="openmatch_spark")
+    se.set_defaults(fn=cmd_search)
+
+    ev = sub.add_parser("eval")
+    ev.add_argument("--run", required=True)
+    ev.add_argument("--qrels", required=True)
+    ev.add_argument("--k", type=int, nargs="+", default=[10])
+    ev.set_defaults(fn=cmd_eval)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,81 @@
+"""North-rule launch mode: the engine runs via spark-submit --py-files.
+
+End-to-end through real process boundaries: package the lib as a zip, then
+build-index -> search -> eval as three separate spark-submit invocations
+sharing only the filesystem (index dir, TREC run) — the same contract a
+multi-executor cluster run uses, minus cluster size.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF = "/root/testdata/sf0.001"
+
+spark_submit = shutil.which("spark-submit")
+pytestmark = pytest.mark.skipif(spark_submit is None, reason="spark-submit not on PATH")
+
+
+def _submit(zip_path, *args, timeout=420):
+    cmd = [
+        spark_submit,
+        "--master", "local[4]",
+        "--conf", "spark.sql.shuffle.partitions=4",
+        "--conf", "spark.ui.enabled=false",
+        "--py-files", zip_path,
+        os.path.join(REPO, "spark_job.py"),
+        *args,
+    ]
+    env = dict(os.environ, PYSPARK_PYTHON=sys.executable)
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=timeout, env=env)
+    assert out.returncode == 0, f"spark-submit failed:\n{out.stderr[-4000:]}"
+    lines = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")]
+    return json.loads(lines[-1]) if lines else {}
+
+
+def test_spark_submit_pipeline(tmp_path):
+    # 1. package the lib for --py-files
+    zip_path = str(tmp_path / "openmatch_spark.zip")
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "spark_job.py"), "package", "--out", zip_path],
+        capture_output=True, text=True, cwd=REPO,
+    )
+    assert out.returncode == 0, out.stderr
+    assert os.path.getsize(zip_path) > 10_000
+
+    idx = str(tmp_path / "idx")
+    stats = _submit(
+        zip_path, "build-index",
+        "--pages", os.path.join(SF, "documents.parquet"),
+        "--pages-format", "documents",
+        "--index", idx, "--analyzer", "simple",
+        "--num-shards", "2", "--num-term-buckets", "4",
+    )
+    assert stats["n_docs"] == 500
+    assert os.path.exists(os.path.join(idx, "stats.json"))
+
+    # 2. search from a fresh process against the on-disk index
+    queries_tsv = str(tmp_path / "queries.tsv")
+    with open(queries_tsv, "w") as f:
+        f.write("q0\tspark hash join\nq1\twindow merge sort\n")
+    run_path = str(tmp_path / "run.trec")
+    _submit(zip_path, "search", "--index", idx, "--queries", queries_tsv,
+            "--out", run_path, "--k", "10")
+    lines = open(run_path).read().strip().splitlines()
+    assert 0 < len(lines) <= 20
+    qid, q0, docid, rank, score, tag = lines[0].split()
+    assert q0 == "Q0" and rank == "1"
+
+    # 3. eval from yet another process
+    qrels_tsv = str(tmp_path / "qrels.tsv")
+    with open(qrels_tsv, "w") as f:
+        f.write(f"q0\t0\t{docid}\t1\n")
+    metrics = _submit(zip_path, "eval", "--run", run_path, "--qrels", qrels_tsv, "--k", "10")
+    assert metrics["mrr@10"] == 1.0

@@ -146,7 +146,7 @@ def _scaling_job(cores: int, n_docs: int) -> dict:
             num_shards=32, num_term_buckets=16, block_size=128, timings=phase,
         )
     )
-    qrows = _gen_queries(256)
+    qrows = _gen_queries(1024)
     queries = spark.createDataFrame(qrows, "query_id string, text string")
     idx = load_index(spark, idx_dir)
     t_query, n_hits = _timed(lambda: search(idx, queries, k=100, mode="batch").count())
@@ -177,7 +177,7 @@ def _pinned_job(cores: int, n_docs: int) -> dict:
     return json.loads(last)
 
 
-def scaling(n_docs: int = 150_000, n_lo: int = 2, n_hi: int = 8) -> dict:
+def scaling(n_docs: int = 400_000, n_lo: int = 2, n_hi: int = 8) -> dict:
     """North-rule scaling evidence: identical job on identical input at N and
     4N cores, each run CPU-pinned so N cores means N cores. Efficiency =
     throughput(4N) / (4 x throughput(N))."""
@@ -208,13 +208,13 @@ def scaling(n_docs: int = 150_000, n_lo: int = 2, n_hi: int = 8) -> dict:
 
 Same deterministic synthetic corpus ({n_docs:,} docs, Zipf vocab 30k,
 `synth_pages_spark`), IDENTICAL job (`build_index` analyzer=dpr, 32 shards,
-16 buckets, block 128 + 256-query batch search k=100), two parallelism
+16 buckets, block 128 + 1024-query batch search k=100), two parallelism
 levels: local[{n_lo}] and local[{n_hi}], each subprocess **CPU-pinned with
 `taskset` to exactly that many cores** (unpinned, the small run silently
 borrows idle cores for JVM shuffle/GC threads, inflating its throughput).
 Phase split {n_lo}c: {r8['phases']} / {n_hi}c: {r32['phases']}.
 
-| cores (pinned) | build sec | docs/sec | 256q batch sec | q/s |
+| cores (pinned) | build sec | docs/sec | 1024q batch sec | q/s |
 |---|---|---|---|---|
 | local[{n_lo}] | {r8['build_sec']} | {r8['docs_per_sec']} | {r8['query_batch_sec']} | {r8['queries_per_sec']} |
 | local[{n_hi}] | {r32['build_sec']} | {r32['docs_per_sec']} | {r32['query_batch_sec']} | {r32['queries_per_sec']} |
@@ -234,7 +234,7 @@ if __name__ == "__main__":
         print(json.dumps(_scaling_job(int(sys.argv[i + 1]), int(sys.argv[i + 2]))))
     elif "--scaling" in sys.argv:
         i = sys.argv.index("--scaling")
-        n = int(sys.argv[i + 1]) if len(sys.argv) > i + 1 and sys.argv[i + 1].isdigit() else 150_000
+        n = int(sys.argv[i + 1]) if len(sys.argv) > i + 1 and sys.argv[i + 1].isdigit() else 400_000
         print(json.dumps(scaling(n)))
     else:
         print(json.dumps(suite()))

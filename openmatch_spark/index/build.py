@@ -50,7 +50,7 @@ from openmatch_spark.analysis import extract_corpus
 from openmatch_spark.functions.bm25 import B, K1
 from openmatch_spark.functions.codec import encode_blocks_batch
 from openmatch_spark.index.layout import POSTING_SCHEMA, MANIFEST_SCHEMA, IndexPaths
-from openmatch_spark.stats import global_stats, term_stats
+from openmatch_spark.stats import global_stats
 
 # postings buffered per task before a vectorized encode+emit; bounds kernel
 # memory to ~10 MB/task regardless of partition size
@@ -114,8 +114,14 @@ def _pack_blocks_arrow(block_size: int):
                 emit_upto = nrows
             else:
                 # emit only COMPLETE blocks of the (possibly unfinished) tail
-                # run; its residual (< bs rows) carries to the next flush.
+                # run; its residual carries to the next flush. Always hold
+                # back at least one row of the tail run — the carry is the
+                # physical link that tells the next flush "run 0 continues
+                # with this block_id base"; an empty carry would make a
+                # continuing run restart at block_id 0.
                 emit_upto = tail_start + ((nrows - tail_start) // bs) * bs
+                if emit_upto == nrows:
+                    emit_upto -= bs
             out = None
             if emit_upto > 0:
                 rs = run_starts[run_starts < emit_upto]
@@ -151,8 +157,8 @@ def _pack_blocks_arrow(block_size: int):
                     ],
                     schema=out_schema,
                 )
-            # carried residual: rows past emit_upto (all one run, < bs rows)
-            if final or emit_upto == nrows:
+            # carried residual: rows past emit_upto (all one run)
+            if final:
                 buf, nbuf, carry_blocks = [], 0, 0
             else:
                 rest = tbl.slice(emit_upto)
@@ -232,7 +238,6 @@ def build_index(
     the manifest. fail_after_batches is a test hook for kill/resume tests.
     """
     paths = IndexPaths(index_dir)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     t = timings if timings is not None else {}
 
     def _mark(name, t0):
@@ -243,6 +248,18 @@ def build_index(
     )
     corpus.persist()
 
+    # tf is THE shared intermediate: one explode+agg pass feeds both the
+    # dictionary (df = rows per term, cf = sum tf) and the postings build —
+    # computing it twice (term_stats + postings phase) doubled the dominant
+    # shuffle. Persisted MEMORY_AND_DISK: at cluster scale it spills, which
+    # is still far cheaper than a second full tokenize+explode+agg pass.
+    tf = (
+        corpus.select("shard", "doc_id", F.explode("terms").alias("term"))
+        .groupBy("shard", "term", "doc_id")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    tf.persist()
+
     # ---- phase STATS (atomic via stats.json tmp+rename) -------------------
     if resume and paths.has_stats():
         stats = paths.read_stats()
@@ -250,7 +267,10 @@ def build_index(
     else:
         t0 = time.time()
         g = global_stats(corpus)
-        dictionary = term_stats(corpus).select(
+        dictionary = tf.groupBy("term").agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf").cast("long").alias("cf"),
+        ).select(
             "term",
             "df",
             "cf",
@@ -285,24 +305,33 @@ def build_index(
     batch = shard_batch_size or len(todo) or 1
     batches = [todo[i : i + batch] for i in range(0, len(todo), batch)]
 
+    # dynamic partition overwrite (per-shard-dir replacement) is only needed
+    # when a write must leave other shards' dirs intact — multi-batch builds
+    # and resumes. A fresh single-batch build uses the cheaper static mode
+    # (dynamic stages + moves every partition dir driver-side at commit).
+    spark.conf.set(
+        "spark.sql.sources.partitionOverwriteMode",
+        "dynamic" if (resume or len(batches) > 1) else "static",
+    )
+    write_parallelism = max(spark.sparkContext.defaultParallelism, 1)
+
     for bi, shards in enumerate(batches):
         if fail_after_batches is not None and bi >= fail_after_batches:
             corpus.unpersist()
+            tf.unpersist()
             raise RuntimeError(f"injected failure before batch {bi} (test hook)")
         part = corpus.where(F.col("shard").isin(shards))
         t0 = time.time()
-        docmap = build_docmap(part)
-        docmap.write.mode("overwrite").partitionBy("shard").parquet(paths.docmap)
+        build_docmap(part).write.mode("overwrite").partitionBy("shard").parquet(paths.docmap)
+        # re-read what we just wrote: downstream consumers (weighted join,
+        # manifest doc counts) would otherwise re-run the window sort per use
+        docmap = spark.read.parquet(paths.docmap).where(F.col("shard").isin(shards))
         _mark("docmap_write", t0)
         t0 = time.time()
 
-        tf = (
-            part.select("shard", "doc_id", F.explode("terms").alias("term"))
-            .groupBy("shard", "term", "doc_id")
-            .agg(F.count(F.lit(1)).cast("double").alias("tf"))
-        )
+        part_tf = tf.where(F.col("shard").isin(shards))
         weighted = (
-            tf.join(docmap.select("shard", "doc_id", "doc_ord", "doclen"), ["shard", "doc_id"])
+            part_tf.join(docmap.select("shard", "doc_id", "doc_ord", "doclen"), ["shard", "doc_id"])
             .join(dictionary.select("term", "idf", "term_bucket"), "term")
             .select(
                 "shard",
@@ -326,8 +355,11 @@ def build_index(
         # sort spills — no reducer ever materializes a full posting list.
         # Block boundaries are a pure function of (doc_ord order, block_size)
         # so the index bytes are identical under any parallelism.
+        # explicit partition count: repartition(cols) without N lets AQE
+        # coalesce the exchange down to one task on small inputs, which
+        # serializes the sort+pack+write stage
         blocks = (
-            weighted.repartition("shard", "term_bucket")
+            weighted.repartition(write_parallelism, "shard", "term_bucket")
             .sortWithinPartitions("shard", "term_bucket", "term", "doc_ord")
             .mapInArrow(_pack_blocks_arrow(block_size), POSTING_SCHEMA)
         )
@@ -362,4 +394,5 @@ def build_index(
         _mark("manifest_commit", t0)
 
     corpus.unpersist()
+    tf.unpersist()
     return stats

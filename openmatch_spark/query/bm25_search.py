@@ -188,7 +188,7 @@ def _score_group(pdf: pd.DataFrame, k: int, mode: str) -> pd.DataFrame:
     )
 
 
-def _batch_partials(pruned: DataFrame, matched: list, k: int) -> DataFrame:
+def _batch_partials(pruned: DataFrame, matched: list, k: int, num_shards: int) -> DataFrame:
     """Batch scatter-gather mode: one pass over each matched posting block.
 
     Per-query modes duplicate every block row once per query that contains
@@ -263,9 +263,13 @@ def _batch_partials(pruned: DataFrame, matched: list, k: int) -> DataFrame:
                     out["score"].extend(s[sel].tolist())
             yield pd.DataFrame(out)
 
+    # per-shard accumulation needs every block of a shard in one partition;
+    # explicit N (not repartition("shard") alone) stops AQE from coalescing
+    # the exchange to a single task and serializing the kernel
+    n_parts = max(1, min(num_shards, pruned.sparkSession.sparkContext.defaultParallelism))
     return (
         pruned.select("shard", "term", "docs", "scores")
-        .repartition("shard")
+        .repartition(n_parts, "shard")
         .mapInPandas(kernel, _KERNEL_OUT)
     )
 
@@ -302,7 +306,7 @@ def search(
         & F.col("term").isin(terms)  # row-group pruning (PushedFilters)
     )
     if mode == "batch":
-        partial = _batch_partials(pruned, matched, k)
+        partial = _batch_partials(pruned, matched, k, int(index.stats["num_shards"]))
     else:
         qt_small = spark.createDataFrame(
             [(q, t, c) for (q, t, c, _) in matched],
@@ -312,10 +316,9 @@ def search(
             "query_id", "shard", "term", "qtf", "block_id",
             "first_ord", "last_ord", "max_score", "docs", "scores",
         )
-        partial = (
-            blocks.repartition("query_id", "shard")
-            .groupBy("query_id", "shard")
-            .applyInPandas(lambda pdf: _score_group(pdf, k, mode), _KERNEL_OUT)
+        # groupBy.applyInPandas shuffles on its own keys; no pre-repartition
+        partial = blocks.groupBy("query_id", "shard").applyInPandas(
+            lambda pdf: _score_group(pdf, k, mode), _KERNEL_OUT
         )
     # hits are tiny (<= queries x shards x k); broadcast them against the
     # docmap scan so the (potentially huge) docmap is never shuffled

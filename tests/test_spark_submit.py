@@ -68,7 +68,12 @@ def test_spark_submit_pipeline(tmp_path):
     run_path = str(tmp_path / "run.trec")
     _submit(zip_path, "search", "--index", idx, "--queries", queries_tsv,
             "--out", run_path, "--k", "10")
-    lines = open(run_path).read().strip().splitlines()
+    # Spark text sink writes a dir with one part file (coalesce(1))
+    import glob
+
+    parts = glob.glob(os.path.join(run_path, "part-*"))
+    assert len(parts) == 1
+    lines = open(parts[0]).read().strip().splitlines()
     assert 0 < len(lines) <= 20
     qid, q0, docid, rank, score, tag = lines[0].split()
     assert q0 == "Q0" and rank == "1"

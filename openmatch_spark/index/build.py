@@ -248,17 +248,17 @@ def build_index(
     )
     corpus.persist()
 
-    # tf is THE shared intermediate: one explode+agg pass feeds both the
-    # dictionary (df = rows per term, cf = sum tf) and the postings build —
-    # computing it twice (term_stats + postings phase) doubled the dominant
-    # shuffle. Persisted MEMORY_AND_DISK: at cluster scale it spills, which
-    # is still far cheaper than a second full tokenize+explode+agg pass.
+    # tf is THE shared intermediate: the dictionary (df = rows per term,
+    # cf = sum tf) and the postings build both derive from it. It stays a
+    # LAZY expression over the cached corpus: materializing ~0.9 rows/token
+    # into the block cache costs more than re-running the explode+hash-agg
+    # from the tokenized cache (measured 3x at 400k docs), and at cluster
+    # scale a cached tf would spill anyway.
     tf = (
         corpus.select("shard", "doc_id", F.explode("terms").alias("term"))
         .groupBy("shard", "term", "doc_id")
         .agg(F.count(F.lit(1)).cast("double").alias("tf"))
     )
-    tf.persist()
 
     # ---- phase STATS (atomic via stats.json tmp+rename) -------------------
     if resume and paths.has_stats():
@@ -318,7 +318,6 @@ def build_index(
     for bi, shards in enumerate(batches):
         if fail_after_batches is not None and bi >= fail_after_batches:
             corpus.unpersist()
-            tf.unpersist()
             raise RuntimeError(f"injected failure before batch {bi} (test hook)")
         part = corpus.where(F.col("shard").isin(shards))
         t0 = time.time()
@@ -394,5 +393,4 @@ def build_index(
         _mark("manifest_commit", t0)
 
     corpus.unpersist()
-    tf.unpersist()
     return stats

@@ -1,0 +1,63 @@
+"""Physical-plan audits (SURVEY §4: verify Catalyst, don't rebuild it).
+
+These lock in the scale-critical plan properties: term filters reach the
+postings parquet scan (row-group pruning), the bucket predicate prunes
+partition directories, the docmap join broadcasts the tiny hit set, and the
+extraction path is Arrow-vectorized (no row-at-a-time Python).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from openmatch_spark.fixtures import pages_df, queries_df
+from openmatch_spark.index import build_index, load_index
+from openmatch_spark.plans.explain import capture_plan, plan_summary
+from openmatch_spark.query import search
+
+
+@pytest.fixture(scope="module")
+def idx(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("plan_idx"))
+    build_index(spark, pages_df(spark, 300), d, num_shards=4, num_term_buckets=8)
+    return load_index(spark, d)
+
+
+def test_term_filter_pushed_to_postings_scan(idx):
+    pruned = idx.postings.where(
+        F.col("term_bucket").isin([0, 3]) & F.col("term").isin(["term0001", "term0002"])
+    )
+    plan = capture_plan(pruned)
+    assert "PushedFilters:" in plan and "In(term, [term0001,term0002])" in plan
+
+
+def test_bucket_partition_pruning(idx):
+    pruned = idx.postings.where(F.col("term_bucket") == 3)
+    plan = capture_plan(pruned)
+    # partition filters appear separately from data filters for a
+    # directory-partitioned column
+    assert "PartitionFilters:" in plan
+    assert any(
+        frag in plan for frag in ["isnotnull(term_bucket", "(term_bucket#"]
+    ), plan
+
+
+def test_search_plan_shape(idx, spark):
+    run = search(idx, queries_df(spark, 4), k=10, mode="batch")
+    s = plan_summary(run)
+    # hit set joins against docmap via broadcast — the docmap side must
+    # never shuffle (it is corpus-sized)
+    assert s["broadcasts"] >= 1
+    # exactly the declared Python points: the batch scorer kernel
+    assert s["python_evals"] >= 1
+    assert s["pushed_filters"]
+
+
+def test_extraction_is_arrow_vectorized(spark):
+    from openmatch_spark.analysis import extract_corpus
+
+    corpus = extract_corpus(pages_df(spark, 50), analyzer="dpr")
+    plan = capture_plan(corpus)
+    assert "ArrowEvalPython" in plan  # vectorized pandas UDF, not BatchEvalPython
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python anywhere

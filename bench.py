@@ -194,7 +194,7 @@ def _calib_tokenize(seed: int) -> int:
 
     rng = np.random.default_rng(seed)
     total = 0
-    for _ in range(2000):
+    for _ in range(6000):
         doclen = int(rng.integers(20, 201))
         text = " ".join(f"term{int(t):06d}" for t in rng.integers(0, 30000, doclen))
         total += len(tokenize_py(text, "dpr"))
@@ -219,17 +219,23 @@ def _calib_worker(kind: str, nproc: int) -> dict:
     return {"kind": kind, "nproc": nproc, "wall": round(time.time() - t0, 2)}
 
 
-def _pinned_calib(kind: str, cores: int) -> float:
+def _pinned_calib(kind: str, cores: int, repeats: int = 3) -> float:
+    """Median of `repeats` pinned runs — single short runs vary +-15% on the
+    shared-host sandbox, which would dominate the normalized efficiency."""
+    import statistics
     import subprocess
 
     cpu_list = f"0-{cores - 1}" if cores > 1 else "0"
     cmd = ["taskset", "-c", cpu_list, sys.executable, os.path.abspath(__file__),
            "--calib-worker", kind, str(cores)]
-    out = subprocess.run(cmd, capture_output=True, text=True, timeout=600)
-    if out.returncode != 0:
-        raise RuntimeError(f"calib failed: {out.stderr[-1000:]}")
-    last = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
-    return json.loads(last)["wall"]
+    walls = []
+    for _ in range(repeats):
+        out = subprocess.run(cmd, capture_output=True, text=True, timeout=600)
+        if out.returncode != 0:
+            raise RuntimeError(f"calib failed: {out.stderr[-1000:]}")
+        last = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
+        walls.append(json.loads(last)["wall"])
+    return statistics.median(walls)
 
 
 def _pinned_job(cores: int, n_docs: int) -> dict:
@@ -251,8 +257,16 @@ def scaling(n_docs: int = 400_000, n_lo: int = 2, n_hi: int = 8) -> dict:
     4N cores, each run CPU-pinned so N cores means N cores. Efficiency =
     throughput(4N) / (4 x throughput(N))."""
     assert n_hi == 4 * n_lo, "north rule compares N vs 4N"
-    r8 = _pinned_job(n_lo, n_docs)
-    r32 = _pinned_job(n_hi, n_docs)
+
+    # best-of-2 per leg: the sandbox is a shared host with bursty CPU steal
+    # (/proc/stat steal accumulates during runs); a stolen leg understates
+    # whichever side it hits. Best-of-N is the standard noise-floor estimate.
+    def best(cores):
+        runs = [_pinned_job(cores, n_docs) for _ in range(2)]
+        return max(runs, key=lambda r: r["docs_per_sec"])
+
+    r8 = best(n_lo)
+    r32 = best(n_hi)
     eff_build = r32["docs_per_sec"] / (4 * r8["docs_per_sec"])
     eff_query = r32["queries_per_sec"] / (4 * r8["queries_per_sec"])
     # machine calibration: what does THIS BOX give a coordination-free

@@ -230,15 +230,32 @@ def build_index(
     resume: bool = False,
     fail_after_batches: int | None = None,
     timings: dict | None = None,
+    shuffle_partitions: int | None = None,
 ) -> dict:
     """Build (or resume) the BM25 index at index_dir. Returns stats dict.
 
     resume=True skips the STATS phase if stats.json exists (stats must be
     frozen across resumes or weights would drift) and skips shards already in
     the manifest. fail_after_batches is a test hook for kill/resume tests.
+
+    shuffle_partitions sizes the build's exchanges by DATA, not core count:
+    a reducer's hash-agg/sort state grows with rows-per-partition, so a
+    partition count tied to cores degrades superlinearly as the corpus grows
+    (measured 1.5x throughput loss at 2x corpus on a fixed box). Default:
+    one partition per input partition, floored at 2x defaultParallelism —
+    the same rule a 100 TB run uses (partitions ~ input bytes / target
+    partition size), with AQE coalescing any overshoot.
     """
     paths = IndexPaths(index_dir)
     t = timings if timings is not None else {}
+
+    if shuffle_partitions is None:
+        shuffle_partitions = max(
+            2 * spark.sparkContext.defaultParallelism,
+            pages.rdd.getNumPartitions(),
+        )
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
 
     def _mark(name, t0):
         t[name] = t.get(name, 0.0) + (time.time() - t0)
@@ -313,11 +330,13 @@ def build_index(
         "spark.sql.sources.partitionOverwriteMode",
         "dynamic" if (resume or len(batches) > 1) else "static",
     )
-    write_parallelism = max(spark.sparkContext.defaultParallelism, 1)
+    write_parallelism = shuffle_partitions
 
     for bi, shards in enumerate(batches):
         if fail_after_batches is not None and bi >= fail_after_batches:
             corpus.unpersist()
+            if prev_sp is not None:
+                spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
             raise RuntimeError(f"injected failure before batch {bi} (test hook)")
         part = corpus.where(F.col("shard").isin(shards))
         t0 = time.time()
@@ -393,4 +412,6 @@ def build_index(
         _mark("manifest_commit", t0)
 
     corpus.unpersist()
+    if prev_sp is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
     return stats

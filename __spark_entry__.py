@@ -425,6 +425,75 @@ def q_media_features(spark, sf_dir):
     return decode_features(media).select("media_id", "kind", "n_bytes", "sha1", "width", "height")
 
 
+def q_accuracy_at_k(spark, sf_dir):
+    """QA Accuracy@k (SURVEY A4+P6): answer-containment via the reference's
+    NFD-normalized sliding-window match (qa_utils.py:206-221) — a pandas UDF
+    by design (unicode semantics differ between engines), so rows-only."""
+    from openmatch_spark.operators.metrics import accuracy_at_k
+
+    run = _bm25_run(spark, sf_dir, k=10, rounded=False)
+    corpus = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    answers = spark.createDataFrame(
+        [(qid, text.split()[:1]) for qid, text in QUERIES],
+        "query_id string, answers array<string>",
+    )
+    return accuracy_at_k(run, corpus, answers, ks=[1, 5, 10])
+
+
+def q_combine_negatives(spark, sf_dir):
+    """J6 negatives-merge join (combine_negative.py:34-91): array outputs,
+    rows-only (array hashing is engine-specific)."""
+    from openmatch_spark.operators.mining import (
+        build_hard_negatives,
+        combine_negatives,
+        mined_groups,
+    )
+
+    run = _bm25_run(spark, sf_dir, k=10, rounded=False)
+    qrels = _qrels(spark, sf_dir)
+    neg1 = build_hard_negatives(run, qrels, depth=10, n_sample=3, seed=1)
+    neg2 = build_hard_negatives(run, qrels, depth=10, n_sample=5, seed=2)
+    g1 = mined_groups(neg1, qrels)
+    g2 = mined_groups(neg2, qrels)
+    out = combine_negatives(g1, g2)
+    return out.select(
+        "query_id",
+        F.size("positives").alias("n_pos"),
+        F.size("negatives").alias("n_neg"),
+        F.to_json(F.struct("positives", "negatives")).alias("groups_json"),
+    )
+
+
+def q_rerank_bm25(spark, sf_dir):
+    """Rerank slot (SURVEY §3.3): exact-BM25 re-scoring of a candidate run
+    against the persistent index's frozen stats; rows-only (depends on the
+    on-disk index artifact)."""
+    from openmatch_spark.index import load_index
+    from openmatch_spark.operators.rerank import rerank_bm25
+
+    q_bm25_topk_indexed(spark, sf_dir)  # ensure index exists (cached)
+    idx = load_index(spark, _IDX_CACHE[sf_dir])
+    corpus = _docs(spark, sf_dir).select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("doc_id"),
+        "text",
+    )
+    run = q_bm25_topk_indexed(spark, sf_dir).select(
+        "query_id",
+        F.concat(F.lit("doc://"), F.col("doc_id")).alias("doc_id"),
+        "score",
+        "rank",
+    )
+    out = rerank_bm25(idx, run, corpus, _queries_df(spark), depth=5)
+    return out.select(
+        "query_id",
+        F.regexp_replace("doc_id", "^doc://", "").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+        "rank",
+    )
+
+
 def q_trec_roundtrip(spark, sf_dir):
     from openmatch_spark.operators.runio import load_from_trec, save_as_trec
 
@@ -465,11 +534,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_cosine": q_knn_cosine,
         "embedding_neardup": q_embedding_neardup,
         "trec_roundtrip": q_trec_roundtrip,
-        # rows-only (no SQL oracle): custom kernels
+        # rows-only (no SQL oracle): custom kernels / UDF-by-design ops
         "simhash_neardup": q_simhash_neardup,
         "winnow_fingerprints": q_winnow_fingerprints,
         "ivf_ann": q_ivf_ann,
         "media_features": q_media_features,
+        "accuracy_at_k": q_accuracy_at_k,
+        "combine_negatives": q_combine_negatives,
+        "rerank_bm25": q_rerank_bm25,
     }
 
 
@@ -772,6 +844,14 @@ WHERE list_cosine_similarity(a.v, b.v) > 0.2
     sql["trec_roundtrip"] = f"""
 WITH {_BM25_CTES}
 SELECT query_id, doc_id, rank FROM run WHERE rank <= 10
+"""
+
+    # exact-BM25 rerank of the depth-5 candidate cut == the oracle's top-5
+    # (same analyzer, same frozen stats, same deterministic tie-break)
+    sql["rerank_bm25"] = f"""
+WITH {_BM25_CTES}
+SELECT query_id, doc_id, ROUND(score, 6) AS score, rank
+FROM run WHERE rank <= 5
 """
 
     return sql

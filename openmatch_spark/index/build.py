@@ -249,6 +249,13 @@ def build_index(
     paths = IndexPaths(index_dir)
     t = timings if timings is not None else {}
 
+    # conf MUST be set on the session that will execute the writes — inside
+    # Structured Streaming's foreachBatch the batch DataFrame belongs to a
+    # CLONED session with an isolated conf, and setting the overwrite mode
+    # on the outer session silently reverts the clone to its inherited value
+    # (caught by tests/test_streaming.py: static mode wiped prior shards).
+    spark = pages.sparkSession or spark
+
     if shuffle_partitions is None:
         shuffle_partitions = max(
             2 * spark.sparkContext.defaultParallelism,

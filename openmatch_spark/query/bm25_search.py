@@ -79,12 +79,7 @@ def query_terms(index: BM25Index, queries: DataFrame) -> list:
     terms = sorted({t for (_, t) in qtf})
     if not terms:
         return []
-    matched = (
-        index.dictionary.where(F.col("term").isin(terms))
-        .select("term", "term_bucket")
-        .collect()
-    )
-    bucket_of = {r["term"]: r["term_bucket"] for r in matched}
+    bucket_of = index.term_buckets(terms)
     return [
         (q, t, float(c), bucket_of[t]) for (q, t), c in sorted(qtf.items()) if t in bucket_of
     ]

@@ -249,7 +249,20 @@ def _batch_partials(pruned: DataFrame, matched: list, k: int, num_shards: int) -
                     if not nz.size:
                         continue
                     kk = min(k, nz.size)
-                    sel = nz[np.argpartition(-s[nz], kk - 1)[:kk]] if nz.size > kk else nz
+                    if nz.size > kk:
+                        # argpartition alone picks ARBITRARY members of a
+                        # score tie; the deterministic contract is
+                        # (score DESC, doc_ord ASC), so fill the boundary
+                        # tie with the smallest ords explicitly
+                        part = np.argpartition(-s[nz], kk - 1)
+                        thresh = s[nz[part[kk - 1]]]
+                        above = nz[s[nz] > thresh]
+                        tied = nz[s[nz] == thresh]
+                        need = kk - above.size
+                        tied = tied[np.argsort(cand[tied])][:need]
+                        sel = np.concatenate([above, tied])
+                    else:
+                        sel = nz
                     order = np.lexsort((cand[sel], -s[sel]))
                     sel = sel[order][:k]
                     out["query_id"].extend([qids[qi]] * len(sel))

@@ -84,6 +84,9 @@ def suite() -> dict:
     ]
     queries = spark.createDataFrame(qrows, "query_id string, text string")
     timings["bm25_100q_batch"], _ = _timed(lambda: search(idx, queries, k=100).count())
+    timings["bm25_100q_maxscore"], _ = _timed(
+        lambda: search(idx, queries, k=100, mode="maxscore").count()
+    )
 
     # per-query latency sample (20 single-query jobs)
     lat = []
@@ -108,6 +111,14 @@ def suite() -> dict:
 
     plan = plan_summary(search(idx, queries, k=100))
 
+    def _du(path):
+        total = 0
+        for root, _, files in os.walk(path):
+            total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+        return total
+
+    index_bytes = _du(idx_dir)
+
     total = sum(v for v in timings.values())
     out = {
         "metric": "e2e_suite_seconds",
@@ -117,6 +128,7 @@ def suite() -> dict:
         "sf": _sf_of(SF_DIR),
         "n_docs": n_docs,
         "index_docs_per_sec": round(n_docs / timings["index_build"], 1),
+        "index_bytes": index_bytes,
         "cpus": CPUS,
         "search_plan": plan,
     }

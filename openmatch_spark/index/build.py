@@ -216,6 +216,12 @@ def build_docmap(corpus_sharded: DataFrame) -> DataFrame:
     )
 
 
+_SCOPED_CONFS = (
+    "spark.sql.shuffle.partitions",
+    "spark.sql.sources.partitionOverwriteMode",
+)
+
+
 def build_index(
     spark: SparkSession,
     pages: DataFrame,
@@ -231,6 +237,43 @@ def build_index(
     fail_after_batches: int | None = None,
     timings: dict | None = None,
     shuffle_partitions: int | None = None,
+) -> dict:
+    """Scoped-conf wrapper around the build body: shuffle partitioning and
+    partition-overwrite mode are session confs the build must set, so they
+    are captured here and restored in a finally — success OR failure — on
+    the session that executes the writes (the pages DataFrame's own session;
+    see the clone note in the body)."""
+    sess = pages.sparkSession or spark
+    prev = {key: sess.conf.get(key, None) for key in _SCOPED_CONFS}
+    try:
+        return _build_index_body(
+            spark, pages, index_dir, analyzer, num_shards, num_term_buckets,
+            block_size, k1, b, shard_batch_size, resume, fail_after_batches,
+            timings, shuffle_partitions,
+        )
+    finally:
+        for key, val in prev.items():
+            if val is None:
+                sess.conf.unset(key)
+            else:
+                sess.conf.set(key, val)
+
+
+def _build_index_body(
+    spark: SparkSession,
+    pages: DataFrame,
+    index_dir: str,
+    analyzer: str,
+    num_shards: int,
+    num_term_buckets: int,
+    block_size: int,
+    k1: float,
+    b: float,
+    shard_batch_size: int | None,
+    resume: bool,
+    fail_after_batches: int | None,
+    timings: dict | None,
+    shuffle_partitions: int | None,
 ) -> dict:
     """Build (or resume) the BM25 index at index_dir. Returns stats dict.
 
@@ -261,7 +304,6 @@ def build_index(
             2 * spark.sparkContext.defaultParallelism,
             pages.rdd.getNumPartitions(),
         )
-    prev_sp = spark.conf.get("spark.sql.shuffle.partitions", None)
     spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
 
     def _mark(name, t0):
@@ -342,8 +384,6 @@ def build_index(
     for bi, shards in enumerate(batches):
         if fail_after_batches is not None and bi >= fail_after_batches:
             corpus.unpersist()
-            if prev_sp is not None:
-                spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
             raise RuntimeError(f"injected failure before batch {bi} (test hook)")
         part = corpus.where(F.col("shard").isin(shards))
         t0 = time.time()
@@ -419,6 +459,4 @@ def build_index(
         _mark("manifest_commit", t0)
 
     corpus.unpersist()
-    if prev_sp is not None:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
     return stats

@@ -10,8 +10,14 @@ from openmatch_spark.index.layout import IndexPaths
 
 # vocabularies below this row count are collected driver-side once per
 # BM25Index, making repeated searches (the p50/p99 regime) zero-job for
-# term lookup; larger dictionaries fall back to the isin-pruned scan
-_DRIVER_DICT_MAX_TERMS = 2_000_000
+# term lookup; larger dictionaries fall back to the isin-pruned scan.
+# 500k terms via the Arrow path is ~tens of MB of Python dict — far below
+# the Row-object footprint that could OOM a default 1g driver.
+_DRIVER_DICT_MAX_TERMS = 500_000
+
+# distinct sentinel for "dictionary too big to cache" (an EMPTY vocabulary
+# must still memoize as {} rather than re-running the count per call)
+_TOO_BIG = False
 
 
 @dataclass
@@ -19,7 +25,7 @@ class BM25Index:
     spark: SparkSession
     paths: IndexPaths
     stats: dict
-    _term_cache: dict | None = field(default=None, repr=False)
+    _term_cache: dict | bool | None = field(default=None, repr=False)
 
     @property
     def dictionary(self) -> DataFrame:
@@ -36,11 +42,15 @@ class BM25Index:
         if self._term_cache is None:
             n = self.dictionary.count()
             if n <= _DRIVER_DICT_MAX_TERMS:
-                rows = self.dictionary.select("term", "term_bucket").collect()
-                self._term_cache = {r["term"]: r["term_bucket"] for r in rows}
+                # Arrow transfer + plain-python dict: no JVM Row objects, no
+                # per-row Python wrappers — ~40 bytes/entry either heap
+                pdf = self.dictionary.select("term", "term_bucket").toPandas()
+                self._term_cache = dict(
+                    zip(pdf["term"].tolist(), pdf["term_bucket"].tolist())
+                )
             else:
-                self._term_cache = {}  # sentinel: too big, always scan
-        if self._term_cache:
+                self._term_cache = _TOO_BIG
+        if self._term_cache is not _TOO_BIG:
             return {t: self._term_cache[t] for t in terms if t in self._term_cache}
         import pyspark.sql.functions as F
 

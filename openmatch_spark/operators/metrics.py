@@ -129,32 +129,100 @@ def has_answers_udf(text: pd.Series, answers: pd.Series) -> pd.Series:
     return pd.Series([one(t, a) for t, a in zip(text, answers)])
 
 
+@pandas_udf(BooleanType())
+def has_answers_regex_udf(text: pd.Series, answers: pd.Series) -> pd.Series:
+    """Vectorized regex-mode has_answers (qa_utils.py:190-199, 206-211):
+    NFD-normalize text AND pattern, then IGNORECASE|UNICODE|MULTILINE search;
+    an uncompilable pattern matches nothing (reference returns False)."""
+    import re
+    import unicodedata
+
+    flags = re.IGNORECASE | re.UNICODE | re.MULTILINE
+    cache: dict = {}
+
+    def pat(p):
+        if p not in cache:
+            try:
+                cache[p] = re.compile(unicodedata.normalize("NFD", p), flags)
+            except BaseException:
+                cache[p] = None
+        return cache[p]
+
+    def one(t, ans):
+        if t is None or ans is None:
+            return False
+        nt = unicodedata.normalize("NFD", t)
+        for a in ans:
+            rx = pat(a)
+            if rx is not None and rx.search(nt) is not None:
+                return True
+        return False
+
+    return pd.Series([one(t, a) for t, a in zip(text, answers)])
+
+
+def _simple_containment_hit(text, answers):
+    """SQL-expressible answer containment: simple-analyzer token-subsequence
+    match == substring match over space-joined normalized tokens. Pure JVM
+    column algebra, replicated exactly by the DuckDB oracle."""
+    from openmatch_spark.analysis import tokenize_col
+
+    doc_norm = F.concat(
+        F.lit(" "), F.concat_ws(" ", tokenize_col(text, "simple")), F.lit(" ")
+    )
+    ans_norm = lambda a: F.concat_ws(" ", tokenize_col(a, "simple"))  # noqa: E731
+    return F.exists(
+        answers,
+        lambda a: (F.length(ans_norm(a)) > 0)
+        & doc_norm.contains(F.concat(F.lit(" "), ans_norm(a), F.lit(" "))),
+    )
+
+
 def accuracy_at_k(
-    run: DataFrame, corpus: DataFrame, answers: DataFrame, ks: list[int] | None = None
+    run: DataFrame,
+    corpus: DataFrame,
+    answers: DataFrame,
+    ks: list[int] | None = None,
+    match_mode: str = "dpr",
 ) -> DataFrame:
     """(k, accuracy, n_queries) rows for k in ks (scripts/evaluate.py:76-94).
 
     corpus: (doc_id, text); answers: (query_id, answers array<string>).
+    match_mode: "dpr" = reference-exact NFD/DPR sliding-window match
+    (qa_utils.py:206-221, pandas UDF); "regex" = reference regex mode
+    (qa_utils.py:190-199); "simple" = simple-analyzer token containment
+    (pure column algebra, DuckDB-cross-checkable).
+
+    Single aggregation pass: first-hit per query once, then one groupBy over
+    the tiny (query x k) cross — not one job per k.
     """
     ks = ks or [1, 5, 20, 100]
     r = _ranked(run).where(F.col("rank") <= max(ks))
     hydrated = r.join(corpus.select("doc_id", "text"), "doc_id").join(
         F.broadcast(answers), "query_id"
     )
-    flagged = hydrated.withColumn("hit", has_answers_udf("text", "answers"))
+    if match_mode == "simple":
+        hit = _simple_containment_hit(F.col("text"), F.col("answers"))
+    elif match_mode == "regex":
+        hit = has_answers_regex_udf("text", "answers")
+    else:
+        hit = has_answers_udf("text", "answers")
+    flagged = hydrated.withColumn("hit", hit)
     first = flagged.where("hit").groupBy("query_id").agg(F.min("rank").alias("first_hit"))
     base = answers.select("query_id").distinct().join(first, "query_id", "left")
-    out = None
-    for k in ks:
-        o = base.agg(
-            F.lit(k).alias("k"),
+    spark = answers.sparkSession
+    ks_df = spark.createDataFrame([(int(k),) for k in ks], "k int")
+    return (
+        base.crossJoin(F.broadcast(ks_df))
+        .groupBy("k")
+        .agg(
             F.avg(
-                F.when(F.col("first_hit") <= k, 1.0).otherwise(0.0)
+                F.when(F.col("first_hit") <= F.col("k"), 1.0).otherwise(0.0)
             ).alias("accuracy"),
             F.count(F.lit(1)).alias("n_queries"),
         )
-        out = o if out is None else out.unionByName(o)
-    return out
+        .select("k", "accuracy", "n_queries")
+    )
 
 
 def duplicate_docs(run: DataFrame) -> DataFrame:

@@ -30,12 +30,15 @@ def find_all_markers(template: str) -> list[str]:
     return _MARKER.findall(template)
 
 
-def fill_template_col(template: str, df_columns: list[str]) -> Column:
+def fill_template_col(
+    template: str, df_columns: list[str], allow_not_found: bool = True
+) -> Column:
     """Column expression rendering the template for each row.
 
     Dotted markers (`<a.b>`) access struct fields; markers naming absent
-    columns render "" (the reference warns + substitutes "",
-    utils.py:246-257).
+    columns render "" when allow_not_found (the reference warns +
+    substitutes "", utils.py:246-257) and raise a ValueError at plan time
+    otherwise (utils.py:252-255 `allow_not_found=False` strict mode).
     """
     parts: list[Column] = []
     pos = 0
@@ -46,8 +49,12 @@ def fill_template_col(template: str, df_columns: list[str]) -> Column:
         root = name.split(".")[0]
         if root in df_columns:
             parts.append(F.coalesce(F.col(name).cast("string"), F.lit("")))
-        else:
+        elif allow_not_found:
             parts.append(F.lit(""))
+        else:
+            raise ValueError(
+                f"marker <{name}> not found in columns {sorted(df_columns)}"
+            )
         pos = m.end()
     if pos < len(template):
         parts.append(F.lit(template[pos:]))
@@ -56,8 +63,13 @@ def fill_template_col(template: str, df_columns: list[str]) -> Column:
     return F.concat(*parts)
 
 
-def fill_template(df: DataFrame, template: str, out: str = "rendered") -> DataFrame:
-    return df.withColumn(out, fill_template_col(template, df.columns))
+def fill_template(
+    df: DataFrame, template: str, out: str = "rendered",
+    allow_not_found: bool = True,
+) -> DataFrame:
+    return df.withColumn(
+        out, fill_template_col(template, df.columns, allow_not_found)
+    )
 
 
 def robust04_clean_col(col: Column) -> Column:

@@ -30,6 +30,30 @@ from pyspark.sql import DataFrame, Window
 TOPK_SCHEMA = "query_id string, vec_id string, score double"
 
 
+def mean_pool_col(embs, mask=None):
+    """Masked mean pooling over a sequence of token vectors (reference
+    utils.py:287-291 `mean_pooling`): sum of vectors at mask==1 positions
+    divided by the mask sum (clamped to >=1). Pure JVM higher-order-function
+    algebra — no UDF.
+
+    embs: array<array<double>> column (seq_len x dim); mask: array<int>
+    column of the same seq_len (None = all-ones). Returns array<double>.
+    """
+    if mask is None:
+        kept = embs
+    else:
+        pairs = F.zip_with(embs, mask, lambda v, m: F.struct(v.alias("v"), m.alias("m")))
+        kept = F.transform(
+            F.filter(pairs, lambda p: p["m"] == 1), lambda p: p["v"]
+        )
+    zero = F.transform(F.element_at(embs, 1), lambda _: F.lit(0.0))
+    total = F.aggregate(
+        kept, zero, lambda acc, v: F.zip_with(acc, v, lambda a, x: a + x)
+    )
+    denom = F.greatest(F.size(kept), F.lit(1)).cast("double")
+    return F.transform(total, lambda x: x / denom)
+
+
 def _normalize_rows(m: np.ndarray) -> np.ndarray:
     n = np.linalg.norm(m, axis=1, keepdims=True)
     n[n == 0] = 1.0

@@ -27,11 +27,11 @@ import sys
 
 
 def _spark(app: str):
-    # inside spark-submit the session inherits submit-time conf; get_spark
-    # only fills in sandbox defaults when run bare.
+    # master=None always: inside spark-submit the session inherits the
+    # submit-time master/conf; run bare, get_spark fills in sandbox defaults.
     from openmatch_spark import get_spark
 
-    return get_spark(app, master=None if os.environ.get("SPARK_SUBMIT_DEPLOY_MODE") else None)
+    return get_spark(app, master=None)
 
 
 def cmd_package(args) -> int:

@@ -74,7 +74,7 @@ def test_media_decode_stub(spark):
     rows = {r["media_id"]: r for r in feats}
     assert rows["m1"]["n_bytes"] == 13
     assert len(rows["m1"]["feature"]) == 8
-    assert rows["m1"]["width"] >= 1 and rows["m1"]["sha1"] != rows["m2"]["sha1"]
+    assert rows["m1"]["width"] >= 1 and rows["m1"]["content_hash"] != rows["m2"]["content_hash"]
     # determinism
     again = {r["media_id"]: r["feature"] for r in decode_features(media).collect()}
     assert again["m1"] == rows["m1"]["feature"]
@@ -91,7 +91,33 @@ def test_media_strict_decoder_raises(spark):
 def test_frame_sample(spark):
     feats = spark.createDataFrame(
         [("v1", "video", 10, "s", 1, 1, 12, [0.0])],
-        "media_id string, kind string, n_bytes long, sha1 string, width int, height int, n_frames int, feature array<float>",
+        "media_id string, kind string, n_bytes long, content_hash string, width int, height int, n_frames int, feature array<float>",
     )
     idx = sorted(r["frame_idx"] for r in frame_sample(feats, every_n=5).collect())
     assert idx == [0, 5, 10]
+
+
+def test_mean_pool_masked_vs_numpy(spark):
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from openmatch_spark.query.dense import mean_pool_col
+
+    rows = [
+        ([[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]], [1, 1, 0]),
+        ([[2.0, 2.0], [4.0, 8.0]], [1, 1]),
+        ([[7.0, 1.0]], [0]),  # all-masked: denom clamps to 1 -> zero vector
+    ]
+    df = spark.createDataFrame(rows, "embs array<array<double>>, mask array<int>")
+    got = [r["pooled"] for r in df.select(
+        mean_pool_col(F.col("embs"), F.col("mask")).alias("pooled")
+    ).collect()]
+    for (embs, mask), g in zip(rows, got):
+        m = np.asarray(mask, dtype=bool)
+        e = np.asarray(embs)
+        want = e[m].sum(axis=0) / max(m.sum(), 1)
+        assert np.allclose(g, want), (g, want.tolist())
+
+    # mask=None -> plain mean
+    got2 = df.select(mean_pool_col(F.col("embs")).alias("p")).collect()
+    assert np.allclose(got2[0]["p"], np.asarray(rows[0][0]).mean(axis=0))

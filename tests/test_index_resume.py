@@ -57,3 +57,24 @@ def test_resume_noop_when_complete(spark, tmp_path):
     before = _index_content(spark, d)
     build_index(spark, pages, d, num_shards=2, num_term_buckets=2, resume=True)
     assert _index_content(spark, d) == before
+
+
+def test_build_restores_session_confs(spark, tmp_path):
+    """build_index must not leak shuffle.partitions or overwrite-mode confs —
+    on success OR on failure (ADVICE r1: a fresh single-batch build left the
+    session in 'static' overwrite mode)."""
+    pages = spark.createDataFrame(gen_pages_rows(40, seed=5), PAGES_SCHEMA)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    build_index(spark, pages, str(tmp_path / "ok"), num_shards=2, num_term_buckets=2)
+    assert spark.conf.get("spark.sql.sources.partitionOverwriteMode") == "dynamic"
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev_sp
+
+    with pytest.raises(RuntimeError):
+        build_index(
+            spark, pages, str(tmp_path / "fail"), num_shards=2,
+            num_term_buckets=2, shard_batch_size=1, fail_after_batches=1,
+        )
+    assert spark.conf.get("spark.sql.sources.partitionOverwriteMode") == "dynamic"
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev_sp
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")

@@ -156,3 +156,33 @@ class TestMetrics:
         rows = {r["k"]: r["accuracy"] for r in accuracy_at_k(run, corpus, answers, ks=[1, 5]).collect()}
         assert rows[1] == pytest.approx(0.0)  # d2 is rank 2 for q1
         assert rows[5] == pytest.approx(0.5)  # q1 hits, q2 never
+
+    def test_accuracy_at_k_simple_mode_matches_dpr(self, spark, run):
+        corpus = spark.createDataFrame(
+            [("d1", "nothing here"), ("d2", "the answer is Paris actually"),
+             ("d3", "x"), ("d4", "y"), ("d9", "z")],
+            "doc_id string, text string",
+        )
+        answers = spark.createDataFrame(
+            [("q1", ["paris"]), ("q2", ["tokyo"])],
+            "query_id string, answers array<string>",
+        )
+        dpr = {r["k"]: r["accuracy"] for r in accuracy_at_k(
+            run, corpus, answers, ks=[1, 5]).collect()}
+        simple = {r["k"]: r["accuracy"] for r in accuracy_at_k(
+            run, corpus, answers, ks=[1, 5], match_mode="simple").collect()}
+        assert dpr == simple
+
+    def test_accuracy_at_k_regex_mode(self, spark, run):
+        corpus = spark.createDataFrame(
+            [("d1", "nothing here"), ("d2", "the answer is Paris, actually"),
+             ("d3", "x"), ("d4", "y"), ("d9", "z")],
+            "doc_id string, text string",
+        )
+        answers = spark.createDataFrame(
+            [("q1", [r"par.s,"]), ("q2", ["(unclosed"])],  # bad regex -> no match
+            "query_id string, answers array<string>",
+        )
+        rows = {r["k"]: r["accuracy"] for r in accuracy_at_k(
+            run, corpus, answers, ks=[5], match_mode="regex").collect()}
+        assert rows[5] == pytest.approx(0.5)  # q1 regex hits d2; q2 pattern invalid

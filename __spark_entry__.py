@@ -392,29 +392,42 @@ def q_embedding_neardup(spark, sf_dir):
     return pairs
 
 
-# --- rows-only entries (non-SQL-expressible kernels) -----------------------
+# --- formerly rows-only entries, now fully DuckDB-checked -------------------
 
 def q_simhash_neardup(spark, sf_dir):
+    """SimHash near-dup pairs — the whole path (tf-weighted md5 bit mixing,
+    4x16-bit chunk banding, bucket cap, popcount filter) is md5-based column
+    algebra replicated bit-for-bit by the DuckDB oracle."""
     from openmatch_spark.operators.dedup import simhash_fingerprints, simhash_near_duplicates
 
     fp = simhash_fingerprints(_dup_corpus(spark, sf_dir))
-    return simhash_near_duplicates(fp, max_hamming=3)
+    return simhash_near_duplicates(fp, max_hamming=3, max_bucket=1000)
 
 
 def q_winnow_fingerprints(spark, sf_dir):
-    from openmatch_spark.operators.textstats import fingerprints
+    """Winnowing fingerprints exploded to (doc_id, fp_hash) rows — md5
+    k-gram hashes + window-4 minima, DuckDB-replicable exactly."""
+    from openmatch_spark.operators.textstats import winnow_fingerprints
 
-    out = fingerprints(_docs(spark, sf_dir))
-    return out.select("doc_id", F.size("fingerprint").alias("n_hashes"))
+    return winnow_fingerprints(_docs(spark, sf_dir), k=5, w=4)
+
+
+DIM = 64  # embeddings.parquet dim at every SF (TESTDATA.md)
+N_CENTROIDS, NPROBE = 8, 4
 
 
 def q_ivf_ann(spark, sf_dir):
+    """IVF ANN with deterministic seeded centroids: assignment, probe
+    selection and scoring are replicated in the oracle via an inlined
+    centroid VALUES table."""
     from openmatch_spark.query.dense import assign_buckets, ivf_topk
 
     e = _emb(spark, sf_dir)
-    dim = len(e.select("embedding").first()["embedding"])
-    bucketed = assign_buckets(e, dim=dim, n_centroids=8)
-    return ivf_topk(bucketed, _query_vectors(spark, sf_dir), dim=dim, k=10, n_centroids=8, nprobe=4)
+    bucketed = assign_buckets(e, dim=DIM, n_centroids=N_CENTROIDS)
+    return ivf_topk(
+        bucketed, _query_vectors(spark, sf_dir), dim=DIM, k=10,
+        n_centroids=N_CENTROIDS, nprobe=NPROBE, round_to=6,
+    )
 
 
 def q_media_features(spark, sf_dir):
@@ -422,13 +435,15 @@ def q_media_features(spark, sf_dir):
 
     d = _docs(spark, sf_dir).select("doc_id", F.col("text").cast("binary").alias("payload"))
     media = as_media_table(d, "doc_id", "payload", "image")
-    return decode_features(media).select("media_id", "kind", "n_bytes", "sha1", "width", "height")
+    return decode_features(media).select(
+        "media_id", "kind", "n_bytes", "content_hash", "width", "height"
+    )
 
 
 def q_accuracy_at_k(spark, sf_dir):
-    """QA Accuracy@k (SURVEY A4+P6): answer-containment via the reference's
-    NFD-normalized sliding-window match (qa_utils.py:206-221) — a pandas UDF
-    by design (unicode semantics differ between engines), so rows-only."""
+    """QA Accuracy@k (SURVEY A4+P6) in the SQL-expressible simple-analyzer
+    containment mode (the reference-exact NFD/DPR mode is pytest-checked
+    against the pure-Python oracle instead)."""
     from openmatch_spark.operators.metrics import accuracy_at_k
 
     run = _bm25_run(spark, sf_dir, k=10, rounded=False)
@@ -439,12 +454,14 @@ def q_accuracy_at_k(spark, sf_dir):
         [(qid, text.split()[:1]) for qid, text in QUERIES],
         "query_id string, answers array<string>",
     )
-    return accuracy_at_k(run, corpus, answers, ks=[1, 5, 10])
+    out = accuracy_at_k(run, corpus, answers, ks=[1, 5, 10], match_mode="simple")
+    return out.select("k", F.round("accuracy", 6).alias("accuracy"), "n_queries")
 
 
 def q_combine_negatives(spark, sf_dir):
-    """J6 negatives-merge join (combine_negative.py:34-91): array outputs,
-    rows-only (array hashing is engine-specific)."""
+    """J6 negatives-merge join (combine_negative.py:34-91), unnested to
+    (query_id, kind, pos, doc_id) rows so the group CONTENT AND ORDER are
+    DuckDB-checked (r1 emitted array/json blobs, rows-only)."""
     from openmatch_spark.operators.mining import (
         build_hard_negatives,
         combine_negatives,
@@ -458,11 +475,16 @@ def q_combine_negatives(spark, sf_dir):
     g1 = mined_groups(neg1, qrels)
     g2 = mined_groups(neg2, qrels)
     out = combine_negatives(g1, g2)
-    return out.select(
-        "query_id",
-        F.size("positives").alias("n_pos"),
-        F.size("negatives").alias("n_neg"),
-        F.to_json(F.struct("positives", "negatives")).alias("groups_json"),
+    pos_rows = out.select(
+        "query_id", F.lit("pos").alias("kind"),
+        F.posexplode("positives").alias("pos", "doc_id"),
+    )
+    neg_rows = out.select(
+        "query_id", F.lit("neg").alias("kind"),
+        F.posexplode("negatives").alias("pos", "doc_id"),
+    )
+    return pos_rows.unionByName(neg_rows).select(
+        "query_id", "kind", (F.col("pos") + 1).cast("int").alias("pos"), "doc_id"
     )
 
 
@@ -534,7 +556,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_cosine": q_knn_cosine,
         "embedding_neardup": q_embedding_neardup,
         "trec_roundtrip": q_trec_roundtrip,
-        # rows-only (no SQL oracle): custom kernels / UDF-by-design ops
         "simhash_neardup": q_simhash_neardup,
         "winnow_fingerprints": q_winnow_fingerprints,
         "ivf_ann": q_ivf_ann,
@@ -852,6 +873,241 @@ SELECT query_id, doc_id, rank FROM run WHERE rank <= 10
 WITH {_BM25_CTES}
 SELECT query_id, doc_id, ROUND(score, 6) AS score, rank
 FROM run WHERE rank <= 5
+"""
+
+    # md5 first-8-bytes as big-endian int64 pieces (both engines split the
+    # hex digest into two 32-bit halves; a single 16-hex conv overflows
+    # signed int64). {{x}} placeholders are format-expanded per use.
+    hi32 = "CAST(CAST('0x' || substr(md5({x}), 1, 8) AS UBIGINT) AS BIGINT)"
+    lo32 = "CAST(CAST('0x' || substr(md5({x}), 9, 8) AS UBIGINT) AS BIGINT)"
+
+    sql["winnow_fingerprints"] = f"""
+WITH t AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id, len(toks) - 4 AS n_grams, s.i AS pos,
+         array_to_string(toks[s.i:s.i+4], ' ') AS gram
+  FROM t, UNNEST(generate_series(1, len(toks) - 4)) AS s(i)
+  WHERE len(toks) >= 5
+),
+h AS (
+  SELECT doc_id, n_grams, pos,
+         {hi32.format(x='gram')} * 2147483648 + ({lo32.format(x='gram')} >> 1) AS hv
+  FROM g
+),
+m AS (
+  SELECT doc_id, pos, n_grams,
+         MIN(hv) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS minh
+  FROM h
+)
+SELECT DISTINCT doc_id, minh AS fp_hash
+FROM m WHERE pos <= greatest(n_grams - 3, 1)
+"""
+
+    sql["simhash_neardup"] = f"""
+WITH corpus AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents
+  UNION ALL
+  SELECT CAST(CAST(doc_id AS BIGINT) + 1000000 AS VARCHAR), text FROM documents
+),
+tok AS (
+  SELECT c.doc_id, t.term
+  FROM corpus c, UNNEST(regexp_split_to_array(lower(c.text), '[^a-z0-9]+')) AS t(term)
+  WHERE t.term <> ''
+),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY doc_id, term),
+th AS (
+  SELECT doc_id, tf,
+         {hi32.format(x='term')} AS hi,
+         {lo32.format(x='term')} AS lo
+  FROM tf
+),
+bits AS (
+  SELECT doc_id, b.bit,
+         SUM(CASE WHEN ((CASE WHEN b.bit < 32 THEN lo ELSE hi END) >> (b.bit % 32)) & 1 = 1
+                  THEN tf ELSE -tf END) AS acc
+  FROM th CROSS JOIN (SELECT UNNEST(generate_series(0, 63)) AS bit) b
+  GROUP BY doc_id, b.bit
+),
+fpsum AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN acc > 0
+                       THEN (CASE WHEN bit = 63 THEN -9223372036854775808
+                                  ELSE (CAST(1 AS BIGINT) << bit) END)
+                       ELSE 0 END) AS BIGINT) AS simhash
+  FROM bits GROUP BY doc_id
+),
+fp AS (
+  SELECT c.doc_id, COALESCE(f.simhash, 0) AS simhash
+  FROM (SELECT DISTINCT doc_id FROM corpus) c LEFT JOIN fpsum f USING (doc_id)
+),
+chunks AS (
+  SELECT doc_id, simhash, ch.chunk, (simhash >> (ch.chunk * 16)) & 65535 AS chunk_val
+  FROM fp CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS chunk) ch
+),
+ok AS (SELECT chunk, chunk_val FROM chunks GROUP BY chunk, chunk_val HAVING COUNT(*) <= 1000),
+cb AS (SELECT c.* FROM chunks c JOIN ok USING (chunk, chunk_val)),
+cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+         l.simhash AS sa, r.simhash AS sb
+  FROM cb l JOIN cb r
+    ON l.chunk = r.chunk AND l.chunk_val = r.chunk_val AND l.doc_id < r.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+"""
+
+    sql["media_features"] = """
+SELECT CAST(doc_id AS VARCHAR) AS media_id,
+       'image' AS kind,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS content_hash,
+       CAST(1 + CAST('0x' || substr(md5(text), 1, 2) AS INTEGER) % 64 AS INTEGER) AS width,
+       CAST(1 + CAST('0x' || substr(md5(text), 3, 2) AS INTEGER) % 64 AS INTEGER) AS height
+FROM documents
+"""
+
+    sql["accuracy_at_k"] = f"""
+WITH {_BM25_CTES},
+run10 AS (SELECT query_id, doc_id, rank FROM run WHERE rank <= 10),
+an AS (
+  SELECT query_id,
+         array_to_string(list_filter(
+           regexp_split_to_array(lower(str_split(text, ' ')[1]), '[^a-z0-9]+'),
+           x -> x <> ''), ' ') AS na
+  FROM q
+),
+dn AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         ' ' || array_to_string(list_filter(
+           regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> ''), ' ') || ' ' AS ntext
+  FROM documents
+),
+hit AS (
+  SELECT r.query_id, MIN(r.rank) AS first_hit
+  FROM run10 r
+  JOIN dn d ON d.doc_id = r.doc_id
+  JOIN an a ON a.query_id = r.query_id
+  WHERE length(a.na) > 0 AND strpos(d.ntext, ' ' || a.na || ' ') > 0
+  GROUP BY r.query_id
+),
+base AS (
+  SELECT qq.query_id, h.first_hit
+  FROM (SELECT DISTINCT query_id FROM q) qq LEFT JOIN hit h USING (query_id)
+)
+SELECT ks.k,
+       ROUND(AVG(CASE WHEN first_hit <= ks.k THEN 1.0 ELSE 0.0 END), 6) AS accuracy,
+       COUNT(*) AS n_queries
+FROM base CROSS JOIN (SELECT UNNEST([1, 5, 10]) AS k) ks
+GROUP BY ks.k
+"""
+
+    sql["combine_negatives"] = f"""
+WITH {_RUN10},
+neg AS (
+  SELECT r.query_id, r.doc_id
+  FROM run10 r
+  WHERE NOT EXISTS (
+    SELECT 1 FROM qrels x WHERE x.query_id = r.query_id AND x.doc_id = r.doc_id
+  )
+),
+s1 AS (
+  SELECT query_id, doc_id,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id
+           ORDER BY md5(concat_ws('|', '1', query_id, doc_id)) ASC, doc_id ASC
+         ) AS INTEGER) AS sample_rank
+  FROM neg
+),
+s2 AS (
+  SELECT query_id, doc_id,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id
+           ORDER BY md5(concat_ws('|', '2', query_id, doc_id)) ASC, doc_id ASC
+         ) AS INTEGER) AS sample_rank
+  FROM neg
+),
+n1 AS (SELECT * FROM s1 WHERE sample_rank <= 3),
+n2 AS (SELECT * FROM s2 WHERE sample_rank <= 5),
+g2q AS (SELECT DISTINCT query_id FROM n2 INTERSECT SELECT DISTINCT query_id FROM qrels),
+g1q AS (SELECT DISTINCT query_id FROM n1 INTERSECT SELECT DISTINCT query_id FROM qrels),
+posr AS (
+  SELECT x.query_id, 'pos' AS kind,
+         CAST(ROW_NUMBER() OVER (PARTITION BY x.query_id ORDER BY x.doc_id ASC) AS INTEGER) AS pos,
+         x.doc_id
+  FROM qrels x JOIN g2q USING (query_id)
+),
+negu AS (
+  SELECT query_id, doc_id, 0 AS src, sample_rank FROM n2 JOIN g2q USING (query_id)
+  UNION ALL
+  SELECT n1.query_id, n1.doc_id, 1, n1.sample_rank
+  FROM n1 JOIN g1q USING (query_id) JOIN g2q USING (query_id)
+),
+negr AS (
+  SELECT query_id, 'neg' AS kind,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY src ASC, sample_rank ASC) AS INTEGER) AS pos,
+         doc_id
+  FROM negu
+)
+SELECT query_id, kind, pos, doc_id FROM posr
+UNION ALL
+SELECT query_id, kind, pos, doc_id FROM negr
+"""
+
+    # deterministic seeded centroids, inlined identically on both engines
+    import numpy as _np
+
+    _rng = _np.random.default_rng(42)
+    _C = _rng.standard_normal((N_CENTROIDS, DIM))
+    _C = _C / _np.linalg.norm(_C, axis=1, keepdims=True)
+    cent_values = ", ".join(
+        "({}, [{}]::DOUBLE[])".format(i, ", ".join(repr(float(x)) for x in _C[i]))
+        for i in range(N_CENTROIDS)
+    )
+    sql["ivf_ann"] = f"""
+WITH cent(cid, cv) AS (VALUES {cent_values}),
+e AS (
+  SELECT CAST(vec_id AS VARCHAR) AS vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings
+),
+asn AS (
+  SELECT vec_id, v, cid AS bucket FROM (
+    SELECT e.vec_id, e.v, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid ASC) AS rn
+    FROM e CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+q AS (
+  SELECT CAST(vec_id AS VARCHAR) AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 5
+),
+probes AS (
+  SELECT query_id, cid AS bucket FROM (
+    SELECT q.query_id, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.query_id
+             ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.cid ASC) AS rn
+    FROM q CROSS JOIN cent c
+  ) WHERE rn <= {NPROBE}
+),
+scored AS (
+  SELECT q.query_id, a.vec_id, list_cosine_similarity(q.qv, a.v) AS score
+  FROM q
+  JOIN probes p ON p.query_id = q.query_id
+  JOIN asn a ON a.bucket = p.bucket
+),
+ranked AS (
+  SELECT query_id, vec_id, score,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, ROUND(score, 6) AS score, rank FROM ranked WHERE rank <= 10
 """
 
     return sql

@@ -49,7 +49,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from openmatch_spark.analysis import extract_corpus
 from openmatch_spark.functions.bm25 import B, K1
 from openmatch_spark.functions.codec import encode_blocks_batch
-from openmatch_spark.index.layout import POSTING_SCHEMA, MANIFEST_SCHEMA, IndexPaths
+from openmatch_spark.index.layout import POSTING_SCHEMA, MANIFEST_SCHEMA
+from openmatch_spark.index.storage import IndexStorage
 from openmatch_spark.stats import global_stats
 
 # postings buffered per task before a vectorized encode+emit; bounds kernel
@@ -237,6 +238,8 @@ def build_index(
     fail_after_batches: int | None = None,
     timings: dict | None = None,
     shuffle_partitions: int | None = None,
+    table_prefix: str | None = None,
+    table_format: str | None = None,
 ) -> dict:
     """Scoped-conf wrapper around the build body: shuffle partitioning and
     partition-overwrite mode are session confs the build must set, so they
@@ -249,7 +252,7 @@ def build_index(
         return _build_index_body(
             spark, pages, index_dir, analyzer, num_shards, num_term_buckets,
             block_size, k1, b, shard_batch_size, resume, fail_after_batches,
-            timings, shuffle_partitions,
+            timings, shuffle_partitions, table_prefix, table_format,
         )
     finally:
         for key, val in prev.items():
@@ -274,6 +277,8 @@ def _build_index_body(
     fail_after_batches: int | None,
     timings: dict | None,
     shuffle_partitions: int | None,
+    table_prefix: str | None,
+    table_format: str | None,
 ) -> dict:
     """Build (or resume) the BM25 index at index_dir. Returns stats dict.
 
@@ -289,7 +294,6 @@ def _build_index_body(
     the same rule a 100 TB run uses (partitions ~ input bytes / target
     partition size), with AQE coalescing any overshoot.
     """
-    paths = IndexPaths(index_dir)
     t = timings if timings is not None else {}
 
     # conf MUST be set on the session that will execute the writes — inside
@@ -298,6 +302,13 @@ def _build_index_body(
     # on the outer session silently reverts the clone to its inherited value
     # (caught by tests/test_streaming.py: static mode wiped prior shards).
     spark = pages.sparkSession or spark
+
+    # all table IO routes through IndexStorage: parquet paths in the sandbox,
+    # catalog tables (Iceberg via writeTo, or session-catalog saveAsTable)
+    # when configured — SURVEY §7.4 (index/storage.py)
+    store = IndexStorage.resolve(
+        spark, index_dir, table_prefix=table_prefix, table_format=table_format
+    )
 
     if shuffle_partitions is None:
         shuffle_partitions = max(
@@ -327,9 +338,9 @@ def _build_index_body(
     )
 
     # ---- phase STATS (atomic via stats.json tmp+rename) -------------------
-    if resume and paths.has_stats():
-        stats = paths.read_stats()
-        dictionary = spark.read.parquet(paths.dictionary)
+    if resume and store.has_stats():
+        stats = store.read_stats()
+        dictionary = store.read("dictionary")
     else:
         t0 = time.time()
         g = global_stats(corpus)
@@ -344,8 +355,8 @@ def _build_index_body(
             F.log(F.lit(1.0) + (F.lit(float(g["n_docs"])) - F.col("df") + 0.5) / (F.col("df") + 0.5)).alias("idf"),
             term_bucket_col(F.col("term"), num_term_buckets).alias("term_bucket"),
         )
-        dictionary.write.mode("overwrite").parquet(paths.dictionary)
-        dictionary = spark.read.parquet(paths.dictionary)
+        store.overwrite(dictionary, "dictionary")
+        dictionary = store.read("dictionary")
         stats = dict(
             g,
             analyzer=analyzer,
@@ -355,7 +366,7 @@ def _build_index_body(
             k1=k1,
             b=b,
         )
-        paths.write_stats(stats)
+        store.write_stats(stats)
         _mark("stats_phase", t0)
 
     avgdl = float(stats["avgdl"]) if stats["avgdl"] else 1.0
@@ -364,7 +375,7 @@ def _build_index_body(
     done: set[int] = set()
     if resume:
         try:
-            done = {r["shard"] for r in spark.read.parquet(paths.manifest).select("shard").distinct().collect()}
+            done = {r["shard"] for r in store.read("manifest").select("shard").distinct().collect()}
         except Exception:
             done = set()
     todo = [s for s in range(num_shards) if s not in done]
@@ -387,10 +398,10 @@ def _build_index_body(
             raise RuntimeError(f"injected failure before batch {bi} (test hook)")
         part = corpus.where(F.col("shard").isin(shards))
         t0 = time.time()
-        build_docmap(part).write.mode("overwrite").partitionBy("shard").parquet(paths.docmap)
+        store.overwrite(build_docmap(part), "docmap", ["shard"])
         # re-read what we just wrote: downstream consumers (weighted join,
         # manifest doc counts) would otherwise re-run the window sort per use
-        docmap = spark.read.parquet(paths.docmap).where(F.col("shard").isin(shards))
+        docmap = store.read("docmap").where(F.col("shard").isin(shards))
         _mark("docmap_write", t0)
         t0 = time.time()
 
@@ -428,15 +439,13 @@ def _build_index_body(
             .sortWithinPartitions("shard", "term_bucket", "term", "doc_ord")
             .mapInArrow(_pack_blocks_arrow(block_size), POSTING_SCHEMA)
         )
-        blocks.write.mode("overwrite").partitionBy(
-            "shard", "term_bucket"
-        ).parquet(paths.postings)
+        store.overwrite(blocks, "postings", ["shard", "term_bucket"])
         _mark("postings_write", t0)
         t0 = time.time()
 
         # write-then-manifest: a shard is committed only once its data is down.
         summary = (
-            spark.read.parquet(paths.postings)
+            store.read("postings")
             .where(F.col("shard").isin(shards))
             .groupBy("shard")
             .agg(
@@ -455,7 +464,7 @@ def _build_index_body(
                 F.lit(time.time()).cast("double").alias("committed_at"),
             )
         )
-        spark.createDataFrame(manifest_rows.collect(), MANIFEST_SCHEMA).write.mode("append").parquet(paths.manifest)
+        store.append(spark.createDataFrame(manifest_rows.collect(), MANIFEST_SCHEMA), "manifest")
         _mark("manifest_commit", t0)
 
     corpus.unpersist()

@@ -1,8 +1,10 @@
 """On-disk index layout (Iceberg-ready, Parquet in the sandbox).
 
-All table I/O goes through these helpers so the engine can target an Iceberg
-catalog when one is configured (`spark.sql.catalog.local` set) and plain
-Parquet paths otherwise — identical schemas either way (SURVEY §7.4).
+Schemas and path/stat helpers only — all table I/O goes through
+index/storage.py (IndexStorage), which targets an Iceberg catalog when one
+is configured (`spark.sql.catalog.local` set, or an explicit table_prefix),
+session-catalog tables, or plain Parquet paths — identical schemas either
+way (SURVEY §7.4).
 
 Layout under <index_dir>/:
   stats.json                 — {"n_docs", "avgdl", "total_terms", build params}

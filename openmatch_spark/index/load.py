@@ -7,6 +7,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 
 from openmatch_spark.index.layout import IndexPaths
+from openmatch_spark.index.storage import IndexStorage
 
 # vocabularies below this row count are collected driver-side once per
 # BM25Index, making repeated searches (the p50/p99 regime) zero-job for
@@ -25,11 +26,17 @@ class BM25Index:
     spark: SparkSession
     paths: IndexPaths
     stats: dict
+    store: IndexStorage | None = None
     _term_cache: dict | bool | None = field(default=None, repr=False)
+
+    def _store(self) -> IndexStorage:
+        if self.store is None:
+            self.store = IndexStorage(spark=self.spark, paths=self.paths)
+        return self.store
 
     @property
     def dictionary(self) -> DataFrame:
-        return self.spark.read.parquet(self.paths.dictionary)
+        return self._store().read("dictionary")
 
     def term_buckets(self, terms: list[str]) -> dict[str, int]:
         """{term -> term_bucket} for the given in-vocabulary terms.
@@ -63,17 +70,29 @@ class BM25Index:
 
     @property
     def docmap(self) -> DataFrame:
-        return self.spark.read.parquet(self.paths.docmap)
+        return self._store().read("docmap")
 
     @property
     def postings(self) -> DataFrame:
-        return self.spark.read.parquet(self.paths.postings)
+        return self._store().read("postings")
 
     @property
     def manifest(self) -> DataFrame:
-        return self.spark.read.parquet(self.paths.manifest)
+        return self._store().read("manifest")
 
 
-def load_index(spark: SparkSession, index_dir: str) -> BM25Index:
-    paths = IndexPaths(index_dir)
-    return BM25Index(spark=spark, paths=paths, stats=paths.read_stats())
+def load_index(
+    spark: SparkSession,
+    index_dir: str,
+    table_prefix: str | None = None,
+    table_format: str | None = None,
+) -> BM25Index:
+    """Open an index built at index_dir. Pass the same table_prefix (or
+    configure spark.sql.catalog.local) the build used to read catalog-table
+    indexes; parquet paths otherwise (index/storage.py)."""
+    store = IndexStorage.resolve(
+        spark, index_dir, table_prefix=table_prefix, table_format=table_format
+    )
+    return BM25Index(
+        spark=spark, paths=store.paths, stats=store.read_stats(), store=store
+    )

@@ -1,0 +1,195 @@
+"""Pluggable index-table storage: catalog tables or parquet paths.
+
+SURVEY §7.4 contract (promised by index/layout.py): every index table —
+dictionary / docmap / postings / manifest — goes through this indirection so
+the SAME build and query code targets
+
+- an Iceberg (or any V2) catalog when one is configured
+  (``spark.sql.catalog.<name>`` set, e.g. ``spark.sql.catalog.local`` →
+  ``org.apache.iceberg.spark.SparkCatalog``): writes use the V2
+  ``df.writeTo(table)`` API (createOrReplace / overwritePartitions /
+  append), reads use ``spark.read.table``;
+- the built-in session catalog (warehouse-managed parquet tables, V1):
+  writes use ``saveAsTable`` / ``insertInto`` (dynamic partition overwrite
+  comes from the session conf build_index already scopes), reads use
+  ``spark.read.table``;
+- plain parquet paths otherwise (the sandbox default): byte-identical to
+  the r1 layout.
+
+stats.json stays a filesystem artifact in every mode (it is the atomic
+build-commit marker — tmp+rename semantics need a filesystem, and Iceberg
+deployments keep it next to the warehouse or in the catalog's table
+properties).
+
+Table names are ``<prefix>_<kind>``, e.g. ``local.db.cc_index_postings``.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from openmatch_spark.index.layout import IndexPaths
+
+KINDS = ("dictionary", "docmap", "postings", "manifest")
+
+
+def _is_v2_catalog(spark: SparkSession, catalog: str) -> bool:
+    """A catalog is V2 iff an implementation class is configured for it;
+    the implicit session catalog (spark_catalog) stays on the V1 writers."""
+    try:
+        return spark.conf.get(f"spark.sql.catalog.{catalog}", None) is not None
+    except Exception:
+        return False
+
+
+def _sanitize(name: str) -> str:
+    return re.sub(r"[^A-Za-z0-9_]", "_", name).strip("_") or "index"
+
+
+@dataclass
+class IndexStorage:
+    """One index's table set, resolved to a backend at construction.
+
+    table_prefix=None → parquet-path mode rooted at index_dir (r1 layout).
+    table_prefix="cat.ns.name" → catalog-table mode; V2 writeTo when `cat`
+    has a configured implementation, V1 saveAsTable otherwise.
+    """
+
+    spark: SparkSession
+    paths: IndexPaths
+    table_prefix: str | None = None
+    table_format: str = "parquet"  # "iceberg" for an Iceberg catalog
+
+    # ---- resolution --------------------------------------------------------
+
+    @classmethod
+    def resolve(
+        cls,
+        spark: SparkSession,
+        index_dir: str,
+        table_prefix: str | None = None,
+        table_format: str | None = None,
+    ) -> "IndexStorage":
+        """Pick the backend: explicit table_prefix wins; else, if
+        ``spark.sql.catalog.local`` is configured (SURVEY §7.4's trigger),
+        tables go to ``local.db.<index_dir basename>`` as Iceberg; else
+        parquet paths under index_dir."""
+        fmt = table_format
+        if table_prefix is None and _is_v2_catalog(spark, "local"):
+            import os
+
+            table_prefix = f"local.db.{_sanitize(os.path.basename(index_dir.rstrip('/')))}"
+            fmt = fmt or "iceberg"
+        return cls(
+            spark=spark,
+            paths=IndexPaths(index_dir),
+            table_prefix=table_prefix,
+            table_format=fmt or "parquet",
+        )
+
+    @property
+    def is_table_mode(self) -> bool:
+        return self.table_prefix is not None
+
+    @property
+    def _v2(self) -> bool:
+        if not self.is_table_mode:
+            return False
+        catalog = self.table_prefix.split(".")[0]
+        return _is_v2_catalog(self.spark, catalog)
+
+    def table_name(self, kind: str) -> str:
+        return f"{self.table_prefix}_{kind}"
+
+    def location(self, kind: str) -> str:
+        """Human-readable location (path or table name) for logs/tests."""
+        return self.table_name(kind) if self.is_table_mode else getattr(self.paths, kind)
+
+    # ---- reads -------------------------------------------------------------
+
+    def read(self, kind: str) -> DataFrame:
+        if self.is_table_mode:
+            return self.spark.read.table(self.table_name(kind))
+        return self.spark.read.parquet(getattr(self.paths, kind))
+
+    def exists(self, kind: str) -> bool:
+        if self.is_table_mode:
+            return self.spark.catalog.tableExists(self.table_name(kind))
+        try:
+            self.spark.read.parquet(getattr(self.paths, kind)).schema
+            return True
+        except Exception:
+            return False
+
+    # ---- writes ------------------------------------------------------------
+
+    def overwrite(self, df: DataFrame, kind: str, partition_by: list[str] | None = None) -> None:
+        """Full-table (static) or per-partition (dynamic, via the session's
+        partitionOverwriteMode conf — build_index scopes it) overwrite.
+
+        V2 catalogs dispatch on the same conf: dynamic → overwritePartitions
+        (replaces only the partitions present in df, Iceberg's dynamic
+        overwrite), static → createOrReplace.
+        """
+        dynamic = (
+            self.spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+            .lower()
+            == "dynamic"
+        )
+        if not self.is_table_mode:
+            w = df.write.mode("overwrite")
+            if partition_by:
+                w = w.partitionBy(*partition_by)
+            w.parquet(getattr(self.paths, kind))
+            return
+        name = self.table_name(kind)
+        if self._v2:
+            w = df.writeTo(name).using(self.table_format)
+            if dynamic and self.spark.catalog.tableExists(name):
+                w.overwritePartitions()
+            else:
+                if partition_by:
+                    from pyspark.sql.functions import col
+
+                    w = w.partitionedBy(*[col(c) for c in partition_by])
+                w.createOrReplace()
+            return
+        # V1 session catalog
+        if dynamic and self.spark.catalog.tableExists(name):
+            # insertInto honors spark.sql.sources.partitionOverwriteMode but
+            # matches columns BY POSITION — align to the table's layout
+            # (partition columns are stored last)
+            cols = self.spark.read.table(name).columns
+            df.select(*cols).write.mode("overwrite").insertInto(name)
+        else:
+            w = df.write.mode("overwrite").format(self.table_format)
+            if partition_by:
+                w = w.partitionBy(*partition_by)
+            w.saveAsTable(name)
+
+    def append(self, df: DataFrame, kind: str) -> None:
+        if not self.is_table_mode:
+            df.write.mode("append").parquet(getattr(self.paths, kind))
+            return
+        name = self.table_name(kind)
+        if self._v2:
+            if self.spark.catalog.tableExists(name):
+                df.writeTo(name).append()
+            else:
+                df.writeTo(name).using(self.table_format).create()
+        else:
+            df.write.mode("append").format(self.table_format).saveAsTable(name)
+
+    # ---- stats (filesystem in every mode; see module docstring) ------------
+
+    def write_stats(self, stats: dict) -> None:
+        self.paths.write_stats(stats)
+
+    def read_stats(self) -> dict:
+        return self.paths.read_stats()
+
+    def has_stats(self) -> bool:
+        return self.paths.has_stats()

@@ -11,20 +11,18 @@ Scale notes:
 - minhash LSH: signature computation is an explode+min agg (map-side combine
   collapses each doc's shingles before shuffle); candidate pairs come from a
   self-join on (band, band_hash) buckets, so the cross product is per-bucket,
-  never global. Bucket skew (boilerplate pages) is bounded by pairs_per_bucket
-  pruning.
-- simhash: vectorized pandas UDF, 64-bit fingerprints; near-dup = Hamming
-  distance <= d via banding on 4 x 16-bit chunks (pigeonhole: d<=3 pairs share
-  at least one exact chunk).
+  never global. Bucket skew (boilerplate pages) is bounded by the max_bucket
+  cap: oversized buckets are excluded from pairing and surfaced as whole
+  duplicate groups instead (_capped_bucket_pairs / oversized_buckets).
+- simhash: pure-JVM 64-bit fingerprints (tf-weighted md5 bit mixing);
+  near-dup = Hamming distance <= d via banding on 4 x 16-bit chunks
+  (pigeonhole: d<=3 pairs share at least one exact chunk), same bucket cap.
 """
 
 from __future__ import annotations
 
-import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
-from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import LongType
 
 from openmatch_spark.analysis import tokenize_col
 
@@ -87,14 +85,47 @@ def minhash_signatures(doc_shingles: DataFrame, num_hashes: int = 8) -> DataFram
     return doc_shingles.groupBy("doc_id").agg(*aggs)
 
 
-def minhash_candidate_pairs(
-    signatures: DataFrame, num_bands: int = 4, num_hashes: int = 8
-) -> DataFrame:
-    """(doc_a, doc_b, n_bands): pairs sharing >=1 LSH band bucket (doc_a < doc_b).
+def _capped_bucket_pairs(buckets: DataFrame, key_cols: list[str],
+                         max_bucket: int | None) -> DataFrame:
+    """Self-join (doc_a < doc_b) within buckets, skipping buckets larger
+    than max_bucket. The cap is what keeps LSH linear at web scale: one
+    boilerplate bucket of 1M docs would otherwise emit ~5*10^11 pairs. A
+    bucket that big is a near-certain duplicate GROUP — consume it via
+    oversized_buckets() as a group instead of pairwise."""
+    if max_bucket is not None:
+        sizes = buckets.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("_bsz"))
+        buckets = buckets.join(
+            sizes.where(F.col("_bsz") <= max_bucket).select(*key_cols),
+            key_cols,
+            "left_semi",
+        )
+    left = buckets.alias("l")
+    right = buckets.alias("r")
+    cond = (F.col("l.doc_id") < F.col("r.doc_id"))
+    for c in key_cols:
+        cond = cond & (F.col(f"l.{c}") == F.col(f"r.{c}"))
+    return left.join(right, cond)
 
-    rows_per_band = num_hashes // num_bands; band hash = md5 of the band's
-    concatenated minima. The self-join is per (band, band_hash) bucket.
-    """
+
+def oversized_buckets(buckets: DataFrame, key_cols: list[str],
+                      max_bucket: int) -> DataFrame:
+    """(*key_cols, n_docs, doc_ids) for buckets the pairing step skipped —
+    at web scale these are boilerplate/mirror groups to dedup wholesale
+    (keep min doc_id, drop the rest) rather than pairwise."""
+    return (
+        buckets.groupBy(*key_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+        )
+        .where(F.col("n_docs") > max_bucket)
+    )
+
+
+def minhash_bands(signatures: DataFrame, num_bands: int = 4,
+                  num_hashes: int = 8) -> DataFrame:
+    """(doc_id, band, band_hash): LSH banding of minhash signatures;
+    band hash = md5 of the band's concatenated minima."""
     rows = num_hashes // num_bands
     bands = None
     for b in range(num_bands):
@@ -105,15 +136,24 @@ def minhash_candidate_pairs(
             F.md5(F.concat_ws("|", *cols)).alias("band_hash"),
         )
         bands = one if bands is None else bands.unionByName(one)
-    left = bands.alias("l")
-    right = bands.alias("r")
+    return bands
+
+
+def minhash_candidate_pairs(
+    signatures: DataFrame, num_bands: int = 4, num_hashes: int = 8,
+    max_bucket: int | None = 1000,
+) -> DataFrame:
+    """(doc_a, doc_b, n_bands): pairs sharing >=1 LSH band bucket (doc_a < doc_b).
+
+    The self-join is per (band, band_hash) bucket, with buckets larger than
+    max_bucket EXCLUDED from pairing (pair count stays O(docs * max_bucket)
+    instead of quadratic in the hottest bucket; see _capped_bucket_pairs).
+    Retrieve the skipped buckets as whole duplicate groups with
+    minhash_oversized_groups().
+    """
+    bands = minhash_bands(signatures, num_bands, num_hashes)
     pairs = (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.band_hash") == F.col("r.band_hash"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
-        )
+        _capped_bucket_pairs(bands, ["band", "band_hash"], max_bucket)
         .select(
             F.col("l.doc_id").alias("doc_a"),
             F.col("r.doc_id").alias("doc_b"),
@@ -122,6 +162,16 @@ def minhash_candidate_pairs(
         .agg(F.count(F.lit(1)).alias("n_bands"))
     )
     return pairs
+
+
+def minhash_oversized_groups(
+    signatures: DataFrame, num_bands: int = 4, num_hashes: int = 8,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """(band, band_hash, n_docs, doc_ids): the buckets minhash_candidate_pairs
+    skipped under the same max_bucket — near-certain duplicate groups."""
+    bands = minhash_bands(signatures, num_bands, num_hashes)
+    return oversized_buckets(bands, ["band", "band_hash"], max_bucket)
 
 
 def jaccard_pairs(doc_shingles: DataFrame, candidates: DataFrame) -> DataFrame:
@@ -154,48 +204,60 @@ def jaccard_pairs(doc_shingles: DataFrame, candidates: DataFrame) -> DataFrame:
     )
 
 
-@pandas_udf(LongType())
-def simhash64_udf(terms: pd.Series) -> pd.Series:
-    """64-bit SimHash over a doc's term list (tf-weighted, md5 bit mixing)."""
-    import hashlib
-
-    import numpy as np
-
-    out = []
-    for tl in terms:
-        if tl is None or len(tl) == 0:
-            out.append(0)
-            continue
-        vals, counts = np.unique(np.asarray(tl, dtype=object), return_counts=True)
-        acc = np.zeros(64, dtype=np.int64)
-        for t, c in zip(vals, counts):
-            h = int.from_bytes(hashlib.md5(str(t).encode()).digest()[:8], "big")
-            bits = (h >> np.arange(64, dtype=np.uint64)) & 1
-            acc += np.where(bits == 1, c, -c)
-        fp = np.uint64(0)
-        for i in range(64):
-            if acc[i] > 0:
-                fp |= np.uint64(1) << np.uint64(i)
-        out.append(int(fp.astype(np.int64)))
-    return pd.Series(out, dtype="int64")
-
-
 def simhash_fingerprints(corpus: DataFrame, id_col: str = "doc_id",
                          text_col: str = "text", analyzer: str = "simple") -> DataFrame:
-    """(doc_id, simhash): 64-bit fingerprints."""
-    return corpus.select(
+    """(doc_id, simhash): tf-weighted 64-bit SimHash — pure JVM column
+    algebra (the r1 per-row-per-term Python md5 loop is gone).
+
+    Dataflow: explode terms -> (doc, term, tf) hash-agg (map-side combine)
+    -> per-term md5 split into two 32-bit halves -> 64 conditional sums per
+    doc -> two's-complement recombination into a signed int64. Each term is
+    md5-hashed once per (doc, term) row JVM-side; everything stays in
+    whole-stage codegen, and the DuckDB oracle replicates it exactly.
+    """
+    toks = corpus.select(
         F.col(id_col).cast("string").alias("doc_id"),
-        simhash64_udf(tokenize_col(F.col(text_col), analyzer)).alias("simhash"),
+        tokenize_col(F.col(text_col), analyzer).alias("terms"),
+    )
+    tf = (
+        toks.select("doc_id", F.explode("terms").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    hx = F.md5(F.col("term"))
+    hashed = tf.select(
+        "doc_id",
+        "tf",
+        F.conv(F.substring(hx, 1, 8), 16, 10).cast("long").alias("hi"),
+        F.conv(F.substring(hx, 9, 8), 16, 10).cast("long").alias("lo"),
+    )
+
+    def bit(i: int):
+        half = F.col("lo") if i < 32 else F.col("hi")
+        return F.shiftright(half, i % 32).bitwiseAND(F.lit(1))
+
+    accs = [
+        F.sum(F.when(bit(i) == 1, F.col("tf")).otherwise(-F.col("tf"))).alias(f"acc_{i}")
+        for i in range(64)
+    ]
+    per_doc = hashed.groupBy("doc_id").agg(*accs)
+    # two's complement: bit 63 contributes -2^63 when set
+    fp = None
+    for i in range(64):
+        weight = F.lit(-9223372036854775808) if i == 63 else F.lit(1 << i)
+        term_c = F.when(F.col(f"acc_{i}") > 0, weight).otherwise(F.lit(0))
+        fp = term_c if fp is None else fp + term_c
+    sig = per_doc.select("doc_id", fp.cast("long").alias("simhash"))
+    # docs with zero tokens have no tf rows: fingerprint 0 (r1 semantics)
+    ids = corpus.select(F.col(id_col).cast("string").alias("doc_id"))
+    return ids.join(sig, "doc_id", "left").select(
+        "doc_id", F.coalesce("simhash", F.lit(0)).cast("long").alias("simhash")
     )
 
 
-def simhash_near_duplicates(fingerprints: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """(doc_a, doc_b, hamming): pairs within max_hamming bits.
-
-    Banding on 4 x 16-bit chunks: any pair with hamming <= 3 agrees exactly on
-    >= 1 chunk (pigeonhole), so candidates come from 4 bucket-joins, then the
-    exact popcount filter.
-    """
+def simhash_chunks(fingerprints: DataFrame) -> DataFrame:
+    """(doc_id, simhash, chunk, chunk_val): 4 x 16-bit banding of the 64-bit
+    fingerprint (pigeonhole: hamming <= 3 pairs agree on >= 1 chunk)."""
     chunks = None
     for i in range(4):
         c = fingerprints.select(
@@ -205,14 +267,24 @@ def simhash_near_duplicates(fingerprints: DataFrame, max_hamming: int = 3) -> Da
             F.shiftright(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF)).alias("chunk_val"),
         )
         chunks = c if chunks is None else chunks.unionByName(c)
-    l, r = chunks.alias("l"), chunks.alias("r")
+    return chunks
+
+
+def simhash_near_duplicates(
+    fingerprints: DataFrame, max_hamming: int = 3,
+    max_bucket: int | None = 1000,
+) -> DataFrame:
+    """(doc_a, doc_b, hamming): pairs within max_hamming bits.
+
+    Candidates come from 4 chunk-bucket joins, then the exact popcount
+    filter. Buckets larger than max_bucket are EXCLUDED from pairing (a
+    popular 16-bit chunk value at web scale holds millions of docs — the
+    unbounded self-join is quadratic in that bucket); retrieve them as
+    whole groups with simhash_oversized_groups().
+    """
+    chunks = simhash_chunks(fingerprints)
     cand = (
-        l.join(
-            r,
-            (F.col("l.chunk") == F.col("r.chunk"))
-            & (F.col("l.chunk_val") == F.col("r.chunk_val"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
-        )
+        _capped_bucket_pairs(chunks, ["chunk", "chunk_val"], max_bucket)
         .select(
             F.col("l.doc_id").alias("doc_a"),
             F.col("r.doc_id").alias("doc_b"),
@@ -224,3 +296,13 @@ def simhash_near_duplicates(fingerprints: DataFrame, max_hamming: int = 3) -> Da
     return cand.withColumn(
         "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     ).where(F.col("hamming") <= max_hamming).select("doc_a", "doc_b", "hamming")
+
+
+def simhash_oversized_groups(
+    fingerprints: DataFrame, max_bucket: int = 1000
+) -> DataFrame:
+    """(chunk, chunk_val, n_docs, doc_ids): chunk buckets the pairing step
+    skipped under the same max_bucket."""
+    return oversized_buckets(
+        simhash_chunks(fingerprints), ["chunk", "chunk_val"], max_bucket
+    )

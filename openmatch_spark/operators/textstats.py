@@ -3,17 +3,14 @@ token counting, fingerprinting.
 
 No reference counterpart (OpenMatch assumes pre-filtered corpora); these are
 the document-quality ops a web-scale pipeline runs between crawl and index.
-All-but-fingerprint are pure column expressions (whole-stage codegen, SQL
-cross-checkable); the winnowing fingerprint is a vectorized pandas UDF.
+Everything here — fingerprinting included — is pure column expressions
+(whole-stage codegen, SQL cross-checkable); no Python in any hot path.
 """
 
 from __future__ import annotations
 
-import pandas as pd
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
-from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType, LongType
+from pyspark.sql import Column, DataFrame, Window
 
 from openmatch_spark.analysis import tokenize_col
 
@@ -113,37 +110,71 @@ def quality_scores(corpus: DataFrame, id_col: str = "doc_id", text_col: str = "t
     )
 
 
-@pandas_udf(ArrayType(LongType()))
-def winnow_fingerprint_udf(terms: pd.Series) -> pd.Series:
-    """Winnowing document fingerprint (Schleimer et al. 2003): rolling hashes
-    of 5-gram shingles, window-4 minima, distinct sorted selection."""
-    import hashlib
+def _md5_prefix64(col: Column, shifted: bool = True) -> Column:
+    """First 8 bytes of md5(col) as a big-endian integer, computed JVM-side
+    from the hex digest via two 32-bit halves (a single conv() of 16 hex
+    chars overflows signed int64). With shifted=True returns value >> 1
+    (always positive in int64): v = hi*2^32 + lo, so v >> 1 == hi*2^31 +
+    (lo >> 1) exactly. md5-based so the DuckDB oracle replicates it
+    bit-for-bit (functions/hashing.py rationale)."""
+    hx = F.md5(col)
+    hi = F.conv(F.substring(hx, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(hx, 9, 8), 16, 10).cast("long")
+    if shifted:
+        return hi * F.lit(2147483648) + F.shiftright(lo, 1)
+    return hi, lo
 
-    K, W = 5, 4
 
-    def one(tl):
-        if tl is None or len(tl) < K:
-            return []
-        hs = [
-            int.from_bytes(
-                hashlib.md5(" ".join(tl[i : i + K]).encode()).digest()[:8], "big"
-            )
-            >> 1  # keep positive in int64
-            for i in range(len(tl) - K + 1)
-        ]
-        picks = set()
-        for i in range(max(len(hs) - W + 1, 1)):
-            win = hs[i : i + W]
-            picks.add(min(win))
-        return sorted(picks)
+def winnow_fingerprints(
+    corpus: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    analyzer: str = "simple", k: int = 5, w: int = 4,
+) -> DataFrame:
+    """(doc_id, fp_hash) winnowing fingerprints (Schleimer et al. 2003),
+    exploded one row per selected hash — pure JVM column algebra.
 
-    return pd.Series([one(t) for t in terms])
+    k-gram md5 hashes (>>1, positive int64), then the minimum of every
+    w-hash sliding window, distinct per doc. The window min runs as a
+    rank-window over (doc_id, pos) — one shuffle keyed by doc_id; no Python
+    in the path (the r1 per-row md5-loop pandas UDF is gone)."""
+    toks = tokenize_col(F.col(text_col), analyzer)
+    grams = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - k),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = corpus.select(
+        F.col(id_col).cast("string").alias("doc_id"), grams.alias("grams")
+    ).select(
+        "doc_id",
+        F.size("grams").alias("n_grams"),
+        F.posexplode("grams").alias("pos", "gram"),
+    )
+    hashed = g.select(
+        "doc_id", "n_grams", "pos", _md5_prefix64(F.col("gram")).alias("h")
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    # window STARTS are 0..max(n_grams-w, 0): every full window, plus one
+    # clipped window covering everything when a doc has fewer than w grams
+    return (
+        hashed.withColumn("minh", F.min("h").over(win))
+        .where(F.col("pos") <= F.greatest(F.col("n_grams") - w, F.lit(0)))
+        .select("doc_id", F.col("minh").alias("fp_hash"))
+        .distinct()
+    )
 
 
 def fingerprints(corpus: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                  analyzer: str = "simple") -> DataFrame:
-    """(doc_id, fingerprint array<long>) winnowing sketches."""
-    return corpus.select(
-        F.col(id_col).cast("string").alias("doc_id"),
-        winnow_fingerprint_udf(tokenize_col(F.col(text_col), analyzer)).alias("fingerprint"),
+    """(doc_id, fingerprint array<long>) winnowing sketches — array form of
+    winnow_fingerprints; docs too short for any k-gram get an empty array."""
+    picks = winnow_fingerprints(corpus, id_col, text_col, analyzer)
+    agg = picks.groupBy("doc_id").agg(
+        F.array_sort(F.collect_set("fp_hash")).alias("fingerprint")
+    )
+    ids = corpus.select(F.col(id_col).cast("string").alias("doc_id"))
+    return ids.join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("fingerprint", F.array().cast("array<long>")).alias("fingerprint"),
     )

@@ -117,6 +117,47 @@ def _centroids(dim: int, n_centroids: int, seed: int = 42) -> np.ndarray:
     return _normalize_rows(rng.standard_normal((n_centroids, dim)))
 
 
+def train_centroids_kmeans(
+    embeddings: DataFrame,
+    n_centroids: int,
+    sample_size: int = 20_000,
+    iters: int = 10,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Spherical k-means (Lloyd's) over a bounded deterministic sample —
+    the standard IVF training recipe: train on a few-10k sample, assign the
+    full corpus distributedly with assign_buckets(centroids=...).
+
+    The sample is the sample_size rows with smallest md5(id) — a
+    TakeOrdered (scan + per-partition heap), never a full sort, so the
+    training pass is one cheap corpus scan at any scale. Empty clusters
+    keep their previous centroid. Returns L2-normalized (n_centroids, dim).
+    """
+    samp = (
+        embeddings.select(F.col(id_col).cast("string").alias("_id"), vec_col)
+        .orderBy(F.md5(F.col("_id")))
+        .limit(sample_size)
+    )
+    pdf = samp.select(vec_col).toPandas()
+    X = _normalize_rows(
+        np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+    )
+    if len(X) < n_centroids:
+        raise ValueError(f"sample ({len(X)}) smaller than n_centroids ({n_centroids})")
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), n_centroids, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for c in range(n_centroids):
+            members = X[assign == c]
+            if len(members):
+                C[c] = members.mean(axis=0)
+        C = _normalize_rows(C)
+    return C
+
+
 def assign_buckets(
     embeddings: DataFrame,
     dim: int,
@@ -124,11 +165,15 @@ def assign_buckets(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
-    """(vec_id, embedding, bucket): IVF-style coarse quantization with
-    deterministic random-projection centroids (no training pass needed —
-    at 100 TB you'd swap in sampled k-means centroids, same plumbing)."""
-    C = _centroids(dim, n_centroids, seed)
+    """(vec_id, embedding, bucket): IVF-style coarse quantization. Default
+    centroids are deterministic seeded random projections (no training
+    pass); pass centroids= (e.g. from train_centroids_kmeans) for trained
+    cells — same plumbing either way. Assignment = argmax cosine (first
+    max wins on ties, matching both np.argmax and the SQL oracle's
+    ROW_NUMBER ... ORDER BY cos DESC, cid ASC)."""
+    C = _normalize_rows(centroids) if centroids is not None else _centroids(dim, n_centroids, seed)
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -156,26 +201,57 @@ def ivf_topk(
     n_centroids: int = 16,
     nprobe: int = 4,
     seed: int = 42,
+    centroids: np.ndarray | None = None,
+    round_to: int | None = None,
 ) -> DataFrame:
-    """Approximate top-k scanning only each query's nprobe nearest buckets."""
-    C = _centroids(dim, n_centroids, seed)
+    """Approximate top-k scanning only each query's nprobe nearest buckets.
+
+    Probe order is (cosine DESC, centroid_id ASC) — stable argsort, so ties
+    resolve identically to the SQL oracle's window ordering."""
+    C = _normalize_rows(centroids) if centroids is not None else _centroids(dim, n_centroids, seed)
+    qids = [q[0] for q in queries]
     Q = _normalize_rows(np.asarray([q[1] for q in queries], dtype=np.float64))
-    probes = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]
+    probes = np.argsort(-(Q @ C.T), axis=1, kind="stable")[:, :nprobe]
     wanted = sorted({int(b) for row in probes for b in row})
+    # partition-prune the scan to the union of probed buckets, then mask
+    # per-query inside the kernel: each query scores ONLY its own probed
+    # buckets (exact IVF semantics — a doc outside the probe set can never
+    # displace one inside it)
     scan = bucketed.where(F.col("bucket").isin(wanted))
-    # per-query bucket membership is enforced after scoring (cheap: k rows/q)
-    probe_map = {queries[i][0]: {int(b) for b in probes[i]} for i in range(len(queries))}
-    run = brute_force_topk(scan, queries, k=k)
-    spark = bucketed.sparkSession
-    pm = spark.createDataFrame(
-        [(q, int(b)) for q, bs in probe_map.items() for b in bs], "query_id string, bucket int"
-    )
-    filtered = run.join(bucketed.select("vec_id", "bucket"), "vec_id").join(
-        F.broadcast(pm), ["query_id", "bucket"], "left_semi"
+    probe_lists = [np.asarray(sorted(int(b) for b in probes[i])) for i in range(len(queries))]
+
+    def score_partition(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = _normalize_rows(
+                np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+            )
+            buckets = pdf["bucket"].to_numpy()
+            ids = pdf["vec_id"].astype(str).to_numpy()
+            S = Q @ M.T
+            rows = {"query_id": [], "vec_id": [], "score": []}
+            for qi in range(S.shape[0]):
+                idxs = np.nonzero(np.isin(buckets, probe_lists[qi]))[0]
+                if not len(idxs):
+                    continue
+                s = S[qi, idxs]
+                kk = min(k, len(idxs))
+                sel = np.argpartition(-s, kk - 1)[:kk]
+                rows["query_id"].extend([qids[qi]] * kk)
+                rows["vec_id"].extend(ids[idxs[sel]])
+                rows["score"].extend(s[sel])
+            yield pd.DataFrame(rows)
+
+    partial = scan.select("vec_id", "embedding", "bucket").mapInPandas(
+        score_partition, TOPK_SCHEMA
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
-    return (
-        filtered.withColumn("rank", F.row_number().over(w))
+    out = (
+        partial.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "vec_id", "score", "rank")
     )
+    if round_to is not None:
+        out = out.withColumn("score", F.round("score", round_to))
+    return out

@@ -104,3 +104,80 @@ def test_fingerprints_deterministic_and_similar(corpus):
     inter = set(fp1["a"]) & set(fp1["c"])
     assert len(inter) > 0  # near-dups share winnowed hashes
     assert not set(fp1["a"]) & set(fp1["e"])
+
+
+class TestBucketCaps:
+    """LSH hot-bucket quadratic blow-up protection (VERDICT r1 top scale
+    fix): a boilerplate-heavy corpus must yield O(docs) candidate pairs,
+    with the oversized buckets surfaced as whole duplicate groups."""
+
+    N_BOILER = 400  # identical docs: uncapped LSH would emit ~80k pairs/band
+
+    @pytest.fixture(scope="class")
+    def skewed(self, spark):
+        import pyspark.sql.functions as F
+
+        boiler = spark.range(self.N_BOILER).select(
+            F.concat(F.lit("boiler"), F.col("id")).alias("doc_id"),
+            F.lit(
+                "copyright all rights reserved terms of service privacy "
+                "policy contact us about this site map home page footer"
+            ).alias("text"),
+        )
+        unique = spark.range(50).select(
+            F.concat(F.lit("uniq"), F.col("id")).alias("doc_id"),
+            F.concat(
+                F.lit("document number "), F.col("id").cast("string"),
+                F.lit(" with distinct content token"),
+                F.col("id").cast("string"), F.lit(" and more words "),
+                (F.col("id") * 7 % 13).cast("string"),
+                F.lit(" tail "), (F.col("id") * 31 % 17).cast("string"),
+            ).alias("text"),
+        )
+        return boiler.unionByName(unique)
+
+    def test_minhash_pairs_capped_linear(self, spark, skewed):
+        from openmatch_spark.operators.dedup import (
+            minhash_candidate_pairs,
+            minhash_oversized_groups,
+            minhash_signatures,
+            shingles,
+        )
+
+        sh = shingles(skewed, n=3)
+        sig = minhash_signatures(sh, num_hashes=8).cache()
+        capped = minhash_candidate_pairs(sig, max_bucket=100)
+        n_pairs = capped.count()
+        # the 400-doc boilerplate bucket is excluded: remaining pairs are
+        # bounded by docs * max_bucket, far below the ~79800 uncapped pairs
+        assert n_pairs < 50 * 100
+        boiler_pairs = capped.where(
+            "doc_a LIKE 'boiler%' AND doc_b LIKE 'boiler%'"
+        ).count()
+        assert boiler_pairs == 0
+        groups = minhash_oversized_groups(sig, max_bucket=100).collect()
+        assert len(groups) >= 1
+        assert all(g["n_docs"] == self.N_BOILER for g in groups)
+        assert all(len(g["doc_ids"]) == self.N_BOILER for g in groups)
+        # cap=None restores the uncapped quadratic behavior (opt-in)
+        n_uncapped = minhash_candidate_pairs(sig, max_bucket=None).count()
+        assert n_uncapped >= self.N_BOILER * (self.N_BOILER - 1) // 2
+        sig.unpersist()
+
+    def test_simhash_pairs_capped_linear(self, spark, skewed):
+        from openmatch_spark.operators.dedup import (
+            simhash_fingerprints,
+            simhash_near_duplicates,
+            simhash_oversized_groups,
+        )
+
+        fp = simhash_fingerprints(skewed).cache()
+        capped = simhash_near_duplicates(fp, max_hamming=3, max_bucket=100)
+        boiler_pairs = capped.where(
+            "doc_a LIKE 'boiler%' AND doc_b LIKE 'boiler%'"
+        ).count()
+        assert boiler_pairs == 0
+        groups = simhash_oversized_groups(fp, max_bucket=100).collect()
+        assert len(groups) >= 1  # identical fingerprints share all 4 chunks
+        assert max(g["n_docs"] for g in groups) >= self.N_BOILER
+        fp.unpersist()

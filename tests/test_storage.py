@@ -1,0 +1,87 @@
+"""IndexStorage both-branch test (SURVEY §7.4): the same build and query
+code runs against catalog tables (here the built-in session catalog with
+parquet provider — an Iceberg catalog is one conf away and shares the V2
+writeTo branch) and against plain parquet paths, producing identical runs.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from openmatch_spark.fixtures import PAGES_SCHEMA, QUERIES_SCHEMA, gen_pages_rows, gen_queries_rows
+from openmatch_spark.index import IndexStorage, build_index, load_index
+from openmatch_spark.query import search
+
+
+def _run_rows(run):
+    return sorted(
+        (r["query_id"], r["doc_id"], round(r["score"], 9), r["rank"])
+        for r in run.collect()
+    )
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return spark.createDataFrame(gen_pages_rows(120, seed=11), PAGES_SCHEMA)
+
+
+@pytest.fixture(scope="module")
+def queries(spark):
+    return spark.createDataFrame(gen_queries_rows(4, seed=3), QUERIES_SCHEMA)
+
+
+def test_table_mode_equals_path_mode(spark, pages, queries, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("storage")
+    # path mode (sandbox default)
+    d_path = str(tmp / "idx_path")
+    build_index(spark, pages, d_path, num_shards=2, num_term_buckets=2, block_size=16)
+    run_path = _run_rows(search(load_index(spark, d_path), queries, k=5))
+
+    # table mode: session catalog, parquet provider, V1 writers
+    prefix = "spark_catalog.default.om_storage_test"
+    d_tbl = str(tmp / "idx_tbl")  # still holds stats.json
+    try:
+        build_index(
+            spark, pages, d_tbl, num_shards=2, num_term_buckets=2,
+            block_size=16, table_prefix=prefix,
+        )
+        for kind in ("dictionary", "docmap", "postings", "manifest"):
+            assert spark.catalog.tableExists(f"{prefix}_{kind}")
+        idx = load_index(spark, d_tbl, table_prefix=prefix)
+        run_tbl = _run_rows(search(idx, queries, k=5))
+        assert run_tbl == run_path
+    finally:
+        for kind in ("dictionary", "docmap", "postings", "manifest"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{kind}")
+
+
+def test_table_mode_multibatch_dynamic_overwrite(spark, pages, queries, tmp_path_factory):
+    """Multi-batch builds exercise the dynamic-partition-overwrite branch
+    (insertInto / overwritePartitions): later batches must not clobber
+    earlier shards' rows."""
+    tmp = tmp_path_factory.mktemp("storage_mb")
+    d_path = str(tmp / "idx_path")
+    build_index(spark, pages, d_path, num_shards=4, num_term_buckets=2, block_size=16)
+    run_path = _run_rows(search(load_index(spark, d_path), queries, k=5))
+
+    prefix = "spark_catalog.default.om_storage_mb"
+    d_tbl = str(tmp / "idx_tbl")
+    try:
+        build_index(
+            spark, pages, d_tbl, num_shards=4, num_term_buckets=2,
+            block_size=16, table_prefix=prefix, shard_batch_size=2,
+        )
+        idx = load_index(spark, d_tbl, table_prefix=prefix)
+        assert idx.manifest.count() == 4
+        run_tbl = _run_rows(search(idx, queries, k=5))
+        assert run_tbl == run_path
+    finally:
+        for kind in ("dictionary", "docmap", "postings", "manifest"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{kind}")
+
+
+def test_resolve_prefers_explicit_then_conf(spark, tmp_path):
+    st = IndexStorage.resolve(spark, str(tmp_path / "x"))
+    assert not st.is_table_mode  # no catalog configured in-sandbox
+    st2 = IndexStorage.resolve(spark, str(tmp_path / "x"), table_prefix="c.db.t")
+    assert st2.is_table_mode and st2.table_name("postings") == "c.db.t_postings"

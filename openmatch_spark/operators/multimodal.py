@@ -40,6 +40,29 @@ def _require_decoder(kind: str):
     )
 
 
+def read_media_dir(
+    spark, path: str, kind: str = "image", glob: str | None = None
+) -> DataFrame:
+    """Directory of binary files -> canonical media table (SURVEY S5).
+
+    Spark's binaryFile source reads each file as one row (path,
+    modificationTime, length, content) with predicate pushdown on path —
+    the Spark-native equivalent of the reference's HF imagefolder with
+    decode=False (inference_dataset.py:304-312). media_id = file path.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    raw = reader.load(path)
+    return raw.select(
+        F.col("path").alias("media_id"),
+        F.lit(kind).alias("kind"),
+        F.col("content").alias("payload"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.col("length").cast("long").alias("n_bytes"),
+    )
+
+
 def as_media_table(df: DataFrame, id_col: str, payload_col: str, kind: str) -> DataFrame:
     """Normalize any (id, binary) pair into the canonical media table."""
     return df.select(

@@ -55,33 +55,56 @@ _KERNEL_OUT = StructType(
 )
 
 
-def query_terms(index: BM25Index, queries: DataFrame) -> list:
+# above this many queries, tokenization fans out to executors (the
+# driver-side loop is O(batch) Python); below it, the zero-job driver path
+# keeps single-query p50 latency flat
+_DISTRIBUTED_TOKENIZE_MIN_QUERIES = 2048
+
+
+def query_terms(
+    index: BM25Index, queries: DataFrame,
+    distributed_threshold: int = _DISTRIBUTED_TOKENIZE_MIN_QUERIES,
+) -> list:
     """[(query_id, term, qtf, term_bucket)] for in-vocabulary terms.
 
-    Queries are small by contract (the reference materializes the whole query
-    set too, dense_retriever.py:226-241), so tokenization happens driver-side
-    with the *identical* Python tokenizer, and the dictionary lookup is one
-    bucket/term-pruned parquet scan (PushedFilters: In(term, ...)) instead of
-    a full-dictionary join.
+    Small batches (the p50/p99 regime; the reference materializes the whole
+    query set too, dense_retriever.py:226-241) tokenize driver-side with the
+    identical Python tokenizer — zero Spark jobs with the cached dictionary.
+    Batches above distributed_threshold tokenize executor-side (the SAME
+    tokenizer: JVM split for `simple`, the byte-identical Arrow UDF for
+    `dpr`) and only the aggregated (query_id, term, qtf) rows — bounded by
+    vocabulary, not text size — come back to plan the pruned postings scan.
+    Either way the dictionary lookup is one bucket/term-pruned scan
+    (PushedFilters: In(term, ...)), never a full-dictionary join.
     """
     from collections import Counter
 
-    from openmatch_spark.analysis import tokenize_py
+    from openmatch_spark.analysis import tokenize_col, tokenize_py
 
     analyzer = index.stats["analyzer"]
-    qrows = queries.select(
-        F.col("query_id").cast("string").alias("query_id"), "text"
-    ).collect()
+    q = queries.select(F.col("query_id").cast("string").alias("query_id"), "text")
+    # cheap bounded peek: is this batch past the distributed threshold?
+    big = len(q.limit(distributed_threshold + 1).take(distributed_threshold + 1)) > distributed_threshold
     qtf: dict[tuple[str, str], int] = {}
-    for r in qrows:
-        for t, c in Counter(tokenize_py(r["text"], analyzer)).items():
-            qtf[(r["query_id"], t)] = c
+    if big:
+        agg = (
+            q.select("query_id", F.explode(tokenize_col(F.col("text"), analyzer)).alias("term"))
+            .groupBy("query_id", "term")
+            .agg(F.count(F.lit(1)).alias("qtf"))
+            .collect()
+        )
+        for r in agg:
+            qtf[(r["query_id"], r["term"])] = int(r["qtf"])
+    else:
+        for r in q.collect():
+            for t, c in Counter(tokenize_py(r["text"], analyzer)).items():
+                qtf[(r["query_id"], t)] = c
     terms = sorted({t for (_, t) in qtf})
     if not terms:
         return []
     bucket_of = index.term_buckets(terms)
     return [
-        (q, t, float(c), bucket_of[t]) for (q, t), c in sorted(qtf.items()) if t in bucket_of
+        (q_, t, float(c), bucket_of[t]) for (q_, t), c in sorted(qtf.items()) if t in bucket_of
     ]
 
 

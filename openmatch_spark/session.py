@@ -45,6 +45,12 @@ def get_spark(
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
         "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEM", "48g"),
+        # task-side output commit (v2): the v1 default renames every
+        # partition dir SERIALLY on the driver — a fixed cost that grows
+        # with dir count (shards x term_buckets), not data, and caps
+        # scaling efficiency at high parallelism. v2 is the standard
+        # choice on clusters (cloud committers do the same thing).
+        "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version": "2",
         "spark.sql.session.timeZone": "UTC",
         "spark.ui.enabled": "false",
         "spark.driver.extraJavaOptions": "-Dio.netty.tryReflectionSetAccessible=true",

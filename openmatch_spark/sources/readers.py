@@ -87,3 +87,42 @@ def read_beir_qrels(spark: SparkSession, path: str, rel_threshold: int = 1) -> D
         )
         .where(F.col("rel") >= rel_threshold)
     )
+
+
+def load_beir_dataset(
+    spark: SparkSession,
+    data_dir: str,
+    splits: tuple[str, ...] = ("train", "dev", "test"),
+) -> dict:
+    """BEIR directory loader (dataset/beir_dataset.py:28-84): one unit of
+    corpus.jsonl + queries.jsonl + qrels/<split>.tsv.
+
+    Returns {"corpus": df(doc_id, title, text),
+             "queries": {split: df(query_id, text)},
+             "qrels": {split: df(query_id, doc_id, rel)}};
+    splits without a qrels file are absent (reference sets them to None).
+    Queries are filtered to qids present in the split's qrels via a
+    broadcast semi join (the reference's filter_fn x["_id"] in qids,
+    beir_dataset.py:79 — set-membership becomes a join at scale).
+    """
+    import os
+
+    corpus = read_corpus_jsonl(spark, os.path.join(data_dir, "corpus.jsonl"))
+    all_queries = normalize_id(
+        spark.read.schema(
+            StructType([StructField("_id", StringType()), StructField("text", StringType())])
+        ).json(os.path.join(data_dir, "queries.jsonl")),
+        out="query_id",
+    )
+    queries: dict[str, DataFrame] = {}
+    qrels: dict[str, DataFrame] = {}
+    for split in splits:
+        p = os.path.join(data_dir, "qrels", f"{split}.tsv")
+        if not os.path.exists(p):
+            continue
+        q = read_beir_qrels(spark, p)
+        qrels[split] = q
+        queries[split] = all_queries.join(
+            F.broadcast(q.select("query_id").distinct()), "query_id", "left_semi"
+        )
+    return {"corpus": corpus, "queries": queries, "qrels": qrels}

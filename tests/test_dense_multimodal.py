@@ -161,3 +161,17 @@ def test_kmeans_centroids_improve_recall(spark):
     r_random = recall(_centroids(16, 6))
     assert r_trained >= r_random
     assert r_trained >= 0.8  # clustered data: trained cells ~lossless at nprobe=2
+
+
+def test_read_media_dir(spark, tmp_path):
+    from openmatch_spark.operators.multimodal import decode_features, read_media_dir
+
+    (tmp_path / "a.png").write_bytes(b"\x89PNGfake_a")
+    (tmp_path / "b.png").write_bytes(b"\x89PNGfake_bb")
+    (tmp_path / "notes.txt").write_bytes(b"skip me")
+    media = read_media_dir(spark, str(tmp_path), kind="image", glob="*.png")
+    rows = {r["media_id"].split("/")[-1]: r for r in media.collect()}
+    assert set(rows) == {"a.png", "b.png"}
+    assert rows["a.png"]["n_bytes"] == 10 and bytes(rows["a.png"]["payload"]).startswith(b"\x89PNG")
+    feats = decode_features(media)
+    assert feats.count() == 2 and len(feats.first()["feature"]) == 8

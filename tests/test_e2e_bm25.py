@@ -110,3 +110,35 @@ def test_batch_mode_bitwise_equal_to_daat(spark, index, query_rows):
     a = sorted(map(tuple, search(index, queries, k=K, mode="daat").collect()))
     b = sorted(map(tuple, search(index, queries, k=K, mode="batch").collect()))
     assert a == b
+
+
+def test_distributed_query_tokenization_identical(spark, tmp_path):
+    """A batch above the distributed-tokenize threshold must return the
+    exact same run as the driver-side path (VERDICT r1 item 9)."""
+    import pyspark.sql.functions as F
+
+    from openmatch_spark.fixtures import PAGES_SCHEMA, gen_pages_rows
+    from openmatch_spark.index import build_index, load_index
+    from openmatch_spark.query import search
+    from openmatch_spark.query.bm25_search import query_terms
+
+    pages = spark.createDataFrame(gen_pages_rows(80, seed=9), PAGES_SCHEMA)
+    d = str(tmp_path / "idx")
+    build_index(spark, pages, d, num_shards=2, num_term_buckets=2, block_size=16)
+    idx = load_index(spark, d)
+    # 60 queries built from corpus vocabulary, threshold forced to 10 ->
+    # distributed branch; text repeats a term (qtf > 1 exercised)
+    words = [
+        r["t"] for r in pages.selectExpr("explode(split(text, ' ')) AS t")
+        .where("t <> ''").distinct().limit(60).collect()
+    ]
+    qs = spark.createDataFrame(
+        [(f"q{i}", f"{w} {w} {words[(i + 1) % len(words)]}") for i, w in enumerate(words)],
+        "query_id string, text string",
+    )
+    qt_driver = query_terms(idx, qs, distributed_threshold=10_000)
+    qt_dist = query_terms(idx, qs, distributed_threshold=10)
+    assert len(qt_dist) > 0
+    assert sorted(qt_driver) == sorted(qt_dist)
+    run = search(idx, qs, k=3)
+    assert run.where("rank = 1").count() > 0

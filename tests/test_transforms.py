@@ -74,3 +74,15 @@ def test_hydrate_run(spark):
     queries = spark.createDataFrame([("q1", "query text")], "query_id string, text string")
     row = hydrate_run(run, corpus, queries).collect()[0]
     assert row["doc_text"] == "doc text" and row["query_text"] == "query text"
+
+
+def test_fill_template_strict_mode_raises(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([("t", "b")], "title string, body string")
+    # permissive: unknown marker renders "" (reference allow_not_found=True)
+    ok = fill_template(df, "<title>|<nope>").first()["rendered"]
+    assert ok == "t|"
+    # strict: reference utils.py:252-255 raises on a missing marker
+    with _pytest.raises(ValueError, match="nope"):
+        fill_template(df, "<title>|<nope>", allow_not_found=False)

@@ -333,6 +333,23 @@ def q_minhash_pairs(spark, sf_dir):
     )
 
 
+def q_dedup_pipeline(spark, sf_dir):
+    """One-call corpus dedup (exact + LSH-verified near-dup + oversized
+    bucket groups, operators/dedup.py:deduplicate_corpus) — the whole
+    pipeline value-checked against a DuckDB replica."""
+    from openmatch_spark.operators.dedup import deduplicate_corpus
+
+    base = _docs(spark, sf_dir).where(F.col("doc_id") < 300).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    shifted = base.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    corpus = base.unionByName(shifted)
+    out = deduplicate_corpus(corpus, jaccard_threshold=0.5, max_bucket=100)
+    return out.select(
+        "doc_id", F.col("keep").cast("int").alias("keep"), "reason", "dup_of"
+    )
+
+
 def q_lang_id(spark, sf_dir):
     from openmatch_spark.operators.textstats import language_id
 
@@ -549,6 +566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recall10": q_recall10,
         "ndcg10": q_ndcg10,
         "dedup_exact": q_dedup_exact,
+        "dedup_pipeline": q_dedup_pipeline,
         "minhash_signatures": q_minhash_signatures,
         "minhash_pairs": q_minhash_pairs,
         "lang_id": q_lang_id,
@@ -1056,6 +1074,92 @@ negr AS (
 SELECT query_id, kind, pos, doc_id FROM posr
 UNION ALL
 SELECT query_id, kind, pos, doc_id FROM negr
+"""
+
+    _mh8 = ", ".join(
+        f"MIN(md5(concat_ws('|', '{h}', shingle))) AS mh_{h}" for h in range(8)
+    )
+    _bands8 = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5(concat_ws('|', mh_{2*b}, mh_{2*b+1})) AS band_hash FROM sig"
+        for b in range(4)
+    )
+    sql["dedup_pipeline"] = f"""
+WITH corpus AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents WHERE doc_id < 300
+  UNION ALL
+  SELECT CAST(CAST(doc_id AS BIGINT) + 1000000 AS VARCHAR), text FROM documents WHERE doc_id < 300
+),
+hashed AS (
+  SELECT doc_id,
+         md5(array_to_string(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> ''), ' ')) AS h
+  FROM corpus
+),
+gmin AS (SELECT h, MIN(doc_id) AS canon, COUNT(*) AS n FROM hashed GROUP BY h),
+drop_exact AS (
+  SELECT hd.doc_id AS doc_id, g.canon AS dup_of, 'exact' AS reason
+  FROM hashed hd JOIN gmin g ON g.h = hd.h
+  WHERE g.n > 1 AND hd.doc_id <> g.canon
+),
+surv AS (
+  SELECT c.doc_id, c.text FROM corpus c
+  WHERE NOT EXISTS (SELECT 1 FROM drop_exact d WHERE d.doc_id = c.doc_id)
+),
+sh AS (
+  SELECT DISTINCT d.doc_id, s.shingle
+  FROM (
+    SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+    FROM surv
+  ) d,
+  UNNEST(list_transform(generate_series(1, len(d.toks) - 2), i -> array_to_string(d.toks[i:i+2], ' '))) AS s(shingle)
+),
+sig AS (SELECT doc_id, {_mh8} FROM sh GROUP BY doc_id),
+bands AS ({_bands8}),
+bsz AS (SELECT band, band_hash, COUNT(*) AS n FROM bands GROUP BY band, band_hash),
+okb AS (SELECT band, band_hash FROM bsz WHERE n <= 100),
+cb AS (SELECT b.* FROM bands b JOIN okb USING (band, band_hash)),
+cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM cb l JOIN cb r ON l.band = r.band AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+  FROM cand c JOIN sh a ON a.doc_id = c.doc_a JOIN sh b2 ON b2.doc_id = c.doc_b AND b2.shingle = a.shingle
+  GROUP BY c.doc_a, c.doc_b
+),
+ver AS (
+  SELECT m.doc_a, m.doc_b FROM common m
+  JOIN sizes sa ON sa.doc_id = m.doc_a JOIN sizes sb ON sb.doc_id = m.doc_b
+  WHERE CAST(m.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - m.n_common) >= 0.5
+),
+drop_near AS (SELECT doc_b AS doc_id, MIN(doc_a) AS dup_of, 'near' AS reason FROM ver GROUP BY doc_b),
+bigb AS (SELECT band, band_hash FROM bsz WHERE n > 100),
+bmem AS (
+  SELECT b.doc_id, MIN(b.doc_id) OVER (PARTITION BY b.band, b.band_hash) AS canon
+  FROM bands b JOIN bigb USING (band, band_hash)
+),
+drop_bucket AS (
+  SELECT doc_id, MIN(canon) AS dup_of, 'bucket' AS reason
+  FROM bmem WHERE doc_id <> canon GROUP BY doc_id
+),
+drops AS (
+  SELECT doc_id, dup_of, reason FROM drop_exact
+  UNION ALL SELECT doc_id, dup_of, reason FROM drop_near
+  UNION ALL SELECT doc_id, dup_of, reason FROM drop_bucket
+),
+best AS (
+  SELECT doc_id, dup_of, reason FROM (
+    SELECT d.*, ROW_NUMBER() OVER (
+      PARTITION BY doc_id
+      ORDER BY CASE reason WHEN 'exact' THEN 0 WHEN 'near' THEN 1 ELSE 2 END ASC, dup_of ASC
+    ) AS rn
+    FROM drops d
+  ) WHERE rn = 1
+)
+SELECT c.doc_id,
+       CAST(CASE WHEN b.reason IS NULL THEN 1 ELSE 0 END AS INTEGER) AS keep,
+       b.reason, b.dup_of
+FROM (SELECT doc_id FROM corpus) c LEFT JOIN best b USING (doc_id)
 """
 
     # deterministic seeded centroids, inlined identically on both engines

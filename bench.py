@@ -251,6 +251,110 @@ def _scaling_job(cores: int, n_docs: int) -> dict:
     }
 
 
+def _query_leg(cores: int, idx_dir: str, n_queries: int = 4096, repeats: int = 3) -> dict:
+    """Pinned query-only leg over a PREBUILT index: load, warm up, run the
+    batch `repeats` times, report the best (noise-floor) throughput."""
+    from openmatch_spark import get_spark
+    from openmatch_spark.index import load_index
+    from openmatch_spark.query import search
+
+    spark = get_spark(
+        f"om-qscale-{cores}", master=f"local[{cores}]", shuffle_partitions=cores,
+        extra_conf={
+            "spark.ui.showConsoleProgress": "false",
+            "spark.local.dir": f"/dev/shm/om_qscale_local_{cores}",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    idx = load_index(spark, idx_dir)
+    warm = spark.createDataFrame(_gen_queries(64), "query_id string, text string")
+    search(idx, warm, k=100, mode="batch").count()
+    queries = spark.createDataFrame(_gen_queries(n_queries), "query_id string, text string")
+    walls = []
+    for _ in range(repeats):
+        t, _n = _timed(lambda: search(idx, queries, k=100, mode="batch").count())
+        walls.append(t)
+    spark.stop()
+    import shutil
+
+    shutil.rmtree(f"/dev/shm/om_qscale_local_{cores}", ignore_errors=True)
+    best = min(walls)
+    return {
+        "cores": cores,
+        "n_queries": n_queries,
+        "walls": [round(w, 2) for w in walls],
+        "best_sec": round(best, 2),
+        "qps": round(n_queries / best, 2),
+    }
+
+
+def query_scaling(n_docs: int = 400_000, n_lo: int = 1, n_hi: int = 4) -> dict:
+    """Query-side N->4N evidence over ONE shared prebuilt index: eliminates
+    build-time host-noise coupling between the legs (each leg is 3 repeats,
+    best-of, pinned). Appends to BENCH/BASELINE.md."""
+    import shutil
+    import subprocess
+
+    from openmatch_spark import get_spark
+    from openmatch_spark.fixtures import synth_pages_spark
+    from openmatch_spark.index import build_index
+
+    idx_dir = tempfile.mkdtemp(prefix="om_qscale_idx_", dir="/dev/shm")
+    spark = get_spark("om-qscale-build", master="local[8]", shuffle_partitions=8,
+                      extra_conf={"spark.ui.showConsoleProgress": "false",
+                                  "spark.local.dir": "/dev/shm/om_qscale_build"})
+    spark.sparkContext.setLogLevel("ERROR")
+    pages = synth_pages_spark(spark, n_docs, partitions=64)
+    build_index(spark, pages, idx_dir, analyzer="dpr",
+                num_shards=32, num_term_buckets=16, block_size=128)
+    spark.stop()
+    shutil.rmtree("/dev/shm/om_qscale_build", ignore_errors=True)
+
+    def leg(cores):
+        cpu_list = f"0-{cores - 1}" if cores > 1 else "0"
+        cmd = ["taskset", "-c", cpu_list, sys.executable, os.path.abspath(__file__),
+               "--query-leg", str(cores), idx_dir]
+        out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+        if out.returncode != 0:
+            raise RuntimeError(f"query leg failed: {out.stderr[-2000:]}")
+        return json.loads([ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1])
+
+    lo = leg(n_lo)
+    hi = leg(n_hi)
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    eff = hi["qps"] / (4 * lo["qps"])
+    out = {
+        "metric": "scaling_efficiency_query",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "queries": {
+            f"qps_{n_lo}": lo["qps"], f"qps_{n_hi}": hi["qps"],
+            f"walls_{n_lo}": lo["walls"], f"walls_{n_hi}": hi["walls"],
+        },
+        "sf": -1.0,
+        "n_docs": n_docs,
+        "cores": [n_lo, n_hi],
+    }
+    md = f"""
+### Query-only N -> 4N (shared prebuilt index, best-of-{len(lo['walls'])} pinned legs)
+
+One {n_docs:,}-doc index built once; each leg loads it, warms up, and runs
+the same 4096-query k=100 batch three times pinned to its core budget —
+no build-phase noise coupling between the legs.
+
+| cores (pinned) | batch walls (s) | best | q/s |
+|---|---|---|---|
+| local[{n_lo}] | {lo['walls']} | {lo['best_sec']} | {lo['qps']} |
+| local[{n_hi}] | {hi['walls']} | {hi['best_sec']} | {hi['qps']} |
+
+**Query scaling efficiency** = {hi['qps']} / (4 x {lo['qps']}) = **{eff:.3f}**
+"""
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
+        f.write(md)
+    return out
+
+
 def _calib_tokenize(seed: int) -> int:
     """Coordination-free unit of the engine's dominant kernel (tokenize):
     used to measure the MACHINE's own N->4N ceiling for memory-heavy work."""
@@ -432,6 +536,13 @@ if __name__ == "__main__":
     if "--scaling-worker" in sys.argv:
         i = sys.argv.index("--scaling-worker")
         print(json.dumps(_scaling_job(int(sys.argv[i + 1]), int(sys.argv[i + 2]))))
+    elif "--query-leg" in sys.argv:
+        i = sys.argv.index("--query-leg")
+        print(json.dumps(_query_leg(int(sys.argv[i + 1]), sys.argv[i + 2])))
+    elif "--query-scaling" in sys.argv:
+        i = sys.argv.index("--query-scaling")
+        n = int(sys.argv[i + 1]) if len(sys.argv) > i + 1 and sys.argv[i + 1].isdigit() else 400_000
+        print(json.dumps(query_scaling(n)))
     elif "--calib-worker" in sys.argv:
         i = sys.argv.index("--calib-worker")
         print(json.dumps(_calib_worker(sys.argv[i + 1], int(sys.argv[i + 2]))))

@@ -306,3 +306,88 @@ def simhash_oversized_groups(
     return oversized_buckets(
         simhash_chunks(fingerprints), ["chunk", "chunk_val"], max_bucket
     )
+
+
+def deduplicate_corpus(
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    analyzer: str = "simple",
+    shingle_n: int = 3,
+    num_hashes: int = 8,
+    num_bands: int = 4,
+    jaccard_threshold: float = 0.8,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """One-call corpus dedup: (doc_id, keep, reason, dup_of).
+
+    Composition of the primitives above, all shuffle-bounded:
+      1. exact groups (md5 of normalized text) — keep the min doc_id;
+      2. MinHash-LSH candidates among exact survivors, Jaccard-verified at
+         >= jaccard_threshold — drop any doc with a verified near-dup of
+         smaller id (greedy local-min rule: no iterative connected
+         components, one pass, every dropped doc names a kept-or-chained
+         neighbor in dup_of);
+      3. oversized LSH buckets (boilerplate groups the pair join skipped
+         under max_bucket) — keep each bucket's min doc_id wholesale.
+
+    reason: 'exact' | 'near' | 'bucket' for drops, null for keeps. At
+    100 TB every stage is a bounded hash join/agg; nothing is quadratic.
+    """
+    ids = corpus.select(F.col(id_col).cast("string").alias("doc_id"))
+
+    exact = exact_duplicates(corpus, id_col, text_col)
+    drop_exact = exact.select(
+        F.explode("doc_ids").alias("doc_id"),
+        F.col("canonical_doc_id").alias("dup_of"),
+    ).where(F.col("doc_id") != F.col("dup_of")).withColumn("reason", F.lit("exact"))
+
+    survivors = ids.join(drop_exact.select("doc_id"), "doc_id", "left_anti")
+    surv_corpus = corpus.select(
+        F.col(id_col).cast("string").alias("doc_id"), F.col(text_col).alias("text")
+    ).join(survivors, "doc_id", "left_semi")
+
+    sh = shingles(surv_corpus, n=shingle_n, analyzer=analyzer)
+    sig = minhash_signatures(sh, num_hashes=num_hashes)
+    cand = minhash_candidate_pairs(sig, num_bands=num_bands,
+                                   num_hashes=num_hashes, max_bucket=max_bucket)
+    verified = jaccard_pairs(sh, cand).where(F.col("jaccard") >= jaccard_threshold)
+    # local-min rule: a doc is dropped iff some verified near-dup has a
+    # smaller id; dup_of = its smallest such neighbor
+    drop_near = (
+        verified.select(F.col("doc_b").alias("doc_id"), F.col("doc_a").alias("nbr"))
+        .groupBy("doc_id")
+        .agg(F.min("nbr").alias("dup_of"))
+        .withColumn("reason", F.lit("near"))
+    )
+
+    big = minhash_oversized_groups(sig, num_bands=num_bands,
+                                   num_hashes=num_hashes, max_bucket=max_bucket)
+    drop_bucket = (
+        big.select(
+            F.explode("doc_ids").alias("doc_id"),
+            F.element_at("doc_ids", 1).alias("dup_of"),
+        )
+        .where(F.col("doc_id") != F.col("dup_of"))
+        .groupBy("doc_id")
+        .agg(F.min("dup_of").alias("dup_of"))
+        .withColumn("reason", F.lit("bucket"))
+    )
+
+    drops = drop_exact.unionByName(drop_near).unionByName(drop_bucket)
+    # precedence exact > near > bucket for docs flagged by several stages
+    order = F.when(F.col("reason") == "exact", 0).when(F.col("reason") == "near", 1).otherwise(2)
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("doc_id").orderBy(order.asc(), F.col("dup_of").asc())
+    drops = (
+        drops.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return ids.join(drops, "doc_id", "left").select(
+        "doc_id",
+        F.col("reason").isNull().alias("keep"),
+        "reason",
+        "dup_of",
+    )

@@ -127,6 +127,43 @@ def cmd_eval(args) -> int:
     return 0
 
 
+def cmd_repl(args) -> int:
+    """Interactive search loop (scripts/interactive_search.py parity): one
+    query per line on stdin, top-k results per line on stdout. The driver
+    dictionary cache + bucket-pruned postings scan keep per-query latency
+    sub-second after the first query; optionally hydrates doc text."""
+    from openmatch_spark.index import load_index
+    from openmatch_spark.operators.transforms import hydrate_run
+    from openmatch_spark.query import search
+
+    spark = _spark("om-repl")
+    spark.sparkContext.setLogLevel("ERROR")
+    idx = load_index(spark, args.index)
+    corpus = None
+    if args.corpus:
+        corpus = spark.read.parquet(args.corpus)
+    print(f"index: {args.index}  docs={idx.stats.get('n_docs')}  "
+          f"analyzer={idx.stats.get('analyzer')}  (empty line quits)", flush=True)
+    qn = 0
+    while True:
+        try:
+            line = input("query> " if sys.stdin.isatty() else "")
+        except EOFError:
+            break
+        line = line.strip()
+        if not line:
+            break
+        qn += 1
+        q = spark.createDataFrame([(f"i{qn}", line)], "query_id string, text string")
+        run = search(idx, q, k=args.k, mode=args.mode)
+        if corpus is not None:
+            run = hydrate_run(run, corpus=corpus)
+        for r in run.orderBy("rank").collect():
+            snippet = (r["doc_text"][:100] + "...") if corpus is not None else ""
+            print(f"{r['rank']:>3}  {r['score']:.4f}  {r['doc_id']}  {snippet}", flush=True)
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="spark_job.py")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -161,6 +198,13 @@ def main(argv=None) -> int:
     ev.add_argument("--qrels", required=True)
     ev.add_argument("--k", type=int, nargs="+", default=[10])
     ev.set_defaults(fn=cmd_eval)
+
+    rp = sub.add_parser("repl")
+    rp.add_argument("--index", required=True)
+    rp.add_argument("--corpus", default=None, help="parquet (doc_id, text) for snippets")
+    rp.add_argument("--k", type=int, default=10)
+    rp.add_argument("--mode", choices=["batch", "maxscore", "daat"], default="maxscore")
+    rp.set_defaults(fn=cmd_repl)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -181,3 +181,53 @@ class TestBucketCaps:
         assert len(groups) >= 1  # identical fingerprints share all 4 chunks
         assert max(g["n_docs"] for g in groups) >= self.N_BOILER
         fp.unpersist()
+
+
+def test_deduplicate_corpus_pipeline(spark):
+    """One-call dedup: exact dups, verified near-dups, and boilerplate
+    bucket groups all resolve to min-id survivors in a single pass."""
+    from openmatch_spark.operators.dedup import deduplicate_corpus
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    near = base.replace("today", "tonight")
+    rows = [
+        ("a1", base),
+        ("a2", base.upper()),            # exact dup of a1 (case-insensitive)
+        ("a3", near),                    # near dup of a1 (1 token differs)
+        ("b1", "completely different content about spark query engines today"),
+    ]
+    # boilerplate flood: oversized bucket under a tiny cap
+    boiler = "all rights reserved terms of service privacy policy contact us"
+    rows += [(f"c{i:03d}", boiler) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {r["doc_id"]: r for r in deduplicate_corpus(
+        df, jaccard_threshold=0.5, max_bucket=10
+    ).collect()}
+    assert len(out) == len(rows)
+    assert out["a1"]["keep"] and out["b1"]["keep"]
+    assert not out["a2"]["keep"] and out["a2"]["reason"] == "exact" and out["a2"]["dup_of"] == "a1"
+    assert not out["a3"]["keep"] and out["a3"]["reason"] == "near" and out["a3"]["dup_of"] == "a1"
+    # boilerplate: the 30 identical docs collapse via exact stage to c000
+    c_survivors = [d for d in out if d.startswith("c") and out[d]["keep"]]
+    assert c_survivors == ["c000"]
+    kept = sum(1 for r in out.values() if r["keep"])
+    assert kept == 3  # a1, b1, c000
+
+
+def test_deduplicate_corpus_bucket_stage(spark):
+    """Distinct-but-bucket-colliding docs (same shingle sets can't happen;
+    force the bucket stage with near-identical NON-exact docs under a tiny
+    cap): oversized buckets drop to the min id with reason 'bucket'."""
+    from openmatch_spark.operators.dedup import deduplicate_corpus
+
+    tmpl = "shared boilerplate header text common to every mirror page number"
+    rows = [(f"m{i:02d}", f"{tmpl} {i}") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {r["doc_id"]: r for r in deduplicate_corpus(
+        df, jaccard_threshold=0.99, max_bucket=5
+    ).collect()}
+    # all 20 share most shingles -> every band bucket holds all 20 > cap=5
+    dropped = [d for d, r in out.items() if not r["keep"]]
+    assert dropped and all(out[d]["reason"] == "bucket" for d in dropped)
+    assert out["m00"]["keep"]
+    assert all(out[d]["dup_of"] == "m00" for d in dropped)

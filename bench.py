@@ -61,6 +61,16 @@ def suite() -> dict:
     spark.sparkContext.setLogLevel("ERROR")
     timings: dict[str, float] = {}
 
+    # steady-state warmup (same rationale as the scaling legs): JVM codegen
+    # compilation + Python daemon spawn are per-session costs ~16s on this
+    # box; without this the FIRST timed phase absorbs them and per-op
+    # numbers swing with which op runs first
+    from openmatch_spark.fixtures import pages_df, queries_df
+
+    _warm = tempfile.mkdtemp(prefix="om_bench_warm_")
+    build_index(spark, pages_df(spark, 500), _warm, num_shards=4)
+    search(load_index(spark, _warm), queries_df(spark, 4), k=10).count()
+
     pages = documents_as_pages(spark, SF_DIR)
     n_docs = pages.count()
     idx_dir = tempfile.mkdtemp(prefix="om_bench_idx_")

@@ -38,6 +38,10 @@ def exact_duplicates(corpus: DataFrame, id_col: str = "doc_id", text_col: str = 
     """(content_hash, n_docs, canonical_doc_id, doc_ids): groups with >1 doc.
 
     canonical = min doc_id (the survivor a dedup pass would keep).
+    NOTE: doc_ids is a per-group array — a reporting convenience whose
+    reducer state grows with the hottest group. For the scale path use
+    deduplicate_corpus(), whose exact stage is an agg+join with bounded
+    per-row state.
     """
     hashed = corpus.select(
         F.col(id_col).cast("string").alias("doc_id"),
@@ -111,7 +115,10 @@ def oversized_buckets(buckets: DataFrame, key_cols: list[str],
                       max_bucket: int) -> DataFrame:
     """(*key_cols, n_docs, doc_ids) for buckets the pairing step skipped —
     at web scale these are boilerplate/mirror groups to dedup wholesale
-    (keep min doc_id, drop the rest) rather than pairwise."""
+    (keep min doc_id, drop the rest) rather than pairwise.
+    NOTE: doc_ids arrays grow with bucket size (> max_bucket by
+    definition) — reporting convenience; deduplicate_corpus() consumes the
+    same buckets via bounded agg+join instead."""
     return (
         buckets.groupBy(*key_cols)
         .agg(
@@ -336,11 +343,22 @@ def deduplicate_corpus(
     """
     ids = corpus.select(F.col(id_col).cast("string").alias("doc_id"))
 
-    exact = exact_duplicates(corpus, id_col, text_col)
-    drop_exact = exact.select(
-        F.explode("doc_ids").alias("doc_id"),
-        F.col("canonical_doc_id").alias("dup_of"),
-    ).where(F.col("doc_id") != F.col("dup_of")).withColumn("reason", F.lit("exact"))
+    # exact stage via agg+join, NOT exact_duplicates' collect_list arrays:
+    # a hot content hash (1M identical boilerplate docs) must never
+    # materialize a 1M-element array in one reducer row
+    hashed = corpus.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.md5(normalized_text(F.col(text_col), analyzer)).alias("_h"),
+    )
+    gmin = hashed.groupBy("_h").agg(
+        F.min("doc_id").alias("dup_of"), F.count(F.lit(1)).alias("_n")
+    )
+    drop_exact = (
+        hashed.join(gmin.where(F.col("_n") > 1), "_h")
+        .where(F.col("doc_id") != F.col("dup_of"))
+        .select("doc_id", "dup_of")
+        .withColumn("reason", F.lit("exact"))
+    )
 
     survivors = ids.join(drop_exact.select("doc_id"), "doc_id", "left_anti")
     surv_corpus = corpus.select(
@@ -361,16 +379,17 @@ def deduplicate_corpus(
         .withColumn("reason", F.lit("near"))
     )
 
-    big = minhash_oversized_groups(sig, num_bands=num_bands,
-                                   num_hashes=num_hashes, max_bucket=max_bucket)
+    # bucket stage likewise as agg+join (an oversized bucket is by
+    # definition > max_bucket rows — no arrays)
+    bands = minhash_bands(sig, num_bands=num_bands, num_hashes=num_hashes)
+    bstats = bands.groupBy("band", "band_hash").agg(
+        F.count(F.lit(1)).alias("_n"), F.min("doc_id").alias("_canon")
+    )
     drop_bucket = (
-        big.select(
-            F.explode("doc_ids").alias("doc_id"),
-            F.element_at("doc_ids", 1).alias("dup_of"),
-        )
-        .where(F.col("doc_id") != F.col("dup_of"))
+        bands.join(bstats.where(F.col("_n") > max_bucket), ["band", "band_hash"])
+        .where(F.col("doc_id") != F.col("_canon"))
         .groupBy("doc_id")
-        .agg(F.min("dup_of").alias("dup_of"))
+        .agg(F.min("_canon").alias("dup_of"))
         .withColumn("reason", F.lit("bucket"))
     )
 

@@ -360,13 +360,20 @@ def search(
     # (score DESC, doc_id ASC) tie-break is lost — results bit-identical.
     # Spark's WindowGroupLimit pushes this rank cut map-side, so the
     # exchange carries ~queries x k rows, and the subsequent broadcast is
-    # ~shards times smaller.
-    pre_w = Window.partitionBy("query_id").orderBy(F.desc("score"))
-    cut = (
-        partial.withColumn("_r", F.rank().over(pre_w))
-        .where(F.col("_r") <= k)
-        .drop("_r")
-    )
+    # ~shards times smaller. For SMALL batches the bound is already tiny
+    # and the cut's extra exchange would only add a job round to p50 —
+    # skip it (identical results either way; the final window re-ranks).
+    n_queries = len({q for (q, _, _, _) in matched})
+    bound = n_queries * int(index.stats["num_shards"]) * k
+    if bound > 200_000:
+        pre_w = Window.partitionBy("query_id").orderBy(F.desc("score"))
+        cut = (
+            partial.withColumn("_r", F.rank().over(pre_w))
+            .where(F.col("_r") <= k)
+            .drop("_r")
+        )
+    else:
+        cut = partial
     # hits are tiny (<= queries x k + ties); broadcast them against the
     # docmap scan so the (potentially huge) docmap is never shuffled
     hits = index.docmap.select("shard", "doc_ord", "doc_id").join(

@@ -61,3 +61,20 @@ def test_extraction_is_arrow_vectorized(spark):
     plan = capture_plan(corpus)
     assert "ArrowEvalPython" in plan  # vectorized pandas UDF, not BatchEvalPython
     assert "BatchEvalPython" not in plan  # no row-at-a-time Python anywhere
+
+
+def test_winnow_simhash_plans_are_python_free(spark):
+    """The r2 kernel rewrites must keep simhash/winnowing entirely JVM-side:
+    no ArrowEvalPython / MapInPandas anywhere in either plan."""
+    from openmatch_spark.operators.dedup import simhash_fingerprints
+    from openmatch_spark.operators.textstats import winnow_fingerprints
+    from openmatch_spark.plans.explain import plan_summary
+
+    df = spark.createDataFrame(
+        [(f"d{i}", "alpha beta gamma delta epsilon zeta eta theta") for i in range(20)],
+        "doc_id string, text string",
+    )
+    for out in (winnow_fingerprints(df), simhash_fingerprints(df)):
+        s = plan_summary(out)
+        assert s["python_evals"] == 0, s
+        assert s["wholestage"] >= 1, s

@@ -350,6 +350,23 @@ def q_dedup_pipeline(spark, sf_dir):
     )
 
 
+def q_event_window_stats(spark, sf_dir):
+    """Tumbling-window event rollup (streaming/events.py) in batch form —
+    the same expression the watermarked stream runs (stream==batch equality
+    is pytest-checked in tests/test_streaming.py); n_users dropped here
+    because approx_count_distinct is engine-specific."""
+    from openmatch_spark.streaming.events import windowed_event_stats
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    out = windowed_event_stats(ev, window="1 hour")
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+
+
 def q_lang_id(spark, sf_dir):
     from openmatch_spark.operators.textstats import language_id
 
@@ -567,6 +584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ndcg10": q_ndcg10,
         "dedup_exact": q_dedup_exact,
         "dedup_pipeline": q_dedup_pipeline,
+        "event_window_stats": q_event_window_stats,
         "minhash_signatures": q_minhash_signatures,
         "minhash_pairs": q_minhash_pairs,
         "lang_id": q_lang_id,
@@ -1160,6 +1178,15 @@ SELECT c.doc_id,
        CAST(CASE WHEN b.reason IS NULL THEN 1 ELSE 0 END AS INTEGER) AS keep,
        b.reason, b.dup_of
 FROM (SELECT doc_id FROM corpus) c LEFT JOIN best b USING (doc_id)
+"""
+
+    sql["event_window_stats"] = """
+SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 6) AS total_value
+FROM events
+GROUP BY 1, 2
 """
 
     # deterministic seeded centroids, inlined identically on both engines

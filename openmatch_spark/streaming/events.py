@@ -1,0 +1,158 @@
+"""Streaming event analytics: watermarked windowed aggregation and a
+custom stateful sessionizer (applyInPandasWithState).
+
+No reference counterpart (OpenMatch is batch IR) — these are the
+Structured-Streaming operators a web-scale ingest pipeline runs next to the
+index: traffic/quality rollups over the event firehose, and user
+sessionization for training-data curation. Both run identically from a
+file-source stream (tested with Trigger.AvailableNow) or a Kafka source —
+only the reader line changes.
+
+Scale notes:
+- windowed_event_stats is a streaming state-store agg keyed by
+  (window, event_type): the watermark bounds state (late rows beyond it are
+  dropped), partial aggregation combines map-side, output mode "update" or
+  "append" both work.
+- sessionize keeps ONE open session struct per user in the state store —
+  O(active users) state, bounded by the processing-time timeout that
+  force-closes idle sessions.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+
+def windowed_event_stats(
+    events: DataFrame,
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(window_start, window_end, event_type, n_events, total_value,
+    n_users): tumbling-window rollup. On a streaming DF the watermark
+    bounds agg state and admits late rows up to `watermark`; the SAME
+    expression runs on a batch DF (watermark is a streaming-only no-op),
+    which is how the test cross-checks stream output against batch truth.
+    """
+    # watermarks require TIMESTAMP (with tz); parquet event times often load
+    # as TIMESTAMP_NTZ — cast uniformly so batch and stream plans agree
+    src = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    if events.isStreaming:
+        src = src.withWatermark(ts_col, watermark)
+    return (
+        src.groupBy(F.window(F.col(ts_col), window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+            F.approx_count_distinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+            "n_users",
+        )
+    )
+
+
+SESSION_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+        StructField("closed_by", StringType()),  # 'gap' | 'timeout'
+    ]
+)
+
+_STATE_SCHEMA = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+
+
+def _session_fn(gap_seconds: int):
+    gap_us = gap_seconds * 1_000_000
+
+    def fn(key, pdfs, state: GroupState):
+        user_id = int(key[0])
+        out = []
+        if state.hasTimedOut:
+            if state.exists:
+                s0, s1, n, v = state.get
+                out.append((user_id, s0, s1, n, v, "timeout"))
+                state.remove()
+        else:
+            rows = pd.concat(list(pdfs))
+            rows = rows.sort_values("ts")
+            ts_us = (rows["ts"].astype("int64")).tolist()  # ns -> see below
+            ts_us = [t // 1000 for t in ts_us]
+            vals = rows["value"].tolist()
+            if state.exists:
+                s0, s1, n, v = state.get
+            else:
+                s0 = s1 = None
+            for t, val in zip(ts_us, vals):
+                if s0 is None:
+                    s0, s1, n, v = t, t, 1, float(val)
+                elif t - s1 > gap_us:
+                    out.append((user_id, s0, s1, n, v, "gap"))
+                    s0, s1, n, v = t, t, 1, float(val)
+                else:
+                    s1 = max(s1, t)
+                    n += 1
+                    v += float(val)
+            state.update((s0, s1, n, v))
+            state.setTimeoutDuration(gap_seconds * 1000)
+        if out:
+            yield pd.DataFrame(
+                {
+                    "user_id": [o[0] for o in out],
+                    "session_start": pd.to_datetime([o[1] for o in out], unit="us"),
+                    "session_end": pd.to_datetime([o[2] for o in out], unit="us"),
+                    "n_events": [o[3] for o in out],
+                    "total_value": [round(o[4], 6) for o in out],
+                    "closed_by": [o[5] for o in out],
+                }
+            )
+
+    return fn
+
+
+def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): split
+    each user's event stream into sessions separated by > gap_seconds of
+    inactivity. Emits a row when a session CLOSES — by a later event
+    arriving past the gap, or by a processing-time timeout flushing an
+    idle user. State per user is one 4-field struct.
+    """
+    return (
+        events.select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_fn(gap_seconds),
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

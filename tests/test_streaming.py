@@ -47,3 +47,80 @@ def test_incremental_ingest(spark, tmp_path):
     # exactly-once: re-running the drained stream ingests nothing new
     n2 = incremental_index_available_now(spark, watch, idx_dir, ckpt)
     assert load_index(spark, idx_dir).docmap.count() == n_docs_before + len(extra)
+
+
+def test_windowed_event_stats_stream_matches_batch(spark, tmp_path):
+    """AvailableNow file stream through the watermarked windowed agg must
+    equal the same expression run in batch over the same rows."""
+    import shutil
+
+    from openmatch_spark.streaming.events import windowed_event_stats
+
+    src = str(tmp_path / "ev_src")
+    batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    batch.write.parquet(src)
+
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    out = windowed_event_stats(stream, window="1 hour", watermark="2 hours")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ev_stats")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in spark.sql("SELECT * FROM ev_stats").collect()
+    }
+    want = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in windowed_event_stats(batch, window="1 hour").collect()
+    }
+    assert got == want and len(want) > 3
+    shutil.rmtree(src, ignore_errors=True)
+
+
+def test_sessionize_stateful(spark, tmp_path):
+    """applyInPandasWithState sessionizer: a second micro-batch arriving
+    past the gap closes the first batch's sessions with reason 'gap'."""
+    from datetime import datetime
+
+    from openmatch_spark.streaming.events import sessionize
+
+    src = str(tmp_path / "sess_src")
+    schema = "user_id long, ts timestamp, value double"
+    b1 = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 10, 0, 0), 1.0),
+            (1, datetime(2024, 1, 1, 10, 0, 30), 2.0),
+            (2, datetime(2024, 1, 1, 10, 0, 10), 5.0),
+        ],
+        schema,
+    )
+    b1.coalesce(1).write.parquet(src)
+    # second file: user 1 returns after the 60s gap -> closes session 1
+    b2 = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 10, 5, 0), 3.0)], schema
+    )
+    b2.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = sessionize(stream, gap_seconds=60)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM sessions").collect()
+    closed = {(r["user_id"], r["n_events"], r["total_value"], r["closed_by"]) for r in rows}
+    # user 1's first 2-event session closed by the gap event
+    assert (1, 2, 3.0, "gap") in closed

@@ -49,7 +49,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from openmatch_spark.analysis import extract_corpus
 from openmatch_spark.functions.bm25 import B, K1
 from openmatch_spark.functions.codec import encode_blocks_batch
-from openmatch_spark.index.layout import POSTING_SCHEMA, MANIFEST_SCHEMA
+from openmatch_spark.index.layout import POSTING_SCHEMA, MANIFEST_SCHEMA, METRICS_SCHEMA
 from openmatch_spark.index.storage import IndexStorage
 from openmatch_spark.stats import global_stats
 
@@ -396,6 +396,7 @@ def _build_index_body(
         if fail_after_batches is not None and bi >= fail_after_batches:
             corpus.unpersist()
             raise RuntimeError(f"injected failure before batch {bi} (test hook)")
+        batch_t0 = dict(t)
         part = corpus.where(F.col("shard").isin(shards))
         t0 = time.time()
         store.overwrite(build_docmap(part), "docmap", ["shard"])
@@ -464,8 +465,25 @@ def _build_index_body(
                 F.lit(time.time()).cast("double").alias("committed_at"),
             )
         )
-        store.append(spark.createDataFrame(manifest_rows.collect(), MANIFEST_SCHEMA), "manifest")
+        collected = manifest_rows.collect()
+        store.append(spark.createDataFrame(collected, MANIFEST_SCHEMA), "manifest")
         _mark("manifest_commit", t0)
+
+        # per-batch build metrics table (north-rule "lineage + metrics"):
+        # the manifest is the per-shard LINEAGE (what is committed); this
+        # records how each batch ran — phase walls, row counts, commit time
+        batch_t1 = dict(t)
+        row = (
+            int(bi),
+            ",".join(str(s) for s in shards),
+            int(sum(r["n_docs"] for r in collected)),
+            int(sum(r["n_postings"] for r in collected)),
+            float(batch_t1.get("docmap_write", 0.0) - batch_t0.get("docmap_write", 0.0)),
+            float(batch_t1.get("postings_write", 0.0) - batch_t0.get("postings_write", 0.0)),
+            float(batch_t1.get("manifest_commit", 0.0) - batch_t0.get("manifest_commit", 0.0)),
+            float(time.time()),
+        )
+        store.append(spark.createDataFrame([row], METRICS_SCHEMA), "metrics")
 
     corpus.unpersist()
     return stats

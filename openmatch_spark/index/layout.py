@@ -73,6 +73,19 @@ DICT_SCHEMA = StructType(
     ]
 )
 
+METRICS_SCHEMA = StructType(
+    [
+        StructField("batch_id", IntegerType()),
+        StructField("shards", StringType()),
+        StructField("n_docs", LongType()),
+        StructField("n_postings", LongType()),
+        StructField("docmap_sec", DoubleType()),
+        StructField("postings_sec", DoubleType()),
+        StructField("manifest_sec", DoubleType()),
+        StructField("committed_at", DoubleType()),
+    ]
+)
+
 MANIFEST_SCHEMA = StructType(
     [
         StructField("shard", IntegerType()),
@@ -107,6 +120,10 @@ class IndexPaths:
     @property
     def manifest(self) -> str:
         return os.path.join(self.root, "manifest")
+
+    @property
+    def metrics(self) -> str:
+        return os.path.join(self.root, "metrics")
 
     def write_stats(self, stats: dict) -> None:
         os.makedirs(self.root, exist_ok=True)

@@ -80,6 +80,12 @@ class BM25Index:
     def manifest(self) -> DataFrame:
         return self._store().read("manifest")
 
+    @property
+    def metrics(self) -> DataFrame:
+        """Per-batch build metrics (phase walls, row counts, commit times) —
+        the north-rule metrics table companion to the manifest lineage."""
+        return self._store().read("metrics")
+
 
 def load_index(
     spark: SparkSession,

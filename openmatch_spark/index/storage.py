@@ -1,7 +1,8 @@
 """Pluggable index-table storage: catalog tables or parquet paths.
 
 SURVEY §7.4 contract (promised by index/layout.py): every index table —
-dictionary / docmap / postings / manifest — goes through this indirection so
+dictionary / docmap / postings / manifest / metrics — goes through this
+indirection so
 the SAME build and query code targets
 
 - an Iceberg (or any V2) catalog when one is configured
@@ -33,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from openmatch_spark.index.layout import IndexPaths
 
-KINDS = ("dictionary", "docmap", "postings", "manifest")
+KINDS = ("dictionary", "docmap", "postings", "manifest", "metrics")
 
 
 def _is_v2_catalog(spark: SparkSession, catalog: str) -> bool:

@@ -78,3 +78,18 @@ def test_build_restores_session_confs(spark, tmp_path):
     assert spark.conf.get("spark.sql.sources.partitionOverwriteMode") == "dynamic"
     assert spark.conf.get("spark.sql.shuffle.partitions") == prev_sp
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+
+
+def test_build_metrics_table(spark, tmp_path):
+    """Every batch appends one metrics row (phase walls + row counts);
+    resume appends metrics only for the batches it actually ran."""
+    pages = spark.createDataFrame(gen_pages_rows(60, seed=6), PAGES_SCHEMA)
+    d = str(tmp_path / "m")
+    build_index(spark, pages, d, num_shards=4, num_term_buckets=2, shard_batch_size=2)
+    idx = load_index(spark, d)
+    rows = sorted(idx.metrics.collect(), key=lambda r: r["batch_id"])
+    assert [r["batch_id"] for r in rows] == [0, 1]
+    assert sum(r["n_docs"] for r in rows) == 60
+    assert all(r["postings_sec"] > 0 for r in rows)
+    manifest_docs = sum(r["n_docs"] for r in idx.manifest.collect())
+    assert manifest_docs == 60

@@ -261,7 +261,7 @@ def _scaling_job(cores: int, n_docs: int) -> dict:
     }
 
 
-def _query_leg(cores: int, idx_dir: str, n_queries: int = 4096, repeats: int = 3) -> dict:
+def _query_leg(cores: int, idx_dir: str, n_queries: int = 4096, repeats: int = 2) -> dict:
     """Pinned query-only leg over a PREBUILT index: load, warm up, run the
     batch `repeats` times, report the best (noise-floor) throughput."""
     from openmatch_spark import get_spark
@@ -298,7 +298,8 @@ def _query_leg(cores: int, idx_dir: str, n_queries: int = 4096, repeats: int = 3
     }
 
 
-def query_scaling(n_docs: int = 400_000, n_lo: int = 1, n_hi: int = 4) -> dict:
+def query_scaling(n_docs: int = 400_000, n_lo: int = 1, n_hi: int = 4,
+                  n_queries: int = 4096) -> dict:
     """Query-side N->4N evidence over ONE shared prebuilt index: eliminates
     build-time host-noise coupling between the legs (each leg is 3 repeats,
     best-of, pinned). Appends to BENCH/BASELINE.md."""
@@ -323,7 +324,7 @@ def query_scaling(n_docs: int = 400_000, n_lo: int = 1, n_hi: int = 4) -> dict:
     def leg(cores):
         cpu_list = f"0-{cores - 1}" if cores > 1 else "0"
         cmd = ["taskset", "-c", cpu_list, sys.executable, os.path.abspath(__file__),
-               "--query-leg", str(cores), idx_dir]
+               "--query-leg", str(cores), idx_dir, str(n_queries)]
         out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
         if out.returncode != 0:
             raise RuntimeError(f"query leg failed: {out.stderr[-2000:]}")
@@ -349,7 +350,7 @@ def query_scaling(n_docs: int = 400_000, n_lo: int = 1, n_hi: int = 4) -> dict:
 ### Query-only N -> 4N (shared prebuilt index, best-of-{len(lo['walls'])} pinned legs)
 
 One {n_docs:,}-doc index built once; each leg loads it, warms up, and runs
-the same 4096-query k=100 batch three times pinned to its core budget —
+the same {n_queries:,}-query k=100 batch pinned to its core budget —
 no build-phase noise coupling between the legs.
 
 | cores (pinned) | batch walls (s) | best | q/s |
@@ -548,11 +549,13 @@ if __name__ == "__main__":
         print(json.dumps(_scaling_job(int(sys.argv[i + 1]), int(sys.argv[i + 2]))))
     elif "--query-leg" in sys.argv:
         i = sys.argv.index("--query-leg")
-        print(json.dumps(_query_leg(int(sys.argv[i + 1]), sys.argv[i + 2])))
+        nq = int(sys.argv[i + 3]) if len(sys.argv) > i + 3 else 4096
+        print(json.dumps(_query_leg(int(sys.argv[i + 1]), sys.argv[i + 2], n_queries=nq)))
     elif "--query-scaling" in sys.argv:
         i = sys.argv.index("--query-scaling")
         n = int(sys.argv[i + 1]) if len(sys.argv) > i + 1 and sys.argv[i + 1].isdigit() else 400_000
-        print(json.dumps(query_scaling(n)))
+        nq = int(sys.argv[i + 2]) if len(sys.argv) > i + 2 and sys.argv[i + 2].isdigit() else 4096
+        print(json.dumps(query_scaling(n, n_queries=nq)))
     elif "--calib-worker" in sys.argv:
         i = sys.argv.index("--calib-worker")
         print(json.dumps(_calib_worker(sys.argv[i + 1], int(sys.argv[i + 2]))))

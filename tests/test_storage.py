@@ -45,13 +45,15 @@ def test_table_mode_equals_path_mode(spark, pages, queries, tmp_path_factory):
             spark, pages, d_tbl, num_shards=2, num_term_buckets=2,
             block_size=16, table_prefix=prefix,
         )
-        for kind in ("dictionary", "docmap", "postings", "manifest"):
+        from openmatch_spark.index.storage import KINDS
+        for kind in KINDS:
             assert spark.catalog.tableExists(f"{prefix}_{kind}")
         idx = load_index(spark, d_tbl, table_prefix=prefix)
         run_tbl = _run_rows(search(idx, queries, k=5))
         assert run_tbl == run_path
     finally:
-        for kind in ("dictionary", "docmap", "postings", "manifest"):
+        from openmatch_spark.index.storage import KINDS as _K
+        for kind in _K:
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_{kind}")
 
 
@@ -76,7 +78,8 @@ def test_table_mode_multibatch_dynamic_overwrite(spark, pages, queries, tmp_path
         run_tbl = _run_rows(search(idx, queries, k=5))
         assert run_tbl == run_path
     finally:
-        for kind in ("dictionary", "docmap", "postings", "manifest"):
+        from openmatch_spark.index.storage import KINDS as _K
+        for kind in _K:
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_{kind}")
 
 

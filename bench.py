@@ -3,10 +3,11 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]; prints ONE JSON
 line {"metric", "value", "unit": "sec", "queries": {...}, "sf", ...}.
 
---scaling: north-rule evidence — run the identical index-build + query job on
-the identical synthetic corpus at local[8] and local[32], report docs/sec at
-both and efficiency = thru(32) / (4 * thru(8)); appends results to
-BENCH/BASELINE.md.
+--scaling: north-rule evidence — run the identical warmed index-build +
+query job on the identical synthetic corpus at pinned local[1] and local[4],
+report docs/sec at both and efficiency = thru(4N) / (4 * thru(N));
+--query-scaling <docs> <n_queries>: query-only legs over one shared prebuilt
+index. Both append results to BENCH/BASELINE.md.
 """
 
 from __future__ import annotations

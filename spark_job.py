@@ -80,6 +80,7 @@ def cmd_build_index(args) -> int:
         block_size=args.block_size,
         shard_batch_size=args.shard_batch_size,
         resume=args.resume,
+        table_prefix=args.table_prefix,
     )
     print(json.dumps({k: v for k, v in stats.items() if not hasattr(v, "toPandas")}))
     return 0
@@ -91,7 +92,7 @@ def cmd_search(args) -> int:
     from openmatch_spark.query import search
 
     spark = _spark("om-search")
-    idx = load_index(spark, args.index)
+    idx = load_index(spark, args.index, table_prefix=args.table_prefix)
     if args.queries.endswith(".parquet"):
         queries = spark.read.parquet(args.queries)
     else:
@@ -182,6 +183,9 @@ def main(argv=None) -> int:
     bi.add_argument("--block-size", type=int, default=128)
     bi.add_argument("--shard-batch-size", type=int, default=None)
     bi.add_argument("--resume", action="store_true")
+    bi.add_argument("--table-prefix", default=None,
+                    help="catalog table prefix (e.g. local.db.ccindex) -> "
+                         "Iceberg/catalog tables instead of parquet paths")
     bi.set_defaults(fn=cmd_build_index)
 
     se = sub.add_parser("search")
@@ -191,6 +195,7 @@ def main(argv=None) -> int:
     se.add_argument("--k", type=int, default=100)
     se.add_argument("--mode", choices=["batch", "maxscore", "daat"], default="batch")
     se.add_argument("--run-id", default="openmatch_spark")
+    se.add_argument("--table-prefix", default=None)
     se.set_defaults(fn=cmd_search)
 
     ev = sub.add_parser("eval")

@@ -142,9 +142,11 @@ def _score_group(pdf: pd.DataFrame, k: int, mode: str) -> pd.DataFrame:
             rows = rows[(rows["last_ord"] >= lo) & (rows["first_ord"] <= hi)]
         outs, outw = [], []
         qtf = terms[t]["qtf"]
-        for _, r in rows.iterrows():
-            o = decode_postings(r["docs"])
-            w = np.frombuffer(r["scores"], dtype=np.float64) * qtf
+        # zip over raw columns, not iterrows (a Series per row is ~10x
+        # slower and this loop runs per term per (query, shard) group)
+        for docs_b, scores_b in zip(rows["docs"], rows["scores"]):
+            o = decode_postings(docs_b)
+            w = np.frombuffer(scores_b, dtype=np.float64) * qtf
             if member is not None:
                 m = np.isin(o, member)
                 o, w = o[m], w[m]

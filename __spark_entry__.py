@@ -367,6 +367,96 @@ def q_event_window_stats(spark, sf_dir):
     )
 
 
+def q_sessionize(spark, sf_dir):
+    """Batch gaps-and-islands sessionization (streaming/events.py:
+    sessionize_batch) — the window-algebra twin of the stateful
+    applyInPandasWithState sessionizer, oracle-checked against the same
+    gaps-and-islands SQL in DuckDB (microsecond-exact gap rule)."""
+    from openmatch_spark.streaming.events import sessionize_batch
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    out = sessionize_batch(ev, gap_seconds=6 * 3600)
+    return out.select(
+        "user_id",
+        F.col("session_seq").cast("long").alias("session_seq"),
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "n_events",
+        "total_value",
+    )
+
+
+def q_mean_pool(spark, sf_dir):
+    """Masked mean pooling (A7, reference utils.py:287-291) as pure
+    higher-order-function algebra: group 8 consecutive embedding rows into
+    a sequence, mask = (vec_id % 3 != 0), pool, explode to scalar rows so
+    DuckDB can value-hash it."""
+    from openmatch_spark.query.dense import mean_pool_col
+
+    e = _emb(spark, sf_dir).where(F.col("vec_id") < 200).select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.floor(F.col("vec_id") / 8).alias("seq_id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+        (F.col("vec_id") % 3 != 0).cast("int").alias("m"),
+    )
+    g = e.groupBy("seq_id").agg(
+        F.sort_array(F.collect_list(F.struct("vec_id", "v", "m"))).alias("rows")
+    )
+    pooled = g.select(
+        "seq_id",
+        mean_pool_col(
+            F.col("rows").getField("v"), F.col("rows").getField("m")
+        ).alias("pooled"),
+    )
+    out = pooled.select("seq_id", F.posexplode("pooled").alias("dim", "val"))
+    return out.select(
+        "seq_id",
+        F.col("dim").cast("long").alias("dim"),
+        F.round("val", 6).alias("pooled"),
+    )
+
+
+_PAGE_HTML_PREFIX = (
+    '<html><head><script type="text/javascript">var x = 1 < 2;</script>'
+    "<style>.c{color:red}</style></head><body><h1>Doc "
+)
+
+
+def q_text_extract(spark, sf_dir):
+    """Byte-identical html->text extraction (the BASELINE input_hint
+    per-row invariant, analysis.py:extract_text_udf): synthesize pages in
+    the input_hint shape (url, warc_ts, html binary, text, lang) from the
+    documents table, blank the text column on even doc_ids so those rows
+    exercise the html-strip path, and hash the extracted bytes. The oracle
+    re-runs the same two-regex strip in DuckDB (RE2 needs the script|style
+    backreference expanded; equivalent on well-nested input)."""
+    from openmatch_spark.analysis import extract_text_udf
+
+    d = _docs(spark, sf_dir).where(F.col("doc_id") < 300)
+    html_str = F.concat(
+        F.lit(_PAGE_HTML_PREFIX),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit("</p></body></html>"),
+    )
+    pages = d.select(
+        F.concat(F.lit("https://example.com/doc/"), F.col("doc_id").cast("string")).alias("url"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        F.encode(html_str, "utf-8").alias("html"),
+        F.when(F.col("doc_id") % 2 == 1, F.col("text")).alias("text"),
+        F.col("lang"),
+    )
+    ext = pages.select(
+        "url", extract_text_udf(F.col("html"), F.col("text")).alias("text")
+    )
+    return ext.select(
+        "url",
+        F.md5(F.encode("text", "utf-8")).alias("text_md5"),
+        F.octet_length(F.encode("text", "utf-8")).cast("long").alias("n_bytes"),
+    )
+
+
 def q_lang_id(spark, sf_dir):
     from openmatch_spark.operators.textstats import language_id
 
@@ -585,6 +675,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_pipeline": q_dedup_pipeline,
         "event_window_stats": q_event_window_stats,
+        "sessionize": q_sessionize,
+        "mean_pool": q_mean_pool,
+        "text_extract": q_text_extract,
         "minhash_signatures": q_minhash_signatures,
         "minhash_pairs": q_minhash_pairs,
         "lang_id": q_lang_id,
@@ -1187,6 +1280,76 @@ SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS wind
        ROUND(SUM(value), 6) AS total_value
 FROM events
 GROUP BY 1, 2
+"""
+
+    sql["sessionize"] = """
+WITH g AS (
+  SELECT user_id, ts, value,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts) <= CAST(21600 AS BIGINT) * 1000000
+              THEN 0 ELSE 1 END AS new_session
+  FROM events
+),
+s AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+         ) AS session_seq
+  FROM g
+)
+SELECT user_id,
+       CAST(session_seq AS BIGINT) AS session_seq,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 6) AS total_value
+FROM s
+GROUP BY user_id, session_seq
+"""
+
+    sql["mean_pool"] = """
+WITH e AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         vec_id // 8 AS seq_id,
+         CASE WHEN vec_id % 3 <> 0 THEN 1 ELSE 0 END AS m,
+         CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings
+  WHERE vec_id < 200
+),
+x AS (
+  SELECT seq_id, m, s.i AS dim, v[s.i + 1] AS val
+  FROM e, LATERAL (SELECT UNNEST(generate_series(0, len(v) - 1)) AS i) s
+)
+SELECT seq_id,
+       CAST(dim AS BIGINT) AS dim,
+       ROUND(SUM(val * m) / GREATEST(SUM(m), 1), 6) AS pooled
+FROM x
+GROUP BY seq_id, dim
+"""
+
+    _page_prefix_sql = _PAGE_HTML_PREFIX.replace("'", "''")
+    sql["text_extract"] = f"""
+WITH pages AS (
+  SELECT 'https://example.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
+         '{_page_prefix_sql}' || CAST(doc_id AS VARCHAR)
+           || '</h1><p>' || text || '</p></body></html>' AS html_str,
+         CASE WHEN doc_id % 2 = 1 THEN text END AS text
+  FROM documents WHERE doc_id < 300
+),
+ext AS (
+  SELECT url,
+         COALESCE(
+           text,
+           regexp_replace(
+             regexp_replace(
+               html_str,
+               '(?is)<(?:script|style)[^>]*>.*?</(?:script|style)>', ' ', 'g'),
+             '(?s)<[^>]*>', ' ', 'g')
+         ) AS text
+  FROM pages
+)
+SELECT url, md5(text) AS text_md5, CAST(strlen(text) AS BIGINT) AS n_bytes
+FROM ext
 """
 
     # deterministic seeded centroids, inlined identically on both engines

@@ -69,6 +69,46 @@ def windowed_event_stats(
     )
 
 
+def sessionize_batch(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """Batch gaps-and-islands twin of sessionize(): same gap rule
+    (strictly more than gap_seconds of inactivity starts a new session,
+    microsecond-exact like the stateful kernel) as pure window algebra —
+    lag -> new-session flag -> running sum -> group. No Python in the plan;
+    the only shuffle is the user_id hash partitioning shared by both window
+    steps and the final aggregation.
+
+    Session membership is deterministic under ts ties: tied rows have a
+    zero gap to their tie-neighbour, so exactly one row of a tie group can
+    open a session regardless of the tie order either engine picks.
+
+    (user_id, session_seq, session_start, session_end, n_events,
+    total_value) — one row per COMPLETED-or-open session, unlike the
+    streaming twin which emits only closed ones; equivalence on closed
+    sessions is pytest-checked in tests/test_streaming.py.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    src = events.select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    marked = src.withColumn(
+        "new_session",
+        F.when(gap_us <= F.lit(gap_seconds * 1_000_000), F.lit(0)).otherwise(F.lit(1)),
+    )
+    sess = marked.withColumn(
+        "session_seq",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+    )
+
+
 SESSION_SCHEMA = StructType(
     [
         StructField("user_id", LongType()),

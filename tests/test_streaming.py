@@ -124,3 +124,68 @@ def test_sessionize_stateful(spark, tmp_path):
     closed = {(r["user_id"], r["n_events"], r["total_value"], r["closed_by"]) for r in rows}
     # user 1's first 2-event session closed by the gap event
     assert (1, 2, 3.0, "gap") in closed
+
+
+def test_sessionize_batch_matches_stream(spark, tmp_path):
+    """Every session the stateful streaming sessionizer closes by 'gap'
+    appears verbatim in the batch gaps-and-islands twin (sessionize_batch)
+    run over the same rows — the two operators implement one gap rule."""
+    from datetime import datetime
+
+    from openmatch_spark.streaming.events import sessionize, sessionize_batch
+
+    src = str(tmp_path / "sessb_src")
+    schema = "user_id long, ts timestamp, value double"
+    b1 = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 10, 0, 0), 1.0),
+            (1, datetime(2024, 1, 1, 10, 0, 30), 2.0),
+            (2, datetime(2024, 1, 1, 10, 0, 10), 5.0),
+            (2, datetime(2024, 1, 1, 10, 0, 40), 0.5),
+        ],
+        schema,
+    )
+    b1.coalesce(1).write.parquet(src)
+    # both users return past the 60s gap -> closes both first sessions
+    b2 = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 10, 5, 0), 3.0),
+            (2, datetime(2024, 1, 1, 10, 9, 0), 4.0),
+        ],
+        schema,
+    )
+    b2.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        sessionize(stream, gap_seconds=60)
+        .writeStream.format("memory")
+        .queryName("sessions_eq")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"],
+         r["total_value"])
+        for r in spark.sql(
+            "SELECT * FROM sessions_eq WHERE closed_by = 'gap'"
+        ).collect()
+    }
+    assert len(streamed) == 2  # one gap-closed session per user
+
+    batch = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"],
+         r["total_value"])
+        for r in sessionize_batch(
+            spark.read.parquet(src), gap_seconds=60
+        ).collect()
+    }
+    assert streamed <= batch
+    # batch also carries the two still-open trailing sessions
+    assert len(batch) == 4

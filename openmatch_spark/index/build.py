@@ -240,6 +240,7 @@ def build_index(
     shuffle_partitions: int | None = None,
     table_prefix: str | None = None,
     table_format: str | None = None,
+    extend_dictionary: bool = False,
 ) -> dict:
     """Scoped-conf wrapper around the build body: shuffle partitioning and
     partition-overwrite mode are session confs the build must set, so they
@@ -253,6 +254,7 @@ def build_index(
             spark, pages, index_dir, analyzer, num_shards, num_term_buckets,
             block_size, k1, b, shard_batch_size, resume, fail_after_batches,
             timings, shuffle_partitions, table_prefix, table_format,
+            extend_dictionary,
         )
     finally:
         for key, val in prev.items():
@@ -279,6 +281,7 @@ def _build_index_body(
     shuffle_partitions: int | None,
     table_prefix: str | None,
     table_format: str | None,
+    extend_dictionary: bool = False,
 ) -> dict:
     """Build (or resume) the BM25 index at index_dir. Returns stats dict.
 
@@ -341,6 +344,41 @@ def _build_index_body(
     if resume and store.has_stats():
         stats = store.read_stats()
         dictionary = store.read("dictionary")
+        if extend_dictionary:
+            # Incremental-ingest vocabulary evolution: terms unseen at base
+            # build would otherwise vanish at the inner dictionary join and
+            # the new docs would be unsearchable by their new vocabulary.
+            # Extend the dictionary with this batch's unseen terms; their
+            # idf uses the FROZEN corpus size N (the standard incremental
+            # trade-off — existing terms keep their exact frozen idf, so
+            # pre-existing rankings are untouched; a periodic full rebuild
+            # re-baselines). left_anti makes a retried batch idempotent.
+            t0 = time.time()
+            n_frozen = float(stats["n_docs"])
+            fresh = (
+                tf.groupBy("term")
+                .agg(
+                    F.count(F.lit(1)).alias("df"),
+                    F.sum("tf").cast("long").alias("cf"),
+                )
+                .join(dictionary.select("term"), "term", "left_anti")
+                .select(
+                    "term",
+                    "df",
+                    "cf",
+                    F.log(
+                        F.lit(1.0)
+                        + (F.lit(n_frozen) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                    ).alias("idf"),
+                    term_bucket_col(F.col("term"), int(stats["num_term_buckets"])).alias(
+                        "term_bucket"
+                    ),
+                )
+            )
+            if fresh.take(1):
+                store.append(fresh, "dictionary")
+                dictionary = store.read("dictionary")
+            _mark("dict_extend", t0)
     else:
         t0 = time.time()
         g = global_stats(corpus)

@@ -28,6 +28,7 @@ class BM25Index:
     stats: dict
     store: IndexStorage | None = None
     _term_cache: dict | bool | None = field(default=None, repr=False)
+    _shard_cache: list | None = field(default=None, repr=False)
 
     def _store(self) -> IndexStorage:
         if self.store is None:
@@ -68,13 +69,38 @@ class BM25Index:
         )
         return {r["term"]: r["term_bucket"] for r in matched}
 
+    def committed_shards(self) -> list[int]:
+        """Shards present in the manifest — the index's source of truth.
+        Memoized once per BM25Index (one tiny manifest read)."""
+        if self._shard_cache is None:
+            self._shard_cache = sorted(
+                r["shard"]
+                for r in self.manifest.select("shard").distinct().collect()
+            )
+        return self._shard_cache
+
     @property
     def docmap(self) -> DataFrame:
-        return self._store().read("docmap")
+        return self._gated("docmap")
 
     @property
     def postings(self) -> DataFrame:
-        return self._store().read("postings")
+        return self._gated("postings")
+
+    def _gated(self, kind: str) -> DataFrame:
+        """Manifest-gated read: only committed shards are visible.
+
+        This is the read half of the write-then-manifest protocol: a crashed
+        build (shard data written, manifest row not yet appended) or a
+        crashed compaction (merged shard written, old dirs not yet retired /
+        new shard not yet referenced) leaves stray `shard=` partition dirs,
+        and the In-filter on the partition column prunes them out — queries
+        never see an uncommitted or superseded segment. The filter is a
+        static partition prune (no extra shuffle, no extra job)."""
+        df = self._store().read(kind)
+        import pyspark.sql.functions as F
+
+        return df.where(F.col("shard").isin(self.committed_shards()))
 
     @property
     def manifest(self) -> DataFrame:

@@ -184,6 +184,29 @@ class IndexStorage:
         else:
             df.write.mode("append").format(self.table_format).saveAsTable(name)
 
+    def delete_partitions(self, kind: str, col: str, values: list) -> None:
+        """Drop whole partitions (used by segment compaction to retire
+        merged shards). Path mode removes `col=v` dirs; V2 catalogs issue a
+        transactional DELETE; V1 session-catalog tables drop metastore
+        partitions (partial spec — removes every sub-partition under it)."""
+        if not self.is_table_mode:
+            import os
+            import shutil
+
+            base = getattr(self.paths, kind)
+            for v in values:
+                shutil.rmtree(os.path.join(base, f"{col}={v}"), ignore_errors=True)
+            return
+        name = self.table_name(kind)
+        if self._v2:
+            vals = ", ".join(str(v) for v in values)
+            self.spark.sql(f"DELETE FROM {name} WHERE {col} IN ({vals})")
+            return
+        for v in values:
+            self.spark.sql(
+                f"ALTER TABLE {name} DROP IF EXISTS PARTITION ({col}={v})"
+            )
+
     # ---- stats (filesystem in every mode; see module docstring) ------------
 
     def write_stats(self, stats: dict) -> None:

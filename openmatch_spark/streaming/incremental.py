@@ -8,9 +8,13 @@ arrived corpus files becomes one new index shard batch, committed through the
 same write-then-manifest protocol as the batch build — so batch and streaming
 paths share all index code and the index stays queryable mid-ingest.
 
-New docs get fresh shard ids (max existing + batch id) — BM25 stats (idf,
-avgdl) stay FROZEN at base-build values, the standard trade-off of
-incremental sparse indexing; a periodic full rebuild re-baselines stats.
+New docs get fresh shard ids (one past the manifest's max committed shard,
+so repeated drain cycles and compactions never collide) — corpus-level BM25
+stats (N, avgdl) and existing terms' idf stay FROZEN at base-build values,
+the standard trade-off of incremental sparse indexing; a periodic full
+rebuild re-baselines stats. Terms UNSEEN at base build are appended to the
+dictionary (idf computed against the frozen N), so newly ingested vocabulary
+is immediately searchable (build.py extend_dictionary).
 """
 
 from __future__ import annotations
@@ -36,7 +40,19 @@ def incremental_index_available_now(
     manifest protocol."""
     paths = IndexPaths(index_dir)
     stats = paths.read_stats()
-    n_existing = int(stats["num_shards"])
+    # next free shard id comes from the MANIFEST, not stats.json: stats stay
+    # frozen across drains, so `num_shards` alone would re-issue the same
+    # shard ids on the second drain cycle — build's resume would then skip
+    # the "already committed" shard and silently drop the new docs
+    # (regression-tested in tests/test_streaming.py multi-drain test).
+    from openmatch_spark.index.storage import IndexStorage
+
+    store = IndexStorage.resolve(spark, index_dir)
+    try:
+        mx = store.read("manifest").agg(F.max("shard")).collect()[0][0]
+        n_existing = int(mx) + 1 if mx is not None else int(stats["num_shards"])
+    except Exception:
+        n_existing = int(stats["num_shards"])
     processed = {"n": 0}
 
     def handle_batch(batch_df, batch_id: int):
@@ -61,6 +77,7 @@ def incremental_index_available_now(
                 num_term_buckets=int(stats["num_term_buckets"]),
                 block_size=int(stats["block_size"]),
                 resume=True,  # keeps frozen stats.json; skips committed shards
+                extend_dictionary=True,  # new vocabulary becomes searchable
             )
         finally:
             b.shard_col = orig

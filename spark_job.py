@@ -7,6 +7,7 @@ Subcommands
 build-index   pages parquet/Iceberg table -> BM25 index directory
               (resumable: rerun with --resume to skip committed shards)
 search        index + queries TSV/parquet -> TREC run file
+compact       merge index shards (all, or --shards 2 3 4) into one segment
 eval          run + qrels -> MRR@k / Recall@k / nDCG@k JSON on stdout
 package       write openmatch_spark.zip next to this file (for --py-files)
 
@@ -107,6 +108,20 @@ def cmd_search(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    """Merge committed index shards (index/compact.py): search-identical,
+    retires the old segment dirs. Default merges ALL shards; --shards picks
+    a subset (e.g. the small segments a streaming ingest appended)."""
+    from openmatch_spark.index import compact_index
+
+    spark = _spark("om-compact")
+    res = compact_index(
+        spark, args.index, shards=args.shards, table_prefix=args.table_prefix
+    )
+    print(json.dumps(res))
+    return 0
+
+
 def cmd_eval(args) -> int:
     from openmatch_spark.operators.metrics import mrr_at_k, ndcg_at_k, recall_at_k
     from openmatch_spark.operators.runio import load_from_trec
@@ -197,6 +212,12 @@ def main(argv=None) -> int:
     se.add_argument("--run-id", default="openmatch_spark")
     se.add_argument("--table-prefix", default=None)
     se.set_defaults(fn=cmd_search)
+
+    cp = sub.add_parser("compact")
+    cp.add_argument("--index", required=True)
+    cp.add_argument("--shards", type=int, nargs="+", default=None)
+    cp.add_argument("--table-prefix", default=None)
+    cp.set_defaults(fn=cmd_compact)
 
     ev = sub.add_parser("eval")
     ev.add_argument("--run", required=True)

@@ -1,0 +1,106 @@
+"""Segment compaction (index/compact.py) and manifest-gated reads.
+
+The compaction contract: merging shards changes WHERE postings live, never
+WHAT a query returns — doc ids, ranks, and float64 scores are identical
+before and after, in every search mode. The manifest gate makes uncommitted
+or retired segment dirs invisible to readers.
+"""
+
+import os
+import shutil
+
+import pytest
+
+from openmatch_spark.fixtures import PAGES_SCHEMA, QUERIES_SCHEMA, gen_pages_rows
+from openmatch_spark.index import build_index, compact_index, load_index
+from openmatch_spark.query import search
+
+
+def _runs(idx, queries, k=10, mode="batch"):
+    return sorted(
+        (r["query_id"], r["rank"], r["doc_id"], r["score"])
+        for r in search(idx, queries, k=k, mode=mode).collect()
+    )
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("compact")
+    idx_dir = str(tmp / "idx")
+    pages = spark.createDataFrame(gen_pages_rows(220), PAGES_SCHEMA)
+    build_index(spark, pages, idx_dir, num_shards=5, num_term_buckets=4)
+    queries = spark.createDataFrame(
+        [("q1", "term0001 term0040"), ("q2", "term0100"), ("q3", "term0007 term0019 term0200")],
+        QUERIES_SCHEMA,
+    )
+    return idx_dir, queries
+
+
+def test_compact_all_is_search_identical(spark, built):
+    idx_dir, queries = built
+    before = {m: _runs(load_index(spark, idx_dir), queries, mode=m)
+              for m in ("batch", "maxscore", "daat")}
+    res = compact_index(spark, idx_dir)
+    assert res["merged"] == [0, 1, 2, 3, 4] and res["new_shard"] == 5
+
+    idx2 = load_index(spark, idx_dir)
+    assert idx2.committed_shards() == [5]
+    for m in ("batch", "maxscore", "daat"):
+        assert _runs(idx2, queries, mode=m) == before[m], m
+
+    # retired segment dirs are physically gone (path mode)
+    assert sorted(
+        d for d in os.listdir(os.path.join(idx_dir, "postings")) if d.startswith("shard=")
+    ) == ["shard=5"]
+    # totals preserved
+    man = idx2.manifest.collect()
+    assert len(man) == 1 and man[0]["n_docs"] == 220
+    assert idx2.docmap.count() == 220
+
+
+def test_compact_subset_then_search(spark, tmp_path):
+    idx_dir = str(tmp_path / "idx")
+    pages = spark.createDataFrame(gen_pages_rows(150), PAGES_SCHEMA)
+    build_index(spark, pages, idx_dir, num_shards=4, num_term_buckets=4)
+    queries = spark.createDataFrame([("q", "term0003 term0050")], QUERIES_SCHEMA)
+    before = _runs(load_index(spark, idx_dir), queries)
+
+    res = compact_index(spark, idx_dir, shards=[1, 3])
+    assert res["merged"] == [1, 3] and res["new_shard"] == 4
+    idx2 = load_index(spark, idx_dir)
+    assert idx2.committed_shards() == [0, 2, 4]
+    assert _runs(idx2, queries) == before
+    assert idx2.docmap.count() == 150
+
+
+def test_compact_validates_inputs(spark, built):
+    idx_dir, _ = built
+    with pytest.raises(ValueError, match="not in manifest"):
+        compact_index(spark, idx_dir, shards=[0, 99])
+    with pytest.raises(ValueError, match=">= 2 shards"):
+        compact_index(spark, idx_dir, shards=[5])
+
+
+def test_manifest_gate_hides_uncommitted_shard(spark, tmp_path):
+    """Write-then-manifest, read half: a stray shard dir (as left by a build
+    or compaction crash between data write and manifest commit) is invisible
+    to docmap/postings/search."""
+    idx_dir = str(tmp_path / "idx")
+    pages = spark.createDataFrame(gen_pages_rows(80), PAGES_SCHEMA)
+    build_index(spark, pages, idx_dir, num_shards=2, num_term_buckets=4)
+    idx = load_index(spark, idx_dir)
+    n_docs, n_blocks = idx.docmap.count(), idx.postings.count()
+
+    # forge an uncommitted segment by cloning shard 0's dirs as shard 9
+    for kind in ("docmap", "postings"):
+        src = os.path.join(idx_dir, kind, "shard=0")
+        dst = os.path.join(idx_dir, kind, "shard=9")
+        shutil.copytree(src, dst)
+
+    idx2 = load_index(spark, idx_dir)
+    assert idx2.committed_shards() == [0, 1]
+    assert idx2.docmap.count() == n_docs  # clone not visible
+    assert idx2.postings.count() == n_blocks
+    q = spark.createDataFrame([("q", "term0001")], QUERIES_SCHEMA)
+    hits = search(idx2, q, k=100).collect()
+    assert len({r["doc_id"] for r in hits}) == len(hits)  # no duplicate docs

@@ -78,6 +78,16 @@ def test_spark_submit_pipeline(tmp_path):
     qid, q0, docid, rank, score, tag = lines[0].split()
     assert q0 == "Q0" and rank == "1"
 
+    # 2b. compact the two shards into one from a fresh process; the re-run
+    # search must produce byte-identical TREC output
+    res = _submit(zip_path, "compact", "--index", idx)
+    assert res["merged"] == [0, 1] and res["new_shard"] == 2
+    run2_path = str(tmp_path / "run2.trec")
+    _submit(zip_path, "search", "--index", idx, "--queries", queries_tsv,
+            "--out", run2_path, "--k", "10")
+    parts2 = glob.glob(os.path.join(run2_path, "part-*"))
+    assert open(parts2[0]).read() == open(parts[0]).read()
+
     # 3. eval from yet another process
     qrels_tsv = str(tmp_path / "qrels.tsv")
     with open(qrels_tsv, "w") as f:

@@ -38,11 +38,15 @@ def test_incremental_ingest(spark, tmp_path):
 
     idx2 = load_index(spark, idx_dir)
     assert idx2.docmap.count() == n_docs_before + len(extra)
-    # marker is OOV in the frozen dictionary (documented trade-off), but
-    # docs ARE searchable by their pre-existing vocabulary
+    # docs are searchable by pre-existing vocabulary ...
     hit = search(idx2, spark.createDataFrame([("q", "term0000")], QUERIES_SCHEMA), k=200)
     new_urls = {u for (u, *_rest) in extra}
     assert any(r["doc_id"] in new_urls for r in hit.collect())
+    # ... AND by vocabulary first seen in the ingested batch: the marker was
+    # not in the base dictionary; extend_dictionary appends it (frozen-N idf)
+    marker_hits = search(idx2, queries, k=100).collect()
+    assert {r["doc_id"] for r in marker_hits} <= new_urls
+    assert len(marker_hits) > 0
 
     # exactly-once: re-running the drained stream ingests nothing new
     n2 = incremental_index_available_now(spark, watch, idx_dir, ckpt)
@@ -189,3 +193,35 @@ def test_sessionize_batch_matches_stream(spark, tmp_path):
     assert streamed <= batch
     # batch also carries the two still-open trailing sessions
     assert len(batch) == 4
+
+
+def test_incremental_second_drain_cycle(spark, tmp_path):
+    """Regression: shard ids for new micro-batches come from the manifest's
+    max committed shard, not frozen stats.num_shards — a SECOND drain cycle
+    must append new shards, not collide with (and be skipped as) the first
+    cycle's. The collision silently dropped every doc of the second drain."""
+    rows = gen_pages_rows(140)
+    base, e1, e2 = rows[:100], rows[100:120], rows[120:]
+    idx_dir, watch, ckpt = (str(tmp_path / d) for d in ("idx", "in", "ckpt"))
+    os.makedirs(watch)
+    build_index(
+        spark, spark.createDataFrame(base, PAGES_SCHEMA), idx_dir,
+        num_shards=2, num_term_buckets=4,
+    )
+    m1, m2 = "zzzdrainone", "zzzdraintwo"
+    e1 = [(u, ts, h, t + " " + m1, lang) for (u, ts, h, t, lang) in e1]
+    e2 = [(u, ts, h, t + " " + m2, lang) for (u, ts, h, t, lang) in e2]
+
+    spark.createDataFrame(e1, PAGES_SCHEMA).write.parquet(watch + "/b1.parquet")
+    assert incremental_index_available_now(spark, watch, idx_dir, ckpt) >= 1
+    spark.createDataFrame(e2, PAGES_SCHEMA).write.parquet(watch + "/b2.parquet")
+    assert incremental_index_available_now(spark, watch, idx_dir, ckpt) >= 1
+
+    idx = load_index(spark, idx_dir)
+    assert idx.docmap.count() == 140  # nothing dropped
+    q = spark.createDataFrame([("q1", m1), ("q2", m2)], QUERIES_SCHEMA)
+    per_q = {
+        r["query_id"]: r["count"]
+        for r in search(idx, q, k=50).groupBy("query_id").count().collect()
+    }
+    assert per_q.get("q1", 0) == 20 and per_q.get("q2", 0) == 20

@@ -93,6 +93,75 @@ def _decode_blocks_arrow(batches):
         )
 
 
+def plan_compaction(
+    manifest_rows,
+    tier_factor: int = 10,
+    min_merge: int = 2,
+    max_merge: int = 10,
+) -> list[list[int]]:
+    """Tiered merge policy (Lucene-flavoured), as a pure function of the
+    manifest: bucket segments by floor(log_tier_factor(n_docs)) and, within
+    any tier holding >= min_merge segments, merge the smallest up to
+    max_merge at a time. Merging like-sized segments keeps amortized merge
+    cost O(N log N) over the index's life — repeatedly folding tiny
+    streaming segments into one giant one would be O(N^2).
+
+    manifest_rows: iterable with `shard` and `n_docs` fields (Rows or
+    tuples via ._asdict-compatible access). Returns a list of shard-id
+    groups; run each through compact_index, largest-tier first (each merge
+    may promote the result into a higher tier — call plan+compact in a loop
+    until the plan is empty to fully settle)."""
+    import math
+
+    segs = [(int(r["shard"]), int(r["n_docs"])) for r in manifest_rows]
+    tiers: dict[int, list[tuple[int, int]]] = {}
+    for shard, n in segs:
+        tier = int(math.log(max(n, 1), tier_factor))
+        tiers.setdefault(tier, []).append((shard, n))
+    plan = []
+    for tier in sorted(tiers):
+        members = sorted(tiers[tier], key=lambda sn: (sn[1], sn[0]))
+        while len(members) >= min_merge:
+            group, members = members[:max_merge], members[max_merge:]
+            if len(group) < min_merge:
+                break
+            plan.append([s for s, _ in group])
+    return plan
+
+
+def compact_auto(
+    spark: SparkSession,
+    index_dir: str,
+    tier_factor: int = 10,
+    min_merge: int = 2,
+    max_merge: int = 10,
+    table_prefix: str | None = None,
+    table_format: str | None = None,
+) -> list[dict]:
+    """Plan-and-merge until the tiered policy finds nothing left to do.
+    Returns one compact_index result per executed merge."""
+    store = IndexStorage.resolve(
+        spark, index_dir, table_prefix=table_prefix, table_format=table_format
+    )
+    results = []
+    while True:
+        plan = plan_compaction(
+            store.read("manifest").collect(),
+            tier_factor=tier_factor,
+            min_merge=min_merge,
+            max_merge=max_merge,
+        )
+        if not plan:
+            return results
+        for group in plan:
+            results.append(
+                compact_index(
+                    spark, index_dir, shards=group,
+                    table_prefix=table_prefix, table_format=table_format,
+                )
+            )
+
+
 def compact_index(
     spark: SparkSession,
     index_dir: str,

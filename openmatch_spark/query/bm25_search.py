@@ -83,8 +83,25 @@ def query_terms(
 
     analyzer = index.stats["analyzer"]
     q = queries.select(F.col("query_id").cast("string").alias("query_id"), "text")
-    # cheap bounded peek: is this batch past the distributed threshold?
-    big = len(q.limit(distributed_threshold + 1).take(distributed_threshold + 1)) > distributed_threshold
+    # ONE bounded collect decides the path AND feeds the small-batch loop.
+    # Two latency traps live here: a separate take() peek doubles the job
+    # rounds, and Spark's limit execution starts at 1 partition and scales
+    # up 4x per retry — on a 32-partition single-row query frame that is 3-4
+    # job rounds (~0.7 s of a 1.6 s p50, measured). Scoping
+    # initialNumPartitions high makes the bounded collect one job over all
+    # partitions, which is exactly right for a frame we expect to be small.
+    conf = q.sparkSession.conf
+    _init_key = "spark.sql.limit.initialNumPartitions"
+    prev_init = conf.get(_init_key, None)
+    try:
+        conf.set(_init_key, "1000000")
+        head = q.limit(distributed_threshold + 1).collect()
+    finally:
+        if prev_init is None:
+            conf.unset(_init_key)
+        else:
+            conf.set(_init_key, prev_init)
+    big = len(head) > distributed_threshold
     qtf: dict[tuple[str, str], int] = {}
     if big:
         agg = (
@@ -96,7 +113,7 @@ def query_terms(
         for r in agg:
             qtf[(r["query_id"], r["term"])] = int(r["qtf"])
     else:
-        for r in q.collect():
+        for r in head:
             for t, c in Counter(tokenize_py(r["text"], analyzer)).items():
                 qtf[(r["query_id"], t)] = c
     terms = sorted({t for (_, t) in qtf})
@@ -338,8 +355,13 @@ def search(
         F.col("term_bucket").isin(buckets)  # partition (directory) pruning
         & F.col("term").isin(terms)  # row-group pruning (PushedFilters)
     )
+    # live segment count, NOT stats["num_shards"]: incremental ingest grows
+    # the segment set and compaction shrinks it, while build-time stats stay
+    # frozen — sizing the per-shard kernel partitioning from stats would
+    # under-parallelize a grown index (committed_shards is memoized, no job)
+    n_segments = len(index.committed_shards())
     if mode == "batch":
-        partial = _batch_partials(pruned, matched, k, int(index.stats["num_shards"]))
+        partial = _batch_partials(pruned, matched, k, n_segments)
     else:
         qt_small = spark.createDataFrame(
             [(q, t, c) for (q, t, c, _) in matched],
@@ -366,7 +388,7 @@ def search(
     # and the cut's extra exchange would only add a job round to p50 —
     # skip it (identical results either way; the final window re-ranks).
     n_queries = len({q for (q, _, _, _) in matched})
-    bound = n_queries * int(index.stats["num_shards"]) * k
+    bound = n_queries * n_segments * k
     if bound > 200_000:
         pre_w = Window.partitionBy("query_id").orderBy(F.desc("score"))
         cut = (

@@ -104,3 +104,41 @@ def test_manifest_gate_hides_uncommitted_shard(spark, tmp_path):
     q = spark.createDataFrame([("q", "term0001")], QUERIES_SCHEMA)
     hits = search(idx2, q, k=100).collect()
     assert len({r["doc_id"] for r in hits}) == len(hits)  # no duplicate docs
+
+
+def test_plan_compaction_tiers():
+    """Pure policy function: like-sized segments group, cross-tier pairs
+    don't, groups cap at max_merge, smallest merge first."""
+    from openmatch_spark.index.compact import plan_compaction
+
+    rows = [
+        {"shard": 0, "n_docs": 1_000_000},   # tier 6
+        {"shard": 1, "n_docs": 30},          # tier 1
+        {"shard": 2, "n_docs": 45},          # tier 1
+        {"shard": 3, "n_docs": 12},          # tier 1
+        {"shard": 4, "n_docs": 800},         # tier 2
+    ]
+    plan = plan_compaction(rows, tier_factor=10, min_merge=2, max_merge=2)
+    # tier 1 has three members; the two smallest merge, the third waits;
+    # the lone tier-2 and tier-6 segments are untouched
+    assert plan == [[3, 1]]
+    assert plan_compaction([{"shard": 0, "n_docs": 100}]) == []
+
+
+def test_compact_auto_settles(spark, tmp_path):
+    """compact_auto folds a many-small-segment index down and search is
+    unchanged."""
+    from openmatch_spark.index import compact_auto
+
+    idx_dir = str(tmp_path / "idx")
+    pages = spark.createDataFrame(gen_pages_rows(120), PAGES_SCHEMA)
+    build_index(spark, pages, idx_dir, num_shards=4, num_term_buckets=4)
+    queries = spark.createDataFrame([("q", "term0002 term0030")], QUERIES_SCHEMA)
+    before = _runs(load_index(spark, idx_dir), queries)
+
+    results = compact_auto(spark, idx_dir, tier_factor=10, min_merge=2, max_merge=4)
+    assert len(results) >= 1
+    idx2 = load_index(spark, idx_dir)
+    assert len(idx2.committed_shards()) < 4
+    assert _runs(idx2, queries) == before
+    assert idx2.docmap.count() == 120

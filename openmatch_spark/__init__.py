@@ -14,7 +14,7 @@ Everything is DataFrame-declarative; Python appears only inside vectorized
 Arrow/pandas UDFs (tokenization, posting-block codecs, WAND kernel).
 """
 
-from openmatch_spark.session import get_spark  # noqa: F401
+from openmatch_spark.session import get_spark, scoped_confs  # noqa: F401
 
 __version__ = "0.1.0"
 

@@ -247,21 +247,17 @@ def build_index(
     are captured here and restored in a finally — success OR failure — on
     the session that executes the writes (the pages DataFrame's own session;
     see the clone note in the body)."""
+    from openmatch_spark.session import scoped_confs
+
     sess = pages.sparkSession or spark
-    prev = {key: sess.conf.get(key, None) for key in _SCOPED_CONFS}
-    try:
+    # None values: snapshot/restore only — the body picks the actual values
+    with scoped_confs(sess, {key: None for key in _SCOPED_CONFS}):
         return _build_index_body(
             spark, pages, index_dir, analyzer, num_shards, num_term_buckets,
             block_size, k1, b, shard_batch_size, resume, fail_after_batches,
             timings, shuffle_partitions, table_prefix, table_format,
             extend_dictionary,
         )
-    finally:
-        for key, val in prev.items():
-            if val is None:
-                sess.conf.unset(key)
-            else:
-                sess.conf.set(key, val)
 
 
 def _build_index_body(
@@ -375,9 +371,15 @@ def _build_index_body(
                     ),
                 )
             )
-            if fresh.take(1):
-                store.append(fresh, "dictionary")
-                dictionary = store.read("dictionary")
+            # persist: the emptiness probe and the append would otherwise
+            # each run the full tokenize/agg/anti-join pipeline
+            fresh.persist()
+            try:
+                if fresh.take(1):
+                    store.append(fresh, "dictionary")
+                    dictionary = store.read("dictionary")
+            finally:
+                fresh.unpersist()
             _mark("dict_extend", t0)
     else:
         t0 = time.time()
@@ -437,6 +439,15 @@ def _build_index_body(
         batch_t0 = dict(t)
         part = corpus.where(F.col("shard").isin(shards))
         t0 = time.time()
+        if resume or len(batches) > 1:
+            # dynamic-overwrite hygiene: a killed earlier attempt (committer
+            # v2 commits task files directly) or a crashed compaction can
+            # leave stray files under these shard ids, and dynamic overwrite
+            # only replaces the (shard, term_bucket) partitions present in
+            # the NEW data — stale buckets would survive and go live at
+            # manifest commit. Readers never see these ids yet (manifest
+            # gate), so the pre-clean is race-free.
+            store.delete_partitions("postings", "shard", shards)
         store.overwrite(build_docmap(part), "docmap", ["shard"])
         # re-read what we just wrote: downstream consumers (weighted join,
         # manifest doc counts) would otherwise re-run the window sort per use

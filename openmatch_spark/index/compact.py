@@ -35,11 +35,10 @@ import time
 
 import numpy as np
 import pyspark.sql.functions as F
-from pyspark.sql import SparkSession
+from pyspark.sql import SparkSession, Window
 
 from openmatch_spark.functions.codec import decode_postings
 from openmatch_spark.index.build import (
-    _SCOPED_CONFS,
     _pack_blocks_arrow,
     build_docmap,
 )
@@ -111,13 +110,21 @@ def plan_compaction(
     groups; run each through compact_index, largest-tier first (each merge
     may promote the result into a higher tier — call plan+compact in a loop
     until the plan is empty to fully settle)."""
-    import math
+
+    def int_tier(n: int) -> int:
+        # integer-safe log bucket: float log misbuckets exact powers
+        # (math.log(1000, 10) == 2.999... -> tier 2, grouping a 1000-doc
+        # segment with 100-doc ones)
+        t, x = 0, max(n, 1)
+        while x >= tier_factor:
+            x //= tier_factor
+            t += 1
+        return t
 
     segs = [(int(r["shard"]), int(r["n_docs"])) for r in manifest_rows]
     tiers: dict[int, list[tuple[int, int]]] = {}
     for shard, n in segs:
-        tier = int(math.log(max(n, 1), tier_factor))
-        tiers.setdefault(tier, []).append((shard, n))
+        tiers.setdefault(int_tier(n), []).append((shard, n))
     plan = []
     for tier in sorted(tiers):
         members = sorted(tiers[tier], key=lambda sn: (sn[1], sn[0]))
@@ -192,10 +199,20 @@ def compact_index(
     stats = store.read_stats()
     block_size = int(stats["block_size"])
 
-    prev = {key: spark.conf.get(key, None) for key in _SCOPED_CONFS}
-    try:
-        # per-partition-dir replacement: only the new shard's dirs are touched
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    from openmatch_spark.session import scoped_confs
+
+    # per-partition-dir replacement: only the new shard's dirs are touched
+    with scoped_confs(
+        spark, {"spark.sql.sources.partitionOverwriteMode": "dynamic"}
+    ):
+        # a PREVIOUS compaction (or killed build) that crashed between data
+        # write and manifest commit can leave stray dirs under exactly this
+        # shard id (it is also max(committed)+1 for the next drain), and the
+        # postings dynamic overwrite only replaces the (shard, term_bucket)
+        # partitions present in the new data — stale buckets would survive
+        # and become visible at manifest commit. Start from a clean slate.
+        store.delete_partitions("postings", "shard", [new_shard])
+        store.delete_partitions("docmap", "shard", [new_shard])
 
         t0 = time.time()
         old_docmap = store.read("docmap").where(F.col("shard").isin(merge))
@@ -204,15 +221,31 @@ def compact_index(
                 F.lit(new_shard).cast("int").alias("shard"), "doc_id", "doclen"
             )
         )
-        store.overwrite(merged_docmap, "docmap", ["shard"])
+        store.overwrite(merged_docmap, "docmap", ["shard"], stage=True)
         new_docmap = store.read("docmap").where(F.col("shard") == new_shard)
         t["docmap_sec"] = time.time() - t0
 
         t0 = time.time()
-        # old (shard, doc_ord) -> merged doc_ord, via the stable doc_id key
-        ord_map = old_docmap.select("shard", "doc_ord", "doc_id").join(
-            new_docmap.select("doc_id", F.col("doc_ord").alias("new_ord")),
-            "doc_id",
+        # old (shard, doc_ord) -> merged doc_ord via doc_id, made a strict
+        # 1:1 mapping even when the same doc_id appears more than once in
+        # the merged set (e.g. a url re-ingested by a later drain): pair the
+        # i-th old occurrence with the i-th new ordinal. A plain doc_id join
+        # would fan duplicates out NxN and double those docs' scores.
+        occ_old = Window.partitionBy("doc_id").orderBy("shard", "doc_ord")
+        occ_new = Window.partitionBy("doc_id").orderBy("doc_ord")
+        ord_map = (
+            old_docmap.select(
+                "shard", "doc_ord", "doc_id",
+                F.row_number().over(occ_old).alias("occ"),
+            )
+            .join(
+                new_docmap.select(
+                    "doc_id",
+                    F.col("doc_ord").alias("new_ord"),
+                    F.row_number().over(occ_new).alias("occ"),
+                ),
+                ["doc_id", "occ"],
+            )
         )
         decoded = (
             store.read("postings")
@@ -238,7 +271,7 @@ def compact_index(
             .sortWithinPartitions("shard", "term_bucket", "term", "doc_ord")
             .mapInArrow(_pack_blocks_arrow(block_size), POSTING_SCHEMA)
         )
-        store.overwrite(blocks, "postings", ["shard", "term_bucket"])
+        store.overwrite(blocks, "postings", ["shard", "term_bucket"], stage=True)
         t["postings_sec"] = time.time() - t0
 
         # ---- commit: manifest rewrite, then retire the old segment dirs ----
@@ -280,12 +313,6 @@ def compact_index(
             float(time.time()),
         )
         store.append(spark.createDataFrame([metrics_row], METRICS_SCHEMA), "metrics")
-    finally:
-        for key, val in prev.items():
-            if val is None:
-                spark.conf.unset(key)
-            else:
-                spark.conf.set(key, val)
 
     return {
         "merged": merge,

@@ -71,13 +71,28 @@ class BM25Index:
 
     def committed_shards(self) -> list[int]:
         """Shards present in the manifest — the index's source of truth.
-        Memoized once per BM25Index (one tiny manifest read)."""
+
+        Memoized once per BM25Index (one tiny manifest read): a loaded index
+        is a consistent SNAPSHOT of the segment set at load time, like an
+        Iceberg table scan pinned to a snapshot id. A handle held across a
+        compaction keeps filtering on the retired shard list (whose data
+        dirs may be gone — searches go empty, they don't go wrong), and one
+        held across an ingest doesn't see the new segments; call refresh()
+        (or load_index again) to move the snapshot forward."""
         if self._shard_cache is None:
             self._shard_cache = sorted(
                 r["shard"]
                 for r in self.manifest.select("shard").distinct().collect()
             )
         return self._shard_cache
+
+    def refresh(self) -> "BM25Index":
+        """Drop memoized state (segment snapshot, driver dictionary cache)
+        so the next read reflects segments committed or vocabulary appended
+        since load — cheaper than re-calling load_index, same effect."""
+        self._shard_cache = None
+        self._term_cache = None
+        return self
 
     @property
     def docmap(self) -> DataFrame:

@@ -127,19 +127,47 @@ class IndexStorage:
 
     # ---- writes ------------------------------------------------------------
 
-    def overwrite(self, df: DataFrame, kind: str, partition_by: list[str] | None = None) -> None:
+    def overwrite(
+        self,
+        df: DataFrame,
+        kind: str,
+        partition_by: list[str] | None = None,
+        stage: bool = False,
+    ) -> None:
         """Full-table (static) or per-partition (dynamic, via the session's
         partitionOverwriteMode conf — build_index scopes it) overwrite.
 
         V2 catalogs dispatch on the same conf: dynamic → overwritePartitions
         (replaces only the partitions present in df, Iceberg's dynamic
         overwrite), static → createOrReplace.
+
+        stage=True: pass when df READS the same table it overwrites (segment
+        compaction derives the merged shard from the existing docmap/
+        postings). V1 session-catalog insertInto rejects self-read-write
+        plans outright, so the staged path materializes df to a scratch
+        parquet dir next to stats.json (shared storage in every deployment,
+        same assumption stats.json itself makes) and re-reads it. Path mode
+        and Iceberg need no staging (dynamic overwrite stages internally /
+        snapshot isolation).
         """
         dynamic = (
             self.spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
             .lower()
             == "dynamic"
         )
+        if stage and self.is_table_mode and not self._v2:
+            import os
+            import shutil
+
+            scratch = os.path.join(self.paths.root, f"_stage_{kind}")
+            try:
+                df.write.mode("overwrite").parquet(scratch)
+                self.overwrite(
+                    self.spark.read.parquet(scratch), kind, partition_by
+                )
+            finally:
+                shutil.rmtree(scratch, ignore_errors=True)
+            return
         if not self.is_table_mode:
             w = df.write.mode("overwrite")
             if partition_by:
@@ -198,6 +226,8 @@ class IndexStorage:
                 shutil.rmtree(os.path.join(base, f"{col}={v}"), ignore_errors=True)
             return
         name = self.table_name(kind)
+        if not self.spark.catalog.tableExists(name):
+            return  # nothing to clean (mirrors rmtree ignore_errors)
         if self._v2:
             vals = ", ".join(str(v) for v in values)
             self.spark.sql(f"DELETE FROM {name} WHERE {col} IN ({vals})")

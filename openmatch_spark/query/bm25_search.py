@@ -83,24 +83,27 @@ def query_terms(
 
     analyzer = index.stats["analyzer"]
     q = queries.select(F.col("query_id").cast("string").alias("query_id"), "text")
-    # ONE bounded collect decides the path AND feeds the small-batch loop.
-    # Two latency traps live here: a separate take() peek doubles the job
-    # rounds, and Spark's limit execution starts at 1 partition and scales
-    # up 4x per retry — on a 32-partition single-row query frame that is 3-4
-    # job rounds (~0.7 s of a 1.6 s p50, measured). Scoping
-    # initialNumPartitions high makes the bounded collect one job over all
-    # partitions, which is exactly right for a frame we expect to be small.
-    conf = q.sparkSession.conf
-    _init_key = "spark.sql.limit.initialNumPartitions"
-    prev_init = conf.get(_init_key, None)
-    try:
-        conf.set(_init_key, "1000000")
-        head = q.limit(distributed_threshold + 1).collect()
-    finally:
-        if prev_init is None:
-            conf.unset(_init_key)
-        else:
-            conf.set(_init_key, prev_init)
+    # ONE bounded take decides the path AND feeds the small-batch loop.
+    # Two latency traps live here: a separate peek before the collect
+    # doubles the job rounds, and Spark's limit execution starts at 1
+    # partition and scales up 4x per retry — on a 32-partition single-row
+    # query frame that is 3-4 job rounds (~0.7 s of a 1.6 s p50, measured).
+    # Scoping initialNumPartitions to the cluster's parallelism makes the
+    # typical small frame a single job while still early-stopping on a
+    # huge frame (the first wave already yields > threshold rows, so the
+    # driver never materializes more than ~parallelism x threshold rows).
+    from openmatch_spark.session import scoped_confs
+
+    sess = q.sparkSession
+    with scoped_confs(
+        sess,
+        {
+            "spark.sql.limit.initialNumPartitions": str(
+                max(sess.sparkContext.defaultParallelism, 16)
+            )
+        },
+    ):
+        head = q.limit(distributed_threshold + 1).take(distributed_threshold + 1)
     big = len(head) > distributed_threshold
     qtf: dict[tuple[str, str], int] = {}
     if big:

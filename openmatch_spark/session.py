@@ -8,8 +8,33 @@ master/parallelism change (passed via spark-submit, never hardcoded here).
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
+
+
+@contextmanager
+def scoped_confs(spark: SparkSession, confs: dict[str, str]):
+    """Set session confs for the duration of a block, restoring prior
+    values (or unsetting) on exit — success OR failure. The single owner of
+    the save/set/restore idiom used by build, compaction, and query-side
+    conf scoping (three hand-rolled copies of this diverge eventually).
+
+    A None value snapshots-and-restores the key without setting it (for
+    callers that decide the value mid-block, like build_index).
+    """
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            if v is not None:
+                spark.conf.set(k, v)
+        yield
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
 
 
 def get_spark(

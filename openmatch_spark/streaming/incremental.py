@@ -48,10 +48,13 @@ def incremental_index_available_now(
     from openmatch_spark.index.storage import IndexStorage
 
     store = IndexStorage.resolve(spark, index_dir)
-    try:
+    # only a MISSING manifest (index built before the manifest protocol, or
+    # never committed) may fall back to stats — a transient read error must
+    # raise, or the fallback silently reintroduces the shard-id collision
+    if store.exists("manifest"):
         mx = store.read("manifest").agg(F.max("shard")).collect()[0][0]
         n_existing = int(mx) + 1 if mx is not None else int(stats["num_shards"])
-    except Exception:
+    else:
         n_existing = int(stats["num_shards"])
     processed = {"n": 0}
 

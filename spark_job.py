@@ -112,12 +112,15 @@ def cmd_compact(args) -> int:
     """Merge committed index shards (index/compact.py): search-identical,
     retires the old segment dirs. Default merges ALL shards; --shards picks
     a subset (e.g. the small segments a streaming ingest appended)."""
-    from openmatch_spark.index import compact_index
+    from openmatch_spark.index import compact_auto, compact_index
 
     spark = _spark("om-compact")
-    res = compact_index(
-        spark, args.index, shards=args.shards, table_prefix=args.table_prefix
-    )
+    if args.auto:
+        res = compact_auto(spark, args.index, table_prefix=args.table_prefix)
+    else:
+        res = compact_index(
+            spark, args.index, shards=args.shards, table_prefix=args.table_prefix
+        )
     print(json.dumps(res))
     return 0
 
@@ -216,6 +219,8 @@ def main(argv=None) -> int:
     cp = sub.add_parser("compact")
     cp.add_argument("--index", required=True)
     cp.add_argument("--shards", type=int, nargs="+", default=None)
+    cp.add_argument("--auto", action="store_true",
+                    help="size-tiered policy: merge like-sized segments until settled")
     cp.add_argument("--table-prefix", default=None)
     cp.set_defaults(fn=cmd_compact)
 

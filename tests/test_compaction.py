@@ -142,3 +142,71 @@ def test_compact_auto_settles(spark, tmp_path):
     assert len(idx2.committed_shards()) < 4
     assert _runs(idx2, queries) == before
     assert idx2.docmap.count() == 120
+
+
+def test_compact_table_mode_v1(spark, tmp_path):
+    """Compaction in session-catalog (V1) table mode: the merged tables are
+    derived FROM the tables being overwritten, which V1 insertInto rejects
+    as a self-read-write plan — the staged overwrite (IndexStorage
+    stage=True) must route around it and keep search identical."""
+    prefix = "spark_catalog.default.om_compact_v1"
+    idx_dir = str(tmp_path / "idx_tbl")
+    pages = spark.createDataFrame(gen_pages_rows(90), PAGES_SCHEMA)
+    try:
+        build_index(
+            spark, pages, idx_dir, num_shards=3, num_term_buckets=2,
+            block_size=16, table_prefix=prefix,
+        )
+        queries = spark.createDataFrame([("q", "term0004 term0021")], QUERIES_SCHEMA)
+        idx = load_index(spark, idx_dir, table_prefix=prefix)
+        before = _runs(idx, queries)
+
+        res = compact_index(spark, idx_dir, table_prefix=prefix)
+        assert res["merged"] == [0, 1, 2] and res["new_shard"] == 3
+        idx2 = load_index(spark, idx_dir, table_prefix=prefix)
+        assert idx2.committed_shards() == [3]
+        assert _runs(idx2, queries) == before
+        assert idx2.docmap.count() == 90
+    finally:
+        from openmatch_spark.index.storage import KINDS
+
+        for kind in KINDS:
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{kind}")
+
+
+def test_compact_preclean_removes_stray_buckets(spark, tmp_path):
+    """A crashed compaction's leftover dirs under the next shard id must
+    not leak into a later write to that id: the pre-clean removes stray
+    (shard, term_bucket) partitions dynamic overwrite would miss."""
+    idx_dir = str(tmp_path / "idx")
+    pages = spark.createDataFrame(gen_pages_rows(100), PAGES_SCHEMA)
+    build_index(spark, pages, idx_dir, num_shards=2, num_term_buckets=4)
+    # forge a stray half-written segment under the id compaction will pick
+    stray = os.path.join(idx_dir, "postings", "shard=2", "term_bucket=99")
+    shutil.copytree(os.path.join(idx_dir, "postings", "shard=0", "term_bucket=0"), stray)
+
+    queries = spark.createDataFrame([("q", "term0002")], QUERIES_SCHEMA)
+    before = _runs(load_index(spark, idx_dir), queries)
+    res = compact_index(spark, idx_dir)
+    assert res["new_shard"] == 2
+    # the forged bucket is gone — not resurrected by the manifest commit
+    assert not os.path.exists(stray)
+    assert _runs(load_index(spark, idx_dir), queries) == before
+
+
+def test_compact_duplicate_doc_ids(spark, tmp_path):
+    """Two segments carrying the SAME doc_id (a url re-ingested later) must
+    not fan out in the ordinal remap: scores per returned doc_id are
+    unchanged by compaction."""
+    from openmatch_spark.fixtures import gen_pages_rows as gen
+
+    idx_dir = str(tmp_path / "idx")
+    rows = gen(60)
+    # same 60 urls twice -> every doc_id occurs in two shards' worth of data
+    pages = spark.createDataFrame(rows + rows, PAGES_SCHEMA)
+    build_index(spark, pages, idx_dir, num_shards=3, num_term_buckets=4)
+    queries = spark.createDataFrame([("q", "term0001 term0011")], QUERIES_SCHEMA)
+    before = _runs(load_index(spark, idx_dir), queries, k=30)
+    compact_index(spark, idx_dir)
+    after = _runs(load_index(spark, idx_dir), queries, k=30)
+    assert after == before

@@ -350,6 +350,25 @@ def q_dedup_pipeline(spark, sf_dir):
     )
 
 
+def q_curate(spark, sf_dir):
+    """One-call training-data curation (operators/curate.py): language gate
+    -> quality gate -> exact + LSH near-dup among survivors, every stage
+    replicated in the DuckDB oracle. Same duplicated-corpus fixture as
+    dedup_pipeline so all five drop reasons can fire."""
+    from openmatch_spark.operators.curate import curate_corpus
+
+    base = _docs(spark, sf_dir).where(F.col("doc_id") < 300).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    shifted = base.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    corpus = base.unionByName(shifted)
+    out = curate_corpus(
+        corpus, langs=("en",), min_quality=0.63,
+        jaccard_threshold=0.5, max_bucket=100,
+    )
+    return out.select("doc_id", "keep", "reason", "dup_of")
+
+
 def q_event_window_stats(spark, sf_dir):
     """Tumbling-window event rollup (streaming/events.py) in batch form —
     the same expression the watermarked stream runs (stream==batch equality
@@ -674,6 +693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ndcg10": q_ndcg10,
         "dedup_exact": q_dedup_exact,
         "dedup_pipeline": q_dedup_pipeline,
+        "curate": q_curate,
         "event_window_stats": q_event_window_stats,
         "sessionize": q_sessionize,
         "mean_pool": q_mean_pool,
@@ -1194,16 +1214,21 @@ SELECT query_id, kind, pos, doc_id FROM negr
         f"SELECT doc_id, {b} AS band, md5(concat_ws('|', mh_{2*b}, mh_{2*b+1})) AS band_hash FROM sig"
         for b in range(4)
     )
-    sql["dedup_pipeline"] = f"""
-WITH corpus AS (
+
+    _DUP_CORPUS = """corpus AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents WHERE doc_id < 300
   UNION ALL
   SELECT CAST(CAST(doc_id AS BIGINT) + 1000000 AS VARCHAR), text FROM documents WHERE doc_id < 300
-),
-hashed AS (
+)"""
+
+    def _dedup_ctes(src: str) -> str:
+        """The exact/LSH/bucket dedup replica as a CTE chain over any source
+        CTE `src(doc_id, text)` — shared by dedup_pipeline and curate so the
+        two oracles can never drift apart."""
+        return f"""hashed AS (
   SELECT doc_id,
          md5(array_to_string(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> ''), ' ')) AS h
-  FROM corpus
+  FROM {src}
 ),
 gmin AS (SELECT h, MIN(doc_id) AS canon, COUNT(*) AS n FROM hashed GROUP BY h),
 drop_exact AS (
@@ -1212,7 +1237,7 @@ drop_exact AS (
   WHERE g.n > 1 AND hd.doc_id <> g.canon
 ),
 surv AS (
-  SELECT c.doc_id, c.text FROM corpus c
+  SELECT c.doc_id, c.text FROM {src} c
   WHERE NOT EXISTS (SELECT 1 FROM drop_exact d WHERE d.doc_id = c.doc_id)
 ),
 sh AS (
@@ -1266,11 +1291,59 @@ best AS (
     ) AS rn
     FROM drops d
   ) WHERE rn = 1
-)
+)"""
+
+    sql["dedup_pipeline"] = f"""
+WITH {_DUP_CORPUS},
+{_dedup_ctes("corpus")}
 SELECT c.doc_id,
        CAST(CASE WHEN b.reason IS NULL THEN 1 ELSE 0 END AS INTEGER) AS keep,
        b.reason, b.dup_of
 FROM (SELECT doc_id FROM corpus) c LEFT JOIN best b USING (doc_id)
+"""
+
+    sql["curate"] = f"""
+WITH {_DUP_CORPUS},
+toked AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM corpus
+),
+langed AS (
+  SELECT doc_id, text,
+         {lang_ratio(EN_STOP)} AS r_en, {lang_ratio(DE_STOP)} AS r_de,
+         {lang_ratio(FR_STOP)} AS r_fr, {lang_ratio(ES_STOP)} AS r_es,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+           / greatest(length(text), 1) AS punct_ratio,
+         CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1) AS unique_ratio
+  FROM toked
+),
+verdict AS (
+  SELECT doc_id, text,
+         CASE WHEN greatest(r_en, r_de, r_fr, r_es) <= 0 THEN 'und'
+              WHEN r_en = greatest(r_en, r_de, r_fr, r_es) THEN 'en'
+              WHEN r_de = greatest(r_en, r_de, r_fr, r_es) THEN 'de'
+              WHEN r_fr = greatest(r_en, r_de, r_fr, r_es) THEN 'fr'
+              ELSE 'es' END AS pred_lang,
+         ROUND(least(n_tokens / 50.0, 1.0) * 0.25
+               + (1.0 - least(punct_ratio * 4.0, 1.0)) * 0.25
+               + least(r_en * 5.0, 1.0) * 0.25
+               + unique_ratio * 0.25, 6) AS quality
+  FROM langed
+),
+gated AS (SELECT doc_id, text FROM verdict WHERE pred_lang = 'en' AND quality >= 0.63),
+{_dedup_ctes("gated")}
+SELECT doc_id, CAST(0 AS INTEGER) AS keep, 'lang' AS reason, CAST(NULL AS VARCHAR) AS dup_of
+FROM verdict WHERE pred_lang <> 'en'
+UNION ALL
+SELECT doc_id, CAST(0 AS INTEGER), 'quality', CAST(NULL AS VARCHAR)
+FROM verdict WHERE pred_lang = 'en' AND quality < 0.63
+UNION ALL
+SELECT g.doc_id,
+       CAST(CASE WHEN b.reason IS NULL THEN 1 ELSE 0 END AS INTEGER) AS keep,
+       b.reason, b.dup_of
+FROM (SELECT doc_id FROM gated) g LEFT JOIN best b USING (doc_id)
 """
 
     sql["event_window_stats"] = """

@@ -1,0 +1,75 @@
+"""One-call training-data curation: language gate → quality gate → dedup.
+
+The composition a web-scale pretraining pipeline actually runs over raw
+documents, built from the engine's primitives (operators/textstats.py,
+operators/dedup.py) so every stage inherits their scale properties: pure
+column algebra for the gates (whole-stage codegen, no UDF), shuffle-bounded
+LSH for near-dup (hot buckets capped). No reference counterpart (OpenMatch
+consumes pre-curated corpora); semantics follow the C4/Gopher-style
+filter-then-dedup recipe.
+
+Gate precedence matters: documents failing the language or quality gate are
+excluded BEFORE dedup, so junk can never become a duplicate group's
+canonical representative and survive through it.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from openmatch_spark.operators.dedup import deduplicate_corpus
+from openmatch_spark.operators.textstats import language_id, quality_scores
+
+
+def curate_corpus(
+    corpus: DataFrame,
+    langs: tuple[str, ...] = ("en",),
+    min_quality: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 8,
+    num_bands: int = 4,
+    jaccard_threshold: float = 0.8,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """(doc_id, keep, reason, dup_of): per-document curation verdict.
+
+    reason: 'lang' | 'quality' | 'exact' | 'near' | 'bucket' | NULL (kept);
+    dup_of names the canonical doc for dedup drops, NULL otherwise.
+    Every input doc appears exactly once in the output.
+    """
+    ids = corpus.select(
+        F.col(id_col).cast("string").alias("doc_id"), F.col(text_col).alias("text")
+    )
+    lang = language_id(ids).select("doc_id", "pred_lang")
+    qual = quality_scores(ids).select("doc_id", "quality")
+    scored = ids.join(lang, "doc_id").join(qual, "doc_id")
+
+    lang_ok = F.col("pred_lang").isin(list(langs))
+    qual_ok = F.col("quality") >= F.lit(float(min_quality))
+
+    lang_drops = scored.where(~lang_ok).select(
+        "doc_id",
+        F.lit(0).alias("keep"),
+        F.lit("lang").alias("reason"),
+        F.lit(None).cast("string").alias("dup_of"),
+    )
+    quality_drops = scored.where(lang_ok & ~qual_ok).select(
+        "doc_id",
+        F.lit(0).alias("keep"),
+        F.lit("quality").alias("reason"),
+        F.lit(None).cast("string").alias("dup_of"),
+    )
+    survivors = scored.where(lang_ok & qual_ok).select("doc_id", "text")
+    deduped = deduplicate_corpus(
+        survivors,
+        shingle_n=shingle_n,
+        num_hashes=num_hashes,
+        num_bands=num_bands,
+        jaccard_threshold=jaccard_threshold,
+        max_bucket=max_bucket,
+    ).select("doc_id", F.col("keep").cast("int").alias("keep"), "reason", "dup_of")
+
+    return lang_drops.unionByName(quality_drops).unionByName(deduped)

@@ -210,3 +210,36 @@ def test_compact_duplicate_doc_ids(spark, tmp_path):
     compact_index(spark, idx_dir)
     after = _runs(load_index(spark, idx_dir), queries, k=30)
     assert after == before
+
+
+@pytest.mark.parametrize("seed", [5, 17])
+def test_random_merge_sequences_preserve_search(spark, tmp_path, seed):
+    """Property: ANY sequence of valid merges leaves search results
+    bit-identical and totals invariant — the merge order is pure physical
+    layout, never semantics."""
+    import random
+
+    rng = random.Random(seed)
+    n_docs = rng.randrange(80, 140)
+    n_shards = rng.choice([3, 4, 5])
+    idx_dir = str(tmp_path / f"idx{seed}")
+    pages = spark.createDataFrame(gen_pages_rows(n_docs, seed=seed), PAGES_SCHEMA)
+    build_index(spark, pages, idx_dir, num_shards=n_shards, num_term_buckets=4)
+    queries = spark.createDataFrame(
+        [("q1", "term0001 term0008"), ("q2", "term0015")], QUERIES_SCHEMA
+    )
+    before = _runs(load_index(spark, idx_dir), queries, k=20)
+    total_postings = sum(
+        r["n_postings"] for r in load_index(spark, idx_dir).manifest.collect()
+    )
+
+    for _ in range(2):
+        committed = load_index(spark, idx_dir).committed_shards()
+        if len(committed) < 2:
+            break
+        group = rng.sample(committed, rng.randrange(2, len(committed) + 1))
+        compact_index(spark, idx_dir, shards=sorted(group))
+        idx = load_index(spark, idx_dir)
+        assert _runs(idx, queries, k=20) == before
+        assert idx.docmap.count() == n_docs
+        assert sum(r["n_postings"] for r in idx.manifest.collect()) == total_postings

@@ -231,3 +231,25 @@ def test_deduplicate_corpus_bucket_stage(spark):
     assert dropped and all(out[d]["reason"] == "bucket" for d in dropped)
     assert out["m00"]["keep"]
     assert all(out[d]["dup_of"] == "m00" for d in dropped)
+
+
+def test_curate_corpus_reasons_partition(spark):
+    """Every input doc gets exactly one verdict; gates precede dedup (a doc
+    failing the lang gate never becomes a dedup canonical)."""
+    from openmatch_spark.operators.curate import curate_corpus
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog and runs away home"),
+        (2, "the quick brown fox jumps over the lazy dog and runs away home"),  # exact dup of 1
+        (3, "der schnelle braune fuchs springt und der hund ist die katze im haus"),  # de
+        (4, "zzz qqq xxx vvv"),  # no stopwords -> und + low quality
+        (5, "a completely different english sentence with the usual common words in it today"),
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: (r["keep"], r["reason"], r["dup_of"])
+           for r in curate_corpus(corpus, langs=("en",), min_quality=0.3).collect()}
+    assert len(out) == 5  # exactly one verdict per doc
+    assert out["3"][1] == "lang" and out["4"][1] == "lang"
+    assert out["1"] == (1, None, None)
+    assert out["2"] == (0, "exact", "1")
+    assert out["5"][0] == 1

@@ -78,3 +78,21 @@ def test_winnow_simhash_plans_are_python_free(spark):
         s = plan_summary(out)
         assert s["python_evals"] == 0, s
         assert s["wholestage"] >= 1, s
+
+
+def test_compaction_reads_are_shard_pruned(idx, spark):
+    """The merge's postings read must scan ONLY the merged shards'
+    partition dirs (shard is a partition column; at scale the merge cost
+    must be proportional to the merged segments, never the whole index)."""
+    merge = [1, 2]
+    pruned = idx.postings.where(F.col("shard").isin(merge))
+    plan = capture_plan(pruned)
+    assert "PartitionFilters:" in plan
+    assert any(
+        frag in plan for frag in ["shard#", "isnotnull(shard"]
+    ), plan
+    # the manifest gate composes: committed-shard In-filter is ALSO a
+    # partition filter, not a post-scan filter
+    gated = idx.postings
+    gplan = capture_plan(gated)
+    assert "PartitionFilters:" in gplan

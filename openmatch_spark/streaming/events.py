@@ -196,3 +196,33 @@ def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+def streaming_exact_dedup(
+    pages: DataFrame,
+    watermark: str = "24 hours",
+    ts_col: str = "warc_ts",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming twin of the batch exact-dedup stage: drop every document
+    whose normalized text content was already seen, ACROSS micro-batches,
+    with state bounded by the watermark (dropDuplicatesWithinWatermark keys
+    the state store on the content hash and expires entries once the
+    watermark passes them — unbounded dedup state is the classic way a
+    streaming ingest OOMs at web scale).
+
+    Emits the surviving rows with a `content_hash` column, ready to feed
+    the incremental indexer. On a batch DataFrame the same expression
+    degrades to plain dropDuplicates (watermarks are streaming-only), so
+    batch backfills and the live stream share one code path.
+    """
+    from openmatch_spark.operators.dedup import normalized_text
+
+    hashed = pages.withColumn(
+        "content_hash", F.md5(normalized_text(F.col(text_col)))
+    ).withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    if hashed.isStreaming:
+        return hashed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            ["content_hash"]
+        )
+    return hashed.dropDuplicates(["content_hash"])

@@ -225,3 +225,41 @@ def test_incremental_second_drain_cycle(spark, tmp_path):
         for r in search(idx, q, k=50).groupBy("query_id").count().collect()
     }
     assert per_q.get("q1", 0) == 20 and per_q.get("q2", 0) == 20
+
+
+def test_streaming_exact_dedup_across_batches(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: a duplicate arriving in a LATER
+    micro-batch is dropped by the content-hash state; distinct docs pass."""
+    from openmatch_spark.streaming.events import streaming_exact_dedup
+
+    src = str(tmp_path / "dedup_src")
+    rows = gen_pages_rows(6)
+    b1 = rows[:4]
+    # batch 2: one exact duplicate of a batch-1 doc (new url), one new doc
+    dup = ("https://dup.example/x", rows[0][1], rows[0][2], rows[0][3], rows[0][4])
+    b2 = [dup, rows[4], rows[5]]
+    spark.createDataFrame(b1, PAGES_SCHEMA).coalesce(1).write.parquet(src)
+    spark.createDataFrame(b2, PAGES_SCHEMA).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = streaming_exact_dedup(stream)
+    q = (
+        out.select("url", "content_hash")
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["url"] for r in spark.sql("SELECT * FROM dedup_out").collect()}
+    assert "https://dup.example/x" not in got  # cross-batch duplicate dropped
+    assert {u for (u, *_r) in rows} <= got     # all six originals survive
+
+    # batch path: same expression, same survivors
+    batch = streaming_exact_dedup(spark.createDataFrame(b1 + b2, PAGES_SCHEMA))
+    assert batch.count() == 6

@@ -494,7 +494,7 @@ def scaling(n_docs: int = 400_000, n_lo: int = 1, n_hi: int = 4) -> dict:
         "cores": [n_lo, n_hi],
     }
     md = f"""
-## Measured scaling (sandbox proxy for N -> 4N executors)
+## Measured scaling run — build {eff_build:.3f} / query {eff_query:.3f} raw (sandbox proxy for N -> 4N executors)
 
 Same deterministic synthetic corpus ({n_docs:,} docs, Zipf vocab 30k,
 `synth_pages_spark`), IDENTICAL job (`build_index` analyzer=dpr, 32 shards,

@@ -110,6 +110,8 @@ def plan_compaction(
     groups; run each through compact_index, largest-tier first (each merge
     may promote the result into a higher tier — call plan+compact in a loop
     until the plan is empty to fully settle)."""
+    if tier_factor < 2:
+        raise ValueError(f"tier_factor must be >= 2, got {tier_factor}")
 
     def int_tier(n: int) -> int:
         # integer-safe log bucket: float log misbuckets exact powers

@@ -117,13 +117,22 @@ class IndexStorage:
         return self.spark.read.parquet(getattr(self.paths, kind))
 
     def exists(self, kind: str) -> bool:
+        """False ONLY when the table/path genuinely is not there. Any other
+        read error propagates: callers branch on exists() for protocol
+        decisions (e.g. incremental shard allocation falls back to
+        stats.num_shards when the manifest is absent), and swallowing a
+        transient failure would silently pick the wrong branch."""
         if self.is_table_mode:
             return self.spark.catalog.tableExists(self.table_name(kind))
+        from pyspark.errors.exceptions.captured import AnalysisException
+
         try:
             self.spark.read.parquet(getattr(self.paths, kind)).schema
             return True
-        except Exception:
-            return False
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" in str(e) or "UNABLE_TO_INFER_SCHEMA" in str(e):
+                return False
+            raise
 
     # ---- writes ------------------------------------------------------------
 

@@ -19,7 +19,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from openmatch_spark.operators.dedup import deduplicate_corpus
-from openmatch_spark.operators.textstats import language_id, quality_scores
+from openmatch_spark.operators.textstats import pred_lang_col, quality_col
 
 
 def curate_corpus(
@@ -38,14 +38,19 @@ def curate_corpus(
 
     reason: 'lang' | 'quality' | 'exact' | 'near' | 'bucket' | NULL (kept);
     dup_of names the canonical doc for dedup drops, NULL otherwise.
-    Every input doc appears exactly once in the output.
+    One verdict row per input row (doc_ids are expected unique upstream —
+    duplicated ids flow through per-row rather than fanning out).
     """
-    ids = corpus.select(
-        F.col(id_col).cast("string").alias("doc_id"), F.col(text_col).alias("text")
+    # gates are per-row projections, NOT joins: pred_lang/quality attach as
+    # columns in one select, so the corpus text never shuffles for the
+    # gates, rows with duplicate (or null) doc_ids can't fan out or vanish,
+    # and both gate expressions live in the same codegen pass as the scan
+    scored = corpus.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.col(text_col).alias("text"),
+        pred_lang_col(F.col(text_col)).alias("pred_lang"),
+        quality_col(F.col(text_col)).alias("quality"),
     )
-    lang = language_id(ids).select("doc_id", "pred_lang")
-    qual = quality_scores(ids).select("doc_id", "quality")
-    scored = ids.join(lang, "doc_id").join(qual, "doc_id")
 
     lang_ok = F.col("pred_lang").isin(list(langs))
     qual_ok = F.col("quality") >= F.lit(float(min_quality))

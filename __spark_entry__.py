@@ -350,6 +350,25 @@ def q_dedup_pipeline(spark, sf_dir):
     )
 
 
+def q_ngram_jaccard(spark, sf_dir):
+    """EXACT n-gram Jaccard similarity join (operators/dedup.py:
+    ngram_jaccard_join) — candidates via the shingle inverted index with a
+    hot-shingle df cap, verification exact. Duplicated corpus so jaccard=1
+    pairs exist."""
+    from openmatch_spark.operators.dedup import ngram_jaccard_join
+
+    base = _docs(spark, sf_dir).where(F.col("doc_id") < 150).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    shifted = base.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    corpus = base.unionByName(shifted)
+    out = ngram_jaccard_join(corpus, n=3, threshold=0.5, max_shingle_df=50)
+    return out.select(
+        "doc_a", "doc_b", "n_common", "n_a", "n_b",
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
 def q_curate(spark, sf_dir):
     """One-call training-data curation (operators/curate.py): language gate
     -> quality gate -> exact + LSH near-dup among survivors, every stage
@@ -694,6 +713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_pipeline": q_dedup_pipeline,
         "curate": q_curate,
+        "ngram_jaccard": q_ngram_jaccard,
         "event_window_stats": q_event_window_stats,
         "sessionize": q_sessionize,
         "mean_pool": q_mean_pool,
@@ -925,6 +945,43 @@ SELECT m.doc_a, m.doc_b, m.n_common, sa.n_sh AS n_a, sb.n_sh AS n_b,
 FROM common m
 JOIN sizes sa ON sa.doc_id = m.doc_a
 JOIN sizes sb ON sb.doc_id = m.doc_b
+"""
+
+    sql["ngram_jaccard"] = """
+WITH corpus AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents WHERE doc_id < 150
+  UNION ALL
+  SELECT CAST(CAST(doc_id AS BIGINT) + 1000000 AS VARCHAR), text FROM documents WHERE doc_id < 150
+),
+sh AS (
+  SELECT DISTINCT d.doc_id, s.shingle
+  FROM (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+    FROM corpus
+  ) d,
+  UNNEST(list_transform(generate_series(1, len(d.toks) - 2), i -> array_to_string(d.toks[i:i+2], ' '))) AS s(shingle)
+),
+dfs AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle),
+gen AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN dfs USING (shingle) WHERE df <= 50),
+cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM gen l JOIN gen r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT m.doc_a, m.doc_b, m.n_common, sa.n_sh AS n_a, sb.n_sh AS n_b,
+       ROUND(CAST(m.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - m.n_common), 6) AS jaccard
+FROM common m
+JOIN sizes sa ON sa.doc_id = m.doc_a
+JOIN sizes sb ON sb.doc_id = m.doc_b
+WHERE CAST(m.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - m.n_common) >= 0.5
 """
 
     sql["lang_id"] = f"""

@@ -211,6 +211,46 @@ def jaccard_pairs(doc_shingles: DataFrame, candidates: DataFrame) -> DataFrame:
     )
 
 
+def ngram_jaccard_join(
+    corpus: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    analyzer: str = "simple",
+) -> DataFrame:
+    """EXACT n-gram-Jaccard similarity join: (doc_a, doc_b, n_common, n_a,
+    n_b, jaccard) for every pair with jaccard >= threshold.
+
+    Unlike the MinHash path this is exact (no probabilistic recall loss) —
+    the scalable trick is candidate generation through the shingle inverted
+    index (pairs must share >= 1 shingle) instead of a cross join, so cost
+    is sum over shingles of df^2, not |docs|^2. max_shingle_df drops
+    boilerplate shingles (df above the cap) from candidate GENERATION only
+    — verification still counts them — the same hot-key bound as the LSH
+    bucket cap; pairs sharing ONLY capped shingles are missed, which at a
+    high threshold are boilerplate-dominated pairs the near-dup pass
+    handles. Set max_shingle_df=None for fully exact (small corpora)."""
+    sh = shingles(corpus, n=n, id_col=id_col, text_col=text_col, analyzer=analyzer)
+    gen = sh
+    if max_shingle_df is not None:
+        dfs = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+        gen = sh.join(
+            dfs.where(F.col("_df") <= max_shingle_df).select("shingle"), "shingle"
+        )
+    cand = (
+        gen.alias("l")
+        .join(gen.alias("r"), "shingle")
+        .where(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(
+            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    return jaccard_pairs(sh, cand).where(F.col("jaccard") >= threshold)
+
+
 def simhash_fingerprints(corpus: DataFrame, id_col: str = "doc_id",
                          text_col: str = "text", analyzer: str = "simple") -> DataFrame:
     """(doc_id, simhash): tf-weighted 64-bit SimHash — pure JVM column

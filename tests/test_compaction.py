@@ -243,3 +243,35 @@ def test_random_merge_sequences_preserve_search(spark, tmp_path, seed):
         assert _runs(idx, queries, k=20) == before
         assert idx.docmap.count() == n_docs
         assert sum(r["n_postings"] for r in idx.manifest.collect()) == total_postings
+
+
+def test_plan_compaction_properties():
+    """Pure-function invariants under randomized manifests: planned groups
+    are disjoint, subsets of the input, sized within [min_merge, max_merge],
+    and tier-homogeneous (no giant-with-tiny merges)."""
+    import random
+
+    from openmatch_spark.index.compact import plan_compaction
+
+    rng = random.Random(99)
+    for _ in range(50):
+        rows = [
+            {"shard": s, "n_docs": rng.choice([1, 7, 42, 300, 5_000, 80_000, 2_000_000])}
+            for s in range(rng.randrange(1, 12))
+        ]
+        mn, mx = 2, rng.randrange(2, 6)
+        plan = plan_compaction(rows, tier_factor=10, min_merge=mn, max_merge=mx)
+        seen = set()
+        size_of = {r["shard"]: r["n_docs"] for r in rows}
+        for group in plan:
+            assert mn <= len(group) <= mx
+            assert not (set(group) & seen)  # disjoint
+            seen.update(group)
+            assert set(group) <= set(size_of)
+            tiers = {len(str(max(size_of[s], 1))) for s in group}
+            assert len(tiers) == 1  # tier-homogeneous (power-of-10 tiers)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="tier_factor"):
+        plan_compaction([{"shard": 0, "n_docs": 10}], tier_factor=1)

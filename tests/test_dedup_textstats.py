@@ -253,3 +253,21 @@ def test_curate_corpus_reasons_partition(spark):
     assert out["1"] == (1, None, None)
     assert out["2"] == (0, "exact", "1")
     assert out["5"][0] == 1
+
+
+def test_ngram_jaccard_cap_semantics(spark):
+    """Exact join finds the clone pair; with every shingle over the df cap,
+    candidate generation goes empty (boilerplate-only pairs are the LSH
+    oversized-bucket regime, not the exact join's)."""
+    from openmatch_spark.operators.dedup import ngram_jaccard_join
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta"),
+        (3, "one two three four five six seven eight nine"),
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    out = ngram_jaccard_join(corpus, n=3, threshold=0.9, max_shingle_df=None).collect()
+    assert [(r["doc_a"], r["doc_b"], r["jaccard"]) for r in out] == [("1", "2", 1.0)]
+    # df cap of 1 excludes every shared shingle from candidate generation
+    assert ngram_jaccard_join(corpus, n=3, threshold=0.9, max_shingle_df=1).count() == 0

@@ -176,11 +176,17 @@ def suite() -> dict:
     # one, verify search is value-identical — tracks the decode→remap→re-pack
     # merge cost per round. (The merged single-segment index also packs
     # denser: longer per-term runs → fewer partial blocks → ~2x smaller.)
-    from openmatch_spark.index import compact_index, load_index as _load
+    from openmatch_spark.index import compact_index
 
-    pre_rows = search(idx, queries, k=10).count()
+    def _run_set(ix):
+        return sorted(
+            (r["query_id"], r["rank"], r["doc_id"], r["score"])
+            for r in search(ix, queries, k=10).collect()
+        )
+
+    pre_run = _run_set(idx)
     timings["compact_all"], _ = _timed(lambda: compact_index(spark, idx_dir))
-    assert search(_load(spark, idx_dir), queries, k=10).count() == pre_rows
+    assert _run_set(load_index(spark, idx_dir)) == pre_run
 
     total = sum(v for v in timings.values())
     out = {

@@ -241,12 +241,18 @@ def build_index(
     table_prefix: str | None = None,
     table_format: str | None = None,
     extend_dictionary: bool = False,
+    shard_override: int | None = None,
 ) -> dict:
     """Scoped-conf wrapper around the build body: shuffle partitioning and
     partition-overwrite mode are session confs the build must set, so they
     are captured here and restored in a finally — success OR failure — on
     the session that executes the writes (the pages DataFrame's own session;
-    see the clone note in the body)."""
+    see the clone note in the body).
+
+    shard_override pins EVERY doc in `pages` into that single shard id
+    instead of hashing across num_shards — the incremental-ingest path
+    (streaming/incremental.py) appends each micro-batch as one new shard
+    this way. num_shards must still cover the id (override < num_shards)."""
     from openmatch_spark.session import scoped_confs
 
     sess = pages.sparkSession or spark
@@ -256,7 +262,7 @@ def build_index(
             spark, pages, index_dir, analyzer, num_shards, num_term_buckets,
             block_size, k1, b, shard_batch_size, resume, fail_after_batches,
             timings, shuffle_partitions, table_prefix, table_format,
-            extend_dictionary,
+            extend_dictionary, shard_override,
         )
 
 
@@ -278,6 +284,7 @@ def _build_index_body(
     table_prefix: str | None,
     table_format: str | None,
     extend_dictionary: bool = False,
+    shard_override: int | None = None,
 ) -> dict:
     """Build (or resume) the BM25 index at index_dir. Returns stats dict.
 
@@ -319,9 +326,16 @@ def _build_index_body(
     def _mark(name, t0):
         t[name] = t.get(name, 0.0) + (time.time() - t0)
 
-    corpus = extract_corpus(pages, analyzer=analyzer).withColumn(
-        "shard", shard_col(F.col("doc_id"), num_shards)
+    if shard_override is not None and not (0 <= shard_override < num_shards):
+        raise ValueError(
+            f"shard_override={shard_override} outside 0..{num_shards - 1}"
+        )
+    shard_expr = (
+        F.lit(shard_override).cast("int")
+        if shard_override is not None
+        else shard_col(F.col("doc_id"), num_shards)
     )
+    corpus = extract_corpus(pages, analyzer=analyzer).withColumn("shard", shard_expr)
     corpus.persist()
 
     # tf is THE shared intermediate: the dictionary (df = rows per term,
@@ -418,7 +432,10 @@ def _build_index_body(
             done = {r["shard"] for r in store.read("manifest").select("shard").distinct().collect()}
         except Exception:
             done = set()
-    todo = [s for s in range(num_shards) if s not in done]
+    all_shards = (
+        [shard_override] if shard_override is not None else list(range(num_shards))
+    )
+    todo = [s for s in all_shards if s not in done]
     batch = shard_batch_size or len(todo) or 1
     batches = [todo[i : i + batch] for i in range(0, len(todo), batch)]
 

@@ -107,9 +107,10 @@ def plan_compaction(
 
     manifest_rows: iterable with `shard` and `n_docs` fields (Rows or
     tuples via ._asdict-compatible access). Returns a list of shard-id
-    groups; run each through compact_index, largest-tier first (each merge
-    may promote the result into a higher tier — call plan+compact in a loop
-    until the plan is empty to fully settle)."""
+    groups ordered smallest tier first (the order compact_auto executes:
+    folding tiny streaming segments away first is what each merge pays for;
+    a merge may promote its result into a higher tier — call plan+compact
+    in a loop until the plan is empty to fully settle)."""
     if tier_factor < 2:
         raise ValueError(f"tier_factor must be >= 2, got {tier_factor}")
 
@@ -178,12 +179,35 @@ def compact_index(
     table_prefix: str | None = None,
     table_format: str | None = None,
     timings: dict | None = None,
+    rebaseline_stats: bool = False,
 ) -> dict:
     """Merge the given committed shards (default: ALL) into one new shard.
 
     Returns {"merged": [...], "new_shard": id, "n_docs": .., "n_postings": ..}.
     Search results over the index are identical before and after
     (property-tested in tests/test_compaction.py).
+
+    rebaseline_stats=True (requires merging ALL committed shards) fixes the
+    one remaining way an incrementally grown index diverges from a fresh
+    build: incremental drains freeze N/avgdl/idf at base-build values
+    (streaming/incremental.py), so scores drift as the corpus grows.
+    Rebaseline recomputes N/avgdl/df/idf over the merged corpus and
+    re-weights every posting payload during the existing decode → re-pack
+    pass — tf is recovered exactly from the stored weight by inverting the
+    BM25 weight formula with the OLD statistics (w = idf·tf/(tf+K) ⇒
+    tf = round(w·K/(idf−w)), exact for any realistic tf at float64), then
+    re-weighted with the NEW ones using the byte-identical build
+    expression. After compact(rebaseline_stats=True), search scores,
+    dictionary rows, and stats.json are identical to a one-shot
+    build_index over the union corpus (tested).
+
+    Commit order under rebaseline: postings (invisible) → manifest →
+    dictionary → stats.json → retire old dirs. Search correctness never
+    depends on dictionary idf or stats.avgdl (payloads carry final
+    weights), so a crash inside the tail of that sequence leaves a
+    SEARCH-correct index whose dictionary/stats lag one rebaseline — the
+    same staleness class as not having run it; re-running compaction
+    converges. On Iceberg the table writes are snapshot-atomic each.
     """
     t = timings if timings is not None else {}
     store = IndexStorage.resolve(
@@ -197,9 +221,44 @@ def compact_index(
     missing = set(merge) - set(committed)
     if missing:
         raise ValueError(f"shards not in manifest: {sorted(missing)}")
-    new_shard = max(committed) + 1
     stats = store.read_stats()
+    # refuse to compact a PARTIALLY built index: build resume tracks the
+    # base range 0..num_shards-1 by id in the manifest, so retiring a base
+    # shard id mid-build makes resume re-index those docs (duplicates), and
+    # allocating the merged id inside the base range would make resume skip
+    # real work (silent loss). Compaction is only sound once every base
+    # shard is committed. (Incremental shards beyond the base range are
+    # fine — they are never in resume's todo set.)
+    base = set(range(int(stats["num_shards"])))
+    if not base.issubset(committed):
+        # base ids absent from the manifest are legitimate ONLY if an
+        # earlier compaction retired them — the append-only metrics log is
+        # the lineage that proves the base build once committed them
+        # (build batches log batch_id >= 0 with their shard list)
+        built: set[int] = set()
+        if store.exists("metrics"):
+            for r in (
+                store.read("metrics")
+                .where(F.col("batch_id") >= 0)
+                .select("shards")
+                .collect()
+            ):
+                built |= {int(s) for s in str(r["shards"]).split(",") if s}
+        if not base.issubset(built | set(committed)):
+            raise ValueError(
+                f"refusing to compact partially built index: base shards "
+                f"{sorted(base - set(committed) - built)} never committed "
+                f"(num_shards={stats['num_shards']}, committed={committed}) — "
+                "finish build_index(resume=True) first"
+            )
+    new_shard = max(max(committed) + 1, int(stats["num_shards"]))
     block_size = int(stats["block_size"])
+    if rebaseline_stats and set(merge) != set(committed):
+        raise ValueError(
+            "rebaseline_stats requires compacting ALL committed shards "
+            f"(got {merge}, committed {committed}): re-weighting only a "
+            "subset would mix two statistics baselines in one index"
+        )
 
     from openmatch_spark.session import scoped_confs
 
@@ -237,7 +296,7 @@ def compact_index(
         occ_new = Window.partitionBy("doc_id").orderBy("doc_ord")
         ord_map = (
             old_docmap.select(
-                "shard", "doc_ord", "doc_id",
+                "shard", "doc_ord", "doc_id", "doclen",
                 F.row_number().over(occ_old).alias("occ"),
             )
             .join(
@@ -257,13 +316,91 @@ def compact_index(
                 "shard int, term string, term_bucket int, doc_ord long, weight double",
             )
         )
-        rekeyed = decoded.join(ord_map, ["shard", "doc_ord"]).select(
-            F.lit(new_shard).cast("int").alias("shard"),
-            "term",
-            "term_bucket",
-            F.col("new_ord").alias("doc_ord"),
-            "weight",
-        )
+        recovered = dict_new = None
+        if rebaseline_stats:
+            from openmatch_spark.index.build import term_bucket_col
+
+            g = new_docmap.agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.avg("doclen").alias("avgdl"),
+                F.sum("doclen").alias("total_terms"),
+            ).collect()[0]
+            n_docs_new = int(g["n_docs"])
+            avgdl_new = float(g["avgdl"]) if g["avgdl"] is not None else 0.0
+            avgdl_old = float(stats["avgdl"]) or 1.0
+            k1, b = float(stats["k1"]), float(stats["b"])
+            # invert the index-time weight with the OLD stats to recover tf
+            # exactly (w = idf*tf/(tf+K) => tf = w*K/(idf-w); float64 error
+            # stays far below 0.5 for any realistic tf — property-tested)
+            k_old = F.lit(k1) * (
+                F.lit(1.0 - b) + F.lit(b) * F.col("doclen") / F.lit(avgdl_old)
+            )
+            recovered = (
+                decoded.join(ord_map, ["shard", "doc_ord"])
+                .join(
+                    store.read("dictionary").select(
+                        "term", F.col("idf").alias("_idf_old")
+                    ),
+                    "term",
+                )
+                .select(
+                    F.lit(new_shard).cast("int").alias("shard"),
+                    "term",
+                    "term_bucket",
+                    F.col("new_ord").alias("doc_ord"),
+                    "doclen",
+                    F.round(
+                        F.col("weight") * k_old / (F.col("_idf_old") - F.col("weight"))
+                    ).alias("tf"),
+                )
+            )
+            recovered.persist()
+            # NEW dictionary over the merged corpus — the byte-identical
+            # expressions a fresh build uses (index/build.py STATS phase)
+            dict_new = (
+                recovered.groupBy("term")
+                .agg(
+                    F.count(F.lit(1)).alias("df"),
+                    F.sum("tf").cast("long").alias("cf"),
+                )
+                .select(
+                    "term",
+                    "df",
+                    "cf",
+                    F.log(
+                        F.lit(1.0)
+                        + (F.lit(float(n_docs_new)) - F.col("df") + 0.5)
+                        / (F.col("df") + 0.5)
+                    ).alias("idf"),
+                    term_bucket_col(
+                        F.col("term"), int(stats["num_term_buckets"])
+                    ).alias("term_bucket"),
+                )
+            )
+            avgdl_w = avgdl_new if avgdl_new else 1.0
+            rekeyed = recovered.join(dict_new.select("term", "idf"), "term").select(
+                "shard",
+                "term",
+                "term_bucket",
+                "doc_ord",
+                (
+                    F.col("idf")
+                    * F.col("tf")
+                    / (
+                        F.col("tf")
+                        + F.lit(k1)
+                        * (F.lit(1.0 - b) + F.lit(b) * F.col("doclen") / F.lit(avgdl_w))
+                    )
+                ).alias("weight"),
+            )
+        else:
+            rekeyed = decoded.join(ord_map, ["shard", "doc_ord"]).select(
+                F.lit(new_shard).cast("int").alias("shard"),
+                "term",
+                "term_bucket",
+                F.col("new_ord").alias("doc_ord"),
+                "weight",
+            )
         n_out = max(
             2 * spark.sparkContext.defaultParallelism,
             store.read("postings").rdd.getNumPartitions(),
@@ -300,8 +437,23 @@ def compact_index(
              int(summary["n_postings"] or 0), float(now))
         )
         store.overwrite(spark.createDataFrame(kept, MANIFEST_SCHEMA), "manifest")
+        if rebaseline_stats:
+            # after the manifest: search is already correct (payloads carry
+            # the new weights); dictionary/stats follow, old dirs last so a
+            # recompute of the persisted frame can still read its lineage
+            store.overwrite(dict_new, "dictionary", stage=True)
+            store.write_stats(
+                dict(
+                    stats,
+                    n_docs=n_docs_new,
+                    avgdl=avgdl_new,
+                    total_terms=int(g["total_terms"] or 0),
+                )
+            )
         store.delete_partitions("postings", "shard", merge)
         store.delete_partitions("docmap", "shard", merge)
+        if recovered is not None:
+            recovered.unpersist()
         t["commit_sec"] = time.time() - t0
 
         metrics_row = (

@@ -155,15 +155,30 @@ class IndexStorage:
         postings). V1 session-catalog insertInto rejects self-read-write
         plans outright, so the staged path materializes df to a scratch
         parquet dir next to stats.json (shared storage in every deployment,
-        same assumption stats.json itself makes) and re-reads it. Path mode
-        and Iceberg need no staging (dynamic overwrite stages internally /
-        snapshot isolation).
+        same assumption stats.json itself makes) and re-reads it. Iceberg
+        needs no staging (snapshot isolation). Path mode: partitioned
+        dynamic overwrites stage internally; a NON-partitioned self-read
+        overwrite (the rebaseline dictionary rewrite) would trip Spark's
+        cannot-overwrite-path-being-read check, so it writes to scratch and
+        atomically swaps the directory (one write, one rename — no
+        read-back).
         """
         dynamic = (
             self.spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
             .lower()
             == "dynamic"
         )
+        if stage and not self.is_table_mode and not partition_by:
+            import os
+            import shutil
+
+            target = getattr(self.paths, kind)
+            scratch = os.path.join(self.paths.root, f"_stage_{kind}")
+            shutil.rmtree(scratch, ignore_errors=True)
+            df.write.mode("overwrite").parquet(scratch)
+            shutil.rmtree(target, ignore_errors=True)
+            os.rename(scratch, target)
+            return
         if stage and self.is_table_mode and not self._v2:
             import os
             import shutil

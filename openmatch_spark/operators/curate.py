@@ -52,8 +52,14 @@ def curate_corpus(
         quality_col(F.col(text_col)).alias("quality"),
     )
 
-    lang_ok = F.col("pred_lang").isin(list(langs))
-    qual_ok = F.col("quality") >= F.lit(float(min_quality))
+    # null-safe gates: a NULL text yields NULL pred_lang/quality, and a NULL
+    # predicate fails BOTH `where(g)` and `where(~g)` — the row would vanish
+    # from every branch, breaking the one-verdict-row-per-input-row contract.
+    # Coalescing to False gives NULL-text docs a deterministic 'lang' drop.
+    lang_ok = F.coalesce(F.col("pred_lang").isin(list(langs)), F.lit(False))
+    qual_ok = F.coalesce(
+        F.col("quality") >= F.lit(float(min_quality)), F.lit(False)
+    )
 
     lang_drops = scored.where(~lang_ok).select(
         "doc_id",

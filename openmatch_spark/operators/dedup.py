@@ -95,13 +95,22 @@ def _capped_bucket_pairs(buckets: DataFrame, key_cols: list[str],
     than max_bucket. The cap is what keeps LSH linear at web scale: one
     boilerplate bucket of 1M docs would otherwise emit ~5*10^11 pairs. A
     bucket that big is a near-certain duplicate GROUP — consume it via
-    oversized_buckets() as a group instead of pairwise."""
+    oversized_buckets() as a group instead of pairwise.
+
+    The cap rides the shuffle the pair join needs anyway: a window
+    count(*) over the bucket keys counts and filters in ONE exchange
+    hash-partitioned on key_cols (reused by both join sides), instead of a
+    second groupBy aggregation plus a semi-join back. A hot bucket lands in
+    one window task, but counting it is linear — the quadratic pair
+    explosion is what the filter then prevents."""
     if max_bucket is not None:
-        sizes = buckets.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("_bsz"))
-        buckets = buckets.join(
-            sizes.where(F.col("_bsz") <= max_bucket).select(*key_cols),
-            key_cols,
-            "left_semi",
+        from pyspark.sql import Window as _W
+
+        w = _W.partitionBy(*key_cols)
+        buckets = (
+            buckets.withColumn("_bsz", F.count(F.lit(1)).over(w))
+            .where(F.col("_bsz") <= max_bucket)
+            .drop("_bsz")
         )
     left = buckets.alias("l")
     right = buckets.alias("r")
@@ -355,6 +364,69 @@ def simhash_oversized_groups(
     )
 
 
+def connected_components_min_label(
+    edges: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iters: int = 50,
+) -> DataFrame:
+    """(doc_id, component) for every vertex in `edges`: component = the
+    smallest doc_id reachable over the undirected edge set — union-find
+    canonical-group semantics, computed as distributed min-label propagation
+    with pointer jumping (label(x) also adopts label(label(x)) each round,
+    so convergence is O(log longest-chain) rounds, not O(chain)).
+
+    Each round is one edge join + min-agg + one label self-join; the frame
+    is localCheckpoint-ed per round because iterative lineage otherwise
+    grows exponentially (the standard Spark iterative-algorithm idiom —
+    GraphFrames' CC does the same). At 100 TB the cost is rounds x one
+    shuffle of the EDGE set (near-dup graphs: |edges| << |corpus|), never a
+    shuffle of the corpus itself.
+    """
+    und = (
+        edges.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+        .union(edges.select(F.col(b_col).alias("a"), F.col(a_col).alias("b")))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        und.select(F.col("a").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        msgs = und.join(labels.withColumnRenamed("doc_id", "a"), "a").select(
+            F.col("b").alias("doc_id"), "label"
+        )
+        new = (
+            labels.unionByName(msgs)
+            .groupBy("doc_id")
+            .agg(F.min("label").alias("label"))
+        )
+        # pointer jump (path halving): x's label also adopts its label's label
+        hop = new.select(
+            F.col("doc_id").alias("label"), F.col("label").alias("_label2")
+        )
+        new = (
+            new.join(hop, "label", "left")
+            .select(
+                "doc_id", F.coalesce("_label2", F.col("label")).alias("label")
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.join(labels.withColumnRenamed("label", "_old"), "doc_id")
+            .where(F.col("label") != F.col("_old"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.withColumnRenamed("label", "component")
+
+
 def deduplicate_corpus(
     corpus: DataFrame,
     id_col: str = "doc_id",
@@ -365,6 +437,7 @@ def deduplicate_corpus(
     num_bands: int = 4,
     jaccard_threshold: float = 0.8,
     max_bucket: int = 1000,
+    closure: bool = False,
 ) -> DataFrame:
     """One-call corpus dedup: (doc_id, keep, reason, dup_of).
 
@@ -380,6 +453,14 @@ def deduplicate_corpus(
 
     reason: 'exact' | 'near' | 'bucket' for drops, null for keeps. At
     100 TB every stage is a bounded hash join/agg; nothing is quadratic.
+
+    closure=True switches from the greedy local-min rule to union-find
+    canonical groups (connected_components_min_label over the union of
+    exact/verified-near/bucket edges): every dup_of then names a KEPT doc
+    (the component minimum), chains A~B~C resolve to one root, and a doc
+    with no direct smaller neighbor but a smaller component minimum is
+    dropped too (reason 'near' when no direct-edge reason applies). Costs
+    O(log chain) extra edge-set shuffles; default stays the one-pass rule.
     """
     ids = corpus.select(F.col(id_col).cast("string").alias("doc_id"))
 
@@ -425,10 +506,13 @@ def deduplicate_corpus(
     bstats = bands.groupBy("band", "band_hash").agg(
         F.count(F.lit(1)).alias("_n"), F.min("doc_id").alias("_canon")
     )
-    drop_bucket = (
+    bucket_pairs = (
         bands.join(bstats.where(F.col("_n") > max_bucket), ["band", "band_hash"])
         .where(F.col("doc_id") != F.col("_canon"))
-        .groupBy("doc_id")
+        .select("doc_id", "_canon")
+    )
+    drop_bucket = (
+        bucket_pairs.groupBy("doc_id")
         .agg(F.min("_canon").alias("dup_of"))
         .withColumn("reason", F.lit("bucket"))
     )
@@ -444,6 +528,38 @@ def deduplicate_corpus(
         .where(F.col("_rn") == 1)
         .drop("_rn")
     )
+    if closure:
+        # union-find canonical groups: the duplicate GRAPH is the union of
+        # exact member->canon edges, verified near-dup pairs, and oversized-
+        # bucket member->canon edges; component = min reachable id. dup_of
+        # always names the kept component root; reason keeps the direct-edge
+        # reason where one exists ('near' for purely transitive drops).
+        edges = (
+            drop_exact.select(F.col("doc_id").alias("doc_a"), F.col("dup_of").alias("doc_b"))
+            .unionByName(verified.select("doc_a", "doc_b"))
+            .unionByName(
+                bucket_pairs.select(
+                    F.col("doc_id").alias("doc_a"), F.col("_canon").alias("doc_b")
+                )
+            )
+        )
+        comp = connected_components_min_label(edges)
+        return (
+            ids.join(comp, "doc_id", "left")
+            .join(drops.select("doc_id", "reason"), "doc_id", "left")
+            .select(
+                "doc_id",
+                (F.col("component").isNull() | (F.col("component") == F.col("doc_id"))).alias("keep"),
+                F.when(
+                    F.col("component").isNotNull() & (F.col("component") != F.col("doc_id")),
+                    F.coalesce("reason", F.lit("near")),
+                ).alias("reason"),
+                F.when(
+                    F.col("component").isNotNull() & (F.col("component") != F.col("doc_id")),
+                    F.col("component"),
+                ).alias("dup_of"),
+            )
+        )
     return ids.join(drops, "doc_id", "left").select(
         "doc_id",
         F.col("reason").isNull().alias("keep"),

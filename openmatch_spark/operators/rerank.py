@@ -93,14 +93,35 @@ def rerank(
 
 def rerank_bm25(index, run: DataFrame, corpus: DataFrame, queries: DataFrame,
                 depth: int | None = None) -> DataFrame:
-    """Exact-BM25 rerank against a BM25Index's frozen statistics."""
+    """Exact-BM25 rerank against a BM25Index's frozen statistics.
+
+    Query texts tokenize driver-side below the same threshold the search
+    path uses (query/bm25_search.py _DISTRIBUTED_TOKENIZE_MIN_QUERIES);
+    above it, tokenization fans out to executors and only the DISTINCT
+    query vocabulary — bounded by dictionary size, not batch size — comes
+    back to build the broadcast term-stats table."""
     from collections import Counter
 
-    from openmatch_spark.analysis import tokenize_py
+    from openmatch_spark.analysis import tokenize_col, tokenize_py
+    from openmatch_spark.query.bm25_search import (
+        _DISTRIBUTED_TOKENIZE_MIN_QUERIES,
+    )
 
-    qterms: set[str] = set()
-    for row in queries.select("text").collect():
-        qterms |= set(Counter(tokenize_py(row["text"], index.stats["analyzer"])))
+    analyzer = index.stats["analyzer"]
+    head = queries.select("text").take(_DISTRIBUTED_TOKENIZE_MIN_QUERIES + 1)
+    if len(head) > _DISTRIBUTED_TOKENIZE_MIN_QUERIES:
+        qterms = {
+            r["term"]
+            for r in queries.select(
+                F.explode(tokenize_col(F.col("text"), analyzer)).alias("term")
+            )
+            .distinct()
+            .collect()
+        }
+    else:
+        qterms = set()
+        for row in head:
+            qterms |= set(Counter(tokenize_py(row["text"], analyzer)))
     rows = (
         index.dictionary.where(F.col("term").isin(sorted(qterms)))
         .select("term", "df", "idf")

@@ -198,10 +198,10 @@ def winnow_fingerprints(
 
 
 def fingerprints(corpus: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-                 analyzer: str = "simple") -> DataFrame:
+                 analyzer: str = "simple", k: int = 5, w: int = 4) -> DataFrame:
     """(doc_id, fingerprint array<long>) winnowing sketches — array form of
     winnow_fingerprints; docs too short for any k-gram get an empty array."""
-    picks = winnow_fingerprints(corpus, id_col, text_col, analyzer)
+    picks = winnow_fingerprints(corpus, id_col, text_col, analyzer, k=k, w=w)
     agg = picks.groupBy("doc_id").agg(
         F.array_sort(F.collect_set("fp_hash")).alias("fingerprint")
     )

@@ -60,26 +60,54 @@ def _normalize_rows(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
+def _queries_to_matrix(
+    queries, vec_col: str = "embedding"
+) -> tuple[list[str], np.ndarray]:
+    """Accept queries as list[(qid, vector)] OR a DataFrame(query_id,
+    embedding); returns (qids, float64 matrix)."""
+    if isinstance(queries, DataFrame):
+        pdf = queries.select(
+            F.col("query_id").cast("string").alias("query_id"), vec_col
+        ).toPandas()
+        qids = pdf["query_id"].tolist()
+        Q = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]],
+            dtype=np.float64,
+        )
+        return qids, Q
+    return [q[0] for q in queries], np.asarray(
+        [q[1] for q in queries], dtype=np.float64
+    )
+
+
 def brute_force_topk(
     embeddings: DataFrame,
-    queries: list[tuple[str, list[float]]],
+    queries,
     k: int = 10,
     metric: str = "cosine",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int | None = None,
 ) -> DataFrame:
-    """Exact top-k (query_id, vec_id, score, rank) for a small query set.
+    """Exact top-k (query_id, vec_id, score, rank).
 
-    queries ride to executors in the UDF closure (the reference broadcasts
-    encoded queries the same way, dense_retriever.py:226-241).
+    queries: list[(qid, vector)] — the small-batch/p50 path, riding to
+    executors in the UDF closure (the reference materializes encoded
+    queries driver-side the same way, dense_retriever.py:226-241) — or a
+    DataFrame(query_id, embedding) for large batches, where the matrix is
+    shipped ONCE per executor as a torrent broadcast variable instead of
+    being re-serialized into every task's closure. Row-identical either way
+    (same kernel, same float64 matmul, same tie-break; tested).
     """
-    qids = [q[0] for q in queries]
-    Q = np.asarray([q[1] for q in queries], dtype=np.float64)
+    sc = embeddings.sparkSession.sparkContext
+    qids, Q = _queries_to_matrix(queries, vec_col="embedding" if isinstance(queries, DataFrame) else vec_col)
     if metric == "cosine":
         Q = _normalize_rows(Q)
+    bc = sc.broadcast((qids, Q)) if isinstance(queries, DataFrame) else None
+    closure = None if bc is not None else (qids, Q)
 
     def score_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qids_, Q_ = bc.value if bc is not None else closure
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -88,13 +116,13 @@ def brute_force_topk(
             )
             if metric == "cosine":
                 M = _normalize_rows(M)
-            S = Q @ M.T  # (nq, batch)
+            S = Q_ @ M.T  # (nq, batch)
             kk = min(k, S.shape[1])
             idx = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
             rows = {"query_id": [], "vec_id": [], "score": []}
             ids = pdf[id_col].astype(str).to_numpy()
             for qi in range(S.shape[0]):
-                rows["query_id"].extend([qids[qi]] * kk)
+                rows["query_id"].extend([qids_[qi]] * kk)
                 rows["vec_id"].extend(ids[idx[qi]])
                 rows["score"].extend(S[qi, idx[qi]])
             yield pd.DataFrame(rows)
@@ -195,7 +223,7 @@ def assign_buckets(
 
 def ivf_topk(
     bucketed: DataFrame,
-    queries: list[tuple[str, list[float]]],
+    queries,
     dim: int,
     k: int = 10,
     n_centroids: int = 16,
@@ -207,7 +235,19 @@ def ivf_topk(
     """Approximate top-k scanning only each query's nprobe nearest buckets.
 
     Probe order is (cosine DESC, centroid_id ASC) — stable argsort, so ties
-    resolve identically to the SQL oracle's window ordering."""
+    resolve identically to the SQL oracle's window ordering.
+
+    queries: list[(qid, vector)] (small-batch closure path) or a
+    DataFrame(query_id, embedding) — the DataFrame path (ivf_topk_df) is
+    fully distributed: probe assignment runs executor-side and queries meet
+    the corpus through a cogroup ON bucket, so neither the corpus nor the
+    query set ever materializes on the driver. Row-identical results
+    (tested)."""
+    if isinstance(queries, DataFrame):
+        return ivf_topk_df(
+            bucketed, queries, dim, k=k, n_centroids=n_centroids,
+            nprobe=nprobe, seed=seed, centroids=centroids, round_to=round_to,
+        )
     C = _normalize_rows(centroids) if centroids is not None else _centroids(dim, n_centroids, seed)
     qids = [q[0] for q in queries]
     Q = _normalize_rows(np.asarray([q[1] for q in queries], dtype=np.float64))
@@ -245,6 +285,119 @@ def ivf_topk(
 
     partial = scan.select("vec_id", "embedding", "bucket").mapInPandas(
         score_partition, TOPK_SCHEMA
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    out = (
+        partial.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "score", "rank")
+    )
+    if round_to is not None:
+        out = out.withColumn("score", F.round("score", round_to))
+    return out
+
+
+def ivf_topk_df(
+    bucketed: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+    centroids: np.ndarray | None = None,
+    round_to: int | None = None,
+    bucket_splits: int = 1,
+) -> DataFrame:
+    """Fully distributed IVF top-k for LARGE query batches.
+
+    Dataflow (the 100 TB shape — nothing driver-bound, nothing closure-
+    bound beyond the small centroid table):
+
+      queries ─mapInPandas (argmax vs broadcast centroids)─► nprobe
+        (query_id, embedding, bucket) probe rows
+      corpus(bucket) cogroup probes(bucket) ─applyInPandas matmul─►
+        per-cell candidates ─window (score DESC, vec_id ASC)─► top-k
+
+    Each query meets ONLY its probed cells (exact IVF semantics, same as
+    the closure kernel's per-query mask); the corpus shuffles once, keyed
+    by its storage key `bucket` — with the corpus bucketed/pre-partitioned
+    on disk that exchange disappears entirely. Queries (the small side)
+    replicate nprobe times.
+
+    bucket_splits > 1 salts hot cells: corpus rows sub-split by
+    hash(vec_id) % splits, probe rows replicated per split — per-task
+    matmul state drops by the split factor while results stay identical
+    (every (query, cell-vector) pair still scored exactly once).
+    """
+    C = _normalize_rows(centroids) if centroids is not None else _centroids(dim, n_centroids, seed)
+    nprobe_ = nprobe
+    splits = max(int(bucket_splits), 1)
+
+    def probe_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Qm = _normalize_rows(
+                np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+            )
+            order = np.argsort(-(Qm @ C.T), axis=1, kind="stable")[:, :nprobe_]
+            out = pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].astype(str).to_numpy().repeat(nprobe_),
+                    "embedding": [list(map(float, v)) for v in pdf["embedding"] for _ in range(nprobe_)],
+                    "bucket": order.reshape(-1).astype("int32"),
+                }
+            )
+            yield out
+
+    # probe rows carry the query vector at array<double>: narrowing to
+    # float32 here would silently perturb scores vs the closure path
+    probes = queries.select(
+        F.col("query_id").cast("string").alias("query_id"), "embedding"
+    ).mapInPandas(probe_fn, "query_id string, embedding array<double>, bucket int")
+
+    corpus = bucketed.select("vec_id", "embedding", "bucket")
+    if splits > 1:
+        corpus = corpus.withColumn(
+            "_salt", F.pmod(F.xxhash64("vec_id"), F.lit(splits)).cast("int")
+        )
+        probes = probes.crossJoin(
+            F.broadcast(
+                probes.sparkSession.range(splits).select(
+                    F.col("id").cast("int").alias("_salt")
+                )
+            )
+        )
+        keys = ["bucket", "_salt"]
+    else:
+        keys = ["bucket"]
+
+    def score_cell(corpus_pdf: pd.DataFrame, q_pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(corpus_pdf) or not len(q_pdf):
+            return pd.DataFrame({"query_id": [], "vec_id": [], "score": []})
+        M = _normalize_rows(
+            np.asarray([np.asarray(v, dtype=np.float64) for v in corpus_pdf["embedding"]])
+        )
+        Qm = _normalize_rows(
+            np.asarray([np.asarray(v, dtype=np.float64) for v in q_pdf["embedding"]])
+        )
+        S = Qm @ M.T
+        kk = min(k, S.shape[1])
+        idx = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
+        ids = corpus_pdf["vec_id"].astype(str).to_numpy()
+        qids = q_pdf["query_id"].astype(str).to_numpy()
+        rows = {"query_id": [], "vec_id": [], "score": []}
+        for qi in range(S.shape[0]):
+            rows["query_id"].extend([qids[qi]] * kk)
+            rows["vec_id"].extend(ids[idx[qi]])
+            rows["score"].extend(S[qi, idx[qi]])
+        return pd.DataFrame(rows)
+
+    partial = (
+        corpus.groupBy(*keys)
+        .cogroup(probes.groupBy(*keys))
+        .applyInPandas(score_cell, TOPK_SCHEMA)
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
     out = (

@@ -144,8 +144,11 @@ def _session_fn(gap_seconds: int):
         else:
             rows = pd.concat(list(pdfs))
             rows = rows.sort_values("ts")
-            ts_us = (rows["ts"].astype("int64")).tolist()  # ns -> see below
-            ts_us = [t // 1000 for t in ts_us]
+            # pin the epoch unit explicitly: a bare astype("int64") yields
+            # whatever resolution the Arrow->pandas path delivered (ns
+            # today, us under pandas-2 resolution-preserving conversion) and
+            # a silent unit change would shrink every gap 1000x
+            ts_us = rows["ts"].astype("datetime64[us]").astype("int64").tolist()
             vals = rows["value"].tolist()
             if state.exists:
                 s0, s1, n, v = state.get

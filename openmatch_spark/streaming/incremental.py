@@ -55,35 +55,47 @@ def incremental_index_available_now(
         mx = store.read("manifest").agg(F.max("shard")).collect()[0][0]
         n_existing = int(mx) + 1 if mx is not None else int(stats["num_shards"])
     else:
+        # a manifest can be legitimately absent only on a pre-manifest-era
+        # index, whose shard ids all live in 0..num_shards-1. Postings dirs
+        # with ids >= num_shards prove prior drains/compactions COMMITTED a
+        # manifest that has since gone missing (e.g. a crash inside the
+        # path-mode manifest rewrite, which is delete-then-write): falling
+        # back to stats.num_shards would re-issue those ids and the resume
+        # logic would silently skip the new docs as already-committed.
+        if store.exists("postings"):
+            mx_disk = (
+                store.read("postings").agg(F.max("shard")).collect()[0][0]
+            )
+            if mx_disk is not None and int(mx_disk) >= int(stats["num_shards"]):
+                raise RuntimeError(
+                    f"index at {index_dir} has postings for shard {mx_disk} "
+                    f">= num_shards={stats['num_shards']} but no manifest: "
+                    "manifest lost/corrupted (crashed rewrite?) — rebuild or "
+                    "restore the manifest; refusing to allocate shard ids"
+                )
         n_existing = int(stats["num_shards"])
     processed = {"n": 0}
 
     def handle_batch(batch_df, batch_id: int):
         if batch_df.isEmpty():
             return
-        # one new shard per micro-batch, appended after existing shards
+        # one new shard per micro-batch, appended after existing shards;
+        # shard_override pins the whole slice into that id (an explicit
+        # build_index parameter — module-global monkeypatching would break
+        # under concurrent builds sharing one driver)
         shard_id = n_existing + processed["n"]
-        pages = batch_df
-        # reuse the batch builder on this slice only, pinning its docs into
-        # the new shard by overriding num_shards/base offset
-        from openmatch_spark.index import build as b
-
-        orig = b.shard_col
-        b.shard_col = lambda col, n: F.lit(shard_id).cast("int")  # single shard
-        try:
-            build_index(
-                spark,
-                pages,
-                index_dir,
-                analyzer=analyzer or stats["analyzer"],
-                num_shards=shard_id + 1,
-                num_term_buckets=int(stats["num_term_buckets"]),
-                block_size=int(stats["block_size"]),
-                resume=True,  # keeps frozen stats.json; skips committed shards
-                extend_dictionary=True,  # new vocabulary becomes searchable
-            )
-        finally:
-            b.shard_col = orig
+        build_index(
+            spark,
+            batch_df,
+            index_dir,
+            analyzer=analyzer or stats["analyzer"],
+            num_shards=shard_id + 1,
+            num_term_buckets=int(stats["num_term_buckets"]),
+            block_size=int(stats["block_size"]),
+            resume=True,  # keeps frozen stats.json; skips committed shards
+            extend_dictionary=True,  # new vocabulary becomes searchable
+            shard_override=shard_id,
+        )
         processed["n"] += 1
 
     stream = (

@@ -195,6 +195,43 @@ def q_bm25_topk_indexed(spark, sf_dir):
     )
 
 
+def q_bm25_topk_rebaselined(spark, sf_dir):
+    """The incremental-lifecycle proof: HALF the corpus built as the base
+    index, the other half drained in as an appended shard (frozen stats +
+    extended dictionary — the exact state where incremental scores drift),
+    then compact_index(rebaseline_stats=True) re-weights every payload.
+    The search result must match the SAME ad-hoc BM25 oracle as a fresh
+    full build — DuckDB never saw the lifecycle, only the final answer."""
+    from openmatch_spark.fixtures import documents_as_pages
+    from openmatch_spark.index import build_index, compact_index, load_index
+    from openmatch_spark.query import search
+
+    key = ("rebase", sf_dir)
+    if key not in _IDX_CACHE:
+        d = tempfile.mkdtemp(prefix="om_entry_rebase_")
+        pages = documents_as_pages(spark, sf_dir)
+        half = F.pmod(F.xxhash64("url"), F.lit(2))
+        build_index(
+            spark, pages.where(half == 0), d, analyzer="simple",
+            num_shards=2, num_term_buckets=8, block_size=128,
+        )
+        build_index(
+            spark, pages.where(half == 1), d, analyzer="simple",
+            num_shards=3, num_term_buckets=8, block_size=128,
+            resume=True, extend_dictionary=True, shard_override=2,
+        )
+        compact_index(spark, d, rebaseline_stats=True)
+        _IDX_CACHE[key] = d
+    idx = load_index(spark, _IDX_CACHE[key])
+    run = search(idx, _queries_df(spark), k=10, mode="maxscore")
+    return run.select(
+        "query_id",
+        F.regexp_replace("doc_id", "^doc://", "").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+        "rank",
+    )
+
+
 def q_corpus_stats(spark, sf_dir):
     from openmatch_spark.analysis import tokenize_col_simple
 
@@ -345,6 +382,27 @@ def q_dedup_pipeline(spark, sf_dir):
     shifted = base.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
     corpus = base.unionByName(shifted)
     out = deduplicate_corpus(corpus, jaccard_threshold=0.5, max_bucket=100)
+    return out.select(
+        "doc_id", F.col("keep").cast("int").alias("keep"), "reason", "dup_of"
+    )
+
+
+def q_dedup_closure(spark, sf_dir):
+    """deduplicate_corpus(closure=True): union-find canonical groups via
+    distributed min-label propagation (operators/dedup.py:
+    connected_components_min_label) — every dup_of names a KEPT component
+    root, chains resolve; the DuckDB oracle computes the same closure with
+    a recursive CTE over the exact/near/bucket edge set."""
+    from openmatch_spark.operators.dedup import deduplicate_corpus
+
+    base = _docs(spark, sf_dir).where(F.col("doc_id") < 300).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    shifted = base.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    corpus = base.unionByName(shifted)
+    out = deduplicate_corpus(
+        corpus, jaccard_threshold=0.5, max_bucket=100, closure=True
+    )
     return out.select(
         "doc_id", F.col("keep").cast("int").alias("keep"), "reason", "dup_of"
     )
@@ -532,6 +590,41 @@ def q_knn_cosine(spark, sf_dir):
     return run
 
 
+def _query_vectors_df(spark, sf_dir, n=5):
+    """The same query vectors as _query_vectors, as a DataFrame — drives
+    the distributed dense paths (broadcast matrix / cogroup-on-bucket)."""
+    return spark.createDataFrame(
+        _query_vectors(spark, sf_dir, n=n),
+        "query_id string, embedding array<double>",
+    )
+
+
+def q_knn_cosine_df(spark, sf_dir):
+    """Large-batch brute-force KNN path: queries as a DataFrame, matrix
+    shipped as a torrent broadcast (query/dense.py) — same oracle as
+    knn_cosine because the result contract is row-identical."""
+    from openmatch_spark.query.dense import brute_force_topk
+
+    return brute_force_topk(
+        _emb(spark, sf_dir), _query_vectors_df(spark, sf_dir), k=10,
+        metric="cosine", round_to=6,
+    )
+
+
+def q_ivf_ann_df(spark, sf_dir):
+    """Fully distributed IVF path (query/dense.py:ivf_topk_df): executor-
+    side probe assignment + cogroup on bucket, queries never on the driver
+    — same oracle as ivf_ann."""
+    from openmatch_spark.query.dense import assign_buckets, ivf_topk_df
+
+    e = _emb(spark, sf_dir)
+    bucketed = assign_buckets(e, dim=DIM, n_centroids=N_CENTROIDS)
+    return ivf_topk_df(
+        bucketed, _query_vectors_df(spark, sf_dir), dim=DIM, k=10,
+        n_centroids=N_CENTROIDS, nprobe=NPROBE, round_to=6,
+    )
+
+
 def q_embedding_neardup(spark, sf_dir):
     """All-pairs cosine > 0.2 among vec_id < 150 — pure JVM column math
     (zip_with dot product), no UDF."""
@@ -701,6 +794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk": q_bm25_topk,
         "bm25_topk_indexed": q_bm25_topk_indexed,
+        "bm25_topk_rebaselined": q_bm25_topk_rebaselined,
         "corpus_stats": q_corpus_stats,
         "term_stats": q_term_stats,
         "token_counts": q_token_counts,
@@ -712,6 +806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ndcg10": q_ndcg10,
         "dedup_exact": q_dedup_exact,
         "dedup_pipeline": q_dedup_pipeline,
+        "dedup_closure": q_dedup_closure,
         "curate": q_curate,
         "ngram_jaccard": q_ngram_jaccard,
         "event_window_stats": q_event_window_stats,
@@ -723,11 +818,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "quality": q_quality,
         "knn_cosine": q_knn_cosine,
+        "knn_cosine_df": q_knn_cosine_df,
         "embedding_neardup": q_embedding_neardup,
         "trec_roundtrip": q_trec_roundtrip,
         "simhash_neardup": q_simhash_neardup,
         "winnow_fingerprints": q_winnow_fingerprints,
         "ivf_ann": q_ivf_ann,
+        "ivf_ann_df": q_ivf_ann_df,
         "media_features": q_media_features,
         "accuracy_at_k": q_accuracy_at_k,
         "combine_negatives": q_combine_negatives,
@@ -750,6 +847,9 @@ def oracle_sql() -> dict[str, str]:
 
     sql["bm25_topk"] = _BM25_TOPK_SQL
     sql["bm25_topk_indexed"] = _BM25_TOPK_SQL
+    # the incremental+rebaseline lifecycle must land on the same answer a
+    # fresh build (and the engine-less ad-hoc SQL) produces
+    sql["bm25_topk_rebaselined"] = _BM25_TOPK_SQL
 
     sql["corpus_stats"] = f"""
 WITH {tok_cte},
@@ -1359,6 +1459,34 @@ SELECT c.doc_id,
 FROM (SELECT doc_id FROM corpus) c LEFT JOIN best b USING (doc_id)
 """
 
+    sql["dedup_closure"] = f"""
+WITH RECURSIVE {_DUP_CORPUS},
+{_dedup_ctes("corpus")},
+edges AS (
+  SELECT doc_id AS a, dup_of AS b FROM drop_exact
+  UNION
+  SELECT doc_a, doc_b FROM ver
+  UNION
+  SELECT doc_id, canon FROM bmem WHERE doc_id <> canon
+),
+und AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+reach(doc_id, label) AS (
+  SELECT a, a FROM und
+  UNION
+  SELECT u.a, r.label FROM und u JOIN reach r ON r.doc_id = u.b
+),
+comp AS (SELECT doc_id, MIN(label) AS comp FROM reach GROUP BY doc_id)
+SELECT c.doc_id,
+       CAST(CASE WHEN cp.comp IS NULL OR cp.comp = c.doc_id THEN 1 ELSE 0 END AS INTEGER) AS keep,
+       CASE WHEN cp.comp IS NOT NULL AND cp.comp <> c.doc_id
+            THEN COALESCE(b.reason, 'near') END AS reason,
+       CASE WHEN cp.comp IS NOT NULL AND cp.comp <> c.doc_id
+            THEN cp.comp END AS dup_of
+FROM (SELECT doc_id FROM corpus) c
+LEFT JOIN comp cp ON cp.doc_id = c.doc_id
+LEFT JOIN best b ON b.doc_id = c.doc_id
+"""
+
     sql["curate"] = f"""
 WITH {_DUP_CORPUS},
 toked AS (
@@ -1533,5 +1661,10 @@ ranked AS (
 )
 SELECT query_id, vec_id, ROUND(score, 6) AS score, rank FROM ranked WHERE rank <= 10
 """
+
+    # distributed-path twins return row-identical results by contract
+    # (pytest-verified vs the closure kernels), so they share the oracles
+    sql["knn_cosine_df"] = sql["knn_cosine"]
+    sql["ivf_ann_df"] = sql["ivf_ann"]
 
     return sql

@@ -188,6 +188,39 @@ def suite() -> dict:
     timings["compact_all"], _ = _timed(lambda: compact_index(spark, idx_dir))
     assert _run_set(load_index(spark, idx_dir)) == pre_run
 
+    # suite-scale leg (VERDICT r2 item 8): sf0.1's 5k docs are fixed-
+    # overhead-dominated, so round-over-round per-op comparisons can't
+    # separate kernel changes from warmup accounting. One 100k-doc
+    # build+query leg (distributed synthetic corpus, same layout params as
+    # the scaling bench) isolates real kernel throughput. Reported
+    # SEPARATELY from `queries`/`value` so the headline e2e number stays
+    # comparable to earlier rounds.
+    from openmatch_spark.fixtures import synth_pages_spark
+
+    big_pages = synth_pages_spark(spark, 100_000, partitions=64)
+    big_dir = tempfile.mkdtemp(prefix="om_bench_big_")
+    t_big_build, _ = _timed(
+        lambda: build_index(
+            spark, big_pages, big_dir, analyzer="dpr",
+            num_shards=8, num_term_buckets=16, block_size=128,
+        )
+    )
+    big_idx = load_index(spark, big_dir)
+    big_q = spark.createDataFrame(
+        _gen_queries(1024), "query_id string, text string"
+    )
+    t_big_query, _ = _timed(lambda: search(big_idx, big_q, k=100).count())
+    suite_100k = {
+        "n_docs": 100_000,
+        "build_sec": round(t_big_build, 2),
+        "docs_per_sec": round(100_000 / t_big_build, 1),
+        "query_1024_sec": round(t_big_query, 2),
+        "queries_per_sec": round(1024 / t_big_query, 1),
+    }
+    import shutil as _sh
+
+    _sh.rmtree(big_dir, ignore_errors=True)
+
     total = sum(v for v in timings.values())
     out = {
         "metric": "e2e_suite_seconds",
@@ -201,6 +234,7 @@ def suite() -> dict:
         "cpus": CPUS,
         "search_plan": plan,
         "ivf_recall": ivf_recall,
+        "suite_100k": suite_100k,
     }
     spark.stop()
     return out

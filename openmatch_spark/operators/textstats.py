@@ -148,7 +148,15 @@ def _md5_prefix64(col: Column, shifted: bool = True) -> Column:
     chars overflows signed int64). With shifted=True returns value >> 1
     (always positive in int64): v = hi*2^32 + lo, so v >> 1 == hi*2^31 +
     (lo >> 1) exactly. md5-based so the DuckDB oracle replicates it
-    bit-for-bit (functions/hashing.py rationale)."""
+    bit-for-bit (functions/hashing.py rationale).
+
+    Collision note: the >>1 halves the space to 63 bits — for winnowing,
+    P(any collision among g distinct grams) ~ g^2/2^64; even a 10^9-gram
+    corpus stays ~5%-per-corpus for COSMETIC effects only (a fingerprint
+    collision can merge two sketch entries, never corrupt ranking).
+    Identical grams (adversarial boilerplate) hash identically by design —
+    the winnow picks collapse to one hash; tests/test_round3.py pins that
+    behavior against a pure-python oracle."""
     hx = F.md5(col)
     hi = F.conv(F.substring(hx, 1, 8), 16, 10).cast("long")
     lo = F.conv(F.substring(hx, 9, 8), 16, 10).cast("long")

@@ -625,6 +625,21 @@ def q_ivf_ann_df(spark, sf_dir):
     )
 
 
+def q_embedding_neardup_ann(spark, sf_dir):
+    """IVF-bucketed embedding near-dup (operators/dedup.py:
+    cosine_neardup_bucketed): multi-probe cell assignment generates
+    candidates, exact JVM zip_with cosine verifies — the scale path for
+    embedding dedup, replicated in DuckDB via the same inlined centroid
+    table as ivf_ann."""
+    from openmatch_spark.operators.dedup import cosine_neardup_bucketed
+
+    e = _emb(spark, sf_dir).where(F.col("vec_id") < 150)
+    return cosine_neardup_bucketed(
+        e, dim=DIM, threshold=0.2, n_centroids=N_CENTROIDS, probes=2,
+        round_to=6,
+    )
+
+
 def q_embedding_neardup(spark, sf_dir):
     """All-pairs cosine > 0.2 among vec_id < 150 — pure JVM column math
     (zip_with dot product), no UDF."""
@@ -820,6 +835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_cosine": q_knn_cosine,
         "knn_cosine_df": q_knn_cosine_df,
         "embedding_neardup": q_embedding_neardup,
+        "embedding_neardup_ann": q_embedding_neardup_ann,
         "trec_roundtrip": q_trec_roundtrip,
         "simhash_neardup": q_simhash_neardup,
         "winnow_fingerprints": q_winnow_fingerprints,
@@ -1666,5 +1682,29 @@ SELECT query_id, vec_id, ROUND(score, 6) AS score, rank FROM ranked WHERE rank <
     # (pytest-verified vs the closure kernels), so they share the oracles
     sql["knn_cosine_df"] = sql["knn_cosine"]
     sql["ivf_ann_df"] = sql["ivf_ann"]
+
+    sql["embedding_neardup_ann"] = f"""
+WITH cent(cid, cv) AS (VALUES {cent_values}),
+e AS (
+  SELECT CAST(vec_id AS VARCHAR) AS vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id < 150
+),
+probes AS (
+  SELECT vec_id, cid AS bucket FROM (
+    SELECT e.vec_id, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid ASC) AS rn
+    FROM e CROSS JOIN cent c
+  ) WHERE rn <= 2
+),
+cand AS (
+  SELECT DISTINCT l.vec_id AS vec_a, r.vec_id AS vec_b
+  FROM probes l JOIN probes r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+)
+SELECT c.vec_a, c.vec_b, ROUND(list_cosine_similarity(ea.v, eb.v), 6) AS cos
+FROM cand c JOIN e ea ON ea.vec_id = c.vec_a JOIN e eb ON eb.vec_id = c.vec_b
+WHERE list_cosine_similarity(ea.v, eb.v) >= 0.2
+"""
 
     return sql

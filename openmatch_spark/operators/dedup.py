@@ -364,6 +364,94 @@ def simhash_oversized_groups(
     )
 
 
+def cosine_neardup_bucketed(
+    embeddings: DataFrame,
+    dim: int,
+    threshold: float = 0.9,
+    n_centroids: int = 16,
+    probes: int = 2,
+    seed: int = 42,
+    centroids=None,
+    max_bucket: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = None,
+) -> DataFrame:
+    """(vec_a, vec_b, cos): embedding near-duplicate pairs with cos >=
+    threshold, via IVF-bucket candidate generation — the 100 TB path for
+    embedding-cosine dedup (the all-pairs zip_with join is exact but
+    quadratic; fine only at audit scale).
+
+    Each vector is assigned to its `probes` nearest cells (multi-probe:
+    near-identical vectors that straddle a cell boundary still meet in the
+    runner-up cell); candidates are pairs sharing >= 1 cell, then an EXACT
+    JVM zip_with cosine verifies — so precision is exact and only recall
+    depends on the bucketing, rising with `probes` like nprobe in ivf_topk.
+    max_bucket caps degenerate cells the same way the LSH/simhash caps do.
+    Cost: candidate generation is per-cell (Σ cell² bounded by the cap),
+    verification touches candidates only; nothing is all-pairs.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from openmatch_spark.query.dense import _centroids, _normalize_rows
+
+    C = (
+        _normalize_rows(np.asarray(centroids, dtype=np.float64))
+        if centroids is not None
+        else _centroids(dim, n_centroids, seed)
+    )
+    p = min(int(probes), C.shape[0])
+
+    def probe_fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = _normalize_rows(
+                np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            )
+            order = np.argsort(-(M @ C.T), axis=1, kind="stable")[:, :p]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype(str).to_numpy().repeat(p),
+                    "bucket": order.reshape(-1).astype("int32"),
+                }
+            )
+
+    probed = embeddings.select(id_col, vec_col).mapInPandas(
+        probe_fn, "doc_id string, bucket int"
+    )
+    cand = (
+        _capped_bucket_pairs(probed, ["bucket"], max_bucket)
+        .select(F.col("l.doc_id").alias("vec_a"), F.col("r.doc_id").alias("vec_b"))
+        .distinct()
+    )
+    e = embeddings.select(
+        F.col(id_col).cast("string").alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    a = e.select(F.col("_id").alias("vec_a"), F.col("_v").alias("_va"))
+    b = e.select(F.col("_id").alias("vec_b"), F.col("_v").alias("_vb"))
+    dot = F.aggregate(
+        F.zip_with("_va", "_vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    na = F.sqrt(F.aggregate(
+        F.zip_with("_va", "_va", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    ))
+    nb = F.sqrt(F.aggregate(
+        F.zip_with("_vb", "_vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    ))
+    out = (
+        cand.join(a, "vec_a")
+        .join(b, "vec_b")
+        .select("vec_a", "vec_b", (dot / (na * nb)).alias("cos"))
+        .where(F.col("cos") >= F.lit(float(threshold)))
+    )
+    if round_to is not None:
+        out = out.withColumn("cos", F.round("cos", round_to))
+    return out.select("vec_a", "vec_b", "cos")
+
+
 def connected_components_min_label(
     edges: DataFrame,
     a_col: str = "doc_a",

@@ -117,9 +117,16 @@ def cmd_compact(args) -> int:
     spark = _spark("om-compact")
     if args.auto:
         res = compact_auto(spark, args.index, table_prefix=args.table_prefix)
+        if args.rebaseline:
+            # settle tiers first, then one full merge that re-baselines
+            res = compact_index(
+                spark, args.index, table_prefix=args.table_prefix,
+                rebaseline_stats=True,
+            )
     else:
         res = compact_index(
-            spark, args.index, shards=args.shards, table_prefix=args.table_prefix
+            spark, args.index, shards=args.shards,
+            table_prefix=args.table_prefix, rebaseline_stats=args.rebaseline,
         )
     print(json.dumps(res))
     return 0
@@ -221,6 +228,10 @@ def main(argv=None) -> int:
     cp.add_argument("--shards", type=int, nargs="+", default=None)
     cp.add_argument("--auto", action="store_true",
                     help="size-tiered policy: merge like-sized segments until settled")
+    cp.add_argument("--rebaseline", action="store_true",
+                    help="full merge that also recomputes N/avgdl/df/idf and "
+                         "re-weights payloads (incremental index converges to "
+                         "fresh-build scores); requires merging ALL shards")
     cp.add_argument("--table-prefix", default=None)
     cp.set_defaults(fn=cmd_compact)
 

@@ -418,3 +418,32 @@ def test_winnow_fingerprints_match_python_oracle(spark, k, w):
     assert set(got) == set(expected)
     for did in expected:
         assert got[did] == expected[did], did
+
+
+# ---- bucketed embedding near-dup -------------------------------------------
+
+
+def test_cosine_neardup_bucketed(spark):
+    """Exact duplicates always collide (identical vectors share every probe
+    cell), and every reported pair is truly above threshold (verification
+    is exact regardless of bucketing)."""
+    import numpy as np
+
+    from openmatch_spark.operators.dedup import cosine_neardup_bucketed
+
+    rng = np.random.default_rng(5)
+    base = [(f"a{i:03d}", [float(x) for x in rng.standard_normal(8)]) for i in range(60)]
+    dups = [(f"b{i:03d}", v) for i, (_, v) in enumerate(base[:10])]  # exact copies
+    emb = spark.createDataFrame(base + dups, "vec_id string, embedding array<float>")
+    out = cosine_neardup_bucketed(
+        emb, dim=8, threshold=0.999, n_centroids=4, probes=2
+    ).collect()
+    pairs = {(r["vec_a"], r["vec_b"]) for r in out}
+    for i in range(10):
+        assert (f"a{i:03d}", f"b{i:03d}") in pairs
+    # exactness of verification: recompute each reported cosine in numpy
+    vecs = {k: np.asarray(v, dtype=np.float64) for k, v in base + dups}
+    for r in out:
+        va, vb = vecs[r["vec_a"]], vecs[r["vec_b"]]
+        cos = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
+        assert cos >= 0.999 - 1e-9

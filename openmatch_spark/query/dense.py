@@ -358,6 +358,14 @@ def ivf_topk_df(
     ).mapInPandas(probe_fn, "query_id string, embedding array<double>, bucket int")
 
     corpus = bucketed.select("vec_id", "embedding", "bucket")
+    # prune unprobed cells BEFORE the cogroup shuffle: cells no query
+    # probes would otherwise still shuffle their vectors just to meet an
+    # empty query group. The distinct probed-bucket set is tiny (<=
+    # n_centroids rows) — a broadcast semi-join keeps the pruning on the
+    # scan side of the exchange.
+    corpus = corpus.join(
+        F.broadcast(probes.select("bucket").distinct()), "bucket", "left_semi"
+    )
     if splits > 1:
         corpus = corpus.withColumn(
             "_salt", F.pmod(F.xxhash64("vec_id"), F.lit(splits)).cast("int")

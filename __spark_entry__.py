@@ -271,8 +271,20 @@ def q_token_counts(spark, sf_dir):
         "doc_id",
         F.col("n_tokens").cast("long").alias("n_tokens"),
         F.col("n_unique_tokens").cast("long").alias("n_unique_tokens"),
+        F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
         "n_chars",
     )
+
+
+def q_gopher_quality(spark, sf_dir):
+    """Gopher-style quality gates (operators/textstats.py:
+    gopher_quality_flags) — every rule (word count, mean word length,
+    symbol/bullet/ellipsis ratios, alpha-word ratio, stopword hits)
+    replicated in DuckDB. min_words lowered to 10 so both verdicts occur
+    on the synthetic docs."""
+    from openmatch_spark.operators.textstats import gopher_quality_flags
+
+    return gopher_quality_flags(_docs(spark, sf_dir), min_words=10)
 
 
 def q_rank_window(spark, sf_dir):
@@ -813,6 +825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": q_corpus_stats,
         "term_stats": q_term_stats,
         "token_counts": q_token_counts,
+        "gopher_quality": q_gopher_quality,
         "rank_window": q_rank_window,
         "hard_negatives": q_hard_negatives,
         "ground_truth_inject": q_ground_truth_inject,
@@ -892,14 +905,59 @@ SELECT term, df, cf, rnk FROM ranked WHERE rnk <= 50
 WITH t AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id,
          list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks,
+         len(regexp_extract_all(text,
+             '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+')) AS n_bpe,
          length(text) AS n_chars
   FROM documents
 )
 SELECT doc_id,
        CAST(len(toks) AS BIGINT) AS n_tokens,
        CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique_tokens,
+       CAST(n_bpe AS BIGINT) AS n_bpe_tokens,
        CAST(n_chars AS BIGINT) AS n_chars
 FROM t
+"""
+
+    sql["gopher_quality"] = """
+WITH w AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS words,
+         string_split(text, chr(10)) AS lines
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(words) AS BIGINT) AS n_words,
+         ROUND(CAST(list_sum(list_transform(words, x -> length(x))) AS DOUBLE)
+               / greatest(len(words), 1), 6) AS mean_word_len,
+         ROUND((CAST(length(text) - length(translate(text, '#', '')) AS DOUBLE)
+                + CAST(length(text) - length(regexp_replace(text, '\\.\\.\\.', '', 'g')) AS DOUBLE) / 3)
+               / greatest(len(words), 1), 6) AS symbol_ratio,
+         ROUND(CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '^[•\\-\\*]'))) AS DOUBLE)
+               / greatest(len(lines), 1), 6) AS bullet_ratio,
+         ROUND(CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '\\.\\.\\.$'))) AS DOUBLE)
+               / greatest(len(lines), 1), 6) AS ellipsis_ratio,
+         ROUND(CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+               / greatest(len(words), 1), 6) AS alpha_word_ratio,
+         CAST(len(list_intersect(list_distinct(list_transform(words, x -> lower(x))),
+                  ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS stopword_hits
+  FROM w
+)
+SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_ratio,
+       ellipsis_ratio, alpha_word_ratio, stopword_hits,
+       CAST(n_words >= 10 AND n_words <= 100000 AS INTEGER) AS ok_word_count,
+       CAST(mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS INTEGER) AS ok_mean_word_len,
+       CAST(symbol_ratio <= 0.1 AS INTEGER) AS ok_symbol_ratio,
+       CAST(bullet_ratio <= 0.9 AS INTEGER) AS ok_bullet_ratio,
+       CAST(ellipsis_ratio <= 0.3 AS INTEGER) AS ok_ellipsis_ratio,
+       CAST(alpha_word_ratio >= 0.8 AS INTEGER) AS ok_alpha_words,
+       CAST(stopword_hits >= 2 AS INTEGER) AS ok_stopwords,
+       CAST(n_words >= 10 AND n_words <= 100000
+            AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+            AND symbol_ratio <= 0.1 AND bullet_ratio <= 0.9
+            AND ellipsis_ratio <= 0.3 AND alpha_word_ratio >= 0.8
+            AND stopword_hits >= 2 AS INTEGER) AS gopher_pass
+FROM m
 """
 
     sql["rank_window"] = """

@@ -17,6 +17,11 @@ Scale notes:
 - simhash: pure-JVM 64-bit fingerprints (tf-weighted md5 bit mixing);
   near-dup = Hamming distance <= d via banding on 4 x 16-bit chunks
   (pigeonhole: d<=3 pairs share at least one exact chunk), same bucket cap.
+- embedding cosine: cosine_neardup_bucketed — multi-probe IVF cells for
+  candidates, exact zip_with cosine to verify; linear in corpus + cells.
+- canonical groups: deduplicate_corpus(closure=True) resolves duplicate
+  CHAINS to union-find roots via connected_components_min_label
+  (min-label propagation + pointer jumping over the edge set only).
 """
 
 from __future__ import annotations

@@ -27,15 +27,114 @@ def token_count_col(text: Column, analyzer: str = "simple") -> Column:
     return F.size(tokenize_col(text, analyzer))
 
 
+# GPT-2-style pre-tokenizer, RE2-safe (no lookahead, ASCII classes so Java
+# regex and DuckDB's RE2 segment identically): contractions, space-prefixed
+# letter runs, digit runs, symbol runs. A cheap LLM-token-budget ESTIMATE —
+# the segment count a BPE vocab would further split subword-wise — not a
+# real merged-vocab tokenization (no model files in a pipeline hot path).
+BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+
+
+def bpe_token_count_col(text: Column) -> Column:
+    """Count of BPE-ish pre-tokenizer segments — pure JVM regexp, codegen."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), 0))
+
+
 def token_counts(corpus: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(doc_id, n_tokens, n_unique_tokens, n_chars)."""
+    """(doc_id, n_tokens, n_unique_tokens, n_bpe_tokens, n_chars):
+    whitespace/punct word tokens plus the BPE-ish segment estimate."""
     toks = tokenize_col(F.col(text_col), "simple")
     return corpus.select(
         F.col(id_col).cast("string").alias("doc_id"),
         F.size(toks).alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+        bpe_token_count_col(F.col(text_col)).alias("n_bpe_tokens"),
         F.length(F.col(text_col)).cast("long").alias("n_chars"),
     )
+
+
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_flags(
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_ratio: float = 0.9,
+    max_ellipsis_ratio: float = 0.3,
+    min_alpha_word_ratio: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """Gopher-style document-quality gates (Rae et al. 2021 §A1.1, public
+    heuristics) as pure column algebra — per-rule booleans plus an overall
+    `gopher_pass`, one codegen pass over the scan, no UDF, every rule
+    replicated in the DuckDB oracle:
+
+      word count in [min_words, max_words]; mean word length in [3, 10];
+      symbol-to-word ratio ('#' chars + '...' occurrences) <= 0.1; <= 90%
+      of lines bullet-led; <= 30% of lines ellipsis-terminated; >= 80% of
+      words contain an alphabetic char; >= 2 distinct Gopher stopwords.
+    """
+    text = F.col(text_col)
+    words = F.filter(F.split(text, r"\s+"), lambda w: F.length(w) > 0)
+    lines = F.split(text, "\n")
+    n_words = F.size(words)
+    denom_w = F.greatest(n_words, F.lit(1))
+    mean_wlen = (
+        F.aggregate(words, F.lit(0), lambda acc, w: acc + F.length(w)) / denom_w
+    )
+    n_hash = F.length(text) - F.length(F.translate(text, "#", ""))
+    n_ellipsis = (
+        F.length(text) - F.length(F.regexp_replace(text, r"\.\.\.", ""))
+    ) / 3
+    symbol_ratio = (n_hash + n_ellipsis) / denom_w
+    denom_l = F.greatest(F.size(lines), F.lit(1))
+    bullet_ratio = (
+        F.size(F.filter(lines, lambda l: F.trim(l).rlike(r"^[•\-\*]"))) / denom_l
+    )
+    ellipsis_ratio = (
+        F.size(F.filter(lines, lambda l: F.trim(l).rlike(r"\.\.\.$"))) / denom_l
+    )
+    alpha_ratio = (
+        F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))) / denom_w
+    )
+    stops = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    stop_hits = F.size(
+        F.array_intersect(F.array_distinct(F.transform(words, F.lower)), stops)
+    )
+
+    d = corpus.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_wlen, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        F.round(bullet_ratio, 6).alias("bullet_ratio"),
+        F.round(ellipsis_ratio, 6).alias("ellipsis_ratio"),
+        F.round(alpha_ratio, 6).alias("alpha_word_ratio"),
+        stop_hits.cast("long").alias("stopword_hits"),
+    )
+    ok = {
+        "ok_word_count": (F.col("n_words") >= min_words) & (F.col("n_words") <= max_words),
+        "ok_mean_word_len": (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len),
+        "ok_symbol_ratio": F.col("symbol_ratio") <= max_symbol_ratio,
+        "ok_bullet_ratio": F.col("bullet_ratio") <= max_bullet_ratio,
+        "ok_ellipsis_ratio": F.col("ellipsis_ratio") <= max_ellipsis_ratio,
+        "ok_alpha_words": F.col("alpha_word_ratio") >= min_alpha_word_ratio,
+        "ok_stopwords": F.col("stopword_hits") >= min_stopword_hits,
+    }
+    for name, cond in ok.items():
+        d = d.withColumn(name, F.coalesce(cond, F.lit(False)).cast("int"))
+    gopher = None
+    for name in ok:
+        c = F.col(name) == 1
+        gopher = c if gopher is None else (gopher & c)
+    return d.withColumn("gopher_pass", gopher.cast("int"))
 
 
 def _stopword_ratio(toks: Column, lang: str) -> Column:

@@ -80,6 +80,7 @@ def test_token_counts(corpus):
     rows = {r["doc_id"]: r for r in token_counts(corpus).collect()}
     assert rows["a"]["n_tokens"] == 14
     assert rows["a"]["n_unique_tokens"] == 12  # 'the' x3
+    assert rows["a"]["n_bpe_tokens"] == 14  # all plain words: 1 segment each
     assert rows["a"]["n_chars"] == len(DOCS[0][1])
 
 

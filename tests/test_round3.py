@@ -447,3 +447,39 @@ def test_cosine_neardup_bucketed(spark):
         va, vb = vecs[r["vec_a"]], vecs[r["vec_b"]]
         cos = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
         assert cos >= 0.999 - 1e-9
+
+
+# ---- gopher quality flags ---------------------------------------------------
+
+
+def test_gopher_quality_flags_rules(spark):
+    from openmatch_spark.operators.textstats import gopher_quality_flags
+
+    good = " ".join(
+        ["the quick brown fox jumps over that lazy dog with energy and grace"] * 5
+    )
+    docs = [
+        ("good", good),
+        ("short", "too few words here"),                        # word count
+        ("symbols", " ".join(["word#tag"] * 60)),               # '#' ratio
+        ("bullets", "\n".join(["• item one here"] * 10) + "\n"
+                    + good),                                    # high but <=0.9 -> passes bullets
+        ("ellipsis", "\n".join(["trailing off..."] * 10)),      # ellipsis lines
+        ("numeric", " ".join(["12345"] * 80)),                  # alpha ratio + stopwords
+    ]
+    rows = {
+        r["doc_id"]: r
+        for r in gopher_quality_flags(
+            spark.createDataFrame(docs, "doc_id string, text string"),
+            min_words=10,
+        ).collect()
+    }
+    g = rows["good"]
+    assert g["gopher_pass"] == 1 and g["ok_stopwords"] == 1
+    assert rows["short"]["ok_word_count"] == 0 and rows["short"]["gopher_pass"] == 0
+    assert rows["symbols"]["ok_symbol_ratio"] == 0
+    assert rows["ellipsis"]["ok_ellipsis_ratio"] == 0
+    n = rows["numeric"]
+    assert n["ok_alpha_words"] == 0 and n["ok_stopwords"] == 0
+    # bullet doc: 10 of 11 lines bullet-led (0.909... > 0.9) -> fails
+    assert rows["bullets"]["ok_bullet_ratio"] == 0

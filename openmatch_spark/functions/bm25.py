@@ -47,3 +47,34 @@ def bm25_weight_scalar(tf: int, doclen: int, df: int, n_docs: int, avgdl: float,
 
     idf = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
     return idf * tf / (tf + k1 * (1.0 - b + b * doclen / avgdl))
+
+
+def lucene_idf_col(df_col, n_docs: float):
+    """Column-expression twin of lucene_idf — THE single definition of the
+    engine's JVM-side idf. index/build.py (fresh build + dictionary
+    extension) and index/compact.py (stats rebaseline) all use this one
+    expression: the rebaseline guarantee is that re-derived weights are
+    byte-identical to a fresh build's, which only holds if every site
+    shares the exact same expression tree."""
+    import pyspark.sql.functions as F
+
+    return F.log(
+        F.lit(1.0) + (F.lit(float(n_docs)) - df_col + 0.5) / (df_col + 0.5)
+    )
+
+
+def bm25_weight_col(tf_col, idf_col, doclen_col, avgdl: float,
+                    k1: float = K1, b: float = B):
+    """Column-expression twin of bm25_weight — the single definition of the
+    index-time payload weight (same byte-identity rationale as
+    lucene_idf_col). avgdl must be pre-guarded nonzero by the caller."""
+    import pyspark.sql.functions as F
+
+    return (
+        idf_col
+        * tf_col
+        / (
+            tf_col
+            + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * doclen_col / F.lit(avgdl))
+        )
+    )

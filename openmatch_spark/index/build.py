@@ -47,7 +47,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from openmatch_spark.analysis import extract_corpus
-from openmatch_spark.functions.bm25 import B, K1
+from openmatch_spark.functions.bm25 import B, K1, bm25_weight_col, lucene_idf_col
 from openmatch_spark.functions.codec import encode_blocks_batch
 from openmatch_spark.index.layout import POSTING_SCHEMA, MANIFEST_SCHEMA, METRICS_SCHEMA
 from openmatch_spark.index.storage import IndexStorage
@@ -376,10 +376,7 @@ def _build_index_body(
                     "term",
                     "df",
                     "cf",
-                    F.log(
-                        F.lit(1.0)
-                        + (F.lit(n_frozen) - F.col("df") + 0.5) / (F.col("df") + 0.5)
-                    ).alias("idf"),
+                    lucene_idf_col(F.col("df"), n_frozen).alias("idf"),
                     term_bucket_col(F.col("term"), int(stats["num_term_buckets"])).alias(
                         "term_bucket"
                     ),
@@ -405,8 +402,9 @@ def _build_index_body(
             "term",
             "df",
             "cf",
-            # Lucene idf, float64 (functions/bm25.py); computed JVM-side.
-            F.log(F.lit(1.0) + (F.lit(float(g["n_docs"])) - F.col("df") + 0.5) / (F.col("df") + 0.5)).alias("idf"),
+            # Lucene idf, float64, computed JVM-side — the ONE shared
+            # expression (functions/bm25.py) the rebaseline also uses
+            lucene_idf_col(F.col("df"), float(g["n_docs"])).alias("idf"),
             term_bucket_col(F.col("term"), num_term_buckets).alias("term_bucket"),
         )
         store.overwrite(dictionary, "dictionary")
@@ -481,10 +479,8 @@ def _build_index_body(
                 "term",
                 "term_bucket",
                 "doc_ord",
-                (
-                    F.col("idf")
-                    * F.col("tf")
-                    / (F.col("tf") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("doclen") / F.lit(avgdl)))
+                bm25_weight_col(
+                    F.col("tf"), F.col("idf"), F.col("doclen"), avgdl, k1, b
                 ).alias("weight"),
             )
         )

@@ -216,8 +216,15 @@ def compact_index(
     manifest_rows = store.read("manifest").collect()
     committed = sorted({r["shard"] for r in manifest_rows})
     merge = sorted(shards) if shards else committed
-    if len(merge) < 2:
+    if len(merge) < 2 and not rebaseline_stats:
+        # a plain 1-shard merge is a pointless rewrite; a 1-shard REBASELINE
+        # is meaningful (re-weight in place) and required for already-
+        # compacted indexes — e.g. compact --auto --rebaseline after the
+        # tiered pass settled everything into one segment, or re-running a
+        # rebaseline that crashed after its manifest commit
         raise ValueError(f"need >= 2 shards to compact, got {merge}")
+    if not merge:
+        raise ValueError("no committed shards to compact")
     missing = set(merge) - set(committed)
     if missing:
         raise ValueError(f"shards not in manifest: {sorted(missing)}")
@@ -318,6 +325,10 @@ def compact_index(
         )
         recovered = dict_new = None
         if rebaseline_stats:
+            from openmatch_spark.functions.bm25 import (
+                bm25_weight_col,
+                lucene_idf_col,
+            )
             from openmatch_spark.index.build import term_bucket_col
 
             g = new_docmap.agg(
@@ -367,11 +378,7 @@ def compact_index(
                     "term",
                     "df",
                     "cf",
-                    F.log(
-                        F.lit(1.0)
-                        + (F.lit(float(n_docs_new)) - F.col("df") + 0.5)
-                        / (F.col("df") + 0.5)
-                    ).alias("idf"),
+                    lucene_idf_col(F.col("df"), float(n_docs_new)).alias("idf"),
                     term_bucket_col(
                         F.col("term"), int(stats["num_term_buckets"])
                     ).alias("term_bucket"),
@@ -383,14 +390,8 @@ def compact_index(
                 "term",
                 "term_bucket",
                 "doc_ord",
-                (
-                    F.col("idf")
-                    * F.col("tf")
-                    / (
-                        F.col("tf")
-                        + F.lit(k1)
-                        * (F.lit(1.0 - b) + F.lit(b) * F.col("doclen") / F.lit(avgdl_w))
-                    )
+                bm25_weight_col(
+                    F.col("tf"), F.col("idf"), F.col("doclen"), avgdl_w, k1, b
                 ).alias("weight"),
             )
         else:
@@ -424,7 +425,7 @@ def compact_index(
             )
             .collect()[0]
         )
-        n_docs = new_docmap.count()
+        n_docs = n_docs_new if rebaseline_stats else new_docmap.count()
         now = time.time()
         kept = [
             (int(r["shard"]), int(r["n_docs"]), int(r["n_blocks"]),

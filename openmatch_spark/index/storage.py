@@ -172,12 +172,22 @@ class IndexStorage:
             import os
             import shutil
 
+            # aside-swap, not delete-then-rename: the only unprotected
+            # window is between the two renames (microseconds, no data
+            # movement), and a crash inside it leaves the old table intact
+            # under `_old_<kind>` for manual recovery — a plain rmtree of
+            # the live dir before the rename would instead leave NO table
+            # at all if the process died mid-swap (seconds for a big dir).
             target = getattr(self.paths, kind)
             scratch = os.path.join(self.paths.root, f"_stage_{kind}")
+            aside = os.path.join(self.paths.root, f"_old_{kind}")
             shutil.rmtree(scratch, ignore_errors=True)
+            shutil.rmtree(aside, ignore_errors=True)
             df.write.mode("overwrite").parquet(scratch)
-            shutil.rmtree(target, ignore_errors=True)
+            if os.path.exists(target):
+                os.rename(target, aside)
             os.rename(scratch, target)
+            shutil.rmtree(aside, ignore_errors=True)
             return
         if stage and self.is_table_mode and not self._v2:
             import os

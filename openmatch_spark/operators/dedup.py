@@ -377,7 +377,7 @@ def cosine_neardup_bucketed(
     probes: int = 2,
     seed: int = 42,
     centroids=None,
-    max_bucket: int | None = None,
+    max_bucket: int | None = 1000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int | None = None,
@@ -392,14 +392,15 @@ def cosine_neardup_bucketed(
     runner-up cell); candidates are pairs sharing >= 1 cell, then an EXACT
     JVM zip_with cosine verifies — so precision is exact and only recall
     depends on the bucketing, rising with `probes` like nprobe in ivf_topk.
-    max_bucket caps degenerate cells the same way the LSH/simhash caps do.
-    Cost: candidate generation is per-cell (Σ cell² bounded by the cap),
-    verification touches candidates only; nothing is all-pairs.
+    max_bucket (default 1000, same as the LSH/simhash caps) bounds
+    degenerate cells: candidate generation is per-cell (Σ cell² under the
+    cap), verification touches candidates only; nothing is all-pairs.
+    max_bucket=None removes the bound — audit-scale only.
     """
     import numpy as np
     import pandas as pd
 
-    from openmatch_spark.query.dense import _centroids, _normalize_rows
+    from openmatch_spark.query.dense import _centroids, _normalize_rows, _probe_order
 
     C = (
         _normalize_rows(np.asarray(centroids, dtype=np.float64))
@@ -415,7 +416,7 @@ def cosine_neardup_bucketed(
             M = _normalize_rows(
                 np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
             )
-            order = np.argsort(-(M @ C.T), axis=1, kind="stable")[:, :p]
+            order = _probe_order(M, C, p)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype(str).to_numpy().repeat(p),

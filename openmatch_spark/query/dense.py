@@ -64,7 +64,7 @@ def _queries_to_matrix(
     queries, vec_col: str = "embedding"
 ) -> tuple[list[str], np.ndarray]:
     """Accept queries as list[(qid, vector)] OR a DataFrame(query_id,
-    embedding); returns (qids, float64 matrix)."""
+    <vec_col>); returns (qids, float64 matrix)."""
     if isinstance(queries, DataFrame):
         pdf = queries.select(
             F.col("query_id").cast("string").alias("query_id"), vec_col
@@ -78,6 +78,15 @@ def _queries_to_matrix(
     return [q[0] for q in queries], np.asarray(
         [q[1] for q in queries], dtype=np.float64
     )
+
+
+def _probe_order(M: np.ndarray, C: np.ndarray, p: int) -> np.ndarray:
+    """(n, p) nearest-centroid ids per row — stable argsort, ties resolve
+    to the smaller centroid id. THE single definition of probe/assignment
+    tie-break semantics: ivf_topk_df's probe kernel and the dedup path's
+    cosine_neardup_bucketed both use it, and the SQL oracles replicate it
+    as ROW_NUMBER() ... ORDER BY cos DESC, cid ASC."""
+    return np.argsort(-(M @ C.T), axis=1, kind="stable")[:, :p]
 
 
 def brute_force_topk(
@@ -100,7 +109,11 @@ def brute_force_topk(
     (same kernel, same float64 matmul, same tie-break; tested).
     """
     sc = embeddings.sparkSession.sparkContext
-    qids, Q = _queries_to_matrix(queries, vec_col="embedding" if isinstance(queries, DataFrame) else vec_col)
+    qids, Q = _queries_to_matrix(queries, vec_col=vec_col)
+    if not qids:
+        return embeddings.sparkSession.createDataFrame(
+            [], "query_id string, vec_id string, score double, rank int"
+        )
     if metric == "cosine":
         Q = _normalize_rows(Q)
     bc = sc.broadcast((qids, Q)) if isinstance(queries, DataFrame) else None
@@ -249,9 +262,13 @@ def ivf_topk(
             nprobe=nprobe, seed=seed, centroids=centroids, round_to=round_to,
         )
     C = _normalize_rows(centroids) if centroids is not None else _centroids(dim, n_centroids, seed)
+    if not queries:
+        return bucketed.sparkSession.createDataFrame(
+            [], "query_id string, vec_id string, score double, rank int"
+        )
     qids = [q[0] for q in queries]
     Q = _normalize_rows(np.asarray([q[1] for q in queries], dtype=np.float64))
-    probes = np.argsort(-(Q @ C.T), axis=1, kind="stable")[:, :nprobe]
+    probes = _probe_order(Q, C, nprobe)
     wanted = sorted({int(b) for row in probes for b in row})
     # partition-prune the scan to the union of probed buckets, then mask
     # per-query inside the kernel: each query scores ONLY its own probed
@@ -341,7 +358,7 @@ def ivf_topk_df(
             Qm = _normalize_rows(
                 np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
             )
-            order = np.argsort(-(Qm @ C.T), axis=1, kind="stable")[:, :nprobe_]
+            order = _probe_order(Qm, C, nprobe_)
             out = pd.DataFrame(
                 {
                     "query_id": pdf["query_id"].astype(str).to_numpy().repeat(nprobe_),
@@ -352,10 +369,19 @@ def ivf_topk_df(
             yield out
 
     # probe rows carry the query vector at array<double>: narrowing to
-    # float32 here would silently perturb scores vs the closure path
-    probes = queries.select(
-        F.col("query_id").cast("string").alias("query_id"), "embedding"
-    ).mapInPandas(probe_fn, "query_id string, embedding array<double>, bucket int")
+    # float32 here would silently perturb scores vs the closure path.
+    # localCheckpoint materializes the assignment ONCE — it feeds both the
+    # pruning semi-join below and the cogroup, and recomputing it per
+    # consumer would double the query-side work (and, over a
+    # non-deterministic queries source, could prune a cell the second
+    # evaluation then probes — silently dropping candidates).
+    probes = (
+        queries.select(
+            F.col("query_id").cast("string").alias("query_id"), "embedding"
+        )
+        .mapInPandas(probe_fn, "query_id string, embedding array<double>, bucket int")
+        .localCheckpoint(eager=True)
+    )
 
     corpus = bucketed.select("vec_id", "embedding", "bucket")
     # prune unprobed cells BEFORE the cogroup shuffle: cells no query

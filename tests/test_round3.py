@@ -483,3 +483,43 @@ def test_gopher_quality_flags_rules(spark):
     assert n["ok_alpha_words"] == 0 and n["ok_stopwords"] == 0
     # bullet doc: 10 of 11 lines bullet-led (0.909... > 0.9) -> fails
     assert rows["bullets"]["ok_bullet_ratio"] == 0
+
+
+def test_single_shard_rebaseline_idempotent(spark, tmp_path):
+    """A 1-shard rebaseline is legal (needed after --auto settles to one
+    segment, or to re-run a crashed rebaseline) and, on a fresh build whose
+    stats are already correct, is a score-identical no-op rewrite."""
+    idx_dir = str(tmp_path / "idx")
+    pages = spark.createDataFrame(gen_pages_rows(80), PAGES_SCHEMA)
+    build_index(spark, pages, idx_dir, num_shards=2, num_term_buckets=4)
+    compact_index(spark, idx_dir)  # settle into one segment
+    queries = spark.createDataFrame(
+        [("q1", "term0001 term0003"), ("q2", "term0010")], QUERIES_SCHEMA
+    )
+    pre = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], r["score"])
+        for r in search(load_index(spark, idx_dir), queries, k=10).collect()
+    )
+    res = compact_index(spark, idx_dir, rebaseline_stats=True)  # single shard
+    assert res["merged"] == [res["new_shard"] - 1] or len(res["merged"]) == 1
+    post = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], r["score"])
+        for r in search(load_index(spark, idx_dir), queries, k=10).collect()
+    )
+    assert pre == post
+
+
+def test_dense_empty_query_batches(spark):
+    from openmatch_spark.query.dense import assign_buckets, brute_force_topk, ivf_topk
+
+    emb = spark.createDataFrame(
+        [("v1", [1.0, 0.0]), ("v2", [0.0, 1.0])], "vec_id string, embedding array<float>"
+    )
+    assert brute_force_topk(emb, [], k=3).count() == 0
+    empty_df = spark.createDataFrame([], "query_id string, embedding array<double>")
+    assert brute_force_topk(emb, empty_df, k=3).count() == 0
+    b = assign_buckets(emb, dim=2, n_centroids=2)
+    assert ivf_topk(b, [], dim=2, k=3, n_centroids=2).count() == 0
+    from openmatch_spark.query.dense import ivf_topk_df
+
+    assert ivf_topk_df(b, empty_df, dim=2, k=3, n_centroids=2).count() == 0

@@ -84,3 +84,41 @@ def curate_corpus(
     ).select("doc_id", F.col("keep").cast("int").alias("keep"), "reason", "dup_of")
 
     return lang_drops.unionByName(quality_drops).unionByName(deduped)
+
+
+def curate_stream(
+    pages: DataFrame,
+    langs: tuple[str, ...] = ("en",),
+    min_quality: float = 0.5,
+    watermark: str = "24 hours",
+    ts_col: str = "warc_ts",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming curation: the SAME language and quality gates as
+    curate_corpus (stateless column projections, so they apply to a
+    streaming DataFrame unchanged — one codegen pass, no state), followed
+    by watermark-bounded exact dedup among the survivors
+    (streaming/events.py:streaming_exact_dedup — state keyed on the
+    content hash, expired by the watermark).
+
+    Emits the KEPT rows (the cleaned stream a sink or the incremental
+    indexer consumes), with pred_lang/quality/content_hash attached.
+    Near-dup (LSH) needs corpus-wide signature state and intentionally
+    stays batch-side: run deduplicate_corpus over the accumulated corpus
+    at compaction cadence — the same split Lucene-style ingest pipelines
+    use. Works identically on a batch DataFrame (same expressions; the
+    dedup stage then picks the deterministic earliest-(ts,url) survivor).
+    """
+    from openmatch_spark.streaming.events import streaming_exact_dedup
+
+    scored = pages.withColumn(
+        "pred_lang", pred_lang_col(F.col(text_col))
+    ).withColumn("quality", quality_col(F.col(text_col)))
+    lang_ok = F.coalesce(F.col("pred_lang").isin(list(langs)), F.lit(False))
+    qual_ok = F.coalesce(
+        F.col("quality") >= F.lit(float(min_quality)), F.lit(False)
+    )
+    gated = scored.where(lang_ok & qual_ok)
+    return streaming_exact_dedup(
+        gated, watermark=watermark, ts_col=ts_col, text_col=text_col
+    )

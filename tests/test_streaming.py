@@ -263,3 +263,65 @@ def test_streaming_exact_dedup_across_batches(spark, tmp_path):
     # batch path: same expression, same survivors
     batch = streaming_exact_dedup(spark.createDataFrame(b1 + b2, PAGES_SCHEMA))
     assert batch.count() == 6
+
+
+def test_curate_stream_gates_and_dedup(spark, tmp_path):
+    """Streaming curation: lang/quality gates drop junk inside each
+    micro-batch; the watermark state drops a cross-batch exact duplicate;
+    the batch twin (same function on a batch frame) keeps the same rows."""
+    from openmatch_spark.operators.curate import curate_stream
+
+    good = ("https://ok.example/1",) + gen_pages_rows(1)[0][1:3] + (
+        "the quick brown fox jumps over that lazy dog with energy and "
+        "grace for the whole long day and that is the story of the fox",
+        "en",
+    )
+    german = ("https://de.example/1",) + good[1:3] + (
+        "der schnelle braune fuchs springt und das ist nicht mit ein "
+        "problem den ganzen tag und das ist die geschichte der fuchs",
+        "de",
+    )
+    b1 = [good, german]
+    dup = ("https://dup.example/1",) + good[1:]  # same text, new url
+    fresh = ("https://ok.example/2",) + good[1:3] + (
+        "completely different english content about the spark engine and "
+        "that big cluster with all of the executors and have fun with it",
+        "en",
+    )
+    b2 = [dup, fresh]
+
+    src = str(tmp_path / "cur_src")
+    spark.createDataFrame(b1, PAGES_SCHEMA).coalesce(1).write.parquet(src)
+    spark.createDataFrame(b2, PAGES_SCHEMA).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = curate_stream(stream, min_quality=0.3)
+    q = (
+        out.select("url", "content_hash")
+        .writeStream.format("memory")
+        .queryName("curate_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["url"] for r in spark.sql("SELECT * FROM curate_out").collect()}
+    assert got == {"https://ok.example/1", "https://ok.example/2"}
+
+    # batch twin: same gate verdicts and same DISTINCT CONTENT survives,
+    # but the canonical copy differs by documented design — the stream
+    # keeps the first-arrived row, batch keeps earliest (ts, url) (here
+    # the duplicate's url sorts before the original's at an equal ts)
+    batch_rows = curate_stream(
+        spark.createDataFrame(b1 + b2, PAGES_SCHEMA), min_quality=0.3
+    ).collect()
+    assert len(batch_rows) == 2
+    stream_hashes = {
+        r["content_hash"]
+        for r in spark.sql("SELECT * FROM curate_out").collect()
+    }
+    assert {r["content_hash"] for r in batch_rows} == stream_hashes

@@ -112,3 +112,49 @@ def incremental_index_available_now(
     )
     q.awaitTermination()
     return processed["n"]
+
+
+def maintain_index(
+    spark: SparkSession,
+    watch_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    analyzer: str | None = None,
+    compact: bool = True,
+    rebaseline: bool = False,
+    tier_factor: int = 10,
+    min_merge: int = 2,
+    max_merge: int = 10,
+) -> dict:
+    """One full maintenance cycle — what a scheduled ingest job runs:
+
+      1. drain currently-available new files into appended shards
+         (incremental_index_available_now: exactly-once per file, frozen
+         base statistics, dictionary extended with new vocabulary);
+      2. settle segments under the tiered policy (compact_auto — bounds
+         segment count at O(log N) for O(N log N) amortized merge cost);
+      3. optionally rebaseline: one full merge that recomputes
+         N/avgdl/df/idf and re-weights payloads, converging the index to
+         fresh-build scores (index/compact.py rebaseline_stats; legal even
+         when step 2 settled everything into a single segment).
+
+    Run with rebaseline=False on the frequent cadence and rebaseline=True
+    on the slow one (e.g. nightly) — the standard incremental-index
+    freshness/cost trade. Returns {"batches": n, "merges": [...],
+    "rebaseline": {...}|None}.
+    """
+    from openmatch_spark.index.compact import compact_auto, compact_index
+
+    n = incremental_index_available_now(
+        spark, watch_dir, index_dir, checkpoint_dir, analyzer=analyzer
+    )
+    merges = []
+    if compact:
+        merges = compact_auto(
+            spark, index_dir, tier_factor=tier_factor,
+            min_merge=min_merge, max_merge=max_merge,
+        )
+    reb = None
+    if rebaseline:
+        reb = compact_index(spark, index_dir, rebaseline_stats=True)
+    return {"batches": n, "merges": merges, "rebaseline": reb}

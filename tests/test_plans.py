@@ -96,3 +96,56 @@ def test_compaction_reads_are_shard_pruned(idx, spark):
     gated = idx.postings
     gplan = capture_plan(gated)
     assert "PartitionFilters:" in gplan
+
+
+def test_lsh_cap_rides_the_bands_shuffle(spark):
+    """The bucket-size cap must not add an aggregation pass: the window
+    count over (band, band_hash) shares the hash partitioning the pair
+    self-join needs, so the bands frame is exchanged and the filtered
+    frame reused for both join sides — no separate groupBy+semi-join
+    subtree in the plan."""
+    from openmatch_spark.operators.dedup import (
+        minhash_candidate_pairs,
+        minhash_signatures,
+        shingles,
+    )
+
+    docs = spark.createDataFrame(
+        [(f"d{i}", f"some text body number {i} with shared tokens here")
+         for i in range(20)],
+        "doc_id string, text string",
+    )
+    sig = minhash_signatures(shingles(docs, n=3), num_hashes=8)
+    pairs = minhash_candidate_pairs(sig, num_bands=4, num_hashes=8, max_bucket=5)
+    plan = capture_plan(pairs)
+    assert "Window" in plan
+    # the old implementation computed sizes via a second HashAggregate +
+    # LeftSemi join back onto the bands; the fused form has neither
+    assert "LeftSemi" not in plan
+
+
+def test_ivf_df_plan_prunes_and_single_corpus_exchange(spark):
+    """ivf_topk_df's corpus side: broadcast LeftSemi prune on the probed
+    bucket set BEFORE the one exchange that feeds the cogroup."""
+    import numpy as np
+
+    from openmatch_spark.query.dense import assign_buckets, ivf_topk_df
+
+    rng = np.random.default_rng(0)
+    emb = spark.createDataFrame(
+        [(f"v{i}", [float(x) for x in rng.standard_normal(8)]) for i in range(50)],
+        "vec_id string, embedding array<float>",
+    )
+    qdf = spark.createDataFrame(
+        [(f"q{i}", [float(x) for x in rng.standard_normal(8)]) for i in range(4)],
+        "query_id string, embedding array<double>",
+    )
+    b = assign_buckets(emb, dim=8, n_centroids=8)
+    out = ivf_topk_df(b, qdf, dim=8, k=3, n_centroids=8, nprobe=2)
+    plan = capture_plan(out)
+    assert "FlatMapCoGroupsInPandas" in plan
+    semi_pos = plan.find("LeftSemi")
+    cg_pos = plan.find("FlatMapCoGroupsInPandas")
+    assert semi_pos != -1 and "BroadcastHashJoin" in plan
+    # prune sits below (after, in formatted output) the cogroup operator
+    assert semi_pos > cg_pos

@@ -325,3 +325,35 @@ def test_curate_stream_gates_and_dedup(spark, tmp_path):
         for r in spark.sql("SELECT * FROM curate_out").collect()
     }
     assert {r["content_hash"] for r in batch_rows} == stream_hashes
+
+
+def test_maintain_index_cycle(spark, tmp_path):
+    """Drain -> tiered compact -> rebaseline in one call: after the cycle
+    the index holds every doc, has settled segments, and its stats reflect
+    the grown corpus (not the frozen base)."""
+    from openmatch_spark.index.layout import IndexPaths
+    from openmatch_spark.streaming.incremental import maintain_index
+
+    rows = gen_pages_rows(120)
+    base, e1, e2 = rows[:80], rows[80:100], rows[100:]
+    idx_dir, watch, ckpt = (str(tmp_path / d) for d in ("idx", "in", "ckpt"))
+    os.makedirs(watch)
+    build_index(
+        spark, spark.createDataFrame(base, PAGES_SCHEMA), idx_dir,
+        num_shards=2, num_term_buckets=4,
+    )
+    n_base = IndexPaths(idx_dir).read_stats()["n_docs"]
+    spark.createDataFrame(e1, PAGES_SCHEMA).write.parquet(watch + "/b1.parquet")
+    spark.createDataFrame(e2, PAGES_SCHEMA).write.parquet(watch + "/b2.parquet")
+
+    res = maintain_index(
+        spark, watch, idx_dir, ckpt, rebaseline=True, min_merge=2
+    )
+    assert res["batches"] >= 1 and res["rebaseline"] is not None
+
+    idx = load_index(spark, idx_dir)
+    assert idx.docmap.count() == 120
+    assert idx.manifest.count() == 1  # settled + rebaselined into one segment
+    assert idx.stats["n_docs"] == 120 and n_base == 80  # stats re-baselined
+    q = spark.createDataFrame([("q1", "term0001 term0002")], QUERIES_SCHEMA)
+    assert search(idx, q, k=10).count() > 0

@@ -276,6 +276,27 @@ def q_token_counts(spark, sf_dir):
     )
 
 
+def q_canonical_url(spark, sf_dir):
+    """URL canonicalization (operators/transforms.py:canonical_url_col) —
+    the url-keyed dedup/join normalization, every regex step replicated in
+    DuckDB. Raw urls synthesized deterministically from doc_id with mixed
+    case, default port, tracking params, trailing slash, and a fragment."""
+    from openmatch_spark.operators.transforms import canonical_url_col
+
+    d = _docs(spark, sf_dir).select(F.col("doc_id").cast("long").alias("doc_id"))
+    raw = F.concat(
+        F.lit("HTTPS://Example"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".COM:443/Path/"), F.col("doc_id").cast("string"),
+        F.lit("/?utm_source=x&id="), F.col("doc_id").cast("string"),
+        F.lit("&fbclid=zz#frag"),
+    )
+    return d.select(
+        "doc_id",
+        raw.alias("raw_url"),
+        canonical_url_col(raw).alias("canonical_url"),
+    )
+
+
 def q_gopher_quality(spark, sf_dir):
     """Gopher-style quality gates (operators/textstats.py:
     gopher_quality_flags) — every rule (word count, mean word length,
@@ -826,6 +847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_stats": q_term_stats,
         "token_counts": q_token_counts,
         "gopher_quality": q_gopher_quality,
+        "canonical_url": q_canonical_url,
         "rank_window": q_rank_window,
         "hard_negatives": q_hard_negatives,
         "ground_truth_inject": q_ground_truth_inject,
@@ -916,6 +938,44 @@ SELECT doc_id,
        CAST(n_bpe AS BIGINT) AS n_bpe_tokens,
        CAST(n_chars AS BIGINT) AS n_chars
 FROM t
+"""
+
+    sql["canonical_url"] = """
+WITH r AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         'HTTPS://Example' || CAST(CAST(doc_id AS BIGINT) % 7 AS VARCHAR)
+         || '.COM:443/Path/' || CAST(doc_id AS VARCHAR)
+         || '/?utm_source=x&id=' || CAST(doc_id AS VARCHAR)
+         || '&fbclid=zz#frag' AS raw_url
+  FROM documents
+),
+s1 AS (SELECT doc_id, raw_url, regexp_replace(trim(raw_url), '#.*$', '') AS u FROM r),
+s2 AS (
+  SELECT *,
+         lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS scheme,
+         regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.\\-]*://', '') AS af
+  FROM s1
+),
+s3 AS (
+  SELECT *,
+         CASE WHEN scheme = 'http'
+              THEN regexp_replace(lower(regexp_extract(af, '^([^/?#]*)', 1)), ':80$', '')
+              WHEN scheme = 'https'
+              THEN regexp_replace(lower(regexp_extract(af, '^([^/?#]*)', 1)), ':443$', '')
+              ELSE lower(regexp_extract(af, '^([^/?#]*)', 1)) END AS host,
+         regexp_replace(af, '^[^/?#]*', '') AS t0
+  FROM s2
+),
+s4 AS (
+  SELECT *,
+         regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           t0, '(?:utm_[A-Za-z0-9_]+|gclid|fbclid|msclkid)=[^&#]*', '', 'g'),
+           '&&+', '&', 'g'), '\\?&', '?'), '[?&]+$', ''), '/+$', '') AS tail
+  FROM s3
+)
+SELECT doc_id, raw_url,
+       CASE WHEN scheme = '' THEN u ELSE scheme || '://' || host || tail END AS canonical_url
+FROM s4
 """
 
     sql["gopher_quality"] = """

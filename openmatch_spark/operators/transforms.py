@@ -130,3 +130,43 @@ def hydrate_run(
             "query_id",
         )
     return out
+
+
+def canonical_url_col(url: Column) -> Column:
+    """Canonical form of a web url — THE dedup/join key normalization a
+    Common-Crawl-style pipeline applies before url-keyed stages (the same
+    page arrives as http://Site.com/a?utm_source=x and https://site.com/a/
+    across crawls). Pure column algebra (regexp + lower + concat, one
+    codegen pass), rules chosen to be expressible IDENTICALLY in the
+    DuckDB oracle (no parse_url, which DuckDB lacks):
+
+      1. trim; strip the #fragment;
+      2. lowercase scheme and host (never path/query — those are
+         case-sensitive by RFC 3986);
+      3. drop default ports (http :80, https :443);
+      4. drop tracking params (utm_*, gclid, fbclid, msclkid) and tidy the
+         leftover ?/& separators;
+      5. strip trailing slashes.
+
+    Scheme-less strings pass through steps 1 only (nothing to split on).
+    """
+    u = F.regexp_replace(F.trim(url), r"#.*$", "")
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+    after = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://", "")
+    host = F.lower(F.regexp_extract(after, r"^([^/?#]*)", 1))
+    host = (
+        F.when(scheme == "http", F.regexp_replace(host, r":80$", ""))
+        .when(scheme == "https", F.regexp_replace(host, r":443$", ""))
+        .otherwise(host)
+    )
+    tail = F.regexp_replace(after, r"^[^/?#]*", "")
+    tail = F.regexp_replace(
+        tail, r"(?:utm_[A-Za-z0-9_]+|gclid|fbclid|msclkid)=[^&#]*", ""
+    )
+    tail = F.regexp_replace(tail, r"&&+", "&")
+    tail = F.regexp_replace(tail, r"\?&", "?")
+    tail = F.regexp_replace(tail, r"[?&]+$", "")
+    tail = F.regexp_replace(tail, r"/+$", "")
+    return F.when(scheme == "", u).otherwise(
+        F.concat(scheme, F.lit("://"), host, tail)
+    )

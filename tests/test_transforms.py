@@ -86,3 +86,30 @@ def test_fill_template_strict_mode_raises(spark):
     # strict: reference utils.py:252-255 raises on a missing marker
     with _pytest.raises(ValueError, match="nope"):
         fill_template(df, "<title>|<nope>", allow_not_found=False)
+
+
+def test_canonical_url(spark):
+    import pyspark.sql.functions as F
+
+    from openmatch_spark.operators.transforms import canonical_url_col
+
+    cases = [
+        # (raw, expected)
+        ("HTTP://Example.COM:80/Path/To/Page?utm_source=x&id=3&fbclid=zz#frag",
+         "http://example.com/Path/To/Page?id=3"),
+        ("https://Site.com:443/a/", "https://site.com/a"),
+        ("https://site.com/a?utm_campaign=c", "https://site.com/a"),
+        # the slash is not trailing when a query follows it — kept
+        ("https://site.com/?utm_a=1&b=2&utm_c=3", "https://site.com/?b=2"),
+        ("https://site.com:8080/x", "https://site.com:8080/x"),  # non-default port kept
+        ("  https://site.com/x  ", "https://site.com/x"),
+        ("ftp://Host/Dir/", "ftp://host/Dir"),
+        ("no-scheme-string#frag", "no-scheme-string"),
+        ("https://site.com/CaseSensitive/Path", "https://site.com/CaseSensitive/Path"),
+    ]
+    df = spark.createDataFrame([(r,) for r, _ in cases], "url string")
+    got = [
+        r["canon"]
+        for r in df.select(canonical_url_col(F.col("url")).alias("canon")).collect()
+    ]
+    assert got == [e for _, e in cases]

@@ -297,6 +297,30 @@ def q_canonical_url(spark, sf_dir):
     )
 
 
+def q_pii_scrub(spark, sf_dir):
+    """PII audit + redaction (operators/textstats.py:pii_counts) over text
+    with deterministic synthetic PII appended — emails, IPv4s, and an
+    international phone per doc — every regex replicated in DuckDB. The
+    redacted text is md5-compressed for the value-hash compare."""
+    from openmatch_spark.operators.textstats import pii_counts
+
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id"),
+            F.lit("@example.com or 10.0.0."),
+            (F.col("doc_id").cast("long") % 250).cast("string"),
+            F.lit(" tel +1 555-01"), F.col("doc_id"),
+        ).alias("text"),
+    )
+    out = pii_counts(d)
+    return out.select(
+        "doc_id", "n_emails", "n_ipv4", "n_phones",
+        F.md5("redacted").alias("redacted_md5"),
+    )
+
+
 def q_gopher_quality(spark, sf_dir):
     """Gopher-style quality gates (operators/textstats.py:
     gopher_quality_flags) — every rule (word count, mean word length,
@@ -848,6 +872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "gopher_quality": q_gopher_quality,
         "canonical_url": q_canonical_url,
+        "pii_scrub": q_pii_scrub,
         "rank_window": q_rank_window,
         "hard_negatives": q_hard_negatives,
         "ground_truth_inject": q_ground_truth_inject,
@@ -976,6 +1001,26 @@ s4 AS (
 SELECT doc_id, raw_url,
        CASE WHEN scheme = '' THEN u ELSE scheme || '://' || host || tail END AS canonical_url
 FROM s4
+"""
+
+    sql["pii_scrub"] = """
+WITH d AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or 10.0.0.'
+              || CAST(CAST(doc_id AS BIGINT) % 250 AS VARCHAR)
+              || ' tel +1 555-01' || CAST(doc_id AS VARCHAR) AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')) AS BIGINT) AS n_ipv4,
+       CAST(len(regexp_extract_all(text, '\\+\\d{1,3}[ \\-]?\\(?\\d{1,4}\\)?(?:[ \\-]?\\d{2,4}){2,3}')) AS BIGINT) AS n_phones,
+       md5(regexp_replace(regexp_replace(regexp_replace(text,
+           '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'),
+           '\\+\\d{1,3}[ \\-]?\\(?\\d{1,4}\\)?(?:[ \\-]?\\d{2,4}){2,3}', '<PHONE>', 'g')) AS redacted_md5
+FROM d
 """
 
     sql["gopher_quality"] = """

@@ -317,3 +317,43 @@ def fingerprints(corpus: DataFrame, id_col: str = "doc_id", text_col: str = "tex
         "doc_id",
         F.coalesce("fingerprint", F.array().cast("array<long>")).alias("fingerprint"),
     )
+
+
+# conservative ASCII PII patterns, chosen to behave IDENTICALLY under Java
+# regex (Spark) and RE2 (the DuckDB oracle): no lookaround, no unicode
+# classes. The standard fast first-pass scrub (C4/Dolma-style) a
+# pretraining pipeline runs ahead of any learned NER pass — NOT a
+# compliance tool.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    # international-format only (+CC ...): bare national numbers are too
+    # false-positive-prone for a regex pass
+    "phone": r"\+\d{1,3}[ \-]?\(?\d{1,4}\)?(?:[ \-]?\d{2,4}){2,3}",
+}
+
+
+def redact_pii_col(text: Column, kinds: tuple[str, ...] = ("email", "ipv4", "phone")) -> Column:
+    """Replace each PII match with a typed placeholder (<EMAIL>/<IP>/
+    <PHONE>) — one codegen pass of chained global regexp_replace. Order is
+    fixed (email, ipv4, phone) so outputs are deterministic regardless of
+    the kinds tuple's order."""
+    placeholders = {"email": "<EMAIL>", "ipv4": "<IP>", "phone": "<PHONE>"}
+    out = text
+    for kind in ("email", "ipv4", "phone"):
+        if kind in kinds:
+            out = F.regexp_replace(out, PII_PATTERNS[kind], placeholders[kind])
+    return out
+
+
+def pii_counts(corpus: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, n_emails, n_ipv4, n_phones, redacted): per-doc PII audit +
+    the scrubbed text, for drop-vs-redact policy decisions downstream."""
+    t = F.col(text_col)
+    return corpus.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.size(F.regexp_extract_all(t, F.lit(PII_PATTERNS["email"]), 0)).cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(PII_PATTERNS["ipv4"]), 0)).cast("long").alias("n_ipv4"),
+        F.size(F.regexp_extract_all(t, F.lit(PII_PATTERNS["phone"]), 0)).cast("long").alias("n_phones"),
+        redact_pii_col(t).alias("redacted"),
+    )

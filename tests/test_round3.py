@@ -523,3 +523,34 @@ def test_dense_empty_query_batches(spark):
     from openmatch_spark.query.dense import ivf_topk_df
 
     assert ivf_topk_df(b, empty_df, dim=2, k=3, n_centroids=2).count() == 0
+
+
+# ---- PII redaction ----------------------------------------------------------
+
+
+def test_redact_pii(spark):
+    import pyspark.sql.functions as F
+
+    from openmatch_spark.operators.textstats import pii_counts, redact_pii_col
+
+    docs = [
+        ("1", "mail me at jane.doe+x@sub.example.co.uk and 192.168.1.77 ok"),
+        ("2", "call +44 20 7946 0958 or +1 (555) 123-4567 now"),
+        ("3", "nothing sensitive here, version 1.2 of the doc"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    rows = {r["doc_id"]: r for r in pii_counts(df).collect()}
+    assert rows["1"]["n_emails"] == 1 and rows["1"]["n_ipv4"] == 1
+    assert "<EMAIL>" in rows["1"]["redacted"] and "<IP>" in rows["1"]["redacted"]
+    assert "jane.doe" not in rows["1"]["redacted"]
+    assert rows["2"]["n_phones"] == 2
+    assert rows["2"]["redacted"].count("<PHONE>") == 2
+    assert rows["3"]["n_emails"] == 0 and rows["3"]["n_ipv4"] == 0
+    assert rows["3"]["redacted"] == docs[2][1]  # untouched
+
+    # kinds subset: only emails scrubbed
+    partial = df.select(
+        "doc_id", redact_pii_col(F.col("text"), kinds=("email",)).alias("t")
+    ).collect()
+    p = {r["doc_id"]: r["t"] for r in partial}
+    assert "<EMAIL>" in p["1"] and "192.168.1.77" in p["1"]

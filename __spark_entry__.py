@@ -321,6 +321,23 @@ def q_pii_scrub(spark, sf_dir):
     )
 
 
+def q_repetition(spark, sf_dir):
+    """Gopher-style repetition signals (operators/textstats.py:
+    repetition_signals): dup-line ratios + most-common-bigram share, each
+    definition replicated in DuckDB. Every third doc gets its text
+    line-duplicated so the duplicate-line metrics actually fire."""
+    from openmatch_spark.operators.textstats import repetition_signals
+
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.when(
+            F.col("doc_id").cast("long") % 3 == 0,
+            F.concat_ws("\n", "text", "text", "text"),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return repetition_signals(d)
+
+
 def q_gopher_quality(spark, sf_dir):
     """Gopher-style quality gates (operators/textstats.py:
     gopher_quality_flags) — every rule (word count, mean word length,
@@ -873,6 +890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "canonical_url": q_canonical_url,
         "pii_scrub": q_pii_scrub,
+        "repetition": q_repetition,
         "rank_window": q_rank_window,
         "hard_negatives": q_hard_negatives,
         "ground_truth_inject": q_ground_truth_inject,
@@ -1001,6 +1019,51 @@ s4 AS (
 SELECT doc_id, raw_url,
        CASE WHEN scheme = '' THEN u ELSE scheme || '://' || host || tail END AS canonical_url
 FROM s4
+"""
+
+    sql["repetition"] = """
+WITH d AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         CASE WHEN CAST(doc_id AS BIGINT) % 3 = 0
+              THEN text || chr(10) || text || chr(10) || text
+              ELSE text END AS text
+  FROM documents
+),
+l AS (
+  SELECT doc_id, text,
+         list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                     x -> x <> '') AS lines,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM d
+),
+base AS (
+  SELECT doc_id, text, toks,
+         CAST(len(lines) AS BIGINT) AS n_lines,
+         ROUND(1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / greatest(len(lines), 1), 6) AS dup_line_ratio,
+         ROUND(CAST(list_sum(list_transform(lines, x -> length(x)))
+                    - list_sum(list_transform(list_distinct(lines), x -> length(x))) AS DOUBLE)
+               / greatest(list_sum(list_transform(lines, x -> length(x))), 1), 6) AS dup_line_char_ratio
+  FROM l
+),
+g AS (
+  SELECT b.doc_id, s.gram, COUNT(*) AS cnt
+  FROM base b,
+  UNNEST(list_transform(generate_series(1, len(b.toks) - 1),
+                        i -> array_to_string(b.toks[i:i+1], ' '))) AS s(gram)
+  GROUP BY b.doc_id, s.gram
+),
+top AS (
+  SELECT doc_id, gram AS top_bigram, cnt AS top_bigram_count FROM (
+    SELECT g.*, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram ASC) AS rn
+    FROM g
+  ) WHERE rn = 1
+)
+SELECT b.doc_id, b.n_lines, b.dup_line_ratio, b.dup_line_char_ratio,
+       COALESCE(t.top_bigram, '') AS top_bigram,
+       CAST(COALESCE(t.top_bigram_count, 0) AS BIGINT) AS top_bigram_count,
+       ROUND(CAST(COALESCE(t.top_bigram_count, 0) * length(COALESCE(t.top_bigram, '')) AS DOUBLE)
+             / greatest(length(b.text), 1), 6) AS top_bigram_char_ratio
+FROM base b LEFT JOIN top t USING (doc_id)
 """
 
     sql["pii_scrub"] = """

@@ -357,3 +357,91 @@ def pii_counts(corpus: DataFrame, id_col: str = "doc_id", text_col: str = "text"
         F.size(F.regexp_extract_all(t, F.lit(PII_PATTERNS["phone"]), 0)).cast("long").alias("n_phones"),
         redact_pii_col(t).alias("redacted"),
     )
+
+
+def repetition_signals(
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1 repetition
+    removal — public heuristics): (doc_id, n_lines, dup_line_ratio,
+    dup_line_char_ratio, top_bigram, top_bigram_count,
+    top_bigram_char_ratio). Raw signals, not verdicts — cutoff policy
+    belongs to the caller (Gopher uses e.g. dup-line 0.30, top-2-gram
+    char fraction 0.20).
+
+    Definitions (mirrored exactly by the DuckDB oracle):
+      * lines = non-empty trimmed '\\n' segments; dup_line_ratio =
+        1 - distinct/total; dup_line_char_ratio = chars in occurrences
+        beyond each line's first / total line chars — both pure array
+        algebra in the scan's codegen pass.
+      * top bigram = the most frequent word 2-gram (ties: lexicographically
+        smallest), via explode + count + window — ONE shuffle keyed by
+        doc_id, the same shape as winnowing; char ratio =
+        count * len(bigram) / len(text).
+    """
+    text = F.col(text_col)
+    lines = F.filter(
+        F.transform(F.split(text, "\n"), F.trim), lambda l: F.length(l) > 0
+    )
+    n_lines = F.size(lines)
+    total_chars = F.aggregate(lines, F.lit(0), lambda acc, l: acc + F.length(l))
+    uniq_chars = F.aggregate(
+        F.array_distinct(lines), F.lit(0), lambda acc, l: acc + F.length(l)
+    )
+    base = corpus.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        text.alias("_text"),
+        n_lines.cast("long").alias("n_lines"),
+        F.round(
+            F.lit(1.0)
+            - F.size(F.array_distinct(lines)) / F.greatest(n_lines, F.lit(1)).cast("double"),
+            6,
+        ).alias("dup_line_ratio"),
+        F.round(
+            (total_chars - uniq_chars) / F.greatest(total_chars, F.lit(1)).cast("double"),
+            6,
+        ).alias("dup_line_char_ratio"),
+    )
+
+    toks = tokenize_col(F.col("_text"), "simple")
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    gcount = (
+        base.select("doc_id", F.explode(grams).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("cnt"), F.asc("gram"))
+    top = (
+        gcount.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            "doc_id",
+            F.col("gram").alias("top_bigram"),
+            F.col("cnt").cast("long").alias("top_bigram_count"),
+        )
+    )
+    return (
+        base.join(top, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_lines",
+            "dup_line_ratio",
+            "dup_line_char_ratio",
+            F.coalesce("top_bigram", F.lit("")).alias("top_bigram"),
+            F.coalesce("top_bigram_count", F.lit(0)).alias("top_bigram_count"),
+            F.round(
+                F.coalesce("top_bigram_count", F.lit(0))
+                * F.length(F.coalesce("top_bigram", F.lit("")))
+                / F.greatest(F.length(F.col("_text")), F.lit(1)).cast("double"),
+                6,
+            ).alias("top_bigram_char_ratio"),
+        )
+    )

@@ -554,3 +554,31 @@ def test_redact_pii(spark):
     ).collect()
     p = {r["doc_id"]: r["t"] for r in partial}
     assert "<EMAIL>" in p["1"] and "192.168.1.77" in p["1"]
+
+
+def test_repetition_signals(spark):
+    from openmatch_spark.operators.textstats import repetition_signals
+
+    docs = [
+        ("clean", "alpha beta gamma\ndelta epsilon zeta"),
+        ("dupl", "same line here\nsame line here\nother line"),
+        ("gram", "spam ham spam ham spam ham spam ham"),
+        ("tiny", "one"),
+    ]
+    rows = {
+        r["doc_id"]: r
+        for r in repetition_signals(
+            spark.createDataFrame(docs, "doc_id string, text string")
+        ).collect()
+    }
+    assert rows["clean"]["dup_line_ratio"] == 0.0
+    d = rows["dupl"]
+    assert d["n_lines"] == 3 and abs(d["dup_line_ratio"] - (1 - 2 / 3)) < 1e-6
+    # chars beyond first occurrence: one extra "same line here" (14 chars)
+    # over 14+14+10=38 total line chars
+    assert abs(d["dup_line_char_ratio"] - 14 / 38) < 1e-6
+    g = rows["gram"]
+    assert g["top_bigram"] in ("spam ham", "ham spam")
+    assert g["top_bigram_count"] == 4
+    t = rows["tiny"]
+    assert t["top_bigram"] == "" and t["top_bigram_count"] == 0

@@ -1011,14 +1011,20 @@ s3 AS (
 ),
 s4 AS (
   SELECT *,
-         regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-           t0, '(?:utm_[A-Za-z0-9_]+|gclid|fbclid|msclkid)=[^&#]*', '', 'g'),
-           '&&+', '&', 'g'), '\\?&', '?'), '[?&]+$', ''), '/+$', '') AS tail
+         regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           t0, '([?&])(?:utm_[A-Za-z0-9_]+|gclid|fbclid|msclkid)=[^&#]*', '\\1', 'g'),
+           '&&+', '&', 'g'), '\\?&', '?', 'g'), '[?&]+$', '') AS t1
   FROM s3
+),
+s5 AS (
+  SELECT *,
+         CASE WHEN contains(t1, '?') THEN t1
+              ELSE regexp_replace(t1, '/+$', '') END AS tail
+  FROM s4
 )
 SELECT doc_id, raw_url,
        CASE WHEN scheme = '' THEN u ELSE scheme || '://' || host || tail END AS canonical_url
-FROM s4
+FROM s5
 """
 
     sql["repetition"] = """
@@ -1039,10 +1045,11 @@ l AS (
 base AS (
   SELECT doc_id, text, toks,
          CAST(len(lines) AS BIGINT) AS n_lines,
-         ROUND(1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / greatest(len(lines), 1), 6) AS dup_line_ratio,
-         ROUND(CAST(list_sum(list_transform(lines, x -> length(x)))
-                    - list_sum(list_transform(list_distinct(lines), x -> length(x))) AS DOUBLE)
-               / greatest(list_sum(list_transform(lines, x -> length(x))), 1), 6) AS dup_line_char_ratio
+         ROUND(CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
+               / greatest(len(lines), 1), 6) AS dup_line_ratio,
+         ROUND(CAST(COALESCE(list_sum(list_transform(lines, x -> length(x))), 0)
+                    - COALESCE(list_sum(list_transform(list_distinct(lines), x -> length(x))), 0) AS DOUBLE)
+               / greatest(COALESCE(list_sum(list_transform(lines, x -> length(x))), 0), 1), 6) AS dup_line_char_ratio
   FROM l
 ),
 g AS (

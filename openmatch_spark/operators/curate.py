@@ -22,6 +22,21 @@ from openmatch_spark.operators.dedup import deduplicate_corpus
 from openmatch_spark.operators.textstats import pred_lang_col, quality_col
 
 
+def curation_gates(langs: tuple[str, ...], min_quality: float):
+    """(lang_ok, qual_ok) predicate columns over pred_lang/quality — THE
+    single definition of the gates, shared by curate_corpus and
+    curate_stream so the batch and streaming verdicts can never
+    desynchronize. Null-safe: a NULL text yields NULL pred_lang/quality,
+    and a NULL predicate fails BOTH where(g) and where(~g) — the row would
+    vanish from every branch; coalescing to False gives NULL-text docs a
+    deterministic drop."""
+    lang_ok = F.coalesce(F.col("pred_lang").isin(list(langs)), F.lit(False))
+    qual_ok = F.coalesce(
+        F.col("quality") >= F.lit(float(min_quality)), F.lit(False)
+    )
+    return lang_ok, qual_ok
+
+
 def curate_corpus(
     corpus: DataFrame,
     langs: tuple[str, ...] = ("en",),
@@ -52,14 +67,7 @@ def curate_corpus(
         quality_col(F.col(text_col)).alias("quality"),
     )
 
-    # null-safe gates: a NULL text yields NULL pred_lang/quality, and a NULL
-    # predicate fails BOTH `where(g)` and `where(~g)` — the row would vanish
-    # from every branch, breaking the one-verdict-row-per-input-row contract.
-    # Coalescing to False gives NULL-text docs a deterministic 'lang' drop.
-    lang_ok = F.coalesce(F.col("pred_lang").isin(list(langs)), F.lit(False))
-    qual_ok = F.coalesce(
-        F.col("quality") >= F.lit(float(min_quality)), F.lit(False)
-    )
+    lang_ok, qual_ok = curation_gates(langs, min_quality)
 
     lang_drops = scored.where(~lang_ok).select(
         "doc_id",
@@ -114,10 +122,7 @@ def curate_stream(
     scored = pages.withColumn(
         "pred_lang", pred_lang_col(F.col(text_col))
     ).withColumn("quality", quality_col(F.col(text_col)))
-    lang_ok = F.coalesce(F.col("pred_lang").isin(list(langs)), F.lit(False))
-    qual_ok = F.coalesce(
-        F.col("quality") >= F.lit(float(min_quality)), F.lit(False)
-    )
+    lang_ok, qual_ok = curation_gates(langs, min_quality)
     gated = scored.where(lang_ok & qual_ok)
     return streaming_exact_dedup(
         gated, watermark=watermark, ts_col=ts_col, text_col=text_col

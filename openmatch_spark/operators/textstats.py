@@ -392,11 +392,18 @@ def repetition_signals(
     )
     base = corpus.select(
         F.col(id_col).cast("string").alias("doc_id"),
-        text.alias("_text"),
+        # scalar char count, NOT the text itself: carrying document bodies
+        # through the doc_id join would shuffle them a second time just to
+        # take length() after the join
+        F.length(text).cast("long").alias("_n_text_chars"),
         n_lines.cast("long").alias("n_lines"),
+        # (n - distinct)/max(n,1), not 1 - distinct/max(n,1): a doc with
+        # ZERO non-empty lines must read 0.0 (nothing is duplicated), not
+        # 1.0 — a Gopher-style "drop if > 0.30" cutoff would otherwise
+        # discard every empty doc as maximally repetitive
         F.round(
-            F.lit(1.0)
-            - F.size(F.array_distinct(lines)) / F.greatest(n_lines, F.lit(1)).cast("double"),
+            (n_lines - F.size(F.array_distinct(lines)))
+            / F.greatest(n_lines, F.lit(1)).cast("double"),
             6,
         ).alias("dup_line_ratio"),
         F.round(
@@ -405,7 +412,7 @@ def repetition_signals(
         ).alias("dup_line_char_ratio"),
     )
 
-    toks = tokenize_col(F.col("_text"), "simple")
+    toks = tokenize_col(text, "simple")
     grams = F.when(
         F.size(toks) >= 2,
         F.transform(
@@ -414,7 +421,10 @@ def repetition_signals(
         ),
     ).otherwise(F.array().cast("array<string>"))
     gcount = (
-        base.select("doc_id", F.explode(grams).alias("gram"))
+        corpus.select(
+            F.col(id_col).cast("string").alias("doc_id"),
+            F.explode(grams).alias("gram"),
+        )
         .groupBy("doc_id", "gram")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -440,7 +450,7 @@ def repetition_signals(
             F.round(
                 F.coalesce("top_bigram_count", F.lit(0))
                 * F.length(F.coalesce("top_bigram", F.lit("")))
-                / F.greatest(F.length(F.col("_text")), F.lit(1)).cast("double"),
+                / F.greatest(F.col("_n_text_chars"), F.lit(1)).cast("double"),
                 6,
             ).alias("top_bigram_char_ratio"),
         )

@@ -160,13 +160,24 @@ def canonical_url_col(url: Column) -> Column:
         .otherwise(host)
     )
     tail = F.regexp_replace(after, r"^[^/?#]*", "")
+    # tracking params must be anchored at a ?/& separator and the key must
+    # match in full (an unanchored key-substring match would mangle legit
+    # params like wgclid=, and the [^&#]* value class would even eat '/'
+    # path segments when the pattern matched inside a PATH — e.g.
+    # '/utm_a=1/page'). The separator is captured and re-emitted; residual
+    # '&&' / '?&' runs are tidied below.
     tail = F.regexp_replace(
-        tail, r"(?:utm_[A-Za-z0-9_]+|gclid|fbclid|msclkid)=[^&#]*", ""
+        tail, r"([?&])(?:utm_[A-Za-z0-9_]+|gclid|fbclid|msclkid)=[^&#]*", r"$1"
     )
     tail = F.regexp_replace(tail, r"&&+", "&")
     tail = F.regexp_replace(tail, r"\?&", "?")
     tail = F.regexp_replace(tail, r"[?&]+$", "")
-    tail = F.regexp_replace(tail, r"/+$", "")
+    # trailing-slash strip applies to the PATH only: when a query string is
+    # present the final chars belong to a query VALUE ('?next=/home/') and
+    # stripping them would conflate distinct urls
+    tail = F.when(tail.contains("?"), tail).otherwise(
+        F.regexp_replace(tail, r"/+$", "")
+    )
     return F.when(scheme == "", u).otherwise(
         F.concat(scheme, F.lit("://"), host, tail)
     )

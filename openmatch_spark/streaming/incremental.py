@@ -141,7 +141,10 @@ def maintain_index(
     Run with rebaseline=False on the frequent cadence and rebaseline=True
     on the slow one (e.g. nightly) — the standard incremental-index
     freshness/cost trade. Returns {"batches": n, "merges": [...],
-    "rebaseline": {...}|None}.
+    "rebaseline": {...}|None}. When rebaseline=True the tiered pass is
+    skipped: the rebaseline IS a full merge of every committed shard, so
+    compact_auto's decode/re-pack work would be immediately re-done and
+    discarded.
     """
     from openmatch_spark.index.compact import compact_auto, compact_index
 
@@ -149,7 +152,7 @@ def maintain_index(
         spark, watch_dir, index_dir, checkpoint_dir, analyzer=analyzer
     )
     merges = []
-    if compact:
+    if compact and not rebaseline:
         merges = compact_auto(
             spark, index_dir, tier_factor=tier_factor,
             min_merge=min_merge, max_merge=max_merge,

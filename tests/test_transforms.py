@@ -106,6 +106,14 @@ def test_canonical_url(spark):
         ("ftp://Host/Dir/", "ftp://host/Dir"),
         ("no-scheme-string#frag", "no-scheme-string"),
         ("https://site.com/CaseSensitive/Path", "https://site.com/CaseSensitive/Path"),
+        # adversarial cases from review: a legit param whose name merely
+        # CONTAINS a tracking key must survive; 'utm_' appearing in a PATH
+        # segment must not eat the rest of the path; a query VALUE ending
+        # in '/' must keep it (only path-trailing slashes are stripped)
+        ("https://site.com/?wgclid=abc&id=2", "https://site.com/?wgclid=abc&id=2"),
+        ("https://site.com/utm_a=1/page", "https://site.com/utm_a=1/page"),
+        ("https://site.com/p?next=/home/", "https://site.com/p?next=/home/"),
+        ("https://site.com/a?utm_x=1&utm_y=2", "https://site.com/a"),
     ]
     df = spark.createDataFrame([(r,) for r, _ in cases], "url string")
     got = [

@@ -111,9 +111,41 @@ class IndexStorage:
 
     # ---- reads -------------------------------------------------------------
 
+    def _recover_swap(self, kind: str) -> None:
+        """Complete (or roll back) an aside-swap interrupted by a crash.
+
+        overwrite(stage=True) in path mode commits via write-to-scratch →
+        rename(live, _old_<kind>) → rename(scratch, live) → rmtree(_old_).
+        The only window where no live dir exists is between the two renames;
+        by then the scratch write has fully committed, so recovery FORWARD
+        (scratch → live) is always correct. A stray _old_<kind> with the
+        live dir present is post-commit litter and is removed. If somehow
+        only _old_ survives, restore it (old data beats no data).
+
+        NOTE: the whole swap protocol assumes a POSIX-rename filesystem
+        visible to the driver (same assumption stats.json makes) — on an
+        object store front it with a rename-capable layer or use table mode.
+        """
+        if self.is_table_mode:
+            return
+        import os
+        import shutil
+
+        target = getattr(self.paths, kind)
+        scratch = os.path.join(self.paths.root, f"_stage_{kind}")
+        aside = os.path.join(self.paths.root, f"_old_{kind}")
+        if os.path.exists(target):
+            return
+        if os.path.exists(scratch) and os.path.exists(aside):
+            os.rename(scratch, target)  # finish the interrupted commit
+            shutil.rmtree(aside, ignore_errors=True)
+        elif os.path.exists(aside):
+            os.rename(aside, target)  # conservative rollback
+
     def read(self, kind: str) -> DataFrame:
         if self.is_table_mode:
             return self.spark.read.table(self.table_name(kind))
+        self._recover_swap(kind)
         return self.spark.read.parquet(getattr(self.paths, kind))
 
     def exists(self, kind: str) -> bool:
@@ -124,6 +156,7 @@ class IndexStorage:
         transient failure would silently pick the wrong branch."""
         if self.is_table_mode:
             return self.spark.catalog.tableExists(self.table_name(kind))
+        self._recover_swap(kind)
         from pyspark.errors.exceptions.captured import AnalysisException
 
         try:

@@ -490,7 +490,15 @@ def connected_components_min_label(
         .select("doc_id", F.col("doc_id").alias("label"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iters):
+    def _changed(new, old) -> int:
+        return (
+            new.join(old.withColumnRenamed("label", "_old"), "doc_id")
+            .where(F.col("label") != F.col("_old"))
+            .count()
+        )
+
+    converged = False
+    for it in range(max_iters):
         msgs = und.join(labels.withColumnRenamed("doc_id", "a"), "a").select(
             F.col("b").alias("doc_id"), "label"
         )
@@ -510,14 +518,30 @@ def connected_components_min_label(
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new.join(labels.withColumnRenamed("label", "_old"), "doc_id")
-            .where(F.col("label") != F.col("_old"))
-            .count()
-        )
+        # convergence check every OTHER round (plus the final round): the
+        # check is its own Spark job, and with pointer jumping most graphs
+        # settle in a handful of rounds — probing every round would spend
+        # as many jobs on checking as on propagating. An extra idempotent
+        # round costs the same as the check it replaces.
+        if it % 2 == 1 or it == max_iters - 1:
+            if _changed(new, labels) == 0:
+                labels = new
+                converged = True
+                break
         labels = new
-        if changed == 0:
-            break
+    if not converged:
+        # the loop exited by exhaustion; unconverged labels would break the
+        # closure-mode invariant that every dup_of names a component ROOT —
+        # surface it instead of silently returning partial propagation
+        import warnings
+
+        warnings.warn(
+            f"connected_components_min_label: not converged after "
+            f"{max_iters} rounds (chain length > 2^{max_iters}); labels may "
+            f"not be component minima",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.withColumnRenamed("label", "component")
 
 

@@ -108,6 +108,12 @@ def rerank_bm25(index, run: DataFrame, corpus: DataFrame, queries: DataFrame,
     )
 
     analyzer = index.stats["analyzer"]
+    # snapshot the queries ONCE: the size probe below plus the distributed
+    # vocabulary scan (and the final rerank join) would otherwise re-evaluate
+    # the source, and over a non-deterministic source the collected
+    # vocabulary could miss terms for queries that differ between
+    # evaluations (ADVICE r3)
+    queries = queries.localCheckpoint(eager=True)
     head = queries.select("text").take(_DISTRIBUTED_TOKENIZE_MIN_QUERIES + 1)
     if len(head) > _DISTRIBUTED_TOKENIZE_MIN_QUERIES:
         qterms = {

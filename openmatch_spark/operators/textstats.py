@@ -79,8 +79,13 @@ def gopher_quality_flags(
       symbol-to-word ratio ('#' chars + '...' occurrences) <= 0.1; <= 90%
       of lines bullet-led; <= 30% of lines ellipsis-terminated; >= 80% of
       words contain an alphabetic char; >= 2 distinct Gopher stopwords.
+
+    NULL text is treated as empty: without the coalesce, F.size over the
+    null word array returns -1 (legacy sizeOfNull), so n_words would carry
+    a -1 sentinel into downstream cutoff policies even though the boolean
+    gates fail-safe (ADVICE r3).
     """
-    text = F.col(text_col)
+    text = F.coalesce(F.col(text_col), F.lit(""))
     words = F.filter(F.split(text, r"\s+"), lambda w: F.length(w) > 0)
     lines = F.split(text, "\n")
     n_words = F.size(words)
@@ -380,8 +385,11 @@ def repetition_signals(
         smallest), via explode + count + window — ONE shuffle keyed by
         doc_id, the same shape as winnowing; char ratio =
         count * len(bigram) / len(text).
+
+    NULL text is treated as empty (n_lines 0, ratios 0.0) — F.size over a
+    null array would otherwise emit a -1 sentinel (ADVICE r3).
     """
-    text = F.col(text_col)
+    text = F.coalesce(F.col(text_col), F.lit(""))
     lines = F.filter(
         F.transform(F.split(text, "\n"), F.trim), lambda l: F.length(l) > 0
     )

@@ -116,13 +116,17 @@ def cmd_compact(args) -> int:
 
     spark = _spark("om-compact")
     if args.auto:
-        res = compact_auto(spark, args.index, table_prefix=args.table_prefix)
         if args.rebaseline:
-            # settle tiers first, then one full merge that re-baselines
+            # A rebaseline is itself a full merge that discards the prior
+            # decode/re-pack, so a tiered pass first would be pure waste —
+            # matching streaming/incremental.py maintain_index, which skips
+            # the tiered pass for the same reason.
             res = compact_index(
                 spark, args.index, table_prefix=args.table_prefix,
                 rebaseline_stats=True,
             )
+        else:
+            res = compact_auto(spark, args.index, table_prefix=args.table_prefix)
     else:
         res = compact_index(
             spark, args.index, shards=args.shards,

@@ -322,18 +322,23 @@ def q_pii_scrub(spark, sf_dir):
 
 
 def q_repetition(spark, sf_dir):
-    """Gopher-style repetition signals (operators/textstats.py:
-    repetition_signals): dup-line ratios + most-common-bigram share, each
-    definition replicated in DuckDB. Every third doc gets its text
-    line-duplicated so the duplicate-line metrics actually fire."""
+    """Gopher-style repetition signals, full family (operators/textstats.py:
+    repetition_signals): dup-line AND dup-paragraph ratios + top-{2,3,4}-gram
+    shares, each definition replicated in DuckDB. Every third doc gets its
+    text line-duplicated and every fourth paragraph-duplicated so all the
+    duplicate-segment metrics actually fire."""
     from openmatch_spark.operators.textstats import repetition_signals
 
+    lined = F.when(
+        F.col("doc_id").cast("long") % 3 == 0,
+        F.concat_ws("\n", "text", "text", "text"),
+    ).otherwise(F.col("text"))
     d = _docs(spark, sf_dir).select(
         F.col("doc_id").cast("string").alias("doc_id"),
         F.when(
-            F.col("doc_id").cast("long") % 3 == 0,
-            F.concat_ws("\n", "text", "text", "text"),
-        ).otherwise(F.col("text")).alias("text"),
+            F.col("doc_id").cast("long") % 4 == 0,
+            F.concat_ws("\n\n", lined, lined),
+        ).otherwise(lined).alias("text"),
     )
     return repetition_signals(d)
 
@@ -1027,10 +1032,48 @@ SELECT doc_id, raw_url,
 FROM s5
 """
 
-    sql["repetition"] = """
+    # the same (gram CTE -> count -> ROW_NUMBER) replica per n: the engine
+    # computes max gram multiplicity as a sorted-array longest-run fold,
+    # but the VALUE is identical to count-then-top with ties to the
+    # smallest gram, so the oracle keeps the relational formulation
+    _rep_gram = """
+g{n} AS (
+  SELECT b.doc_id, s.gram, COUNT(*) AS cnt
+  FROM base b,
+  UNNEST(list_transform(generate_series(1, len(b.toks) - {n1}),
+                        i -> array_to_string(b.toks[i:i+{n1}], ' '))) AS s(gram)
+  GROUP BY b.doc_id, s.gram
+),
+top{n} AS (
+  SELECT doc_id, gram AS top_gram, cnt FROM (
+    SELECT gg.*, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram ASC) AS rn
+    FROM g{n} gg
+  ) WHERE rn = 1
+)"""
+    _rep_seg = """
+         CAST(len({seg}) AS BIGINT) AS n_{p}s,
+         ROUND(CAST(len({seg}) - len(list_distinct({seg})) AS DOUBLE)
+               / greatest(len({seg}), 1), 6) AS dup_{p}_ratio,
+         ROUND(CAST(COALESCE(list_sum(list_transform({seg}, x -> length(x))), 0)
+                    - COALESCE(list_sum(list_transform(list_distinct({seg}), x -> length(x))), 0) AS DOUBLE)
+               / greatest(COALESCE(list_sum(list_transform({seg}, x -> length(x))), 0), 1), 6) AS dup_{p}_char_ratio"""
+    _rep_top = """
+       COALESCE(t{n}.top_gram, '') AS top_{name},
+       CAST(COALESCE(t{n}.cnt, 0) AS BIGINT) AS top_{name}_count,
+       ROUND(CAST(COALESCE(t{n}.cnt, 0) * length(COALESCE(t{n}.top_gram, '')) AS DOUBLE)
+             / greatest(length(b.text), 1), 6) AS top_{name}_char_ratio"""
+    sql["repetition"] = f"""
 WITH d AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id,
-         CASE WHEN CAST(doc_id AS BIGINT) % 3 = 0
+         CASE WHEN CAST(doc_id AS BIGINT) % 4 = 0
+              THEN (CASE WHEN CAST(doc_id AS BIGINT) % 3 = 0
+                         THEN text || chr(10) || text || chr(10) || text
+                         ELSE text END)
+                   || chr(10) || chr(10) ||
+                   (CASE WHEN CAST(doc_id AS BIGINT) % 3 = 0
+                         THEN text || chr(10) || text || chr(10) || text
+                         ELSE text END)
+              WHEN CAST(doc_id AS BIGINT) % 3 = 0
               THEN text || chr(10) || text || chr(10) || text
               ELSE text END AS text
   FROM documents
@@ -1039,38 +1082,24 @@ l AS (
   SELECT doc_id, text,
          list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
                      x -> x <> '') AS lines,
+         list_filter(list_transform(regexp_split_to_array(text, '\\n{{2,}}'), x -> trim(x)),
+                     x -> x <> '') AS paras,
          list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
   FROM d
 ),
 base AS (
-  SELECT doc_id, text, toks,
-         CAST(len(lines) AS BIGINT) AS n_lines,
-         ROUND(CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
-               / greatest(len(lines), 1), 6) AS dup_line_ratio,
-         ROUND(CAST(COALESCE(list_sum(list_transform(lines, x -> length(x))), 0)
-                    - COALESCE(list_sum(list_transform(list_distinct(lines), x -> length(x))), 0) AS DOUBLE)
-               / greatest(COALESCE(list_sum(list_transform(lines, x -> length(x))), 0), 1), 6) AS dup_line_char_ratio
+  SELECT doc_id, text, toks,{_rep_seg.format(seg="lines", p="line")},{_rep_seg.format(seg="paras", p="para")}
   FROM l
 ),
-g AS (
-  SELECT b.doc_id, s.gram, COUNT(*) AS cnt
-  FROM base b,
-  UNNEST(list_transform(generate_series(1, len(b.toks) - 1),
-                        i -> array_to_string(b.toks[i:i+1], ' '))) AS s(gram)
-  GROUP BY b.doc_id, s.gram
-),
-top AS (
-  SELECT doc_id, gram AS top_bigram, cnt AS top_bigram_count FROM (
-    SELECT g.*, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram ASC) AS rn
-    FROM g
-  ) WHERE rn = 1
-)
+{_rep_gram.format(n=2, n1=1)},
+{_rep_gram.format(n=3, n1=2)},
+{_rep_gram.format(n=4, n1=3)}
 SELECT b.doc_id, b.n_lines, b.dup_line_ratio, b.dup_line_char_ratio,
-       COALESCE(t.top_bigram, '') AS top_bigram,
-       CAST(COALESCE(t.top_bigram_count, 0) AS BIGINT) AS top_bigram_count,
-       ROUND(CAST(COALESCE(t.top_bigram_count, 0) * length(COALESCE(t.top_bigram, '')) AS DOUBLE)
-             / greatest(length(b.text), 1), 6) AS top_bigram_char_ratio
-FROM base b LEFT JOIN top t USING (doc_id)
+       b.n_paras, b.dup_para_ratio, b.dup_para_char_ratio,{_rep_top.format(n=2, name="bigram")},{_rep_top.format(n=3, name="3gram")},{_rep_top.format(n=4, name="4gram")}
+FROM base b
+LEFT JOIN top2 t2 USING (doc_id)
+LEFT JOIN top3 t3 USING (doc_id)
+LEFT JOIN top4 t4 USING (doc_id)
 """
 
     sql["pii_scrub"] = """

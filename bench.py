@@ -50,6 +50,52 @@ def _gen_queries(n=100, vocab=30000, seed=7):
     return qs
 
 
+# Quiet-host medians for the in-suite noise probes, measured 2026-08-17 on
+# an idle window (median of 5). The probes are single-threaded, so they
+# track host CPU-steal / memory-bandwidth weather, not Spark parallelism.
+_NOISE_REF = {"tokenize_sec": 0.30, "alu_sec": 0.51}
+
+
+def _noise_probe() -> dict:
+    """Same-run noise control (~2.5 s): median-of-3 single-threaded tokenize
+    (memory-heavy, the engine's dominant kernel class) and pure-ALU walls.
+    Compare to _NOISE_REF: a factor >~1.3 means the shared host was loaded
+    during the suite and absolute walls are not comparable across rounds —
+    the fix for r3's unattributable compact_all/query_p99 regressions
+    (VERDICT r3 item 1: per-round numbers swung 2.5-4.7x with no code
+    change and no control to prove host noise)."""
+    import statistics
+
+    from openmatch_spark.analysis import tokenize_py
+
+    def tok():
+        import numpy as np
+
+        rng = np.random.default_rng(0)
+        total = 0
+        for _ in range(2000):
+            doclen = int(rng.integers(20, 201))
+            text = " ".join(f"term{int(t):06d}" for t in rng.integers(0, 30000, doclen))
+            total += len(tokenize_py(text, "dpr"))
+        return total
+
+    def alu():
+        x = 1
+        for _ in range(5_000_000):
+            x = (x * 1103515245 + 12345) & 0x7FFFFFFF
+        return x
+
+    out = {}
+    for name, fn in (("tokenize_sec", tok), ("alu_sec", alu)):
+        walls = []
+        for _ in range(3):
+            t0 = time.time()
+            fn()
+            walls.append(time.time() - t0)
+        out[name] = round(statistics.median(walls), 3)
+    return out
+
+
 def suite() -> dict:
     from pyspark.sql import functions as F
 
@@ -58,6 +104,7 @@ def suite() -> dict:
     from openmatch_spark.index import build_index, load_index
     from openmatch_spark.query import search
 
+    noise_pre = _noise_probe()
     spark = get_spark("om-bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
     spark.sparkContext.setLogLevel("ERROR")
     timings: dict[str, float] = {}
@@ -108,6 +155,12 @@ def suite() -> dict:
     lat.sort()
     timings["query_p50"] = lat[len(lat) // 2]
     timings["query_p99"] = lat[min(len(lat) - 1, int(len(lat) * 0.99))]
+    # raw walls ride along so a p99 outlier (one stalled job on a noisy
+    # host) is distinguishable from a genuine latency shift
+    latency_detail = {
+        "walls": [round(x, 3) for x in lat],
+        "p90": round(lat[min(len(lat) - 1, int(len(lat) * 0.90))], 3),
+    }
 
     # entry-contract headliners at the bench scale
     import __spark_entry__ as em
@@ -221,6 +274,25 @@ def suite() -> dict:
 
     _sh.rmtree(big_dir, ignore_errors=True)
 
+    spark.stop()
+    noise_post = _noise_probe()
+    noise = {
+        "pre": noise_pre,
+        "post": noise_post,
+        "quiet_ref": dict(_NOISE_REF),
+        # >1 means the host was that many times slower than the quiet
+        # reference during this suite; divide round-over-round wall ratios
+        # by the tokenize factor before attributing a regression to code
+        "load_factor_tokenize": round(
+            (noise_pre["tokenize_sec"] + noise_post["tokenize_sec"])
+            / (2 * _NOISE_REF["tokenize_sec"]), 2,
+        ),
+        "load_factor_alu": round(
+            (noise_pre["alu_sec"] + noise_post["alu_sec"])
+            / (2 * _NOISE_REF["alu_sec"]), 2,
+        ),
+    }
+
     total = sum(v for v in timings.values())
     out = {
         "metric": "e2e_suite_seconds",
@@ -235,8 +307,9 @@ def suite() -> dict:
         "search_plan": plan,
         "ivf_recall": ivf_recall,
         "suite_100k": suite_100k,
+        "latency_detail": latency_detail,
+        "noise_control": noise,
     }
-    spark.stop()
     return out
 
 

@@ -364,102 +364,140 @@ def pii_counts(corpus: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     )
 
 
+def _top_gram_struct(toks: Column, n: int) -> Column:
+    """struct(gram, cnt): the most frequent word n-gram, ties resolving to
+    the lexicographically smallest — computed WITHOUT a shuffle.
+
+    Max n-gram multiplicity == the longest equal run in the SORTED gram
+    array, so one array_sort + one F.aggregate fold (acc carries prev/run/
+    best/best-gram) replaces the r3 explode → groupBy(doc_id, gram) →
+    window plan, which shuffled every bigram of the corpus once. Runs
+    appear in ascending gram order, and the fold only replaces the champion
+    on a STRICTLY longer run — identical tie-break to the old window's
+    ORDER BY cnt DESC, gram ASC (equivalence pinned by pytest)."""
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sg = F.array_sort(grams)
+    zero = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+        F.lit("").alias("bestg"),
+    )
+
+    def step(acc, x):
+        # tokens are non-empty, so no real gram equals zero's "" sentinel
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.when(run > acc["best"], run).otherwise(acc["best"]).alias("best"),
+            F.when(run > acc["best"], x).otherwise(acc["bestg"]).alias("bestg"),
+        )
+
+    fin = F.aggregate(sg, zero, step)
+    return F.struct(
+        fin["bestg"].alias("gram"), fin["best"].cast("long").alias("cnt")
+    )
+
+
+def _dup_segment_cols(segments: Column, prefix: str) -> list[Column]:
+    """(n_<prefix>s, dup_<prefix>_ratio, dup_<prefix>_char_ratio) over a
+    trimmed non-empty segment array (lines or paragraphs)."""
+    n = F.size(segments)
+    total_chars = F.aggregate(segments, F.lit(0), lambda acc, s: acc + F.length(s))
+    uniq_chars = F.aggregate(
+        F.array_distinct(segments), F.lit(0), lambda acc, s: acc + F.length(s)
+    )
+    return [
+        n.cast("long").alias(f"n_{prefix}s"),
+        # (n - distinct)/max(n,1), not 1 - distinct/max(n,1): a doc with
+        # ZERO segments must read 0.0 (nothing is duplicated), not 1.0 —
+        # a Gopher-style "drop if > 0.30" cutoff would otherwise discard
+        # every empty doc as maximally repetitive
+        F.round(
+            (n - F.size(F.array_distinct(segments)))
+            / F.greatest(n, F.lit(1)).cast("double"),
+            6,
+        ).alias(f"dup_{prefix}_ratio"),
+        F.round(
+            (total_chars - uniq_chars)
+            / F.greatest(total_chars, F.lit(1)).cast("double"),
+            6,
+        ).alias(f"dup_{prefix}_char_ratio"),
+    ]
+
+
 def repetition_signals(
     corpus: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    ngram_ns: tuple[int, ...] = (2, 3, 4),
 ) -> DataFrame:
     """Gopher-style repetition signals (Rae et al. 2021 §A1.1 repetition
-    removal — public heuristics): (doc_id, n_lines, dup_line_ratio,
-    dup_line_char_ratio, top_bigram, top_bigram_count,
-    top_bigram_char_ratio). Raw signals, not verdicts — cutoff policy
-    belongs to the caller (Gopher uses e.g. dup-line 0.30, top-2-gram
-    char fraction 0.20).
+    removal — public heuristics), the full family: per doc
+
+      n_lines, dup_line_ratio, dup_line_char_ratio,
+      n_paras, dup_para_ratio, dup_para_char_ratio,
+      top_bigram, top_bigram_count, top_bigram_char_ratio,
+      top_3gram, top_3gram_count, top_3gram_char_ratio,
+      top_4gram, top_4gram_count, top_4gram_char_ratio.
+
+    Raw signals, not verdicts — cutoff policy belongs to the caller
+    (Gopher gates e.g. dup-line 0.30, dup-paragraph 0.30, top-2-gram char
+    fraction 0.20, top-3-gram 0.18, top-4-gram 0.16).
 
     Definitions (mirrored exactly by the DuckDB oracle):
-      * lines = non-empty trimmed '\\n' segments; dup_line_ratio =
-        1 - distinct/total; dup_line_char_ratio = chars in occurrences
-        beyond each line's first / total line chars — both pure array
-        algebra in the scan's codegen pass.
-      * top bigram = the most frequent word 2-gram (ties: lexicographically
-        smallest), via explode + count + window — ONE shuffle keyed by
-        doc_id, the same shape as winnowing; char ratio =
-        count * len(bigram) / len(text).
+      * lines = non-empty trimmed '\\n' segments; paragraphs = non-empty
+        trimmed segments between blank lines ('\\n{2,}'); dup ratios =
+        occurrences beyond each segment's first, by count and by chars.
+      * top n-gram = the most frequent word n-gram (ties: smallest); char
+        ratio = count * len(gram) / len(text).
 
-    NULL text is treated as empty (n_lines 0, ratios 0.0) — F.size over a
-    null array would otherwise emit a -1 sentinel (ADVICE r3).
+    The ENTIRE family is one projection — array algebra inside the scan's
+    codegen pass, zero exchanges (plan-shape pinned in tests/test_plans.py;
+    the r3 version shuffled every bigram once). NULL text is treated as
+    empty (0 counts) — F.size over a null array would otherwise emit a -1
+    sentinel (ADVICE r3).
     """
     text = F.coalesce(F.col(text_col), F.lit(""))
     lines = F.filter(
-        F.transform(F.split(text, "\n"), F.trim), lambda l: F.length(l) > 0
+        F.transform(F.split(text, "\n"), F.trim), lambda s: F.length(s) > 0
     )
-    n_lines = F.size(lines)
-    total_chars = F.aggregate(lines, F.lit(0), lambda acc, l: acc + F.length(l))
-    uniq_chars = F.aggregate(
-        F.array_distinct(lines), F.lit(0), lambda acc, l: acc + F.length(l)
+    paras = F.filter(
+        F.transform(F.split(text, r"\n{2,}"), F.trim), lambda s: F.length(s) > 0
     )
-    base = corpus.select(
-        F.col(id_col).cast("string").alias("doc_id"),
-        # scalar char count, NOT the text itself: carrying document bodies
-        # through the doc_id join would shuffle them a second time just to
-        # take length() after the join
-        F.length(text).cast("long").alias("_n_text_chars"),
-        n_lines.cast("long").alias("n_lines"),
-        # (n - distinct)/max(n,1), not 1 - distinct/max(n,1): a doc with
-        # ZERO non-empty lines must read 0.0 (nothing is duplicated), not
-        # 1.0 — a Gopher-style "drop if > 0.30" cutoff would otherwise
-        # discard every empty doc as maximally repetitive
-        F.round(
-            (n_lines - F.size(F.array_distinct(lines)))
-            / F.greatest(n_lines, F.lit(1)).cast("double"),
-            6,
-        ).alias("dup_line_ratio"),
-        F.round(
-            (total_chars - uniq_chars) / F.greatest(total_chars, F.lit(1)).cast("double"),
-            6,
-        ).alias("dup_line_char_ratio"),
-    )
-
     toks = tokenize_col(text, "simple")
-    grams = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 2),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    gcount = (
-        corpus.select(
-            F.col(id_col).cast("string").alias("doc_id"),
-            F.explode(grams).alias("gram"),
-        )
-        .groupBy("doc_id", "gram")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+    text_chars = F.greatest(F.length(text), F.lit(1)).cast("double")
+
+    # two stacked projections (still zero exchanges): the inner one
+    # materializes each n-gram fold ONCE as a struct column so the three
+    # derived columns per n don't triplicate the aggregate expression
+    inner = corpus.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        *_dup_segment_cols(lines, "line"),
+        *_dup_segment_cols(paras, "para"),
+        text_chars.alias("_tc"),
+        *[_top_gram_struct(toks, n).alias(f"_tg_{n}") for n in ngram_ns],
     )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("cnt"), F.asc("gram"))
-    top = (
-        gcount.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .select(
-            "doc_id",
-            F.col("gram").alias("top_bigram"),
-            F.col("cnt").cast("long").alias("top_bigram_count"),
-        )
-    )
-    return (
-        base.join(top, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_lines",
-            "dup_line_ratio",
-            "dup_line_char_ratio",
-            F.coalesce("top_bigram", F.lit("")).alias("top_bigram"),
-            F.coalesce("top_bigram_count", F.lit(0)).alias("top_bigram_count"),
+    cols = [
+        "doc_id",
+        "n_lines", "dup_line_ratio", "dup_line_char_ratio",
+        "n_paras", "dup_para_ratio", "dup_para_char_ratio",
+    ]
+    for n in ngram_ns:
+        name = "bigram" if n == 2 else f"{n}gram"
+        tg = F.col(f"_tg_{n}")
+        cols += [
+            tg["gram"].alias(f"top_{name}"),
+            tg["cnt"].alias(f"top_{name}_count"),
             F.round(
-                F.coalesce("top_bigram_count", F.lit(0))
-                * F.length(F.coalesce("top_bigram", F.lit("")))
-                / F.greatest(F.col("_n_text_chars"), F.lit(1)).cast("double"),
-                6,
-            ).alias("top_bigram_char_ratio"),
-        )
-    )
+                tg["cnt"] * F.length(tg["gram"]) / F.col("_tc"), 6
+            ).alias(f"top_{name}_char_ratio"),
+        ]
+    return inner.select(*cols)

@@ -52,6 +52,81 @@ def test_cc_warns_when_unconverged(spark):
     assert set(rows.values()) == {"d0"}
 
 
+# ---------------------------------------------------------------------------
+# Repetition family (projection-only rewrite + paragraph / 3-4-gram columns)
+# ---------------------------------------------------------------------------
+
+
+def test_top_gram_fold_equals_count_window(spark):
+    """The sorted-array longest-run fold must reproduce the relational
+    explode -> count -> top-1 answer (same tie-break) on adversarial docs."""
+    from openmatch_spark.analysis import tokenize_col
+    from openmatch_spark.operators.textstats import repetition_signals
+
+    docs = [
+        ("t1", "a b a b a b"),              # overlapping bigram runs
+        ("t2", "z z z z"),                  # single-token repeats
+        ("t3", "one two three four"),       # all counts 1 -> smallest gram
+        ("t4", "x"),                        # too short for any bigram
+        ("t5", ""),                         # empty
+        ("t6", "p q r p q r p q s"),        # 3-gram champion 'p q r'
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    got = {r["doc_id"]: r for r in repetition_signals(df).collect()}
+
+    for n, col in ((2, "top_bigram"), (3, "top_3gram"), (4, "top_4gram")):
+        exploded = df.select(
+            "doc_id", tokenize_col(F.col("text"), "simple").alias("toks")
+        ).select(
+            "doc_id",
+            F.explode(
+                F.when(
+                    F.size("toks") >= n,
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("toks") - n),
+                        lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i + 1, n)),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("gram"),
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("doc_id").orderBy(F.desc("cnt"), F.asc("gram"))
+        ref = {
+            r["doc_id"]: (r["gram"], r["cnt"])
+            for r in exploded.groupBy("doc_id", "gram")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .withColumn("rn", F.row_number().over(w))
+            .where("rn = 1")
+            .collect()
+        }
+        for doc_id, _ in docs:
+            want = ref.get(doc_id, ("", 0))
+            assert (got[doc_id][col], got[doc_id][f"{col}_count"]) == want, (
+                n, doc_id,
+            )
+    # spot-check the paragraph metrics
+    pdf = spark.createDataFrame(
+        [("p1", "hello world\n\nhello world\n\nother para")],
+        "doc_id string, text string",
+    )
+    row = repetition_signals(pdf).collect()[0]
+    assert row["n_paras"] == 3
+    assert abs(row["dup_para_ratio"] - 1 / 3) < 1e-6
+
+
+def test_repetition_plan_has_no_exchange(spark):
+    """The whole repetition family must stay a projection over the scan —
+    the r3 top-bigram leg shuffled every bigram of the corpus."""
+    from openmatch_spark.operators.textstats import repetition_signals
+
+    df = spark.createDataFrame(
+        [("a", "x y x y"), ("b", "p q")], "doc_id string, text string"
+    )
+    plan = repetition_signals(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
 def test_storage_recovers_interrupted_swap(spark, tmp_path):
     """Crash between the two aside-swap renames leaves scratch+aside and no
     live dir; the next read must finish the commit forward."""

@@ -95,7 +95,8 @@ def minhash_signatures(doc_shingles: DataFrame, num_hashes: int = 8) -> DataFram
 
 
 def _capped_bucket_pairs(buckets: DataFrame, key_cols: list[str],
-                         max_bucket: int | None) -> DataFrame:
+                         max_bucket: int | None,
+                         splits: int = 1) -> DataFrame:
     """Self-join (doc_a < doc_b) within buckets, skipping buckets larger
     than max_bucket. The cap is what keeps LSH linear at web scale: one
     boilerplate bucket of 1M docs would otherwise emit ~5*10^11 pairs. A
@@ -107,7 +108,19 @@ def _capped_bucket_pairs(buckets: DataFrame, key_cols: list[str],
     hash-partitioned on key_cols (reused by both join sides), instead of a
     second groupBy aggregation plus a semi-join back. A hot bucket lands in
     one window task, but counting it is linear — the quadratic pair
-    explosion is what the filter then prevents."""
+    explosion is what the filter then prevents.
+
+    splits > 1 salts hot buckets under the cap: each member gets salt
+    g = hash(doc_id) % splits, and the self-join runs block-wise on
+    (bucket, block_a, block_b) — the left side replicates each row across
+    block_b, the right side across block_a, so a member pair with salts
+    (i, j) meets in exactly the two orientations (i, j) and (j, i), of
+    which the doc_a < doc_b filter keeps exactly one. Result set is
+    IDENTICAL for every splits value (pytest-pinned); per-task join state
+    drops from |bucket| to |bucket|/splits rows per side, at the cost of
+    replicating the bucket rows splits times through the exchange. Use for
+    dense boilerplate/cluster cells that should be PAIRED under bounded
+    task state rather than skipped by the cap."""
     if max_bucket is not None:
         from pyspark.sql import Window as _W
 
@@ -117,10 +130,27 @@ def _capped_bucket_pairs(buckets: DataFrame, key_cols: list[str],
             .where(F.col("_bsz") <= max_bucket)
             .drop("_bsz")
         )
-    left = buckets.alias("l")
-    right = buckets.alias("r")
+    s = max(int(splits), 1)
+    if s > 1:
+        blocks = F.array(*[F.lit(i) for i in range(s)])
+        salt = F.pmod(F.xxhash64("doc_id"), F.lit(s)).cast("int")
+        left = (
+            buckets.withColumn("_blk_a", salt)
+            .withColumn("_blk_b", F.explode(blocks))
+            .alias("l")
+        )
+        right = (
+            buckets.withColumn("_blk_b", salt)
+            .withColumn("_blk_a", F.explode(blocks))
+            .alias("r")
+        )
+        join_keys = [*key_cols, "_blk_a", "_blk_b"]
+    else:
+        left = buckets.alias("l")
+        right = buckets.alias("r")
+        join_keys = key_cols
     cond = (F.col("l.doc_id") < F.col("r.doc_id"))
-    for c in key_cols:
+    for c in join_keys:
         cond = cond & (F.col(f"l.{c}") == F.col(f"r.{c}"))
     return left.join(right, cond)
 
@@ -381,6 +411,7 @@ def cosine_neardup_bucketed(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int | None = None,
+    bucket_splits: int = 1,
 ) -> DataFrame:
     """(vec_a, vec_b, cos): embedding near-duplicate pairs with cos >=
     threshold, via IVF-bucket candidate generation — the 100 TB path for
@@ -396,6 +427,14 @@ def cosine_neardup_bucketed(
     degenerate cells: candidate generation is per-cell (Σ cell² under the
     cap), verification touches candidates only; nothing is all-pairs.
     max_bucket=None removes the bound — audit-scale only.
+
+    bucket_splits > 1 salts hot cells (the dedup-side twin of
+    ivf_topk_df's bucket_splits): the per-cell self-join runs block-wise
+    so dense boilerplate/embedding clusters are PAIRED under per-task
+    state of |cell|/splits instead of being skipped by the cap — raise
+    max_bucket (or set it None) together with splits to consume such
+    cells pairwise. Pair results are identical at any splits value
+    (see _capped_bucket_pairs).
     """
     import numpy as np
     import pandas as pd
@@ -428,7 +467,7 @@ def cosine_neardup_bucketed(
         probe_fn, "doc_id string, bucket int"
     )
     cand = (
-        _capped_bucket_pairs(probed, ["bucket"], max_bucket)
+        _capped_bucket_pairs(probed, ["bucket"], max_bucket, splits=bucket_splits)
         .select(F.col("l.doc_id").alias("vec_a"), F.col("r.doc_id").alias("vec_b"))
         .distinct()
     )

@@ -53,6 +53,66 @@ def test_cc_warns_when_unconverged(spark):
 
 
 # ---------------------------------------------------------------------------
+# Hot-cell salting for bucketed pair generation
+# ---------------------------------------------------------------------------
+
+
+def _skewed_embeddings(spark, n_hot=40, n_cold=20, dim=8, seed=3):
+    """One dense cluster (a 'boilerplate' cell) plus scattered vectors."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    base = rng.standard_normal(dim)
+    rows = []
+    for i in range(n_hot):
+        v = base + 0.01 * rng.standard_normal(dim)
+        rows.append((f"h{i:03d}", [float(x) for x in v]))
+    for i in range(n_cold):
+        v = rng.standard_normal(dim)
+        rows.append((f"c{i:03d}", [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+
+
+def test_cosine_neardup_salting_identical_pairs(spark):
+    from openmatch_spark.operators.dedup import cosine_neardup_bucketed
+
+    emb = _skewed_embeddings(spark)
+
+    def pairs(splits, max_bucket=None):
+        out = cosine_neardup_bucketed(
+            emb, dim=8, threshold=0.95, n_centroids=4, probes=2,
+            max_bucket=max_bucket, round_to=6, bucket_splits=splits,
+        )
+        return sorted((r["vec_a"], r["vec_b"], r["cos"]) for r in out.collect())
+
+    p1 = pairs(1)
+    assert len(p1) >= (40 * 39) // 2  # the hot cluster is fully paired
+    assert pairs(4) == p1
+    assert pairs(3) == p1
+    # with a cap below the hot-cell size the cluster is skipped — salting
+    # must not resurrect capped cells (cap semantics are split-invariant)
+    assert pairs(4, max_bucket=10) == pairs(1, max_bucket=10)
+
+
+def test_capped_bucket_pairs_salted_exactly_once(spark):
+    """Every within-bucket pair appears exactly once regardless of splits
+    (no distinct downstream needed)."""
+    from openmatch_spark.operators.dedup import _capped_bucket_pairs
+
+    rows = [(f"d{i}", i % 3) for i in range(30)]
+    buckets = spark.createDataFrame(rows, "doc_id string, bucket int")
+    for splits in (1, 2, 5):
+        got = (
+            _capped_bucket_pairs(buckets, ["bucket"], None, splits=splits)
+            .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+            .collect()
+        )
+        pairs = [(r["a"], r["b"]) for r in got]
+        assert len(pairs) == len(set(pairs)), f"dup pairs at splits={splits}"
+        assert len(pairs) == 3 * (10 * 9) // 2
+
+
+# ---------------------------------------------------------------------------
 # Repetition family (projection-only rewrite + paragraph / 3-4-gram columns)
 # ---------------------------------------------------------------------------
 

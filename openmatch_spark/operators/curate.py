@@ -48,11 +48,14 @@ def curate_corpus(
     num_bands: int = 4,
     jaccard_threshold: float = 0.8,
     max_bucket: int = 1000,
+    url_col: str | None = None,
 ) -> DataFrame:
     """(doc_id, keep, reason, dup_of): per-document curation verdict.
 
-    reason: 'lang' | 'quality' | 'exact' | 'near' | 'bucket' | NULL (kept);
-    dup_of names the canonical doc for dedup drops, NULL otherwise.
+    reason: 'lang' | 'quality' | 'url' | 'exact' | 'near' | 'bucket' |
+    NULL (kept); dup_of names the canonical doc for dedup drops, NULL
+    otherwise. url_col adds the canonical-url dedup stage ahead of the
+    content stages (deduplicate_corpus url_col).
     One verdict row per input row (doc_ids are expected unique upstream —
     duplicated ids flow through per-row rather than fanning out).
     """
@@ -60,11 +63,13 @@ def curate_corpus(
     # columns in one select, so the corpus text never shuffles for the
     # gates, rows with duplicate (or null) doc_ids can't fan out or vanish,
     # and both gate expressions live in the same codegen pass as the scan
+    extra = [F.col(url_col).alias("_url")] if url_col is not None else []
     scored = corpus.select(
         F.col(id_col).cast("string").alias("doc_id"),
         F.col(text_col).alias("text"),
         pred_lang_col(F.col(text_col)).alias("pred_lang"),
         quality_col(F.col(text_col)).alias("quality"),
+        *extra,
     )
 
     lang_ok, qual_ok = curation_gates(langs, min_quality)
@@ -81,7 +86,8 @@ def curate_corpus(
         F.lit("quality").alias("reason"),
         F.lit(None).cast("string").alias("dup_of"),
     )
-    survivors = scored.where(lang_ok & qual_ok).select("doc_id", "text")
+    surv_cols = ["doc_id", "text"] + (["_url"] if url_col is not None else [])
+    survivors = scored.where(lang_ok & qual_ok).select(*surv_cols)
     deduped = deduplicate_corpus(
         survivors,
         shingle_n=shingle_n,
@@ -89,6 +95,7 @@ def curate_corpus(
         num_bands=num_bands,
         jaccard_threshold=jaccard_threshold,
         max_bucket=max_bucket,
+        url_col="_url" if url_col is not None else None,
     ).select("doc_id", F.col("keep").cast("int").alias("keep"), "reason", "dup_of")
 
     return lang_drops.unionByName(quality_drops).unionByName(deduped)
@@ -101,6 +108,7 @@ def curate_stream(
     watermark: str = "24 hours",
     ts_col: str = "warc_ts",
     text_col: str = "text",
+    url_col: str | None = None,
 ) -> DataFrame:
     """Streaming curation: the SAME language and quality gates as
     curate_corpus (stateless column projections, so they apply to a
@@ -125,5 +133,6 @@ def curate_stream(
     lang_ok, qual_ok = curation_gates(langs, min_quality)
     gated = scored.where(lang_ok & qual_ok)
     return streaming_exact_dedup(
-        gated, watermark=watermark, ts_col=ts_col, text_col=text_col
+        gated, watermark=watermark, ts_col=ts_col, text_col=text_col,
+        url_col=url_col,
     )

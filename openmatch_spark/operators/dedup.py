@@ -595,10 +595,17 @@ def deduplicate_corpus(
     jaccard_threshold: float = 0.8,
     max_bucket: int = 1000,
     closure: bool = False,
+    url_col: str | None = None,
 ) -> DataFrame:
     """One-call corpus dedup: (doc_id, keep, reason, dup_of).
 
     Composition of the primitives above, all shuffle-bounded:
+      0. (url_col set) canonical-url groups — docs whose url canonicalizes
+         identically (http/https, default ports, #fragments, tracking
+         params; operators/transforms.py canonical_url_col) keep the min
+         doc_id, reason 'url'. Catches recrawl variants whose extracted
+         text differs (banner rotation) before any content comparison;
+         NULL/empty canonical urls never group.
       1. exact groups (md5 of normalized text) — keep the min doc_id;
       2. MinHash-LSH candidates among exact survivors, Jaccard-verified at
          >= jaccard_threshold — drop any doc with a verified near-dup of
@@ -608,8 +615,8 @@ def deduplicate_corpus(
       3. oversized LSH buckets (boilerplate groups the pair join skipped
          under max_bucket) — keep each bucket's min doc_id wholesale.
 
-    reason: 'exact' | 'near' | 'bucket' for drops, null for keeps. At
-    100 TB every stage is a bounded hash join/agg; nothing is quadratic.
+    reason: 'url' | 'exact' | 'near' | 'bucket' for drops, null for keeps.
+    At 100 TB every stage is a bounded hash join/agg; nothing is quadratic.
 
     closure=True switches from the greedy local-min rule to union-find
     canonical groups (connected_components_min_label over the union of
@@ -621,6 +628,24 @@ def deduplicate_corpus(
     """
     ids = corpus.select(F.col(id_col).cast("string").alias("doc_id"))
 
+    drop_url = None
+    if url_col is not None:
+        from openmatch_spark.operators.transforms import url_dedup_key_col
+
+        urls = corpus.select(
+            F.col(id_col).cast("string").alias("doc_id"),
+            url_dedup_key_col(F.col(url_col)).alias("_cu"),
+        ).where(F.col("_cu").isNotNull() & (F.length("_cu") > 0))
+        umin = urls.groupBy("_cu").agg(
+            F.min("doc_id").alias("dup_of"), F.count(F.lit(1)).alias("_n")
+        )
+        drop_url = (
+            urls.join(umin.where(F.col("_n") > 1), "_cu")
+            .where(F.col("doc_id") != F.col("dup_of"))
+            .select("doc_id", "dup_of")
+            .withColumn("reason", F.lit("url"))
+        )
+
     # exact stage via agg+join, NOT exact_duplicates' collect_list arrays:
     # a hot content hash (1M identical boilerplate docs) must never
     # materialize a 1M-element array in one reducer row
@@ -628,6 +653,10 @@ def deduplicate_corpus(
         F.col(id_col).cast("string").alias("doc_id"),
         F.md5(normalized_text(F.col(text_col), analyzer)).alias("_h"),
     )
+    if drop_url is not None:
+        # url drops leave the pipeline before content comparison, exactly
+        # like exact drops leave before the near stage
+        hashed = hashed.join(drop_url.select("doc_id"), "doc_id", "left_anti")
     gmin = hashed.groupBy("_h").agg(
         F.min("doc_id").alias("dup_of"), F.count(F.lit(1)).alias("_n")
     )
@@ -639,6 +668,8 @@ def deduplicate_corpus(
     )
 
     survivors = ids.join(drop_exact.select("doc_id"), "doc_id", "left_anti")
+    if drop_url is not None:
+        survivors = survivors.join(drop_url.select("doc_id"), "doc_id", "left_anti")
     surv_corpus = corpus.select(
         F.col(id_col).cast("string").alias("doc_id"), F.col(text_col).alias("text")
     ).join(survivors, "doc_id", "left_semi")
@@ -675,8 +706,17 @@ def deduplicate_corpus(
     )
 
     drops = drop_exact.unionByName(drop_near).unionByName(drop_bucket)
-    # precedence exact > near > bucket for docs flagged by several stages
-    order = F.when(F.col("reason") == "exact", 0).when(F.col("reason") == "near", 1).otherwise(2)
+    if drop_url is not None:
+        drops = drops.unionByName(drop_url)
+    # precedence url > exact > near > bucket for docs flagged by several
+    # stages (url and exact can't actually co-flag — url drops leave the
+    # hash stage — but the window keeps the rule total)
+    order = (
+        F.when(F.col("reason") == "url", 0)
+        .when(F.col("reason") == "exact", 1)
+        .when(F.col("reason") == "near", 2)
+        .otherwise(3)
+    )
     from pyspark.sql import Window as _W
 
     w = _W.partitionBy("doc_id").orderBy(order.asc(), F.col("dup_of").asc())
@@ -700,6 +740,10 @@ def deduplicate_corpus(
                 )
             )
         )
+        if drop_url is not None:
+            edges = edges.unionByName(
+                drop_url.select(F.col("doc_id").alias("doc_a"), F.col("dup_of").alias("doc_b"))
+            )
         comp = connected_components_min_label(edges)
         return (
             ids.join(comp, "doc_id", "left")

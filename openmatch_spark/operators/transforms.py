@@ -181,3 +181,13 @@ def canonical_url_col(url: Column) -> Column:
     return F.when(scheme == "", u).otherwise(
         F.concat(scheme, F.lit("://"), host, tail)
     )
+
+
+def url_dedup_key_col(url: Column) -> Column:
+    """Dedup-KEY variant of canonical_url_col: additionally folds the
+    http/https scheme split by dropping an http(s):// prefix from the
+    canonical form — the same page served over both protocols is one page
+    for dedup purposes, but canonical_url itself keeps the scheme (it is a
+    display/join identity, not an equivalence class). Non-web schemes stay
+    distinct."""
+    return F.regexp_replace(canonical_url_col(url), r"^https?://", "")

@@ -206,6 +206,7 @@ def streaming_exact_dedup(
     watermark: str = "24 hours",
     ts_col: str = "warc_ts",
     text_col: str = "text",
+    url_col: str | None = None,
 ) -> DataFrame:
     """Streaming twin of the batch exact-dedup stage: drop every document
     whose normalized text content was already seen, ACROSS micro-batches,
@@ -220,6 +221,15 @@ def streaming_exact_dedup(
     earliest event-time copy (ties broken by url when present) — a
     DETERMINISTIC canonical, unlike bare dropDuplicates whose survivor
     depends on partitioning, so a backfill run twice indexes the same rows.
+
+    url_col switches the dedup key from the content hash to the CANONICAL
+    url (operators/transforms.py canonical_url_col): http/https, default-
+    port, #fragment and tracking-param variants of one page collapse to a
+    single survivor even when extraction produced byte-different text
+    (banner rotation) — the key a recrawl-heavy Common-Crawl ingest wants.
+    Rows whose url canonicalizes to NULL fall back to the content hash, so
+    they are never all glued into one bogus state key. Both key columns
+    are always emitted.
     """
     from pyspark.sql import Window
 
@@ -228,16 +238,35 @@ def streaming_exact_dedup(
     hashed = pages.withColumn(
         "content_hash", F.md5(normalized_text(F.col(text_col)))
     ).withColumn(ts_col, F.col(ts_col).cast("timestamp"))
-    if hashed.isStreaming:
-        return hashed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
-            ["content_hash"]
+    if url_col is not None:
+        from openmatch_spark.operators.transforms import (
+            canonical_url_col,
+            url_dedup_key_col,
         )
+
+        # the state key folds the http/https split (url_dedup_key_col);
+        # the emitted canonical_url keeps the scheme
+        hashed = hashed.withColumn(
+            "canonical_url", canonical_url_col(F.col(url_col))
+        ).withColumn(
+            "_dedup_key",
+            F.coalesce(url_dedup_key_col(F.col(url_col)), F.col("content_hash")),
+        )
+        key_cols = ["_dedup_key"]
+    else:
+        key_cols = ["content_hash"]
+    if hashed.isStreaming:
+        out = hashed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            key_cols
+        )
+        return out.drop("_dedup_key") if url_col is not None else out
     order = [F.col(ts_col).asc()]
     if "url" in hashed.columns:
         order.append(F.col("url").asc())
-    w = Window.partitionBy("content_hash").orderBy(*order)
-    return (
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    out = (
         hashed.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
         .drop("_rn")
     )
+    return out.drop("_dedup_key") if url_col is not None else out

@@ -53,6 +53,64 @@ def test_cc_warns_when_unconverged(spark):
 
 
 # ---------------------------------------------------------------------------
+# URL-keyed dedup (canonical_url_col wired into the pipeline keys)
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_url_stage_collapses_recrawl_variants(spark):
+    """http/https + tracking-param + trailing-slash variants of one page
+    collapse on canonical url even when extracted text differs."""
+    from openmatch_spark.operators.dedup import deduplicate_corpus
+
+    rows = [
+        ("a1", "the quick brown fox jumped over dogs", "http://Site.com/page"),
+        ("a2", "banner rotated but same page really here", "https://site.com/page/?utm_source=x"),
+        ("a3", "third crawl of that page same url again", "https://site.com:443/page#frag"),
+        ("b1", "a completely different page entirely here", "https://site.com/other"),
+        ("c1", "no url for this one at all today", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string, url string")
+    out = {r["doc_id"]: r for r in deduplicate_corpus(df, url_col="url").collect()}
+    assert out["a1"]["keep"] is True
+    for d in ("a2", "a3"):
+        assert out[d]["keep"] is False and out[d]["reason"] == "url"
+        assert out[d]["dup_of"] == "a1"
+    assert out["b1"]["keep"] is True
+    assert out["c1"]["keep"] is True  # NULL url never groups
+
+    # closure mode carries url edges into the component graph
+    cl = {r["doc_id"]: r for r in deduplicate_corpus(df, url_col="url", closure=True).collect()}
+    assert cl["a2"]["dup_of"] == "a1" and cl["a3"]["dup_of"] == "a1"
+
+    # without url_col the behavior is unchanged: all texts differ -> no
+    # exact drops (near depends on shingles; these texts share none)
+    plain = {r["doc_id"]: r for r in deduplicate_corpus(df).collect()}
+    assert all(plain[d]["keep"] for d in ("a1", "a2", "a3", "b1", "c1"))
+
+
+def test_streaming_exact_dedup_url_key_batch_twin(spark):
+    from openmatch_spark.streaming.events import streaming_exact_dedup
+
+    rows = [
+        ("http://Site.com/p", "2024-01-01 00:00:00", "text one here"),
+        ("https://site.com/p?fbclid=z", "2024-01-01 01:00:00", "text two other"),
+        ("https://site.com/q", "2024-01-01 02:00:00", "text one here"),
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts string, text string")
+    kept = streaming_exact_dedup(df, url_col="url")
+    urls = sorted(r["url"] for r in kept.collect())
+    # url-keyed: the two /p crawls collapse (earliest survives) even though
+    # their texts differ; /q survives despite duplicating /p's text
+    assert urls == ["http://Site.com/p", "https://site.com/q"]
+    assert "canonical_url" in kept.columns and "content_hash" in kept.columns
+    # content-keyed default: /q collapses into the first /p instead
+    kept_c = streaming_exact_dedup(df)
+    assert sorted(r["url"] for r in kept_c.collect()) == [
+        "http://Site.com/p", "https://site.com/p?fbclid=z",
+    ]
+
+
+# ---------------------------------------------------------------------------
 # Hot-cell salting for bucketed pair generation
 # ---------------------------------------------------------------------------
 

@@ -89,6 +89,18 @@ def _probe_order(M: np.ndarray, C: np.ndarray, p: int) -> np.ndarray:
     return np.argsort(-(M @ C.T), axis=1, kind="stable")[:, :p]
 
 
+# DataFrame query batches above this route to the distributed cogroup plan
+# instead of materializing the query matrix on the driver (the dense twin
+# of bm25_search._DISTRIBUTED_TOKENIZE_MIN_QUERIES; reference analog: the
+# memory-bounded SuccessiveRetriever, dense_retriever.py:318-335). At the
+# default 768-dim float64 this keeps the driver hop under ~50 MB.
+_DISTRIBUTED_BRUTE_MIN_QUERIES = 8192
+# cell count for the routed exact plan: enough cells that the per-cell
+# matmul state stays bounded, few enough that replicating each query
+# n_centroids times stays cheap relative to scoring the full corpus
+_ROUTED_N_CENTROIDS = 32
+
+
 def brute_force_topk(
     embeddings: DataFrame,
     queries,
@@ -97,6 +109,7 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int | None = None,
+    distributed_min_queries: int = _DISTRIBUTED_BRUTE_MIN_QUERIES,
 ) -> DataFrame:
     """Exact top-k (query_id, vec_id, score, rank).
 
@@ -107,8 +120,37 @@ def brute_force_topk(
     shipped ONCE per executor as a torrent broadcast variable instead of
     being re-serialized into every task's closure. Row-identical either way
     (same kernel, same float64 matmul, same tie-break; tested).
+
+    A cosine DataFrame batch LARGER than distributed_min_queries never
+    touches the driver at all: it routes to ivf_topk_df with
+    nprobe == n_centroids, which is EXACT brute force — every query probes
+    every cell, so each (query, corpus vector) pair is scored exactly once
+    and the per-query top-k is the global top-k; the cells only partition
+    the work for the cogroup. Row-identical to the broadcast path (tested).
     """
     sc = embeddings.sparkSession.sparkContext
+    if (
+        isinstance(queries, DataFrame)
+        and metric == "cosine"
+        and len(queries.limit(distributed_min_queries + 1).take(distributed_min_queries + 1))
+        > distributed_min_queries
+    ):
+        dim = len(queries.select(vec_col).first()[0])
+        bucketed = assign_buckets(
+            embeddings, dim=dim, n_centroids=_ROUTED_N_CENTROIDS,
+            id_col=id_col, vec_col=vec_col,
+        )
+        if id_col != "vec_id":
+            bucketed = bucketed.withColumnRenamed(id_col, "vec_id")
+        if vec_col != "embedding":
+            bucketed = bucketed.withColumnRenamed(vec_col, "embedding")
+        q = queries
+        if vec_col != "embedding":
+            q = q.withColumnRenamed(vec_col, "embedding")
+        return ivf_topk_df(
+            bucketed, q, dim, k=k, n_centroids=_ROUTED_N_CENTROIDS,
+            nprobe=_ROUTED_N_CENTROIDS, round_to=round_to,
+        )
     qids, Q = _queries_to_matrix(queries, vec_col=vec_col)
     if not qids:
         return embeddings.sparkSession.createDataFrame(
@@ -213,8 +255,14 @@ def assign_buckets(
     pass); pass centroids= (e.g. from train_centroids_kmeans) for trained
     cells — same plumbing either way. Assignment = argmax cosine (first
     max wins on ties, matching both np.argmax and the SQL oracle's
-    ROW_NUMBER ... ORDER BY cos DESC, cid ASC)."""
+    ROW_NUMBER ... ORDER BY cos DESC, cid ASC).
+
+    The embedding column keeps its INPUT element type: narrowing an
+    array<double> source to float here would silently perturb every
+    downstream score by ~1e-8 and break the routed-vs-broadcast
+    row-identity contract (brute_force_topk)."""
     C = _normalize_rows(centroids) if centroids is not None else _centroids(dim, n_centroids, seed)
+    vec_type = dict(embeddings.dtypes).get(vec_col, "array<float>")
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -230,7 +278,7 @@ def assign_buckets(
             yield out
 
     return embeddings.select(id_col, vec_col).mapInPandas(
-        assign, f"{id_col} string, {vec_col} array<float>, bucket int"
+        assign, f"{id_col} string, {vec_col} {vec_type}, bucket int"
     )
 
 

@@ -53,6 +53,86 @@ def test_cc_warns_when_unconverged(spark):
 
 
 # ---------------------------------------------------------------------------
+# Dense brute-force routing: big DataFrame batches -> distributed cogroup
+# ---------------------------------------------------------------------------
+
+
+def test_brute_force_routes_large_batches_row_identical(spark):
+    """Above the threshold the cosine DataFrame path must delegate to the
+    exact cogroup plan (nprobe == n_centroids) with row-identical output;
+    the closure path is the ground truth."""
+    import numpy as np
+
+    from openmatch_spark.query.dense import brute_force_topk
+
+    rng = np.random.default_rng(11)
+    dim, n_corpus, n_q = 12, 400, 50
+    corpus_rows = [
+        (f"v{i:04d}", [float(x) for x in rng.standard_normal(dim)])
+        for i in range(n_corpus)
+    ]
+    q_rows = [
+        (f"q{i:04d}", [float(x) for x in rng.standard_normal(dim)])
+        for i in range(n_q)
+    ]
+    emb = spark.createDataFrame(corpus_rows, "vec_id string, embedding array<double>")
+    qdf = spark.createDataFrame(q_rows, "query_id string, embedding array<double>")
+
+    def rows(df):
+        return sorted(
+            (r["query_id"], r["rank"], r["vec_id"], round(r["score"], 9))
+            for r in df.collect()
+        )
+
+    ground = rows(brute_force_topk(emb, q_rows, k=5))
+    broadcast_path = rows(brute_force_topk(emb, qdf, k=5))  # below threshold
+    routed_path = rows(brute_force_topk(emb, qdf, k=5, distributed_min_queries=10))
+    assert broadcast_path == ground
+    assert routed_path == ground
+
+
+def test_brute_force_default_routing_at_10k_queries(spark):
+    """With the DEFAULT threshold (8192), a 10k-query DataFrame batch takes
+    the routed plan and stays row-identical to the closure kernel."""
+    import numpy as np
+
+    from openmatch_spark.query.dense import brute_force_topk
+
+    rng = np.random.default_rng(7)
+    dim, n_corpus, n_q = 8, 300, 10_000
+    emb = spark.createDataFrame(
+        [(f"v{i:04d}", [float(x) for x in rng.standard_normal(dim)]) for i in range(n_corpus)],
+        "vec_id string, embedding array<double>",
+    )
+    q_rows = [
+        (f"q{i:05d}", [float(x) for x in rng.standard_normal(dim)]) for i in range(n_q)
+    ]
+    qdf = spark.createDataFrame(q_rows, "query_id string, embedding array<double>")
+
+    def rows(df):
+        return sorted(
+            (r["query_id"], r["rank"], r["vec_id"], round(r["score"], 9))
+            for r in df.collect()
+        )
+
+    assert rows(brute_force_topk(emb, qdf, k=3)) == rows(
+        brute_force_topk(emb, q_rows, k=3)
+    )
+
+
+def test_assign_buckets_preserves_vector_dtype(spark):
+    from openmatch_spark.query.dense import assign_buckets
+
+    emb = spark.createDataFrame(
+        [("a", [1.0, 2.0]), ("b", [3.0, 4.0])], "vec_id string, embedding array<double>"
+    )
+    out = assign_buckets(emb, dim=2, n_centroids=2)
+    assert dict(out.dtypes)["embedding"] == "array<double>"
+    vals = {r["vec_id"]: r["embedding"] for r in out.collect()}
+    assert vals["a"] == [1.0, 2.0]
+
+
+# ---------------------------------------------------------------------------
 # URL-keyed dedup (canonical_url_col wired into the pipeline keys)
 # ---------------------------------------------------------------------------
 

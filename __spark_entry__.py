@@ -487,6 +487,39 @@ def q_dedup_closure(spark, sf_dir):
     )
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental near-dup dedup against a persisted signature store
+    (operators/dedup_incremental.py): two drains — the base docs, then
+    near-duplicate variants with strictly larger ids — processed drain by
+    drain with only the NEW docs' signatures computed each time; the union
+    of per-drain verdicts must equal the one-shot batch dedup over the
+    union corpus, which is exactly what the DuckDB oracle computes."""
+    import shutil
+    import tempfile
+
+    from openmatch_spark.operators.dedup_incremental import incremental_deduplicate
+
+    base = _docs(spark, sf_dir).where(F.col("doc_id") < 300)
+    did = F.lpad(F.col("doc_id").cast("string"), 3, "0")
+    d1 = base.select(F.concat(F.lit("d1_"), did).alias("doc_id"), "text")
+    d2 = base.select(
+        F.concat(F.lit("d2_"), did).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra tail tokens more")).alias("text"),
+    )
+    store = tempfile.mkdtemp(prefix="om_dedup_store_")
+    try:
+        # max_bucket=500 >= any union bucket here, so no bucket crosses the
+        # cap between drains (equivalence precondition 2)
+        kw = dict(jaccard_threshold=0.5, max_bucket=500)
+        v1 = incremental_deduplicate(spark, store, d1, **kw)
+        v2 = incremental_deduplicate(spark, store, d2, **kw)
+    finally:
+        shutil.rmtree(store, ignore_errors=True)  # verdicts are materialized
+    return v1.unionByName(v2).select(
+        "doc_id", F.col("keep").cast("int").alias("keep"), "reason", "dup_of"
+    )
+
+
 def q_ngram_jaccard(spark, sf_dir):
     """EXACT n-gram Jaccard similarity join (operators/dedup.py:
     ngram_jaccard_join) — candidates via the shingle inverted index with a
@@ -905,6 +938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_pipeline": q_dedup_pipeline,
         "dedup_closure": q_dedup_closure,
+        "dedup_incremental": q_dedup_incremental,
         "curate": q_curate,
         "ngram_jaccard": q_ngram_jaccard,
         "event_window_stats": q_event_window_stats,
@@ -1656,10 +1690,10 @@ SELECT query_id, kind, pos, doc_id FROM negr
   SELECT CAST(CAST(doc_id AS BIGINT) + 1000000 AS VARCHAR), text FROM documents WHERE doc_id < 300
 )"""
 
-    def _dedup_ctes(src: str) -> str:
+    def _dedup_ctes(src: str, cap: int = 100) -> str:
         """The exact/LSH/bucket dedup replica as a CTE chain over any source
-        CTE `src(doc_id, text)` — shared by dedup_pipeline and curate so the
-        two oracles can never drift apart."""
+        CTE `src(doc_id, text)` — shared by dedup_pipeline, curate and
+        dedup_incremental so the oracles can never drift apart."""
         return f"""hashed AS (
   SELECT doc_id,
          md5(array_to_string(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> ''), ' ')) AS h
@@ -1686,7 +1720,7 @@ sh AS (
 sig AS (SELECT doc_id, {_mh8} FROM sh GROUP BY doc_id),
 bands AS ({_bands8}),
 bsz AS (SELECT band, band_hash, COUNT(*) AS n FROM bands GROUP BY band, band_hash),
-okb AS (SELECT band, band_hash FROM bsz WHERE n <= 100),
+okb AS (SELECT band, band_hash FROM bsz WHERE n <= {cap}),
 cb AS (SELECT b.* FROM bands b JOIN okb USING (band, band_hash)),
 cand AS (
   SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
@@ -1704,7 +1738,7 @@ ver AS (
   WHERE CAST(m.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - m.n_common) >= 0.5
 ),
 drop_near AS (SELECT doc_b AS doc_id, MIN(doc_a) AS dup_of, 'near' AS reason FROM ver GROUP BY doc_b),
-bigb AS (SELECT band, band_hash FROM bsz WHERE n > 100),
+bigb AS (SELECT band, band_hash FROM bsz WHERE n > {cap}),
 bmem AS (
   SELECT b.doc_id, MIN(b.doc_id) OVER (PARTITION BY b.band, b.band_hash) AS canon
   FROM bands b JOIN bigb USING (band, band_hash)
@@ -1763,6 +1797,25 @@ SELECT c.doc_id,
 FROM (SELECT doc_id FROM corpus) c
 LEFT JOIN comp cp ON cp.doc_id = c.doc_id
 LEFT JOIN best b ON b.doc_id = c.doc_id
+"""
+
+    # incremental drains over the store == one-shot batch over the union:
+    # the oracle IS the batch replica over the union corpus (ids prefixed
+    # so drain order == string order, the module's monotone-id precondition)
+    sql["dedup_incremental"] = f"""
+WITH corpus AS (
+  SELECT 'd1_' || lpad(CAST(doc_id AS VARCHAR), 3, '0') AS doc_id, text
+  FROM documents WHERE doc_id < 300
+  UNION ALL
+  SELECT 'd2_' || lpad(CAST(doc_id AS VARCHAR), 3, '0'),
+         text || ' extra tail tokens more'
+  FROM documents WHERE doc_id < 300
+),
+{_dedup_ctes("corpus", cap=500)}
+SELECT c.doc_id,
+       CAST(CASE WHEN b.reason IS NULL THEN 1 ELSE 0 END AS INTEGER) AS keep,
+       b.reason, b.dup_of
+FROM (SELECT doc_id FROM corpus) c LEFT JOIN best b USING (doc_id)
 """
 
     sql["curate"] = f"""

@@ -145,6 +145,12 @@ def maintain_index(
     skipped: the rebaseline IS a full merge of every committed shard, so
     compact_auto's decode/re-pack work would be immediately re-done and
     discarded.
+
+    Near-dup dedup at this cadence: run operators/dedup_incremental
+    .incremental_deduplicate over each drain's docs against an
+    index-adjacent signature store — signatures are computed for NEW docs
+    only, and the per-drain verdicts provably match the one-shot batch
+    dedup over the accumulated corpus (no full recompute per cycle).
     """
     from openmatch_spark.index.compact import compact_auto, compact_index
 

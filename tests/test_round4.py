@@ -53,6 +53,93 @@ def test_cc_warns_when_unconverged(spark):
 
 
 # ---------------------------------------------------------------------------
+# Incremental near-dup dedup against a persisted signature store
+# ---------------------------------------------------------------------------
+
+_BASE_TXT = "the quick brown fox jumps over the lazy dog near the river bank today"
+_ALT_TXT = "completely different content about spark engines and inverted index construction pipelines"
+_SHARED_TXT = "shared exact doc text that appears again in later drains with identical tokens"
+_NEARA = "some moderately long document text with enough tokens to shingle nicely okay"
+
+_DRAINS = [
+    [
+        ("a00", _BASE_TXT),
+        ("a01", _ALT_TXT),
+        ("a02", _ALT_TXT),                       # within-drain exact dup
+        ("a03", "unique text one about mountains and hiking trails in summer"),
+        ("a05", _SHARED_TXT),
+        ("a07", _NEARA),
+        ("a08", _NEARA + " extra"),              # within-drain near dup
+    ],
+    [
+        ("b00", _BASE_TXT + " tail"),            # cross-drain near dup of a00
+        ("b01", "fresh unseen content in drain two about databases and storage"),
+        ("b03", _SHARED_TXT),                    # cross-drain exact dup of a05
+    ],
+    [
+        ("c01", _BASE_TXT + " other ending"),    # near dup of a00 (and b00)
+        ("c02", _SHARED_TXT),                    # third member of a05's group
+        ("c03", "entirely new content for the final drain about oceans and tides"),
+    ],
+]
+
+_DEDUP_KW = dict(jaccard_threshold=0.5, max_bucket=100)
+
+
+def test_incremental_dedup_equals_batch_at_every_prefix(spark, tmp_path):
+    """After each drain, the union of per-drain verdicts must equal
+    deduplicate_corpus over the union corpus — keep, reason AND dup_of."""
+    from openmatch_spark.operators.dedup import deduplicate_corpus
+    from openmatch_spark.operators.dedup_incremental import incremental_deduplicate
+
+    store = str(tmp_path / "sigstore")
+    schema = "doc_id string, text string"
+    seen_rows, verdicts = [], []
+    for drain in _DRAINS:
+        df = spark.createDataFrame(drain, schema)
+        v = incremental_deduplicate(spark, store, df, **_DEDUP_KW)
+        verdicts.append(v)
+        seen_rows += drain
+
+        got = set()
+        for vv in verdicts:
+            got |= {
+                (r["doc_id"], r["keep"], r["reason"], r["dup_of"])
+                for r in vv.collect()
+            }
+        union = spark.createDataFrame(seen_rows, schema)
+        want = {
+            (r["doc_id"], r["keep"], r["reason"], r["dup_of"])
+            for r in deduplicate_corpus(union, **_DEDUP_KW).collect()
+        }
+        assert got == want, f"diverged after {len(verdicts)} drains"
+    # sanity on the designed relations
+    final = {r[0]: r for v in verdicts for r in
+             ((x["doc_id"], x["keep"], x["reason"], x["dup_of"]) for x in v.collect())}
+    assert final["a02"][2] == "exact" and final["a02"][3] == "a01"
+    assert final["b03"][2] == "exact" and final["b03"][3] == "a05"
+    assert final["c02"][2] == "exact" and final["c02"][3] == "a05"
+    assert final["b00"][2] == "near" and final["b00"][3] == "a00"
+    assert final["a00"][1] is True
+
+
+def test_incremental_dedup_commit_false_leaves_store_untouched(spark, tmp_path):
+    import os
+
+    from openmatch_spark.operators.dedup_incremental import incremental_deduplicate
+
+    store = str(tmp_path / "sigstore2")
+    df = spark.createDataFrame(_DRAINS[0], "doc_id string, text string")
+    v = incremental_deduplicate(spark, store, df, commit=False, **_DEDUP_KW)
+    assert v.count() == len(_DRAINS[0])
+    assert not os.path.exists(store)
+    # and a committed run creates all three store tables
+    incremental_deduplicate(spark, store, df, **_DEDUP_KW)
+    for kind in ("hashes", "bands", "shingles"):
+        assert os.path.exists(os.path.join(store, kind))
+
+
+# ---------------------------------------------------------------------------
 # Dense brute-force routing: big DataFrame batches -> distributed cogroup
 # ---------------------------------------------------------------------------
 

@@ -6,6 +6,9 @@ Subcommands
 -----------
 build-index   pages parquet/Iceberg table -> BM25 index directory
               (resumable: rerun with --resume to skip committed shards)
+curate-index  pages -> language/quality gates + url/exact/near dedup ->
+              BM25 index over the kept docs, verdict lineage persisted
+              under <index>/curation
 search        index + queries TSV/parquet -> TREC run file
 compact       merge index shards (all, or --shards 2 3 4) into one segment
 eval          run + qrels -> MRR@k / Recall@k / nDCG@k JSON on stdout
@@ -81,6 +84,32 @@ def cmd_build_index(args) -> int:
         block_size=args.block_size,
         shard_batch_size=args.shard_batch_size,
         resume=args.resume,
+        table_prefix=args.table_prefix,
+    )
+    print(json.dumps({k: v for k, v in stats.items() if not hasattr(v, "toPandas")}))
+    return 0
+
+
+def cmd_curate_index(args) -> int:
+    """curate (language/quality gates + url/exact/near dedup) -> build index,
+    with the per-doc verdict lineage persisted under <index>/curation."""
+    from openmatch_spark.pipeline import curate_and_index
+
+    spark = _spark("om-curate-index")
+    pages = _load_pages(spark, args)
+    stats = curate_and_index(
+        spark,
+        pages,
+        args.index,
+        langs=tuple(args.langs.split(",")),
+        min_quality=args.min_quality,
+        url_dedup=not args.no_url_dedup,
+        jaccard_threshold=args.jaccard_threshold,
+        max_bucket=args.max_bucket,
+        analyzer=args.analyzer,
+        num_shards=args.num_shards,
+        num_term_buckets=args.num_term_buckets,
+        block_size=args.block_size,
         table_prefix=args.table_prefix,
     )
     print(json.dumps({k: v for k, v in stats.items() if not hasattr(v, "toPandas")}))
@@ -216,6 +245,22 @@ def main(argv=None) -> int:
                     help="catalog table prefix (e.g. local.db.ccindex) -> "
                          "Iceberg/catalog tables instead of parquet paths")
     bi.set_defaults(fn=cmd_build_index)
+
+    ci = sub.add_parser("curate-index")
+    ci.add_argument("--pages", required=True, help="parquet path or table name")
+    ci.add_argument("--pages-format", choices=["pages", "documents", "table"], default="pages")
+    ci.add_argument("--index", required=True)
+    ci.add_argument("--langs", default="en", help="comma-separated language gate")
+    ci.add_argument("--min-quality", type=float, default=0.5)
+    ci.add_argument("--jaccard-threshold", type=float, default=0.8)
+    ci.add_argument("--max-bucket", type=int, default=1000)
+    ci.add_argument("--no-url-dedup", action="store_true")
+    ci.add_argument("--analyzer", choices=["dpr", "simple"], default="dpr")
+    ci.add_argument("--num-shards", type=int, default=8)
+    ci.add_argument("--num-term-buckets", type=int, default=16)
+    ci.add_argument("--block-size", type=int, default=128)
+    ci.add_argument("--table-prefix", default=None)
+    ci.set_defaults(fn=cmd_curate_index)
 
     se = sub.add_parser("search")
     se.add_argument("--index", required=True)

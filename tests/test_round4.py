@@ -53,6 +53,83 @@ def test_cc_warns_when_unconverged(spark):
 
 
 # ---------------------------------------------------------------------------
+# curate -> index one-call pipeline
+# ---------------------------------------------------------------------------
+
+
+def test_curate_and_index_e2e(spark, tmp_path):
+    """pages -> gates + dedup -> index: dropped docs are absent from the
+    index, lineage explains every drop, and the index searches."""
+    from openmatch_spark.index import load_index
+    from openmatch_spark.pipeline import curate_and_index
+    from openmatch_spark.query import search
+
+    topics = [
+        "the quick brown fox jumps over the lazy dog beside a quiet river",
+        "a history of the railway is full of iron bridges and steam engines",
+        "cooking with olive oil and garlic makes the simple pasta wonderful",
+        "the telescope gathered light from a distant galaxy for many hours",
+        "sailing ships crossed the ocean with careful charts and the stars",
+        "gardens need water and sun and the patient work of many seasons",
+    ]
+    good = [
+        (
+            f"https://ok.example/{i}",
+            topics[i] + " and that is why the writers of this page added "
+            "plenty of common english words for the quality gate",
+        )
+        for i in range(6)
+    ]
+    rows = [
+        (u, "2024-01-01 00:00:00", t.encode(), t, "en") for u, t in good
+    ] + [
+        ("https://de.example/1", "2024-01-01 00:00:00", b"x",
+         "der hund und die katze sind nicht mit der maus ein freund", "de"),
+        ("https://junk.example/1", "2024-01-01 00:00:00", b"x",
+         "the the the the", "en"),
+        ("http://ok.example/0?utm_source=feed", "2024-01-01 00:00:00", b"x",
+         "totally different banner text but the same page as ok zero with "
+         "plenty of the usual english filler words in the body", "en"),
+        ("https://copy.example/5", "2024-01-01 00:00:00", b"x", good[5][1], "en"),
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts string, html binary, text string, lang string"
+    )
+    idx_dir = str(tmp_path / "curated_idx")
+    stats = curate_and_index(
+        spark, pages, idx_dir, min_quality=0.7, analyzer="simple",
+        num_shards=2, num_term_buckets=4,
+    )
+    cur = stats["curation"]
+    assert cur["n_pages"] == 10
+    assert cur["n_kept"] == 6
+    assert cur["drops"] == {"lang": 1, "quality": 1, "url": 1, "exact": 1}
+
+    lineage = {r["doc_id"]: r for r in spark.read.parquet(cur["lineage"]).collect()}
+    # url-group survivor is the MIN doc_id — here the tracking-param variant
+    # ('http:...' < 'https:...' as strings), so the clean url is the drop
+    assert lineage["https://ok.example/0"]["reason"] == "url"
+    assert lineage["https://ok.example/0"]["dup_of"] == "http://ok.example/0?utm_source=feed"
+    # same min-id rule on the exact group: 'copy' < 'ok' keeps the copy
+    assert lineage["https://ok.example/5"]["reason"] == "exact"
+    assert lineage["https://ok.example/5"]["dup_of"] == "https://copy.example/5"
+
+    idx = load_index(spark, idx_dir)
+    indexed = {r["doc_id"] for r in idx.docmap.select("doc_id").collect()}
+    expect = (
+        {u for u, _ in good}
+        - {"https://ok.example/0", "https://ok.example/5"}
+        | {"http://ok.example/0?utm_source=feed", "https://copy.example/5"}
+    )
+    assert indexed == expect
+    q = spark.createDataFrame(
+        [("q1", "railway bridges steam")], "query_id string, text string"
+    )
+    hits = search(idx, q, k=3).orderBy("rank").collect()
+    assert hits and hits[0]["doc_id"] == "https://ok.example/1"
+
+
+# ---------------------------------------------------------------------------
 # Incremental near-dup dedup against a persisted signature store
 # ---------------------------------------------------------------------------
 

@@ -94,3 +94,41 @@ def test_spark_submit_pipeline(tmp_path):
         f.write(f"q0\t0\t{docid}\t1\n")
     metrics = _submit(zip_path, "eval", "--run", run_path, "--qrels", qrels_tsv, "--k", "10")
     assert metrics["mrr@10"] == 1.0
+
+
+def test_spark_submit_curate_index(tmp_path):
+    """curate-index subcommand end-to-end through spark-submit: gates +
+    dedup + build in one launch, lineage on disk, index searchable from a
+    second process."""
+    zip_path = str(tmp_path / "openmatch_spark.zip")
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "spark_job.py"), "package", "--out", zip_path],
+        capture_output=True, text=True, cwd=REPO,
+    )
+    assert out.returncode == 0, out.stderr
+
+    idx = str(tmp_path / "cidx")
+    stats = _submit(
+        zip_path, "curate-index",
+        "--pages", os.path.join(SF, "documents.parquet"),
+        "--pages-format", "documents",
+        "--index", idx, "--analyzer", "simple",
+        "--num-shards", "2", "--num-term-buckets", "4",
+        "--min-quality", "0.3",
+    )
+    cur = stats["curation"]
+    assert cur["n_pages"] == 500
+    assert cur["n_kept"] == stats["n_docs"] > 0
+    assert os.path.exists(os.path.join(idx, "curation"))
+    assert os.path.exists(os.path.join(idx, "stats.json"))
+
+    queries_tsv = str(tmp_path / "queries.tsv")
+    with open(queries_tsv, "w") as f:
+        f.write("q0\tspark hash join\n")
+    run_path = str(tmp_path / "run.trec")
+    _submit(zip_path, "search", "--index", idx, "--queries", queries_tsv,
+            "--out", run_path, "--k", "5")
+    import glob
+
+    parts = glob.glob(os.path.join(run_path, "part-*"))
+    assert parts and open(parts[0]).read().strip()

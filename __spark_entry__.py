@@ -1096,6 +1096,20 @@ top{n} AS (
        CAST(COALESCE(t{n}.cnt, 0) AS BIGINT) AS top_{name}_count,
        ROUND(CAST(COALESCE(t{n}.cnt, 0) * length(COALESCE(t{n}.top_gram, '')) AS DOUBLE)
              / greatest(length(b.text), 1), 6) AS top_{name}_char_ratio"""
+    # duplicated-n-gram char mass: sum of cnt*len over grams with cnt > 1
+    _rep_dup = """
+d{n} AS (
+  SELECT doc_id, SUM(cnt * length(gram)) AS chars FROM (
+    SELECT b.doc_id, s.gram, COUNT(*) AS cnt
+    FROM base b,
+    UNNEST(list_transform(generate_series(1, len(b.toks) - {n1}),
+                          i -> array_to_string(b.toks[i:i+{n1}], ' '))) AS s(gram)
+    GROUP BY b.doc_id, s.gram
+  ) WHERE cnt > 1 GROUP BY doc_id
+)"""
+    _rep_dup_sel = """
+       ROUND(CAST(COALESCE(d{n}.chars, 0) AS DOUBLE)
+             / greatest(length(b.text), 1), 6) AS dup_{n}gram_char_ratio"""
     sql["repetition"] = f"""
 WITH d AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id,
@@ -1127,13 +1141,15 @@ base AS (
 ),
 {_rep_gram.format(n=2, n1=1)},
 {_rep_gram.format(n=3, n1=2)},
-{_rep_gram.format(n=4, n1=3)}
+{_rep_gram.format(n=4, n1=3)},
+{",".join(_rep_dup.format(n=n, n1=n - 1) for n in range(5, 11))}
 SELECT b.doc_id, b.n_lines, b.dup_line_ratio, b.dup_line_char_ratio,
-       b.n_paras, b.dup_para_ratio, b.dup_para_char_ratio,{_rep_top.format(n=2, name="bigram")},{_rep_top.format(n=3, name="3gram")},{_rep_top.format(n=4, name="4gram")}
+       b.n_paras, b.dup_para_ratio, b.dup_para_char_ratio,{_rep_top.format(n=2, name="bigram")},{_rep_top.format(n=3, name="3gram")},{_rep_top.format(n=4, name="4gram")},{",".join(_rep_dup_sel.format(n=n) for n in range(5, 11))}
 FROM base b
 LEFT JOIN top2 t2 USING (doc_id)
 LEFT JOIN top3 t3 USING (doc_id)
 LEFT JOIN top4 t4 USING (doc_id)
+{chr(10).join(f"LEFT JOIN d{n} USING (doc_id)" for n in range(5, 11))}
 """
 
     sql["pii_scrub"] = """

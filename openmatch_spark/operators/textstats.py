@@ -406,6 +406,39 @@ def _top_gram_struct(toks: Column, n: int) -> Column:
     )
 
 
+def _dup_gram_chars(toks: Column, n: int) -> Column:
+    """Character mass of duplicated word n-grams: sum over grams occurring
+    MORE than once of count x gram length — the standard overlap-agnostic
+    form of Rae et al. §A1.1's duplicated-n-gram character fraction
+    numerator. Same sorted-array fold trick as _top_gram_struct (zero
+    shuffles): when a run reaches 2 the first occurrence's chars are
+    back-paid, every further occurrence adds its own."""
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sg = F.array_sort(grams)
+    zero = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("chars")
+    )
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        add = (
+            F.when(run == 2, F.length(x) * 2)
+            .when(run > 2, F.length(x))
+            .otherwise(F.lit(0))
+        )
+        return F.struct(
+            x.alias("prev"), run.alias("run"), (acc["chars"] + add).alias("chars")
+        )
+
+    return F.aggregate(sg, zero, step)["chars"]
+
+
 def _dup_segment_cols(segments: Column, prefix: str) -> list[Column]:
     """(n_<prefix>s, dup_<prefix>_ratio, dup_<prefix>_char_ratio) over a
     trimmed non-empty segment array (lines or paragraphs)."""
@@ -438,6 +471,7 @@ def repetition_signals(
     id_col: str = "doc_id",
     text_col: str = "text",
     ngram_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ngram_ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10),
 ) -> DataFrame:
     """Gopher-style repetition signals (Rae et al. 2021 §A1.1 repetition
     removal — public heuristics), the full family: per doc
@@ -446,11 +480,13 @@ def repetition_signals(
       n_paras, dup_para_ratio, dup_para_char_ratio,
       top_bigram, top_bigram_count, top_bigram_char_ratio,
       top_3gram, top_3gram_count, top_3gram_char_ratio,
-      top_4gram, top_4gram_count, top_4gram_char_ratio.
+      top_4gram, top_4gram_count, top_4gram_char_ratio,
+      dup_5gram_char_ratio ... dup_10gram_char_ratio.
 
     Raw signals, not verdicts — cutoff policy belongs to the caller
     (Gopher gates e.g. dup-line 0.30, dup-paragraph 0.30, top-2-gram char
-    fraction 0.20, top-3-gram 0.18, top-4-gram 0.16).
+    fraction 0.20, top-3-gram 0.18, top-4-gram 0.16, dup-5-gram 0.15
+    down to dup-10-gram 0.10).
 
     Definitions (mirrored exactly by the DuckDB oracle):
       * lines = non-empty trimmed '\\n' segments; paragraphs = non-empty
@@ -458,6 +494,9 @@ def repetition_signals(
         occurrences beyond each segment's first, by count and by chars.
       * top n-gram = the most frequent word n-gram (ties: smallest); char
         ratio = count * len(gram) / len(text).
+      * dup n-gram char ratio = sum over grams occurring >1 time of
+        count * len(gram), over len(text) — the overlap-agnostic form of
+        the paper's duplicated-n-gram character fraction.
 
     The ENTIRE family is one projection — array algebra inside the scan's
     codegen pass, zero exchanges (plan-shape pinned in tests/test_plans.py;
@@ -484,6 +523,7 @@ def repetition_signals(
         *_dup_segment_cols(paras, "para"),
         text_chars.alias("_tc"),
         *[_top_gram_struct(toks, n).alias(f"_tg_{n}") for n in ngram_ns],
+        *[_dup_gram_chars(toks, n).alias(f"_dg_{n}") for n in dup_ngram_ns],
     )
     cols = [
         "doc_id",
@@ -500,4 +540,10 @@ def repetition_signals(
                 tg["cnt"] * F.length(tg["gram"]) / F.col("_tc"), 6
             ).alias(f"top_{name}_char_ratio"),
         ]
+    for n in dup_ngram_ns:
+        cols.append(
+            F.round(F.col(f"_dg_{n}") / F.col("_tc"), 6).alias(
+                f"dup_{n}gram_char_ratio"
+            )
+        )
     return inner.select(*cols)

@@ -477,6 +477,34 @@ def test_top_gram_fold_equals_count_window(spark):
     assert abs(row["dup_para_ratio"] - 1 / 3) < 1e-6
 
 
+def test_dup_gram_char_ratio_matches_reference(spark):
+    """dup-n-gram char mass (sum cnt*len over grams with cnt>1) against a
+    pure-Python Counter reference."""
+    from collections import Counter
+
+    from openmatch_spark.analysis import tokenize_py
+    from openmatch_spark.operators.textstats import repetition_signals
+
+    docs = [
+        ("d1", "a b c d e f a b c d e f a b c d e f"),   # heavy 5/6-gram dups
+        ("d2", "one two three four five six seven eight nine ten"),  # none
+        ("d3", "x y " * 12),                              # short-period repeat
+        ("d4", "too short"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    got = {r["doc_id"]: r for r in repetition_signals(df).collect()}
+    for doc_id, text in docs:
+        toks = tokenize_py(text, "simple")
+        for n in range(5, 11):
+            grams = [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+            c = Counter(grams)
+            chars = sum(cnt * len(g) for g, cnt in c.items() if cnt > 1)
+            want = round(chars / max(len(text), 1), 6)
+            assert abs(got[doc_id][f"dup_{n}gram_char_ratio"] - want) < 1e-9, (
+                doc_id, n,
+            )
+
+
 def test_repetition_plan_has_no_exchange(spark):
     """The whole repetition family must stay a projection over the scan —
     the r3 top-bigram leg shuffled every bigram of the corpus."""

@@ -60,6 +60,7 @@ from openmatch_spark.operators.dedup import (
 )
 
 _SCHEMAS = {
+    "urls": "url_key string, canon string",
     "hashes": "content_hash string, canon string",
     "bands": "doc_id string, band int, band_hash string",
     "shingles": "doc_id string, shingle string",
@@ -89,6 +90,7 @@ def incremental_deduplicate(
     num_bands: int = 4,
     jaccard_threshold: float = 0.8,
     max_bucket: int = 1000,
+    url_col: str | None = None,
     commit: bool = True,
 ) -> DataFrame:
     """Dedup verdicts (doc_id, keep, reason, dup_of) for THIS drain's docs
@@ -98,6 +100,10 @@ def incremental_deduplicate(
     Parameters mirror deduplicate_corpus and MUST stay constant across the
     drains of one store (the store records bands/shingles computed under
     them; mixing parameters would compare incomparable signatures).
+    url_col adds the canonical-url stage ahead of the content stages —
+    keyed on url_dedup_key_col and backed by a fourth store table
+    `urls/(url_key, canon)` — with the same union-equality contract as
+    deduplicate_corpus(url_col=...) (pytest-pinned).
 
     The returned DataFrame is eagerly materialized (localCheckpoint): its
     plan reads the store as of NOW, and the commit below appends to those
@@ -110,11 +116,52 @@ def incremental_deduplicate(
 
     ids = corpus.select(F.col(id_col).cast("string").alias("doc_id"))
 
+    # ---- url stage (url_col set): extend stored canonical-url groups ------
+    # same shape as the exact stage, keyed on the folded canonical url
+    # (operators/transforms.py url_dedup_key_col); mirrors
+    # deduplicate_corpus(url_col=...), so url drops leave before hashing
+    drop_url = None
+    add_urls = None
+    if url_col is not None:
+        from openmatch_spark.operators.transforms import url_dedup_key_col
+
+        old_urls = _read_store(spark, store_dir, "urls")
+        urls = corpus.select(
+            F.col(id_col).cast("string").alias("doc_id"),
+            url_dedup_key_col(F.col(url_col)).alias("_u"),
+        ).where(F.col("_u").isNotNull() & (F.length("_u") > 0))
+        umin = urls.groupBy("_u").agg(
+            F.min("doc_id").alias("_new_min"), F.count(F.lit(1)).alias("_n")
+        )
+        umerged = umin.join(
+            old_urls.withColumnRenamed("url_key", "_u"), "_u", "left"
+        ).select(
+            "_u",
+            "_n",
+            "_new_min",
+            F.coalesce(F.least("canon", "_new_min"), F.col("_new_min")).alias("_canon"),
+            F.col("canon").isNotNull().alias("_seen"),
+        )
+        drop_url = (
+            urls.join(umerged, "_u")
+            .where(
+                (F.col("_seen") | (F.col("_n") > 1))
+                & (F.col("doc_id") != F.col("_canon"))
+            )
+            .select("doc_id", F.col("_canon").alias("dup_of"))
+            .withColumn("reason", F.lit("url"))
+        )
+        add_urls = umin.join(
+            old_urls.withColumnRenamed("url_key", "_u"), "_u", "left_anti"
+        ).select(F.col("_u").alias("url_key"), F.col("_new_min").alias("canon"))
+
     # ---- exact stage: extend stored content-hash groups -------------------
     hashed = corpus.select(
         F.col(id_col).cast("string").alias("doc_id"),
         F.md5(normalized_text(F.col(text_col), analyzer)).alias("_h"),
     )
+    if drop_url is not None:
+        hashed = hashed.join(drop_url.select("doc_id"), "doc_id", "left_anti")
     gmin_new = hashed.groupBy("_h").agg(
         F.min("doc_id").alias("_new_min"), F.count(F.lit(1)).alias("_n")
     )
@@ -137,6 +184,8 @@ def incremental_deduplicate(
     )
 
     new_surv = ids.join(drop_exact.select("doc_id"), "doc_id", "left_anti")
+    if drop_url is not None:
+        new_surv = new_surv.join(drop_url.select("doc_id"), "doc_id", "left_anti")
     surv_corpus = corpus.select(
         F.col(id_col).cast("string").alias("doc_id"), F.col(text_col).alias("text")
     ).join(new_surv, "doc_id", "left_semi")
@@ -210,10 +259,13 @@ def incremental_deduplicate(
     )
 
     drops = drop_exact.unionByName(drop_near).unionByName(drop_bucket)
+    if drop_url is not None:
+        drops = drops.unionByName(drop_url)
     order = (
-        F.when(F.col("reason") == "exact", 0)
-        .when(F.col("reason") == "near", 1)
-        .otherwise(2)
+        F.when(F.col("reason") == "url", 0)
+        .when(F.col("reason") == "exact", 1)
+        .when(F.col("reason") == "near", 2)
+        .otherwise(3)
     )
     wp = Window.partitionBy("doc_id").orderBy(order.asc(), F.col("dup_of").asc())
     drops = (
@@ -244,6 +296,9 @@ def incremental_deduplicate(
         )
         add_bands = bands_new.localCheckpoint(eager=True)
         add_shingles = sh_new.localCheckpoint(eager=True)
+        if add_urls is not None:
+            add_urls = add_urls.localCheckpoint(eager=True)
+            add_urls.write.mode("append").parquet(_store_path(store_dir, "urls"))
         add_hashes.write.mode("append").parquet(_store_path(store_dir, "hashes"))
         add_bands.write.mode("append").parquet(_store_path(store_dir, "bands"))
         add_shingles.write.mode("append").parquet(_store_path(store_dir, "shingles"))

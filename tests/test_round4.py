@@ -200,6 +200,50 @@ def test_incremental_dedup_equals_batch_at_every_prefix(spark, tmp_path):
     assert final["a00"][1] is True
 
 
+def test_incremental_dedup_url_parity_with_batch(spark, tmp_path):
+    """incremental url_col stage == deduplicate_corpus(url_col=) over the
+    union, at every prefix."""
+    from openmatch_spark.operators.dedup import deduplicate_corpus
+    from openmatch_spark.operators.dedup_incremental import incremental_deduplicate
+
+    drains = [
+        [
+            ("a0", _BASE_TXT, "https://s.example/page"),
+            ("a1", _ALT_TXT, "https://s.example/other"),
+            ("a2", "unrelated words about gardens and long walks outside", None),
+        ],
+        [
+            # same canonical url as a0, different text -> 'url' drop
+            ("b0", "rotated banner text with fresh words today", "http://s.example/page?utm_source=x"),
+            # same text as a1, new url -> 'exact' drop
+            ("b1", _ALT_TXT, "https://t.example/copy"),
+            ("b2", "novel second drain content about winter storms", "https://t.example/new"),
+        ],
+    ]
+    schema = "doc_id string, text string, url string"
+    store = str(tmp_path / "urlstore")
+    seen, verdicts = [], []
+    for drain in drains:
+        df = spark.createDataFrame(drain, schema)
+        verdicts.append(
+            incremental_deduplicate(spark, store, df, url_col="url", **_DEDUP_KW)
+        )
+        seen += drain
+        got = set()
+        for v in verdicts:
+            got |= {(r["doc_id"], r["keep"], r["reason"], r["dup_of"]) for r in v.collect()}
+        want = {
+            (r["doc_id"], r["keep"], r["reason"], r["dup_of"])
+            for r in deduplicate_corpus(
+                spark.createDataFrame(seen, schema), url_col="url", **_DEDUP_KW
+            ).collect()
+        }
+        assert got == want
+    final = {t[0]: t for t in got}
+    assert final["b0"][2] == "url" and final["b0"][3] == "a0"
+    assert final["b1"][2] == "exact" and final["b1"][3] == "a1"
+
+
 def test_incremental_dedup_commit_false_leaves_store_untouched(spark, tmp_path):
     import os
 

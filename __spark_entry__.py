@@ -908,6 +908,54 @@ def q_trec_roundtrip(spark, sf_dir):
     return back.select("query_id", "doc_id", "rank")
 
 
+_MIX_WEIGHTS = {"src0": 0.0, "src1": 0.5, "src2": 2.25, "src3": 1.0}
+_MIX_DEFAULT = 0.25
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (operators/decontam.py): the 'benchmark'
+    is derived from the corpus itself (every 29th doc's tokens 4..21), so
+    the source docs — and any near-copies sharing those 5-grams — must be
+    flagged. Benchmark side broadcast; corpus text never shuffles."""
+    from openmatch_spark.analysis import tokenize_col
+    from openmatch_spark.operators.decontam import decontaminate
+
+    d = _docs(spark, sf_dir)
+    corpus = d.select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+    bench = d.where(F.col("doc_id") % 29 == 0).select(
+        F.concat(F.lit("b"), F.col("doc_id").cast("string")).alias("bench_id"),
+        F.concat_ws(
+            " ", F.slice(tokenize_col(F.col("text"), "simple"), 4, 18)
+        ).alias("text"),
+    )
+    return decontaminate(corpus, bench, n=5)
+
+
+def q_mixture_sample(spark, sf_dir):
+    """Domain-weighted deterministic mixture sampling
+    (operators/sampling.py): drop / downsample / upsample-with-epochs per
+    source, portable md5 Bernoulli draw, exploded to one row per training
+    copy."""
+    from openmatch_spark.operators.sampling import mixture_sample
+
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "source"
+    )
+    return mixture_sample(
+        d, _MIX_WEIGHTS, default_weight=_MIX_DEFAULT, explode_copies=True
+    ).select("doc_id", "source", "sample_u", "mix_weight", "n_copies", "copy_idx")
+
+
+def q_mixture_report(spark, sf_dir):
+    """Per-domain mixture audit: realized rates vs target weights."""
+    from openmatch_spark.operators.sampling import mixture_report
+
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "source", "text"
+    )
+    return mixture_report(d, _MIX_WEIGHTS, default_weight=_MIX_DEFAULT)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -962,6 +1010,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "accuracy_at_k": q_accuracy_at_k,
         "combine_negatives": q_combine_negatives,
         "rerank_bm25": q_rerank_bm25,
+        "decontaminate": q_decontaminate,
+        "mixture_sample": q_mixture_sample,
+        "mixture_report": q_mixture_report,
     }
 
 
@@ -2036,6 +2087,107 @@ cand AS (
 SELECT c.vec_a, c.vec_b, ROUND(list_cosine_similarity(ea.v, eb.v), 6) AS cos
 FROM cand c JOIN e ea ON ea.vec_id = c.vec_a JOIN e eb ON eb.vec_id = c.vec_b
 WHERE list_cosine_similarity(ea.v, eb.v) >= 0.2
+"""
+
+    # --- benchmark decontamination -------------------------------------
+    # bench docs = every 29th doc's tokens 4..21 (DuckDB slice is 1-based,
+    # inclusive both ends); 5-grams => toks[i:i+4]. generate_series with a
+    # negative stop is empty, so short docs yield zero grams on both sides.
+    sql["decontaminate"] = """
+WITH toks AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM documents
+),
+grams AS (
+  SELECT d.doc_id, s.gram
+  FROM toks d,
+  UNNEST(list_distinct(list_transform(generate_series(1, len(d.toks) - 4),
+                                      i -> array_to_string(d.toks[i:i+4], ' ')))) AS s(gram)
+),
+bench AS (
+  SELECT DISTINCT b.bench_id, s.gram
+  FROM (
+    SELECT 'b' || CAST(doc_id AS VARCHAR) AS bench_id,
+           list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')[4:21] AS bt
+    FROM documents WHERE doc_id % 29 = 0
+  ) b,
+  UNNEST(list_transform(generate_series(1, len(b.bt) - 4),
+                        i -> array_to_string(b.bt[i:i+4], ' '))) AS s(gram)
+),
+matched AS (
+  SELECT g.doc_id,
+         COUNT(DISTINCT g.gram) AS contaminated_ngrams,
+         COUNT(DISTINCT b.bench_id) AS n_benchmark_docs
+  FROM grams g JOIN bench b ON b.gram = g.gram
+  GROUP BY g.doc_id
+),
+totals AS (
+  SELECT doc_id,
+         CAST(len(list_distinct(list_transform(generate_series(1, len(toks) - 4),
+                                               i -> array_to_string(toks[i:i+4], ' ')))) AS BIGINT) AS total_ngrams
+  FROM toks
+)
+SELECT t.doc_id,
+       t.total_ngrams,
+       CAST(COALESCE(m.contaminated_ngrams, 0) AS BIGINT) AS contaminated_ngrams,
+       ROUND(COALESCE(m.contaminated_ngrams, 0) / greatest(t.total_ngrams, 1), 6) AS contamination_ratio,
+       CAST(COALESCE(m.n_benchmark_docs, 0) AS BIGINT) AS n_benchmark_docs,
+       COALESCE(m.contaminated_ngrams, 0) >= 1 AS is_contaminated
+FROM totals t LEFT JOIN matched m USING (doc_id)
+"""
+
+    # --- mixture sampling ----------------------------------------------
+    # portable md5 uniform: first 8 hex chars as uint32 / 2^32 (the repo's
+    # standard cross-engine draw, functions/hashing.py). Weights mirror
+    # _MIX_WEIGHTS / _MIX_DEFAULT.
+    # CAST: DuckDB's bare numeric literals are DECIMAL, which stringifies
+    # as 0.00 where Spark's double prints 0.0 — the value-hash would differ
+    mix_w = (
+        "CAST(CASE WHEN source = 'src0' THEN 0.0 WHEN source = 'src1' THEN 0.5 "
+        "WHEN source = 'src2' THEN 2.25 WHEN source = 'src3' THEN 1.0 "
+        "ELSE 0.25 END AS DOUBLE)"
+    )
+    mix_u = (
+        "CAST('0x' || substr(md5(concat_ws('|', '42', CAST(doc_id AS VARCHAR))), 1, 8) "
+        "AS UBIGINT) / 4294967296.0"
+    )
+    sql["mixture_sample"] = f"""
+WITH drawn AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, source,
+         {mix_u} AS u, {mix_w} AS w
+  FROM documents
+),
+sized AS (
+  SELECT doc_id, source, u, w,
+         CAST(floor(w) AS BIGINT) + (CASE WHEN u < w - floor(w) THEN 1 ELSE 0 END) AS n_copies
+  FROM drawn
+)
+SELECT doc_id, source, ROUND(u, 6) AS sample_u, w AS mix_weight,
+       n_copies, c.copy_idx
+FROM sized, UNNEST(generate_series(1, n_copies)) AS c(copy_idx)
+WHERE n_copies > 0
+"""
+
+    sql["mixture_report"] = f"""
+WITH drawn AS (
+  SELECT source AS domain, {mix_u} AS u, {mix_w} AS w,
+         CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+sized AS (
+  SELECT domain, w, n_tokens,
+         CAST(floor(w) AS BIGINT) + (CASE WHEN u < w - floor(w) THEN 1 ELSE 0 END) AS n_copies
+  FROM drawn
+)
+SELECT domain,
+       MIN(w) AS target_weight,
+       CAST(COUNT(*) AS BIGINT) AS docs_in,
+       CAST(SUM(n_copies) AS BIGINT) AS docs_out,
+       CAST(SUM(n_tokens) AS BIGINT) AS tokens_in,
+       CAST(SUM(n_tokens * n_copies) AS BIGINT) AS tokens_out,
+       ROUND(CAST(SUM(n_copies) AS DOUBLE) / COUNT(*), 6) AS realized_rate
+FROM sized GROUP BY domain
 """
 
     return sql

@@ -428,10 +428,12 @@ def _query_leg(cores: int, idx_dir: str, n_queries: int = 4096, repeats: int = 2
 
 
 def query_scaling(n_docs: int = 400_000, n_lo: int = 1, n_hi: int = 4,
-                  n_queries: int = 4096) -> dict:
+                  n_queries: int = 4096, repeats: int = 3) -> dict:
     """Query-side N->4N evidence over ONE shared prebuilt index: eliminates
-    build-time host-noise coupling between the legs (each leg is 3 repeats,
-    best-of, pinned). Appends to BENCH/BASELINE.md."""
+    build-time host-noise coupling between the legs (each leg is `repeats`
+    repeats, best-of, pinned). A same-run pinned tokenize control records
+    the machine's own N->4N ceiling so host weather is visible in the
+    artifact. Appends to BENCH/BASELINE.md."""
     import shutil
     import subprocess
 
@@ -453,7 +455,7 @@ def query_scaling(n_docs: int = 400_000, n_lo: int = 1, n_hi: int = 4,
     def leg(cores):
         cpu_list = f"0-{cores - 1}" if cores > 1 else "0"
         cmd = ["taskset", "-c", cpu_list, sys.executable, os.path.abspath(__file__),
-               "--query-leg", str(cores), idx_dir, str(n_queries)]
+               "--query-leg", str(cores), idx_dir, str(n_queries), str(repeats)]
         out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
         if out.returncode != 0:
             raise RuntimeError(f"query leg failed: {out.stderr[-2000:]}")
@@ -462,6 +464,11 @@ def query_scaling(n_docs: int = 400_000, n_lo: int = 1, n_hi: int = 4,
     lo = leg(n_lo)
     hi = leg(n_hi)
     shutil.rmtree(idx_dir, ignore_errors=True)
+    # same-run machine ceiling: what an embarrassingly-parallel run of the
+    # engine's own dominant kernel gets from this box going N->4N right now
+    ceil_lo = _pinned_calib("tokenize", n_lo)
+    ceil_hi = _pinned_calib("tokenize", n_hi)
+    ceiling = round(ceil_lo / (4 * ceil_hi), 3)
     eff = hi["qps"] / (4 * lo["qps"])
     out = {
         "metric": "scaling_efficiency_query",
@@ -470,6 +477,8 @@ def query_scaling(n_docs: int = 400_000, n_lo: int = 1, n_hi: int = 4,
         "queries": {
             f"qps_{n_lo}": lo["qps"], f"qps_{n_hi}": hi["qps"],
             f"walls_{n_lo}": lo["walls"], f"walls_{n_hi}": hi["walls"],
+            "machine_ceiling_tokenize": ceiling,
+            "efficiency_vs_ceiling": round(eff / ceiling, 3),
         },
         "sf": -1.0,
         "n_docs": n_docs,
@@ -488,6 +497,9 @@ no build-phase noise coupling between the legs.
 | local[{n_hi}] | {hi['walls']} | {hi['best_sec']} | {hi['qps']} |
 
 **Query scaling efficiency** = {hi['qps']} / (4 x {lo['qps']}) = **{eff:.3f}**
+Same-run tokenize machine ceiling: **{ceiling}** (engine vs ceiling:
+**{eff / ceiling:.3f}**); intra-leg wall spread is the host-noise signal —
+a spread above ~1.3x means the run landed on a loaded host window.
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
@@ -679,7 +691,9 @@ if __name__ == "__main__":
     elif "--query-leg" in sys.argv:
         i = sys.argv.index("--query-leg")
         nq = int(sys.argv[i + 3]) if len(sys.argv) > i + 3 else 4096
-        print(json.dumps(_query_leg(int(sys.argv[i + 1]), sys.argv[i + 2], n_queries=nq)))
+        reps = int(sys.argv[i + 4]) if len(sys.argv) > i + 4 else 2
+        print(json.dumps(_query_leg(int(sys.argv[i + 1]), sys.argv[i + 2],
+                                    n_queries=nq, repeats=reps)))
     elif "--query-scaling" in sys.argv:
         i = sys.argv.index("--query-scaling")
         n = int(sys.argv[i + 1]) if len(sys.argv) > i + 1 and sys.argv[i + 1].isdigit() else 400_000

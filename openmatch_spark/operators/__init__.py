@@ -12,3 +12,12 @@ from openmatch_spark.operators.metrics import (  # noqa: F401
     accuracy_at_k,
     duplicate_docs,
 )
+from openmatch_spark.operators.decontam import (  # noqa: F401
+    decontaminate,
+    decontaminate_corpus,
+)
+from openmatch_spark.operators.sampling import (  # noqa: F401
+    mixture_sample,
+    mixture_report,
+    seeded_uniform_col,
+)

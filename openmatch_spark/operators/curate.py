@@ -49,13 +49,21 @@ def curate_corpus(
     jaccard_threshold: float = 0.8,
     max_bucket: int = 1000,
     url_col: str | None = None,
+    benchmark: DataFrame | None = None,
+    decontam_n: int = 8,
+    decontam_min_overlap: int = 1,
 ) -> DataFrame:
     """(doc_id, keep, reason, dup_of): per-document curation verdict.
 
-    reason: 'lang' | 'quality' | 'url' | 'exact' | 'near' | 'bucket' |
-    NULL (kept); dup_of names the canonical doc for dedup drops, NULL
-    otherwise. url_col adds the canonical-url dedup stage ahead of the
+    reason: 'lang' | 'quality' | 'decontam' | 'url' | 'exact' | 'near' |
+    'bucket' | NULL (kept); dup_of names the canonical doc for dedup drops,
+    NULL otherwise. url_col adds the canonical-url dedup stage ahead of the
     content stages (deduplicate_corpus url_col).
+
+    benchmark (optional, columns bench_id/text) adds the decontamination
+    gate (operators/decontam.py) between the quality gate and dedup:
+    eval-set overlap is removed BEFORE dedup so a contaminated doc can
+    never become a duplicate group's surviving canonical.
     One verdict row per input row (doc_ids are expected unique upstream —
     duplicated ids flow through per-row rather than fanning out).
     """
@@ -88,6 +96,31 @@ def curate_corpus(
     )
     surv_cols = ["doc_id", "text"] + (["_url"] if url_col is not None else [])
     survivors = scored.where(lang_ok & qual_ok).select(*surv_cols)
+
+    contam_drops = None
+    if benchmark is not None:
+        from openmatch_spark.operators.decontam import decontaminate
+
+        flagged = (
+            decontaminate(
+                survivors, benchmark, n=decontam_n,
+                min_overlap=decontam_min_overlap,
+            )
+            .where(F.col("is_contaminated"))
+            .select(F.col("doc_id").alias("_contam_id"))
+        )
+        contam_drops = survivors.join(
+            flagged, survivors["doc_id"] == flagged["_contam_id"], "left_semi"
+        ).select(
+            "doc_id",
+            F.lit(0).alias("keep"),
+            F.lit("decontam").alias("reason"),
+            F.lit(None).cast("string").alias("dup_of"),
+        )
+        survivors = survivors.join(
+            flagged, survivors["doc_id"] == flagged["_contam_id"], "left_anti"
+        )
+
     deduped = deduplicate_corpus(
         survivors,
         shingle_n=shingle_n,
@@ -98,7 +131,10 @@ def curate_corpus(
         url_col="_url" if url_col is not None else None,
     ).select("doc_id", F.col("keep").cast("int").alias("keep"), "reason", "dup_of")
 
-    return lang_drops.unionByName(quality_drops).unionByName(deduped)
+    out = lang_drops.unionByName(quality_drops)
+    if contam_drops is not None:
+        out = out.unionByName(contam_drops)
+    return out.unionByName(deduped)
 
 
 def curate_stream(

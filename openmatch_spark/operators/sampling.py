@@ -1,0 +1,130 @@
+"""Deterministic domain-weighted mixture sampling for training-data builds.
+
+LLM pretraining mixes are built by re-weighting source domains (The Pile,
+DoReMi, Llama data cards all publish per-domain sampling weights): a domain
+with weight w < 1 is downsampled to a w fraction, w > 1 is upsampled by
+repeating docs (floor(w) full epochs plus a fractional epoch). The reference
+repo has no mixture stage; this extends the engine's training-data-pipeline
+family with that published recipe as pure column algebra.
+
+Determinism / portability: the Bernoulli draw is the repo's standard
+portable md5 uniform (functions/hashing.py) — identical in Spark, DuckDB
+and Python, so the sample is reproducible across engines and runs, and a
+doc's fate depends only on (seed, doc_id), never on partitioning. This is
+the same fixed-seed policy as T4 seeded sampling (FIXTURES.md determinism
+rules; the reference seeds from wall-clock instead,
+scripts/msmarco/build_hn.py:42).
+
+Scale shape: everything is a projection + filter (zero shuffles, zero UDFs);
+upsample explosion emits rows in place. The per-domain report aggregates a
+handful of columns to |domains| rows.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from openmatch_spark.functions.hashing import md5_rank_col
+
+__all__ = ["seeded_uniform_col", "mixture_sample", "mixture_report"]
+
+
+def seeded_uniform_col(*cols: Column | str, seed: int = 42) -> Column:
+    """Portable deterministic U[0,1): first 8 md5 hex chars as uint32/2^32.
+
+    One 8-hex-char ``conv`` fits a signed long exactly (max 2^32-1); the
+    DuckDB replica is CAST('0x'||substr(md5(...),1,8) AS UBIGINT)/2^32.
+    """
+    return F.conv(F.substring(md5_rank_col(*cols, seed=seed), 1, 8), 16, 10).cast(
+        "double"
+    ) / F.lit(4294967296.0)
+
+
+def _weight_col(domain: Column, weights: Mapping[str, float], default_weight: float) -> Column:
+    """CASE-WHEN chain (portable to the SQL oracle, unlike a map literal).
+    Deterministic order: sorted by domain key."""
+    w: Column = F.lit(float(default_weight))
+    for k in sorted(weights, reverse=True):
+        w = F.when(domain == k, F.lit(float(weights[k]))).otherwise(w)
+    return w
+
+
+def mixture_sample(
+    corpus: DataFrame,
+    weights: Mapping[str, float],
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 42,
+    default_weight: float = 0.0,
+    explode_copies: bool = False,
+) -> DataFrame:
+    """Domain-weighted deterministic sample of ``corpus``.
+
+    Each doc draws u = U[0,1) from (seed, doc_id) and receives
+    ``n_copies = floor(w) + (u < frac(w))`` where w is its domain's weight:
+    w=0.25 keeps a quarter of the domain, w=2.5 emits every doc twice plus a
+    half-epoch of third copies. Docs with n_copies = 0 are dropped.
+
+    Default: original columns + (sample_u, mix_weight, n_copies) — one row
+    per kept doc, repeats expressed as a count (the compact form a writer
+    can expand). With ``explode_copies=True``, one row per copy with a
+    1-based ``copy_idx`` — the materialized training-shard form.
+    """
+    w = _weight_col(F.col(domain_col), weights, default_weight)
+    u = seeded_uniform_col(F.col(id_col), seed=seed)
+    n_copies = (
+        F.floor(w).cast("long") + (u < (w - F.floor(w))).cast("long")
+    )
+    out = (
+        corpus.withColumn("sample_u", F.round(u, 6))
+        .withColumn("mix_weight", w)
+        .withColumn("n_copies", n_copies)
+        .where(F.col("n_copies") > 0)
+    )
+    if not explode_copies:
+        return out
+    return out.withColumn(
+        "copy_idx",
+        F.explode(F.sequence(F.lit(1).cast("long"), F.col("n_copies"))),
+    )
+
+
+def mixture_report(
+    corpus: DataFrame,
+    weights: Mapping[str, float],
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 42,
+    default_weight: float = 0.0,
+) -> DataFrame:
+    """Per-domain audit of a mixture: input vs sampled doc and analyzer-token
+    counts, realized rate vs target weight. One row per input domain."""
+    from openmatch_spark.operators.textstats import token_count_col
+
+    w = _weight_col(F.col(domain_col), weights, default_weight)
+    u = seeded_uniform_col(F.col(id_col), seed=seed)
+    n_copies = F.floor(w).cast("long") + (u < (w - F.floor(w))).cast("long")
+    toks = token_count_col(F.col(text_col)).cast("long")
+    return (
+        corpus.select(
+            F.col(domain_col).alias("domain"),
+            w.alias("mix_weight"),
+            n_copies.alias("n_copies"),
+            toks.alias("n_tokens"),
+        )
+        .groupBy("domain")
+        .agg(
+            F.first("mix_weight").alias("target_weight"),
+            F.count(F.lit(1)).alias("docs_in"),
+            F.sum("n_copies").alias("docs_out"),
+            F.sum("n_tokens").alias("tokens_in"),
+            F.sum(F.col("n_tokens") * F.col("n_copies")).alias("tokens_out"),
+            F.round(
+                F.sum("n_copies") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("realized_rate"),
+        )
+    )

@@ -581,3 +581,241 @@ def test_storage_recovers_interrupted_swap(spark, tmp_path):
     assert got == [("t2", 2)]
     assert not os.path.exists(os.path.join(root, "_old_dictionary"))
     assert not os.path.exists(os.path.join(root, "_stage_dictionary"))
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def _contam_fixture(spark):
+    corpus = spark.createDataFrame(
+        [
+            # exact 5-gram overlap with bench b1 ("the quick brown fox jumps")
+            ("c1", "intro words then the quick brown fox jumps over stuff"),
+            # only a 4-gram in common -> clean at n=5
+            ("c2", "quick brown fox jumps elsewhere entirely and more"),
+            # case/punct variants must still be caught (shared normalization)
+            ("c3", "The QUICK, brown fox; jumps over the lazy dog!"),
+            ("c4", "totally unrelated content about spark shuffles"),
+            ("c5", None),
+        ],
+        "doc_id string, text string",
+    )
+    bench = spark.createDataFrame(
+        [
+            ("b1", "the quick brown fox jumps over the lazy dog"),
+            ("b2", "an entirely different benchmark question here"),
+        ],
+        "bench_id string, text string",
+    )
+    return corpus, bench
+
+
+def test_decontaminate_verdicts(spark):
+    from openmatch_spark.operators.decontam import decontaminate
+
+    corpus, bench = _contam_fixture(spark)
+    rep = {r["doc_id"]: r for r in decontaminate(corpus, bench, n=5).collect()}
+    assert len(rep) == 5  # every corpus doc reported, matched or not
+    assert rep["c1"]["is_contaminated"]
+    # c1 shares "the quick brown fox jumps" and "quick brown fox jumps over"
+    assert rep["c1"]["contaminated_ngrams"] == 2
+    assert rep["c1"]["n_benchmark_docs"] == 1
+    assert not rep["c2"]["is_contaminated"]
+    assert rep["c2"]["contaminated_ngrams"] == 0
+    # c3 is b1's text minus punctuation/case: all its 5-grams are b1's
+    assert rep["c3"]["is_contaminated"]
+    assert rep["c3"]["contaminated_ngrams"] == rep["c3"]["total_ngrams"] == 5
+    assert rep["c3"]["contamination_ratio"] == 1.0
+    assert not rep["c4"]["is_contaminated"]
+    assert rep["c5"]["total_ngrams"] == 0 and not rep["c5"]["is_contaminated"]
+
+
+def test_decontaminate_python_oracle_parity(spark):
+    """Exact parity with a pure-python n-gram set intersection on a wider
+    random-ish corpus (deterministic seeds via md5)."""
+    import hashlib
+
+    from openmatch_spark.analysis import tokenize_py
+    from openmatch_spark.operators.decontam import decontaminate
+
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+
+    def words(tag, n):
+        out = []
+        for i in range(n):
+            h = int(hashlib.md5(f"{tag}|{i}".encode()).hexdigest()[:8], 16)
+            out.append(vocab[h % len(vocab)])
+        return " ".join(out)
+
+    corpus_rows = [(f"d{i}", words(f"c{i}", 30)) for i in range(40)]
+    bench_rows = [(f"b{i}", words(f"c{i * 7}", 12)) for i in range(5)]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id string, text string")
+    bench = spark.createDataFrame(bench_rows, "bench_id string, text string")
+
+    def grams(text, n=4):
+        t = tokenize_py(text, "simple")
+        return {" ".join(t[i : i + n]) for i in range(len(t) - n + 1)}
+
+    bench_g = {bid: grams(tx) for bid, tx in bench_rows}
+    allb = set().union(*bench_g.values())
+    got = {r["doc_id"]: r for r in decontaminate(corpus, bench, n=4).collect()}
+    for did, tx in corpus_rows:
+        g = grams(tx)
+        hit = g & allb
+        assert got[did]["total_ngrams"] == len(g)
+        assert got[did]["contaminated_ngrams"] == len(hit)
+        assert got[did]["n_benchmark_docs"] == sum(
+            1 for bg in bench_g.values() if g & bg
+        )
+        assert got[did]["is_contaminated"] == (len(hit) >= 1)
+
+
+def test_decontaminate_corpus_filters(spark):
+    from openmatch_spark.operators.decontam import decontaminate_corpus
+
+    corpus, bench = _contam_fixture(spark)
+    kept = decontaminate_corpus(corpus, bench, n=5)
+    assert sorted(r["doc_id"] for r in kept.collect()) == ["c2", "c4", "c5"]
+    # original columns survive untouched
+    assert kept.columns == corpus.columns
+
+
+# ---------------------------------------------------------------------------
+# mixture sampling
+# ---------------------------------------------------------------------------
+
+
+def test_seeded_uniform_matches_python(spark):
+    from openmatch_spark.functions.hashing import md5_rank_py
+    from openmatch_spark.operators.sampling import seeded_uniform_col
+
+    df = spark.createDataFrame([(f"d{i}",) for i in range(50)], "doc_id string")
+    got = {
+        r["doc_id"]: r["u"]
+        for r in df.select(
+            "doc_id", seeded_uniform_col(F.col("doc_id"), seed=7).alias("u")
+        ).collect()
+    }
+    for i in range(50):
+        exp = int(md5_rank_py(f"d{i}", seed=7)[:8], 16) / 2**32
+        assert abs(got[f"d{i}"] - exp) < 1e-12
+
+
+def test_mixture_sample_rates_and_copies(spark):
+    from openmatch_spark.operators.sampling import mixture_sample
+
+    rows = [(i, f"dom{i % 3}", "text " * 5) for i in range(600)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    weights = {"dom0": 0.0, "dom1": 1.0, "dom2": 2.5}
+    out = mixture_sample(df, weights)
+    by_dom = {
+        r["source"]: r
+        for r in out.groupBy("source")
+        .agg(F.count("*").alias("n"), F.sum("n_copies").alias("copies"))
+        .collect()
+    }
+    assert "dom0" not in by_dom  # weight 0 drops the domain entirely
+    assert by_dom["dom1"]["n"] == 200 and by_dom["dom1"]["copies"] == 200
+    assert by_dom["dom2"]["n"] == 200  # every doc kept (floor=2)
+    # fractional epoch: copies in [2*200, 3*200], ~2.5 on average
+    assert 430 <= by_dom["dom2"]["copies"] <= 570
+    cvals = {
+        r["n_copies"] for r in out.where(F.col("source") == "dom2").collect()
+    }
+    assert cvals <= {2, 3}
+
+    # exploded form: one row per copy, 1-based copy_idx
+    ex = mixture_sample(df, weights, explode_copies=True)
+    assert ex.count() == 200 + by_dom["dom2"]["copies"]
+    idx = (
+        ex.where(F.col("source") == "dom2")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("copy_idx")).alias("ix"))
+        .collect()
+    )
+    for r in idx:
+        assert r["ix"] == list(range(1, len(r["ix"]) + 1))
+
+
+def test_mixture_sample_partitioning_invariant(spark):
+    from openmatch_spark.operators.sampling import mixture_sample
+
+    rows = [(i, f"dom{i % 2}", "x") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    w = {"dom0": 0.4, "dom1": 1.7}
+    a = {(r["doc_id"], r["n_copies"]) for r in mixture_sample(df, w).collect()}
+    b = {
+        (r["doc_id"], r["n_copies"])
+        for r in mixture_sample(df.repartition(7), w).collect()
+    }
+    assert a == b
+    # and a different seed changes the draw (sanity that seed is live)
+    c = {
+        (r["doc_id"], r["n_copies"])
+        for r in mixture_sample(df, w, seed=99).collect()
+    }
+    assert a != c
+
+
+def test_mixture_report_consistent_with_sample(spark):
+    from openmatch_spark.operators.sampling import mixture_report, mixture_sample
+
+    rows = [(i, f"dom{i % 3}", "a b c " * (1 + i % 4)) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    weights = {"dom0": 0.5, "dom1": 1.0}  # dom2 falls to default_weight=0.25
+    rep = {
+        r["domain"]: r
+        for r in mixture_report(df, weights, default_weight=0.25).collect()
+    }
+    assert set(rep) == {"dom0", "dom1", "dom2"}
+    assert rep["dom2"]["target_weight"] == 0.25
+    samp = mixture_sample(df, weights, default_weight=0.25)
+    by_dom = {
+        r["source"]: r["copies"]
+        for r in samp.groupBy("source").agg(F.sum("n_copies").alias("copies")).collect()
+    }
+    for d in rep:
+        assert rep[d]["docs_out"] == by_dom.get(d, 0)
+        assert rep[d]["docs_in"] == 100
+
+
+def test_curate_with_benchmark_gate(spark):
+    """Optional decontamination stage in curate_corpus: eval-overlap docs
+    drop with reason 'decontam' BEFORE dedup — the exact-dup pair 1/2 both
+    carry the benchmark text, so both must read 'decontam', not one
+    surviving as the other's canonical."""
+    from openmatch_spark.operators.curate import curate_corpus
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog and runs away home"),
+        (2, "the quick brown fox jumps over the lazy dog and runs away home"),
+        (3, "a completely different english sentence with the usual common words in it today"),
+        (4, "der schnelle braune fuchs springt und der hund ist die katze im haus"),  # lang gate
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    # benchmark shares a 6-gram with docs 1 and 2 only
+    bench = spark.createDataFrame(
+        [("b0", "quick brown fox jumps over the")],
+        "bench_id string, text string",
+    )
+    out = {
+        r["doc_id"]: (r["keep"], r["reason"])
+        for r in curate_corpus(
+            corpus, langs=("en",), min_quality=0.3,
+            benchmark=bench, decontam_n=6,
+        ).collect()
+    }
+    assert len(out) == 4
+    assert out["1"] == (0, "decontam")
+    assert out["2"] == (0, "decontam")
+    assert out["3"] == (1, None)
+    assert out["4"] == (0, "lang")
+
+    # without the benchmark the same corpus keeps 1 and dups 2 onto it
+    base = {
+        r["doc_id"]: (r["keep"], r["reason"])
+        for r in curate_corpus(corpus, langs=("en",), min_quality=0.3).collect()
+    }
+    assert base["1"] == (1, None) and base["2"] == (0, "exact")

@@ -946,6 +946,29 @@ def q_mixture_sample(spark, sf_dir):
     ).select("doc_id", "source", "sample_u", "mix_weight", "n_copies", "copy_idx")
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Greedy sequence packing (operators/packing.py): docs hash-bucketed
+    (portable md5 bucket), greedy token-budget fill per bucket in doc_id
+    order — oracle is a recursive-CTE replica of the sequential fill."""
+    from openmatch_spark.operators.packing import pack_sequences
+
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    return pack_sequences(d, max_tokens=100, n_buckets=8)
+
+
+def q_pack_sequences_offset(spark, sf_dir):
+    """Zero-UDF offset packing: seq = 1 + floor(cumsum_before/budget), pure
+    window algebra (same output shape; straddling docs may overshoot)."""
+    from openmatch_spark.operators.packing import pack_sequences
+
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    return pack_sequences(d, max_tokens=100, n_buckets=8, strategy="offset")
+
+
 def q_mixture_report(spark, sf_dir):
     """Per-domain mixture audit: realized rates vs target weights."""
     from openmatch_spark.operators.sampling import mixture_report
@@ -1013,6 +1036,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "mixture_sample": q_mixture_sample,
         "mixture_report": q_mixture_report,
+        "pack_sequences": q_pack_sequences,
+        "pack_sequences_offset": q_pack_sequences_offset,
     }
 
 
@@ -2167,6 +2192,54 @@ SELECT doc_id, source, ROUND(u, 6) AS sample_u, w AS mix_weight,
        n_copies, c.copy_idx
 FROM sized, UNNEST(generate_series(1, n_copies)) AS c(copy_idx)
 WHERE n_copies > 0
+"""
+
+    # --- sequence packing ----------------------------------------------
+    # bucket = portable md5 uint32 mod 8 (packing.py); greedy fill is a
+    # recursive CTE walking each bucket in doc_id order — the exact
+    # sequential semantics of the applyInPandas packer.
+    pack_base = """
+base AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+         CAST(CAST('0x' || substr(md5(concat_ws('|', '42', CAST(doc_id AS VARCHAR))), 1, 8) AS UBIGINT) % 8 AS BIGINT) AS bucket
+  FROM documents
+)"""
+    sql["pack_sequences"] = f"""
+WITH RECURSIVE {pack_base},
+ordered AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn FROM base
+),
+packed AS (
+  SELECT bucket, doc_id, n_tokens, rn,
+         CAST(1 AS BIGINT) AS seq_id, n_tokens AS fill, CAST(1 AS BIGINT) AS pos
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.bucket, o.doc_id, o.n_tokens, o.rn,
+         CASE WHEN p.fill + o.n_tokens <= 100 THEN p.seq_id ELSE p.seq_id + 1 END,
+         CASE WHEN p.fill + o.n_tokens <= 100 THEN p.fill + o.n_tokens ELSE o.n_tokens END,
+         CASE WHEN p.fill + o.n_tokens <= 100 THEN p.pos + 1 ELSE CAST(1 AS BIGINT) END
+  FROM packed p JOIN ordered o ON o.bucket = p.bucket AND o.rn = p.rn + 1
+)
+SELECT doc_id, bucket, seq_id, n_tokens, pos FROM packed
+"""
+
+    sql["pack_sequences_offset"] = f"""
+WITH {pack_base},
+ordered AS (
+  SELECT *,
+         COALESCE(SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+  FROM base
+),
+seqd AS (
+  SELECT doc_id, bucket, n_tokens,
+         CAST(1 + floor(before / 100) AS BIGINT) AS seq_id
+  FROM ordered
+)
+SELECT doc_id, bucket, seq_id, n_tokens,
+       CAST(ROW_NUMBER() OVER (PARTITION BY bucket, seq_id ORDER BY doc_id) AS BIGINT) AS pos
+FROM seqd
 """
 
     sql["mixture_report"] = f"""

@@ -819,3 +819,103 @@ def test_curate_with_benchmark_gate(spark):
         for r in curate_corpus(corpus, langs=("en",), min_quality=0.3).collect()
     }
     assert base["1"] == (1, None) and base["2"] == (0, "exact")
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+# ---------------------------------------------------------------------------
+
+
+def _pack_ref(rows, max_tokens):
+    """Pure-python greedy reference: rows = [(doc_id, n_tokens, bucket)]."""
+    out = {}
+    by_bucket = {}
+    for did, n, b in rows:
+        by_bucket.setdefault(b, []).append((did, n))
+    for b, docs in by_bucket.items():
+        seq_id, fill, pos = 0, 0, 0
+        for did, n in sorted(docs):
+            if seq_id == 0 or fill + n > max_tokens:
+                seq_id, fill, pos = seq_id + 1, n, 1
+            else:
+                fill, pos = fill + n, pos + 1
+            out[did] = (b, seq_id, pos)
+    return out
+
+
+def test_pack_sequences_greedy_matches_reference(spark):
+    from openmatch_spark.operators.packing import pack_sequences
+
+    rows = [(f"d{i:03d}", "tok " * (5 + (i * 7) % 40)) for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = pack_sequences(df, max_tokens=64, n_buckets=4).collect()
+    assert len(got) == 120
+    ref_rows = [(r["doc_id"], r["n_tokens"], r["bucket"]) for r in got]
+    ref = _pack_ref(ref_rows, 64)
+    for r in got:
+        assert (r["bucket"], r["seq_id"], r["pos"]) == ref[r["doc_id"]]
+    # no sequence exceeds the budget unless it is a single oversized doc
+    import collections
+
+    fills = collections.Counter()
+    sizes = collections.Counter()
+    for r in got:
+        fills[(r["bucket"], r["seq_id"])] += r["n_tokens"]
+        sizes[(r["bucket"], r["seq_id"])] += 1
+    for k, tot in fills.items():
+        assert tot <= 64 or sizes[k] == 1
+
+
+def test_pack_sequences_oversized_doc_isolated(spark):
+    from openmatch_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        [("a", "x " * 10), ("b", "y " * 500), ("c", "z " * 10)],
+        "doc_id string, text string",
+    )
+    got = {r["doc_id"]: r for r in pack_sequences(df, max_tokens=64, n_buckets=1).collect()}
+    # b (500 tokens > 64) must sit alone in its own sequence
+    b_seq = got["b"]["seq_id"]
+    assert [r["doc_id"] for r in got.values() if r["seq_id"] == b_seq] == ["b"]
+
+
+def test_pack_sequences_partitioning_invariant_and_precomputed(spark):
+    from openmatch_spark.operators.packing import pack_sequences
+
+    rows = [(f"d{i}", "w " * (3 + i % 9)) for i in range(80)]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    a = {(r["doc_id"], r["bucket"], r["seq_id"], r["pos"])
+         for r in pack_sequences(df, max_tokens=32, n_buckets=4).collect()}
+    b = {(r["doc_id"], r["bucket"], r["seq_id"], r["pos"])
+         for r in pack_sequences(df.repartition(13), max_tokens=32, n_buckets=4).collect()}
+    assert a == b
+    # a precomputed n_tokens column takes precedence over text
+    import pyspark.sql.functions as F2
+
+    pre = df.withColumn("n_tokens", F2.lit(10))
+    got = pack_sequences(pre, max_tokens=25, n_buckets=1).collect()
+    assert all(r["n_tokens"] == 10 for r in got)
+    from collections import Counter
+
+    per_seq = Counter(r["seq_id"] for r in got)
+    assert set(per_seq.values()) <= {2, 1}  # 2 docs of 10 fit in 25, 3 don't
+
+
+def test_pack_sequences_offset_strategy(spark):
+    from openmatch_spark.operators.packing import pack_sequences
+
+    rows = [(f"d{i:02d}", "w " * 10) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = pack_sequences(df, max_tokens=25, n_buckets=1, strategy="offset").collect()
+    # cumsum bins: docs at cumulative offsets 0,10,20,30... -> bin changes
+    # when floor(before/25) steps: offsets 0,10,20 -> bin1; 30,40 -> bin2...
+    by_doc = {r["doc_id"]: r["seq_id"] for r in got}
+    ordered = [by_doc[f"d{i:02d}"] for i in range(20)]
+    expect = [1 + (10 * i) // 25 for i in range(20)]
+    assert ordered == expect
+    # seq_ids are non-decreasing in doc order and pos restarts per seq
+    pos = {}
+    for r in sorted(got, key=lambda r: r["doc_id"]):
+        pos.setdefault(r["seq_id"], 0)
+        pos[r["seq_id"]] += 1
+        assert r["pos"] == pos[r["seq_id"]]

@@ -969,6 +969,33 @@ def q_pack_sequences_offset(spark, sf_dir):
     return pack_sequences(d, max_tokens=100, n_buckets=8, strategy="offset")
 
 
+def q_boilerplate(spark, sf_dir):
+    """Cross-document line-level boilerplate removal
+    (operators/boilerplate.py, CCNet/RefinedWeb style): testdata has no
+    newlines, so both engines first derive the same line-structured corpus
+    (3-token chunks per line), then drop every line appearing in >= 4
+    distinct docs. Oracle replicates explode -> distinct-doc count ->
+    ordered reassembly."""
+    from openmatch_spark.analysis import tokenize_col
+    from openmatch_spark.operators.boilerplate import remove_boilerplate_lines
+
+    d = _docs(spark, sf_dir)
+    toks = tokenize_col(F.col("text"), "simple")
+    n = F.size(toks)
+    chunks = F.when(
+        n > 0,
+        F.transform(
+            F.sequence(F.lit(1), F.ceil(n / F.lit(3.0)).cast("int")),
+            lambda i: F.concat_ws(" ", F.slice(toks, (i - F.lit(1)) * 3 + 1, 3)),
+        ),
+    ).otherwise(F.array_repeat(F.lit(""), 0))
+    lined = d.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.concat_ws("\n", chunks).alias("text"),
+    )
+    return remove_boilerplate_lines(lined, min_docs=4)
+
+
 def q_mixture_report(spark, sf_dir):
     """Per-domain mixture audit: realized rates vs target weights."""
     from openmatch_spark.operators.sampling import mixture_report
@@ -1038,6 +1065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_report": q_mixture_report,
         "pack_sequences": q_pack_sequences,
         "pack_sequences_offset": q_pack_sequences_offset,
+        "boilerplate": q_boilerplate,
     }
 
 
@@ -2240,6 +2268,40 @@ seqd AS (
 SELECT doc_id, bucket, seq_id, n_tokens,
        CAST(ROW_NUMBER() OVER (PARTITION BY bucket, seq_id ORDER BY doc_id) AS BIGINT) AS pos
 FROM seqd
+"""
+
+    # --- boilerplate removal ---------------------------------------------
+    # same derived line corpus as the Spark side (3-token chunks); a line
+    # is boilerplate when its trimmed form occurs in >= 4 distinct docs.
+    # string_agg skips NULLs exactly as collect_list does, preserving pos
+    # order; an all-boilerplate doc coalesces to '' (never NULL).
+    sql["boilerplate"] = """
+WITH toks AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+  FROM documents
+),
+lined AS (
+  SELECT doc_id,
+         string_split(array_to_string(list_transform(
+             generate_series(1, CAST(ceil(len(t) / 3.0) AS BIGINT)),
+             i -> array_to_string(t[(i-1)*3+1:(i-1)*3+3], ' ')), chr(10)), chr(10)) AS ls
+  FROM toks
+),
+keyed AS (
+  SELECT doc_id, g.i AS pos, ls[g.i] AS line, trim(ls[g.i]) AS k
+  FROM lined, UNNEST(generate_series(1, len(ls))) AS g(i)
+),
+common AS (
+  SELECT k FROM keyed WHERE k <> '' AND len(k) >= 1
+  GROUP BY k HAVING COUNT(DISTINCT doc_id) >= 4
+)
+SELECT kd.doc_id,
+       COALESCE(string_agg(CASE WHEN c.k IS NULL THEN kd.line END, chr(10) ORDER BY kd.pos), '') AS text,
+       CAST(COUNT(kd.line) AS BIGINT) AS n_lines,
+       CAST(SUM(CASE WHEN c.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+FROM keyed kd LEFT JOIN common c ON c.k = kd.k
+GROUP BY kd.doc_id
 """
 
     sql["mixture_report"] = f"""

@@ -21,3 +21,8 @@ from openmatch_spark.operators.sampling import (  # noqa: F401
     mixture_report,
     seeded_uniform_col,
 )
+from openmatch_spark.operators.packing import pack_sequences  # noqa: F401
+from openmatch_spark.operators.boilerplate import (  # noqa: F401
+    boilerplate_lines,
+    remove_boilerplate_lines,
+)

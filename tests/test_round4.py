@@ -919,3 +919,74 @@ def test_pack_sequences_offset_strategy(spark):
         pos.setdefault(r["seq_id"], 0)
         pos[r["seq_id"]] += 1
         assert r["pos"] == pos[r["seq_id"]]
+
+
+# ---------------------------------------------------------------------------
+# cross-document line-level boilerplate removal
+# ---------------------------------------------------------------------------
+
+
+def _bp_fixture(spark):
+    footer = "subscribe to our newsletter today"
+    rows = [
+        ("d1", f"unique opening line\n{footer}\nreal content of page one"),
+        ("d2", f"{footer}\nanother page body here\n{footer}"),  # twice in-doc
+        ("d3", f"totally different article\n\n{footer}"),  # blank separator
+        ("d4", "no boilerplate at all in this one"),
+        ("d5", None),
+        ("d6", ""),
+        ("d7", footer),  # all-boilerplate doc
+        ("d8", "ok\nshort line doc\nok"),
+    ]
+    return spark.createDataFrame(rows, "doc_id string, text string"), footer
+
+
+def test_boilerplate_lines_audit(spark):
+    from openmatch_spark.operators.boilerplate import boilerplate_lines
+
+    df, footer = _bp_fixture(spark)
+    got = {r["line"]: r["n_docs"] for r in boilerplate_lines(df, min_docs=3).collect()}
+    # footer appears in d1,d2(x2),d3,d7 -> 4 distinct docs (in-doc dup counts once)
+    assert got == {footer: 4}
+    # 'ok' occurs twice but only within d8 -> one distinct doc, below min_docs
+    low = {r["line"]: r["n_docs"] for r in boilerplate_lines(df, min_docs=1).collect()}
+    assert low["ok"] == 1
+
+
+def test_remove_boilerplate_lines(spark):
+    from openmatch_spark.operators.boilerplate import remove_boilerplate_lines
+
+    df, footer = _bp_fixture(spark)
+    out = {r["doc_id"]: r for r in remove_boilerplate_lines(df, min_docs=3).collect()}
+    assert len(out) == 8
+    assert out["d1"]["text"] == "unique opening line\nreal content of page one"
+    assert (out["d1"]["n_lines"], out["d1"]["n_removed"]) == (3, 1)
+    # both in-doc occurrences removed
+    assert out["d2"]["text"] == "another page body here"
+    assert out["d2"]["n_removed"] == 2
+    # blank separator lines are never removal-eligible
+    assert out["d3"]["text"] == "totally different article\n"
+    assert out["d4"]["text"] == "no boilerplate at all in this one"
+    assert out["d4"]["n_removed"] == 0
+    assert out["d5"]["text"] is None and out["d5"]["n_lines"] == 0
+    assert out["d6"]["text"] == "" and out["d6"]["n_removed"] == 0
+    # all-boilerplate doc collapses to empty, not null
+    assert out["d7"]["text"] == "" and out["d7"]["n_removed"] == 1
+
+
+def test_remove_boilerplate_min_chars_and_invariance(spark):
+    from openmatch_spark.operators.boilerplate import remove_boilerplate_lines
+
+    rows = [(f"d{i}", "ok\nbody text number %d\nthe shared footer line" % i)
+            for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    # 'ok' is common to all docs but below min_line_chars=3 -> kept
+    out = {r["doc_id"]: r for r in
+           remove_boilerplate_lines(df, min_docs=3, min_line_chars=3).collect()}
+    assert out["d0"]["text"] == "ok\nbody text number 0"
+    assert out["d0"]["n_removed"] == 1
+    a = {(r["doc_id"], r["text"], r["n_removed"]) for r in
+         remove_boilerplate_lines(df, min_docs=3).collect()}
+    b = {(r["doc_id"], r["text"], r["n_removed"]) for r in
+         remove_boilerplate_lines(df.repartition(7), min_docs=3).collect()}
+    assert a == b

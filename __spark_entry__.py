@@ -996,6 +996,19 @@ def q_boilerplate(spark, sf_dir):
     return remove_boilerplate_lines(lined, min_docs=4)
 
 
+def q_grouped_split(spark, sf_dir):
+    """Leakage-safe train/val/test split (operators/sampling.py
+    grouped_split): the whole 'source' group lands in one split via a
+    portable md5 draw on the group value; fractions sum to 0.95, so some
+    groups hold out as NULL."""
+    from openmatch_spark.operators.sampling import grouped_split
+
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "source"
+    )
+    return grouped_split(d, {"train": 0.8, "val": 0.1, "test": 0.05})
+
+
 def q_mixture_report(spark, sf_dir):
     """Per-domain mixture audit: realized rates vs target weights."""
     from openmatch_spark.operators.sampling import mixture_report
@@ -1066,6 +1079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "pack_sequences_offset": q_pack_sequences_offset,
         "boilerplate": q_boilerplate,
+        "grouped_split": q_grouped_split,
     }
 
 
@@ -2302,6 +2316,24 @@ SELECT kd.doc_id,
        CAST(SUM(CASE WHEN c.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
 FROM keyed kd LEFT JOIN common c ON c.k = kd.k
 GROUP BY kd.doc_id
+"""
+
+    # --- leakage-safe grouped split --------------------------------------
+    # interval bounds replicate grouped_split's Python float accumulation
+    # bit-exactly (repr), so no u can straddle an engine-specific rounding
+    _gs_cases = []
+    _gs_cum = 0.0
+    for _gs_name, _gs_frac in (("train", 0.8), ("val", 0.1), ("test", 0.05)):
+        _gs_cum += _gs_frac
+        _gs_cases.append(f"WHEN u < {_gs_cum!r} THEN '{_gs_name}'")
+    sql["grouped_split"] = f"""
+SELECT doc_id, source,
+       CASE {' '.join(_gs_cases)} ELSE NULL END AS split
+FROM (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, source,
+         CAST('0x' || substr(md5(concat_ws('|', '42', source)), 1, 8) AS UBIGINT) / 4294967296.0 AS u
+  FROM documents
+)
 """
 
     sql["mixture_report"] = f"""

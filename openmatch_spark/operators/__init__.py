@@ -20,6 +20,7 @@ from openmatch_spark.operators.sampling import (  # noqa: F401
     mixture_sample,
     mixture_report,
     seeded_uniform_col,
+    grouped_split,
 )
 from openmatch_spark.operators.packing import pack_sequences  # noqa: F401
 from openmatch_spark.operators.boilerplate import (  # noqa: F401

@@ -29,7 +29,12 @@ from pyspark.sql import Column, DataFrame
 
 from openmatch_spark.functions.hashing import md5_rank_col
 
-__all__ = ["seeded_uniform_col", "mixture_sample", "mixture_report"]
+__all__ = [
+    "seeded_uniform_col",
+    "mixture_sample",
+    "mixture_report",
+    "grouped_split",
+]
 
 
 def seeded_uniform_col(*cols: Column | str, seed: int = 42) -> Column:
@@ -128,3 +133,47 @@ def mixture_report(
             ).alias("realized_rate"),
         )
     )
+
+
+def grouped_split(
+    corpus: DataFrame,
+    fractions: Mapping[str, float],
+    group_col: str = "source",
+    seed: int = 42,
+    split_col: str = "split",
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment: every row whose ``group_col``
+    value is equal lands in the SAME split, so near-duplicates that share a
+    site/domain/url key can never straddle an eval boundary (the standard
+    web-corpus split discipline — doc-level random splits leak boilerplate
+    and templated pages across train/val).
+
+    ``fractions`` maps split name -> fraction of the GROUP key space (not of
+    rows — a heavy domain drags its whole mass into one split; that is the
+    point). Interval order is the mapping's iteration order; fractions must
+    be positive and sum to <= 1 + 1e-9. Groups drawing beyond the total get
+    a NULL split (held out). The draw is the portable md5 uniform on the
+    group value alone, so assignment is reproducible across engines and
+    independent of partitioning; NULL group values all share one draw.
+
+    Pure projection — zero shuffles, zero UDFs; appends ``split_col``.
+    """
+    if not fractions:
+        raise ValueError("fractions must not be empty")
+    fracs = {k: float(v) for k, v in fractions.items()}
+    if any(v <= 0 for v in fracs.values()):
+        raise ValueError(f"fractions must be positive: {fracs}")
+    if sum(fracs.values()) > 1 + 1e-9:
+        raise ValueError(f"fractions sum to > 1: {fracs}")
+
+    u = seeded_uniform_col(F.col(group_col), seed=seed)
+    cum = 0.0
+    bounds = []
+    for name, frac in fracs.items():
+        cum += frac
+        bounds.append((name, cum))
+    # build the CASE chain inside-out so earlier intervals win
+    split: Column = F.lit(None).cast("string")
+    for name, upper in reversed(bounds):
+        split = F.when(u < F.lit(upper), F.lit(name)).otherwise(split)
+    return corpus.withColumn(split_col, split)

@@ -990,3 +990,61 @@ def test_remove_boilerplate_min_chars_and_invariance(spark):
     b = {(r["doc_id"], r["text"], r["n_removed"]) for r in
          remove_boilerplate_lines(df.repartition(7), min_docs=3).collect()}
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# leakage-safe grouped split
+# ---------------------------------------------------------------------------
+
+
+def test_grouped_split_group_integrity(spark):
+    from openmatch_spark.operators.sampling import grouped_split
+
+    rows = [(f"d{i}", f"site{i % 17}") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id string, source string")
+    out = grouped_split(df, {"train": 0.7, "val": 0.2, "test": 0.1}).collect()
+    assert len(out) == 200
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r["source"], set()).add(r["split"])
+    # every group maps to exactly one split, and all splits are named
+    assert all(len(s) == 1 for s in by_group.values())
+    assert set().union(*by_group.values()) <= {"train", "val", "test"}
+    # with 17 groups at these fractions the fixed seed spreads across >1 split
+    assert len(set().union(*by_group.values())) >= 2
+
+
+def test_grouped_split_holdout_null_and_invariance(spark):
+    from openmatch_spark.operators.sampling import grouped_split
+
+    rows = [(f"d{i}", f"g{i}") for i in range(200)] + [("dn1", None), ("dn2", None)]
+    df = spark.createDataFrame(rows, "doc_id string, source string")
+    out = {r["doc_id"]: r["split"] for r in grouped_split(df, {"train": 0.5}).collect()}
+    # fractions sum to 0.5: with 200 distinct groups and a fixed seed, both
+    # assigned and held-out (NULL) groups exist
+    vals = set(out.values())
+    assert vals == {"train", None}
+    # NULL group values share one draw -> identical split
+    assert out["dn1"] == out["dn2"]
+    # partitioning invariance
+    again = {r["doc_id"]: r["split"]
+             for r in grouped_split(df.repartition(9), {"train": 0.5}).collect()}
+    assert out == again
+    # a different seed moves at least one group
+    moved = {r["doc_id"]: r["split"]
+             for r in grouped_split(df, {"train": 0.5}, seed=7).collect()}
+    assert moved != out
+
+
+def test_grouped_split_validation(spark):
+    import pytest as _pytest
+
+    from openmatch_spark.operators.sampling import grouped_split
+
+    df = spark.createDataFrame([("d1", "s1")], "doc_id string, source string")
+    with _pytest.raises(ValueError):
+        grouped_split(df, {})
+    with _pytest.raises(ValueError):
+        grouped_split(df, {"a": 0.6, "b": 0.6})
+    with _pytest.raises(ValueError):
+        grouped_split(df, {"a": -0.1})

@@ -42,6 +42,41 @@ QUERIES = [
     ("q7", "customer order key"),
 ]
 
+# boolean-structured queries (must / should / must_not free-text roles);
+# covers OOV-must (zero hits), role overlap (qtf merge), pure-conjunctive,
+# exclusion-only (zero hits), and should-only shapes
+BOOL_QUERIES = [
+    ("b0", "spark", "hash join", None),
+    ("b1", "spark join", None, "window"),
+    ("b2", None, "merge sort stream", "the"),
+    ("b3", "batch filter", "spark spark", None),
+    ("b4", "nosuchterm spark", "join", None),
+    ("b5", None, "vector column", "scan filter"),
+    ("b6", "group", "group scan", None),
+    ("b7", None, None, "spark"),
+    ("b8", "customer order key", None, None),
+]
+
+# exact-phrase queries over the positional sidecar: bigram, trigrams, a
+# duplicate-token phrase, an OOV token (zero hits), and a single-token
+# phrase (degenerates to tf)
+PHRASE_QUERIES = [
+    ("ph0", "table hash"),
+    ("ph1", "part filter scan"),
+    ("ph2", "customer join window"),
+    ("ph3", "merge merge"),
+    ("ph4", "nosuchterm join"),
+    ("ph5", "spark"),
+]
+
+# unordered proximity queries (terms within a token window)
+PROX_QUERIES = [
+    ("x0", "spark join"),
+    ("x1", "window merge sort"),
+    ("x2", "customer nosuchterm"),
+]
+PROX_WITHIN = 6
+
 EN_STOP = ["the", "and", "of", "to", "in", "is", "that", "for", "with", "a"]
 DE_STOP = ["der", "die", "und", "das", "ist", "nicht", "mit", "ein", "zu", "den"]
 FR_STOP = ["le", "la", "et", "les", "des", "est", "pas", "pour", "une", "que"]
@@ -143,6 +178,340 @@ SELECT query_id, doc_id, ROUND(score, 6) AS score, rank
 FROM run WHERE rank <= 10
 """
 
+def _sql_str(v):
+    return "NULL" if v is None else f"'{v}'"
+
+
+_BQ_VALUES = ", ".join(
+    f"('{qid}', {_sql_str(m)}, {_sql_str(s)}, {_sql_str(n)})"
+    for qid, m, s, n in BOOL_QUERIES
+)
+
+# boolean BM25 replica: role-combined qtf, required-count AND semantics
+# (counted BEFORE the vocabulary join so an OOV MUST is unsatisfiable),
+# NOT EXISTS exclusion, rank on raw score then round
+_BM25_BOOLEAN_SQL = f"""
+WITH {_TOK},
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS doclen FROM tok GROUP BY doc_id),
+g AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(doclen) AS avgdl FROM dl),
+dfreq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+bq(query_id, must, should, must_not) AS (VALUES {_BQ_VALUES}),
+roletok AS (
+  SELECT bq.query_id, t.term, 1 AS is_must
+  FROM bq, UNNEST(regexp_split_to_array(lower(coalesce(bq.must, '')), '[^a-z0-9]+')) AS t(term)
+  WHERE t.term <> ''
+  UNION ALL
+  SELECT bq.query_id, t.term, 0
+  FROM bq, UNNEST(regexp_split_to_array(lower(coalesce(bq.should, '')), '[^a-z0-9]+')) AS t(term)
+  WHERE t.term <> ''
+),
+qscore AS (
+  SELECT query_id, term, CAST(COUNT(*) AS DOUBLE) AS qtf, MAX(is_must) AS is_must
+  FROM roletok GROUP BY query_id, term
+),
+qreq AS (
+  SELECT query_id, COUNT(DISTINCT term) AS n_required FROM (
+    SELECT bq.query_id, t.term
+    FROM bq, UNNEST(regexp_split_to_array(lower(coalesce(bq.must, '')), '[^a-z0-9]+')) AS t(term)
+    WHERE t.term <> ''
+  ) GROUP BY query_id
+),
+qnot AS (
+  SELECT DISTINCT bq.query_id, t.term
+  FROM bq, UNNEST(regexp_split_to_array(lower(coalesce(bq.must_not, '')), '[^a-z0-9]+')) AS t(term)
+  WHERE t.term <> ''
+),
+cand AS (
+  SELECT qs.query_id, tf.doc_id,
+         SUM(qs.qtf
+             * ln(1 + (g.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+             * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.doclen / g.avgdl))) AS score,
+         SUM(qs.is_must) AS n_must
+  FROM tf
+  JOIN qscore qs ON qs.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN dfreq ON dfreq.term = tf.term
+  CROSS JOIN g
+  GROUP BY qs.query_id, tf.doc_id
+),
+filtered AS (
+  SELECT c.query_id, c.doc_id, c.score
+  FROM cand c
+  LEFT JOIN qreq r ON r.query_id = c.query_id
+  WHERE c.n_must = COALESCE(r.n_required, 0)
+    AND NOT EXISTS (
+      SELECT 1 FROM qnot n JOIN tok k ON k.term = n.term
+      WHERE n.query_id = c.query_id AND k.doc_id = c.doc_id
+    )
+),
+brun AS (
+  SELECT query_id, doc_id, score,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
+  FROM filtered
+)
+SELECT query_id, doc_id, ROUND(score, 6) AS score, rank
+FROM brun WHERE rank <= 10
+"""
+
+_PH_VALUES = ", ".join(f"('{qid}', '{text}')" for qid, text in PHRASE_QUERIES)
+_PX_VALUES = ", ".join(f"('{qid}', '{text}')" for qid, text in PROX_QUERIES)
+
+# positional tokenization: DuckDB v1.0 has no UNNEST WITH ORDINALITY, so
+# subscripts come from generate_series over the FILTERED token list —
+# positions therefore index the same empty-free sequence the engine's
+# posexplode(terms) produces
+_TOKP = """
+docs_toks AS (
+  SELECT CAST(d.doc_id AS VARCHAR) AS doc_id,
+         list_filter(regexp_split_to_array(lower(d.text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM documents d
+),
+tokp AS (
+  SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pos, toks[u.i] AS term
+  FROM docs_toks, UNNEST(generate_series(1, len(toks))) AS u(i)
+),
+tok AS (SELECT doc_id, term FROM tokp)"""
+
+_BM25_CORE = f"""
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS doclen FROM tok GROUP BY doc_id),
+g AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(doclen) AS avgdl FROM dl),
+dfreq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term)"""
+
+_PHRASE_SQL = f"""
+WITH {_TOKP},
+{_BM25_CORE},
+pq(query_id, text) AS (VALUES {_PH_VALUES}),
+pq_toks AS (
+  SELECT query_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM pq
+),
+pterm AS (
+  SELECT query_id, CAST(u.i - 1 AS BIGINT) AS off, toks[u.i] AS term
+  FROM pq_toks, UNNEST(generate_series(1, len(toks))) AS u(i)
+),
+plen AS (SELECT query_id, COUNT(*) AS plen FROM pterm GROUP BY query_id),
+occm AS (
+  SELECT p.query_id, k.doc_id, k.pos - p.off AS adj, COUNT(DISTINCT p.off) AS m
+  FROM pterm p JOIN tokp k ON k.term = p.term
+  GROUP BY p.query_id, k.doc_id, k.pos - p.off
+),
+pfreq AS (
+  SELECT o.query_id, o.doc_id, CAST(COUNT(*) AS INTEGER) AS phrase_freq
+  FROM occm o JOIN plen l ON l.query_id = o.query_id AND o.m = l.plen
+  GROUP BY o.query_id, o.doc_id
+),
+qt AS (SELECT query_id, term, CAST(COUNT(*) AS DOUBLE) AS qtf FROM pterm GROUP BY query_id, term),
+scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         SUM(qt.qtf
+             * ln(1 + (g.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+             * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.doclen / g.avgdl))) AS score
+  FROM tf
+  JOIN qt ON qt.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN dfreq ON dfreq.term = tf.term
+  CROSS JOIN g
+  GROUP BY qt.query_id, tf.doc_id
+),
+prun AS (
+  SELECT p.query_id, p.doc_id, s.score, p.phrase_freq,
+         CAST(ROW_NUMBER() OVER (PARTITION BY p.query_id ORDER BY s.score DESC, p.doc_id ASC) AS INTEGER) AS rank
+  FROM pfreq p JOIN scored s ON s.query_id = p.query_id AND s.doc_id = p.doc_id
+)
+SELECT query_id, doc_id, ROUND(score, 6) AS score, rank, phrase_freq
+FROM prun WHERE rank <= 10
+"""
+
+_PROXIMITY_SQL = f"""
+WITH {_TOKP},
+{_BM25_CORE},
+xq(query_id, text) AS (VALUES {_PX_VALUES}),
+xq_toks AS (
+  SELECT query_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM xq
+),
+xtok AS (
+  SELECT query_id, toks[u.i] AS term
+  FROM xq_toks, UNNEST(generate_series(1, len(toks))) AS u(i)
+),
+xterm AS (SELECT DISTINCT query_id, term FROM xtok),
+nt AS (SELECT query_id, COUNT(*) AS n FROM xterm GROUP BY query_id),
+occ AS (
+  SELECT x.query_id, k.doc_id, x.term, k.pos
+  FROM xterm x JOIN tokp k ON k.term = x.term
+),
+lastpos AS (
+  SELECT o1.query_id, o1.doc_id, o1.pos AS anchor, o2.term, MAX(o2.pos) AS lp
+  FROM (SELECT DISTINCT query_id, doc_id, pos FROM occ) o1
+  JOIN occ o2 ON o2.query_id = o1.query_id AND o2.doc_id = o1.doc_id AND o2.pos <= o1.pos
+  GROUP BY o1.query_id, o1.doc_id, o1.pos, o2.term
+),
+covers AS (
+  SELECT query_id, doc_id, anchor, COUNT(*) AS seen,
+         anchor - MIN(lp) + 1 AS width
+  FROM lastpos GROUP BY query_id, doc_id, anchor
+),
+mincover AS (
+  SELECT c.query_id, c.doc_id, CAST(MIN(c.width) AS INTEGER) AS min_cover
+  FROM covers c JOIN nt ON nt.query_id = c.query_id AND c.seen = nt.n
+  GROUP BY c.query_id, c.doc_id
+  HAVING MIN(c.width) <= {PROX_WITHIN}
+),
+qt AS (SELECT query_id, term, CAST(COUNT(*) AS DOUBLE) AS qtf FROM xtok GROUP BY query_id, term),
+scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         SUM(qt.qtf
+             * ln(1 + (g.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+             * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.doclen / g.avgdl))) AS score
+  FROM tf
+  JOIN qt ON qt.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN dfreq ON dfreq.term = tf.term
+  CROSS JOIN g
+  GROUP BY qt.query_id, tf.doc_id
+),
+xrun AS (
+  SELECT m.query_id, m.doc_id, s.score, m.min_cover,
+         CAST(ROW_NUMBER() OVER (PARTITION BY m.query_id ORDER BY s.score DESC, m.doc_id ASC) AS INTEGER) AS rank
+  FROM mincover m JOIN scored s ON s.query_id = m.query_id AND s.doc_id = m.doc_id
+)
+SELECT query_id, doc_id, ROUND(score, 6) AS score, rank, min_cover
+FROM xrun WHERE rank <= 10
+"""
+
+_SNIPPET_W = 12
+
+_SNIPPET_SQL = f"""
+WITH {_TOKP},
+{_BM25_CORE},
+q(query_id, text) AS (VALUES {_Q_VALUES}),
+qtok AS (
+  SELECT q.query_id, t.term
+  FROM q, UNNEST(regexp_split_to_array(lower(q.text), '[^a-z0-9]+')) AS t(term)
+  WHERE t.term <> ''
+),
+qt AS (SELECT query_id, term, CAST(COUNT(*) AS DOUBLE) AS qtf FROM qtok GROUP BY query_id, term),
+scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         SUM(qt.qtf
+             * ln(1 + (g.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+             * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.doclen / g.avgdl))) AS score
+  FROM tf
+  JOIN qt ON qt.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN dfreq ON dfreq.term = tf.term
+  CROSS JOIN g
+  GROUP BY qt.query_id, tf.doc_id
+),
+run10 AS (
+  SELECT query_id, doc_id FROM (
+    SELECT query_id, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+    FROM scored
+  ) WHERE rank <= 10
+),
+occ AS (
+  SELECT r.query_id, r.doc_id, k.pos, k.term
+  FROM run10 r
+  JOIN qt ON qt.query_id = r.query_id
+  JOIN tokp k ON k.doc_id = r.doc_id AND k.term = qt.term
+),
+cand AS (
+  SELECT o1.query_id, o1.doc_id, o1.pos AS start, COUNT(DISTINCT o2.term) AS nhit
+  FROM occ o1 JOIN occ o2 ON o2.query_id = o1.query_id AND o2.doc_id = o1.doc_id
+     AND o2.pos >= o1.pos AND o2.pos < o1.pos + {_SNIPPET_W}
+  GROUP BY o1.query_id, o1.doc_id, o1.pos
+),
+chosen AS (
+  SELECT query_id, doc_id, start, nhit FROM (
+    SELECT query_id, doc_id, start, nhit,
+           ROW_NUMBER() OVER (PARTITION BY query_id, doc_id ORDER BY nhit DESC, start ASC) AS rn
+    FROM cand
+  ) WHERE rn = 1
+)
+SELECT r.query_id, r.doc_id,
+       CAST(COALESCE(c.start, 0) AS BIGINT) AS start,
+       CAST(COALESCE(c.nhit, 0) AS INTEGER) AS n_hit_terms,
+       array_to_string(
+         list_slice(dt.toks,
+                    CAST(COALESCE(c.start, 0) + 1 AS BIGINT),
+                    CAST(COALESCE(c.start, 0) + {_SNIPPET_W} AS BIGINT)),
+         ' ') AS snippet
+FROM run10 r
+LEFT JOIN chosen c ON c.query_id = r.query_id AND c.doc_id = r.doc_id
+JOIN docs_toks dt ON dt.doc_id = r.doc_id
+"""
+
+_BM25F_TITLE_W, _BM25F_TITLE_B = 2.0, 0.75
+_BM25F_BODY_W, _BM25F_BODY_B = 1.0, 0.4
+
+_BM25F_SQL = f"""
+WITH docs_toks AS (
+  SELECT CAST(d.doc_id AS VARCHAR) AS doc_id,
+         list_filter(regexp_split_to_array(lower(d.text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM documents d
+),
+fields AS (
+  SELECT doc_id, list_slice(toks, 1, 8) AS title,
+         list_slice(toks, 9, len(toks)) AS body
+  FROM docs_toks
+),
+ftok AS (
+  SELECT doc_id, 'title' AS field, t.term FROM fields, UNNEST(title) AS t(term)
+  UNION ALL
+  SELECT doc_id, 'body' AS field, t.term FROM fields, UNNEST(body) AS t(term)
+),
+flen AS (
+  SELECT doc_id, 'title' AS field, CAST(len(title) AS DOUBLE) AS flen FROM fields
+  UNION ALL
+  SELECT doc_id, 'body' AS field, CAST(len(body) AS DOUBLE) AS flen FROM fields
+),
+tff AS (SELECT doc_id, field, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM ftok GROUP BY doc_id, field, term),
+avgf AS (SELECT field, AVG(flen) AS avgflen FROM flen GROUP BY field),
+nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+dff AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df FROM ftok GROUP BY term),
+tfn AS (
+  SELECT t.doc_id, t.term,
+         SUM((CASE t.field WHEN 'title' THEN {_BM25F_TITLE_W} ELSE {_BM25F_BODY_W} END) * t.tf
+             / (1 - (CASE t.field WHEN 'title' THEN {_BM25F_TITLE_B} ELSE {_BM25F_BODY_B} END)
+                  + (CASE t.field WHEN 'title' THEN {_BM25F_TITLE_B} ELSE {_BM25F_BODY_B} END)
+                    * l.flen / a.avgflen)) AS tfn
+  FROM tff t
+  JOIN flen l ON l.doc_id = t.doc_id AND l.field = t.field
+  JOIN avgf a ON a.field = t.field
+  GROUP BY t.doc_id, t.term
+),
+q(query_id, text) AS (VALUES {_Q_VALUES}),
+qtok AS (
+  SELECT q.query_id, t.term
+  FROM q, UNNEST(regexp_split_to_array(lower(q.text), '[^a-z0-9]+')) AS t(term)
+  WHERE t.term <> ''
+),
+qt AS (SELECT query_id, term, CAST(COUNT(*) AS DOUBLE) AS qtf FROM qtok GROUP BY query_id, term),
+scored AS (
+  SELECT qt.query_id, tfn.doc_id,
+         SUM(qt.qtf
+             * ln(1 + (nd.n_docs - dff.df + 0.5) / (dff.df + 0.5))
+             * tfn.tfn / (tfn.tfn + {K1})) AS score
+  FROM tfn
+  JOIN qt ON qt.term = tfn.term
+  JOIN dff ON dff.term = tfn.term
+  CROSS JOIN nd
+  GROUP BY qt.query_id, tfn.doc_id
+),
+frun AS (
+  SELECT query_id, doc_id, score,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, doc_id, ROUND(score, 6) AS score, rank
+FROM frun WHERE rank <= 10
+"""
+
 _QRELS_CTE = f"""
 qi(query_id, qidx) AS (VALUES {_Q_IDX_VALUES}),
 qrels AS (
@@ -168,13 +537,10 @@ def q_bm25_topk(spark, sf_dir):
 _IDX_CACHE: dict[str, str] = {}
 
 
-def q_bm25_topk_indexed(spark, sf_dir):
-    """Same answer as q_bm25_topk, produced by the FULL engine: persistent
-    block-max varbyte index + distributed MaxScore kernel. Sharing the
-    ad-hoc oracle SQL makes the whole indexed path DuckDB-checked."""
+def _entry_index(spark, sf_dir):
+    """Build (once per sf_dir) and load the shared entry index."""
     from openmatch_spark.fixtures import documents_as_pages
     from openmatch_spark.index import build_index, load_index
-    from openmatch_spark.query import search
 
     if sf_dir not in _IDX_CACHE:
         d = tempfile.mkdtemp(prefix="om_entry_idx_")
@@ -184,7 +550,16 @@ def q_bm25_topk_indexed(spark, sf_dir):
             num_term_buckets=8, block_size=128,
         )
         _IDX_CACHE[sf_dir] = d
-    idx = load_index(spark, _IDX_CACHE[sf_dir])
+    return load_index(spark, _IDX_CACHE[sf_dir])
+
+
+def q_bm25_topk_indexed(spark, sf_dir):
+    """Same answer as q_bm25_topk, produced by the FULL engine: persistent
+    block-max varbyte index + distributed MaxScore kernel. Sharing the
+    ad-hoc oracle SQL makes the whole indexed path DuckDB-checked."""
+    from openmatch_spark.query import search
+
+    idx = _entry_index(spark, sf_dir)
     run = search(idx, _queries_df(spark), k=10, mode="maxscore")
     # index doc ids are 'doc://<id>' urls; strip for table-level comparison
     return run.select(
@@ -229,6 +604,119 @@ def q_bm25_topk_rebaselined(spark, sf_dir):
         F.regexp_replace("doc_id", "^doc://", "").alias("doc_id"),
         F.round("score", 6).alias("score"),
         "rank",
+    )
+
+
+def q_bm25_boolean(spark, sf_dir):
+    """Boolean-structured BM25 over the packed index: MUST terms required
+    (an OOV MUST kills the query), MUST_NOT excludes, score = BM25 over
+    MUST+SHOULD with query-term-frequency multiplicity. The oracle is a
+    from-first-principles SQL replica with EXISTS/required-count filters."""
+    from openmatch_spark.query import search_boolean
+
+    idx = _entry_index(spark, sf_dir)
+    bq = spark.createDataFrame(
+        BOOL_QUERIES, "query_id string, must string, should string, must_not string"
+    )
+    run = search_boolean(idx, bq, k=10)
+    return run.select(
+        "query_id",
+        F.regexp_replace("doc_id", "^doc://", "").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+        "rank",
+    )
+
+
+def _entry_index_with_positions(spark, sf_dir):
+    """Entry index plus the positional sidecar (built once per sf_dir)."""
+    from openmatch_spark.fixtures import documents_as_pages
+    from openmatch_spark.index import build_positions
+
+    idx = _entry_index(spark, sf_dir)
+    key = ("pos", sf_dir)
+    if key not in _IDX_CACHE:
+        build_positions(spark, documents_as_pages(spark, sf_dir), _IDX_CACHE[sf_dir])
+        _IDX_CACHE[key] = _IDX_CACHE[sf_dir]
+        idx = idx.refresh()
+    return idx
+
+
+def q_phrase_search(spark, sf_dir):
+    """Exact-phrase top-k over the delta+varbyte positional sidecar: all
+    phrase tokens consecutive in order, phrase_freq = occurrence count,
+    ranked by BM25 over the phrase terms. Oracle rebuilds positions in SQL
+    via generate_series subscripts and the same adj = pos - offset trick."""
+    from openmatch_spark.query import search_phrase
+
+    idx = _entry_index_with_positions(spark, sf_dir)
+    pq = spark.createDataFrame(PHRASE_QUERIES, "query_id string, text string")
+    run = search_phrase(idx, pq, k=10)
+    return run.select(
+        "query_id",
+        F.regexp_replace("doc_id", "^doc://", "").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+        "rank",
+        "phrase_freq",
+    )
+
+
+def q_proximity_search(spark, sf_dir):
+    """Unordered proximity top-k: every distinct query term inside some
+    token window <= PROX_WITHIN; min_cover = tightest such window (classic
+    sorted-sweep kernel per (query, doc) group). Oracle computes the same
+    min cover with an anchor-position self-join."""
+    from openmatch_spark.query import search_proximity
+
+    idx = _entry_index_with_positions(spark, sf_dir)
+    xq = spark.createDataFrame(PROX_QUERIES, "query_id string, text string")
+    run = search_proximity(idx, xq, within=PROX_WITHIN, k=10)
+    return run.select(
+        "query_id",
+        F.regexp_replace("doc_id", "^doc://", "").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+        "rank",
+        "min_cover",
+    )
+
+
+def q_snippets(spark, sf_dir):
+    """Query-biased snippets for the BM25 top-10 run: best width-12 token
+    window by distinct query-term hits, earliest on ties, doc-head fallback.
+    Pure column algebra (self-join window count — no UDF)."""
+    from openmatch_spark.operators.snippets import extract_snippets
+
+    run = _bm25_run(spark, sf_dir, k=10, rounded=False).select("query_id", "doc_id")
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    return extract_snippets(
+        docs, run, _queries_df(spark), width=12, analyzer="simple"
+    )
+
+
+def q_bm25f(spark, sf_dir):
+    """Fielded BM25 (BM25F): title = first 8 tokens, body = the rest —
+    per-field length normalization, weight-summed INSIDE one saturation,
+    idf over any-field df. Oracle replicates field slicing and the exact
+    formula in SQL."""
+    from openmatch_spark.analysis import tokenize_col
+    from openmatch_spark.query import bm25f_score_adhoc
+
+    toks = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        tokenize_col(F.col("text"), "simple").alias("toks"),
+    )
+    fields = toks.select(
+        "doc_id",
+        F.slice("toks", 1, 8).alias("title"),
+        F.slice("toks", 9, 1 << 30).alias("body"),
+    )
+    return bm25f_score_adhoc(
+        fields,
+        _queries_df(spark),
+        {"title": (2.0, 0.75), "body": (1.0, 0.4)},
+        k=10,
+        round_to=6,
     )
 
 
@@ -1033,6 +1521,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "bm25_topk_indexed": q_bm25_topk_indexed,
         "bm25_topk_rebaselined": q_bm25_topk_rebaselined,
+        "bm25_boolean": q_bm25_boolean,
+        "phrase_search": q_phrase_search,
+        "proximity_search": q_proximity_search,
+        "snippets": q_snippets,
+        "bm25f": q_bm25f,
         "corpus_stats": q_corpus_stats,
         "term_stats": q_term_stats,
         "token_counts": q_token_counts,
@@ -1101,6 +1594,11 @@ def oracle_sql() -> dict[str, str]:
     # the incremental+rebaseline lifecycle must land on the same answer a
     # fresh build (and the engine-less ad-hoc SQL) produces
     sql["bm25_topk_rebaselined"] = _BM25_TOPK_SQL
+    sql["bm25_boolean"] = _BM25_BOOLEAN_SQL
+    sql["phrase_search"] = _PHRASE_SQL
+    sql["proximity_search"] = _PROXIMITY_SQL
+    sql["snippets"] = _SNIPPET_SQL
+    sql["bm25f"] = _BM25F_SQL
 
     sql["corpus_stats"] = f"""
 WITH {tok_cte},

@@ -108,6 +108,28 @@ def encode_blocks_batch(
     }
 
 
+def encode_sequences_batch(values: np.ndarray, starts: np.ndarray) -> list[bytes]:
+    """delta+varbyte encode MANY independent strictly-increasing sequences
+    in one vectorized pass (delta resets at each start, first value raw) —
+    the positions-payload sibling of encode_blocks_batch. Each returned
+    payload decodes independently with decode_postings."""
+    values = np.asarray(values, dtype=np.int64)
+    starts = np.asarray(starts, dtype=np.int64)
+    if starts.size == 0:
+        return []
+    ends = np.empty_like(starts)
+    ends[:-1] = starts[1:]
+    ends[-1] = values.shape[0]
+    deltas = np.empty_like(values)
+    deltas[1:] = values[1:] - values[:-1]
+    deltas[starts] = values[starts]
+    buf, nbytes = _varbyte_parts(deltas)
+    off = np.zeros(values.shape[0] + 1, dtype=np.int64)
+    np.cumsum(nbytes, out=off[1:])
+    b0, b1 = off[starts], off[ends]
+    return [buf[s:e] for s, e in zip(b0.tolist(), b1.tolist())]
+
+
 def varbyte_decode(buf: bytes) -> np.ndarray:
     """Inverse of varbyte_encode, vectorized via cumulative group positions."""
     b = np.frombuffer(buf, dtype=np.uint8)

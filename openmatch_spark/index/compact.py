@@ -453,6 +453,20 @@ def compact_index(
             )
         store.delete_partitions("postings", "shard", merge)
         store.delete_partitions("docmap", "shard", merge)
+        if store.exists("positions"):
+            # the merge re-assigned doc_ords, so the sidecar's merged shards
+            # are stale AND the new shard has none — a partially-covered
+            # sidecar would silently drop phrase hits. Drop the WHOLE table:
+            # has_positions() goes false and phrase search fails loudly
+            # until build_positions re-runs (fail-safe over fail-silent).
+            import warnings
+
+            store.drop("positions")
+            warnings.warn(
+                "compact_index invalidated the positions sidecar; re-run "
+                "build_positions to restore phrase search",
+                stacklevel=2,
+            )
         if recovered is not None:
             recovered.unpersist()
         t["commit_sec"] = time.time() - t0

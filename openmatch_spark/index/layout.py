@@ -54,6 +54,22 @@ POSTING_SCHEMA = StructType(
     ]
 )
 
+# optional positional sidecar (phrase/proximity queries): per-(term, doc)
+# delta+varbyte token positions, partitioned like postings so the same
+# bucket pruning applies. Kept OUT of the postings table on purpose —
+# positions are several times the postings' size, and pure-BM25 queries
+# must never scan them (Lucene keeps .pos beside .doc for the same reason).
+POSITIONS_SCHEMA = StructType(
+    [
+        StructField("term", StringType()),
+        StructField("term_bucket", IntegerType()),
+        StructField("shard", IntegerType()),
+        StructField("doc_ord", LongType()),
+        StructField("npos", IntegerType()),
+        StructField("positions", BinaryType()),
+    ]
+)
+
 DOCMAP_SCHEMA = StructType(
     [
         StructField("shard", IntegerType()),
@@ -116,6 +132,10 @@ class IndexPaths:
     @property
     def postings(self) -> str:
         return os.path.join(self.root, "postings")
+
+    @property
+    def positions(self) -> str:
+        return os.path.join(self.root, "positions")
 
     @property
     def manifest(self) -> str:

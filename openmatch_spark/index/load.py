@@ -102,6 +102,21 @@ class BM25Index:
     def postings(self) -> DataFrame:
         return self._gated("postings")
 
+    def has_positions(self) -> bool:
+        """True if the positional sidecar exists (build_positions ran)."""
+        return self._store().exists("positions")
+
+    @property
+    def positions(self) -> DataFrame:
+        """Positional sidecar (phrase/proximity queries); manifest-gated
+        like postings. Raises if build_positions has not been run."""
+        if not self.has_positions():
+            raise FileNotFoundError(
+                "no positions sidecar at this index — run build_positions() "
+                "(and re-run it after compact_index, which invalidates it)"
+            )
+        return self._gated("positions")
+
     def _gated(self, kind: str) -> DataFrame:
         """Manifest-gated read: only committed shards are visible.
 

@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from openmatch_spark.index.layout import IndexPaths
 
-KINDS = ("dictionary", "docmap", "postings", "manifest", "metrics")
+KINDS = ("dictionary", "docmap", "postings", "positions", "manifest", "metrics")
 
 
 def _is_v2_catalog(spark: SparkSession, catalog: str) -> bool:
@@ -303,6 +303,16 @@ class IndexStorage:
             self.spark.sql(
                 f"ALTER TABLE {name} DROP IF EXISTS PARTITION ({col}={v})"
             )
+
+    def drop(self, kind: str) -> None:
+        """Remove the whole table (used to invalidate the positions sidecar
+        at compaction — the doc_ord remap makes every row stale)."""
+        if not self.is_table_mode:
+            import shutil
+
+            shutil.rmtree(getattr(self.paths, kind), ignore_errors=True)
+            return
+        self.spark.sql(f"DROP TABLE IF EXISTS {self.table_name(kind)}")
 
     # ---- stats (filesystem in every mode; see module docstring) ------------
 

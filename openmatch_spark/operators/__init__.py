@@ -27,3 +27,4 @@ from openmatch_spark.operators.boilerplate import (  # noqa: F401
     boilerplate_lines,
     remove_boilerplate_lines,
 )
+from openmatch_spark.operators.snippets import extract_snippets  # noqa: F401

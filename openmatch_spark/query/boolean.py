@@ -1,0 +1,196 @@
+"""Boolean-structured BM25 search over the packed index (MUST / SHOULD /
+MUST_NOT composition — the Lucene `BooleanQuery` surface the reference's
+Anserini-style first stage exposes through Pyserini query syntax; reference
+counterpart: none in-repo, semantics per Lucene's BooleanClause.Occur).
+
+Semantics (Lucene-compatible):
+  * MUST     — every must term is required. A must term missing from the
+               index vocabulary kills the whole query (zero hits), exactly
+               like a required TermQuery on an unseen term.
+  * SHOULD   — optional; contributes to the score only.
+  * MUST_NOT — any hit containing one is excluded. Purely restrictive:
+               never contributes to scoring.
+  * score    — BM25 sum over MUST + SHOULD terms present in the doc, with
+               query-term-frequency multiplicity (a term repeated across
+               must+should multiplies its weight), identical weighting to
+               `search()`.
+  * a query with no scoring terms (only MUST_NOT, or everything OOV)
+    returns no hits — nothing can rank it.
+
+Plan (one declarative plan, no driver loops over docs):
+
+  queries ─tokenize 3 fields─► role-tagged (query_id, term, qtf, is_must)
+                               + per-query required-term count (pre-vocab!)
+  postings ─bucket+term-pruned scan─► blocks for referenced terms only
+           ─mapInArrow decode─► (shard, term, doc_ord, weight) rows
+           ─broadcast join scoring terms─► per-(query, shard, doc) agg:
+                score = Σ weight·qtf,  n_must = Σ is_must
+           ─filter n_must == required[query]─► AND semantics
+           ─left_anti (query, shard, doc) ∈ must_not postings─► NOT
+           ─window top-k ─ docmap broadcast join─► run
+
+Scale shape: the postings scan is pruned to the queried term buckets
+(PushedFilters), decode is a vectorized Arrow kernel, and the score agg
+shuffles Σ df(must ∪ should) decoded rows exactly once with map-side
+partial aggregation. MUST_NOT postings never enter the score aggregate:
+they are distinct-projected and anti-joined against the already-filtered
+candidate set, so a stop-word-ish exclusion term costs one bounded
+shuffle of its own postings, not a pass through the scorer. The final
+docmap join broadcasts the ≤ queries×k hit set, never the docmap.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from openmatch_spark.index.compact import _decode_blocks_arrow
+from openmatch_spark.index.load import BM25Index
+
+_DECODED = "shard int, term string, term_bucket int, doc_ord long, weight double"
+
+
+def _role_tokens(rows, analyzer: str):
+    """Driver-side tokenize of the three role fields.
+
+    Returns (scoring, must_not, required, dead):
+      scoring: {(query_id, term): (qtf, is_must)}
+      must_not: set[(query_id, term)]
+      required: {query_id: n distinct must terms} — counted BEFORE the
+                vocabulary join, so an OOV must term can never be satisfied
+      dead: query_ids with no scoring terms at all
+    """
+    from openmatch_spark.analysis import tokenize_py
+
+    scoring: dict[tuple[str, str], list] = {}
+    must_not: set[tuple[str, str]] = set()
+    required: dict[str, int] = {}
+    dead: set[str] = set()
+    for r in rows:
+        qid = str(r["query_id"])
+        must = Counter(tokenize_py(r["must"] or "", analyzer))
+        should = Counter(tokenize_py(r["should"] or "", analyzer))
+        nots = set(tokenize_py(r["must_not"] or "", analyzer))
+        required[qid] = len(must)
+        if not must and not should:
+            dead.add(qid)
+            continue
+        for t, c in must.items():
+            scoring[(qid, t)] = [float(c), 1]
+        for t, c in should.items():
+            if (qid, t) in scoring:
+                scoring[(qid, t)][0] += float(c)
+            else:
+                scoring[(qid, t)] = [float(c), 0]
+        for t in nots:
+            must_not.add((qid, t))
+    return scoring, must_not, required, dead
+
+
+def search_boolean(
+    index: BM25Index,
+    queries: DataFrame,
+    k: int = 100,
+) -> DataFrame:
+    """Top-k boolean BM25 run: (query_id, doc_id, score, rank).
+
+    queries: (query_id, must, should, must_not) — each role a free-text
+    string tokenized by the index analyzer; NULL/empty roles allowed.
+    """
+    spark = index.spark
+    analyzer = index.stats["analyzer"]
+    empty = spark.createDataFrame(
+        [], "query_id string, doc_id string, score double, rank int"
+    )
+    rows = queries.select(
+        F.col("query_id").cast("string").alias("query_id"),
+        "must", "should", "must_not",
+    ).collect()
+    if not rows:
+        return empty
+    scoring, nots, required, dead = _role_tokens(rows, analyzer)
+
+    all_terms = sorted({t for (_, t) in scoring} | {t for (_, t) in nots})
+    if not all_terms:
+        return empty
+    bucket_of = index.term_buckets(all_terms)  # in-vocab only
+
+    # a MUST term outside the vocabulary is unsatisfiable -> query is dead
+    for (qid, t), (_, is_must) in scoring.items():
+        if is_must and t not in bucket_of:
+            dead.add(qid)
+    live_scoring = [
+        (qid, t, qtf, is_must)
+        for (qid, t), (qtf, is_must) in sorted(scoring.items())
+        if qid not in dead and t in bucket_of
+    ]
+    if not live_scoring:
+        return empty
+    live_nots = sorted(
+        (qid, t) for (qid, t) in nots if qid not in dead and t in bucket_of
+    )
+
+    score_terms = sorted({t for (_, t, _, _) in live_scoring})
+    not_terms = sorted({t for (_, t) in live_nots})
+    terms = sorted(set(score_terms) | set(not_terms))
+    buckets = sorted({bucket_of[t] for t in terms})
+    decoded = (
+        index.postings.where(
+            F.col("term_bucket").isin(buckets) & F.col("term").isin(terms)
+        )
+        .mapInArrow(_decode_blocks_arrow, _DECODED)
+    )
+
+    qt = F.broadcast(
+        spark.createDataFrame(
+            live_scoring, "query_id string, term string, qtf double, is_must int"
+        )
+    )
+    req = F.broadcast(
+        spark.createDataFrame(
+            [(q, n) for q, n in sorted(required.items()) if q not in dead],
+            "query_id string, n_required int",
+        )
+    )
+    candidates = (
+        decoded.join(qt, "term")
+        .groupBy("query_id", "shard", "doc_ord")
+        .agg(
+            F.sum(F.col("weight") * F.col("qtf")).alias("score"),
+            F.sum("is_must").alias("n_must"),
+        )
+        .join(req, "query_id")
+        .where(F.col("n_must") == F.col("n_required"))
+        .select("query_id", "shard", "doc_ord", "score")
+    )
+    if live_nots:
+        qn = F.broadcast(
+            spark.createDataFrame(live_nots, "query_id string, term string")
+        )
+        excluded = (
+            decoded.where(F.col("term").isin(not_terms))
+            .join(qn, "term")
+            .select("query_id", "shard", "doc_ord")
+            .distinct()
+        )
+        candidates = candidates.join(
+            excluded, ["query_id", "shard", "doc_ord"], "left_anti"
+        )
+
+    # rank() (not row_number) keeps every row tied at the k-th score: the
+    # final (score DESC, doc_id ASC) tie-break needs doc_id, which only
+    # exists after the docmap join — same pre-cut rule as search()
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"))
+    cut = candidates.withColumn("_r", F.rank().over(w)).where(F.col("_r") <= k)
+    hits = index.docmap.select("shard", "doc_ord", "doc_id").join(
+        F.broadcast(cut.select("query_id", "shard", "doc_ord", "score")),
+        ["shard", "doc_ord"],
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        hits.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank")
+    )

@@ -1,0 +1,267 @@
+"""Phrase and proximity search over the positional sidecar.
+
+Semantics (Lucene PhraseQuery / sloppy-span analog, fixed here):
+  * phrase   — all phrase tokens occur CONSECUTIVELY in order; phrase_freq
+               counts the occurrences. A phrase token missing from the
+               vocabulary makes the phrase unmatchable (zero hits).
+  * proximity — every distinct query term occurs inside SOME token window
+               of width <= `within`; min_cover reports the tightest window.
+  * score    — BM25 over the phrase/query terms with qtf multiplicity,
+               identical weighting to `search()`; hits are ranked by it.
+               (Lucene's exact PhraseQuery scores on phrase_freq instead —
+               that variant is one expression swap; BM25-over-terms keeps
+               the whole pipeline on the already-verified weight algebra.)
+
+Phrase plan (declarative, no driver loops over docs):
+
+  positions ─bucket+term-pruned scan─► rows for the phrase's terms only
+            ─mapInArrow decode─► (shard, term, doc_ord, pos)
+            ─broadcast join (term, phrase offset)─► adj = pos - off
+            ─groupBy (query, shard, doc, adj): all offsets present?─►
+                 phrase occurrences ─groupBy doc─► phrase_freq
+  postings  ─same pruned scan─► BM25 scores per (query, doc)  [scorer join]
+  candidates ⋈ scores ─window top-k─ docmap broadcast join ─► run
+
+The decode explodes Σ cf(term) occurrence rows for the QUERIED terms only
+— the inherent cost of positional match, bounded by the pruned scan, and
+shuffled exactly once into the occurrence groupBy. The scoring side reuses
+the postings table (never the sidecar).
+
+Proximity plan: same decoded rows, then one applyInPandas kernel per
+(query, shard, doc) group — the classic sorted-merge minimal-cover sweep,
+O(n log t) in the doc's occurrence count with O(t) state (t = #terms).
+Group state is bounded by a single doc's positions for the queried terms.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from openmatch_spark.index.compact import _decode_blocks_arrow
+from openmatch_spark.index.load import BM25Index
+from openmatch_spark.index.positions import _decode_positions_arrow
+
+_DECODED_POSTINGS = (
+    "shard int, term string, term_bucket int, doc_ord long, weight double"
+)
+_DECODED_POSITIONS = "shard int, term string, doc_ord long, pos long"
+
+
+def _collect_queries(queries: DataFrame) -> list:
+    return queries.select(
+        F.col("query_id").cast("string").alias("query_id"), "text"
+    ).collect()
+
+
+def _pruned_positions(index: BM25Index, terms: list[str], bucket_of: dict):
+    buckets = sorted({bucket_of[t] for t in terms})
+    return (
+        index.positions.where(
+            F.col("term_bucket").isin(buckets) & F.col("term").isin(terms)
+        )
+        .select("shard", "term", "doc_ord", "positions")
+        .mapInArrow(_decode_positions_arrow, _DECODED_POSITIONS)
+    )
+
+
+def _bm25_scores(index: BM25Index, qterms: list, bucket_of: dict):
+    """(query_id, shard, doc_ord, score): BM25 over [(qid, term, qtf)]."""
+    spark = index.spark
+    terms = sorted({t for (_, t, _) in qterms})
+    buckets = sorted({bucket_of[t] for t in terms})
+    decoded = (
+        index.postings.where(
+            F.col("term_bucket").isin(buckets) & F.col("term").isin(terms)
+        )
+        .mapInArrow(_decode_blocks_arrow, _DECODED_POSTINGS)
+    )
+    qt = F.broadcast(
+        spark.createDataFrame(qterms, "query_id string, term string, qtf double")
+    )
+    return (
+        decoded.join(qt, "term")
+        .groupBy("query_id", "shard", "doc_ord")
+        .agg(F.sum(F.col("weight") * F.col("qtf")).alias("score"))
+    )
+
+
+def _finalize(index: BM25Index, cand: DataFrame, k: int, extra: list[str]) -> DataFrame:
+    """candidates (query_id, shard, doc_ord, score, *extra) -> ranked run."""
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"))
+    cut = cand.withColumn("_r", F.rank().over(w)).where(F.col("_r") <= k).drop("_r")
+    hits = index.docmap.select("shard", "doc_ord", "doc_id").join(
+        F.broadcast(cut), ["shard", "doc_ord"]
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        hits.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank", *extra)
+    )
+
+
+def search_phrase(index: BM25Index, queries: DataFrame, k: int = 100) -> DataFrame:
+    """Exact-phrase top-k: (query_id, doc_id, score, rank, phrase_freq).
+
+    queries: (query_id, text) — text is the phrase, tokenized by the index
+    analyzer; token order and duplicates are significant."""
+    from openmatch_spark.analysis import tokenize_py
+
+    spark = index.spark
+    analyzer = index.stats["analyzer"]
+    empty = spark.createDataFrame(
+        [], "query_id string, doc_id string, score double, rank int, phrase_freq int"
+    )
+    rows = _collect_queries(queries)
+    phrases = {str(r["query_id"]): tokenize_py(r["text"], analyzer) for r in rows}
+    phrases = {q: toks for q, toks in phrases.items() if toks}
+    if not phrases:
+        return empty
+    all_terms = sorted({t for toks in phrases.values() for t in toks})
+    bucket_of = index.term_buckets(all_terms)
+    # an OOV token anywhere in the phrase makes it unmatchable
+    live = {q: toks for q, toks in phrases.items() if all(t in bucket_of for t in toks)}
+    if not live:
+        return empty
+
+    offsets = [
+        (q, t, off) for q, toks in sorted(live.items()) for off, t in enumerate(toks)
+    ]
+    plens = [(q, len(toks)) for q, toks in sorted(live.items())]
+    terms = sorted({t for (_, t, _) in offsets})
+    occ = _pruned_positions(index, terms, bucket_of)
+    off_df = F.broadcast(
+        index.spark.createDataFrame(offsets, "query_id string, term string, off long")
+    )
+    plen_df = F.broadcast(
+        index.spark.createDataFrame(plens, "query_id string, plen long")
+    )
+    # an occurrence of the phrase starting at token adj exists iff every
+    # phrase offset contributes a row with the same adj = pos - off
+    freq = (
+        occ.join(off_df, "term")
+        .groupBy("query_id", "shard", "doc_ord", (F.col("pos") - F.col("off")).alias("adj"))
+        .agg(F.countDistinct("off").alias("n_off"))
+        .join(plen_df, "query_id")
+        .where(F.col("n_off") == F.col("plen"))
+        .groupBy("query_id", "shard", "doc_ord")
+        .agg(F.count(F.lit(1)).cast("int").alias("phrase_freq"))
+    )
+    qterms = [
+        (q, t, float(c))
+        for q, toks in sorted(live.items())
+        for t, c in sorted(Counter(toks).items())
+    ]
+    scores = _bm25_scores(index, qterms, bucket_of)
+    cand = freq.join(scores, ["query_id", "shard", "doc_ord"]).select(
+        "query_id", "shard", "doc_ord", "score", "phrase_freq"
+    )
+    return _finalize(index, cand, k, ["phrase_freq"])
+
+
+_COVER_OUT = StructType(
+    [
+        StructField("query_id", StringType()),
+        StructField("shard", IntegerType()),
+        StructField("doc_ord", LongType()),
+        StructField("min_cover", IntegerType()),
+    ]
+)
+
+
+def _min_cover_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Minimal token window covering every distinct term of the group's
+    query present in this doc — emitted only if ALL terms are present.
+    Classic sweep: walk positions in order keeping the latest position per
+    term; once every term has been seen, each step yields a candidate cover
+    [min(latest), current]."""
+    qid = pdf["query_id"].iloc[0]
+    shard = int(pdf["shard"].iloc[0])
+    ord_ = int(pdf["doc_ord"].iloc[0])
+    n_terms = int(pdf["n_terms"].iloc[0])
+    terms = pdf["term"].to_numpy()
+    if len(set(terms.tolist())) < n_terms:
+        return pd.DataFrame(columns=["query_id", "shard", "doc_ord", "min_cover"])
+    order = np.argsort(pdf["pos"].to_numpy(), kind="stable")
+    pos = pdf["pos"].to_numpy()[order]
+    term = terms[order]
+    latest: dict[str, int] = {}
+    best = None
+    for p, t in zip(pos.tolist(), term.tolist()):
+        latest[t] = p
+        if len(latest) == n_terms:
+            width = p - min(latest.values()) + 1
+            if best is None or width < best:
+                best = width
+    return pd.DataFrame(
+        {"query_id": [qid], "shard": [shard], "doc_ord": [ord_], "min_cover": [int(best)]}
+    )
+
+
+def search_proximity(
+    index: BM25Index, queries: DataFrame, within: int, k: int = 100
+) -> DataFrame:
+    """Unordered proximity top-k: docs where every distinct query term
+    occurs inside some window of <= `within` tokens. Returns
+    (query_id, doc_id, score, rank, min_cover)."""
+    from openmatch_spark.analysis import tokenize_py
+
+    spark = index.spark
+    analyzer = index.stats["analyzer"]
+    empty = spark.createDataFrame(
+        [], "query_id string, doc_id string, score double, rank int, min_cover int"
+    )
+    rows = _collect_queries(queries)
+    qtoks = {str(r["query_id"]): tokenize_py(r["text"], analyzer) for r in rows}
+    qtoks = {q: toks for q, toks in qtoks.items() if toks}
+    if not qtoks:
+        return empty
+    all_terms = sorted({t for toks in qtoks.values() for t in toks})
+    bucket_of = index.term_buckets(all_terms)
+    live = {
+        q: toks for q, toks in qtoks.items() if all(t in bucket_of for t in toks)
+    }
+    if not live:
+        return empty
+
+    pairs = [
+        (q, t) for q, toks in sorted(live.items()) for t in sorted(set(toks))
+    ]
+    nterms = [(q, len({t for t in toks})) for q, toks in sorted(live.items())]
+    terms = sorted({t for (_, t) in pairs})
+    occ = _pruned_positions(index, terms, bucket_of)
+    pair_df = F.broadcast(
+        spark.createDataFrame(pairs, "query_id string, term string")
+    )
+    nt_df = F.broadcast(
+        spark.createDataFrame(nterms, "query_id string, n_terms int")
+    )
+    grouped = (
+        occ.join(pair_df, "term")
+        .join(nt_df, "query_id")
+        .groupBy("query_id", "shard", "doc_ord")
+        .applyInPandas(_min_cover_group, _COVER_OUT)
+        .where(F.col("min_cover") <= within)
+    )
+    qterms = [
+        (q, t, float(c))
+        for q, toks in sorted(live.items())
+        for t, c in sorted(Counter(toks).items())
+    ]
+    scores = _bm25_scores(index, qterms, bucket_of)
+    cand = grouped.join(scores, ["query_id", "shard", "doc_ord"]).select(
+        "query_id", "shard", "doc_ord", "score", "min_cover"
+    )
+    return _finalize(index, cand, k, ["min_cover"])

@@ -512,6 +512,96 @@ SELECT query_id, doc_id, ROUND(score, 6) AS score, rank
 FROM frun WHERE rank <= 10
 """
 
+_RM3_FB_DOCS, _RM3_FB_TERMS, _RM3_ALPHA = 10, 10, 0.5
+
+_RM3_SQL = f"""
+WITH {_TOK},
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS doclen FROM tok GROUP BY doc_id),
+g AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(doclen) AS avgdl FROM dl),
+dfreq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+q(query_id, text) AS (VALUES {_Q_VALUES}),
+qtok AS (
+  SELECT q.query_id, t.term
+  FROM q, UNNEST(regexp_split_to_array(lower(q.text), '[^a-z0-9]+')) AS t(term)
+  WHERE t.term <> ''
+),
+qt AS (SELECT query_id, term, CAST(COUNT(*) AS DOUBLE) AS qtf FROM qtok GROUP BY query_id, term),
+fb_scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         SUM(qt.qtf
+             * ln(1 + (g.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+             * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.doclen / g.avgdl))) AS score
+  FROM tf
+  JOIN qt ON qt.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN dfreq ON dfreq.term = tf.term
+  CROSS JOIN g
+  GROUP BY qt.query_id, tf.doc_id
+),
+fb_run AS (
+  SELECT query_id, doc_id, score FROM (
+    SELECT query_id, doc_id, score,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rn
+    FROM fb_scored
+  ) WHERE rn <= {_RM3_FB_DOCS}
+),
+s_norm AS (
+  SELECT query_id, doc_id,
+         score / SUM(score) OVER (PARTITION BY query_id) AS s
+  FROM fb_run
+),
+rm AS (
+  SELECT s.query_id, tf.term, ROUND(SUM(s.s * tf.tf / dl.doclen), 9) AS rmw
+  FROM s_norm s
+  JOIN tf ON tf.doc_id = s.doc_id
+  JOIN dl ON dl.doc_id = s.doc_id
+  GROUP BY s.query_id, tf.term
+),
+topt AS (
+  SELECT query_id, term, rmw FROM (
+    SELECT query_id, term, rmw,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rmw DESC, term ASC) AS rn
+    FROM rm
+  ) WHERE rn <= {_RM3_FB_TERMS}
+),
+topn AS (
+  SELECT query_id, term, rmw / SUM(rmw) OVER (PARTITION BY query_id) AS rmn
+  FROM topt
+),
+qn AS (
+  SELECT query_id, term, qtf / SUM(qtf) OVER (PARTITION BY query_id) AS qn
+  FROM qt
+),
+fw AS (
+  SELECT query_id, term, w FROM (
+    SELECT COALESCE(a.query_id, b.query_id) AS query_id,
+           COALESCE(a.term, b.term) AS term,
+           ROUND({_RM3_ALPHA} * COALESCE(a.qn, 0) + {1 - _RM3_ALPHA} * COALESCE(b.rmn, 0), 9) AS w
+    FROM qn a FULL JOIN topn b ON a.query_id = b.query_id AND a.term = b.term
+  ) WHERE w > 0
+),
+rescored AS (
+  SELECT fw.query_id, tf.doc_id,
+         SUM(fw.w
+             * ln(1 + (g.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+             * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.doclen / g.avgdl))) AS score
+  FROM tf
+  JOIN fw ON fw.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN dfreq ON dfreq.term = tf.term
+  CROSS JOIN g
+  GROUP BY fw.query_id, tf.doc_id
+),
+rrun AS (
+  SELECT query_id, doc_id, score,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
+  FROM rescored
+)
+SELECT query_id, doc_id, ROUND(score, 6) AS score, rank
+FROM rrun WHERE rank <= 10
+"""
+
 _QRELS_CTE = f"""
 qi(query_id, qidx) AS (VALUES {_Q_IDX_VALUES}),
 qrels AS (
@@ -717,6 +807,22 @@ def q_bm25f(spark, sf_dir):
         {"title": (2.0, 0.75), "body": (1.0, 0.4)},
         k=10,
         round_to=6,
+    )
+
+
+def q_rm3_expand(spark, sf_dir):
+    """RM3 pseudo-relevance feedback: BM25 feedback run -> relevance-model
+    term weights (rounded before the top-term cut so both engines pick the
+    same expansion terms) -> interpolated weighted rescore."""
+    from openmatch_spark.query import rm3_rescore_adhoc
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    return rm3_rescore_adhoc(
+        docs, _queries_df(spark), k=10,
+        fb_docs=_RM3_FB_DOCS, fb_terms=_RM3_FB_TERMS, alpha=_RM3_ALPHA,
+        analyzer="simple", round_to=6,
     )
 
 
@@ -1526,6 +1632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "proximity_search": q_proximity_search,
         "snippets": q_snippets,
         "bm25f": q_bm25f,
+        "rm3_expand": q_rm3_expand,
         "corpus_stats": q_corpus_stats,
         "term_stats": q_term_stats,
         "token_counts": q_token_counts,
@@ -1599,6 +1706,7 @@ def oracle_sql() -> dict[str, str]:
     sql["proximity_search"] = _PROXIMITY_SQL
     sql["snippets"] = _SNIPPET_SQL
     sql["bm25f"] = _BM25F_SQL
+    sql["rm3_expand"] = _RM3_SQL
 
     sql["corpus_stats"] = f"""
 WITH {tok_cte},

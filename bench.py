@@ -162,6 +162,35 @@ def suite() -> dict:
         "p90": round(lat[min(len(lat) - 1, int(len(lat) * 0.90))], 3),
     }
 
+    # round-4 query surfaces: positional sidecar build + phrase/boolean
+    # batches over the same index (phrase pays the positions decode +
+    # adjacency intersection; boolean pays decode + required-count agg)
+    from openmatch_spark.index import build_positions
+    from openmatch_spark.query import search_boolean, search_phrase
+
+    timings["positions_build"], _ = _timed(
+        lambda: build_positions(spark, pages, idx_dir)
+    )
+    idx = idx.refresh()
+    pq = spark.createDataFrame(
+        [(f"p{i}", " ".join(rng.choice(vocab_terms, size=2))) for i in range(50)],
+        "query_id string, text string",
+    )
+    timings["phrase_50q"], _ = _timed(lambda: search_phrase(idx, pq, k=100).count())
+    bq = spark.createDataFrame(
+        [
+            (
+                f"b{i}",
+                str(rng.choice(vocab_terms)),
+                " ".join(rng.choice(vocab_terms, size=2)),
+                str(rng.choice(vocab_terms)),
+            )
+            for i in range(50)
+        ],
+        "query_id string, must string, should string, must_not string",
+    )
+    timings["boolean_50q"], _ = _timed(lambda: search_boolean(idx, bq, k=100).count())
+
     # entry-contract headliners at the bench scale
     import __spark_entry__ as em
 

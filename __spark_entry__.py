@@ -602,6 +602,96 @@ SELECT query_id, doc_id, ROUND(score, 6) AS score, rank
 FROM rrun WHERE rank <= 10
 """
 
+_FACETS_SQL = f"""
+WITH {_BM25_CTES},
+run10 AS (SELECT query_id, doc_id FROM run WHERE rank <= 10),
+hyd AS (
+  SELECT r.query_id,
+         COALESCE(CAST(d.source AS VARCHAR), '(null)') AS source,
+         COALESCE(CAST(d.lang AS VARCHAR), '(null)') AS lang
+  FROM run10 r JOIN documents d ON CAST(d.doc_id AS VARCHAR) = r.doc_id
+)
+SELECT query_id, facet, value, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM (
+  SELECT query_id, 'source' AS facet, source AS value FROM hyd
+  UNION ALL
+  SELECT query_id, 'lang' AS facet, lang AS value FROM hyd
+)
+GROUP BY query_id, facet, value
+"""
+
+_RRF_K0 = 60
+
+_RRF_SQL = f"""
+WITH {_BM25_CTES},
+run1 AS (SELECT query_id, doc_id, rank FROM run WHERE rank <= 10),
+fdocs_toks AS (
+  SELECT CAST(d.doc_id AS VARCHAR) AS doc_id,
+         list_filter(regexp_split_to_array(lower(d.text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM documents d
+),
+ffields AS (
+  SELECT doc_id, list_slice(toks, 1, 8) AS title,
+         list_slice(toks, 9, len(toks)) AS body
+  FROM fdocs_toks
+),
+fftok AS (
+  SELECT doc_id, 'title' AS field, t.term FROM ffields, UNNEST(title) AS t(term)
+  UNION ALL
+  SELECT doc_id, 'body' AS field, t.term FROM ffields, UNNEST(body) AS t(term)
+),
+fflen AS (
+  SELECT doc_id, 'title' AS field, CAST(len(title) AS DOUBLE) AS flen FROM ffields
+  UNION ALL
+  SELECT doc_id, 'body' AS field, CAST(len(body) AS DOUBLE) AS flen FROM ffields
+),
+ftff AS (SELECT doc_id, field, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM fftok GROUP BY doc_id, field, term),
+favgf AS (SELECT field, AVG(flen) AS avgflen FROM fflen GROUP BY field),
+fnd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+fdff AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df FROM fftok GROUP BY term),
+ftfn AS (
+  SELECT t.doc_id, t.term,
+         SUM((CASE t.field WHEN 'title' THEN {_BM25F_TITLE_W} ELSE {_BM25F_BODY_W} END) * t.tf
+             / (1 - (CASE t.field WHEN 'title' THEN {_BM25F_TITLE_B} ELSE {_BM25F_BODY_B} END)
+                  + (CASE t.field WHEN 'title' THEN {_BM25F_TITLE_B} ELSE {_BM25F_BODY_B} END)
+                    * l.flen / a.avgflen)) AS tfn
+  FROM ftff t
+  JOIN fflen l ON l.doc_id = t.doc_id AND l.field = t.field
+  JOIN favgf a ON a.field = t.field
+  GROUP BY t.doc_id, t.term
+),
+fscored AS (
+  SELECT qt.query_id, ftfn.doc_id,
+         SUM(qt.qtf
+             * ln(1 + (fnd.n_docs - fdff.df + 0.5) / (fdff.df + 0.5))
+             * ftfn.tfn / (ftfn.tfn + {K1})) AS score
+  FROM ftfn
+  JOIN qt ON qt.term = ftfn.term
+  JOIN fdff ON fdff.term = ftfn.term
+  CROSS JOIN fnd
+  GROUP BY qt.query_id, ftfn.doc_id
+),
+run2 AS (
+  SELECT query_id, doc_id, rank FROM (
+    SELECT query_id, doc_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
+    FROM fscored
+  ) WHERE rank <= 10
+),
+fused AS (
+  SELECT query_id, doc_id, SUM(1.0 / ({_RRF_K0} + rank)) AS score
+  FROM (SELECT * FROM run1 UNION ALL SELECT * FROM run2)
+  GROUP BY query_id, doc_id
+),
+rrfrun AS (
+  SELECT query_id, doc_id, score,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
+  FROM fused
+)
+SELECT query_id, doc_id, ROUND(score, 9) AS score, rank
+FROM rrfrun WHERE rank <= 10
+"""
+
 _QRELS_CTE = f"""
 qi(query_id, qidx) AS (VALUES {_Q_IDX_VALUES}),
 qrels AS (
@@ -823,6 +913,32 @@ def q_rm3_expand(spark, sf_dir):
         docs, _queries_df(spark), k=10,
         fb_docs=_RM3_FB_DOCS, fb_terms=_RM3_FB_TERMS, alpha=_RM3_ALPHA,
         analyzer="simple", round_to=6,
+    )
+
+
+def q_facets(spark, sf_dir):
+    """Faceted counts (source, lang) over the BM25 top-10 run — the
+    results-page aggregation panel; nulls bucketed explicitly."""
+    from openmatch_spark.operators.facets import facet_counts
+
+    run = _bm25_run(spark, sf_dir, k=10, rounded=False).select("query_id", "doc_id")
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "source", "lang"
+    )
+    return facet_counts(run, docs, ["source", "lang"])
+
+
+def q_hybrid_rrf(spark, sf_dir):
+    """Reciprocal rank fusion of the plain BM25 run with the BM25F fielded
+    run — the standard score-scale-free hybrid combiner. With two runs the
+    per-doc sum is bit-identical across engines (IEEE commutativity)."""
+    from openmatch_spark.operators.fusion import reciprocal_rank_fusion
+
+    r1 = _bm25_run(spark, sf_dir, k=10, rounded=False)
+    r2 = q_bm25f(spark, sf_dir)
+    run = reciprocal_rank_fusion([r1, r2], k=10, k0=60)
+    return run.select(
+        "query_id", "doc_id", F.round("score", 9).alias("score"), "rank"
     )
 
 
@@ -1633,6 +1749,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snippets": q_snippets,
         "bm25f": q_bm25f,
         "rm3_expand": q_rm3_expand,
+        "facets": q_facets,
+        "hybrid_rrf": q_hybrid_rrf,
         "corpus_stats": q_corpus_stats,
         "term_stats": q_term_stats,
         "token_counts": q_token_counts,
@@ -1707,6 +1825,8 @@ def oracle_sql() -> dict[str, str]:
     sql["snippets"] = _SNIPPET_SQL
     sql["bm25f"] = _BM25F_SQL
     sql["rm3_expand"] = _RM3_SQL
+    sql["facets"] = _FACETS_SQL
+    sql["hybrid_rrf"] = _RRF_SQL
 
     sql["corpus_stats"] = f"""
 WITH {tok_cte},

@@ -116,10 +116,24 @@ def cmd_curate_index(args) -> int:
     return 0
 
 
+def cmd_build_positions(args) -> int:
+    """Build (or rebuild after compaction) the positional sidecar an
+    existing index needs for `search --phrase/--proximity`."""
+    from openmatch_spark.index import build_positions
+
+    spark = _spark("om-build-positions")
+    pages = _load_pages(spark, args)
+    info = build_positions(
+        spark, pages, args.index, table_prefix=args.table_prefix
+    )
+    print(json.dumps(info))
+    return 0
+
+
 def cmd_search(args) -> int:
     from openmatch_spark.index import load_index
     from openmatch_spark.operators.runio import save_as_trec
-    from openmatch_spark.query import search
+    from openmatch_spark.query import search, search_phrase, search_proximity
 
     spark = _spark("om-search")
     idx = load_index(spark, args.index, table_prefix=args.table_prefix)
@@ -131,9 +145,26 @@ def cmd_search(args) -> int:
             .schema("query_id string, text string")
             .csv(args.queries)
         )
-    run = search(idx, queries, k=args.k, mode=args.mode)
+    if args.phrase:
+        run = search_phrase(idx, queries, k=args.k).drop("phrase_freq")
+    elif args.proximity is not None:
+        run = search_proximity(idx, queries, within=args.proximity, k=args.k).drop(
+            "min_cover"
+        )
+    else:
+        run = search(idx, queries, k=args.k, mode=args.mode)
     save_as_trec(run, args.out, run_id=args.run_id)
-    print(json.dumps({"out": args.out, "k": args.k, "mode": args.mode}))
+    print(
+        json.dumps(
+            {
+                "out": args.out,
+                "k": args.k,
+                "mode": "phrase" if args.phrase
+                else f"proximity:{args.proximity}" if args.proximity is not None
+                else args.mode,
+            }
+        )
+    )
     return 0
 
 
@@ -262,12 +293,23 @@ def main(argv=None) -> int:
     ci.add_argument("--table-prefix", default=None)
     ci.set_defaults(fn=cmd_curate_index)
 
+    bp = sub.add_parser("build-positions")
+    bp.add_argument("--pages", required=True, help="parquet path or table name")
+    bp.add_argument("--pages-format", choices=["pages", "documents", "table"], default="pages")
+    bp.add_argument("--index", required=True)
+    bp.add_argument("--table-prefix", default=None)
+    bp.set_defaults(fn=cmd_build_positions)
+
     se = sub.add_parser("search")
     se.add_argument("--index", required=True)
     se.add_argument("--queries", required=True, help="TSV (qid\\ttext) or parquet")
     se.add_argument("--out", required=True)
     se.add_argument("--k", type=int, default=100)
     se.add_argument("--mode", choices=["batch", "maxscore", "daat"], default="batch")
+    se.add_argument("--phrase", action="store_true",
+                    help="exact-phrase search over the positional sidecar")
+    se.add_argument("--proximity", type=int, default=None, metavar="WITHIN",
+                    help="unordered proximity search: all terms within N tokens")
     se.add_argument("--run-id", default="openmatch_spark")
     se.add_argument("--table-prefix", default=None)
     se.set_defaults(fn=cmd_search)

@@ -78,6 +78,19 @@ def test_spark_submit_pipeline(tmp_path):
     qid, q0, docid, rank, score, tag = lines[0].split()
     assert q0 == "Q0" and rank == "1"
 
+    # 2a. positional sidecar from a fresh process, then phrase search over it
+    info = _submit(
+        zip_path, "build-positions",
+        "--pages", os.path.join(SF, "documents.parquet"),
+        "--pages-format", "documents", "--index", idx,
+    )
+    assert info["n_rows"] > 0 and info["n_positions"] >= info["n_rows"]
+    phrase_path = str(tmp_path / "run_phrase.trec")
+    _submit(zip_path, "search", "--index", idx, "--queries", queries_tsv,
+            "--out", phrase_path, "--k", "10", "--phrase")
+    pparts = glob.glob(os.path.join(phrase_path, "part-*"))
+    assert pparts  # phrase hits may be sparse; the sink must still commit
+
     # 2b. compact the two shards into one from a fresh process; the re-run
     # search must produce byte-identical TREC output
     res = _submit(zip_path, "compact", "--index", idx)

@@ -4,3 +4,4 @@ from openmatch_spark.index.load import load_index, BM25Index  # noqa: F401
 from openmatch_spark.index.storage import IndexStorage  # noqa: F401
 from openmatch_spark.index.compact import compact_auto, compact_index, plan_compaction  # noqa: F401
 from openmatch_spark.index.positions import build_positions  # noqa: F401
+from openmatch_spark.index.report import index_report  # noqa: F401

@@ -130,6 +130,16 @@ def cmd_build_positions(args) -> int:
     return 0
 
 
+def cmd_report(args) -> int:
+    """Print the index's segment/size/compression report as one JSON line."""
+    from openmatch_spark.index import index_report, load_index
+
+    spark = _spark("om-report")
+    idx = load_index(spark, args.index, table_prefix=args.table_prefix)
+    print(json.dumps(index_report(idx)))
+    return 0
+
+
 def cmd_search(args) -> int:
     from openmatch_spark.index import load_index
     from openmatch_spark.operators.runio import save_as_trec
@@ -292,6 +302,11 @@ def main(argv=None) -> int:
     ci.add_argument("--block-size", type=int, default=128)
     ci.add_argument("--table-prefix", default=None)
     ci.set_defaults(fn=cmd_curate_index)
+
+    rp = sub.add_parser("report")
+    rp.add_argument("--index", required=True)
+    rp.add_argument("--table-prefix", default=None)
+    rp.set_defaults(fn=cmd_report)
 
     bp = sub.add_parser("build-positions")
     bp.add_argument("--pages", required=True, help="parquet path or table name")

@@ -186,6 +186,22 @@ def test_boolean_reference(spark, pos_index):
         assert triple[u] == pytest.approx(3 * single[u], rel=1e-12)
 
 
+def test_index_report(spark, pos_index):
+    from openmatch_spark.index import index_report
+
+    idx, _, _ = pos_index
+    rep = index_report(idx)
+    assert rep["n_docs"] == len([d for d, t in DOCS])
+    assert rep["n_postings"] == sum(
+        len(set(toks)) for toks in CORPUS.values()
+    )  # one posting per distinct (term, doc)
+    assert rep["n_terms"] == len({t for toks in CORPUS.values() for t in toks})
+    assert rep["has_positions"] is True
+    assert rep["n_segments"] == len(rep["segments"]) == 2
+    assert sum(s["n_postings"] for s in rep["segments"]) == rep["n_postings"]
+    assert rep["compression_ratio"] and rep["compression_ratio"] > 1.0
+
+
 def test_compaction_invalidates_positions(spark, pos_index):
     """compact_index drops the sidecar (fail-safe) and phrase search then
     raises instead of silently missing the merged shard's docs."""

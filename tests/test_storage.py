@@ -47,10 +47,30 @@ def test_table_mode_equals_path_mode(spark, pages, queries, tmp_path_factory):
         )
         from openmatch_spark.index.storage import KINDS
         for kind in KINDS:
+            if kind == "positions":
+                # optional sidecar: build_index does NOT create it
+                assert not spark.catalog.tableExists(f"{prefix}_{kind}")
+                continue
             assert spark.catalog.tableExists(f"{prefix}_{kind}")
         idx = load_index(spark, d_tbl, table_prefix=prefix)
         run_tbl = _run_rows(search(idx, queries, k=5))
         assert run_tbl == run_path
+        # positional sidecar works in table mode too: build it, phrase-search,
+        # and confirm store.drop removes the catalog table (the compaction
+        # invalidation path)
+        from openmatch_spark.index import build_positions
+        from openmatch_spark.index.storage import IndexStorage
+        from openmatch_spark.query import search_phrase
+
+        build_positions(spark, pages, d_tbl, table_prefix=prefix)
+        assert spark.catalog.tableExists(f"{prefix}_positions")
+        idx = load_index(spark, d_tbl, table_prefix=prefix)
+        assert idx.has_positions()
+        hits = search_phrase(idx, queries, k=5)
+        assert hits.columns == ["query_id", "doc_id", "score", "rank", "phrase_freq"]
+        hits.count()  # executes the positional plan against catalog tables
+        IndexStorage.resolve(spark, d_tbl, table_prefix=prefix).drop("positions")
+        assert not spark.catalog.tableExists(f"{prefix}_positions")
     finally:
         from openmatch_spark.index.storage import KINDS as _K
         for kind in _K:

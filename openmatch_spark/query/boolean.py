@@ -48,6 +48,7 @@ from pyspark.sql import DataFrame, Window
 
 from openmatch_spark.index.compact import _decode_blocks_arrow
 from openmatch_spark.index.load import BM25Index
+from openmatch_spark.query.bm25_search import _DISTRIBUTED_TOKENIZE_MIN_QUERIES
 
 _DECODED = "shard int, term string, term_bucket int, doc_ord long, weight double"
 
@@ -89,27 +90,130 @@ def _role_tokens(rows, analyzer: str):
     return scoring, must_not, required, dead
 
 
+def _rank_and_hydrate(index: BM25Index, candidates: DataFrame, k: int) -> DataFrame:
+    """Shared tail: rank-cut candidates (keeping k-th-score ties for the
+    doc_id tie-break, which only exists after the docmap join), broadcast
+    the bounded hit set against the docmap scan, final row_number."""
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"))
+    cut = candidates.withColumn("_r", F.rank().over(w)).where(F.col("_r") <= k)
+    hits = index.docmap.select("shard", "doc_ord", "doc_id").join(
+        F.broadcast(cut.select("query_id", "shard", "doc_ord", "score")),
+        ["shard", "doc_ord"],
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        hits.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank")
+    )
+
+
+def _search_boolean_distributed(index: BM25Index, q: DataFrame, k: int) -> DataFrame:
+    """Executor-side variant for big batches: raw query text never crosses
+    the driver — roles tokenize as column expressions, and only the
+    DISTINCT TERM set (bounded by vocabulary, not batch size) is collected
+    to plan the pruned scan. OOV-must semantics fall out structurally:
+    required counts all must tokens PRE-vocabulary while matches count
+    posting joins, so the equality filter kills OOV-must queries without
+    any explicit dead-list."""
+    from openmatch_spark.analysis import tokenize_col
+
+    analyzer = index.stats["analyzer"]
+    tagged = None
+    for role, flag in (("must", 1), ("should", 0)):
+        part = q.select(
+            "query_id",
+            F.explode(tokenize_col(F.col(role), analyzer)).alias("term"),
+            F.lit(flag).alias("is_must"),
+        )
+        tagged = part if tagged is None else tagged.unionByName(part)
+    scoring = tagged.groupBy("query_id", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("qtf"),
+        F.max("is_must").alias("is_must"),
+    )
+    req = (
+        q.select("query_id").distinct()
+        .join(
+            q.select(
+                "query_id", F.explode(tokenize_col(F.col("must"), analyzer)).alias("term")
+            )
+            .groupBy("query_id")
+            .agg(F.countDistinct("term").alias("_n")),
+            "query_id",
+            "left",
+        )
+        .select("query_id", F.coalesce("_n", F.lit(0)).alias("n_required"))
+    )
+    nots = q.select(
+        "query_id", F.explode(tokenize_col(F.col("must_not"), analyzer)).alias("term")
+    ).distinct()
+    scoring.persist()
+    nots.persist()
+    terms = sorted(
+        r["term"]
+        for r in scoring.select("term").union(nots.select("term")).distinct().collect()
+    )
+    bucket_of = index.term_buckets(terms)
+    in_vocab = sorted(t for t in terms if t in bucket_of)
+    if not in_vocab:
+        scoring.unpersist()
+        nots.unpersist()
+        return index.spark.createDataFrame(
+            [], "query_id string, doc_id string, score double, rank int"
+        )
+    buckets = sorted({bucket_of[t] for t in in_vocab})
+    decoded = index.postings.where(
+        F.col("term_bucket").isin(buckets) & F.col("term").isin(in_vocab)
+    ).mapInArrow(_decode_blocks_arrow, _DECODED)
+    candidates = (
+        decoded.join(scoring, "term")
+        .groupBy("query_id", "shard", "doc_ord")
+        .agg(
+            F.sum(F.col("weight") * F.col("qtf")).alias("score"),
+            F.sum("is_must").alias("n_must"),
+        )
+        .join(req, "query_id")
+        .where(F.col("n_must") == F.col("n_required"))
+        .select("query_id", "shard", "doc_ord", "score")
+    )
+    excluded = (
+        decoded.join(nots, "term")
+        .select("query_id", "shard", "doc_ord")
+        .distinct()
+    )
+    candidates = candidates.join(
+        excluded, ["query_id", "shard", "doc_ord"], "left_anti"
+    )
+    return _rank_and_hydrate(index, candidates, k)
+
+
 def search_boolean(
     index: BM25Index,
     queries: DataFrame,
     k: int = 100,
+    distributed_threshold: int = _DISTRIBUTED_TOKENIZE_MIN_QUERIES,
 ) -> DataFrame:
     """Top-k boolean BM25 run: (query_id, doc_id, score, rank).
 
     queries: (query_id, must, should, must_not) — each role a free-text
     string tokenized by the index analyzer; NULL/empty roles allowed.
-    """
+    Batches above distributed_threshold tokenize executor-side (identical
+    results — forced-branch identity-tested); small batches stay on the
+    zero-extra-job driver path for latency."""
     spark = index.spark
     analyzer = index.stats["analyzer"]
     empty = spark.createDataFrame(
         [], "query_id string, doc_id string, score double, rank int"
     )
-    rows = queries.select(
+    q = queries.select(
         F.col("query_id").cast("string").alias("query_id"),
         "must", "should", "must_not",
-    ).collect()
+    )
+    rows = q.take(distributed_threshold + 1)
     if not rows:
         return empty
+    if len(rows) > distributed_threshold:
+        return _search_boolean_distributed(index, q, k)
     scoring, nots, required, dead = _role_tokens(rows, analyzer)
 
     all_terms = sorted({t for (_, t) in scoring} | {t for (_, t) in nots})
@@ -179,18 +283,4 @@ def search_boolean(
             excluded, ["query_id", "shard", "doc_ord"], "left_anti"
         )
 
-    # rank() (not row_number) keeps every row tied at the k-th score: the
-    # final (score DESC, doc_id ASC) tie-break needs doc_id, which only
-    # exists after the docmap join — same pre-cut rule as search()
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"))
-    cut = candidates.withColumn("_r", F.rank().over(w)).where(F.col("_r") <= k)
-    hits = index.docmap.select("shard", "doc_ord", "doc_id").join(
-        F.broadcast(cut.select("query_id", "shard", "doc_ord", "score")),
-        ["shard", "doc_ord"],
-    )
-    w2 = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
-    return (
-        hits.withColumn("rank", F.row_number().over(w2))
-        .where(F.col("rank") <= k)
-        .select("query_id", "doc_id", "score", "rank")
-    )
+    return _rank_and_hydrate(index, candidates, k)

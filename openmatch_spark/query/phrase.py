@@ -52,17 +52,12 @@ from pyspark.sql.types import (
 from openmatch_spark.index.compact import _decode_blocks_arrow
 from openmatch_spark.index.load import BM25Index
 from openmatch_spark.index.positions import _decode_positions_arrow
+from openmatch_spark.query.bm25_search import _DISTRIBUTED_TOKENIZE_MIN_QUERIES
 
 _DECODED_POSTINGS = (
     "shard int, term string, term_bucket int, doc_ord long, weight double"
 )
 _DECODED_POSITIONS = "shard int, term string, doc_ord long, pos long"
-
-
-def _collect_queries(queries: DataFrame) -> list:
-    return queries.select(
-        F.col("query_id").cast("string").alias("query_id"), "text"
-    ).collect()
 
 
 def _pruned_positions(index: BM25Index, terms: list[str], bucket_of: dict):
@@ -112,11 +107,72 @@ def _finalize(index: BM25Index, cand: DataFrame, k: int, extra: list[str]) -> Da
     )
 
 
-def search_phrase(index: BM25Index, queries: DataFrame, k: int = 100) -> DataFrame:
+def _search_phrase_distributed(index: BM25Index, q: DataFrame, k: int) -> DataFrame:
+    """Executor-side phrase path for big batches: query text never crosses
+    the driver — offsets come from a posexplode of the tokenizer column,
+    and only the DISTINCT TERM set (vocabulary-bounded) is collected to
+    plan the pruned scans. A phrase with an OOV token dies structurally:
+    plen counts ALL tokens pre-vocabulary while matched offsets come from
+    the positions join, so countDistinct(off) can never reach plen."""
+    from openmatch_spark.analysis import tokenize_col
+
+    analyzer = index.stats["analyzer"]
+    toks = q.select(
+        "query_id",
+        F.posexplode(tokenize_col(F.col("text"), analyzer)).alias("off", "term"),
+    ).withColumn("off", F.col("off").cast("long"))
+    toks.persist()
+    plen = toks.groupBy("query_id").agg(F.count(F.lit(1)).alias("plen"))
+    terms = sorted(r["term"] for r in toks.select("term").distinct().collect())
+    bucket_of = index.term_buckets(terms)
+    in_vocab = sorted(t for t in terms if t in bucket_of)
+    if not in_vocab:
+        toks.unpersist()
+        return index.spark.createDataFrame(
+            [], "query_id string, doc_id string, score double, rank int, phrase_freq int"
+        )
+    occ = _pruned_positions(index, in_vocab, bucket_of)
+    freq = (
+        occ.join(toks, "term")
+        .groupBy(
+            "query_id", "shard", "doc_ord",
+            (F.col("pos") - F.col("off")).alias("adj"),
+        )
+        .agg(F.countDistinct("off").alias("n_off"))
+        .join(plen, "query_id")
+        .where(F.col("n_off") == F.col("plen"))
+        .groupBy("query_id", "shard", "doc_ord")
+        .agg(F.count(F.lit(1)).cast("int").alias("phrase_freq"))
+    )
+    qt = toks.groupBy("query_id", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("qtf")
+    )
+    decoded = index.postings.where(
+        F.col("term_bucket").isin(sorted({bucket_of[t] for t in in_vocab}))
+        & F.col("term").isin(in_vocab)
+    ).mapInArrow(_decode_blocks_arrow, _DECODED_POSTINGS)
+    scores = (
+        decoded.join(qt, "term")
+        .groupBy("query_id", "shard", "doc_ord")
+        .agg(F.sum(F.col("weight") * F.col("qtf")).alias("score"))
+    )
+    cand = freq.join(scores, ["query_id", "shard", "doc_ord"]).select(
+        "query_id", "shard", "doc_ord", "score", "phrase_freq"
+    )
+    return _finalize(index, cand, k, ["phrase_freq"])
+
+
+def search_phrase(
+    index: BM25Index,
+    queries: DataFrame,
+    k: int = 100,
+    distributed_threshold: int = _DISTRIBUTED_TOKENIZE_MIN_QUERIES,
+) -> DataFrame:
     """Exact-phrase top-k: (query_id, doc_id, score, rank, phrase_freq).
 
     queries: (query_id, text) — text is the phrase, tokenized by the index
-    analyzer; token order and duplicates are significant."""
+    analyzer; token order and duplicates are significant. Batches above
+    distributed_threshold tokenize executor-side (identical results)."""
     from openmatch_spark.analysis import tokenize_py
 
     spark = index.spark
@@ -124,7 +180,12 @@ def search_phrase(index: BM25Index, queries: DataFrame, k: int = 100) -> DataFra
     empty = spark.createDataFrame(
         [], "query_id string, doc_id string, score double, rank int, phrase_freq int"
     )
-    rows = _collect_queries(queries)
+    base = queries.select(
+        F.col("query_id").cast("string").alias("query_id"), "text"
+    )
+    rows = base.take(distributed_threshold + 1)
+    if len(rows) > distributed_threshold:
+        return _search_phrase_distributed(index, base, k)
     phrases = {str(r["query_id"]): tokenize_py(r["text"], analyzer) for r in rows}
     phrases = {q: toks for q, toks in phrases.items() if toks}
     if not phrases:
@@ -210,12 +271,68 @@ def _min_cover_group(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def _search_proximity_distributed(
+    index: BM25Index, q: DataFrame, within: int, k: int
+) -> DataFrame:
+    """Executor-side proximity path for big batches (mirrors the phrase
+    variant): n_terms counts DISTINCT query terms PRE-vocabulary, so the
+    cover kernel's all-terms-present check kills OOV queries structurally."""
+    from openmatch_spark.analysis import tokenize_col
+
+    analyzer = index.stats["analyzer"]
+    xtok = q.select(
+        "query_id", F.explode(tokenize_col(F.col("text"), analyzer)).alias("term")
+    )
+    xtok.persist()
+    pairs = xtok.distinct()
+    nt = pairs.groupBy("query_id").agg(
+        F.countDistinct("term").cast("int").alias("n_terms")
+    )
+    terms = sorted(r["term"] for r in pairs.select("term").distinct().collect())
+    bucket_of = index.term_buckets(terms)
+    in_vocab = sorted(t for t in terms if t in bucket_of)
+    if not in_vocab:
+        xtok.unpersist()
+        return index.spark.createDataFrame(
+            [], "query_id string, doc_id string, score double, rank int, min_cover int"
+        )
+    occ = _pruned_positions(index, in_vocab, bucket_of)
+    grouped = (
+        occ.join(pairs, "term")
+        .join(nt, "query_id")
+        .groupBy("query_id", "shard", "doc_ord")
+        .applyInPandas(_min_cover_group, _COVER_OUT)
+        .where(F.col("min_cover") <= within)
+    )
+    qt = xtok.groupBy("query_id", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("qtf")
+    )
+    decoded = index.postings.where(
+        F.col("term_bucket").isin(sorted({bucket_of[t] for t in in_vocab}))
+        & F.col("term").isin(in_vocab)
+    ).mapInArrow(_decode_blocks_arrow, _DECODED_POSTINGS)
+    scores = (
+        decoded.join(qt, "term")
+        .groupBy("query_id", "shard", "doc_ord")
+        .agg(F.sum(F.col("weight") * F.col("qtf")).alias("score"))
+    )
+    cand = grouped.join(scores, ["query_id", "shard", "doc_ord"]).select(
+        "query_id", "shard", "doc_ord", "score", "min_cover"
+    )
+    return _finalize(index, cand, k, ["min_cover"])
+
+
 def search_proximity(
-    index: BM25Index, queries: DataFrame, within: int, k: int = 100
+    index: BM25Index,
+    queries: DataFrame,
+    within: int,
+    k: int = 100,
+    distributed_threshold: int = _DISTRIBUTED_TOKENIZE_MIN_QUERIES,
 ) -> DataFrame:
     """Unordered proximity top-k: docs where every distinct query term
     occurs inside some window of <= `within` tokens. Returns
-    (query_id, doc_id, score, rank, min_cover)."""
+    (query_id, doc_id, score, rank, min_cover). Batches above
+    distributed_threshold tokenize executor-side (identical results)."""
     from openmatch_spark.analysis import tokenize_py
 
     spark = index.spark
@@ -223,7 +340,12 @@ def search_proximity(
     empty = spark.createDataFrame(
         [], "query_id string, doc_id string, score double, rank int, min_cover int"
     )
-    rows = _collect_queries(queries)
+    base = queries.select(
+        F.col("query_id").cast("string").alias("query_id"), "text"
+    )
+    rows = base.take(distributed_threshold + 1)
+    if len(rows) > distributed_threshold:
+        return _search_proximity_distributed(index, base, within, k)
     qtoks = {str(r["query_id"]): tokenize_py(r["text"], analyzer) for r in rows}
     qtoks = {q: toks for q, toks in qtoks.items() if toks}
     if not qtoks:

@@ -186,6 +186,54 @@ def test_boolean_reference(spark, pos_index):
         assert triple[u] == pytest.approx(3 * single[u], rel=1e-12)
 
 
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_phrase_distributed_branch_identity(spark, pos_index):
+    """threshold=0 forces executor-side tokenization; results must be
+    row-identical to the driver path, including the OOV-kill semantics."""
+    idx, _, _ = pos_index
+    q = spark.createDataFrame(
+        [("a", "hash join"), ("b", "sort merge join"), ("c", "spark spark"),
+         ("d", "nosuchterm join"), ("e", "spark"), ("f", "")],
+        "query_id string, text string",
+    )
+    driver = search_phrase(idx, q, k=20)
+    dist = search_phrase(idx, q, k=20, distributed_threshold=0)
+    assert _rows(driver) == _rows(dist)
+
+
+def test_proximity_distributed_branch_identity(spark, pos_index):
+    idx, _, _ = pos_index
+    q = spark.createDataFrame(
+        [("a", "spark join"), ("b", "sort hash"), ("c", "hash join sort"),
+         ("d", "spark nosuchterm")],
+        "query_id string, text string",
+    )
+    driver = search_proximity(idx, q, within=3, k=20)
+    dist = search_proximity(idx, q, within=3, k=20, distributed_threshold=0)
+    assert _rows(driver) == _rows(dist)
+
+
+def test_boolean_distributed_branch_identity(spark, pos_index):
+    idx, _, _ = pos_index
+    bq = spark.createDataFrame(
+        [
+            ("m0", "hash join", None, None),
+            ("m1", "join", None, "spark"),
+            ("m2", None, "sort merge", None),
+            ("m3", "nosuchterm", "join", None),
+            ("m4", None, None, "join"),
+            ("m5", "join", "join join", None),
+        ],
+        "query_id string, must string, should string, must_not string",
+    )
+    driver = search_boolean(idx, bq, k=20)
+    dist = search_boolean(idx, bq, k=20, distributed_threshold=0)
+    assert _rows(driver) == _rows(dist)
+
+
 def test_index_report(spark, pos_index):
     from openmatch_spark.index import index_report
 

@@ -69,6 +69,9 @@ PHRASE_QUERIES = [
     ("ph5", "spark"),
 ]
 
+# autocomplete prefixes ('zz' matches no vocabulary term)
+SUGGEST_PREFIXES = ["s", "sp", "ha", "c", "zz"]
+
 # unordered proximity queries (terms within a token window)
 PROX_QUERIES = [
     ("x0", "spark join"),
@@ -692,6 +695,25 @@ SELECT query_id, doc_id, ROUND(score, 9) AS score, rank
 FROM rrfrun WHERE rank <= 10
 """
 
+_SUGGEST_SQL = """
+WITH tok AS (
+  SELECT CAST(d.doc_id AS VARCHAR) AS doc_id, t.term
+  FROM documents d, UNNEST(regexp_split_to_array(lower(d.text), '[^a-z0-9]+')) AS t(term)
+  WHERE t.term <> ''
+),
+dfreq AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM tok GROUP BY term),
+p(prefix) AS (VALUES {vals}),
+cand AS (
+  SELECT p.prefix, d.term, d.df
+  FROM dfreq d JOIN p ON d.term LIKE p.prefix || '%'
+)
+SELECT prefix, term, df, rank FROM (
+  SELECT prefix, term, df,
+         CAST(ROW_NUMBER() OVER (PARTITION BY prefix ORDER BY df DESC, term ASC) AS INTEGER) AS rank
+  FROM cand
+) WHERE rank <= 5
+""".format(vals=", ".join(f"('{p}')" for p in SUGGEST_PREFIXES))
+
 _QRELS_CTE = f"""
 qi(query_id, qidx) AS (VALUES {_Q_IDX_VALUES}),
 qrels AS (
@@ -940,6 +962,16 @@ def q_hybrid_rrf(spark, sf_dir):
     return run.select(
         "query_id", "doc_id", F.round("score", 9).alias("score"), "rank"
     )
+
+
+def q_suggest(spark, sf_dir):
+    """Prefix autocomplete from the index dictionary: top-5 terms per
+    prefix by df DESC, term ASC; 'zz' matches nothing. Oracle recomputes
+    df from the raw corpus — equality proves the dictionary's df."""
+    from openmatch_spark.query import suggest_terms
+
+    idx = _entry_index(spark, sf_dir)
+    return suggest_terms(idx, SUGGEST_PREFIXES, k=5)
 
 
 def q_corpus_stats(spark, sf_dir):
@@ -1751,6 +1783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rm3_expand": q_rm3_expand,
         "facets": q_facets,
         "hybrid_rrf": q_hybrid_rrf,
+        "suggest": q_suggest,
         "corpus_stats": q_corpus_stats,
         "term_stats": q_term_stats,
         "token_counts": q_token_counts,
@@ -1827,6 +1860,7 @@ def oracle_sql() -> dict[str, str]:
     sql["rm3_expand"] = _RM3_SQL
     sql["facets"] = _FACETS_SQL
     sql["hybrid_rrf"] = _RRF_SQL
+    sql["suggest"] = _SUGGEST_SQL
 
     sql["corpus_stats"] = f"""
 WITH {tok_cte},

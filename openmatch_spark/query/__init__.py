@@ -3,3 +3,4 @@ from openmatch_spark.query.boolean import search_boolean  # noqa: F401
 from openmatch_spark.query.phrase import search_phrase, search_proximity  # noqa: F401
 from openmatch_spark.query.bm25f import bm25f_score_adhoc  # noqa: F401
 from openmatch_spark.query.rm3 import rm3_rescore_adhoc  # noqa: F401
+from openmatch_spark.query.suggest import suggest_terms  # noqa: F401

@@ -234,6 +234,34 @@ def test_boolean_distributed_branch_identity(spark, pos_index):
     assert _rows(driver) == _rows(dist)
 
 
+def test_suggest_terms(spark, pos_index):
+    from openmatch_spark.query import suggest_terms
+
+    idx, _, _ = pos_index
+    out = suggest_terms(idx, ["s", "jo", "zz"], k=3).collect()
+    df_py = {}
+    for toks in CORPUS.values():
+        for t in set(toks):
+            df_py[t] = df_py.get(t, 0) + 1
+    for prefix in ["s", "jo"]:
+        expect = sorted(
+            ((t, d) for t, d in df_py.items() if t.startswith(prefix)),
+            key=lambda kv: (-kv[1], kv[0]),
+        )[:3]
+        got = [
+            (r["term"], r["df"])
+            for r in sorted(
+                (r for r in out if r["prefix"] == prefix), key=lambda r: r["rank"]
+            )
+        ]
+        assert got == expect, prefix
+    assert not [r for r in out if r["prefix"] == "zz"]
+    with pytest.raises(ValueError):
+        suggest_terms(idx, [], k=3)
+    with pytest.raises(ValueError):
+        suggest_terms(idx, ["a", ""], k=3)
+
+
 def test_index_report(spark, pos_index):
     from openmatch_spark.index import index_report
 

@@ -181,6 +181,39 @@ SELECT query_id, doc_id, ROUND(score, 6) AS score, rank
 FROM run WHERE rank <= 10
 """
 
+# tombstone-delete oracle: statistics stay frozen over the FULL corpus
+# (scored is unchanged); deleted docs are only excluded from RANKING —
+# exactly the engine's liveDocs semantic before a rebaseline.
+_BM25_DELETED_SQL = f"""
+WITH {_BM25_CTES}
+SELECT query_id, doc_id, ROUND(score, 6) AS score, rank FROM (
+  SELECT query_id, doc_id, score,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
+  FROM scored
+  WHERE CAST(doc_id AS BIGINT) % 7 <> 2
+) WHERE rank <= 10
+"""
+
+# upsert oracle: plain BM25 from scratch over the MODIFIED corpus (docs with
+# doc_id % 5 == 0 carry one extra ' upserted' token) — the engine must land
+# here through tombstone + appended segment + rebaselining merge.
+_TOK_UPSERT = """
+tok AS (
+  SELECT CAST(d.doc_id AS VARCHAR) AS doc_id, t.term
+  FROM (
+    SELECT doc_id,
+           CASE WHEN doc_id % 5 = 0 THEN text || ' upserted' ELSE text END AS text
+    FROM documents
+  ) d, UNNEST(regexp_split_to_array(lower(d.text), '[^a-z0-9]+')) AS t(term)
+  WHERE t.term <> ''
+)"""
+
+_BM25_UPSERTED_SQL = f"""
+WITH {_BM25_CTES.replace(_TOK, _TOK_UPSERT)}
+SELECT query_id, doc_id, ROUND(score, 6) AS score, rank
+FROM run WHERE rank <= 10
+"""
+
 def _sql_str(v):
     return "NULL" if v is None else f"'{v}'"
 
@@ -796,6 +829,85 @@ def q_bm25_topk_rebaselined(spark, sf_dir):
             spark, pages.where(half == 1), d, analyzer="simple",
             num_shards=3, num_term_buckets=8, block_size=128,
             resume=True, extend_dictionary=True, shard_override=2,
+        )
+        compact_index(spark, d, rebaseline_stats=True)
+        _IDX_CACHE[key] = d
+    idx = load_index(spark, _IDX_CACHE[key])
+    run = search(idx, _queries_df(spark), k=10, mode="maxscore")
+    return run.select(
+        "query_id",
+        F.regexp_replace("doc_id", "^doc://", "").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+        "rank",
+    )
+
+
+def q_bm25_topk_deleted(spark, sf_dir):
+    """Tombstone-delete lifecycle: build, delete_docs(doc_id % 7 == 2),
+    search. Statistics stay FROZEN at build (deleted docs keep contributing
+    to df/avgdl until a rebaseline — the Lucene liveDocs semantic), so the
+    oracle scores over the FULL corpus and only excludes the deleted docs
+    from ranking. Exercises the kernel-side live-docs mask: deleted docs
+    must not consume top-k slots (docs from below k surface)."""
+    from openmatch_spark.fixtures import documents_as_pages
+    from openmatch_spark.index import build_index, delete_docs, load_index
+    from openmatch_spark.query import search
+
+    key = ("del", sf_dir)
+    if key not in _IDX_CACHE:
+        d = tempfile.mkdtemp(prefix="om_entry_del_")
+        pages = documents_as_pages(spark, sf_dir)
+        build_index(
+            spark, pages, d, analyzer="simple", num_shards=4,
+            num_term_buckets=8, block_size=128,
+        )
+        did = F.regexp_replace("url", "^doc://", "").cast("long")
+        delete_docs(
+            spark, d,
+            pages.where(did % 7 == 2).select(F.col("url").alias("doc_id")),
+        )
+        _IDX_CACHE[key] = d
+    idx = load_index(spark, _IDX_CACHE[key])
+    run = search(idx, _queries_df(spark), k=10, mode="maxscore")
+    return run.select(
+        "query_id",
+        F.regexp_replace("doc_id", "^doc://", "").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+        "rank",
+    )
+
+
+def q_bm25_topk_upserted(spark, sf_dir):
+    """Upsert lifecycle: build over the full corpus, upsert_docs re-ingests
+    every doc_id % 5 == 0 with ' upserted' appended to its text (tombstone
+    old version + append new segment), then compact(rebaseline_stats=True)
+    drops the tombstoned versions physically and recomputes every statistic.
+    The oracle is a from-scratch BM25 over the MODIFIED corpus — DuckDB
+    never sees the delete/append/merge lifecycle, only the final answer."""
+    from openmatch_spark.fixtures import documents_as_pages
+    from openmatch_spark.index import (
+        build_index,
+        compact_index,
+        load_index,
+        upsert_docs,
+    )
+    from openmatch_spark.query import search
+
+    key = ("upsert", sf_dir)
+    if key not in _IDX_CACHE:
+        d = tempfile.mkdtemp(prefix="om_entry_upsert_")
+        pages = documents_as_pages(spark, sf_dir)
+        build_index(
+            spark, pages, d, analyzer="simple", num_shards=4,
+            num_term_buckets=8, block_size=128,
+        )
+        did = F.regexp_replace("url", "^doc://", "").cast("long")
+        upsert_docs(
+            spark,
+            pages.where(did % 5 == 0).withColumn(
+                "text", F.concat(F.col("text"), F.lit(" upserted"))
+            ),
+            d,
         )
         compact_index(spark, d, rebaseline_stats=True)
         _IDX_CACHE[key] = d
@@ -1775,6 +1887,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "bm25_topk_indexed": q_bm25_topk_indexed,
         "bm25_topk_rebaselined": q_bm25_topk_rebaselined,
+        "bm25_topk_deleted": q_bm25_topk_deleted,
+        "bm25_topk_upserted": q_bm25_topk_upserted,
         "bm25_boolean": q_bm25_boolean,
         "phrase_search": q_phrase_search,
         "proximity_search": q_proximity_search,
@@ -1852,6 +1966,8 @@ def oracle_sql() -> dict[str, str]:
     # the incremental+rebaseline lifecycle must land on the same answer a
     # fresh build (and the engine-less ad-hoc SQL) produces
     sql["bm25_topk_rebaselined"] = _BM25_TOPK_SQL
+    sql["bm25_topk_deleted"] = _BM25_DELETED_SQL
+    sql["bm25_topk_upserted"] = _BM25_UPSERTED_SQL
     sql["bm25_boolean"] = _BM25_BOOLEAN_SQL
     sql["phrase_search"] = _PHRASE_SQL
     sql["proximity_search"] = _PROXIMITY_SQL

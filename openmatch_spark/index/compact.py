@@ -284,6 +284,21 @@ def compact_index(
 
         t0 = time.time()
         old_docmap = store.read("docmap").where(F.col("shard").isin(merge))
+        # physical delete: tombstoned docs (index/deletes.py) get no ordinal
+        # in the merged docmap, so their postings die at the ord_map inner
+        # join below — no extra pass over the postings. Their tombstone rows
+        # are purged after commit (the merged shards no longer exist).
+        had_deletes = store.exists("deletes")
+        if had_deletes:
+            dead = (
+                store.read("deletes")
+                .where(F.col("shard").isin(merge))
+                .select("shard", "doc_ord")
+                .distinct()
+            )
+            old_docmap = old_docmap.join(
+                F.broadcast(dead), ["shard", "doc_ord"], "left_anti"
+            )
         merged_docmap = build_docmap(
             old_docmap.select(
                 F.lit(new_shard).cast("int").alias("shard"), "doc_id", "doclen"
@@ -453,6 +468,10 @@ def compact_index(
             )
         store.delete_partitions("postings", "shard", merge)
         store.delete_partitions("docmap", "shard", merge)
+        if had_deletes:
+            from openmatch_spark.index.deletes import purge_deletes_for_shards
+
+            purge_deletes_for_shards(store, merge)
         if store.exists("positions"):
             # the merge re-assigned doc_ords, so the sidecar's merged shards
             # are stale AND the new shard has none — a partially-covered

@@ -112,6 +112,22 @@ MANIFEST_SCHEMA = StructType(
     ]
 )
 
+# tombstone table (document deletes): SHARD-SCOPED live-doc masks, the
+# Lucene liveDocs design. delete_docs resolves doc_id -> every committed
+# (shard, doc_ord) occurrence AT DELETE TIME and appends those pairs; a
+# shard ingested later never matches an older tombstone, so re-ingesting
+# a url (upsert) resurrects it naturally. Query paths mask the pairs
+# before any top-k cut; compaction drops deleted docs physically and
+# purges the merged shards' tombstone rows.
+DELETES_SCHEMA = StructType(
+    [
+        StructField("shard", IntegerType()),
+        StructField("doc_ord", LongType()),
+        StructField("doc_id", StringType()),
+        StructField("deleted_at", DoubleType()),
+    ]
+)
+
 
 @dataclass
 class IndexPaths:
@@ -140,6 +156,10 @@ class IndexPaths:
     @property
     def manifest(self) -> str:
         return os.path.join(self.root, "manifest")
+
+    @property
+    def deletes(self) -> str:
+        return os.path.join(self.root, "deletes")
 
     @property
     def metrics(self) -> str:

@@ -29,6 +29,7 @@ class BM25Index:
     store: IndexStorage | None = None
     _term_cache: dict | bool | None = field(default=None, repr=False)
     _shard_cache: list | None = field(default=None, repr=False)
+    _delete_cache: dict | None = field(default=None, repr=False)
 
     def _store(self) -> IndexStorage:
         if self.store is None:
@@ -92,7 +93,63 @@ class BM25Index:
         since load — cheaper than re-calling load_index, same effect."""
         self._shard_cache = None
         self._term_cache = None
+        self._delete_cache = None
         return self
+
+    # ---- document deletes (tombstones) ----------------------------------
+
+    def has_deletes(self) -> bool:
+        """True if the tombstone table exists (index/deletes.py wrote it)."""
+        return self._store().exists("deletes")
+
+    @property
+    def deletes(self) -> DataFrame:
+        """Live tombstones: (shard, doc_ord, doc_id, deleted_at), restricted
+        to committed shards — rows referencing retired segments (left by a
+        compaction that crashed before its purge) are pruned the same way
+        stray data dirs are."""
+        import pyspark.sql.functions as F
+
+        return self._store().read("deletes").where(
+            F.col("shard").isin(self.committed_shards())
+        )
+
+    def deleted_ords(self) -> dict:
+        """{shard -> sorted int64 numpy array of tombstoned doc_ords},
+        memoized per handle. This is the searcher's live-docs mask, held
+        driver-side and shipped to kernels in task closures — the exact
+        design of Lucene's liveDocs bitsets, which every searcher keeps in
+        memory per segment. The set is bounded by deletes SINCE the last
+        compaction (compaction purges it), not by index size; at 10^12 docs
+        the maintenance cycle keeps it small the same way Lucene merges do."""
+        if self._delete_cache is None:
+            import numpy as np
+
+            if not self.has_deletes():
+                self._delete_cache = {}
+            else:
+                pdf = self.deletes.select("shard", "doc_ord").toPandas()
+                self._delete_cache = {
+                    int(shard): np.sort(g["doc_ord"].to_numpy(dtype="int64"))
+                    for shard, g in pdf.groupby("shard")
+                }
+        return self._delete_cache
+
+    def mask_deleted(self, candidates: DataFrame) -> DataFrame:
+        """Drop tombstoned (shard, doc_ord) rows from a candidate frame —
+        the join-path twin of the kernel-side liveDocs mask, applied BEFORE
+        any rank/top-k cut so a deleted doc never consumes a result slot.
+        The tombstone side is tiny (bounded by deletes since last
+        compaction) and broadcast."""
+        import pyspark.sql.functions as F
+
+        if not self.deleted_ords():
+            return candidates
+        return candidates.join(
+            F.broadcast(self.deletes.select("shard", "doc_ord").distinct()),
+            ["shard", "doc_ord"],
+            "left_anti",
+        )
 
     @property
     def docmap(self) -> DataFrame:

@@ -34,7 +34,10 @@ from pyspark.sql import DataFrame, SparkSession
 
 from openmatch_spark.index.layout import IndexPaths
 
-KINDS = ("dictionary", "docmap", "postings", "positions", "manifest", "metrics")
+KINDS = (
+    "dictionary", "docmap", "postings", "positions",
+    "manifest", "metrics", "deletes",
+)
 
 
 def _is_v2_catalog(spark: SparkSession, catalog: str) -> bool:

@@ -138,10 +138,18 @@ def _accumulate(ords_list, weights_list):
     return uniq, acc
 
 
-def _score_group(pdf: pd.DataFrame, k: int, mode: str) -> pd.DataFrame:
-    """Kernel for one (query_id, shard) group: blocks -> shard-local top-k."""
+def _score_group(
+    pdf: pd.DataFrame, k: int, mode: str, dead_map: dict | None = None
+) -> pd.DataFrame:
+    """Kernel for one (query_id, shard) group: blocks -> shard-local top-k.
+
+    dead_map: optional {shard -> sorted int64 ord array} of tombstoned docs
+    (BM25Index.deleted_ords). Masked at DECODE time, before any pruning
+    bound or top-k cut: a deleted doc must neither consume a result slot
+    nor inflate the MaxScore theta that prunes live candidates."""
     qid = pdf["query_id"].iloc[0]
     shard = int(pdf["shard"].iloc[0])
+    dead = dead_map.get(shard) if dead_map else None
 
     # decode lazily per term; terms visited by impact for pruning,
     # but final scores are recomputed in ascending-term order.
@@ -174,7 +182,11 @@ def _score_group(pdf: pd.DataFrame, k: int, mode: str) -> pd.DataFrame:
             outw.append(w)
         if not outs:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
-        return np.concatenate(outs), np.concatenate(outw)
+        o, w = np.concatenate(outs), np.concatenate(outw)
+        if dead is not None and dead.size and o.size:
+            keep = ~np.isin(o, dead)
+            o, w = o[keep], w[keep]
+        return o, w
 
     term_names = sorted(terms)
     if mode == "daat" or len(term_names) == 1:
@@ -228,7 +240,10 @@ def _score_group(pdf: pd.DataFrame, k: int, mode: str) -> pd.DataFrame:
     )
 
 
-def _batch_partials(pruned: DataFrame, matched: list, k: int, num_shards: int) -> DataFrame:
+def _batch_partials(
+    pruned: DataFrame, matched: list, k: int, num_shards: int,
+    dead_map: dict | None = None,
+) -> DataFrame:
     """Batch scatter-gather mode: one pass over each matched posting block.
 
     Per-query modes duplicate every block row once per query that contains
@@ -260,6 +275,7 @@ def _batch_partials(pruned: DataFrame, matched: list, k: int, num_shards: int) -
             acc: dict[int, tuple[np.ndarray, np.ndarray]] = {}
             max_ord = 0
             decoded = {}
+            dead = dead_map.get(shard) if dead_map else None
             for term in sorted(terms):
                 pairs = [
                     (decode_postings(d), np.frombuffer(s, dtype=np.float64))
@@ -267,6 +283,11 @@ def _batch_partials(pruned: DataFrame, matched: list, k: int, num_shards: int) -
                 ]
                 o = np.concatenate([p[0] for p in pairs])
                 w = np.concatenate([p[1] for p in pairs])
+                # live-docs mask at decode time: a tombstoned doc must not
+                # enter the candidate set (it would consume a top-k slot)
+                if dead is not None and dead.size and o.size:
+                    keep = ~np.isin(o, dead)
+                    o, w = o[keep], w[keep]
                 order = np.argsort(o, kind="stable")
                 decoded[term] = (o[order], w[order])
                 max_ord = max(max_ord, int(o.max()) if o.size else 0)
@@ -363,8 +384,12 @@ def search(
     # frozen — sizing the per-shard kernel partitioning from stats would
     # under-parallelize a grown index (committed_shards is memoized, no job)
     n_segments = len(index.committed_shards())
+    # live-docs mask (tombstoned docs; index/deletes.py): a tiny driver-held
+    # {shard -> sorted ord array} shipped in the kernel closures — the
+    # Lucene liveDocs contract. {} (no deletes) costs nothing per row.
+    dead_map = index.deleted_ords() or None
     if mode == "batch":
-        partial = _batch_partials(pruned, matched, k, n_segments)
+        partial = _batch_partials(pruned, matched, k, n_segments, dead_map)
     else:
         qt_small = spark.createDataFrame(
             [(q, t, c) for (q, t, c, _) in matched],
@@ -376,7 +401,7 @@ def search(
         )
         # groupBy.applyInPandas shuffles on its own keys; no pre-repartition
         partial = blocks.groupBy("query_id", "shard").applyInPandas(
-            lambda pdf: _score_group(pdf, k, mode), _KERNEL_OUT
+            lambda pdf: _score_group(pdf, k, mode, dead_map), _KERNEL_OUT
         )
     # pre-reduce the per-(query, shard) partials to a per-query top-k cut
     # BEFORE the broadcast: partial is queries x shards x k rows, and at

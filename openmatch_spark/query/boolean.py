@@ -93,7 +93,11 @@ def _role_tokens(rows, analyzer: str):
 def _rank_and_hydrate(index: BM25Index, candidates: DataFrame, k: int) -> DataFrame:
     """Shared tail: rank-cut candidates (keeping k-th-score ties for the
     doc_id tie-break, which only exists after the docmap join), broadcast
-    the bounded hit set against the docmap scan, final row_number."""
+    the bounded hit set against the docmap scan, final row_number.
+
+    Tombstoned docs (index/deletes.py) are masked BEFORE the rank cut so a
+    deleted doc never consumes a top-k slot."""
+    candidates = index.mask_deleted(candidates)
     w = Window.partitionBy("query_id").orderBy(F.desc("score"))
     cut = candidates.withColumn("_r", F.rank().over(w)).where(F.col("_r") <= k)
     hits = index.docmap.select("shard", "doc_ord", "doc_id").join(

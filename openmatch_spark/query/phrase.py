@@ -93,7 +93,9 @@ def _bm25_scores(index: BM25Index, qterms: list, bucket_of: dict):
 
 
 def _finalize(index: BM25Index, cand: DataFrame, k: int, extra: list[str]) -> DataFrame:
-    """candidates (query_id, shard, doc_ord, score, *extra) -> ranked run."""
+    """candidates (query_id, shard, doc_ord, score, *extra) -> ranked run.
+    Tombstoned docs (index/deletes.py) are masked before the rank cut."""
+    cand = index.mask_deleted(cand)
     w = Window.partitionBy("query_id").orderBy(F.desc("score"))
     cut = cand.withColumn("_r", F.rank().over(w)).where(F.col("_r") <= k).drop("_r")
     hits = index.docmap.select("shard", "doc_ord", "doc_id").join(

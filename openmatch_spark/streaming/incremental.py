@@ -45,35 +45,17 @@ def incremental_index_available_now(
     # shard ids on the second drain cycle — build's resume would then skip
     # the "already committed" shard and silently drop the new docs
     # (regression-tested in tests/test_streaming.py multi-drain test).
+    from openmatch_spark.index.deletes import next_free_shard
     from openmatch_spark.index.storage import IndexStorage
 
     store = IndexStorage.resolve(spark, index_dir)
     # only a MISSING manifest (index built before the manifest protocol, or
     # never committed) may fall back to stats — a transient read error must
-    # raise, or the fallback silently reintroduces the shard-id collision
-    if store.exists("manifest"):
-        mx = store.read("manifest").agg(F.max("shard")).collect()[0][0]
-        n_existing = int(mx) + 1 if mx is not None else int(stats["num_shards"])
-    else:
-        # a manifest can be legitimately absent only on a pre-manifest-era
-        # index, whose shard ids all live in 0..num_shards-1. Postings dirs
-        # with ids >= num_shards prove prior drains/compactions COMMITTED a
-        # manifest that has since gone missing (e.g. a crash inside the
-        # path-mode manifest rewrite, which is delete-then-write): falling
-        # back to stats.num_shards would re-issue those ids and the resume
-        # logic would silently skip the new docs as already-committed.
-        if store.exists("postings"):
-            mx_disk = (
-                store.read("postings").agg(F.max("shard")).collect()[0][0]
-            )
-            if mx_disk is not None and int(mx_disk) >= int(stats["num_shards"]):
-                raise RuntimeError(
-                    f"index at {index_dir} has postings for shard {mx_disk} "
-                    f">= num_shards={stats['num_shards']} but no manifest: "
-                    "manifest lost/corrupted (crashed rewrite?) — rebuild or "
-                    "restore the manifest; refusing to allocate shard ids"
-                )
-        n_existing = int(stats["num_shards"])
+    # raise, or the fallback silently reintroduces the shard-id collision.
+    # Postings dirs beyond num_shards with no manifest mean the manifest was
+    # LOST, and next_free_shard refuses rather than re-issue committed ids
+    # (shared allocation guard, index/deletes.py).
+    n_existing = next_free_shard(store, stats)
     processed = {"n": 0}
 
     def handle_batch(batch_df, batch_id: int):

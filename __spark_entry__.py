@@ -214,6 +214,48 @@ SELECT query_id, doc_id, ROUND(score, 6) AS score, rank
 FROM run WHERE rank <= 10
 """
 
+# Dirichlet query-likelihood oracle (functions/bm25.py qld_weight_col):
+# per matched (term, doc), w = max(0, ln(1 + tf/(mu*cf/|C|)) + ln(mu/(dl+mu)));
+# zero-clamped contributions are dropped (the indexed path carries no posting
+# for them), score = sum of qtf-weighted positive contributions.
+_QLD_MU = 1000.0
+_QLD_SQL = f"""
+WITH {_TOK},
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS doclen FROM tok GROUP BY doc_id),
+tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM tok),
+cfreq AS (SELECT term, SUM(tf) AS cf FROM tf GROUP BY term),
+q(query_id, text) AS (VALUES {_Q_VALUES}),
+qtok AS (
+  SELECT q.query_id, t.term
+  FROM q, UNNEST(regexp_split_to_array(lower(q.text), '[^a-z0-9]+')) AS t(term)
+  WHERE t.term <> ''
+),
+qt AS (SELECT query_id, term, CAST(COUNT(*) AS DOUBLE) AS qtf FROM qtok GROUP BY query_id, term),
+contrib AS (
+  SELECT qt.query_id, tf.doc_id,
+         qt.qtf * greatest(0, ln(1 + tf.tf / ({_QLD_MU} * cfreq.cf / tot.total))
+                              + ln({_QLD_MU} / (dl.doclen + {_QLD_MU}))) AS w
+  FROM tf
+  JOIN qt ON qt.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN cfreq ON cfreq.term = tf.term
+  CROSS JOIN tot
+),
+qscored AS (
+  SELECT query_id, doc_id, SUM(w) AS score FROM contrib WHERE w > 0
+  GROUP BY query_id, doc_id
+),
+qrun AS (
+  SELECT query_id, doc_id, score,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
+  FROM qscored
+)
+SELECT query_id, doc_id, ROUND(score, 6) AS score, rank
+FROM qrun WHERE rank <= 10
+"""
+
+
 def _sql_str(v):
     return "NULL" if v is None else f"'{v}'"
 
@@ -910,6 +952,45 @@ def q_bm25_topk_upserted(spark, sf_dir):
             d,
         )
         compact_index(spark, d, rebaseline_stats=True)
+        _IDX_CACHE[key] = d
+    idx = load_index(spark, _IDX_CACHE[key])
+    run = search(idx, _queries_df(spark), k=10, mode="maxscore")
+    return run.select(
+        "query_id",
+        F.regexp_replace("doc_id", "^doc://", "").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+        "rank",
+    )
+
+
+def q_qld_topk(spark, sf_dir):
+    """Index-free Dirichlet query-likelihood top-k (query/bm25_df.py
+    qld_score_adhoc): mu=1000, Lucene matched-term formulation with the
+    zero clamp; one declarative plan the oracle replicates verbatim."""
+    from openmatch_spark.query.bm25_df import qld_score_adhoc
+
+    return qld_score_adhoc(
+        _docs(spark, sf_dir), _queries_df(spark), k=10,
+        analyzer="simple", round_to=6,
+    )
+
+
+def q_qld_topk_indexed(spark, sf_dir):
+    """Same answer via the FULL engine with scoring="qld": precomputed
+    Dirichlet payload weights in the block-max varbyte index (zero-clamped
+    postings dropped at build), searched by the unchanged MaxScore kernel —
+    the oracle never sees the index, only the formula."""
+    from openmatch_spark.fixtures import documents_as_pages
+    from openmatch_spark.index import build_index, load_index
+    from openmatch_spark.query import search
+
+    key = ("qld", sf_dir)
+    if key not in _IDX_CACHE:
+        d = tempfile.mkdtemp(prefix="om_entry_qld_")
+        build_index(
+            spark, documents_as_pages(spark, sf_dir), d, analyzer="simple",
+            num_shards=4, num_term_buckets=8, block_size=128, scoring="qld",
+        )
         _IDX_CACHE[key] = d
     idx = load_index(spark, _IDX_CACHE[key])
     run = search(idx, _queries_df(spark), k=10, mode="maxscore")
@@ -1889,6 +1970,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_rebaselined": q_bm25_topk_rebaselined,
         "bm25_topk_deleted": q_bm25_topk_deleted,
         "bm25_topk_upserted": q_bm25_topk_upserted,
+        "qld_topk": q_qld_topk,
+        "qld_topk_indexed": q_qld_topk_indexed,
         "bm25_boolean": q_bm25_boolean,
         "phrase_search": q_phrase_search,
         "proximity_search": q_proximity_search,
@@ -1968,6 +2051,8 @@ def oracle_sql() -> dict[str, str]:
     sql["bm25_topk_rebaselined"] = _BM25_TOPK_SQL
     sql["bm25_topk_deleted"] = _BM25_DELETED_SQL
     sql["bm25_topk_upserted"] = _BM25_UPSERTED_SQL
+    sql["qld_topk"] = _QLD_SQL
+    sql["qld_topk_indexed"] = _QLD_SQL
     sql["bm25_boolean"] = _BM25_BOOLEAN_SQL
     sql["phrase_search"] = _PHRASE_SQL
     sql["proximity_search"] = _PROXIMITY_SQL

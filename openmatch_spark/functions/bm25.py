@@ -78,3 +78,35 @@ def bm25_weight_col(tf_col, idf_col, doclen_col, avgdl: float,
             + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * doclen_col / F.lit(avgdl))
         )
     )
+
+
+MU = 1000.0  # Anserini/Indri default Dirichlet smoothing parameter
+
+
+def qld_weight_col(tf_col, cf_col, doclen_col, total_terms: float,
+                   mu: float = MU):
+    """Dirichlet-smoothed query-likelihood per-(term, doc) weight — Lucene's
+    LMDirichletSimilarity matched-term formulation:
+
+        w(t, d) = max(0, log(1 + tf / (mu * cf(t)/|C|)) + log(mu / (dl + mu)))
+
+    where cf/|C| is the collection language model. The max(0, ·) clamp is
+    Lucene's (scores of poorly-matching terms go slightly negative under
+    this decomposition; Lucene floors them at 0). Because the clamped weight
+    is fully determined per (term, doc) once collection stats are frozen, a
+    QLD index is just build_index(scoring="qld"): same payload layout, same
+    search kernels (non-negative weights keep MaxScore upper bounds valid),
+    and exact-zero weights carry no posting at all — a doc whose every
+    matched term clamps to 0 is absent from results (vs Lucene returning it
+    with score 0; documented contract, replicated by the oracle's w > 0).
+    total_terms must be pre-guarded nonzero by the caller."""
+    import pyspark.sql.functions as F
+
+    return F.greatest(
+        F.lit(0.0),
+        F.log(
+            F.lit(1.0)
+            + tf_col / (F.lit(mu) * cf_col / F.lit(float(total_terms)))
+        )
+        + F.log(F.lit(mu) / (doclen_col + F.lit(mu))),
+    )

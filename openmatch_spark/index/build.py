@@ -47,7 +47,13 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from openmatch_spark.analysis import extract_corpus
-from openmatch_spark.functions.bm25 import B, K1, bm25_weight_col, lucene_idf_col
+from openmatch_spark.functions.bm25 import (
+    B,
+    K1,
+    bm25_weight_col,
+    lucene_idf_col,
+    qld_weight_col,
+)
 from openmatch_spark.functions.codec import encode_blocks_batch
 from openmatch_spark.index.layout import POSTING_SCHEMA, MANIFEST_SCHEMA, METRICS_SCHEMA
 from openmatch_spark.index.storage import IndexStorage
@@ -242,6 +248,8 @@ def build_index(
     table_format: str | None = None,
     extend_dictionary: bool = False,
     shard_override: int | None = None,
+    scoring: str = "bm25",
+    mu: float = 1000.0,
 ) -> dict:
     """Scoped-conf wrapper around the build body: shuffle partitioning and
     partition-overwrite mode are session confs the build must set, so they
@@ -262,7 +270,7 @@ def build_index(
             spark, pages, index_dir, analyzer, num_shards, num_term_buckets,
             block_size, k1, b, shard_batch_size, resume, fail_after_batches,
             timings, shuffle_partitions, table_prefix, table_format,
-            extend_dictionary, shard_override,
+            extend_dictionary, shard_override, scoring, mu,
         )
 
 
@@ -285,8 +293,16 @@ def _build_index_body(
     table_format: str | None,
     extend_dictionary: bool = False,
     shard_override: int | None = None,
+    scoring: str = "bm25",
+    mu: float = 1000.0,
 ) -> dict:
     """Build (or resume) the BM25 index at index_dir. Returns stats dict.
+
+    scoring: "bm25" (default) or "qld" (Dirichlet query likelihood,
+    functions/bm25.py qld_weight_col). Both are precomputed per-(term, doc)
+    payload weights over frozen collection stats, so query-time machinery is
+    identical; on resume the FROZEN stats' scoring/mu win (an incremental
+    drain or upsert into a qld index stays qld automatically).
 
     resume=True skips the STATS phase if stats.json exists (stats must be
     frozen across resumes or weights would drift) and skips shards already in
@@ -350,9 +366,16 @@ def _build_index_body(
         .agg(F.count(F.lit(1)).cast("double").alias("tf"))
     )
 
+    if scoring not in ("bm25", "qld"):
+        raise ValueError(f"scoring must be 'bm25' or 'qld', got {scoring!r}")
+
     # ---- phase STATS (atomic via stats.json tmp+rename) -------------------
     if resume and store.has_stats():
         stats = store.read_stats()
+        # frozen stats own the scoring function: mixing weight formulas
+        # inside one index would make payload sums meaningless
+        scoring = stats.get("scoring", "bm25")
+        mu = float(stats.get("mu", 1000.0))
         dictionary = store.read("dictionary")
         if extend_dictionary:
             # Incremental-ingest vocabulary evolution: terms unseen at base
@@ -417,6 +440,8 @@ def _build_index_body(
             block_size=block_size,
             k1=k1,
             b=b,
+            scoring=scoring,
+            mu=mu,
         )
         store.write_stats(stats)
         _mark("stats_phase", t0)
@@ -471,19 +496,36 @@ def _build_index_body(
         t0 = time.time()
 
         part_tf = tf.where(F.col("shard").isin(shards))
+        if scoring == "qld":
+            # Dirichlet QL payload weight: needs the term's collection
+            # frequency (dictionary cf) and total collection length, both
+            # frozen in stats — the same impact-ordered layout as BM25.
+            total_terms = float(stats["total_terms"]) or 1.0
+            dict_side = dictionary.select("term", "cf", "term_bucket")
+            weight_expr = qld_weight_col(
+                F.col("tf"), F.col("cf"), F.col("doclen"), total_terms, mu
+            )
+        else:
+            dict_side = dictionary.select("term", "idf", "term_bucket")
+            weight_expr = bm25_weight_col(
+                F.col("tf"), F.col("idf"), F.col("doclen"), avgdl, k1, b
+            )
         weighted = (
             part_tf.join(docmap.select("shard", "doc_id", "doc_ord", "doclen"), ["shard", "doc_id"])
-            .join(dictionary.select("term", "idf", "term_bucket"), "term")
+            .join(dict_side, "term")
             .select(
                 "shard",
                 "term",
                 "term_bucket",
                 "doc_ord",
-                bm25_weight_col(
-                    F.col("tf"), F.col("idf"), F.col("doclen"), avgdl, k1, b
-                ).alias("weight"),
+                weight_expr.alias("weight"),
             )
         )
+        if scoring == "qld":
+            # Lucene's LMDirichlet clamp floors per-term scores at 0; an
+            # exact-zero weight contributes nothing, so it carries no
+            # posting (qld_weight_col docstring documents the contract)
+            weighted = weighted.where(F.col("weight") > 0.0)
         # Sort-based block packing (one shuffle, no collect_list): hash the
         # postings to (shard, term_bucket) partitions — the same axes as the
         # directory layout, so each output dir is written by exactly one

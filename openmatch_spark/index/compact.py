@@ -266,6 +266,17 @@ def compact_index(
             f"(got {merge}, committed {committed}): re-weighting only a "
             "subset would mix two statistics baselines in one index"
         )
+    if rebaseline_stats and stats.get("scoring", "bm25") != "bm25":
+        # BM25's weight is exactly invertible to tf; QLD's is not — its
+        # Lucene clamp DROPS zero-weight postings at build, so the merged
+        # corpus's tf cannot be recovered from payloads alone. Rebaselining
+        # a qld index means rebuilding it from the corpus.
+        raise NotImplementedError(
+            f"rebaseline_stats supports scoring='bm25' only (index has "
+            f"scoring={stats.get('scoring')!r}): the qld clamp drops "
+            "zero-weight postings, so tf recovery from payloads is "
+            "impossible — rebuild the index to rebaseline"
+        )
 
     from openmatch_spark.session import scoped_confs
 

@@ -89,3 +89,68 @@ def bm25_score_adhoc(
         # sums (identical to ~1e-12 rel), and the rounded output hashes equal
         out = out.withColumn("score", F.round("score", round_to))
     return out
+
+
+def qld_score_adhoc(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    analyzer: str = "simple",
+    mu: float = 1000.0,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Index-free Dirichlet query-likelihood top-k run — the declarative
+    twin of build_index(scoring="qld") + search (functions/bm25.py
+    qld_weight_col has the formula and the Lucene clamp contract). Kept as
+    one SQL-expressible plan so the DuckDB oracle checks BOTH paths.
+
+    Matched terms with a clamped (zero) weight contribute nothing and a doc
+    matching only such terms is absent — identical to the indexed path,
+    which drops zero-weight postings at build."""
+    from openmatch_spark.functions.bm25 import qld_weight_col
+
+    toks = corpus_tokens(corpus, analyzer).cache()
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    dl = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("double").alias("doclen")
+    )
+    total = toks.count() or 1
+    cf = tf.groupBy("term").agg(F.sum("tf").alias("cf"))
+
+    qt = (
+        queries.select(
+            F.col("query_id").cast("string").alias("query_id"),
+            F.explode(tokenize_col(F.col("text"), analyzer)).alias("term"),
+        )
+        .groupBy("query_id", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("qtf"))
+    )
+    scored = (
+        tf.join(F.broadcast(qt), "term")
+        .join(dl, "doc_id")
+        .join(F.broadcast(cf), "term")
+        .select(
+            "query_id",
+            "doc_id",
+            (
+                F.col("qtf")
+                * qld_weight_col(
+                    F.col("tf"), F.col("cf"), F.col("doclen"), float(total), mu
+                )
+            ).alias("w"),
+        )
+        .where(F.col("w") > 0.0)
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("w").alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    out = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank")
+    )
+    if round_to is not None:
+        out = out.withColumn("score", F.round("score", round_to))
+    return out

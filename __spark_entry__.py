@@ -72,6 +72,24 @@ PHRASE_QUERIES = [
 # autocomplete prefixes ('zz' matches no vocabulary term)
 SUGGEST_PREFIXES = ["s", "sp", "ha", "c", "zz"]
 
+# fuzzy queries: misspellings within 1 edit of vocabulary terms (same first
+# char — the Lucene prefix gate), one exact+fuzzy mix, one all-OOV
+FUZZY_QUERIES = [
+    ("fz0", "spask"),
+    ("fz1", "joim merge"),
+    ("fz2", "windoq batch"),
+    ("fz3", "zzzzzz"),
+]
+FUZZY_MAX_EXP = 50
+
+# prefix (trailing-wildcard) queries ranking DOCS (suggest ranks terms)
+PREFIX_QUERIES = [
+    ("px0", "sp"),
+    ("px1", "wind ha"),
+    ("px2", "zz"),
+]
+PREFIX_MAX_EXP = 50
+
 # unordered proximity queries (terms within a token window)
 PROX_QUERIES = [
     ("x0", "spark join"),
@@ -213,6 +231,103 @@ WITH {_BM25_CTES.replace(_TOK, _TOK_UPSERT)}
 SELECT query_id, doc_id, ROUND(score, 6) AS score, rank
 FROM run WHERE rank <= 10
 """
+
+# term-expansion oracles (query/expand.py): variants from the vocabulary
+# under the same predicates and the same deterministic per-token cap
+# (edits ASC, df DESC, term ASC), weight qtf/(1+edits) (prefix: qtf),
+# weights summed per (query, variant), then plain BM25 over the variants.
+_FUZZY_Q_VALUES = ", ".join(f"('{q}', '{t}')" for q, t in FUZZY_QUERIES)
+_PREFIX_Q_VALUES = ", ".join(f"('{q}', '{t}')" for q, t in PREFIX_QUERIES)
+
+_EXPAND_PRELUDE = f"""
+{_TOK},
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS doclen FROM tok GROUP BY doc_id),
+g AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(doclen) AS avgdl FROM dl),
+dfreq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term)"""
+
+_EXPAND_TAIL = f"""
+wscored AS (
+  SELECT w.query_id, tf.doc_id,
+         SUM(w.wgt
+             * ln(1 + (g.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+             * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.doclen / g.avgdl))) AS score
+  FROM tf
+  JOIN wterms w ON w.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN dfreq ON dfreq.term = tf.term
+  CROSS JOIN g
+  GROUP BY w.query_id, tf.doc_id
+),
+wrun AS (
+  SELECT query_id, doc_id, score,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
+  FROM wscored
+)
+SELECT query_id, doc_id, ROUND(score, 6) AS score, rank
+FROM wrun WHERE rank <= 10"""
+
+_FUZZY_SQL = f"""
+WITH {_EXPAND_PRELUDE},
+fq(query_id, text) AS (VALUES {_FUZZY_Q_VALUES}),
+fqtok AS (
+  SELECT fq.query_id, t.term AS qterm
+  FROM fq, UNNEST(regexp_split_to_array(lower(fq.text), '[^a-z0-9]+')) AS t(term)
+  WHERE t.term <> ''
+),
+fqt AS (SELECT query_id, qterm, CAST(COUNT(*) AS DOUBLE) AS qtf FROM fqtok GROUP BY query_id, qterm),
+cand AS (
+  SELECT v.qterm, d.term, levenshtein(d.term, v.qterm) AS ed, d.df
+  FROM dfreq d
+  JOIN (SELECT DISTINCT qterm FROM fqt) v
+    ON substr(d.term, 1, 1) = substr(v.qterm, 1, 1)
+   AND abs(len(d.term) - len(v.qterm)) <= 1
+   AND levenshtein(d.term, v.qterm) <= 1
+),
+capped AS (
+  SELECT qterm, term, ed FROM (
+    SELECT qterm, term, ed,
+           ROW_NUMBER() OVER (PARTITION BY qterm ORDER BY ed ASC, df DESC, term ASC) AS r
+    FROM cand
+  ) WHERE r <= {FUZZY_MAX_EXP}
+),
+wterms AS (
+  SELECT fqt.query_id, capped.term, SUM(fqt.qtf / (1 + capped.ed)) AS wgt
+  FROM fqt JOIN capped ON capped.qterm = fqt.qterm
+  GROUP BY fqt.query_id, capped.term
+),
+{_EXPAND_TAIL}
+"""
+
+_PREFIX_SQL = f"""
+WITH {_EXPAND_PRELUDE},
+pq(query_id, text) AS (VALUES {_PREFIX_Q_VALUES}),
+pqtok AS (
+  SELECT pq.query_id, t.term AS qterm
+  FROM pq, UNNEST(regexp_split_to_array(lower(pq.text), '[^a-z0-9]+')) AS t(term)
+  WHERE t.term <> ''
+),
+pqt AS (SELECT query_id, qterm, CAST(COUNT(*) AS DOUBLE) AS qtf FROM pqtok GROUP BY query_id, qterm),
+cand AS (
+  SELECT v.qterm, d.term, d.df
+  FROM dfreq d
+  JOIN (SELECT DISTINCT qterm FROM pqt) v ON d.term LIKE v.qterm || '%'
+),
+capped AS (
+  SELECT qterm, term FROM (
+    SELECT qterm, term,
+           ROW_NUMBER() OVER (PARTITION BY qterm ORDER BY df DESC, term ASC) AS r
+    FROM cand
+  ) WHERE r <= {PREFIX_MAX_EXP}
+),
+wterms AS (
+  SELECT pqt.query_id, capped.term, SUM(pqt.qtf) AS wgt
+  FROM pqt JOIN capped ON capped.qterm = pqt.qterm
+  GROUP BY pqt.query_id, capped.term
+),
+{_EXPAND_TAIL}
+"""
+
 
 # Dirichlet query-likelihood oracle (functions/bm25.py qld_weight_col):
 # per matched (term, doc), w = max(0, ln(1 + tf/(mu*cf/|C|)) + ln(mu/(dl+mu)));
@@ -994,6 +1109,44 @@ def q_qld_topk_indexed(spark, sf_dir):
         _IDX_CACHE[key] = d
     idx = load_index(spark, _IDX_CACHE[key])
     run = search(idx, _queries_df(spark), k=10, mode="maxscore")
+    return run.select(
+        "query_id",
+        F.regexp_replace("doc_id", "^doc://", "").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+        "rank",
+    )
+
+
+def q_fuzzy_search(spark, sf_dir):
+    """Fuzzy (edit-distance) search over the packed index: misspelled query
+    tokens expand to vocabulary terms within 1 edit (same first char, the
+    Lucene FuzzyQuery prefix gate), weighted qtf/(1+edits), scored by the
+    unchanged pruned BM25 engine. Oracle replicates expansion + cap + BM25
+    from first principles with DuckDB's levenshtein."""
+    from openmatch_spark.query import search_fuzzy
+
+    idx = _entry_index(spark, sf_dir)
+    fq = spark.createDataFrame(FUZZY_QUERIES, "query_id string, text string")
+    run = search_fuzzy(
+        idx, fq, k=10, max_edits=1, prefix_len=1, max_expansions=FUZZY_MAX_EXP
+    )
+    return run.select(
+        "query_id",
+        F.regexp_replace("doc_id", "^doc://", "").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+        "rank",
+    )
+
+
+def q_prefix_search(spark, sf_dir):
+    """Prefix (trailing-wildcard) search ranking DOCS: each query token
+    expands to the vocabulary terms it prefixes (top max_expansions by df —
+    the autocomplete-popularity cap), scored as plain BM25 terms."""
+    from openmatch_spark.query import search_prefix
+
+    idx = _entry_index(spark, sf_dir)
+    pq = spark.createDataFrame(PREFIX_QUERIES, "query_id string, text string")
+    run = search_prefix(idx, pq, k=10, max_expansions=PREFIX_MAX_EXP)
     return run.select(
         "query_id",
         F.regexp_replace("doc_id", "^doc://", "").alias("doc_id"),
@@ -1972,6 +2125,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_upserted": q_bm25_topk_upserted,
         "qld_topk": q_qld_topk,
         "qld_topk_indexed": q_qld_topk_indexed,
+        "fuzzy_search": q_fuzzy_search,
+        "prefix_search": q_prefix_search,
         "bm25_boolean": q_bm25_boolean,
         "phrase_search": q_phrase_search,
         "proximity_search": q_proximity_search,
@@ -2053,6 +2208,8 @@ def oracle_sql() -> dict[str, str]:
     sql["bm25_topk_upserted"] = _BM25_UPSERTED_SQL
     sql["qld_topk"] = _QLD_SQL
     sql["qld_topk_indexed"] = _QLD_SQL
+    sql["fuzzy_search"] = _FUZZY_SQL
+    sql["prefix_search"] = _PREFIX_SQL
     sql["bm25_boolean"] = _BM25_BOOLEAN_SQL
     sql["phrase_search"] = _PHRASE_SQL
     sql["proximity_search"] = _PROXIMITY_SQL

@@ -367,8 +367,25 @@ def search(
     remove_identical drops hits where doc_id == query_id
     (reference dense_retriever.py:252-253, flag arguments.py:207).
     """
+    return search_terms(
+        index, query_terms(index, queries), k=k, mode=mode,
+        remove_identical=remove_identical,
+    )
+
+
+def search_terms(
+    index: BM25Index,
+    matched: list,
+    k: int = 100,
+    mode: str = "batch",
+    remove_identical: bool = False,
+) -> DataFrame:
+    """Top-k run over an explicit weighted-term list — the shared engine
+    behind search() and the term-expansion surfaces (query/expand.py fuzzy
+    and prefix search): matched is [(query_id, term, weight, term_bucket)]
+    with in-vocabulary terms; weight generalizes qtf (expansion surfaces
+    pass fractional per-variant weights, e.g. qtf/(1+edit_distance))."""
     spark = index.spark
-    matched = query_terms(index, queries)
     if not matched:
         return spark.createDataFrame(
             [], "query_id string, doc_id string, score double, rank int"

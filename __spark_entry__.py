@@ -90,6 +90,25 @@ PREFIX_QUERIES = [
 ]
 PREFIX_MAX_EXP = 50
 
+# wildcard patterns (* = any run, ? = one char); one mixed exact+pattern,
+# one all-OOV, one leading-wildcard (the expensive-scan shape)
+WILD_QUERIES = [
+    ("wc0", "spar*"),
+    ("wc1", "jo?n merge"),
+    ("wc2", "wind* batch"),
+    ("wc3", "zzz*"),
+    ("wc4", "*ust*"),
+]
+WILD_MAX_EXP = 50
+
+# query-side synonym table (term -> variant, directional, weighted)
+SYNONYMS = [
+    ("spark", "stream", 0.5),
+    ("join", "merge", 0.5),
+    ("sort", "scan", 0.25),
+    ("window", "frame", 1.0),
+]
+
 # unordered proximity queries (terms within a token window)
 PROX_QUERIES = [
     ("x0", "spark join"),
@@ -326,6 +345,96 @@ wterms AS (
   GROUP BY pqt.query_id, capped.term
 ),
 {_EXPAND_TAIL}
+"""
+
+
+# wildcard oracle (query/expand.py search_wildcard): patterns tokenize by
+# whitespace + keep [a-z0-9*?], translate * -> % and ? -> _, match the
+# vocabulary with LIKE, cap per pattern by (df DESC, term ASC), weight qtf,
+# then plain BM25 over the variants — the engine's exact pipeline from
+# first principles.
+_WILD_Q_VALUES = ", ".join(f"('{q}', '{t}')" for q, t in WILD_QUERIES)
+_WILDCARD_SQL = f"""
+WITH {_EXPAND_PRELUDE},
+wq(query_id, text) AS (VALUES {_WILD_Q_VALUES}),
+wtok AS (
+  SELECT wq.query_id,
+         regexp_replace(lower(t.tk), '[^a-z0-9*?]+', '', 'g') AS rawpat
+  FROM wq, UNNEST(regexp_split_to_array(wq.text, '\\s+')) AS t(tk)
+),
+wpat AS (
+  SELECT query_id, replace(replace(rawpat, '*', '%'), '?', '_') AS pat,
+         CAST(COUNT(*) AS DOUBLE) AS qtf
+  FROM wtok WHERE rawpat <> '' GROUP BY query_id, rawpat
+),
+cand AS (
+  SELECT v.pat, d.term, d.df
+  FROM dfreq d JOIN (SELECT DISTINCT pat FROM wpat) v ON d.term LIKE v.pat
+),
+capped AS (
+  SELECT pat, term FROM (
+    SELECT pat, term,
+           ROW_NUMBER() OVER (PARTITION BY pat ORDER BY df DESC, term ASC) AS r
+    FROM cand
+  ) WHERE r <= {WILD_MAX_EXP}
+),
+wterms AS (
+  SELECT wpat.query_id, capped.term, SUM(wpat.qtf) AS wgt
+  FROM wpat JOIN capped ON capped.pat = wpat.pat
+  GROUP BY wpat.query_id, capped.term
+),
+{_EXPAND_TAIL}
+"""
+
+# synonym oracle (query/expand.py search_synonyms): weight = original qtf
+# plus qtf x weight per directional synonym row, summed per (query, term);
+# OOV variants drop at the tf join exactly like the engine's vocab lookup.
+_SYN_VALUES = ", ".join(f"('{t}', '{v}', {w})" for t, v, w in SYNONYMS)
+_SYNONYM_SQL = f"""
+WITH {_EXPAND_PRELUDE},
+sq(query_id, text) AS (VALUES {_Q_VALUES}),
+sqtok AS (
+  SELECT sq.query_id, t.term
+  FROM sq, UNNEST(regexp_split_to_array(lower(sq.text), '[^a-z0-9]+')) AS t(term)
+  WHERE t.term <> ''
+),
+sqt AS (SELECT query_id, term, CAST(COUNT(*) AS DOUBLE) AS qtf FROM sqtok GROUP BY query_id, term),
+syn(term, variant, weight) AS (VALUES {_SYN_VALUES}),
+wterms AS (
+  SELECT query_id, term, SUM(w) AS wgt FROM (
+    SELECT query_id, term, qtf AS w FROM sqt
+    UNION ALL
+    SELECT sqt.query_id, s.variant AS term, sqt.qtf * s.weight AS w
+    FROM sqt JOIN syn s ON s.term = sqt.term
+  ) GROUP BY query_id, term
+),
+{_EXPAND_TAIL}
+"""
+
+# search_after oracle: page 2 of the deterministic total order IS ranks
+# 6..10 of the deep run, re-based to 1 — the engine must land there through
+# cursor-restricted kernels without ever materializing the deep run.
+_SEARCH_AFTER_SQL = f"""
+WITH {_BM25_CTES}
+SELECT query_id, doc_id, ROUND(score, 6) AS score,
+       CAST(rank - 5 AS INTEGER) AS rank
+FROM run WHERE rank > 5 AND rank <= 10
+"""
+
+# filtered-search oracle: Lucene filter-context semantics — statistics stay
+# corpus-wide (scored is the UNfiltered CTE), only RANKING is restricted to
+# docs passing the attribute predicate (lang = 'en').
+_FILTERED_SQL = f"""
+WITH {_BM25_CTES},
+frun AS (
+  SELECT s.query_id, s.doc_id, s.score,
+         CAST(ROW_NUMBER() OVER (PARTITION BY s.query_id ORDER BY s.score DESC, s.doc_id ASC) AS INTEGER) AS rank
+  FROM scored s
+  JOIN documents d ON CAST(d.doc_id AS VARCHAR) = s.doc_id
+  WHERE d.lang = 'en'
+)
+SELECT query_id, doc_id, ROUND(score, 6) AS score, rank
+FROM frun WHERE rank <= 10
 """
 
 
@@ -1147,6 +1256,83 @@ def q_prefix_search(spark, sf_dir):
     idx = _entry_index(spark, sf_dir)
     pq = spark.createDataFrame(PREFIX_QUERIES, "query_id string, text string")
     run = search_prefix(idx, pq, k=10, max_expansions=PREFIX_MAX_EXP)
+    return run.select(
+        "query_id",
+        F.regexp_replace("doc_id", "^doc://", "").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+        "rank",
+    )
+
+
+def q_wildcard_search(spark, sf_dir):
+    """Wildcard (Lucene WildcardQuery) search over the packed index: each
+    pattern (* any run, ? one char) expands to matching vocabulary terms via
+    one pruned dictionary scan (SQL LIKE), capped (df DESC, term ASC),
+    scored as plain BM25 terms. Oracle replicates tokenize + translate +
+    LIKE + cap + BM25 from first principles."""
+    from openmatch_spark.query import search_wildcard
+
+    idx = _entry_index(spark, sf_dir)
+    wq = spark.createDataFrame(WILD_QUERIES, "query_id string, text string")
+    run = search_wildcard(idx, wq, k=10, max_expansions=WILD_MAX_EXP)
+    return run.select(
+        "query_id",
+        F.regexp_replace("doc_id", "^doc://", "").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+        "rank",
+    )
+
+
+def q_synonym_search(spark, sf_dir):
+    """Query-side synonym expansion (Lucene SynonymQuery): each analyzed
+    query token also matches its weighted variants; per-(query, term)
+    weights sum. Oracle builds the same weighted term list in SQL and runs
+    plain BM25 over it."""
+    from openmatch_spark.query import search_synonyms
+
+    idx = _entry_index(spark, sf_dir)
+    run = search_synonyms(idx, _queries_df(spark), SYNONYMS, k=10)
+    return run.select(
+        "query_id",
+        F.regexp_replace("doc_id", "^doc://", "").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+        "rank",
+    )
+
+
+def q_search_after(spark, sf_dir):
+    """Deep pagination: page 2 (k=5 after page-1 cursors) must equal ranks
+    6..10 of the deep run. The engine restricts candidates inside the
+    per-shard kernels (cursor-aware top-k) — the oracle just slices the
+    full window, which the engine never materializes."""
+    from openmatch_spark.query import page_cursors, search_after
+
+    idx = _entry_index(spark, sf_dir)
+    q = _queries_df(spark)
+    p1 = search_after(idx, q, None, k=5)
+    p2 = search_after(idx, q, page_cursors(p1), k=5)
+    return p2.select(
+        "query_id",
+        F.regexp_replace("doc_id", "^doc://", "").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+        "rank",
+    )
+
+
+def q_filtered_search(spark, sf_dir):
+    """Attribute-filtered BM25 (Lucene filter context): only lang='en' docs
+    compete for the top-k, but idf/avgdl stay corpus-wide, so each hit's
+    score is bit-identical to its unfiltered score. Routed by selectivity
+    (keep-mask here); the three routes are pytest-proven identical."""
+    from openmatch_spark.query import search_filtered
+
+    idx = _entry_index(spark, sf_dir)
+    allowed = (
+        _docs(spark, sf_dir)
+        .where(F.col("lang") == "en")
+        .select(F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("doc_id"))
+    )
+    run = search_filtered(idx, _queries_df(spark), allowed, k=10)
     return run.select(
         "query_id",
         F.regexp_replace("doc_id", "^doc://", "").alias("doc_id"),
@@ -2127,6 +2313,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qld_topk_indexed": q_qld_topk_indexed,
         "fuzzy_search": q_fuzzy_search,
         "prefix_search": q_prefix_search,
+        "wildcard_search": q_wildcard_search,
+        "synonym_search": q_synonym_search,
+        "search_after": q_search_after,
+        "filtered_search": q_filtered_search,
         "bm25_boolean": q_bm25_boolean,
         "phrase_search": q_phrase_search,
         "proximity_search": q_proximity_search,
@@ -2210,6 +2400,10 @@ def oracle_sql() -> dict[str, str]:
     sql["qld_topk_indexed"] = _QLD_SQL
     sql["fuzzy_search"] = _FUZZY_SQL
     sql["prefix_search"] = _PREFIX_SQL
+    sql["wildcard_search"] = _WILDCARD_SQL
+    sql["synonym_search"] = _SYNONYM_SQL
+    sql["search_after"] = _SEARCH_AFTER_SQL
+    sql["filtered_search"] = _FILTERED_SQL
     sql["bm25_boolean"] = _BM25_BOOLEAN_SQL
     sql["phrase_search"] = _PHRASE_SQL
     sql["proximity_search"] = _PROXIMITY_SQL

@@ -1,6 +1,14 @@
 from openmatch_spark.query.bm25_search import search, search_terms  # noqa: F401
 from openmatch_spark.query.boolean import search_boolean  # noqa: F401
-from openmatch_spark.query.expand import search_fuzzy, search_prefix  # noqa: F401
+from openmatch_spark.query.expand import (  # noqa: F401
+    search_fuzzy,
+    search_prefix,
+    search_synonyms,
+    search_wildcard,
+    wildcard_to_like,
+)
+from openmatch_spark.query.filtered import search_filtered  # noqa: F401
+from openmatch_spark.query.paging import page_cursors, search_after  # noqa: F401
 from openmatch_spark.query.phrase import search_phrase, search_proximity  # noqa: F401
 from openmatch_spark.query.bm25f import bm25f_score_adhoc  # noqa: F401
 from openmatch_spark.query.rm3 import rm3_rescore_adhoc  # noqa: F401

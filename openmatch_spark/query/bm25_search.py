@@ -243,6 +243,8 @@ def _score_group(
 def _batch_partials(
     pruned: DataFrame, matched: list, k: int, num_shards: int,
     dead_map: dict | None = None,
+    cursor_scores: dict | None = None,
+    keep_map: dict | None = None,
 ) -> DataFrame:
     """Batch scatter-gather mode: one pass over each matched posting block.
 
@@ -263,6 +265,16 @@ def _batch_partials(
     fanout: dict[str, list[tuple[int, float]]] = {}
     for q, t, c, _ in matched:
         fanout.setdefault(t, []).append((qidx[q], c))
+    # per-query search_after cursor score (query/paging.py): NaN = no cursor.
+    # The kernel restricts candidates to score <= cursor and emits ALL docs
+    # tied AT the cursor score (any of them may survive the exact
+    # (score, doc_id) cursor predicate applied after the docmap join) plus
+    # the deterministic top-k of the strictly-below set.
+    cur = np.full(len(qids), np.nan)
+    if cursor_scores:
+        for q, cs in cursor_scores.items():
+            if q in qidx:
+                cur[qidx[q]] = cs
 
     def kernel(batches):
         buf: dict[int, dict[str, list]] = {}  # shard -> term -> [(ords, w)]
@@ -272,70 +284,14 @@ def _batch_partials(
             ):
                 buf.setdefault(int(shard), {}).setdefault(term, []).append((docs, scores))
         for shard, terms in buf.items():
-            acc: dict[int, tuple[np.ndarray, np.ndarray]] = {}
-            max_ord = 0
-            decoded = {}
             dead = dead_map.get(shard) if dead_map else None
-            for term in sorted(terms):
-                pairs = [
-                    (decode_postings(d), np.frombuffer(s, dtype=np.float64))
-                    for d, s in terms[term]
-                ]
-                o = np.concatenate([p[0] for p in pairs])
-                w = np.concatenate([p[1] for p in pairs])
-                # live-docs mask at decode time: a tombstoned doc must not
-                # enter the candidate set (it would consume a top-k slot)
-                if dead is not None and dead.size and o.size:
-                    keep = ~np.isin(o, dead)
-                    o, w = o[keep], w[keep]
-                order = np.argsort(o, kind="stable")
-                decoded[term] = (o[order], w[order])
-                max_ord = max(max_ord, int(o.max()) if o.size else 0)
-            touched = np.zeros(max_ord + 1, dtype=bool)
-            for term in decoded:
-                touched[decoded[term][0]] = True
-            cand = np.flatnonzero(touched)
-            if not cand.size:
+            allowed = keep_map.get(shard) if keep_map is not None else None
+            if keep_map is not None and allowed is None:
+                # a keep-map with no entry for this shard allows NOTHING
                 continue
-            # bound accumulator memory: chunk queries so the dense matrix
-            # stays under ~1 GiB regardless of shard size
-            chunk = max(1, int(128e6 // (max_ord + 1)))
-            out = {"query_id": [], "shard": [], "doc_ord": [], "score": []}
-            for q0 in range(0, len(qids), chunk):
-                qs = range(q0, min(q0 + chunk, len(qids)))
-                dense = np.zeros((len(qs), max_ord + 1), dtype=np.float64)
-                for term in sorted(decoded):
-                    o, w = decoded[term]
-                    for qi, qtf in fanout[term]:
-                        if q0 <= qi < q0 + chunk:
-                            dense[qi - q0, o] += qtf * w
-                for row, qi in enumerate(qs):
-                    s = dense[row, cand]
-                    nz = np.flatnonzero(s > 0)
-                    if not nz.size:
-                        continue
-                    kk = min(k, nz.size)
-                    if nz.size > kk:
-                        # argpartition alone picks ARBITRARY members of a
-                        # score tie; the deterministic contract is
-                        # (score DESC, doc_ord ASC), so fill the boundary
-                        # tie with the smallest ords explicitly
-                        part = np.argpartition(-s[nz], kk - 1)
-                        thresh = s[nz[part[kk - 1]]]
-                        above = nz[s[nz] > thresh]
-                        tied = nz[s[nz] == thresh]
-                        need = kk - above.size
-                        tied = tied[np.argsort(cand[tied])][:need]
-                        sel = np.concatenate([above, tied])
-                    else:
-                        sel = nz
-                    order = np.lexsort((cand[sel], -s[sel]))
-                    sel = sel[order][:k]
-                    out["query_id"].extend([qids[qi]] * len(sel))
-                    out["shard"].extend([shard] * len(sel))
-                    out["doc_ord"].extend(cand[sel].tolist())
-                    out["score"].extend(s[sel].tolist())
-            yield pd.DataFrame(out)
+            out = _shard_topk(shard, terms, qids, fanout, k, dead, allowed, cur)
+            if out is not None:
+                yield out
 
     # per-shard accumulation needs every block of a shard in one partition;
     # explicit N (not repartition("shard") alone) stops AQE from coalescing
@@ -346,6 +302,91 @@ def _batch_partials(
         .repartition(n_parts, "shard")
         .mapInPandas(kernel, _KERNEL_OUT)
     )
+
+
+def _shard_topk(shard, terms, qids, fanout, k, dead, allowed, cur):
+    """One shard's canonical accumulate + deterministic top-k: terms is
+    {term: [(docs_bytes, scores_bytes)]}. Shared by the batch kernel and the
+    cogrouped filtered kernel (query/filtered.py) — byte-identical math in
+    both plans. Returns a pandas frame in _KERNEL_OUT shape, or None."""
+    max_ord = 0
+    decoded = {}
+    for term in sorted(terms):
+        pairs = [
+            (decode_postings(d), np.frombuffer(s, dtype=np.float64))
+            for d, s in terms[term]
+        ]
+        o = np.concatenate([p[0] for p in pairs])
+        w = np.concatenate([p[1] for p in pairs])
+        # live-docs mask at decode time: a tombstoned doc must not
+        # enter the candidate set (it would consume a top-k slot)
+        if dead is not None and dead.size and o.size:
+            keep = ~np.isin(o, dead)
+            o, w = o[keep], w[keep]
+        # attribute-filter allow mask (query/filtered.py): same
+        # decode-time placement — a filtered-out doc must never
+        # consume a top-k slot
+        if allowed is not None and o.size:
+            keep = np.isin(o, allowed)
+            o, w = o[keep], w[keep]
+        order = np.argsort(o, kind="stable")
+        decoded[term] = (o[order], w[order])
+        max_ord = max(max_ord, int(o.max()) if o.size else 0)
+    touched = np.zeros(max_ord + 1, dtype=bool)
+    for term in decoded:
+        touched[decoded[term][0]] = True
+    cand = np.flatnonzero(touched)
+    if not cand.size:
+        return None
+    # bound accumulator memory: chunk queries so the dense matrix
+    # stays under ~1 GiB regardless of shard size
+    chunk = max(1, int(128e6 // (max_ord + 1)))
+    out = {"query_id": [], "shard": [], "doc_ord": [], "score": []}
+    for q0 in range(0, len(qids), chunk):
+        qs = range(q0, min(q0 + chunk, len(qids)))
+        dense = np.zeros((len(qs), max_ord + 1), dtype=np.float64)
+        for term in sorted(decoded):
+            o, w = decoded[term]
+            for qi, qtf in fanout[term]:
+                if q0 <= qi < q0 + chunk:
+                    dense[qi - q0, o] += qtf * w
+        for row, qi in enumerate(qs):
+            s = dense[row, cand]
+            nz = np.flatnonzero(s > 0)
+            eq = None
+            cs = cur[qi]
+            if not np.isnan(cs):
+                # search_after: page candidates are strictly below
+                # the cursor score, plus every doc TIED at it (the
+                # exact doc_id tie-break runs post-docmap-join)
+                eq = nz[s[nz] == cs]
+                nz = nz[s[nz] < cs]
+            if not nz.size and (eq is None or not eq.size):
+                continue
+            kk = min(k, nz.size)
+            if nz.size > kk:
+                # argpartition alone picks ARBITRARY members of a
+                # score tie; the deterministic contract is
+                # (score DESC, doc_ord ASC), so fill the boundary
+                # tie with the smallest ords explicitly
+                part = np.argpartition(-s[nz], kk - 1)
+                thresh = s[nz[part[kk - 1]]]
+                above = nz[s[nz] > thresh]
+                tied = nz[s[nz] == thresh]
+                need = kk - above.size
+                tied = tied[np.argsort(cand[tied])][:need]
+                sel = np.concatenate([above, tied])
+            else:
+                sel = nz
+            order = np.lexsort((cand[sel], -s[sel]))
+            sel = sel[order][:k]
+            if eq is not None and eq.size:
+                sel = np.concatenate([eq[np.argsort(cand[eq])], sel])
+            out["query_id"].extend([qids[qi]] * len(sel))
+            out["shard"].extend([shard] * len(sel))
+            out["doc_ord"].extend(cand[sel].tolist())
+            out["score"].extend(s[sel].tolist())
+    return pd.DataFrame(out)
 
 
 def search(
@@ -379,12 +420,27 @@ def search_terms(
     k: int = 100,
     mode: str = "batch",
     remove_identical: bool = False,
+    cursors: dict | None = None,
+    keep_map: dict | None = None,
 ) -> DataFrame:
     """Top-k run over an explicit weighted-term list — the shared engine
     behind search() and the term-expansion surfaces (query/expand.py fuzzy
     and prefix search): matched is [(query_id, term, weight, term_bucket)]
     with in-vocabulary terms; weight generalizes qtf (expansion surfaces
-    pass fractional per-variant weights, e.g. qtf/(1+edit_distance))."""
+    pass fractional per-variant weights, e.g. qtf/(1+edit_distance)).
+
+    cursors (query/paging.py search_after): {query_id: (score, doc_id)} —
+    only hits strictly after the cursor in the total (score DESC, doc_id
+    ASC) order compete for the page's top-k; queries absent from the dict
+    get page 1. Batch mode only (the per-shard pass is exhaustive, so the
+    cursor restriction is exact; the pruned kernels would need
+    cursor-aware thresholds).
+
+    keep_map (query/filtered.py): {shard: sorted int64 ord array} allow
+    mask applied at decode time, the same placement as the tombstone mask —
+    a masked-out doc never consumes a top-k slot. A shard with no entry
+    allows nothing.
+    """
     spark = index.spark
     if not matched:
         return spark.createDataFrame(
@@ -405,8 +461,18 @@ def search_terms(
     # {shard -> sorted ord array} shipped in the kernel closures — the
     # Lucene liveDocs contract. {} (no deletes) costs nothing per row.
     dead_map = index.deleted_ords() or None
+    if cursors and mode != "batch":
+        raise ValueError("search_after cursors require mode='batch'")
+    if keep_map is not None and mode != "batch":
+        raise ValueError("attribute filtering requires mode='batch'")
     if mode == "batch":
-        partial = _batch_partials(pruned, matched, k, n_segments, dead_map)
+        cursor_scores = (
+            {q: float(s) for q, (s, _) in cursors.items()} if cursors else None
+        )
+        partial = _batch_partials(
+            pruned, matched, k, n_segments, dead_map,
+            cursor_scores=cursor_scores, keep_map=keep_map,
+        )
     else:
         qt_small = spark.createDataFrame(
             [(q, t, c) for (q, t, c, _) in matched],
@@ -434,6 +500,12 @@ def search_terms(
     # skip it (identical results either way; the final window re-ranks).
     n_queries = len({q for (q, _, _, _) in matched})
     bound = n_queries * n_segments * k
+    if cursors:
+        # the rank() pre-cut keeps the k best BY SCORE; with a cursor the
+        # ties AT the cursor score may all be eliminated by the doc_id
+        # predicate below, so the cut could starve the page — skip it
+        # (paging batches are interactive-sized; the bound stays tiny)
+        bound = 0
     if bound > 200_000:
         pre_w = Window.partitionBy("query_id").orderBy(F.desc("score"))
         cut = (
@@ -448,6 +520,25 @@ def search_terms(
     hits = index.docmap.select("shard", "doc_ord", "doc_id").join(
         F.broadcast(cut), ["shard", "doc_ord"]
     )
+    if cursors:
+        # exact search_after predicate in the total (score DESC, doc_id ASC)
+        # order: strictly lower score, or tied score with a later doc_id
+        cur_df = spark.createDataFrame(
+            [(q, float(s), str(d)) for q, (s, d) in cursors.items()],
+            "query_id string, cur_score double, cur_doc string",
+        )
+        hits = (
+            hits.join(F.broadcast(cur_df), "query_id", "left")
+            .where(
+                F.col("cur_score").isNull()
+                | (F.col("score") < F.col("cur_score"))
+                | (
+                    (F.col("score") == F.col("cur_score"))
+                    & (F.col("doc_id") > F.col("cur_doc"))
+                )
+            )
+            .drop("cur_score", "cur_doc")
+        )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     run = (
         hits.withColumn("rank", F.row_number().over(w))

@@ -86,6 +86,10 @@ def _expansions(
             )
             .withColumn("ed", F.levenshtein("term", "qterm"))
         )
+    elif kind == "wildcard":
+        # qterm arrives already translated to SQL LIKE (* -> %, ? -> _,
+        # literal %/_/\ escaped); Spark's default LIKE escape is backslash
+        cand = d.join(qt, F.expr("term LIKE qterm")).withColumn("ed", F.lit(0))
     else:  # prefix
         cand = d.join(qt, F.col("term").startswith(F.col("qterm"))).withColumn(
             "ed", F.lit(0)
@@ -163,3 +167,125 @@ def search_prefix(
         index, sorted({t for (_, t, _) in qtoks}), "prefix", 0, 0, max_expansions
     )
     return search_terms(index, _weighted_matched(qtoks, by_tok), k=k, mode=mode)
+
+
+def wildcard_to_like(pattern: str) -> str:
+    """Lucene wildcard syntax -> SQL LIKE: ``*`` = any run, ``?`` = one char.
+    Literal ``%``/``_``/``\\`` in the pattern are escaped with backslash
+    (Spark's default LIKE escape char) — they never occur in analyzer output,
+    so this is purely defensive."""
+    out = []
+    for ch in pattern:
+        if ch == "*":
+            out.append("%")
+        elif ch == "?":
+            out.append("_")
+        elif ch in ("%", "_", "\\"):
+            out.append("\\" + ch)
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def _wildcard_tokens(index: BM25Index, queries: DataFrame) -> list:
+    """[(query_id, like_pattern, qtf)] — wildcard queries can NOT go through
+    the analyzer (it would strip ``*``/``?``), so tokenization is
+    whitespace-split + lowercase + keep only [a-z0-9*?], the wildcard-
+    preserving restriction of the ``simple`` analyzer."""
+    import re as _re
+    from collections import Counter
+
+    out = []
+    for r in queries.select(
+        F.col("query_id").cast("string").alias("query_id"), "text"
+    ).collect():
+        toks = [
+            _re.sub(r"[^a-z0-9*?]+", "", t)
+            for t in (r["text"] or "").lower().split()
+        ]
+        c = Counter(wildcard_to_like(t) for t in toks if t)
+        for pat, n in sorted(c.items()):
+            out.append((r["query_id"], pat, float(n)))
+    return out
+
+
+def search_wildcard(
+    index: BM25Index,
+    queries: DataFrame,
+    k: int = 100,
+    max_expansions: int = 50,
+    mode: str = "batch",
+) -> DataFrame:
+    """Wildcard top-k run (Lucene WildcardQuery): each query token is a
+    pattern (``*`` any run, ``?`` one char) matched against the vocabulary
+    with SQL LIKE, capped at max_expansions by (df DESC, term ASC); variants
+    score as plain BM25 terms with the pattern's qtf. A token with no
+    wildcard degenerates to exact term lookup (LIKE without metachars).
+
+    Scale note: like Lucene's leading-wildcard caveat, a pattern starting
+    with ``*``/``?`` cannot prune the dictionary scan — it is still ONE
+    column-pruned vocabulary pass (bounded by vocab size, not corpus), but a
+    trailing-only wildcard keeps the scan range-prunable by the dictionary's
+    term sort order."""
+    qtoks = _wildcard_tokens(index, queries)
+    if not qtoks:
+        return index.spark.createDataFrame([], EMPTY_RUN)
+    by_tok = _expansions(
+        index, sorted({t for (_, t, _) in qtoks}), "wildcard", 0, 0, max_expansions
+    )
+    return search_terms(index, _weighted_matched(qtoks, by_tok), k=k, mode=mode)
+
+
+def search_synonyms(
+    index: BM25Index,
+    queries: DataFrame,
+    synonyms,
+    k: int = 100,
+    include_original: bool = True,
+    mode: str = "batch",
+) -> DataFrame:
+    """Synonym-expanded top-k run (Lucene SynonymQuery / analysis-chain
+    synonym graph, applied query-side): every analyzed query token also
+    matches its synonym variants, each weighted qtf x weight; weights for
+    the same (query, term) sum (a variant reachable from two query tokens
+    accumulates both, the engine's standard qtf-merge rule).
+
+    ``synonyms`` is a DataFrame(term, variant, weight double) or a list of
+    (term, variant, weight) tuples. The mapping is directional — supply both
+    directions for an equivalence. Only rows whose ``term`` appears in the
+    query batch are ever materialized driver-side, so a corpus-scale synonym
+    table stays a pruned scan (the collect is bounded by query vocabulary x
+    fan-out, same bound as the fuzzy/prefix caps).
+    """
+    spark = index.spark
+    qtoks = _query_tokens(index, queries)
+    if not qtoks:
+        return spark.createDataFrame([], EMPTY_RUN)
+    toks = sorted({t for (_, t, _) in qtoks})
+    if isinstance(synonyms, DataFrame):
+        rows = (
+            synonyms.where(F.col("term").isin(toks))
+            .select("term", "variant", F.col("weight").cast("double"))
+            .collect()
+        )
+        syn = [(r["term"], r["variant"], float(r["weight"])) for r in rows]
+    else:
+        syn = [(t, v, float(w)) for (t, v, w) in synonyms if t in set(toks)]
+    fan: dict[str, list] = {}
+    for t, v, w in syn:
+        fan.setdefault(t, []).append((v, w))
+    # accumulate (query, term) -> weight, then one vocabulary lookup for the
+    # union term set (OOV originals AND OOV variants drop out there)
+    acc: dict[tuple[str, str], float] = {}
+    for qid, tok, qtf in qtoks:
+        if include_original:
+            acc[(qid, tok)] = acc.get((qid, tok), 0.0) + qtf
+        for v, w in fan.get(tok, []):
+            acc[(qid, v)] = acc.get((qid, v), 0.0) + qtf * w
+    bucket_of = index.term_buckets(sorted({t for (_, t) in acc}))
+    matched = [
+        (qid, t, wgt, bucket_of[t])
+        for (qid, t), wgt in sorted(acc.items())
+        if t in bucket_of
+    ]
+    return search_terms(index, matched, k=k, mode=mode)

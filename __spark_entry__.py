@@ -438,6 +438,61 @@ FROM frun WHERE rank <= 10
 """
 
 
+# passage-chunked MaxP oracle (operators/chunking.py): overlapping token
+# windows (size 16, stride 8) form a passage corpus with ITS OWN statistics
+# (N = #passages, passage avgdl); BM25 ranks passages, each doc scores as
+# the max over its passages (Dai & Callan MaxP), deterministic final rank.
+PASSAGE_SIZE, PASSAGE_STRIDE = 16, 8
+_PASSAGE_MAXP_SQL = f"""
+WITH base AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM documents
+),
+starts AS (
+  SELECT doc_id, toks, gs.s
+  FROM base, UNNEST(generate_series(0, len(toks) - 1, {PASSAGE_STRIDE})) AS gs(s)
+  WHERE len(toks) > 0
+),
+ptok AS (
+  SELECT doc_id || '#' || CAST(s // {PASSAGE_STRIDE} AS VARCHAR) AS pid,
+         doc_id AS parent, t.term
+  FROM starts, UNNEST(list_slice(toks, s + 1, s + {PASSAGE_SIZE})) AS t(term)
+),
+ptf AS (SELECT pid, parent, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM ptok GROUP BY pid, parent, term),
+pdl AS (SELECT pid, CAST(COUNT(*) AS DOUBLE) AS doclen FROM ptok GROUP BY pid),
+pg AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(doclen) AS avgdl FROM pdl),
+pdf AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM ptf GROUP BY term),
+pq(query_id, text) AS (VALUES {_Q_VALUES}),
+pqtok AS (
+  SELECT pq.query_id, t.term
+  FROM pq, UNNEST(regexp_split_to_array(lower(pq.text), '[^a-z0-9]+')) AS t(term)
+  WHERE t.term <> ''
+),
+pqt AS (SELECT query_id, term, CAST(COUNT(*) AS DOUBLE) AS qtf FROM pqtok GROUP BY query_id, term),
+scoredp AS (
+  SELECT pqt.query_id, ptf.pid, ptf.parent,
+         SUM(pqt.qtf
+             * ln(1 + (pg.n_docs - pdf.df + 0.5) / (pdf.df + 0.5))
+             * ptf.tf / (ptf.tf + {K1} * (1 - {B} + {B} * pdl.doclen / pg.avgdl))) AS score
+  FROM ptf
+  JOIN pqt ON pqt.term = ptf.term
+  JOIN pdl ON pdl.pid = ptf.pid
+  JOIN pdf ON pdf.term = ptf.term
+  CROSS JOIN pg
+  GROUP BY pqt.query_id, ptf.pid, ptf.parent
+),
+maxp AS (SELECT query_id, parent AS doc_id, ROUND(MAX(score), 6) AS score FROM scoredp GROUP BY query_id, parent),
+prun AS (
+  SELECT query_id, doc_id, score,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
+  FROM maxp
+)
+SELECT query_id, doc_id, score, rank
+FROM prun WHERE rank <= 10
+"""
+
+
 # Dirichlet query-likelihood oracle (functions/bm25.py qld_weight_col):
 # per matched (term, doc), w = max(0, ln(1 + tf/(mu*cf/|C|)) + ln(mu/(dl+mu)));
 # zero-clamped contributions are dropped (the indexed path carries no posting
@@ -1339,6 +1394,29 @@ def q_filtered_search(spark, sf_dir):
         F.round("score", 6).alias("score"),
         "rank",
     )
+
+
+def q_passage_maxp(spark, sf_dir):
+    """Passage-chunked document ranking (Dai & Callan MaxP): docs split into
+    overlapping token windows (operators/chunking.py, pure column algebra),
+    BM25 ranks the PASSAGE corpus (its own N/avgdl/df), each doc scores as
+    the max over its passages. Oracle rebuilds chunking with
+    generate_series + list_slice and the same two-stage ranking."""
+    from openmatch_spark.operators import chunk_passages, score_aggregate
+    from openmatch_spark.query.bm25_df import bm25_score_adhoc
+
+    passages = chunk_passages(
+        _docs(spark, sf_dir), size=PASSAGE_SIZE, stride=PASSAGE_STRIDE,
+        analyzer="simple",
+    )
+    prun = bm25_score_adhoc(
+        passages.select(F.col("passage_id").alias("doc_id"), "text"),
+        _queries_df(spark), k=1_000_000, analyzer="simple",
+    )
+    # rank on the ROUNDED score: overlapping windows make exact cross-doc
+    # ties common, and unrounded ulps would decide ranks engine-dependently
+    doc_run = score_aggregate(prun, k=10, agg="max", round_to=6)
+    return doc_run.select("query_id", "doc_id", "score", "rank")
 
 
 def q_bm25_boolean(spark, sf_dir):
@@ -2317,6 +2395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "synonym_search": q_synonym_search,
         "search_after": q_search_after,
         "filtered_search": q_filtered_search,
+        "passage_maxp": q_passage_maxp,
         "bm25_boolean": q_bm25_boolean,
         "phrase_search": q_phrase_search,
         "proximity_search": q_proximity_search,
@@ -2404,6 +2483,7 @@ def oracle_sql() -> dict[str, str]:
     sql["synonym_search"] = _SYNONYM_SQL
     sql["search_after"] = _SEARCH_AFTER_SQL
     sql["filtered_search"] = _FILTERED_SQL
+    sql["passage_maxp"] = _PASSAGE_MAXP_SQL
     sql["bm25_boolean"] = _BM25_BOOLEAN_SQL
     sql["phrase_search"] = _PHRASE_SQL
     sql["proximity_search"] = _PROXIMITY_SQL

@@ -28,5 +28,9 @@ from openmatch_spark.operators.boilerplate import (  # noqa: F401
     remove_boilerplate_lines,
 )
 from openmatch_spark.operators.snippets import extract_snippets  # noqa: F401
+from openmatch_spark.operators.chunking import (  # noqa: F401
+    chunk_passages,
+    score_aggregate,
+)
 from openmatch_spark.operators.facets import facet_counts  # noqa: F401
 from openmatch_spark.operators.fusion import reciprocal_rank_fusion  # noqa: F401

@@ -47,8 +47,9 @@ def test_table_mode_equals_path_mode(spark, pages, queries, tmp_path_factory):
         )
         from openmatch_spark.index.storage import KINDS
         for kind in KINDS:
-            if kind == "positions":
-                # optional sidecar: build_index does NOT create it
+            if kind in ("positions", "deletes"):
+                # optional sidecars: build_index does NOT create them
+                # (positions via build_positions, deletes via delete_docs)
                 assert not spark.catalog.tableExists(f"{prefix}_{kind}")
                 continue
             assert spark.catalog.tableExists(f"{prefix}_{kind}")
@@ -71,6 +72,16 @@ def test_table_mode_equals_path_mode(spark, pages, queries, tmp_path_factory):
         hits.count()  # executes the positional plan against catalog tables
         IndexStorage.resolve(spark, d_tbl, table_prefix=prefix).drop("positions")
         assert not spark.catalog.tableExists(f"{prefix}_positions")
+        # deletes sidecar works in table mode too: tombstone one hit and
+        # confirm it leaves the run while the catalog table appears
+        from openmatch_spark.index import delete_docs
+
+        victim = run_tbl[0][1]  # (query_id, doc_id, score, rank) ordering
+        delete_docs(spark, d_tbl, [victim], table_prefix=prefix)
+        assert spark.catalog.tableExists(f"{prefix}_deletes")
+        idx = load_index(spark, d_tbl, table_prefix=prefix)
+        run_del = _run_rows(search(idx, queries, k=5))
+        assert victim not in {r[1] for r in run_del}
     finally:
         from openmatch_spark.index.storage import KINDS as _K
         for kind in _K:

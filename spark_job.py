@@ -143,7 +143,14 @@ def cmd_report(args) -> int:
 def cmd_search(args) -> int:
     from openmatch_spark.index import load_index
     from openmatch_spark.operators.runio import save_as_trec
-    from openmatch_spark.query import search, search_phrase, search_proximity
+    from openmatch_spark.query import (
+        search,
+        search_filtered,
+        search_fuzzy,
+        search_phrase,
+        search_proximity,
+        search_wildcard,
+    )
 
     spark = _spark("om-search")
     idx = load_index(spark, args.index, table_prefix=args.table_prefix)
@@ -156,25 +163,37 @@ def cmd_search(args) -> int:
             .csv(args.queries)
         )
     if args.phrase:
+        mode = "phrase"
         run = search_phrase(idx, queries, k=args.k).drop("phrase_freq")
     elif args.proximity is not None:
+        mode = f"proximity:{args.proximity}"
         run = search_proximity(idx, queries, within=args.proximity, k=args.k).drop(
             "min_cover"
         )
+    elif args.wildcard:
+        mode = "wildcard"
+        run = search_wildcard(idx, queries, k=args.k)
+    elif args.fuzzy:
+        mode = "fuzzy"
+        run = search_fuzzy(idx, queries, k=args.k)
+    elif args.allowed_docs:
+        # attribute-filtered: any parquet/TSV with a doc_id column restricts
+        # the candidate set (statistics stay corpus-wide)
+        mode = "filtered"
+        if args.allowed_docs.endswith(".parquet"):
+            allowed = spark.read.parquet(args.allowed_docs)
+        else:
+            allowed = (
+                spark.read.option("sep", "\t")
+                .schema("doc_id string")
+                .csv(args.allowed_docs)
+            )
+        run = search_filtered(idx, queries, allowed, k=args.k)
     else:
+        mode = args.mode
         run = search(idx, queries, k=args.k, mode=args.mode)
     save_as_trec(run, args.out, run_id=args.run_id)
-    print(
-        json.dumps(
-            {
-                "out": args.out,
-                "k": args.k,
-                "mode": "phrase" if args.phrase
-                else f"proximity:{args.proximity}" if args.proximity is not None
-                else args.mode,
-            }
-        )
-    )
+    print(json.dumps({"out": args.out, "k": args.k, "mode": mode}))
     return 0
 
 
@@ -325,6 +344,12 @@ def main(argv=None) -> int:
                     help="exact-phrase search over the positional sidecar")
     se.add_argument("--proximity", type=int, default=None, metavar="WITHIN",
                     help="unordered proximity search: all terms within N tokens")
+    se.add_argument("--wildcard", action="store_true",
+                    help="query tokens are wildcard patterns (* any run, ? one char)")
+    se.add_argument("--fuzzy", action="store_true",
+                    help="fuzzy term match within 1 edit (same first char)")
+    se.add_argument("--allowed-docs", default=None, metavar="PATH",
+                    help="parquet/TSV doc_id list restricting the candidate set")
     se.add_argument("--run-id", default="openmatch_spark")
     se.add_argument("--table-prefix", default=None)
     se.set_defaults(fn=cmd_search)

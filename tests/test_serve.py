@@ -1,0 +1,75 @@
+"""Streaming query serving (streaming/serve.py): stream-vs-batch identity
+and exactly-once across restarts."""
+
+import os
+
+import pytest
+
+from openmatch_spark.fixtures import PAGES_SCHEMA, QUERIES_SCHEMA, gen_pages_rows
+from openmatch_spark.index import build_index, load_index
+from openmatch_spark.query import search
+from openmatch_spark.streaming import serve_queries
+
+
+@pytest.fixture(scope="module")
+def idx(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("serve") / "idx")
+    pages = spark.createDataFrame(gen_pages_rows(150), PAGES_SCHEMA)
+    build_index(spark, pages, d, analyzer="simple", num_shards=2, num_term_buckets=4)
+    return load_index(spark, d)
+
+
+def _rows(df):
+    return sorted(
+        (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+        for r in df.collect()
+    )
+
+
+def test_served_stream_equals_batch_search(spark, idx, tmp_path):
+    src = str(tmp_path / "qsrc")
+    out = str(tmp_path / "runs")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    q1 = [("q1", "term0001 term0002"), ("q2", "term0005")]
+    q2 = [("q3", "term0003"), ("q4", "nosuchterm")]
+    spark.createDataFrame(q1, QUERIES_SCHEMA).write.parquet(src + "/b1")
+    spark.createDataFrame(q2, QUERIES_SCHEMA).write.parquet(src + "/b2")
+
+    stream = spark.readStream.schema("query_id string, text string").parquet(src + "/*")
+    serve_queries(idx, stream, out, ckpt, k=5).awaitTermination()
+
+    served = spark.read.parquet(out)
+    assert "batch_id" in served.columns
+    batch = search(idx, spark.createDataFrame(q1 + q2, QUERIES_SCHEMA), k=5)
+    assert _rows(served.drop("batch_id")) == _rows(batch)
+
+
+def test_served_restart_processes_only_new_queries(spark, idx, tmp_path):
+    src = str(tmp_path / "qsrc")
+    out = str(tmp_path / "runs")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [("q1", "term0001")], QUERIES_SCHEMA
+    ).write.parquet(src + "/b1")
+    stream = spark.readStream.schema("query_id string, text string").parquet(src + "/*")
+    serve_queries(idx, stream, out, ckpt, k=3).awaitTermination()
+    first = _rows(spark.read.parquet(out).drop("batch_id"))
+    assert first and all(q == "q1" for q, *_ in first)
+
+    # second drain with the SAME checkpoint: only the new file is read,
+    # prior results are untouched (no duplication, no reprocessing)
+    spark.createDataFrame(
+        [("q9", "term0002")], QUERIES_SCHEMA
+    ).write.parquet(src + "/b2")
+    stream = spark.readStream.schema("query_id string, text string").parquet(src + "/*")
+    serve_queries(idx, stream, out, ckpt, k=3).awaitTermination()
+    both = _rows(spark.read.parquet(out).drop("batch_id"))
+    assert [r for r in both if r[0] == "q1"] == first
+    assert any(q == "q9" for q, *_ in both)
+    expected = search(
+        idx, spark.createDataFrame([("q1", "term0001"), ("q9", "term0002")],
+                                   QUERIES_SCHEMA), k=3
+    )
+    assert both == _rows(expected)

@@ -1068,6 +1068,142 @@ SELECT prefix, term, df, rank FROM (
 ) WHERE rank <= 5
 """.format(vals=", ".join(f"('{p}')" for p in SUGGEST_PREFIXES))
 
+# field collapsing: full scoring (exhaustive at check scale, engine
+# depth=5000 covers every match), best hit per (query, doc_id%37 'host'),
+# re-ranked to top-10 — the Lucene collapse contract.
+_COLLAPSED_SQL = f"""
+WITH {{ctes}},
+keyed AS (
+  SELECT query_id, doc_id, score,
+         'h' || CAST(CAST(doc_id AS BIGINT) % 37 AS VARCHAR) AS collapse_key
+  FROM scored
+),
+best AS (
+  SELECT query_id, doc_id, score, collapse_key,
+         ROW_NUMBER() OVER (PARTITION BY query_id, collapse_key
+                            ORDER BY score DESC, doc_id ASC) AS g
+  FROM keyed
+)
+SELECT query_id, doc_id, ROUND(score, 6) AS score, collapse_key, rank FROM (
+  SELECT query_id, doc_id, score, collapse_key,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
+  FROM best WHERE g = 1
+) WHERE rank <= 10
+"""
+
+# did-you-mean: vocabulary + df recomputed from the raw corpus; a token is
+# misspelled iff absent from the vocabulary (max_query_df=0); candidates
+# share the first character, differ by <=2 length and <=2 edits; top-3 by
+# (edits ASC, df DESC, term ASC) — DirectSpellChecker's total order.
+_SPELL_SQL = """
+WITH tok AS (
+  SELECT CAST(d.doc_id AS VARCHAR) AS doc_id, t.term
+  FROM documents d, UNNEST(regexp_split_to_array(lower(d.text), '[^a-z0-9]+')) AS t(term)
+  WHERE t.term <> ''
+),
+dfreq AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM tok GROUP BY term),
+sq(query_id, text) AS (VALUES {vals}),
+sqtok AS (
+  SELECT DISTINCT sq.query_id, t.term AS token
+  FROM sq, UNNEST(regexp_split_to_array(lower(sq.text), '[^a-z0-9]+')) AS t(term)
+  WHERE t.term <> ''
+),
+missp AS (
+  SELECT s.query_id, s.token FROM sqtok s
+  LEFT JOIN dfreq d ON d.term = s.token
+  WHERE COALESCE(d.df, 0) <= 0
+),
+cand AS (
+  SELECT m.token, d.term AS suggestion,
+         CAST(levenshtein(d.term, m.token) AS INTEGER) AS edits, d.df
+  FROM dfreq d
+  JOIN (SELECT DISTINCT token FROM missp) m
+    ON substr(d.term, 1, 1) = substr(m.token, 1, 1)
+   AND d.term <> m.token
+   AND abs(len(d.term) - len(m.token)) <= 2
+   AND levenshtein(d.term, m.token) <= 2
+),
+capped AS (
+  SELECT token, suggestion, edits, df,
+         CAST(ROW_NUMBER() OVER (PARTITION BY token
+                                 ORDER BY edits ASC, df DESC, suggestion ASC) AS INTEGER) AS sug_rank
+  FROM cand
+)
+SELECT m.query_id, m.token, c.suggestion, c.edits, c.df, c.sug_rank
+FROM missp m JOIN capped c ON c.token = m.token
+WHERE c.sug_rank <= 3
+"""
+
+# MoreLikeThis: per-seed interesting terms by ROUND(tf*idf, 9) under
+# min_tf=2 / min_df=2 / df<=0.5N gates, top-10 by (interest DESC, term
+# ASC); then the weighted-BM25 tail with the seed itself excluded.
+_MLT_SQL = f"""
+WITH {{prelude}},
+seedtf AS (
+  SELECT doc_id AS seed_id, term, tf FROM tf
+  WHERE doc_id IN ({{seed_ids}}) AND tf >= 2
+),
+interest AS (
+  SELECT s.seed_id, s.term,
+         ROUND(s.tf * ln(1 + (g.n_docs - d.df + 0.5) / (d.df + 0.5)), 9) AS wgt
+  FROM seedtf s
+  JOIN dfreq d ON d.term = s.term
+  CROSS JOIN g
+  WHERE d.df >= 2 AND d.df <= 1.0 * g.n_docs
+),
+wterms AS (
+  SELECT seed_id AS query_id, term, wgt FROM (
+    SELECT seed_id, term, wgt,
+           ROW_NUMBER() OVER (PARTITION BY seed_id ORDER BY wgt DESC, term ASC) AS r
+    FROM interest
+  ) WHERE r <= 10
+),
+wscored AS (
+  SELECT w.query_id, tf.doc_id,
+         SUM(w.wgt
+             * ln(1 + (g.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+             * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.doclen / g.avgdl))) AS score
+  FROM tf
+  JOIN wterms w ON w.term = tf.term AND tf.doc_id <> w.query_id
+  JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN dfreq ON dfreq.term = tf.term
+  CROSS JOIN g
+  GROUP BY w.query_id, tf.doc_id
+)
+SELECT query_id, doc_id, ROUND(score, 6) AS score, rank FROM (
+  SELECT query_id, doc_id, score,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
+  FROM wscored
+) WHERE rank <= 10
+"""
+
+# explain(): the per-term factor decomposition behind each top-3 hit;
+# score must equal the sum of the explained weights.
+_EXPLAIN_SQL = f"""
+WITH {{ctes}},
+parts AS (
+  SELECT qt.query_id, tf.doc_id, tf.term, qt.qtf, tf.tf, dfreq.df, dl.doclen,
+         ln(1 + (g.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5)) AS idf,
+         tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.doclen / g.avgdl)) AS tf_norm
+  FROM tf
+  JOIN qt ON qt.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN dfreq ON dfreq.term = tf.term
+  CROSS JOIN g
+),
+topk AS (
+  SELECT query_id, doc_id, score, CAST(rank AS INTEGER) AS rank
+  FROM run WHERE rank <= 3
+)
+SELECT p.query_id, p.doc_id, t.rank, ROUND(t.score, 6) AS score,
+       p.term, p.qtf, p.tf, p.df, p.doclen,
+       ROUND(p.idf, 6) AS idf, ROUND(p.tf_norm, 6) AS tf_norm,
+       ROUND(p.qtf * p.idf * p.tf_norm, 6) AS weight
+FROM parts p JOIN topk t ON t.query_id = p.query_id AND t.doc_id = p.doc_id
+"""
+
 _QRELS_CTE = f"""
 qi(query_id, qidx) AS (VALUES {_Q_IDX_VALUES}),
 qrels AS (
@@ -1582,6 +1718,100 @@ def q_suggest(spark, sf_dir):
 
     idx = _entry_index(spark, sf_dir)
     return suggest_terms(idx, SUGGEST_PREFIXES, k=5)
+
+
+def q_collapsed_search(spark, sf_dir):
+    """Field collapsing (Lucene/ES collapse): one best hit per (query,
+    collapse key), re-ranked to top-10. Key = a synthetic 'host' derived
+    from doc_id (doc_id % 37) so key crowding is real; depth=5000 makes the
+    collapse exhaustive at check scale, so the full-scoring oracle replica
+    is exact."""
+    from openmatch_spark.query import search_collapsed
+
+    idx = _entry_index(spark, sf_dir)
+    raw_id = F.regexp_replace("doc_id", "^doc://", "")
+    key = F.concat(
+        F.lit("h"), (raw_id.cast("bigint") % 37).cast("string")
+    )
+    run = search_collapsed(idx, _queries_df(spark), key, k=10, depth=5000)
+    return run.select(
+        "query_id",
+        F.regexp_replace("doc_id", "^doc://", "").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+        "collapse_key",
+        "rank",
+    )
+
+
+SPELL_QUERIES = [
+    ("s1", "batcx table"),      # 1-edit typo + in-vocabulary term (no row)
+    ("s2", "custmer qeury"),    # deletion typo + transposition (2 edits)
+    ("s3", "vektor zzznope"),   # substitution typo + no candidate
+]
+
+
+def q_spell_suggest(spark, sf_dir):
+    """Did-you-mean: top-3 dictionary corrections per misspelled query
+    token (df == 0 as typed), ranked (edits ASC, df DESC, term ASC) —
+    Lucene DirectSpellChecker semantics. Oracle recomputes the vocabulary
+    and df from the raw corpus and replays the same candidate gates with
+    DuckDB's levenshtein."""
+    from openmatch_spark.query import suggest_spelling
+
+    idx = _entry_index(spark, sf_dir)
+    sq = spark.createDataFrame(SPELL_QUERIES, "query_id string, text string")
+    out = suggest_spelling(idx, sq, max_edits=2, prefix_len=1, n_suggestions=3)
+    return out.select(
+        "query_id", "token", "suggestion", "edits",
+        F.col("df").cast("long").alias("df"), "sug_rank",
+    )
+
+
+MLT_SEED_IDS = [7, 11, 23]
+
+
+def q_more_like_this(spark, sf_dir):
+    """MoreLikeThis: top-10 docs most similar to each seed doc. Term
+    selection = tf*idf interest (rounded 9dp before the cut — the RM3
+    determinism trick), gates min_tf=2 / min_df=2 / max_df_pct=0.5, cap 10
+    terms; scoring = the unchanged weighted BM25 engine; seed excluded.
+    Oracle replays selection + weighted BM25 from first principles."""
+    from openmatch_spark.query import more_like_this
+
+    idx = _entry_index(spark, sf_dir)
+    seeds = (
+        _docs(spark, sf_dir)
+        .where(F.col("doc_id").isin(MLT_SEED_IDS))
+        .select(
+            F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("doc_id"),
+            "text",
+        )
+    )
+    # max_df_pct=1.0: the check corpus is 31 common words (df ~0.8N), so a
+    # stopword-style df cut would empty the selection; the cut itself is
+    # gate-tested on richer fixtures in tests/test_round4c.py
+    run = more_like_this(
+        idx, seeds, k=10, max_query_terms=10, min_tf=2, min_df=2, max_df_pct=1.0
+    )
+    return run.select(
+        F.regexp_replace("query_id", "^doc://", "").alias("query_id"),
+        F.regexp_replace("doc_id", "^doc://", "").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+        "rank",
+    )
+
+
+def q_bm25_explain(spark, sf_dir):
+    """Lucene-style explain(): per-term factor decomposition (qtf, tf, df,
+    doclen, idf, tf_norm, weight) for every top-3 hit; the reported score
+    is the sum of the explained weights. Oracle rebuilds the same
+    decomposition column by column."""
+    from openmatch_spark.query import explain_adhoc
+
+    corpus = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    return explain_adhoc(corpus, _queries_df(spark), k=3, round_to=6)
 
 
 def q_corpus_stats(spark, sf_dir):
@@ -2405,6 +2635,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facets": q_facets,
         "hybrid_rrf": q_hybrid_rrf,
         "suggest": q_suggest,
+        "collapsed_search": q_collapsed_search,
+        "spell_suggest": q_spell_suggest,
+        "more_like_this": q_more_like_this,
+        "bm25_explain": q_bm25_explain,
         "corpus_stats": q_corpus_stats,
         "term_stats": q_term_stats,
         "token_counts": q_token_counts,
@@ -2493,6 +2727,15 @@ def oracle_sql() -> dict[str, str]:
     sql["facets"] = _FACETS_SQL
     sql["hybrid_rrf"] = _RRF_SQL
     sql["suggest"] = _SUGGEST_SQL
+    sql["collapsed_search"] = _COLLAPSED_SQL.format(ctes=_BM25_CTES)
+    sql["spell_suggest"] = _SPELL_SQL.format(
+        vals=", ".join(f"('{q}', '{t}')" for q, t in SPELL_QUERIES)
+    )
+    sql["more_like_this"] = _MLT_SQL.format(
+        prelude=_EXPAND_PRELUDE,
+        seed_ids=", ".join(f"'{i}'" for i in MLT_SEED_IDS),
+    )
+    sql["bm25_explain"] = _EXPLAIN_SQL.format(ctes=_BM25_CTES)
 
     sql["corpus_stats"] = f"""
 WITH {tok_cte},

@@ -7,7 +7,18 @@ from openmatch_spark.query.expand import (  # noqa: F401
     search_wildcard,
     wildcard_to_like,
 )
+from openmatch_spark.query.collapse import (  # noqa: F401
+    collapse_run,
+    host_key_col,
+    search_collapsed,
+)
+from openmatch_spark.query.explain import explain_adhoc  # noqa: F401
 from openmatch_spark.query.filtered import search_filtered  # noqa: F401
+from openmatch_spark.query.mlt import mlt_terms, more_like_this  # noqa: F401
+from openmatch_spark.query.spell import (  # noqa: F401
+    correct_queries,
+    suggest_spelling,
+)
 from openmatch_spark.query.paging import page_cursors, search_after  # noqa: F401
 from openmatch_spark.query.phrase import search_phrase, search_proximity  # noqa: F401
 from openmatch_spark.query.bm25f import bm25f_score_adhoc  # noqa: F401

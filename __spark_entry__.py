@@ -1378,6 +1378,42 @@ def q_bm25_topk_upserted(spark, sf_dir):
     )
 
 
+def q_bm25_topk_federated(spark, sf_dir):
+    """Federated search over THREE doc-disjoint member indexes with
+    deliberately different shard/bucket/block geometry
+    (query/federated.py search_federated): per-member frozen stats are
+    federated into union-global N/avgdl/df and every posting is re-weighted
+    with the build's shared expressions, so the run must land on the SAME
+    ad-hoc BM25 oracle as q_bm25_topk — DuckDB never sees any index, any
+    member split, or any geometry; it only ever computes fresh BM25 over
+    the whole corpus (the Lucene MultiReader global-stats semantic)."""
+    from openmatch_spark.fixtures import documents_as_pages
+    from openmatch_spark.index import build_index, load_index
+    from openmatch_spark.query import search_federated
+
+    key = ("fed", sf_dir)
+    if key not in _IDX_CACHE:
+        pages = documents_as_pages(spark, sf_dir)
+        part = F.pmod(F.xxhash64("url"), F.lit(3))
+        dirs = []
+        for i, (ns, nb, bs) in enumerate([(1, 4, 64), (2, 8, 128), (3, 2, 256)]):
+            d = tempfile.mkdtemp(prefix=f"om_entry_fed{i}_")
+            build_index(
+                spark, pages.where(part == i), d, analyzer="simple",
+                num_shards=ns, num_term_buckets=nb, block_size=bs,
+            )
+            dirs.append(d)
+        _IDX_CACHE[key] = dirs
+    idxs = [load_index(spark, d) for d in _IDX_CACHE[key]]
+    run = search_federated(idxs, _queries_df(spark), k=10)
+    return run.select(
+        "query_id",
+        F.regexp_replace("doc_id", "^doc://", "").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+        "rank",
+    )
+
+
 def q_qld_topk(spark, sf_dir):
     """Index-free Dirichlet query-likelihood top-k (query/bm25_df.py
     qld_score_adhoc): mu=1000, Lucene matched-term formulation with the
@@ -2069,6 +2105,31 @@ def q_dedup_closure(spark, sf_dir):
     )
 
 
+def q_dedup_spans(spark, sf_dir):
+    """Exact duplicate-SPAN removal (operators/exact_spans.py,
+    Lee et al. 2022 ExactSubstr re-expressed as a rolling k-token window):
+    a fixed 8-token boilerplate span is appended to doc_id % 5 == 0 and
+    prepended to doc_id % 7 == 1, so spans occur at different positions,
+    some docs carry both, and the natural vocabulary repeats of the
+    synthetic corpus add organic duplicate windows on top. The engine runs
+    hash_key mode (64-bit xxhash window keys — the scale path); the oracle
+    replicates with exact window STRINGS, so the entry also certifies the
+    hash keys introduce no false merges on this corpus. Canonical survivor
+    = corpus-global min (doc_id, pos); overlapping windows union."""
+    from openmatch_spark.operators.exact_spans import remove_duplicate_spans
+
+    span = "xqspan0 xqspan1 xqspan2 xqspan3 xqspan4 xqspan5 xqspan6 xqspan7"
+    base = _docs(spark, sf_dir).where(F.col("doc_id") < 200)
+    corpus = base.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.when(F.col("doc_id") % 5 == 0, F.concat_ws(" ", "text", F.lit(span)))
+        .when(F.col("doc_id") % 7 == 1, F.concat_ws(" ", F.lit(span), "text"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return remove_duplicate_spans(corpus, k=8)
+
+
 def q_dedup_incremental(spark, sf_dir):
     """Incremental near-dup dedup against a persisted signature store
     (operators/dedup_incremental.py): two drains — the base docs, then
@@ -2617,6 +2678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_rebaselined": q_bm25_topk_rebaselined,
         "bm25_topk_deleted": q_bm25_topk_deleted,
         "bm25_topk_upserted": q_bm25_topk_upserted,
+        "bm25_topk_federated": q_bm25_topk_federated,
         "qld_topk": q_qld_topk,
         "qld_topk_indexed": q_qld_topk_indexed,
         "fuzzy_search": q_fuzzy_search,
@@ -2656,6 +2718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_pipeline": q_dedup_pipeline,
         "dedup_closure": q_dedup_closure,
         "dedup_incremental": q_dedup_incremental,
+        "dedup_spans": q_dedup_spans,
         "curate": q_curate,
         "ngram_jaccard": q_ngram_jaccard,
         "event_window_stats": q_event_window_stats,
@@ -2709,6 +2772,9 @@ def oracle_sql() -> dict[str, str]:
     sql["bm25_topk_rebaselined"] = _BM25_TOPK_SQL
     sql["bm25_topk_deleted"] = _BM25_DELETED_SQL
     sql["bm25_topk_upserted"] = _BM25_UPSERTED_SQL
+    # federated search must land on the SAME fresh-build oracle: the member
+    # split, geometries, and stat federation are invisible to DuckDB
+    sql["bm25_topk_federated"] = _BM25_TOPK_SQL
     sql["qld_topk"] = _QLD_SQL
     sql["qld_topk_indexed"] = _QLD_SQL
     sql["fuzzy_search"] = _FUZZY_SQL
@@ -3571,6 +3637,60 @@ LEFT JOIN best b ON b.doc_id = c.doc_id
     # incremental drains over the store == one-shot batch over the union:
     # the oracle IS the batch replica over the union corpus (ids prefixed
     # so drain order == string order, the module's monotone-id precondition)
+    # exact duplicate-span removal: full replica of the rolling-window
+    # algebra with exact window STRINGS as keys (the engine side runs
+    # 64-bit hash keys — agreement certifies no false merges here);
+    # canonical survivor = min (doc_id, pos) via ROW_NUMBER, kept token i
+    # survives iff no removal start s has s <= i < s+8
+    sql["dedup_spans"] = """
+WITH corpus AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN text || ' xqspan0 xqspan1 xqspan2 xqspan3 xqspan4 xqspan5 xqspan6 xqspan7'
+              WHEN doc_id % 7 = 1 THEN 'xqspan0 xqspan1 xqspan2 xqspan3 xqspan4 xqspan5 xqspan6 xqspan7 ' || text
+              ELSE text END AS text
+  FROM documents WHERE doc_id < 200
+),
+toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+  FROM corpus
+),
+occ AS (
+  SELECT doc_id, s.i - 1 AS pos, array_to_string(t[s.i:s.i+7], ' ') AS key
+  FROM toks, UNNEST(generate_series(1, len(t) - 7)) AS s(i)
+  WHERE len(t) >= 8
+),
+dup AS (
+  SELECT key FROM occ GROUP BY key HAVING COUNT(DISTINCT doc_id) >= 2
+),
+ranked AS (
+  SELECT o.doc_id, o.pos,
+         ROW_NUMBER() OVER (PARTITION BY o.key ORDER BY o.doc_id, o.pos) AS rn
+  FROM occ o JOIN dup d ON o.key = d.key
+),
+removals AS (
+  SELECT doc_id, list(pos) AS starts FROM ranked WHERE rn > 1 GROUP BY doc_id
+),
+rebuilt AS (
+  SELECT tk.doc_id, tk.t,
+         COALESCE(r.starts, CAST([] AS BIGINT[])) AS starts
+  FROM toks tk LEFT JOIN removals r ON tk.doc_id = r.doc_id
+)
+SELECT doc_id,
+       -- a fully-removed doc keeps an EMPTY text (engine semantic), but
+       -- DuckDB's array_to_string returns NULL on an empty list
+       COALESCE(array_to_string(
+         list_transform(
+           list_filter(generate_series(0, len(t) - 1),
+                       i -> len(list_filter(starts, s -> i >= s AND i < s + 8)) = 0),
+           i -> t[i + 1]),
+         ' '), '') AS text,
+       CAST(len(t) AS INTEGER) AS n_tokens,
+       CAST(len(t) - len(list_filter(generate_series(0, len(t) - 1),
+                 i -> len(list_filter(starts, s -> i >= s AND i < s + 8)) = 0)) AS INTEGER) AS n_removed
+FROM rebuilt
+"""
+
     sql["dedup_incremental"] = f"""
 WITH corpus AS (
   SELECT 'd1_' || lpad(CAST(doc_id AS VARCHAR), 3, '0') AS doc_id, text

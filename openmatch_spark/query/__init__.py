@@ -13,6 +13,10 @@ from openmatch_spark.query.collapse import (  # noqa: F401
     search_collapsed,
 )
 from openmatch_spark.query.explain import explain_adhoc  # noqa: F401
+from openmatch_spark.query.federated import (  # noqa: F401
+    federated_stats,
+    search_federated,
+)
 from openmatch_spark.query.filtered import search_filtered  # noqa: F401
 from openmatch_spark.query.mlt import mlt_terms, more_like_this  # noqa: F401
 from openmatch_spark.query.spell import (  # noqa: F401

@@ -77,11 +77,31 @@ def query_terms(
     Either way the dictionary lookup is one bucket/term-pruned scan
     (PushedFilters: In(term, ...)), never a full-dictionary join.
     """
+    analyzer = index.stats["analyzer"]
+    qtf = query_term_counts(queries, analyzer, distributed_threshold)
+    terms = sorted({t for (_, t) in qtf})
+    if not terms:
+        return []
+    bucket_of = index.term_buckets(terms)
+    return [
+        (q_, t, float(c), bucket_of[t]) for (q_, t), c in sorted(qtf.items()) if t in bucket_of
+    ]
+
+
+def query_term_counts(
+    queries: DataFrame, analyzer: str,
+    distributed_threshold: int = _DISTRIBUTED_TOKENIZE_MIN_QUERIES,
+) -> dict:
+    """{(query_id, term) -> qtf} for a query frame — the tokenize half of
+    query_terms, WITHOUT any vocabulary filter. Shared by the single-index
+    path (which then drops out-of-vocabulary terms against ONE dictionary)
+    and the federated path (query/federated.py), where a term may be
+    out-of-vocabulary in one member index but present — and df-bearing —
+    in another, so vocabulary filtering must happen per index, after."""
     from collections import Counter
 
     from openmatch_spark.analysis import tokenize_col, tokenize_py
 
-    analyzer = index.stats["analyzer"]
     q = queries.select(F.col("query_id").cast("string").alias("query_id"), "text")
     # ONE bounded take decides the path AND feeds the small-batch loop.
     # Two latency traps live here: a separate peek before the collect
@@ -119,13 +139,7 @@ def query_terms(
         for r in head:
             for t, c in Counter(tokenize_py(r["text"], analyzer)).items():
                 qtf[(r["query_id"], t)] = c
-    terms = sorted({t for (_, t) in qtf})
-    if not terms:
-        return []
-    bucket_of = index.term_buckets(terms)
-    return [
-        (q_, t, float(c), bucket_of[t]) for (q_, t), c in sorted(qtf.items()) if t in bucket_of
-    ]
+    return qtf
 
 
 def _accumulate(ords_list, weights_list):

@@ -1426,6 +1426,22 @@ def q_qld_topk(spark, sf_dir):
     )
 
 
+_QLD_JM_LAMBDA = 0.25
+
+
+def q_qld_jm(spark, sf_dir):
+    """Jelinek-Mercer-smoothed query likelihood (Lucene's
+    LMJelinekMercerSimilarity, lambda=0.25): linear interpolation of the
+    document and collection language models. Unlike Dirichlet there is no
+    zero clamp — every doc matching any query term ranks."""
+    from openmatch_spark.query.bm25_df import qld_jm_score_adhoc
+
+    return qld_jm_score_adhoc(
+        _docs(spark, sf_dir), _queries_df(spark), k=10,
+        analyzer="simple", lam=_QLD_JM_LAMBDA, round_to=6,
+    )
+
+
 def q_qld_topk_indexed(spark, sf_dir):
     """Same answer via the FULL engine with scoring="qld": precomputed
     Dirichlet payload weights in the block-max varbyte index (zero-clamped
@@ -1611,6 +1627,80 @@ def q_bm25_boolean(spark, sf_dir):
     )
 
 
+def q_bm25_boolean_msm(spark, sf_dir):
+    """Boolean search with minimum_should_match=1 (Lucene's
+    setMinimumNumberShouldMatch): every hit must additionally match at
+    least one DISTINCT should term. Must-only queries become
+    unsatisfiable (Lucene: a quota above the should-clause count matches
+    nothing), and a term in both roles merges into must and cannot fill
+    the quota — the oracle replicates both with a matched-should count."""
+    from openmatch_spark.query import search_boolean
+
+    idx = _entry_index(spark, sf_dir)
+    bq = spark.createDataFrame(
+        BOOL_QUERIES, "query_id string, must string, should string, must_not string"
+    )
+    run = search_boolean(idx, bq, k=10, min_should_match=1)
+    return run.select(
+        "query_id",
+        F.regexp_replace("doc_id", "^doc://", "").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+        "rank",
+    )
+
+
+# stemming entry: plural forms injected into every third doc so the
+# 'english' analyzer has real work; 'queries' stems to 'querie' (NOT
+# 'query') — the characteristic minimal-stemmer behavior, kept adversarial
+STEM_QUERIES = [
+    ("s0", "tables rows"),
+    ("s1", "queries query"),
+    ("s2", "sparks filters"),
+    ("s3", "windows the"),
+]
+_STEM_SUFFIX = "rows tables columns queries"
+
+
+def q_bm25_topk_stemmed(spark, sf_dir):
+    """The 'english' analyzer (simple + Lucene EnglishMinimalStemFilter)
+    end-to-end through the packed index: build tokenizes+stems, the frozen
+    analyzer string makes query time stem identically, so plural queries
+    match singular docs and vice versa. Oracle replicates the stem as one
+    regexp_replace per token over the same plural-injected corpus."""
+    from openmatch_spark.fixtures import documents_as_pages
+    from openmatch_spark.index import build_index, load_index
+    from openmatch_spark.query import search
+
+    key = ("stem", sf_dir)
+    if key not in _IDX_CACHE:
+        d = tempfile.mkdtemp(prefix="om_entry_stem_")
+        base = documents_as_pages(spark, sf_dir)
+        did = F.regexp_replace("url", "^doc://", "").cast("long")
+        pages = base.withColumn(
+            "text",
+            F.when(
+                did % 3 == 0, F.concat_ws(" ", "text", F.lit(_STEM_SUFFIX))
+            ).otherwise(F.col("text")),
+        )
+        build_index(
+            spark, pages, d, analyzer="english", num_shards=2,
+            num_term_buckets=4, block_size=128,
+        )
+        _IDX_CACHE[key] = d
+    idx = load_index(spark, _IDX_CACHE[key])
+    run = search(
+        idx,
+        spark.createDataFrame(STEM_QUERIES, "query_id string, text string"),
+        k=10,
+    )
+    return run.select(
+        "query_id",
+        F.regexp_replace("doc_id", "^doc://", "").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+        "rank",
+    )
+
+
 def _entry_index_with_positions(spark, sf_dir):
     """Entry index plus the positional sidecar (built once per sf_dir)."""
     from openmatch_spark.fixtures import documents_as_pages
@@ -1704,6 +1794,34 @@ def q_bm25f(spark, sf_dir):
     )
 
 
+_DISMAX_TIE = 0.3
+
+
+def q_dismax(spark, sf_dir):
+    """Disjunction-max multi-field scoring (Lucene DisjunctionMaxQuery /
+    ES best_fields): each field is its OWN BM25 universe (per-field df,
+    avgdl, length norm), combined per (query, doc, term) as
+    max + tie_breaker * (sum - max), then summed over terms. Same
+    title/body split as the BM25F entry so the two multi-field semantics
+    are directly comparable."""
+    from openmatch_spark.analysis import tokenize_col
+    from openmatch_spark.query.dismax import dismax_score_adhoc
+
+    toks = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        tokenize_col(F.col("text"), "simple").alias("toks"),
+    )
+    fields = toks.select(
+        "doc_id",
+        F.slice("toks", 1, 8).alias("title"),
+        F.slice("toks", 9, 1 << 30).alias("body"),
+    )
+    return dismax_score_adhoc(
+        fields, _queries_df(spark), ["title", "body"],
+        tie_breaker=_DISMAX_TIE, k=10, round_to=6,
+    )
+
+
 def q_rm3_expand(spark, sf_dir):
     """RM3 pseudo-relevance feedback: BM25 feedback run -> relevance-model
     term weights (rounded before the top-term cut so both engines pick the
@@ -1730,6 +1848,37 @@ def q_facets(spark, sf_dir):
         F.col("doc_id").cast("string").alias("doc_id"), "source", "lang"
     )
     return facet_counts(run, docs, ["source", "lang"])
+
+
+def q_facet_ranges(spark, sf_dir):
+    """ES-style range aggregation over the BM25 top-10 hit set: half-open
+    n_chars buckets incl. an unbounded top bucket; NULL/unmatched docs in
+    '(other)'. Same hydrate-then-count shape as q_facets."""
+    from openmatch_spark.operators.facets import range_facets
+
+    run = _bm25_run(spark, sf_dir, k=10, rounded=False).select(
+        "query_id", "doc_id"
+    )
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "n_chars"
+    )
+    return range_facets(
+        run, docs, {"n_chars": [(None, 200.0), (200.0, 400.0), (400.0, None)]}
+    )
+
+
+def q_facet_histogram(spark, sf_dir):
+    """ES-style histogram aggregation over the same hit set: fixed-width
+    n_chars buckets keyed by lower edge (sparse — empty buckets absent)."""
+    from openmatch_spark.operators.facets import histogram_facets
+
+    run = _bm25_run(spark, sf_dir, k=10, rounded=False).select(
+        "query_id", "doc_id"
+    )
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "n_chars"
+    )
+    return histogram_facets(run, docs, {"n_chars": 100.0})
 
 
 def q_hybrid_rrf(spark, sf_dir):
@@ -2366,6 +2515,25 @@ def q_knn_cosine_df(spark, sf_dir):
     )
 
 
+_QUANT_RESCORE = 4
+
+
+def q_knn_quantized(spark, sf_dir):
+    """Two-phase int8 scalar-quantized cosine top-k (query/quantize.py):
+    L2-normalize, per-vector max-abs int8 codes, exact-integer dot for the
+    approximate phase (8x fewer bytes than float64 at scale), candidate
+    cut at k x rescore_factor on the 6-dp-rounded approx score, exact
+    float rescore of the survivors. The oracle replicates every phase in
+    DuckDB list algebra — including the quantization itself, so agreement
+    certifies the codes, not just the final cosines."""
+    from openmatch_spark.query.quantize import quantized_topk
+
+    return quantized_topk(
+        _emb(spark, sf_dir), _query_vectors_df(spark, sf_dir),
+        k=10, rescore_factor=_QUANT_RESCORE, round_to=6,
+    )
+
+
 def q_ivf_ann_df(spark, sf_dir):
     """Fully distributed IVF path (query/dense.py:ivf_topk_df): executor-
     side probe assignment + cogroup on bucket, queries never on the driver
@@ -2679,7 +2847,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_deleted": q_bm25_topk_deleted,
         "bm25_topk_upserted": q_bm25_topk_upserted,
         "bm25_topk_federated": q_bm25_topk_federated,
+        "bm25_topk_stemmed": q_bm25_topk_stemmed,
         "qld_topk": q_qld_topk,
+        "qld_jm": q_qld_jm,
         "qld_topk_indexed": q_qld_topk_indexed,
         "fuzzy_search": q_fuzzy_search,
         "prefix_search": q_prefix_search,
@@ -2689,12 +2859,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filtered_search": q_filtered_search,
         "passage_maxp": q_passage_maxp,
         "bm25_boolean": q_bm25_boolean,
+        "bm25_boolean_msm": q_bm25_boolean_msm,
         "phrase_search": q_phrase_search,
         "proximity_search": q_proximity_search,
         "snippets": q_snippets,
         "bm25f": q_bm25f,
+        "dismax": q_dismax,
         "rm3_expand": q_rm3_expand,
         "facets": q_facets,
+        "facet_ranges": q_facet_ranges,
+        "facet_histogram": q_facet_histogram,
         "hybrid_rrf": q_hybrid_rrf,
         "suggest": q_suggest,
         "collapsed_search": q_collapsed_search,
@@ -2731,6 +2905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": q_quality,
         "knn_cosine": q_knn_cosine,
         "knn_cosine_df": q_knn_cosine_df,
+        "knn_quantized": q_knn_quantized,
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_ann": q_embedding_neardup_ann,
         "trec_roundtrip": q_trec_roundtrip,
@@ -4110,6 +4285,263 @@ SELECT domain,
        CAST(SUM(n_tokens * n_copies) AS BIGINT) AS tokens_out,
        ROUND(CAST(SUM(n_copies) AS DOUBLE) / COUNT(*), 6) AS realized_rate
 FROM sized GROUP BY domain
+"""
+
+    # boolean + minimum_should_match=1: same replica with a matched-should
+    # count (SUM over 1 - is_must counts DISTINCT matched should terms —
+    # tf rows are unique per (doc, term)); must-only queries become
+    # unsatisfiable, dual-role terms merged into must can't fill the quota
+    sql["bm25_boolean_msm"] = _BM25_BOOLEAN_SQL.replace(
+        "SUM(qs.is_must) AS n_must",
+        "SUM(qs.is_must) AS n_must,\n"
+        "         SUM(1 - qs.is_must) AS n_should",
+    ).replace(
+        "WHERE c.n_must = COALESCE(r.n_required, 0)",
+        "WHERE c.n_must = COALESCE(r.n_required, 0)\n"
+        "    AND c.n_should >= 1",
+    )
+
+    # dis-max: each field its OWN BM25 universe (per-field df/avgdl/norm),
+    # per-(query, doc, term) fold max + tie*(sum - max), then sum terms
+    sql["dismax"] = f"""
+WITH docs_toks AS (
+  SELECT CAST(d.doc_id AS VARCHAR) AS doc_id,
+         list_filter(regexp_split_to_array(lower(d.text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM documents d
+),
+fields AS (
+  SELECT doc_id, list_slice(toks, 1, 8) AS title,
+         list_slice(toks, 9, len(toks)) AS body
+  FROM docs_toks
+),
+ftok AS (
+  SELECT doc_id, 'title' AS field, t.term FROM fields, UNNEST(title) AS t(term)
+  UNION ALL
+  SELECT doc_id, 'body' AS field, t.term FROM fields, UNNEST(body) AS t(term)
+),
+flen AS (
+  SELECT doc_id, 'title' AS field, CAST(len(title) AS DOUBLE) AS flen FROM fields
+  UNION ALL
+  SELECT doc_id, 'body' AS field, CAST(len(body) AS DOUBLE) AS flen FROM fields
+),
+tff AS (SELECT doc_id, field, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM ftok GROUP BY doc_id, field, term),
+avgf AS (SELECT field, AVG(flen) AS avgflen FROM flen GROUP BY field),
+nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+dff AS (SELECT field, term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df FROM ftok GROUP BY field, term),
+q(query_id, text) AS (VALUES {_Q_VALUES}),
+qtok AS (
+  SELECT q.query_id, t.term
+  FROM q, UNNEST(regexp_split_to_array(lower(q.text), '[^a-z0-9]+')) AS t(term)
+  WHERE t.term <> ''
+),
+qt AS (SELECT query_id, term, CAST(COUNT(*) AS DOUBLE) AS qtf FROM qtok GROUP BY query_id, term),
+contrib AS (
+  SELECT qt.query_id, t.doc_id, t.term,
+         qt.qtf * ln(1 + (nd.n_docs - dff.df + 0.5) / (dff.df + 0.5))
+               * t.tf / (t.tf + {K1} * (1 - {B} + {B} * l.flen / a.avgflen)) AS s
+  FROM tff t
+  JOIN flen l ON l.doc_id = t.doc_id AND l.field = t.field
+  JOIN avgf a ON a.field = t.field
+  JOIN dff ON dff.field = t.field AND dff.term = t.term
+  JOIN qt ON qt.term = t.term
+  CROSS JOIN nd
+),
+per_term AS (
+  SELECT query_id, doc_id, term,
+         MAX(s) + {_DISMAX_TIE} * (SUM(s) - MAX(s)) AS w
+  FROM contrib GROUP BY query_id, doc_id, term
+),
+dscored AS (SELECT query_id, doc_id, SUM(w) AS score FROM per_term GROUP BY query_id, doc_id),
+drun AS (
+  SELECT query_id, doc_id, score,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
+  FROM dscored
+)
+SELECT query_id, doc_id, ROUND(score, 6) AS score, rank FROM drun WHERE rank <= 10
+"""
+
+    # Jelinek-Mercer QLD: linear doc/collection interpolation, no clamp
+    sql["qld_jm"] = f"""
+WITH {_TOK},
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS doclen FROM tok GROUP BY doc_id),
+tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM tok),
+cfreq AS (SELECT term, SUM(tf) AS cf FROM tf GROUP BY term),
+q(query_id, text) AS (VALUES {_Q_VALUES}),
+qtok AS (
+  SELECT q.query_id, t.term
+  FROM q, UNNEST(regexp_split_to_array(lower(q.text), '[^a-z0-9]+')) AS t(term)
+  WHERE t.term <> ''
+),
+qt AS (SELECT query_id, term, CAST(COUNT(*) AS DOUBLE) AS qtf FROM qtok GROUP BY query_id, term),
+contrib AS (
+  SELECT qt.query_id, tf.doc_id,
+         qt.qtf * ln(1 + ((1 - {_QLD_JM_LAMBDA}) * tf.tf / dl.doclen)
+                         / ({_QLD_JM_LAMBDA} * cfreq.cf / tot.total)) AS w
+  FROM tf
+  JOIN qt ON qt.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN cfreq ON cfreq.term = tf.term
+  CROSS JOIN tot
+),
+jscored AS (SELECT query_id, doc_id, SUM(w) AS score FROM contrib GROUP BY query_id, doc_id),
+jrun AS (
+  SELECT query_id, doc_id, score,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
+  FROM jscored
+)
+SELECT query_id, doc_id, ROUND(score, 6) AS score, rank FROM jrun WHERE rank <= 10
+"""
+
+    # range facets: the fixture's three buckets are disjoint + covering, so
+    # the engine's per-bucket membership array reduces to one CASE; NULL
+    # n_chars (none in this table) would land in '(other)' on both sides
+    sql["facet_ranges"] = f"""
+WITH {_BM25_CTES},
+run10 AS (SELECT query_id, doc_id FROM run WHERE rank <= 10),
+hyd AS (
+  SELECT r.query_id, CAST(d.n_chars AS DOUBLE) AS v
+  FROM run10 r JOIN documents d ON CAST(d.doc_id AS VARCHAR) = r.doc_id
+)
+SELECT query_id, 'n_chars' AS facet,
+       CASE WHEN v IS NULL THEN '(other)'
+            WHEN v < 200 THEN '[*,200)'
+            WHEN v < 400 THEN '[200,400)'
+            ELSE '[400,*)' END AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM hyd
+GROUP BY query_id, bucket
+"""
+
+    sql["facet_histogram"] = f"""
+WITH {_BM25_CTES},
+run10 AS (SELECT query_id, doc_id FROM run WHERE rank <= 10),
+hyd AS (
+  SELECT r.query_id, CAST(d.n_chars AS DOUBLE) AS v
+  FROM run10 r JOIN documents d ON CAST(d.doc_id AS VARCHAR) = r.doc_id
+)
+SELECT query_id, 'n_chars' AS facet,
+       CAST(floor(v / 100.0) * 100.0 AS DOUBLE) AS bucket_lo,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM hyd
+WHERE v IS NOT NULL
+GROUP BY query_id, bucket_lo
+"""
+
+    # int8 scalar-quantized dense: FULL replica — normalize, max-abs int8
+    # quantize, exact-integer approximate dot (doubles hold it exactly at
+    # these magnitudes), 6-dp candidate cut at k*factor, exact rescore
+    sql["knn_quantized"] = f"""
+WITH q0 AS (
+  SELECT CAST(vec_id AS VARCHAR) AS query_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id < 5
+),
+c0 AS (
+  SELECT CAST(vec_id AS VARCHAR) AS vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings
+),
+qn AS (
+  SELECT query_id,
+         CASE WHEN sqrt(list_sum(list_transform(v, y -> y*y))) = 0 THEN v
+              ELSE list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y*y)))) END AS nv
+  FROM q0
+),
+cn AS (
+  SELECT vec_id,
+         CASE WHEN sqrt(list_sum(list_transform(v, y -> y*y))) = 0 THEN v
+              ELSE list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y*y)))) END AS nv
+  FROM c0
+),
+qq AS (
+  SELECT query_id, nv, list_max(list_transform(nv, x -> abs(x))) / 127.0 AS scale
+  FROM qn
+),
+qc AS (
+  SELECT query_id, nv, scale,
+         CASE WHEN scale = 0 THEN list_transform(nv, x -> 0.0)
+              ELSE list_transform(nv, x -> round(x / scale)) END AS codes
+  FROM qq
+),
+cc0 AS (
+  SELECT vec_id, nv, list_max(list_transform(nv, x -> abs(x))) / 127.0 AS scale
+  FROM cn
+),
+cc AS (
+  SELECT vec_id, nv, scale,
+         CASE WHEN scale = 0 THEN list_transform(nv, x -> 0.0)
+              ELSE list_transform(nv, x -> round(x / scale)) END AS codes
+  FROM cc0
+),
+approx AS (
+  SELECT q.query_id, c.vec_id,
+         ROUND(q.scale * c.scale * list_dot_product(q.codes, c.codes), 6) AS approx
+  FROM qc q CROSS JOIN cc c
+),
+qcand AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY approx DESC, vec_id ASC) AS r
+    FROM approx
+  ) WHERE r <= {10 * _QUANT_RESCORE}
+),
+exact AS (
+  SELECT k.query_id, k.vec_id, list_dot_product(qn.nv, cn.nv) AS score
+  FROM qcand k
+  JOIN qn ON qn.query_id = k.query_id
+  JOIN cn ON cn.vec_id = k.vec_id
+),
+qranked AS (
+  SELECT query_id, vec_id, score,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS INTEGER) AS rank
+  FROM exact
+)
+SELECT query_id, vec_id, ROUND(score, 6) AS score, rank FROM qranked WHERE rank <= 10
+"""
+
+    # 'english' analyzer: simple tokens + Lucene minimal plural stem as one
+    # regexp_replace per token, over the plural-injected corpus; queries
+    # stem the same way ('queries' -> 'querie', deliberately NOT 'query')
+    _stem_q_values = ", ".join(f"('{q}', '{t}')" for q, t in STEM_QUERIES)
+    sql["bm25_topk_stemmed"] = f"""
+WITH corpus AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN text || ' {_STEM_SUFFIX}' ELSE text END AS text
+  FROM documents
+),
+tok AS (
+  SELECT c.doc_id, regexp_replace(t.term, '^(.+[^su])s$', '\\1') AS term
+  FROM corpus c, UNNEST(regexp_split_to_array(lower(c.text), '[^a-z0-9]+')) AS t(term)
+  WHERE t.term <> ''
+),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS doclen FROM tok GROUP BY doc_id),
+g AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(doclen) AS avgdl FROM dl),
+dfreq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+sq(query_id, text) AS (VALUES {_stem_q_values}),
+sqtok AS (
+  SELECT sq.query_id, regexp_replace(t.term, '^(.+[^su])s$', '\\1') AS term
+  FROM sq, UNNEST(regexp_split_to_array(lower(sq.text), '[^a-z0-9]+')) AS t(term)
+  WHERE t.term <> ''
+),
+sqt AS (SELECT query_id, term, CAST(COUNT(*) AS DOUBLE) AS qtf FROM sqtok GROUP BY query_id, term),
+sscored AS (
+  SELECT sqt.query_id, tf.doc_id,
+         SUM(sqt.qtf
+             * ln(1 + (g.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+             * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.doclen / g.avgdl))) AS score
+  FROM tf
+  JOIN sqt ON sqt.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN dfreq ON dfreq.term = tf.term
+  CROSS JOIN g
+  GROUP BY sqt.query_id, tf.doc_id
+),
+srun AS (
+  SELECT query_id, doc_id, score,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
+  FROM sscored
+)
+SELECT query_id, doc_id, ROUND(score, 6) AS score, rank FROM srun WHERE rank <= 10
 """
 
     return sql

@@ -15,6 +15,13 @@ oracle tokenize byte-identically (BASELINE input_hint invariant):
   cross-check path; same function is also available as a pure-JVM column
   expression (:func:`tokenize_col_simple`) so the hot path stays inside
   whole-stage codegen.
+- ``"english"`` — ``simple`` plus Lucene's EnglishMinimalStemFilter
+  (Savoy's minimal plural stemmer): a token of >= 3 chars ending in 's'
+  drops the 's' unless the preceding char is 'u' or 's' ("dogs"->"dog",
+  "boss"/"virus" unchanged). One anchored regexp_replace per token —
+  expressible identically in Java regex, Python re, and DuckDB, so it
+  stays in whole-stage codegen AND in the oracle. Applied at index AND
+  query time (the analyzer string frozen in stats covers both).
 
 Extraction: html -> text. The reference renders templates verbatim over the
 already-extracted ``text`` field (src/openmatch/utils.py:230-259), so the
@@ -87,8 +94,26 @@ def tokenize_simple_py(text: str) -> list[str]:
     return [t for t in re.split(SIMPLE_SPLIT_PATTERN, text.lower()) if t]
 
 
+# Lucene EnglishMinimalStemFilter: len >= 3, ends in 's', and the char
+# before the final 's' is not 'u'/'s' => drop the 's'. The lookbehind-free
+# capture form runs identically in Java regex, Python re, and DuckDB RE2.
+ENGLISH_MINIMAL_STEM_PATTERN = "^(.+[^su])s$"
+
+
+def stem_english_minimal_py(token: str) -> str:
+    import re
+
+    return re.sub(ENGLISH_MINIMAL_STEM_PATTERN, r"\1", token)
+
+
 def tokenize_py(text: str, analyzer: str = "dpr") -> list[str]:
-    return tokenize_dpr_py(text) if analyzer == "dpr" else tokenize_simple_py(text)
+    if analyzer == "dpr":
+        return tokenize_dpr_py(text)
+    if analyzer == "english":
+        return [stem_english_minimal_py(t) for t in tokenize_simple_py(text)]
+    if analyzer == "simple":
+        return tokenize_simple_py(text)
+    raise ValueError(f"unknown analyzer {analyzer!r} (dpr | simple | english)")
 
 
 @pandas_udf(ArrayType(StringType()))
@@ -106,10 +131,19 @@ def tokenize_col_simple(col: Column) -> Column:
     return F.filter(F.split(F.lower(col), SIMPLE_SPLIT_PATTERN), lambda t: t != "")
 
 
+def stem_english_minimal_col(tok: Column) -> Column:
+    """JVM-side minimal plural stem of one token (pattern doc above)."""
+    return F.regexp_replace(tok, ENGLISH_MINIMAL_STEM_PATTERN, "$1")
+
+
 def tokenize_col(col: Column, analyzer: str = "dpr") -> Column:
     if analyzer == "dpr":
         return tokenize_dpr_udf(col)
-    return tokenize_col_simple(col)
+    if analyzer == "english":
+        return F.transform(tokenize_col_simple(col), stem_english_minimal_col)
+    if analyzer == "simple":
+        return tokenize_col_simple(col)
+    raise ValueError(f"unknown analyzer {analyzer!r} (dpr | simple | english)")
 
 
 @pandas_udf(StringType())

@@ -110,3 +110,29 @@ def qld_weight_col(tf_col, cf_col, doclen_col, total_terms: float,
         )
         + F.log(F.lit(mu) / (doclen_col + F.lit(mu))),
     )
+
+
+def qld_jm_weight_col(tf_col, cf_col, doclen_col, total_terms: float,
+                      lam: float = 0.1):
+    """Jelinek-Mercer-smoothed query-likelihood per-(term, doc) weight —
+    Lucene's LMJelinekMercerSimilarity matched-term formulation:
+
+        w(t, d) = log(1 + ((1 - lambda) * tf/dl) / (lambda * cf(t)/|C|))
+
+    Linear interpolation between the document model tf/dl and the
+    collection model cf/|C| (Zhai & Lafferty 2001 recommend lambda ~0.1
+    for short queries, ~0.7 for long). Unlike the Dirichlet form there is
+    no negative region — any matched term (tf >= 1) contributes a strictly
+    positive weight, so no clamp and no dropped postings: a QLD-JM index
+    is build-compatible the same way (non-negative weights keep MaxScore
+    bounds valid). total_terms must be pre-guarded nonzero by the caller;
+    lambda must be in (0, 1)."""
+    import pyspark.sql.functions as F
+
+    if not 0.0 < lam < 1.0:
+        raise ValueError(f"lambda must be in (0, 1), got {lam}")
+    return F.log(
+        F.lit(1.0)
+        + (F.lit(1.0 - lam) * tf_col / doclen_col)
+        / (F.lit(lam) * cf_col / F.lit(float(total_terms)))
+    )

@@ -50,3 +50,106 @@ def facet_counts(
         .groupBy("query_id", "facet", "value")
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     )
+
+
+def range_facets(
+    run: DataFrame,
+    docs: DataFrame,
+    ranges: dict[str, list[tuple]],
+) -> DataFrame:
+    """(query_id, facet, bucket, n_docs) — Elasticsearch range-aggregation
+    semantics over the hit set: for each numeric attribute, count hits per
+    half-open bucket [lo, hi) from an EXPLICIT bucket list. Buckets may
+    overlap (a doc then counts in each bucket it falls in — ES allows and
+    documents this); None means unbounded on that side. Docs matching no
+    bucket (or with a NULL attribute) land in '(other)'.
+
+    ranges: {col: [(lo, hi), ...]} with numeric or None endpoints. Bucket
+    labels are '[lo,hi)' with '*' for an open side — deterministic, so the
+    output is oracle-comparable. Plan: the run is bounded (queries × k);
+    one broadcast hydrate join, one CASE/array projection per facet, one
+    groupBy — same shape as facet_counts.
+    """
+    if not ranges:
+        raise ValueError("ranges must name at least one attribute column")
+    base = run.select(
+        F.col("query_id").cast("string").alias("query_id"),
+        F.col("doc_id").cast("string").alias("doc_id"),
+    )
+
+    def _lbl(lo, hi):
+        ls = "*" if lo is None else f"{float(lo):g}"
+        hs = "*" if hi is None else f"{float(hi):g}"
+        return f"[{ls},{hs})"
+
+    out = None
+    for col, buckets in sorted(ranges.items()):
+        if not buckets:
+            raise ValueError(f"ranges[{col!r}] is empty")
+        v = F.col(col).cast("double")
+        membership = F.array(*[
+            F.when(
+                v.isNotNull()
+                & (F.lit(True) if lo is None else (v >= F.lit(float(lo))))
+                & (F.lit(True) if hi is None else (v < F.lit(float(hi)))),
+                F.lit(_lbl(lo, hi)),
+            )
+            for lo, hi in buckets
+        ])
+        hits = F.filter(membership, lambda x: x.isNotNull())
+        bucketed = (
+            docs.select(
+                F.col("doc_id").cast("string").alias("doc_id"),
+                F.when(F.size(hits) > 0, hits)
+                .otherwise(F.array(F.lit("(other)")))
+                .alias("_buckets"),
+            )
+            .join(F.broadcast(base), "doc_id")
+            .select(
+                "query_id",
+                F.lit(col).alias("facet"),
+                F.explode("_buckets").alias("bucket"),
+            )
+        )
+        out = bucketed if out is None else out.unionByName(bucketed)
+    return out.groupBy("query_id", "facet", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+
+
+def histogram_facets(
+    run: DataFrame,
+    docs: DataFrame,
+    intervals: dict[str, float],
+) -> DataFrame:
+    """(query_id, facet, bucket_lo, n_docs) — Elasticsearch histogram
+    aggregation over the hit set: fixed-width buckets keyed by their lower
+    edge, bucket_lo = floor(value / interval) * interval (origin 0). Empty
+    buckets are NOT emitted (sparse, like ES without min_doc_count=0);
+    NULL attributes are skipped. One broadcast hydrate + one groupBy."""
+    if not intervals:
+        raise ValueError("intervals must name at least one attribute column")
+    base = run.select(
+        F.col("query_id").cast("string").alias("query_id"),
+        F.col("doc_id").cast("string").alias("doc_id"),
+    )
+    out = None
+    for col, width in sorted(intervals.items()):
+        if not width or width <= 0:
+            raise ValueError(f"intervals[{col!r}] must be > 0, got {width}")
+        v = F.col(col).cast("double")
+        part = (
+            docs.select(
+                F.col("doc_id").cast("string").alias("doc_id"),
+                (F.floor(v / F.lit(float(width))) * F.lit(float(width))).alias(
+                    "bucket_lo"
+                ),
+            )
+            .where(F.col("bucket_lo").isNotNull())
+            .join(F.broadcast(base), "doc_id")
+            .select("query_id", F.lit(col).alias("facet"), "bucket_lo")
+        )
+        out = part if out is None else out.unionByName(part)
+    return out.groupBy("query_id", "facet", "bucket_lo").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )

@@ -154,3 +154,63 @@ def qld_score_adhoc(
     if round_to is not None:
         out = out.withColumn("score", F.round("score", round_to))
     return out
+
+
+def qld_jm_score_adhoc(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    analyzer: str = "simple",
+    lam: float = 0.1,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Index-free Jelinek-Mercer query-likelihood top-k run (functions/
+    bm25.py qld_jm_weight_col has the formula). Same plan shape as
+    qld_score_adhoc; no clamp exists in the JM form, so every doc matching
+    at least one query term ranks (all matched weights strictly positive)."""
+    from openmatch_spark.functions.bm25 import qld_jm_weight_col
+
+    toks = corpus_tokens(corpus, analyzer).cache()
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    dl = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("double").alias("doclen")
+    )
+    total = toks.count() or 1
+    cf = tf.groupBy("term").agg(F.sum("tf").alias("cf"))
+
+    qt = (
+        queries.select(
+            F.col("query_id").cast("string").alias("query_id"),
+            F.explode(tokenize_col(F.col("text"), analyzer)).alias("term"),
+        )
+        .groupBy("query_id", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("qtf"))
+    )
+    scored = (
+        tf.join(F.broadcast(qt), "term")
+        .join(dl, "doc_id")
+        .join(F.broadcast(cf), "term")
+        .select(
+            "query_id",
+            "doc_id",
+            (
+                F.col("qtf")
+                * qld_jm_weight_col(
+                    F.col("tf"), F.col("cf"), F.col("doclen"), float(total), lam
+                )
+            ).alias("w"),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("w").alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    out = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank")
+    )
+    if round_to is not None:
+        out = out.withColumn("score", F.round("score", round_to))
+    return out

@@ -10,6 +10,13 @@ Semantics (Lucene-compatible):
   * SHOULD   — optional; contributes to the score only.
   * MUST_NOT — any hit containing one is excluded. Purely restrictive:
                never contributes to scoring.
+  * min_should_match — Lucene's setMinimumNumberShouldMatch: a hit must
+               additionally match at least this many DISTINCT should
+               terms. A term listed in both must and should merges into
+               the must role (one clause, Lucene's deduped-builder
+               behavior) and does not count toward the should quota; a
+               query with fewer in-vocabulary should terms than the quota
+               is structurally unsatisfiable (zero hits), like Lucene.
   * score    — BM25 sum over MUST + SHOULD terms present in the doc, with
                query-term-frequency multiplicity (a term repeated across
                must+should multiplies its weight), identical weighting to
@@ -112,7 +119,19 @@ def _rank_and_hydrate(index: BM25Index, candidates: DataFrame, k: int) -> DataFr
     )
 
 
-def _search_boolean_distributed(index: BM25Index, q: DataFrame, k: int) -> DataFrame:
+def _msm_filter(candidates: DataFrame, min_should_match: int) -> DataFrame:
+    """Apply the should-quota: candidates carries n_should (count of
+    DISTINCT matched should-only terms — decoded posting rows are unique
+    per (term, doc), so the sum IS a distinct count). Zero-cost when the
+    quota is off."""
+    if min_should_match <= 0:
+        return candidates
+    return candidates.where(F.col("n_should") >= min_should_match)
+
+
+def _search_boolean_distributed(
+    index: BM25Index, q: DataFrame, k: int, min_should_match: int = 0
+) -> DataFrame:
     """Executor-side variant for big batches: raw query text never crosses
     the driver — roles tokenize as column expressions, and only the
     DISTINCT TERM set (bounded by vocabulary, not batch size) is collected
@@ -175,10 +194,13 @@ def _search_boolean_distributed(index: BM25Index, q: DataFrame, k: int) -> DataF
         .agg(
             F.sum(F.col("weight") * F.col("qtf")).alias("score"),
             F.sum("is_must").alias("n_must"),
+            F.sum(F.lit(1) - F.col("is_must")).alias("n_should"),
         )
         .join(req, "query_id")
         .where(F.col("n_must") == F.col("n_required"))
-        .select("query_id", "shard", "doc_ord", "score")
+    )
+    candidates = _msm_filter(candidates, min_should_match).select(
+        "query_id", "shard", "doc_ord", "score"
     )
     excluded = (
         decoded.join(nots, "term")
@@ -196,13 +218,16 @@ def search_boolean(
     queries: DataFrame,
     k: int = 100,
     distributed_threshold: int = _DISTRIBUTED_TOKENIZE_MIN_QUERIES,
+    min_should_match: int = 0,
 ) -> DataFrame:
     """Top-k boolean BM25 run: (query_id, doc_id, score, rank).
 
     queries: (query_id, must, should, must_not) — each role a free-text
     string tokenized by the index analyzer; NULL/empty roles allowed.
-    Batches above distributed_threshold tokenize executor-side (identical
-    results — forced-branch identity-tested); small batches stay on the
+    min_should_match: required count of DISTINCT matched should terms per
+    hit, on top of the must AND-semantics (module doc). Batches above
+    distributed_threshold tokenize executor-side (identical results —
+    forced-branch identity-tested); small batches stay on the
     zero-extra-job driver path for latency."""
     spark = index.spark
     analyzer = index.stats["analyzer"]
@@ -217,7 +242,7 @@ def search_boolean(
     if not rows:
         return empty
     if len(rows) > distributed_threshold:
-        return _search_boolean_distributed(index, q, k)
+        return _search_boolean_distributed(index, q, k, min_should_match)
     scoring, nots, required, dead = _role_tokens(rows, analyzer)
 
     all_terms = sorted({t for (_, t) in scoring} | {t for (_, t) in nots})
@@ -268,10 +293,13 @@ def search_boolean(
         .agg(
             F.sum(F.col("weight") * F.col("qtf")).alias("score"),
             F.sum("is_must").alias("n_must"),
+            F.sum(F.lit(1) - F.col("is_must")).alias("n_should"),
         )
         .join(req, "query_id")
         .where(F.col("n_must") == F.col("n_required"))
-        .select("query_id", "shard", "doc_ord", "score")
+    )
+    candidates = _msm_filter(candidates, min_should_match).select(
+        "query_id", "shard", "doc_ord", "score"
     )
     if live_nots:
         qn = F.broadcast(

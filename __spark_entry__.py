@@ -1701,6 +1701,83 @@ def q_bm25_topk_stemmed(spark, sf_dir):
     )
 
 
+def q_hit_counts(spark, sf_dir):
+    """Total hit counts (Lucene TotalHitCountCollector / ES
+    track_total_hits): per query, live docs matching >= 1 term — the same
+    pruned postings decode as search with no ranking, no docmap. OOV-only
+    queries report 0 rather than vanishing."""
+    from openmatch_spark.query import count_hits
+
+    idx = _entry_index(spark, sf_dir)
+    return count_hits(idx, _queries_df(spark))
+
+
+def q_hit_stats(spark, sf_dir):
+    """ES stats aggregation over the BM25 top-10 hit set: count/min/max/
+    avg/sum of n_chars per query (NULLs excluded from stats, counted out
+    of n)."""
+    from openmatch_spark.query import hit_stats
+
+    run = _bm25_run(spark, sf_dir, k=10, rounded=False).select(
+        "query_id", "doc_id"
+    )
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "n_chars"
+    )
+    out = hit_stats(run, docs, ["n_chars"])
+    return out.select(
+        "query_id", "facet", "n", "min", "max",
+        F.round("avg", 6).alias("avg"), F.round("sum", 6).alias("sum"),
+    )
+
+
+def q_sorted_search(spark, sf_dir):
+    """Sort-by-attribute search (the ES `sort` surface): the query is a
+    filter (any-term match over the packed index), top-10 by n_chars
+    ascending, doc_id tiebreak; scores deliberately absent. The tiebreak
+    compares the index's 'doc://<id>' urls — a constant prefix, so the
+    oracle's tiebreak on the bare id STRING is the same order."""
+    from openmatch_spark.query import search_sorted
+
+    idx = _entry_index(spark, sf_dir)
+    attrs = _docs(spark, sf_dir).select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("doc_id"),
+        "n_chars",
+    )
+    run = search_sorted(idx, _queries_df(spark), attrs, "n_chars", k=10)
+    return run.select(
+        "query_id",
+        F.regexp_replace("doc_id", "^doc://", "").alias("doc_id"),
+        "sort_value",
+        "rank",
+    )
+
+
+_LM_LAMBDA = 0.9
+
+
+def q_lm_perplexity(spark, sf_dir):
+    """CCNet-style LM quality signal (operators/lm_score.py): per-doc
+    perplexity under a Jelinek-Mercer interpolated bigram model trained on
+    the corpus itself (self-scoring mode — zero OOV by construction, which
+    the entry asserts via the n_oov column). The oracle rebuilds the full
+    model in SQL: unigram/bigram/prefix counts, interpolation with the
+    engine's exact float literals, per-doc log-prob fold."""
+    from openmatch_spark.operators.lm_score import ngram_lm_scores
+
+    out = ngram_lm_scores(
+        _docs(spark, sf_dir).select(
+            F.col("doc_id").cast("string").alias("doc_id"), "text"
+        ),
+        lam=_LM_LAMBDA,
+    )
+    return out.select(
+        "doc_id", "n_tokens", "n_oov",
+        F.round("log_prob", 6).alias("log_prob"),
+        F.round("perplexity", 6).alias("perplexity"),
+    )
+
+
 def _entry_index_with_positions(spark, sf_dir):
     """Entry index plus the positional sidecar (built once per sf_dir)."""
     from openmatch_spark.fixtures import documents_as_pages
@@ -2860,6 +2937,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "passage_maxp": q_passage_maxp,
         "bm25_boolean": q_bm25_boolean,
         "bm25_boolean_msm": q_bm25_boolean_msm,
+        "hit_counts": q_hit_counts,
+        "hit_stats": q_hit_stats,
+        "sorted_search": q_sorted_search,
         "phrase_search": q_phrase_search,
         "proximity_search": q_proximity_search,
         "snippets": q_snippets,
@@ -2869,6 +2949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facets": q_facets,
         "facet_ranges": q_facet_ranges,
         "facet_histogram": q_facet_histogram,
+        "lm_perplexity": q_lm_perplexity,
         "hybrid_rrf": q_hybrid_rrf,
         "suggest": q_suggest,
         "collapsed_search": q_collapsed_search,
@@ -4542,6 +4623,115 @@ srun AS (
   FROM sscored
 )
 SELECT query_id, doc_id, ROUND(score, 6) AS score, rank FROM srun WHERE rank <= 10
+"""
+
+    # total hit counts: distinct docs with >= 1 query term; OOV -> 0 row
+    sql["hit_counts"] = f"""
+WITH {_TOK},
+q(query_id, text) AS (VALUES {_Q_VALUES}),
+qtok AS (
+  SELECT DISTINCT q.query_id, t.term
+  FROM q, UNNEST(regexp_split_to_array(lower(q.text), '[^a-z0-9]+')) AS t(term)
+  WHERE t.term <> ''
+),
+hits AS (
+  SELECT qt.query_id, COUNT(DISTINCT k.doc_id) AS n
+  FROM qtok qt JOIN tok k ON k.term = qt.term
+  GROUP BY qt.query_id
+)
+SELECT q.query_id, CAST(COALESCE(h.n, 0) AS BIGINT) AS n_hits
+FROM (SELECT DISTINCT query_id FROM q) q
+LEFT JOIN hits h ON h.query_id = q.query_id
+"""
+
+    # ES stats aggregation over the BM25 top-10 hit set
+    sql["hit_stats"] = f"""
+WITH {_BM25_CTES},
+run10 AS (SELECT query_id, doc_id FROM run WHERE rank <= 10),
+hyd AS (
+  SELECT r.query_id, CAST(d.n_chars AS DOUBLE) AS v
+  FROM run10 r JOIN documents d ON CAST(d.doc_id AS VARCHAR) = r.doc_id
+)
+SELECT query_id, 'n_chars' AS facet,
+       CAST(COUNT(v) AS BIGINT) AS n,
+       MIN(v) AS min, MAX(v) AS max,
+       ROUND(AVG(v), 6) AS avg, ROUND(SUM(v), 6) AS sum
+FROM hyd GROUP BY query_id
+"""
+
+    # sort-by-attribute: any-term filter, top-10 by n_chars ASC (NULLs
+    # would sort last; none in this table), bare-id string tiebreak ==
+    # the engine's constant-prefixed url tiebreak
+    sql["sorted_search"] = f"""
+WITH {_TOK},
+q(query_id, text) AS (VALUES {_Q_VALUES}),
+qtok AS (
+  SELECT DISTINCT q.query_id, t.term
+  FROM q, UNNEST(regexp_split_to_array(lower(q.text), '[^a-z0-9]+')) AS t(term)
+  WHERE t.term <> ''
+),
+cand AS (
+  SELECT DISTINCT qt.query_id, k.doc_id
+  FROM qtok qt JOIN tok k ON k.term = qt.term
+),
+sorted_run AS (
+  SELECT c.query_id, c.doc_id, CAST(d.n_chars AS DOUBLE) AS sort_value,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY c.query_id
+           ORDER BY CAST(d.n_chars AS DOUBLE) ASC NULLS LAST, c.doc_id ASC
+         ) AS INTEGER) AS rank
+  FROM cand c JOIN documents d ON CAST(d.doc_id AS VARCHAR) = c.doc_id
+)
+SELECT query_id, doc_id, sort_value, rank FROM sorted_run WHERE rank <= 10
+"""
+
+    # interpolated bigram LM, self-scoring mode: full model replica.
+    # The interpolation literals mirror the engine's Python float exactly
+    # ({_LM_LAMBDA} and {1.0 - _LM_LAMBDA}), and every bigram/word is
+    # in-model by construction, so the joins are inner and n_oov is 0
+    sql["lm_perplexity"] = f"""
+WITH d AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+  FROM documents
+),
+uni AS (
+  SELECT u.term AS w, CAST(COUNT(*) AS DOUBLE) AS c1
+  FROM d, UNNEST(t) AS u(term) GROUP BY u.term
+),
+tot AS (SELECT CAST(SUM(len(t)) AS DOUBLE) AS total FROM d),
+big AS (
+  SELECT d.doc_id, t[s.i] || ' ' || t[s.i + 1] AS bg
+  FROM d, UNNEST(generate_series(1, len(t) - 1)) AS s(i)
+  WHERE len(t) >= 2
+),
+c2 AS (SELECT bg, CAST(COUNT(*) AS DOUBLE) AS c2 FROM big GROUP BY bg),
+cp AS (SELECT split_part(bg, ' ', 1) AS v, SUM(c2) AS cp FROM c2 GROUP BY 1),
+firsttok AS (
+  SELECT d.doc_id, 1.0 AS n, uni.c1 / tot.total AS p
+  FROM d JOIN uni ON uni.w = t[1] CROSS JOIN tot
+  WHERE len(t) >= 1
+),
+docbg AS (SELECT doc_id, bg, CAST(COUNT(*) AS DOUBLE) AS n FROM big GROUP BY doc_id, bg),
+cont AS (
+  SELECT db.doc_id, db.n,
+         {_LM_LAMBDA} * (c2.c2 / cp.cp) + {1.0 - _LM_LAMBDA} * (uni.c1 / tot.total) AS p
+  FROM docbg db
+  JOIN c2 ON c2.bg = db.bg
+  JOIN cp ON cp.v = split_part(db.bg, ' ', 1)
+  JOIN uni ON uni.w = split_part(db.bg, ' ', 2)
+  CROSS JOIN tot
+),
+lm_scored AS (
+  SELECT doc_id, SUM(n * ln(p)) AS lp
+  FROM (SELECT * FROM firsttok UNION ALL SELECT * FROM cont)
+  GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+       CAST(0 AS BIGINT) AS n_oov,
+       ROUND(s.lp, 6) AS log_prob,
+       ROUND(exp(-s.lp / len(t)), 6) AS perplexity
+FROM d LEFT JOIN lm_scored s ON s.doc_id = d.doc_id
 """
 
     return sql

@@ -1,5 +1,7 @@
+from openmatch_spark.query.aggregates import count_hits, hit_stats  # noqa: F401
 from openmatch_spark.query.bm25_search import search, search_terms  # noqa: F401
 from openmatch_spark.query.boolean import search_boolean  # noqa: F401
+from openmatch_spark.query.dismax import dismax_score_adhoc  # noqa: F401
 from openmatch_spark.query.expand import (  # noqa: F401
     search_fuzzy,
     search_prefix,
@@ -26,5 +28,10 @@ from openmatch_spark.query.spell import (  # noqa: F401
 from openmatch_spark.query.paging import page_cursors, search_after  # noqa: F401
 from openmatch_spark.query.phrase import search_phrase, search_proximity  # noqa: F401
 from openmatch_spark.query.bm25f import bm25f_score_adhoc  # noqa: F401
+from openmatch_spark.query.quantize import (  # noqa: F401
+    quantize_embeddings,
+    quantized_topk,
+)
 from openmatch_spark.query.rm3 import rm3_rescore_adhoc  # noqa: F401
+from openmatch_spark.query.sorted import search_sorted  # noqa: F401
 from openmatch_spark.query.suggest import suggest_terms  # noqa: F401

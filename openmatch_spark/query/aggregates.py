@@ -1,0 +1,105 @@
+"""Query-time aggregates beside the ranked run: total hit counts
+(Lucene's TotalHitCountCollector / ES track_total_hits) and numeric
+stats over the hit set (ES stats aggregation).
+
+Both are bounded, single-shuffle plans: hit counting decodes only the
+vocabulary-pruned postings (same scan as search) and never ranks or
+hydrates; hit stats joins the (queries × k)-bounded run against the
+attribute columns with a broadcast, one groupBy.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from openmatch_spark.index.compact import _decode_blocks_arrow
+from openmatch_spark.index.load import BM25Index
+from openmatch_spark.query.bm25_search import (
+    _DISTRIBUTED_TOKENIZE_MIN_QUERIES,
+    query_terms,
+)
+
+_DECODED = "shard int, term string, term_bucket int, doc_ord long, weight double"
+
+
+def count_hits(
+    index: BM25Index,
+    queries: DataFrame,
+    distributed_threshold: int = _DISTRIBUTED_TOKENIZE_MIN_QUERIES,
+) -> DataFrame:
+    """(query_id, n_hits) — the number of live documents matching AT LEAST
+    one query term (the default OR semantics a top-k search ranks over).
+    Queries whose every term is out-of-vocabulary report 0, not absence —
+    a count surface that silently drops queries misreads as an error.
+
+    Cheaper than search: the same pruned postings decode, but no weights
+    are aggregated, no window runs, and the docmap is never touched —
+    count-distinct on (shard, doc_ord) per query is the whole job."""
+    spark = index.spark
+    q = queries.select(F.col("query_id").cast("string").alias("query_id"))
+    qt = query_terms(index, queries, distributed_threshold)
+    zero = q.distinct().select("query_id", F.lit(0).cast("long").alias("n_hits"))
+    if not qt:
+        return zero
+    terms = sorted({t for (_, t, _, _) in qt})
+    buckets = sorted({b for (_, _, _, b) in qt})
+    decoded = index.postings.where(
+        F.col("term_bucket").isin(buckets) & F.col("term").isin(terms)
+    ).mapInArrow(_decode_blocks_arrow, _DECODED)
+    decoded = index.mask_deleted(decoded)
+    qterms = F.broadcast(
+        spark.createDataFrame(
+            sorted({(qid, t) for (qid, t, _, _) in qt}),
+            "query_id string, term string",
+        )
+    )
+    counted = (
+        decoded.join(qterms, "term")
+        .groupBy("query_id")
+        .agg(F.countDistinct("shard", "doc_ord").alias("n_hits"))
+    )
+    return (
+        zero.join(counted.withColumnRenamed("n_hits", "_n"), "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n_hits"),
+        )
+    )
+
+
+def hit_stats(
+    run: DataFrame,
+    docs: DataFrame,
+    stat_cols: list[str],
+) -> DataFrame:
+    """(query_id, facet, n, min, max, avg, sum) — ES stats aggregation over
+    the hit set, one row per (query, numeric attribute). NULL attribute
+    values are excluded from min/max/avg/sum but reported via n (count of
+    NON-null values), matching ES. run: (query_id, doc_id)."""
+    if not stat_cols:
+        raise ValueError("stat_cols must name at least one attribute column")
+    base = run.select(
+        F.col("query_id").cast("string").alias("query_id"),
+        F.col("doc_id").cast("string").alias("doc_id"),
+    )
+    attrs = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        *[F.col(c).cast("double").alias(c) for c in stat_cols],
+    )
+    hydrated = attrs.join(F.broadcast(base), "doc_id")
+    stack_expr = "stack({n}, {pairs}) as (facet, value)".format(
+        n=len(stat_cols),
+        pairs=", ".join(f"'{c}', {c}" for c in stat_cols),
+    )
+    return (
+        hydrated.select("query_id", F.expr(stack_expr))
+        .groupBy("query_id", "facet")
+        .agg(
+            F.count("value").cast("long").alias("n"),
+            F.min("value").alias("min"),
+            F.max("value").alias("max"),
+            F.avg("value").alias("avg"),
+            F.sum("value").alias("sum"),
+        )
+    )

@@ -15,6 +15,7 @@ pure-Python oracle instead (tests/test_e2e_bm25.py).
 
 from __future__ import annotations
 
+import math as _math
 import os
 import tempfile
 from collections.abc import Callable
@@ -1778,6 +1779,143 @@ def q_lm_perplexity(spark, sf_dir):
     )
 
 
+# stored percolation rules (query side of the reverse search); covers
+# pure-must, should-only, exclusion, contradictory-role, and msm shapes
+PERC_RULES = [
+    ("p0", "spark join", None, None),
+    ("p1", None, "merge sort stream", None),
+    ("p2", "spark", None, "window"),
+    ("p3", None, "vector column customer", None),
+    ("p4", "nosuchterm", "spark", None),
+    ("p5", None, None, "spark"),
+]
+_PERC_VALUES = ", ".join(
+    "('{}', {}, {}, {})".format(
+        q, *("NULL" if v is None else f"'{v}'" for v in (m, s, n))
+    )
+    for q, m, s, n in PERC_RULES
+)
+
+
+def q_percolate(spark, sf_dir):
+    """Reverse search (ES percolator, query/percolate.py): the stored rule
+    set PERC_RULES matched against every document; docs never shuffle on
+    their own bulk — the rule term table broadcasts. min_should_match=1
+    exercises the quota beside the pure-must and exclusion shapes."""
+    from openmatch_spark.query import percolate
+
+    stored = spark.createDataFrame(
+        PERC_RULES, "query_id string, must string, should string, must_not string"
+    )
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    return percolate(docs, stored, min_should_match=0)
+
+
+_DECAY_ORIGIN, _DECAY_SCALE, _DECAY_DECAY = 500.0, 300.0, 0.5
+# the exact float steps query/decay.py performs: sigma2 then 2*sigma2 —
+# inlined into the oracle so both engines exponentiate identical doubles
+_DECAY_DENOM = 2.0 * (
+    -(_DECAY_SCALE * _DECAY_SCALE) / (2.0 * _math.log(_DECAY_DECAY))
+)
+
+
+def q_decay_search(spark, sf_dir):
+    """Function-score decay (ES function_score, query/decay.py): the BM25
+    top-100 rescored by a Gaussian decay of n_chars around 500 (chars as a
+    freshness proxy — the fixture has no timestamp column), re-ranked and
+    cut to 10. Docs in the run but missing from the attribute table keep
+    multiplier 1.0 (ES missing-field rule)."""
+    from openmatch_spark.query import decay_rescore
+
+    run = _bm25_run(spark, sf_dir, k=100, rounded=False)
+    attrs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "n_chars"
+    )
+    out = decay_rescore(
+        run, attrs, "n_chars",
+        origin=_DECAY_ORIGIN, scale=_DECAY_SCALE, decay=_DECAY_DECAY,
+        kind="gauss", k=10,
+    )
+    return out.select(
+        "query_id", "doc_id", F.round("score", 6).alias("score"), "rank"
+    )
+
+
+def q_term_vectors(spark, sf_dir):
+    """Per-doc term statistics (ES _termvectors with term_statistics,
+    query/significant.py): tf, 1-based first position, and df — df over
+    the WHOLE corpus, rows restricted to doc_id % 17 == 0 to keep the
+    contract payload bounded."""
+    from openmatch_spark.query import term_vectors
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text", F.col("doc_id").alias("_i")
+    )
+    out = term_vectors(docs)
+    keep = docs.where(F.col("_i") % 17 == 0).select("doc_id")
+    return out.join(F.broadcast(keep), "doc_id").select(
+        "doc_id", "term", "tf", "first_pos", "df"
+    )
+
+
+def q_significant_terms(spark, sf_dir):
+    """Significant-terms aggregation (ES significant_terms,
+    query/significant.py): per query, the 10 terms most over-represented
+    in its BM25 top-10 hit set vs the corpus background, scored by
+    document-frequency lift, min fg df 2."""
+    from openmatch_spark.query import significant_terms
+
+    run = _bm25_run(spark, sf_dir, k=10, rounded=False).select(
+        "query_id", "doc_id"
+    )
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    out = significant_terms(run, docs, n=10, min_doc_count=2)
+    return out.select(
+        "query_id", "term", "fg_df", "bg_df",
+        F.round("score", 6).alias("score"), "rank",
+    )
+
+
+_PCTS = (0.25, 0.5, 0.75)
+
+
+def q_hit_percentiles(spark, sf_dir):
+    """ES percentiles aggregation (query/aggregates.py): exact
+    PERCENTILE_CONT of n_chars over each query's BM25 top-10 hit set."""
+    from openmatch_spark.query import hit_percentiles
+
+    run = _bm25_run(spark, sf_dir, k=10, rounded=False).select(
+        "query_id", "doc_id"
+    )
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "n_chars"
+    )
+    out = hit_percentiles(run, docs, "n_chars", _PCTS)
+    return out.select("query_id", "p", F.round("value", 6).alias("value"))
+
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (operators/dsir.py): every document scored
+    by ln p_target/p_raw with target = the lang='en' slice and raw = the
+    full corpus, Laplace-smoothed over the union vocabulary. The oracle
+    rebuilds both unigram models in SQL."""
+    from openmatch_spark.operators.dsir import dsir_weights
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text", "lang"
+    )
+    out = dsir_weights(docs, docs.where(F.col("lang") == "en"))
+    return out.select(
+        "doc_id", "n_tokens",
+        F.round("log_weight", 6).alias("log_weight"),
+        F.round("avg_log_weight", 6).alias("avg_log_weight"),
+    )
+
+
 def _entry_index_with_positions(spark, sf_dir):
     """Entry index plus the positional sidecar (built once per sf_dir)."""
     from openmatch_spark.fixtures import documents_as_pages
@@ -2939,7 +3077,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_boolean_msm": q_bm25_boolean_msm,
         "hit_counts": q_hit_counts,
         "hit_stats": q_hit_stats,
+        "hit_percentiles": q_hit_percentiles,
         "sorted_search": q_sorted_search,
+        "percolate": q_percolate,
+        "decay_search": q_decay_search,
+        "term_vectors": q_term_vectors,
+        "significant_terms": q_significant_terms,
         "phrase_search": q_phrase_search,
         "proximity_search": q_proximity_search,
         "snippets": q_snippets,
@@ -2950,6 +3093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_ranges": q_facet_ranges,
         "facet_histogram": q_facet_histogram,
         "lm_perplexity": q_lm_perplexity,
+        "dsir_weights": q_dsir_weights,
         "hybrid_rrf": q_hybrid_rrf,
         "suggest": q_suggest,
         "collapsed_search": q_collapsed_search,
@@ -4732,6 +4876,187 @@ SELECT d.doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
        ROUND(s.lp, 6) AS log_prob,
        ROUND(exp(-s.lp / len(t)), 6) AS perplexity
 FROM d LEFT JOIN lm_scored s ON s.doc_id = d.doc_id
+"""
+
+    # percolation: full role-semantics replica (must AND / should any-of /
+    # must_not exclusion / must-should merge / dead exclusion-only rules)
+    sql["percolate"] = f"""
+WITH {_TOK},
+rules(query_id, must, should, must_not) AS (VALUES {_PERC_VALUES}),
+role_raw AS (
+  SELECT query_id, t.term, 1 AS is_must, 0 AS is_should, 0 AS is_not
+  FROM rules, UNNEST(regexp_split_to_array(lower(COALESCE(must, '')), '[^a-z0-9]+')) AS t(term)
+  WHERE t.term <> ''
+  UNION
+  SELECT query_id, t.term, 0, 1, 0
+  FROM rules, UNNEST(regexp_split_to_array(lower(COALESCE(should, '')), '[^a-z0-9]+')) AS t(term)
+  WHERE t.term <> ''
+  UNION
+  SELECT query_id, t.term, 0, 0, 1
+  FROM rules, UNNEST(regexp_split_to_array(lower(COALESCE(must_not, '')), '[^a-z0-9]+')) AS t(term)
+  WHERE t.term <> ''
+),
+roles AS (
+  SELECT query_id, term, MAX(is_must) AS is_must,
+         MAX(is_should) * (1 - MAX(is_must)) AS is_should,
+         MAX(is_not) AS is_not
+  FROM role_raw GROUP BY query_id, term
+),
+req AS (
+  SELECT query_id, SUM(is_must) AS req_must, SUM(is_should) AS n_should_avail
+  FROM roles GROUP BY query_id
+),
+dterm AS (SELECT DISTINCT doc_id, term FROM tok),
+hits AS (
+  SELECT d.doc_id, r.query_id,
+         SUM(r.is_must) AS n_must, SUM(r.is_should) AS n_should,
+         SUM(r.is_not) AS n_not
+  FROM dterm d JOIN roles r ON r.term = d.term
+  GROUP BY d.doc_id, r.query_id
+)
+SELECT h.doc_id, h.query_id,
+       CAST(h.n_must AS INTEGER) AS n_must,
+       CAST(h.n_should AS INTEGER) AS n_should
+FROM hits h JOIN req q ON q.query_id = h.query_id
+WHERE h.n_not = 0 AND h.n_must = q.req_must
+  AND (q.req_must > 0 OR h.n_should >= 1)
+  AND (q.req_must + q.n_should_avail) > 0
+"""
+
+    # function-score gaussian decay over the BM25 top-100, re-ranked to 10.
+    # The denominator literal is computed with the engine's exact float
+    # steps so both sides evaluate exp(-(d*d)/denom) on identical doubles
+    sql["decay_search"] = f"""
+WITH {_BM25_CTES},
+run100 AS (SELECT query_id, doc_id, score FROM run WHERE rank <= 100),
+att AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, CAST(n_chars AS DOUBLE) AS v FROM documents),
+resc AS (
+  SELECT r.query_id, r.doc_id,
+         r.score * COALESCE(
+           exp(-(greatest(abs(a.v - {_DECAY_ORIGIN}) - 0.0, 0.0)
+                 * greatest(abs(a.v - {_DECAY_ORIGIN}) - 0.0, 0.0)) / {_DECAY_DENOM!r}),
+           1.0) AS score
+  FROM run100 r LEFT JOIN att a ON a.doc_id = r.doc_id
+),
+rer AS (
+  SELECT query_id, doc_id, score,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+         ) AS INTEGER) AS rank
+  FROM resc
+)
+SELECT query_id, doc_id, ROUND(score, 6) AS score, rank FROM rer WHERE rank <= 10
+"""
+
+    # per-doc term vectors with corpus df; positions over the FILTERED
+    # token stream, 1-based; payload bounded to doc_id % 17 == 0
+    sql["term_vectors"] = """
+WITH d AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, doc_id AS idx,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+  FROM documents
+),
+posx AS (
+  SELECT doc_id, idx, t[s.i] AS term, s.i AS pos
+  FROM d, UNNEST(generate_series(1, len(t))) AS s(i)
+),
+per_doc AS (
+  SELECT doc_id, idx, term,
+         CAST(COUNT(*) AS BIGINT) AS tf,
+         CAST(MIN(pos) AS INTEGER) AS first_pos
+  FROM posx GROUP BY doc_id, idx, term
+),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM per_doc GROUP BY term)
+SELECT p.doc_id, p.term, p.tf, p.first_pos, f.df
+FROM per_doc p JOIN dfreq f ON f.term = p.term
+WHERE p.idx % 17 = 0
+"""
+
+    # significant terms: fg/bg document-frequency lift over the BM25
+    # top-10 hit sets, min fg df 2, top-10 per query by (lift, term)
+    sql["significant_terms"] = f"""
+WITH {_BM25_CTES},
+run10 AS (SELECT query_id, doc_id FROM run WHERE rank <= 10),
+dterm AS (SELECT DISTINCT doc_id, term FROM tok),
+bg AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS bg_df FROM dterm GROUP BY term),
+bgn AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n FROM documents),
+fgsz AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS fg_docs FROM run10 GROUP BY query_id),
+fg AS (
+  SELECT r.query_id, d.term, CAST(COUNT(*) AS BIGINT) AS fg_df
+  FROM run10 r JOIN dterm d ON d.doc_id = r.doc_id
+  GROUP BY r.query_id, d.term
+  HAVING COUNT(*) >= 2
+),
+sc AS (
+  SELECT f.query_id, f.term, f.fg_df, b.bg_df,
+         (CAST(f.fg_df AS DOUBLE) / CAST(s.fg_docs AS DOUBLE))
+           / (CAST(b.bg_df AS DOUBLE) / bgn.n) AS score
+  FROM fg f JOIN bg b ON b.term = f.term
+  JOIN fgsz s ON s.query_id = f.query_id
+  CROSS JOIN bgn
+),
+rk AS (
+  SELECT query_id, term, fg_df, bg_df, score,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY score DESC, term ASC
+         ) AS INTEGER) AS rank
+  FROM sc
+)
+SELECT query_id, term, fg_df, bg_df, ROUND(score, 6) AS score, rank
+FROM rk WHERE rank <= 10
+"""
+
+    # exact PERCENTILE_CONT percentiles of n_chars over the top-10 hit set
+    pct_legs = "\nUNION ALL\n".join(
+        f"SELECT query_id, CAST({p} AS DOUBLE) AS p, quantile_cont(v, {p}) AS value FROM hyd GROUP BY query_id"
+        for p in _PCTS
+    )
+    sql["hit_percentiles"] = f"""
+WITH {_BM25_CTES},
+run10 AS (SELECT query_id, doc_id FROM run WHERE rank <= 10),
+hyd AS (
+  SELECT r.query_id, CAST(d.n_chars AS DOUBLE) AS v
+  FROM run10 r JOIN documents d ON CAST(d.doc_id AS VARCHAR) = r.doc_id
+)
+SELECT query_id, p, ROUND(value, 6) AS value FROM ({pct_legs})
+"""
+
+    # DSIR importance weights: both Laplace-smoothed unigram models
+    # rebuilt in SQL (target = lang='en' slice, raw = full corpus);
+    # log-ratio written as ln(a) - ln(b), the engine's exact op order
+    sql["dsir_weights"] = """
+WITH dt AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, lang,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+  FROM documents
+),
+rawtok AS (SELECT doc_id, u.term FROM dt, UNNEST(t) AS u(term)),
+tgttok AS (SELECT doc_id, u.term FROM dt, UNNEST(t) AS u(term) WHERE lang = 'en'),
+cr AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS c FROM rawtok GROUP BY term),
+ct AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS c FROM tgttok GROUP BY term),
+totr AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM rawtok),
+tott AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM tgttok),
+vocab AS (SELECT DISTINCT term FROM (SELECT term FROM cr UNION ALL SELECT term FROM ct)),
+vs AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM vocab),
+ratios AS (
+  SELECT v.term,
+         ln((COALESCE(ct.c, 0.0) + 1.0) / (tott.n + vs.v))
+           - ln((COALESCE(cr.c, 0.0) + 1.0) / (totr.n + vs.v)) AS log_ratio
+  FROM vocab v
+  LEFT JOIN ct ON ct.term = v.term
+  LEFT JOIN cr ON cr.term = v.term
+  CROSS JOIN tott CROSS JOIN totr CROSS JOIN vs
+),
+doct AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM rawtok GROUP BY doc_id, term),
+folded AS (
+  SELECT d.doc_id, SUM(d.tf * r.log_ratio) AS lw
+  FROM doct d JOIN ratios r ON r.term = d.term GROUP BY d.doc_id
+),
+sz AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM dt)
+SELECT s.doc_id, s.n_tokens,
+       ROUND(COALESCE(f.lw, 0.0), 6) AS log_weight,
+       ROUND(CASE WHEN s.n_tokens > 0 THEN COALESCE(f.lw, 0.0) / s.n_tokens END, 6) AS avg_log_weight
+FROM sz s LEFT JOIN folded f ON f.doc_id = s.doc_id
 """
 
     return sql

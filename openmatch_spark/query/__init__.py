@@ -1,4 +1,8 @@
-from openmatch_spark.query.aggregates import count_hits, hit_stats  # noqa: F401
+from openmatch_spark.query.aggregates import (  # noqa: F401
+    count_hits,
+    hit_percentiles,
+    hit_stats,
+)
 from openmatch_spark.query.bm25_search import search, search_terms  # noqa: F401
 from openmatch_spark.query.boolean import search_boolean  # noqa: F401
 from openmatch_spark.query.dismax import dismax_score_adhoc  # noqa: F401
@@ -32,6 +36,12 @@ from openmatch_spark.query.quantize import (  # noqa: F401
     quantize_embeddings,
     quantized_topk,
 )
+from openmatch_spark.query.decay import decay_rescore  # noqa: F401
+from openmatch_spark.query.percolate import percolate  # noqa: F401
 from openmatch_spark.query.rm3 import rm3_rescore_adhoc  # noqa: F401
+from openmatch_spark.query.significant import (  # noqa: F401
+    significant_terms,
+    term_vectors,
+)
 from openmatch_spark.query.sorted import search_sorted  # noqa: F401
 from openmatch_spark.query.suggest import suggest_terms  # noqa: F401

@@ -68,6 +68,47 @@ def count_hits(
     )
 
 
+def hit_percentiles(
+    run: DataFrame,
+    docs: DataFrame,
+    stat_col: str,
+    percentiles: tuple[float, ...] = (0.25, 0.5, 0.75),
+) -> DataFrame:
+    """(query_id, p, value) — ES percentiles aggregation over the hit set,
+    one row per (query, requested percentile). EXACT linear-interpolation
+    percentiles (SQL PERCENTILE_CONT semantics), not ES's t-digest sketch:
+    the hit set is (queries × k)-bounded so exactness is affordable, and
+    it keeps the surface oracle-checkable. NULL attribute values are
+    ignored (a query whose hits all lack the attribute reports NULL)."""
+    if not percentiles:
+        raise ValueError("percentiles must name at least one fraction")
+    if any(not 0.0 <= p <= 1.0 for p in percentiles):
+        raise ValueError(f"percentiles must be in [0, 1], got {percentiles}")
+    ps = list(percentiles)
+    base = run.select(
+        F.col("query_id").cast("string").alias("query_id"),
+        F.col("doc_id").cast("string").alias("doc_id"),
+    )
+    attrs = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.col(stat_col).cast("double").alias("_v"),
+    )
+    hydrated = attrs.join(F.broadcast(base), "doc_id")
+    agg = hydrated.groupBy("query_id").agg(
+        F.percentile("_v", F.array(*[F.lit(p) for p in ps])).alias("_q")
+    )
+    # percentile() of an all-NULL group is NULL (not an array) — coalesce
+    # so the query still reports one NULL row per requested percentile
+    null_arr = F.array(*[F.lit(None).cast("double") for _ in ps])
+    pairs = F.arrays_zip(
+        F.array(*[F.lit(float(p)) for p in ps]).alias("p"),
+        F.coalesce(F.col("_q"), null_arr).alias("value"),
+    )
+    return agg.select(
+        "query_id", F.explode(pairs).alias("_e")
+    ).select("query_id", F.col("_e.p").alias("p"), F.col("_e.value").alias("value"))
+
+
 def hit_stats(
     run: DataFrame,
     docs: DataFrame,

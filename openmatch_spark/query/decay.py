@@ -1,0 +1,100 @@
+"""Function-score decay rescoring — the ES `function_score` decay surface
+(gauss / exp / linear over a numeric document attribute: recency boosts,
+distance-from-price, freshness ranking). Reference counterpart: none
+in-repo — the reference reranks with a neural forward pass
+(retriever/reranker.py); this is the attribute-algebra sibling that needs
+no model: relevance × a closed-form decay of "how far is the doc's
+attribute from the origin".
+
+Formulas (exactly ES's, Gaussian/exponential/linear kernels):
+    d       = max(0, |v - origin| - offset)          (the decayed distance)
+    gauss   : exp( -d^2 / (2*sigma^2) ),  sigma^2 = -scale^2 / (2*ln(decay))
+    exp     : exp( lambda * d ),          lambda  = ln(decay) / scale
+    linear  : max(0, (s - d) / s),        s       = scale / (1 - decay)
+so a doc AT distance `scale` from the origin scores exactly `decay`× its
+base score, and a doc within `offset` keeps it untouched. A doc whose
+attribute is NULL/absent gets multiplier 1.0 (ES's missing-field rule),
+so sparse metadata never tanks recall.
+
+Plan: one broadcast join of the (queries × k)-bounded run against the
+projected attribute column, pure column algebra for the kernel, one
+window re-rank — no UDF, no extra pass over the corpus.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+_KINDS = ("gauss", "exp", "linear")
+
+
+def decay_rescore(
+    run: DataFrame,
+    attrs: DataFrame,
+    field: str,
+    origin: float,
+    scale: float,
+    decay: float = 0.5,
+    offset: float = 0.0,
+    kind: str = "gauss",
+    k: int | None = None,
+) -> DataFrame:
+    """(query_id, doc_id, score, rank) — ``run`` (query_id, doc_id, score)
+    rescored by score × decay(attrs[field]), re-ranked per query with the
+    engine's deterministic (score DESC, doc_id ASC) tie-break; ``k``
+    optionally cuts the re-ranked depth."""
+    if kind not in _KINDS:
+        raise ValueError(f"kind must be one of {_KINDS}, got {kind!r}")
+    if scale <= 0:
+        raise ValueError(f"scale must be positive, got {scale}")
+    if not 0.0 < decay < 1.0:
+        raise ValueError(f"decay must be in (0, 1), got {decay}")
+
+    base = run.select(
+        F.col("query_id").cast("string").alias("query_id"),
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.col("score").cast("double").alias("_base"),
+    )
+    av = attrs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.col(field).cast("double").alias("_v"),
+    )
+    # the run is queries×k-bounded; the attribute table is corpus-sized —
+    # broadcast the run against it, never the reverse. Run docs with no
+    # attribute row at all are re-attached below at multiplier 1.0 (the
+    # same missing-field rule as a NULL value) — a LEFT join would force
+    # the corpus-sized side to broadcast, so it is an inner join + a
+    # run-vs-run anti join instead, both broadcast-bounded.
+    hydrated = av.join(F.broadcast(base), "doc_id")
+    unmatched = base.join(
+        F.broadcast(hydrated.select("query_id", "doc_id")),
+        ["query_id", "doc_id"],
+        "left_anti",
+    ).select("query_id", "doc_id", "_base", F.lit(None).cast("double").alias("_v"))
+    hydrated = hydrated.select("query_id", "doc_id", "_base", "_v").unionByName(
+        unmatched
+    )
+
+    d = F.greatest(F.abs(F.col("_v") - F.lit(origin)) - F.lit(offset), F.lit(0.0))
+    if kind == "gauss":
+        sigma2 = -(scale * scale) / (2.0 * math.log(decay))
+        mult = F.exp(-(d * d) / F.lit(2.0 * sigma2))
+    elif kind == "exp":
+        lam = math.log(decay) / scale
+        mult = F.exp(F.lit(lam) * d)
+    else:  # linear
+        s = scale / (1.0 - decay)
+        mult = F.greatest((F.lit(s) - d) / F.lit(s), F.lit(0.0))
+    rescored = hydrated.select(
+        "query_id",
+        "doc_id",
+        (F.col("_base") * F.coalesce(mult, F.lit(1.0))).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    out = rescored.withColumn("rank", F.row_number().over(w))
+    if k is not None:
+        out = out.where(F.col("rank") <= k)
+    return out.select("query_id", "doc_id", "score", "rank")

@@ -1,0 +1,128 @@
+"""Percolation — reverse search: a REGISTERED set of boolean queries is
+matched against a stream of incoming documents (the ES percolator /
+Luwak "stored query" surface; alerting, saved searches, routing rules).
+Reference counterpart: none in-repo — the reference always searches docs
+with ad-hoc queries; percolation inverts which side is data and which is
+predicate, the missing half of a serving story where `search` is the
+forward half.
+
+Semantics (mirrors query/boolean.py's Lucene-compatible roles, evaluated
+against the DOCUMENT's term set instead of the index vocabulary):
+  * MUST     — every distinct must term occurs in the doc. An empty must
+               role imposes nothing.
+  * SHOULD   — if the query has NO must terms, at least one should term
+               must occur (Lucene's pure-disjunction rule); otherwise
+               should terms only feed min_should_match.
+  * MUST_NOT — a doc containing any must_not term never matches.
+  * min_should_match — additionally require >= this many DISTINCT should
+               terms present (0 = off). A term in both must and should
+               merges into must and leaves the quota (deduped-builder
+               behavior, same as search_boolean).
+  * a query with no must AND no should terms matches nothing (a pure
+    exclusion rule is unsatisfiable as a match predicate).
+
+Plan (docs never shuffle on their own bulk):
+  stored queries ─tokenize 3 roles─► (query_id, term, role) + per-query
+    required counts, BROADCAST (stored-query sets are rule tables —
+    thousands, not billions)
+  docs ─tokenize once─► explode DISTINCT (doc_id, term)
+       ─broadcast join role table─► groupBy (doc_id, query_id):
+          n_must_hit, n_should_hit, n_not_hit
+       ─filter to the role contract─► (doc_id, query_id)
+The only shuffle is the (doc_id, query_id) aggregate, bounded by
+Σ per-doc distinct terms that appear in ANY rule — the broadcast join
+prunes every other token map-side, so a 100 TB doc stream pays one
+map-side-combined aggregate over its rule-relevant tokens only.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from openmatch_spark.analysis import tokenize_col
+
+
+def _role_table(stored: DataFrame, analyzer: str) -> DataFrame:
+    """(query_id, term, is_must, is_should, is_not) — one row per distinct
+    (query, term, role); must∩should merged into must."""
+    parts = []
+    for role, m, s, n in (("must", 1, 0, 0), ("should", 0, 1, 0), ("must_not", 0, 0, 1)):
+        parts.append(
+            stored.select(
+                F.col("query_id").cast("string").alias("query_id"),
+                F.explode(tokenize_col(F.col(role), analyzer)).alias("term"),
+                F.lit(m).alias("is_must"),
+                F.lit(s).alias("is_should"),
+                F.lit(n).alias("is_not"),
+            ).distinct()
+        )
+    tagged = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    return tagged.groupBy("query_id", "term").agg(
+        F.max("is_must").alias("is_must"),
+        F.max("is_should").alias("is_should"),
+        F.max("is_not").alias("is_not"),
+    ).select(
+        "query_id",
+        "term",
+        "is_must",
+        # must wins over should: a merged term is a must clause only
+        (F.col("is_should") * (1 - F.col("is_must"))).alias("is_should"),
+        "is_not",
+    )
+
+
+def percolate(
+    docs: DataFrame,
+    stored: DataFrame,
+    analyzer: str = "simple",
+    min_should_match: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, query_id, n_must, n_should) — one row per (document,
+    stored query) MATCH under the module-doc role contract.
+
+    docs: (doc_id, text). stored: (query_id, must, should, must_not) —
+    free-text role fields tokenized with ``analyzer`` (use the same
+    analyzer the forward index uses so percolation and search agree on
+    term identity); NULL/empty roles allowed."""
+    roles = _role_table(stored, analyzer)
+    req = roles.groupBy("query_id").agg(
+        F.sum("is_must").alias("req_must"),
+        F.sum("is_should").alias("n_should_avail"),
+    )
+    # rules table is small by contract: broadcast both sides of it
+    doc_terms = docs.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.explode(F.array_distinct(tokenize_col(F.col(text_col), analyzer))).alias(
+            "term"
+        ),
+    )
+    hits = (
+        doc_terms.join(F.broadcast(roles), "term")
+        .groupBy("doc_id", "query_id")
+        .agg(
+            F.sum("is_must").alias("n_must"),
+            F.sum("is_should").alias("n_should"),
+            F.sum("is_not").alias("n_not"),
+        )
+        .join(F.broadcast(req), "query_id")
+    )
+    matched = hits.where(
+        (F.col("n_not") == 0)
+        & (F.col("n_must") == F.col("req_must"))
+        & (
+            # pure-disjunction rule: no must terms -> need >= 1 should hit
+            (F.col("req_must") > 0) | (F.col("n_should") >= 1)
+        )
+        & (F.col("n_should") >= F.lit(min_should_match))
+        # a rule with no scoring terms at all can never match
+        & ((F.col("req_must") + F.col("n_should_avail")) > 0)
+    )
+    return matched.select(
+        "doc_id",
+        "query_id",
+        F.col("n_must").cast("int").alias("n_must"),
+        F.col("n_should").cast("int").alias("n_should"),
+    )

@@ -1,0 +1,120 @@
+"""Per-document term vectors and significant-terms aggregation — the ES
+`_termvectors` API and `significant_terms` bucket aggregation. Reference
+counterpart: none in-repo (the reference's only term-level statistics
+live in the external BM25 stage); these are the diagnostic surfaces a
+search engine exposes over the same tokenization the index uses.
+
+term_vectors: per (doc, term) — tf, first position, df and an idf-style
+corpus rarity — what ES returns with `term_statistics=true`.
+
+significant_terms: for each query, the terms OVER-REPRESENTED in its hit
+set relative to the corpus background ("what is this result set about").
+Score is the classic foreground/background lift
+    score(t) = (fg_df(t) / fg_docs) / (bg_df(t) / bg_docs)
+(ES offers several heuristics; lift — its "percentage" heuristic — is the
+one that is exactly replicable in plain SQL, so the oracle can check it
+bit-for-bit). Terms must appear in >= min_doc_count foreground docs;
+top-n per query by (score DESC, term ASC).
+
+Scale shape: term_vectors is one explode + two partial-agg shuffles (the
+same Zipf-safe (term, doc) pre-aggregate as stats.term_stats).
+significant_terms never re-scans the corpus for the foreground: the hit
+set is (queries × k)-bounded, so its doc texts hydrate through one
+broadcast join; the background df comes from the same term_stats table
+the index already maintains.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from openmatch_spark.analysis import tokenize_col
+
+
+def term_vectors(
+    docs: DataFrame,
+    analyzer: str = "simple",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, term, tf, first_pos, df) — per-document term statistics
+    over the analyzer's token stream; first_pos is 1-based (ES reports
+    0-based token positions, but 1-based matches this engine's positional
+    sidecar convention)."""
+    toks = docs.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        tokenize_col(F.col(text_col), analyzer).alias("t"),
+    )
+    per_doc = (
+        toks.select("doc_id", F.posexplode("t").alias("pos", "term"))
+        .groupBy("doc_id", "term")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("tf"),
+            (F.min("pos") + 1).cast("int").alias("first_pos"),
+        )
+    )
+    df_tbl = per_doc.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    return per_doc.join(df_tbl, "term").select(
+        "doc_id", "term", "tf", "first_pos", "df"
+    )
+
+
+def significant_terms(
+    run: DataFrame,
+    docs: DataFrame,
+    analyzer: str = "simple",
+    n: int = 10,
+    min_doc_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(query_id, term, fg_df, bg_df, score, rank) — top-n significant
+    terms per query by foreground/background document-frequency lift.
+
+    run: (query_id, doc_id) — the hit set (typically a top-k run's id
+    pairs). docs: the corpus the run was drawn from; the background is
+    computed over ALL of it, the foreground only over hit docs."""
+    if n <= 0:
+        raise ValueError(f"n must be positive, got {n}")
+    hit_ids = run.select(
+        F.col("query_id").cast("string").alias("query_id"),
+        F.col("doc_id").cast("string").alias("doc_id"),
+    ).distinct()
+    doc_terms = docs.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.explode(F.array_distinct(tokenize_col(F.col(text_col), analyzer))).alias(
+            "term"
+        ),
+    )
+    bg_docs = docs.select(F.col(id_col)).distinct().count()
+    bg = doc_terms.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("bg_df"))
+    fg_sizes = hit_ids.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("fg_docs")
+    )
+    fg = (
+        doc_terms.join(F.broadcast(hit_ids), "doc_id")
+        .groupBy("query_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("fg_df"))
+        .where(F.col("fg_df") >= min_doc_count)
+    )
+    scored = (
+        fg.join(bg, "term")
+        .join(F.broadcast(fg_sizes), "query_id")
+        .select(
+            "query_id",
+            "term",
+            "fg_df",
+            "bg_df",
+            (
+                (F.col("fg_df") / F.col("fg_docs"))
+                / (F.col("bg_df") / F.lit(float(bg_docs)))
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= n)
+        .select("query_id", "term", "fg_df", "bg_df", "score", "rank")
+    )

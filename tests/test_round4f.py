@@ -1,0 +1,268 @@
+"""Round-4f surfaces: percolation (query/percolate.py), function-score
+decay rescoring (query/decay.py), term vectors + significant terms
+(query/significant.py), hit percentiles (query/aggregates.py), and DSIR
+importance weights (operators/dsir.py)."""
+
+import math
+
+import pytest
+
+from openmatch_spark.operators.dsir import dsir_weights
+from openmatch_spark.query import (
+    decay_rescore,
+    hit_percentiles,
+    percolate,
+    significant_terms,
+    term_vectors,
+)
+
+# ---------------------------------------------------------------- percolate
+
+DOCS = [
+    ("d1", "alpha beta gamma"),
+    ("d2", "alpha beta"),
+    ("d3", "alpha delta"),
+    ("d4", "epsilon zeta"),
+    ("d5", ""),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id string, text string")
+
+
+def _stored(spark, rows):
+    return spark.createDataFrame(
+        rows, "query_id string, must string, should string, must_not string"
+    )
+
+
+def test_percolate_roles(spark, docs):
+    stored = _stored(spark, [
+        ("q_must", "alpha beta", None, None),        # both required
+        ("q_should", None, "delta epsilon", None),   # any-of
+        ("q_not", "alpha", None, "delta"),           # alpha but not delta
+        ("q_dead", None, None, "alpha"),             # exclusion-only: never
+        ("q_oov", "alpha zzznope", None, None),      # unsatisfiable must
+    ])
+    got = {
+        (r["query_id"], r["doc_id"])
+        for r in percolate(docs, stored).collect()
+    }
+    assert got == {
+        ("q_must", "d1"), ("q_must", "d2"),
+        ("q_should", "d3"), ("q_should", "d4"),
+        ("q_not", "d1"), ("q_not", "d2"),
+    }
+
+
+def test_percolate_min_should_match(spark, docs):
+    stored = _stored(spark, [("q", None, "beta gamma delta", None)])
+    one = {r["doc_id"] for r in percolate(docs, stored).collect()}
+    two = {
+        r["doc_id"]
+        for r in percolate(docs, stored, min_should_match=2).collect()
+    }
+    assert one == {"d1", "d2", "d3"}
+    assert two == {"d1"}  # only d1 has two of {beta, gamma, delta}
+
+
+def test_percolate_must_should_merge(spark, docs):
+    # 'alpha' in both roles merges into must and leaves the should quota:
+    # with msm=1 the doc must ALSO match a real should term (beta/gamma)
+    stored = _stored(spark, [("q", "alpha", "alpha beta gamma", None)])
+    got = {
+        r["doc_id"]
+        for r in percolate(docs, stored, min_should_match=1).collect()
+    }
+    assert got == {"d1", "d2"}
+
+
+# ------------------------------------------------------------ decay_rescore
+
+@pytest.fixture(scope="module")
+def run(spark):
+    return spark.createDataFrame(
+        [("q", "a", 10.0), ("q", "b", 10.0), ("q", "c", 10.0)],
+        "query_id string, doc_id string, score double",
+    )
+
+
+@pytest.fixture(scope="module")
+def attrs(spark):
+    # distances from origin 0: a=0, b=5 (= scale), c missing
+    return spark.createDataFrame(
+        [("a", 0.0), ("b", 5.0), ("d", 1.0)], "doc_id string, ts double"
+    )
+
+
+@pytest.mark.parametrize("kind", ["gauss", "exp", "linear"])
+def test_decay_at_scale_distance_is_decay(spark, run, attrs, kind):
+    out = {
+        r["doc_id"]: r["score"]
+        for r in decay_rescore(
+            run, attrs, "ts", origin=0.0, scale=5.0, decay=0.5, kind=kind
+        ).collect()
+    }
+    # at the origin: untouched; at |v-origin| == scale: exactly decay×
+    assert out["a"] == pytest.approx(10.0, rel=1e-12)
+    assert out["b"] == pytest.approx(5.0, rel=1e-12)
+    # missing attribute -> multiplier 1.0 (ES missing-field rule)
+    assert out["c"] == pytest.approx(10.0, rel=1e-12)
+
+
+def test_decay_offset_and_rank(spark, run, attrs):
+    out = decay_rescore(
+        run, attrs, "ts", origin=0.0, scale=5.0, decay=0.5, offset=5.0,
+        kind="gauss",
+    ).orderBy("rank").collect()
+    # offset swallows b's distance -> all three tie at 10.0, doc_id breaks
+    assert [r["doc_id"] for r in out] == ["a", "b", "c"]
+    assert all(r["score"] == pytest.approx(10.0) for r in out)
+
+
+def test_decay_validation(spark, run, attrs):
+    with pytest.raises(ValueError, match="kind"):
+        decay_rescore(run, attrs, "ts", 0.0, 5.0, kind="boxcar")
+    with pytest.raises(ValueError, match="scale"):
+        decay_rescore(run, attrs, "ts", 0.0, 0.0)
+    with pytest.raises(ValueError, match="decay"):
+        decay_rescore(run, attrs, "ts", 0.0, 5.0, decay=1.0)
+
+
+# ------------------------------------------------------------- term_vectors
+
+def test_term_vectors(spark, docs):
+    got = {
+        (r["doc_id"], r["term"]): (r["tf"], r["first_pos"], r["df"])
+        for r in term_vectors(docs).collect()
+    }
+    assert got[("d1", "alpha")] == (1, 1, 3)   # alpha in d1,d2,d3
+    assert got[("d1", "gamma")] == (1, 3, 1)
+    assert got[("d3", "delta")] == (1, 2, 1)
+    assert ("d5", "") not in got  # empty doc contributes nothing
+
+
+def test_term_vectors_tf_and_positions(spark):
+    d = spark.createDataFrame(
+        [("x", "ho ho ho santa")], "doc_id string, text string"
+    )
+    got = {r["term"]: (r["tf"], r["first_pos"]) for r in term_vectors(d).collect()}
+    assert got["ho"] == (3, 1)
+    assert got["santa"] == (1, 4)
+
+
+# -------------------------------------------------------- significant_terms
+
+def test_significant_terms(spark, docs):
+    # hit set for q = {d1, d2}: alpha/beta are in every hit but alpha is
+    # corpus-common (bg 3) while beta is hit-only (bg 2) — beta wins on lift
+    run = spark.createDataFrame(
+        [("q", "d1"), ("q", "d2")], "query_id string, doc_id string"
+    )
+    rows = significant_terms(run, docs, min_doc_count=2).orderBy("rank").collect()
+    assert [r["term"] for r in rows] == ["beta", "alpha"]
+    beta = rows[0]
+    # lift = (2/2) / (2/5) = 2.5
+    assert beta["score"] == pytest.approx(2.5, rel=1e-12)
+    assert (beta["fg_df"], beta["bg_df"]) == (2, 2)
+
+
+def test_significant_terms_min_doc_count(spark, docs):
+    run = spark.createDataFrame([("q", "d1")], "query_id string, doc_id string")
+    terms = {r["term"] for r in significant_terms(run, docs, min_doc_count=2).collect()}
+    assert terms == set()  # every term appears in only 1 foreground doc
+
+
+# ---------------------------------------------------------- hit_percentiles
+
+def test_hit_percentiles_linear_interpolation(spark):
+    run = spark.createDataFrame(
+        [("q", d) for d in "abcd"], "query_id string, doc_id string"
+    )
+    docs = spark.createDataFrame(
+        [("a", 10.0), ("b", 20.0), ("c", 30.0), ("d", 40.0), ("e", 999.0)],
+        "doc_id string, v double",
+    )
+    got = {
+        r["p"]: r["value"]
+        for r in hit_percentiles(run, docs, "v", (0.0, 0.5, 1.0)).collect()
+    }
+    # PERCENTILE_CONT over [10,20,30,40]
+    assert got[0.0] == pytest.approx(10.0)
+    assert got[0.5] == pytest.approx(25.0)
+    assert got[1.0] == pytest.approx(40.0)
+
+
+def test_hit_percentiles_validation(spark, run):
+    with pytest.raises(ValueError):
+        hit_percentiles(run, run, "v", ())
+    with pytest.raises(ValueError):
+        hit_percentiles(run, run, "v", (1.5,))
+
+
+# ------------------------------------------------------------- DSIR weights
+
+def test_dsir_prefers_target_like_docs(spark):
+    target = spark.createDataFrame(
+        [("t1", "clean prose text"), ("t2", "clean text")],
+        "doc_id string, text string",
+    )
+    raw = spark.createDataFrame(
+        [("r1", "clean prose"), ("r2", "spam spam pills"), ("r3", "")],
+        "doc_id string, text string",
+    )
+    got = {r["doc_id"]: r for r in dsir_weights(raw, target).collect()}
+    assert got["r1"]["avg_log_weight"] > got["r2"]["avg_log_weight"]
+    assert got["r3"]["n_tokens"] == 0
+    assert got["r3"]["log_weight"] == 0.0
+    assert got["r3"]["avg_log_weight"] is None
+
+
+def test_dsir_matches_python_reference(spark):
+    target_rows = [("t1", "a b a"), ("t2", "b c")]
+    raw_rows = [("r1", "a b"), ("r2", "c d d")]
+    target = spark.createDataFrame(target_rows, "doc_id string, text string")
+    raw = spark.createDataFrame(raw_rows, "doc_id string, text string")
+
+    import collections
+    ct = collections.Counter(w for _, t in target_rows for w in t.split())
+    cr = collections.Counter(w for _, t in raw_rows for w in t.split())
+    tt, tr = sum(ct.values()), sum(cr.values())
+    vocab = set(ct) | set(cr)
+    v = len(vocab)
+
+    def ref_weight(text):
+        return sum(
+            math.log((ct[w] + 1) / (tt + v)) - math.log((cr[w] + 1) / (tr + v))
+            for w in text.split()
+        )
+
+    got = {r["doc_id"]: r["log_weight"] for r in dsir_weights(raw, target).collect()}
+    for did, text in raw_rows:
+        assert got[did] == pytest.approx(ref_weight(text), rel=1e-12), did
+
+
+def test_dsir_rejects_empty_pools(spark):
+    empty = spark.createDataFrame([("e", "")], "doc_id string, text string")
+    some = spark.createDataFrame([("s", "x")], "doc_id string, text string")
+    with pytest.raises(ValueError, match="target"):
+        dsir_weights(some, empty)
+    with pytest.raises(ValueError, match="raw"):
+        dsir_weights(empty, some)
+
+
+# ------------------------------------------------------------- plan shapes
+
+def test_percolate_plan_broadcasts_rules(spark, docs):
+    """The rule table reaches the doc-term stream via broadcast (both the
+    role table and the per-rule requirement counts) — the doc side must
+    never shuffle on its own bulk, only on the bounded (doc, rule) hits."""
+    from openmatch_spark.plans.explain import plan_summary
+
+    stored = _stored(spark, [("q", "alpha", "beta", None)])
+    s = plan_summary(percolate(docs, stored))
+    assert s["broadcasts"] >= 2
+    # pure column algebra end-to-end: no Python evaluation points
+    assert s["python_evals"] == 0

@@ -1916,6 +1916,26 @@ def q_dsir_weights(spark, sf_dir):
     )
 
 
+_CCNET_F1, _CCNET_F2 = 1.0 / 3.0, 2.0 / 3.0
+
+
+def q_ccnet_buckets(spark, sf_dir):
+    """CCNet head/middle/tail selection (operators/lm_score.py): docs
+    bucketed by the exact-percentile thresholds of their rounded LM
+    perplexity (self-scoring mode). The oracle recomputes the full bigram
+    model, the same ROUND-then-quantile_cont thresholds, and the CASE."""
+    from openmatch_spark.operators.lm_score import perplexity_buckets
+
+    out = perplexity_buckets(
+        _docs(spark, sf_dir).select(
+            F.col("doc_id").cast("string").alias("doc_id"), "text"
+        ),
+        lam=_LM_LAMBDA,
+        fractions=(_CCNET_F1, _CCNET_F2),
+    )
+    return out.select("doc_id", "n_tokens", "perplexity", "bucket")
+
+
 def _entry_index_with_positions(spark, sf_dir):
     """Entry index plus the positional sidecar (built once per sf_dir)."""
     from openmatch_spark.fixtures import documents_as_pages
@@ -3093,6 +3113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_ranges": q_facet_ranges,
         "facet_histogram": q_facet_histogram,
         "lm_perplexity": q_lm_perplexity,
+        "ccnet_buckets": q_ccnet_buckets,
         "dsir_weights": q_dsir_weights,
         "hybrid_rrf": q_hybrid_rrf,
         "suggest": q_suggest,
@@ -4832,9 +4853,9 @@ SELECT query_id, doc_id, sort_value, rank FROM sorted_run WHERE rank <= 10
     # interpolated bigram LM, self-scoring mode: full model replica.
     # The interpolation literals mirror the engine's Python float exactly
     # ({_LM_LAMBDA} and {1.0 - _LM_LAMBDA}), and every bigram/word is
-    # in-model by construction, so the joins are inner and n_oov is 0
-    sql["lm_perplexity"] = f"""
-WITH d AS (
+    # in-model by construction, so the joins are inner and n_oov is 0.
+    # The CTE chain is shared with ccnet_buckets below.
+    _lm_ctes = f"""d AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id,
          list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
   FROM documents
@@ -4870,12 +4891,36 @@ lm_scored AS (
   SELECT doc_id, SUM(n * ln(p)) AS lp
   FROM (SELECT * FROM firsttok UNION ALL SELECT * FROM cont)
   GROUP BY doc_id
-)
+)"""
+
+    sql["lm_perplexity"] = f"""
+WITH {_lm_ctes}
 SELECT d.doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
        CAST(0 AS BIGINT) AS n_oov,
        ROUND(s.lp, 6) AS log_prob,
        ROUND(exp(-s.lp / len(t)), 6) AS perplexity
 FROM d LEFT JOIN lm_scored s ON s.doc_id = d.doc_id
+"""
+
+    # CCNet head/middle/tail: same LM, ROUND-then-exact-quantile thresholds
+    sql["ccnet_buckets"] = f"""
+WITH {_lm_ctes},
+base AS (
+  SELECT d.doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+         ROUND(exp(-s.lp / len(t)), 6) AS perplexity
+  FROM d LEFT JOIN lm_scored s ON s.doc_id = d.doc_id
+),
+th AS (
+  SELECT quantile_cont(perplexity, {_CCNET_F1!r}) AS t1,
+         quantile_cont(perplexity, {_CCNET_F2!r}) AS t2
+  FROM base WHERE perplexity IS NOT NULL
+)
+SELECT b.doc_id, b.n_tokens, b.perplexity,
+       CASE WHEN b.perplexity IS NULL THEN NULL
+            WHEN b.perplexity <= th.t1 THEN 'head'
+            WHEN b.perplexity <= th.t2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM base b CROSS JOIN th
 """
 
     # percolation: full role-semantics replica (must AND / should any-of /

@@ -34,6 +34,8 @@ from pyspark.sql import DataFrame
 
 from openmatch_spark.analysis import tokenize_col
 
+_BUCKET_NAMES = ("head", "middle", "tail")
+
 
 def _toks(df: DataFrame, analyzer: str, id_col: str, text_col: str) -> DataFrame:
     return df.select(
@@ -158,3 +160,51 @@ def ngram_lm_scores(
             F.exp(-F.col("log_prob") / F.col("n_tokens")).alias("perplexity"),
         )
     )
+
+
+def perplexity_buckets(
+    corpus: DataFrame,
+    reference: DataFrame | None = None,
+    lam: float = 0.9,
+    analyzer: str = "simple",
+    fractions: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
+    round_to: int = 6,
+    approx: bool = False,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_tokens, perplexity, bucket) — the CCNet selection step:
+    docs split into 'head' / 'middle' / 'tail' by LM perplexity (Wenzek et
+    al. 2020 keep head+middle and drop tail as likely gibberish).
+
+    Thresholds are the ``fractions`` percentiles of the ROUNDED perplexity
+    distribution (rounding first makes the cut reproducible across
+    engines and runs; exact PERCENTILE_CONT by default). At 100 TB pass
+    ``approx=True``: percentile_approx turns the threshold computation
+    into one sketch aggregate — the bucket assignment itself is always a
+    broadcast-free projection against two scalar thresholds. Docs with no
+    score (empty after analysis) get bucket NULL, never 'tail': absence
+    of evidence is not evidence of gibberish."""
+    if not (0.0 < fractions[0] < fractions[1] < 1.0):
+        raise ValueError(f"fractions must be 0 < f1 < f2 < 1, got {fractions}")
+    scores = ngram_lm_scores(
+        corpus, reference=reference, lam=lam, analyzer=analyzer,
+        id_col=id_col, text_col=text_col,
+    ).select(
+        "doc_id", "n_tokens",
+        F.round("perplexity", round_to).alias("perplexity"),
+    )
+    pct = F.percentile_approx if approx else F.percentile
+    row = scores.where(F.col("perplexity").isNotNull()).agg(
+        pct("perplexity", F.array(F.lit(fractions[0]), F.lit(fractions[1]))).alias("t")
+    ).collect()[0]["t"]
+    if row is None:
+        return scores.withColumn("bucket", F.lit(None).cast("string"))
+    t1, t2 = float(row[0]), float(row[1])
+    bucket = (
+        F.when(F.col("perplexity").isNull(), F.lit(None).cast("string"))
+        .when(F.col("perplexity") <= F.lit(t1), F.lit(_BUCKET_NAMES[0]))
+        .when(F.col("perplexity") <= F.lit(t2), F.lit(_BUCKET_NAMES[1]))
+        .otherwise(F.lit(_BUCKET_NAMES[2]))
+    )
+    return scores.withColumn("bucket", bucket)

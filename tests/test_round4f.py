@@ -266,3 +266,41 @@ def test_percolate_plan_broadcasts_rules(spark, docs):
     assert s["broadcasts"] >= 2
     # pure column algebra end-to-end: no Python evaluation points
     assert s["python_evals"] == 0
+
+
+# -------------------------------------------------------- perplexity buckets
+
+def test_perplexity_buckets(spark):
+    from openmatch_spark.operators.lm_score import perplexity_buckets
+
+    corpus = spark.createDataFrame(
+        [
+            ("d1", "the cat sat on the mat and the cat sat again"),
+            ("d2", "the cat sat on the mat"),
+            ("d3", "the cat sat"),
+            ("d4", "mat the on cat sat the"),
+            ("d5", "cat mat sat on and again the"),
+            ("d6", "again and mat on sat the cat"),
+            ("empty", ""),
+        ],
+        "doc_id string, text string",
+    )
+    rows = {r["doc_id"]: r for r in perplexity_buckets(corpus).collect()}
+    assert rows["empty"]["bucket"] is None  # no evidence != gibberish
+    scored = sorted(
+        (r["perplexity"], d) for d, r in rows.items()
+        if r["perplexity"] is not None
+    )
+    order = [rows[d]["bucket"] for _, d in scored]
+    # buckets are monotone in perplexity and all three appear
+    idx = {"head": 0, "middle": 1, "tail": 2}
+    assert order == sorted(order, key=idx.__getitem__)
+    assert set(order) == {"head", "middle", "tail"}
+
+
+def test_perplexity_buckets_validation(spark):
+    from openmatch_spark.operators.lm_score import perplexity_buckets
+
+    corpus = spark.createDataFrame([("a", "x y")], "doc_id string, text string")
+    with pytest.raises(ValueError, match="fractions"):
+        perplexity_buckets(corpus, fractions=(0.5, 0.5))

@@ -1916,6 +1916,28 @@ def q_dsir_weights(spark, sf_dir):
     )
 
 
+_NEG_TERM, _NEG_BOOST = "slow", 0.5
+
+
+def q_boosting_search(spark, sf_dir):
+    """ES/Lucene boosting query (query/decay.py): BM25 top-100 with docs
+    containing the negative term demoted by 0.5× (kept, unlike must_not),
+    re-ranked and cut to 10."""
+    from openmatch_spark.analysis import tokenize_col
+    from openmatch_spark.query import boosting_rescore
+
+    run = _bm25_run(spark, sf_dir, k=100, rounded=False)
+    neg = (
+        _docs(spark, sf_dir)
+        .where(F.array_contains(tokenize_col(F.col("text"), "simple"), _NEG_TERM))
+        .select(F.col("doc_id").cast("string").alias("doc_id"))
+    )
+    out = boosting_rescore(run, neg, negative_boost=_NEG_BOOST, k=10)
+    return out.select(
+        "query_id", "doc_id", F.round("score", 6).alias("score"), "rank"
+    )
+
+
 _CCNET_F1, _CCNET_F2 = 1.0 / 3.0, 2.0 / 3.0
 
 
@@ -3101,6 +3123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sorted_search": q_sorted_search,
         "percolate": q_percolate,
         "decay_search": q_decay_search,
+        "boosting_search": q_boosting_search,
         "term_vectors": q_term_vectors,
         "significant_terms": q_significant_terms,
         "phrase_search": q_phrase_search,
@@ -4982,6 +5005,28 @@ resc AS (
                  * greatest(abs(a.v - {_DECAY_ORIGIN}) - 0.0, 0.0)) / {_DECAY_DENOM!r}),
            1.0) AS score
   FROM run100 r LEFT JOIN att a ON a.doc_id = r.doc_id
+),
+rer AS (
+  SELECT query_id, doc_id, score,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+         ) AS INTEGER) AS rank
+  FROM resc
+)
+SELECT query_id, doc_id, ROUND(score, 6) AS score, rank FROM rer WHERE rank <= 10
+"""
+
+    # boosting query: negative-term membership demotes by 0.5x, kept in
+    # the run (vs must_not's removal); re-ranked over the top-100 window
+    sql["boosting_search"] = f"""
+WITH {_BM25_CTES},
+run100 AS (SELECT query_id, doc_id, score FROM run WHERE rank <= 100),
+neg AS (SELECT DISTINCT doc_id FROM tok WHERE term = '{_NEG_TERM}'),
+resc AS (
+  SELECT r.query_id, r.doc_id,
+         CASE WHEN n.doc_id IS NOT NULL THEN r.score * {_NEG_BOOST}
+              ELSE r.score END AS score
+  FROM run100 r LEFT JOIN neg n ON n.doc_id = r.doc_id
 ),
 rer AS (
   SELECT query_id, doc_id, score,

@@ -36,7 +36,10 @@ from openmatch_spark.query.quantize import (  # noqa: F401
     quantize_embeddings,
     quantized_topk,
 )
-from openmatch_spark.query.decay import decay_rescore  # noqa: F401
+from openmatch_spark.query.decay import (  # noqa: F401
+    boosting_rescore,
+    decay_rescore,
+)
 from openmatch_spark.query.percolate import percolate  # noqa: F401
 from openmatch_spark.query.rm3 import rm3_rescore_adhoc  # noqa: F401
 from openmatch_spark.query.significant import (  # noqa: F401

@@ -98,3 +98,49 @@ def decay_rescore(
     if k is not None:
         out = out.where(F.col("rank") <= k)
     return out.select("query_id", "doc_id", "score", "rank")
+
+
+def boosting_rescore(
+    run: DataFrame,
+    negative: DataFrame,
+    negative_boost: float = 0.5,
+    k: int | None = None,
+) -> DataFrame:
+    """(query_id, doc_id, score, rank) — the ES/Lucene `boosting` query:
+    hits of the positive query (``run``) that ALSO appear in ``negative``
+    keep their relevance but are demoted by ``negative_boost``× (unlike
+    must_not, which would remove them outright). negative: (doc_id) to
+    demote everywhere, or (query_id, doc_id) to demote per query.
+
+    One broadcast membership join over the (queries × k)-bounded run —
+    the negative set is typically another (bounded) run or a small
+    corpus-predicate selection; re-rank with the engine's deterministic
+    tie-break."""
+    if not 0.0 < negative_boost < 1.0:
+        raise ValueError(
+            f"negative_boost must be in (0, 1), got {negative_boost}"
+        )
+    base = run.select(
+        F.col("query_id").cast("string").alias("query_id"),
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.col("score").cast("double").alias("_base"),
+    )
+    keys = ["doc_id"] if "query_id" not in negative.columns else [
+        "query_id", "doc_id"
+    ]
+    neg = negative.select(
+        *[F.col(c).cast("string").alias(c) for c in keys]
+    ).distinct().withColumn("_neg", F.lit(1))
+    joined = base.join(F.broadcast(neg), keys, "left")
+    rescored = joined.select(
+        "query_id",
+        "doc_id",
+        F.when(
+            F.col("_neg").isNotNull(), F.col("_base") * F.lit(negative_boost)
+        ).otherwise(F.col("_base")).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    out = rescored.withColumn("rank", F.row_number().over(w))
+    if k is not None:
+        out = out.where(F.col("rank") <= k)
+    return out.select("query_id", "doc_id", "score", "rank")

@@ -304,3 +304,30 @@ def test_perplexity_buckets_validation(spark):
     corpus = spark.createDataFrame([("a", "x y")], "doc_id string, text string")
     with pytest.raises(ValueError, match="fractions"):
         perplexity_buckets(corpus, fractions=(0.5, 0.5))
+
+
+# --------------------------------------------------------- boosting_rescore
+
+def test_boosting_demotes_but_keeps(spark, run):
+    from openmatch_spark.query import boosting_rescore
+
+    neg = spark.createDataFrame([("a",)], "doc_id string")
+    out = {r["doc_id"]: (r["score"], r["rank"])
+           for r in boosting_rescore(run, neg, 0.5).collect()}
+    # 'a' demoted to 5.0 but still present (unlike must_not); others keep 10
+    assert out["a"] == (5.0, 3)
+    assert out["b"][0] == 10.0 and out["c"][0] == 10.0
+
+
+def test_boosting_per_query_keys_and_validation(spark, run):
+    from openmatch_spark.query import boosting_rescore
+
+    negq = spark.createDataFrame(
+        [("q", "b"), ("other", "c")], "query_id string, doc_id string"
+    )
+    out = {r["doc_id"]: r["score"]
+           for r in boosting_rescore(run, negq, 0.25).collect()}
+    assert out["b"] == 2.5
+    assert out["c"] == 10.0  # (other, c) does not touch query q
+    with pytest.raises(ValueError, match="negative_boost"):
+        boosting_rescore(run, negq, 1.0)

@@ -1938,6 +1938,25 @@ def q_boosting_search(spark, sf_dir):
     )
 
 
+_MMR_LAM, _MMR_K, _MMR_DEPTH = 0.7, 5, 20
+
+
+def q_mmr_rerank(spark, sf_dir):
+    """MMR diversification (query/diversify.py): the cosine top-20 per
+    query re-ranked by greedy maximal marginal relevance (lam=0.7, k=5).
+    The oracle replays the SAME greedy step by step — five unrolled
+    pick/select CTEs over 6dp-rounded relevance and pairwise cosine, so
+    every argmax decision is deterministic on both engines."""
+    from openmatch_spark.query.dense import brute_force_topk
+    from openmatch_spark.query.diversify import mmr_rerank
+
+    run = brute_force_topk(
+        _emb(spark, sf_dir), _query_vectors(spark, sf_dir),
+        k=_MMR_DEPTH, metric="cosine",
+    ).select("query_id", F.col("vec_id").alias("doc_id"), "score")
+    return mmr_rerank(run, _emb(spark, sf_dir), lam=_MMR_LAM, k=_MMR_K)
+
+
 _CCNET_F1, _CCNET_F2 = 1.0 / 3.0, 2.0 / 3.0
 
 
@@ -3139,6 +3158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_buckets": q_ccnet_buckets,
         "dsir_weights": q_dsir_weights,
         "hybrid_rrf": q_hybrid_rrf,
+        "mmr_rerank": q_mmr_rerank,
         "suggest": q_suggest,
         "collapsed_search": q_collapsed_search,
         "spell_suggest": q_spell_suggest,
@@ -5109,6 +5129,76 @@ hyd AS (
   FROM run10 r JOIN documents d ON CAST(d.doc_id AS VARCHAR) = r.doc_id
 )
 SELECT query_id, p, ROUND(value, 6) AS value FROM ({pct_legs})
+"""
+
+    # MMR diversification: the greedy loop unrolled into _MMR_K pick/sel
+    # CTE pairs — each step's argmax runs over the SAME 6dp-rounded rel
+    # and pairwise-cosine inputs the engine's kernel rounds to, with the
+    # same (mmr DESC, doc_id ASC) tie-break, so the selections replay
+    # identically. The lam literals are Python float reprs (exact).
+    _lam_r, _oml_r = repr(_MMR_LAM), repr(1.0 - _MMR_LAM)
+    _mmr_ctes = [
+        "sel0 AS (SELECT CAST(NULL AS VARCHAR) AS query_id, CAST(NULL AS VARCHAR) AS doc_id WHERE FALSE)"
+    ]
+    for i in range(1, _MMR_K + 1):
+        _mmr_ctes.append(f"""mmr{i} AS (
+  SELECT b.query_id, b.doc_id,
+         {_lam_r} * b.rel - {_oml_r} * COALESCE((
+           SELECT MAX(s.s) FROM sim s
+           WHERE s.query_id = b.query_id AND s.ca = b.doc_id
+             AND s.cb IN (SELECT t.doc_id FROM sel{i - 1} t
+                          WHERE t.query_id = b.query_id)
+         ), 0.0) AS mmr
+  FROM base b
+  WHERE NOT EXISTS (SELECT 1 FROM sel{i - 1} t
+                    WHERE t.query_id = b.query_id AND t.doc_id = b.doc_id)
+),
+pick{i} AS (
+  SELECT query_id, doc_id, mmr, {i} AS rank FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY mmr DESC, doc_id ASC
+    ) AS rn FROM mmr{i}
+  ) WHERE rn = 1
+),
+sel{i} AS (SELECT query_id, doc_id FROM sel{i - 1}
+           UNION ALL SELECT query_id, doc_id FROM pick{i})""")
+    _mmr_picks = "\nUNION ALL\n".join(
+        f"SELECT query_id, doc_id, mmr, rank FROM pick{i}"
+        for i in range(1, _MMR_K + 1)
+    )
+    sql["mmr_rerank"] = f"""
+WITH q AS (
+  SELECT CAST(vec_id AS VARCHAR) AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 5
+),
+c AS (
+  SELECT CAST(vec_id AS VARCHAR) AS vec_id, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings
+),
+scored AS (
+  SELECT q.query_id, c.vec_id, list_cosine_similarity(q.qv, c.cv) AS score
+  FROM q CROSS JOIN c
+),
+ranked AS (
+  SELECT query_id, vec_id, score,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS INTEGER) AS rank
+  FROM scored
+),
+base AS (
+  SELECT query_id, vec_id AS doc_id, ROUND(score, 6) AS rel
+  FROM ranked WHERE rank <= {_MMR_DEPTH}
+),
+sim AS (
+  SELECT b1.query_id, b1.doc_id AS ca, b2.doc_id AS cb,
+         ROUND(list_cosine_similarity(e1.cv, e2.cv), 6) AS s
+  FROM base b1
+  JOIN base b2 ON b2.query_id = b1.query_id AND b2.doc_id <> b1.doc_id
+  JOIN c e1 ON e1.vec_id = b1.doc_id
+  JOIN c e2 ON e2.vec_id = b2.doc_id
+),
+{",".join(_mmr_ctes)}
+SELECT query_id, doc_id, ROUND(mmr, 6) AS mmr_score, CAST(rank AS INTEGER) AS rank
+FROM ({_mmr_picks})
 """
 
     # DSIR importance weights: both Laplace-smoothed unigram models

@@ -331,3 +331,77 @@ def test_boosting_per_query_keys_and_validation(spark, run):
     assert out["c"] == 10.0  # (other, c) does not touch query q
     with pytest.raises(ValueError, match="negative_boost"):
         boosting_rescore(run, negq, 1.0)
+
+
+# --------------------------------------------------------------- MMR rerank
+
+def _mmr_reference(cands, vecs, lam, k, round_to=6):
+    """Pure-python greedy MMR replica; cands = {doc: rel}, vecs = {doc: np
+    vector}; returns [(doc, mmr, rank)]."""
+    import numpy as np
+
+    docs = sorted(cands)
+    v = np.array([vecs[d] for d in docs], dtype=np.float64)
+    norms = np.linalg.norm(v, axis=1)
+    norms[norms == 0.0] = 1.0
+    sims = np.round((v @ v.T) / np.outer(norms, norms), round_to)
+    rel = np.array([round(cands[d], round_to) for d in docs])
+    sel, maxsim, out = [], np.zeros(len(docs)), []
+    for rank in range(1, min(k, len(docs)) + 1):
+        mmr = lam * rel - (1.0 - lam) * maxsim
+        best = min(
+            (i for i in range(len(docs)) if i not in sel),
+            key=lambda i: (-mmr[i], docs[i]),
+        )
+        sel.append(best)
+        out.append((docs[best], round(float(mmr[best]), round_to), rank))
+        maxsim = np.maximum(maxsim, sims[:, best])
+    return out
+
+
+def test_mmr_matches_reference_and_diversifies(spark):
+    import numpy as np
+    from openmatch_spark.query.diversify import mmr_rerank
+
+    # two near-identical high-rel docs + one orthogonal lower-rel doc:
+    # plain ranking keeps both twins adjacent; MMR interleaves
+    vecs = {
+        "a": [1.0, 0.0, 0.0],
+        "b": [0.999, 0.001, 0.0],
+        "c": [0.0, 1.0, 0.0],
+        "d": [0.0, 0.9, 0.1],
+    }
+    cands = {"a": 0.95, "b": 0.94, "c": 0.80, "d": 0.78}
+    run = spark.createDataFrame(
+        [("q", d, s) for d, s in cands.items()],
+        "query_id string, doc_id string, score double",
+    )
+    emb = spark.createDataFrame(
+        [(d, v) for d, v in vecs.items()], "vec_id string, embedding array<double>"
+    )
+    got = [
+        (r["doc_id"], r["mmr_score"], r["rank"])
+        for r in mmr_rerank(run, emb, lam=0.5, k=4).orderBy("rank").collect()
+    ]
+    want = _mmr_reference(cands, {d: np.array(v) for d, v in vecs.items()}, 0.5, 4)
+    assert got == want
+    # diversification property: the orthogonal doc jumps ahead of the twin
+    assert [d for d, _, _ in got][:2] == ["a", "c"]
+
+
+def test_mmr_drops_vectorless_candidates_and_validates(spark):
+    from openmatch_spark.query.diversify import mmr_rerank
+
+    run = spark.createDataFrame(
+        [("q", "a", 1.0), ("q", "ghost", 0.99)],
+        "query_id string, doc_id string, score double",
+    )
+    emb = spark.createDataFrame(
+        [("a", [1.0, 0.0])], "vec_id string, embedding array<double>"
+    )
+    rows = mmr_rerank(run, emb, k=5).collect()
+    assert [r["doc_id"] for r in rows] == ["a"]
+    with pytest.raises(ValueError, match="lam"):
+        mmr_rerank(run, emb, lam=1.5)
+    with pytest.raises(ValueError, match="k"):
+        mmr_rerank(run, emb, k=0)

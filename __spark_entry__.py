@@ -1938,6 +1938,24 @@ def q_boosting_search(spark, sf_dir):
     )
 
 
+def q_facet_top_hits(spark, sf_dir):
+    """ES top_hits sub-aggregation (operators/facets.py): within each
+    query's BM25 top-10 hit set, the top-2 docs per lang bucket by
+    (score DESC, doc_id ASC)."""
+    from openmatch_spark.operators.facets import facet_top_hits
+
+    run = _bm25_run(spark, sf_dir, k=10, rounded=False).select(
+        "query_id", "doc_id", "score"
+    )
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "lang"
+    )
+    out = facet_top_hits(run, docs, "lang", n=2)
+    return out.select(
+        "query_id", "value", "doc_id", F.round("score", 6).alias("score"), "pos"
+    )
+
+
 _MMR_LAM, _MMR_K, _MMR_DEPTH = 0.7, 5, 20
 
 
@@ -3154,6 +3172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facets": q_facets,
         "facet_ranges": q_facet_ranges,
         "facet_histogram": q_facet_histogram,
+        "facet_top_hits": q_facet_top_hits,
         "lm_perplexity": q_lm_perplexity,
         "ccnet_buckets": q_ccnet_buckets,
         "dsir_weights": q_dsir_weights,
@@ -5129,6 +5148,26 @@ hyd AS (
   FROM run10 r JOIN documents d ON CAST(d.doc_id AS VARCHAR) = r.doc_id
 )
 SELECT query_id, p, ROUND(value, 6) AS value FROM ({pct_legs})
+"""
+
+    # ES top_hits: top-2 docs per lang bucket within the top-10 hit set
+    sql["facet_top_hits"] = f"""
+WITH {_BM25_CTES},
+run10 AS (SELECT query_id, doc_id, score FROM run WHERE rank <= 10),
+hyd AS (
+  SELECT r.query_id, COALESCE(CAST(d.lang AS VARCHAR), '(null)') AS value,
+         r.doc_id, r.score
+  FROM run10 r JOIN documents d ON CAST(d.doc_id AS VARCHAR) = r.doc_id
+),
+ranked_hits AS (
+  SELECT query_id, value, doc_id, score,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id, value ORDER BY score DESC, doc_id ASC
+         ) AS INTEGER) AS pos
+  FROM hyd
+)
+SELECT query_id, value, doc_id, ROUND(score, 6) AS score, pos
+FROM ranked_hits WHERE pos <= 2
 """
 
     # MMR diversification: the greedy loop unrolled into _MMR_K pick/sel

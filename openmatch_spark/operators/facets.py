@@ -13,7 +13,7 @@ a facet panel that silently drops rows misreports the hit count.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 NULL_BUCKET = "(null)"
 
@@ -152,4 +152,42 @@ def histogram_facets(
         out = part if out is None else out.unionByName(part)
     return out.groupBy("query_id", "facet", "bucket_lo").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+
+
+def facet_top_hits(
+    run: DataFrame,
+    docs: DataFrame,
+    facet_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """(query_id, value, doc_id, score, pos) — the ES `top_hits`
+    sub-aggregation: within each query's hit set, the top-n docs PER
+    facet value by (score DESC, doc_id ASC), pos 1-based within the
+    bucket. NULL attribute values bucket under NULL_BUCKET so hits never
+    silently vanish from the grouped view.
+
+    run: (query_id, doc_id, score). Same plan family as facet_counts —
+    one broadcast hydrate of the (queries × k)-bounded run, one window."""
+    if n <= 0:
+        raise ValueError(f"n must be positive, got {n}")
+    base = run.select(
+        F.col("query_id").cast("string").alias("query_id"),
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.col("score").cast("double").alias("score"),
+    )
+    attrs = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.coalesce(F.col(facet_col).cast("string"), F.lit(NULL_BUCKET)).alias(
+            "value"
+        ),
+    )
+    hydrated = attrs.join(F.broadcast(base), "doc_id")
+    w = Window.partitionBy("query_id", "value").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        hydrated.withColumn("pos", F.row_number().over(w))
+        .where(F.col("pos") <= n)
+        .select("query_id", "value", "doc_id", "score", "pos")
     )

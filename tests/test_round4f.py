@@ -405,3 +405,29 @@ def test_mmr_drops_vectorless_candidates_and_validates(spark):
         mmr_rerank(run, emb, lam=1.5)
     with pytest.raises(ValueError, match="k"):
         mmr_rerank(run, emb, k=0)
+
+
+# ------------------------------------------------------------ facet_top_hits
+
+def test_facet_top_hits(spark):
+    from openmatch_spark.operators.facets import facet_top_hits
+
+    run = spark.createDataFrame(
+        [("q", "a", 3.0), ("q", "b", 2.0), ("q", "c", 1.0), ("q", "d", 4.0)],
+        "query_id string, doc_id string, score double",
+    )
+    docs = spark.createDataFrame(
+        [("a", "en"), ("b", "en"), ("c", "de"), ("d", None)],
+        "doc_id string, lang string",
+    )
+    got = {
+        (r["value"], r["pos"]): r["doc_id"]
+        for r in facet_top_hits(run, docs, "lang", n=1).collect()
+    }
+    # one top hit per language bucket; NULL attr buckets explicitly
+    assert got[("en", 1)] == "a"
+    assert got[("de", 1)] == "c"
+    assert len([v for (v, _) in got if v not in ("en", "de")]) == 1  # NULL bucket
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="n must"):
+        facet_top_hits(run, docs, "lang", n=0)

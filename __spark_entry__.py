@@ -1780,7 +1780,7 @@ def q_lm_perplexity(spark, sf_dir):
 
 
 # stored percolation rules (query side of the reverse search); covers
-# pure-must, should-only, exclusion, contradictory-role, and msm shapes
+# pure-must, should-only, exclusion, and contradictory-role shapes
 PERC_RULES = [
     ("p0", "spark join", None, None),
     ("p1", None, "merge sort stream", None),
@@ -1800,8 +1800,10 @@ _PERC_VALUES = ", ".join(
 def q_percolate(spark, sf_dir):
     """Reverse search (ES percolator, query/percolate.py): the stored rule
     set PERC_RULES matched against every document; docs never shuffle on
-    their own bulk — the rule term table broadcasts. min_should_match=1
-    exercises the quota beside the pure-must and exclusion shapes."""
+    their own bulk — the rule term table broadcasts. The msm quota is
+    pytest-covered (tests/test_round4f.py) — here it stays 0 so the
+    pure-must rules participate (the quota is unconditional, matching
+    search_boolean's Lucene semantics)."""
     from openmatch_spark.query import percolate
 
     stored = spark.createDataFrame(

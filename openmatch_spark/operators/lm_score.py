@@ -194,6 +194,10 @@ def perplexity_buckets(
         "doc_id", "n_tokens",
         F.round("perplexity", round_to).alias("perplexity"),
     )
+    # the threshold collect below and the returned projection would each
+    # re-run the whole LM DAG (tokenize + three count aggregates + the
+    # per-doc fold) — materialize it once
+    scores = scores.localCheckpoint(eager=True)
     pct = F.percentile_approx if approx else F.percentile
     row = scores.where(F.col("perplexity").isNotNull()).agg(
         pct("perplexity", F.array(F.lit(fractions[0]), F.lit(fractions[1]))).alias("t")

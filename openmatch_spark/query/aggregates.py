@@ -13,14 +13,11 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-from openmatch_spark.index.compact import _decode_blocks_arrow
 from openmatch_spark.index.load import BM25Index
 from openmatch_spark.query.bm25_search import (
     _DISTRIBUTED_TOKENIZE_MIN_QUERIES,
-    query_terms,
+    decoded_query_postings,
 )
-
-_DECODED = "shard int, term string, term_bucket int, doc_ord long, weight double"
 
 
 def count_hits(
@@ -36,24 +33,11 @@ def count_hits(
     Cheaper than search: the same pruned postings decode, but no weights
     are aggregated, no window runs, and the docmap is never touched —
     count-distinct on (shard, doc_ord) per query is the whole job."""
-    spark = index.spark
     q = queries.select(F.col("query_id").cast("string").alias("query_id"))
-    qt = query_terms(index, queries, distributed_threshold)
     zero = q.distinct().select("query_id", F.lit(0).cast("long").alias("n_hits"))
-    if not qt:
+    decoded, qterms = decoded_query_postings(index, queries, distributed_threshold)
+    if decoded is None:
         return zero
-    terms = sorted({t for (_, t, _, _) in qt})
-    buckets = sorted({b for (_, _, _, b) in qt})
-    decoded = index.postings.where(
-        F.col("term_bucket").isin(buckets) & F.col("term").isin(terms)
-    ).mapInArrow(_decode_blocks_arrow, _DECODED)
-    decoded = index.mask_deleted(decoded)
-    qterms = F.broadcast(
-        spark.createDataFrame(
-            sorted({(qid, t) for (qid, t, _, _) in qt}),
-            "query_id string, term string",
-        )
-    )
     counted = (
         decoded.join(qterms, "term")
         .groupBy("query_id")

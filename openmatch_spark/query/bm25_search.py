@@ -88,6 +88,39 @@ def query_terms(
     ]
 
 
+def decoded_query_postings(
+    index: BM25Index, queries: DataFrame,
+    distributed_threshold: int = _DISTRIBUTED_TOKENIZE_MIN_QUERIES,
+):
+    """(decoded, qterms) — the shared front half of every any-term query
+    surface (count_hits, search_sorted, ...): the vocabulary-pruned,
+    tombstone-masked postings decode for the batch's in-vocabulary terms,
+    plus the broadcast (query_id, term) frame to join it against. Returns
+    (None, None) when no query term is in vocabulary, so callers own only
+    their empty-result shape."""
+    from openmatch_spark.index.compact import _decode_blocks_arrow
+
+    qt = query_terms(index, queries, distributed_threshold)
+    if not qt:
+        return None, None
+    terms = sorted({t for (_, t, _, _) in qt})
+    buckets = sorted({b for (_, _, _, b) in qt})
+    decoded = index.postings.where(
+        F.col("term_bucket").isin(buckets) & F.col("term").isin(terms)
+    ).mapInArrow(
+        _decode_blocks_arrow,
+        "shard int, term string, term_bucket int, doc_ord long, weight double",
+    )
+    decoded = index.mask_deleted(decoded)
+    qterms = F.broadcast(
+        index.spark.createDataFrame(
+            sorted({(qid, t) for (qid, t, _, _) in qt}),
+            "query_id string, term string",
+        )
+    )
+    return decoded, qterms
+
+
 def query_term_counts(
     queries: DataFrame, analyzer: str,
     distributed_threshold: int = _DISTRIBUTED_TOKENIZE_MIN_QUERIES,

@@ -63,20 +63,15 @@ def decay_rescore(
         F.col(field).cast("double").alias("_v"),
     )
     # the run is queries×k-bounded; the attribute table is corpus-sized —
-    # broadcast the run against it, never the reverse. Run docs with no
-    # attribute row at all are re-attached below at multiplier 1.0 (the
-    # same missing-field rule as a NULL value) — a LEFT join would force
-    # the corpus-sized side to broadcast, so it is an inner join + a
-    # run-vs-run anti join instead, both broadcast-bounded.
-    hydrated = av.join(F.broadcast(base), "doc_id")
-    unmatched = base.join(
-        F.broadcast(hydrated.select("query_id", "doc_id")),
-        ["query_id", "doc_id"],
-        "left_anti",
-    ).select("query_id", "doc_id", "_base", F.lit(None).cast("double").alias("_v"))
-    hydrated = hydrated.select("query_id", "doc_id", "_base", "_v").unionByName(
-        unmatched
+    # one semi-join pass reduces attrs to the run's doc set (broadcast of
+    # the tiny id list), and the now-bounded slice broadcasts back into a
+    # LEFT join so run docs with no attribute row keep multiplier 1.0
+    # (the same missing-field rule as a NULL value). The corpus is
+    # scanned exactly once and never shuffled.
+    bounded_attrs = av.join(
+        F.broadcast(base.select("doc_id").distinct()), "doc_id", "left_semi"
     )
+    hydrated = base.join(F.broadcast(bounded_attrs), "doc_id", "left")
 
     d = F.greatest(F.abs(F.col("_v") - F.lit(origin)) - F.lit(offset), F.lit(0.0))
     if kind == "gauss":

@@ -21,14 +21,11 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
-from openmatch_spark.index.compact import _decode_blocks_arrow
 from openmatch_spark.index.load import BM25Index
 from openmatch_spark.query.bm25_search import (
     _DISTRIBUTED_TOKENIZE_MIN_QUERIES,
-    query_terms,
+    decoded_query_postings,
 )
-
-_DECODED = "shard int, term string, term_bucket int, doc_ord long, weight double"
 
 
 def search_sorted(
@@ -44,25 +41,12 @@ def search_sorted(
     by attrs[sort_col] (ties broken by doc_id ASC). attrs: (doc_id,
     <sort_col> ...); docs matching the query but absent from attrs sort
     as NULL (last)."""
-    spark = index.spark
-    empty = spark.createDataFrame(
+    empty = index.spark.createDataFrame(
         [], "query_id string, doc_id string, sort_value double, rank int"
     )
-    qt = query_terms(index, queries, distributed_threshold)
-    if not qt:
+    decoded, qterms = decoded_query_postings(index, queries, distributed_threshold)
+    if decoded is None:
         return empty
-    terms = sorted({t for (_, t, _, _) in qt})
-    buckets = sorted({b for (_, _, _, b) in qt})
-    decoded = index.postings.where(
-        F.col("term_bucket").isin(buckets) & F.col("term").isin(terms)
-    ).mapInArrow(_decode_blocks_arrow, _DECODED)
-    decoded = index.mask_deleted(decoded)
-    qterms = F.broadcast(
-        spark.createDataFrame(
-            sorted({(qid, t) for (qid, t, _, _) in qt}),
-            "query_id string, term string",
-        )
-    )
     candidates = (
         decoded.join(qterms, "term")
         .select("query_id", "shard", "doc_ord")

@@ -1958,6 +1958,25 @@ def q_facet_top_hits(spark, sf_dir):
     )
 
 
+_PMI_N, _PMI_MIN = 50, 5
+
+
+def q_collocations(spark, sf_dir):
+    """PMI collocations (operators/collocations.py): the corpus's top-50
+    adjacent-bigram associations by rounded pointwise mutual information,
+    min pair count 5; ranked on ROUNDED pmi with a pair tie-break so both
+    engines order identically."""
+    from openmatch_spark.operators.collocations import pmi_collocations
+
+    return pmi_collocations(
+        _docs(spark, sf_dir).select(
+            F.col("doc_id").cast("string").alias("doc_id"), "text"
+        ),
+        n=_PMI_N,
+        min_count=_PMI_MIN,
+    )
+
+
 _MMR_LAM, _MMR_K, _MMR_DEPTH = 0.7, 5, 20
 
 
@@ -3187,6 +3206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_explain": q_bm25_explain,
         "corpus_stats": q_corpus_stats,
         "term_stats": q_term_stats,
+        "collocations": q_collocations,
         "token_counts": q_token_counts,
         "gopher_quality": q_gopher_quality,
         "canonical_url": q_canonical_url,
@@ -5150,6 +5170,50 @@ hyd AS (
   FROM run10 r JOIN documents d ON CAST(d.doc_id AS VARCHAR) = r.doc_id
 )
 SELECT query_id, p, ROUND(value, 6) AS value FROM ({pct_legs})
+"""
+
+    # PMI collocations: counts + ln-ratio replica, ranked on ROUNDED pmi
+    sql["collocations"] = f"""
+WITH d AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+  FROM documents
+),
+uni AS (
+  SELECT u.term AS w, CAST(COUNT(*) AS DOUBLE) AS c1
+  FROM d, UNNEST(t) AS u(term) GROUP BY u.term
+),
+tot AS (
+  SELECT CAST(SUM(len(t)) AS DOUBLE) AS tt,
+         CAST(SUM(greatest(len(t) - 1, 0)) AS DOUBLE) AS bt
+  FROM d
+),
+big AS (
+  SELECT t[s.i] AS a, t[s.i + 1] AS b
+  FROM d, UNNEST(generate_series(1, len(t) - 1)) AS s(i)
+  WHERE len(t) >= 2
+),
+pairs AS (
+  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n_pair
+  FROM big GROUP BY a, b HAVING COUNT(*) >= {_PMI_MIN}
+),
+pmi_scored AS (
+  SELECT p.a AS term_a, p.b AS term_b, p.n_pair,
+         ROUND(ln((CAST(p.n_pair AS DOUBLE) / tot.bt)
+                  / ((ua.c1 / tot.tt) * (ub.c1 / tot.tt))), 6) AS pmi
+  FROM pairs p
+  JOIN uni ua ON ua.w = p.a
+  JOIN uni ub ON ub.w = p.b
+  CROSS JOIN tot
+),
+pmi_rk AS (
+  SELECT term_a, term_b, n_pair, pmi,
+         CAST(ROW_NUMBER() OVER (
+           ORDER BY pmi DESC, term_a ASC, term_b ASC
+         ) AS INTEGER) AS rank
+  FROM pmi_scored
+)
+SELECT term_a, term_b, n_pair, pmi, rank FROM pmi_rk WHERE rank <= {_PMI_N}
 """
 
     # ES top_hits: top-2 docs per lang bucket within the top-10 hit set

@@ -431,3 +431,46 @@ def test_facet_top_hits(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="n must"):
         facet_top_hits(run, docs, "lang", n=0)
+
+
+# ------------------------------------------------------------ collocations
+
+def test_pmi_collocations_math(spark):
+    from openmatch_spark.operators.collocations import pmi_collocations
+
+    # 'x y' always adjacent (strong collocation); 'a'/'b' frequent but
+    # never adjacent to each other consistently
+    corpus = spark.createDataFrame(
+        [("d1", "x y a x y b"), ("d2", "x y b a"), ("d3", "a b x y")],
+        "doc_id string, text string",
+    )
+    rows = pmi_collocations(corpus, n=10, min_count=2).collect()
+    got = {(r["term_a"], r["term_b"]): r for r in rows}
+    assert ("x", "y") in got
+    xy = got[("x", "y")]
+    # counts: tokens T=14, bigram slots B=11, c2(x y)=4, c1(x)=4, c1(y)=4
+    want = math.log((4 / 11) / ((4 / 14) * (4 / 14)))
+    assert xy["n_pair"] == 4
+    assert xy["pmi"] == pytest.approx(round(want, 6), abs=1e-9)
+    # the consistent pair outranks everything else
+    assert xy["rank"] == 1
+
+
+def test_pmi_collocations_gates_and_validation(spark):
+    from openmatch_spark.operators.collocations import pmi_collocations
+
+    corpus = spark.createDataFrame(
+        [("d", "p q p q r s")], "doc_id string, text string"
+    )
+    pairs = {
+        (r["term_a"], r["term_b"])
+        for r in pmi_collocations(corpus, min_count=2).collect()
+    }
+    assert pairs == {("p", "q")}  # hapax bigrams gated out
+    with pytest.raises(ValueError, match="n must"):
+        pmi_collocations(corpus, n=0)
+    with pytest.raises(ValueError, match="min_count"):
+        pmi_collocations(corpus, min_count=0)
+    empty = spark.createDataFrame([("d", "solo")], "doc_id string, text string")
+    with pytest.raises(ValueError, match="bigrams"):
+        pmi_collocations(empty)

@@ -76,3 +76,56 @@ def serve_queries(
     elif processing_time is not None:
         writer = writer.trigger(processingTime=processing_time)
     return writer.start()
+
+
+def serve_percolation(
+    doc_stream: DataFrame,
+    stored: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    analyzer: str = "simple",
+    min_should_match: int = 0,
+    available_now: bool = True,
+    processing_time: str | None = None,
+):
+    """Continuous percolation — the alerting/saved-search serving loop:
+    every micro-batch of incoming documents is matched against the stored
+    rule set (query/percolate.py) and the (doc, rule) matches land in an
+    append-only parquet table partitioned by micro-batch id.
+
+    doc_stream: streaming DataFrame with (doc_id, text). stored: STATIC
+    rule table (query_id, must, should, must_not) — rules are a config
+    table; re-registering rules means restarting the stream (the standard
+    percolator deployment shape). Same idempotent per-batch contract as
+    serve_queries: a replayed batch overwrites only its own partition.
+
+    percolate() is stateless column algebra over one micro-batch, so no
+    watermarks or state stores are involved — each batch pays exactly the
+    batch-mode plan (broadcast rules, one bounded aggregate)."""
+    from openmatch_spark.query.percolate import percolate
+
+    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        docs = batch_df.select(
+            F.col("doc_id").cast("string").alias("doc_id"), "text"
+        )
+        if not docs.take(1):
+            return
+        matches = percolate(
+            docs, stored, analyzer=analyzer, min_should_match=min_should_match
+        ).withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
+        (
+            matches.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
+
+    writer = (
+        doc_stream.writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time is not None:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()

@@ -73,3 +73,40 @@ def test_served_restart_processes_only_new_queries(spark, idx, tmp_path):
                                    QUERIES_SCHEMA), k=3
     )
     assert both == _rows(expected)
+
+
+# ---------------------------------------------------------- percolation loop
+
+def test_served_percolation_equals_batch(spark, tmp_path):
+    from openmatch_spark.query import percolate
+    from openmatch_spark.streaming import serve_percolation
+
+    src = str(tmp_path / "dsrc")
+    out = str(tmp_path / "matches")
+    ckpt = str(tmp_path / "pckpt")
+    os.makedirs(src)
+    stored = spark.createDataFrame(
+        [("r1", "alpha beta", None, None), ("r2", None, "gamma delta", "zeta")],
+        "query_id string, must string, should string, must_not string",
+    )
+    b1 = [("d1", "alpha beta gamma"), ("d2", "gamma zeta")]
+    b2 = [("d3", "delta"), ("d4", "alpha")]
+    schema = "doc_id string, text string"
+    spark.createDataFrame(b1, schema).write.parquet(src + "/b1")
+    spark.createDataFrame(b2, schema).write.parquet(src + "/b2")
+
+    stream = spark.readStream.schema(schema).parquet(src + "/*")
+    serve_percolation(stream, stored, out, ckpt).awaitTermination()
+
+    served = spark.read.parquet(out)
+    assert "batch_id" in served.columns
+    want = percolate(
+        spark.createDataFrame(b1 + b2, schema), stored
+    )
+    got_rows = sorted(
+        (r["doc_id"], r["query_id"]) for r in served.collect()
+    )
+    want_rows = sorted((r["doc_id"], r["query_id"]) for r in want.collect())
+    assert got_rows == want_rows
+    # the must_not doc (d2 contains zeta) and the unmatched doc are absent
+    assert ("d2", "r2") not in got_rows

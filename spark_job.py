@@ -197,6 +197,37 @@ def cmd_search(args) -> int:
     return 0
 
 
+def cmd_percolate(args) -> int:
+    """Reverse search (query/percolate.py): match a document table against
+    a stored-rule table; writes (doc_id, query_id, n_must, n_should)
+    parquet. Rules: parquet or 4-col TSV (query_id, must, should,
+    must_not — empty string = no role)."""
+    import pyspark.sql.functions as F
+
+    from openmatch_spark.query import percolate
+
+    spark = _spark("om-percolate")
+    docs = _load_pages(spark, args).select(
+        F.col("url").alias("doc_id"), "text"
+    )
+    if args.rules.endswith(".parquet"):
+        rules = spark.read.parquet(args.rules)
+    else:
+        rules = (
+            spark.read.option("sep", "\t")
+            .schema("query_id string, must string, should string, must_not string")
+            .csv(args.rules)
+        )
+    matches = percolate(
+        docs, rules, analyzer=args.analyzer,
+        min_should_match=args.min_should_match,
+    )
+    matches.write.mode("overwrite").parquet(args.out)
+    n = spark.read.parquet(args.out).count()
+    print(json.dumps({"out": args.out, "matches": n}))
+    return 0
+
+
 def cmd_compact(args) -> int:
     """Merge committed index shards (index/compact.py): search-identical,
     retires the old segment dirs. Default merges ALL shards; --shards picks
@@ -365,6 +396,17 @@ def main(argv=None) -> int:
                          "fresh-build scores); requires merging ALL shards")
     cp.add_argument("--table-prefix", default=None)
     cp.set_defaults(fn=cmd_compact)
+
+    pc = sub.add_parser("percolate")
+    pc.add_argument("--pages", required=True, help="parquet path or table name")
+    pc.add_argument("--pages-format", choices=["pages", "documents", "table"], default="pages")
+    pc.add_argument("--rules", required=True,
+                    help="stored rules: parquet or 4-col TSV "
+                         "(query_id, must, should, must_not)")
+    pc.add_argument("--out", required=True)
+    pc.add_argument("--analyzer", choices=["dpr", "simple", "english"], default="simple")
+    pc.add_argument("--min-should-match", type=int, default=0)
+    pc.set_defaults(fn=cmd_percolate)
 
     ev = sub.add_parser("eval")
     ev.add_argument("--run", required=True)

@@ -145,3 +145,21 @@ def test_spark_submit_curate_index(tmp_path):
 
     parts = glob.glob(os.path.join(run_path, "part-*"))
     assert parts and open(parts[0]).read().strip()
+
+
+def test_spark_submit_percolate(tmp_path):
+    zip_path = str(tmp_path / "openmatch_spark.zip")
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "spark_job.py"), "package", "--out", zip_path],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert out.returncode == 0, out.stderr
+    rules = str(tmp_path / "rules.tsv")
+    with open(rules, "w") as f:
+        f.write("r1\tspark join\t\t\nr2\t\tmerge sort\tbatch\n")
+    res = _submit(
+        zip_path, "percolate",
+        "--pages", f"{SF}/documents.parquet", "--pages-format", "documents",
+        "--rules", rules, "--out", str(tmp_path / "matches"),
+    )
+    assert res["matches"] > 0

@@ -1958,6 +1958,26 @@ def q_facet_top_hits(spark, sf_dir):
     )
 
 
+_FUZZY_DC = dict(n=3, num_hashes=8, num_bands=4, threshold=0.5)
+
+
+def q_decontaminate_fuzzy(spark, sf_dir):
+    """Fuzzy decontamination (operators/decontam.py): every document
+    checked for MinHash-LSH near-identity against a 'benchmark' built from
+    the doc_id % 97 == 0 slice (verbatim members plus their fixture
+    near-dups). The oracle replays the md5 MinHash, the banding, the
+    candidate join, and the exact-Jaccard verify bit-for-bit."""
+    from openmatch_spark.operators.decontam import decontaminate_fuzzy
+
+    raw = _docs(spark, sf_dir)
+    corpus = raw.select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+    bench = raw.where(F.col("doc_id") % 97 == 0).select(
+        F.concat(F.lit("b"), F.col("doc_id").cast("string")).alias("bench_id"),
+        "text",
+    )
+    return decontaminate_fuzzy(corpus, bench, **_FUZZY_DC)
+
+
 _PMI_N, _PMI_MIN = 50, 5
 
 
@@ -3248,6 +3268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "combine_negatives": q_combine_negatives,
         "rerank_bm25": q_rerank_bm25,
         "decontaminate": q_decontaminate,
+        "decontaminate_fuzzy": q_decontaminate_fuzzy,
         "mixture_sample": q_mixture_sample,
         "mixture_report": q_mixture_report,
         "pack_sequences": q_pack_sequences,
@@ -5170,6 +5191,88 @@ hyd AS (
   FROM run10 r JOIN documents d ON CAST(d.doc_id AS VARCHAR) = r.doc_id
 )
 SELECT query_id, p, ROUND(value, 6) AS value FROM ({pct_legs})
+"""
+
+    # fuzzy decontamination: md5 MinHash + banding + exact-Jaccard verify,
+    # all replayed in SQL (hash/band select lists generated to match the
+    # engine's num_hashes/num_bands exactly)
+    _fh = _FUZZY_DC["num_hashes"]
+    _fb = _FUZZY_DC["num_bands"]
+    _fr = _fh // _fb
+    _mins = ", ".join(
+        f"MIN(md5('{h}|' || shingle)) AS mh_{h}" for h in range(_fh)
+    )
+    def _band_sql(idc: str, src: str) -> str:
+        legs = []
+        for b in range(_fb):
+            cols = " || '|' || ".join(
+                f"mh_{b * _fr + r}" for r in range(_fr)
+            )
+            legs.append(
+                f"SELECT {idc}, {b} AS band, md5({cols}) AS band_hash FROM {src}"
+            )
+        return "\nUNION ALL\n".join(legs)
+
+    sql["decontaminate_fuzzy"] = f"""
+WITH cd AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+  FROM documents
+),
+csh AS (
+  SELECT DISTINCT doc_id, t[s.i] || ' ' || t[s.i + 1] || ' ' || t[s.i + 2] AS shingle
+  FROM cd, UNNEST(generate_series(1, len(t) - 2)) AS s(i)
+  WHERE len(t) >= 3
+),
+bd AS (
+  SELECT 'b' || CAST(doc_id AS VARCHAR) AS bench_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+  FROM documents WHERE doc_id % 97 = 0
+),
+bsh AS (
+  SELECT DISTINCT bench_id, t[s.i] || ' ' || t[s.i + 1] || ' ' || t[s.i + 2] AS shingle
+  FROM bd, UNNEST(generate_series(1, len(t) - 2)) AS s(i)
+  WHERE len(t) >= 3
+),
+cmh AS (SELECT doc_id, {_mins} FROM csh GROUP BY doc_id),
+bmh AS (SELECT bench_id, {_mins} FROM bsh GROUP BY bench_id),
+cbands AS ({_band_sql("doc_id", "cmh")}),
+bbands AS ({_band_sql("bench_id", "bmh")}),
+cand AS (
+  SELECT DISTINCT c.doc_id, b.bench_id
+  FROM cbands c JOIN bbands b ON b.band = c.band AND b.band_hash = c.band_hash
+),
+ncs AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_a FROM csh GROUP BY doc_id),
+nbs AS (SELECT bench_id, CAST(COUNT(*) AS BIGINT) AS n_b FROM bsh GROUP BY bench_id),
+cm AS (
+  SELECT ca.doc_id, ca.bench_id, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM cand ca
+  JOIN csh ON csh.doc_id = ca.doc_id
+  JOIN bsh ON bsh.bench_id = ca.bench_id AND bsh.shingle = csh.shingle
+  GROUP BY ca.doc_id, ca.bench_id
+),
+jac AS (
+  SELECT cm.doc_id, cm.bench_id,
+         ROUND(cm.n_common / (ncs.n_a + nbs.n_b - cm.n_common), 6) AS j
+  FROM cm
+  JOIN ncs ON ncs.doc_id = cm.doc_id
+  JOIN nbs ON nbs.bench_id = cm.bench_id
+),
+best AS (
+  SELECT doc_id, bench_id AS best_bench_id, j AS best_jaccard FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY doc_id ORDER BY j DESC, bench_id ASC
+    ) AS rn FROM jac
+  ) WHERE rn = 1
+),
+ncand AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_candidates FROM cand GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(nd.n_candidates, 0) AS BIGINT) AS n_candidates,
+       b.best_bench_id, b.best_jaccard,
+       COALESCE(b.best_jaccard >= {_FUZZY_DC["threshold"]}, FALSE) AS contaminated
+FROM (SELECT DISTINCT doc_id FROM cd) d
+LEFT JOIN ncand nd ON nd.doc_id = d.doc_id
+LEFT JOIN best b ON b.doc_id = d.doc_id
 """
 
     # PMI collocations: counts + ln-ratio replica, ranked on ROUNDED pmi

@@ -33,11 +33,11 @@ the benchmark side is exploded to distinct (bench_id, n-gram) rows and
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 
 from openmatch_spark.analysis import tokenize_col
 
-__all__ = ["ngram_array_col", "decontaminate", "decontaminate_corpus"]
+__all__ = ["ngram_array_col", "decontaminate", "decontaminate_corpus", "decontaminate_fuzzy"]
 
 
 def ngram_array_col(text: Column, n: int, analyzer: str = "simple") -> Column:
@@ -148,4 +148,111 @@ def decontaminate_corpus(
         flagged,
         F.col(id_col).cast("string") == F.col("__contam_id"),
         "left_anti",
+    )
+
+
+def decontaminate_fuzzy(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    num_hashes: int = 8,
+    num_bands: int = 4,
+    threshold: float = 0.5,
+    analyzer: str = "simple",
+    corpus_id: str = "doc_id",
+    bench_id: str = "bench_id",
+    text_col: str = "text",
+    round_to: int = 6,
+) -> DataFrame:
+    """(doc_id, n_candidates, best_bench_id, best_jaccard, contaminated) —
+    the FUZZY half of decontamination (Dolma-style paragraph-level near
+    match): a training doc is contaminated when its shingle set is
+    near-identical (Jaccard >= threshold) to ANY benchmark doc, caught by
+    MinHash-LSH banding even when no single long n-gram survives verbatim
+    (the exact ``decontaminate`` rule's blind spot under light paraphrase
+    or tokenizer-splitting edits).
+
+    Reuses the dedup family's portable md5 MinHash (operators/dedup.py) so
+    the oracle can replay the hashing bit-for-bit. Scale shape: the
+    benchmark is small by nature, so its band table BROADCASTS; the corpus
+    pays its signature aggregate (the same shuffle the dedup pipeline
+    already prices) and only LSH candidates reach the exact-Jaccard
+    verify. best_jaccard is rounded BEFORE the best-candidate pick
+    (bench_id ASC tie-break) so the verdict is engine-reproducible."""
+    from openmatch_spark.operators.dedup import (
+        minhash_bands,
+        minhash_signatures,
+        shingles,
+    )
+
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    c_sh = shingles(corpus, n, corpus_id, text_col, analyzer)
+    b_sh = shingles(benchmark, n, bench_id, text_col, analyzer).select(
+        F.col("doc_id").alias("bench_id"), "shingle"
+    )
+    c_bands = minhash_bands(
+        minhash_signatures(c_sh, num_hashes), num_bands, num_hashes
+    )
+    b_bands = minhash_bands(
+        minhash_signatures(
+            b_sh.select(F.col("bench_id").alias("doc_id"), "shingle"), num_hashes
+        ),
+        num_bands,
+        num_hashes,
+    ).select(F.col("doc_id").alias("bench_id"), "band", "band_hash")
+    cands = (
+        c_bands.join(F.broadcast(b_bands), ["band", "band_hash"])
+        .select("doc_id", "bench_id")
+        .distinct()
+    )
+    n_c = c_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_a"))
+    n_b = b_sh.groupBy("bench_id").agg(F.count(F.lit(1)).alias("n_b"))
+    common = (
+        cands.join(c_sh, "doc_id")
+        .join(b_sh, ["bench_id", "shingle"])
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    scored = (
+        common.join(n_c, "doc_id")
+        .join(F.broadcast(n_b), "bench_id")
+        .select(
+            "doc_id",
+            "bench_id",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                round_to,
+            ).alias("jaccard"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("jaccard"), F.asc("bench_id"))
+    best = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            "doc_id",
+            F.col("bench_id").alias("best_bench_id"),
+            F.col("jaccard").alias("best_jaccard"),
+        )
+    )
+    counts = cands.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates")
+    )
+    all_docs = corpus.select(
+        F.col(corpus_id).cast("string").alias("doc_id")
+    ).distinct()
+    return (
+        all_docs.join(counts, "doc_id", "left")
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_candidates", F.lit(0)).cast("long").alias("n_candidates"),
+            "best_bench_id",
+            "best_jaccard",
+            F.coalesce(
+                F.col("best_jaccard") >= F.lit(threshold), F.lit(False)
+            ).alias("contaminated"),
+        )
     )

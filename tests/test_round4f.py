@@ -474,3 +474,43 @@ def test_pmi_collocations_gates_and_validation(spark):
     empty = spark.createDataFrame([("d", "solo")], "doc_id string, text string")
     with pytest.raises(ValueError, match="bigrams"):
         pmi_collocations(empty)
+
+
+# ------------------------------------------------------- fuzzy decontam
+
+def test_decontaminate_fuzzy(spark):
+    from openmatch_spark.operators.decontam import decontaminate_fuzzy
+
+    bench = spark.createDataFrame(
+        [("b1", "the quick brown fox jumps over the lazy dog")],
+        "bench_id string, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # verbatim copy -> jaccard 1.0
+            ("c1", "the quick brown fox jumps over the lazy dog"),
+            # light edit, most shingles shared -> above 0.5
+            ("c2", "the quick brown fox jumps over the lazy cat"),
+            # unrelated -> clean, zero candidates
+            ("c3", "completely different text about spark engines"),
+        ],
+        "doc_id string, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in decontaminate_fuzzy(corpus, bench, threshold=0.5).collect()
+    }
+    assert got["c1"]["contaminated"] and got["c1"]["best_jaccard"] == 1.0
+    assert got["c2"]["contaminated"] and 0.5 <= got["c2"]["best_jaccard"] < 1.0
+    assert not got["c3"]["contaminated"]
+    assert got["c3"]["n_candidates"] == 0 and got["c3"]["best_bench_id"] is None
+
+
+def test_decontaminate_fuzzy_validation(spark):
+    from openmatch_spark.operators.decontam import decontaminate_fuzzy
+
+    d = spark.createDataFrame([("a", "x y z w")], "doc_id string, text string")
+    b = spark.createDataFrame([("b", "x y z w")], "bench_id string, text string")
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="threshold"):
+        decontaminate_fuzzy(d, b, threshold=0.0)

@@ -52,6 +52,7 @@ def curate_corpus(
     benchmark: DataFrame | None = None,
     decontam_n: int = 8,
     decontam_min_overlap: int = 1,
+    decontam_fuzzy_threshold: float | None = None,
 ) -> DataFrame:
     """(doc_id, keep, reason, dup_of): per-document curation verdict.
 
@@ -64,6 +65,10 @@ def curate_corpus(
     gate (operators/decontam.py) between the quality gate and dedup:
     eval-set overlap is removed BEFORE dedup so a contaminated doc can
     never become a duplicate group's surviving canonical.
+    decontam_fuzzy_threshold (optional, with benchmark) ALSO drops docs
+    whose shingle set is MinHash-near a benchmark doc at >= the given
+    Jaccard — the paraphrase-level overlap the exact n-gram rule misses;
+    both flavors report reason='decontam'.
     One verdict row per input row (doc_ids are expected unique upstream —
     duplicated ids flow through per-row rather than fanning out).
     """
@@ -99,9 +104,12 @@ def curate_corpus(
 
     contam_drops = None
     if benchmark is not None:
-        from openmatch_spark.operators.decontam import decontaminate
+        from openmatch_spark.operators.decontam import (
+            decontaminate,
+            decontaminate_fuzzy,
+        )
 
-        flagged = (
+        exact_flagged = (
             decontaminate(
                 survivors, benchmark, n=decontam_n,
                 min_overlap=decontam_min_overlap,
@@ -109,6 +117,20 @@ def curate_corpus(
             .where(F.col("is_contaminated"))
             .select(F.col("doc_id").alias("_contam_id"))
         )
+        flagged = exact_flagged
+        if decontam_fuzzy_threshold is not None:
+            # the near-match half: paraphrase-level benchmark overlap that
+            # no verbatim n-gram survives (operators/decontam.py)
+            fuzzy_flagged = (
+                decontaminate_fuzzy(
+                    survivors, benchmark,
+                    n=shingle_n, num_hashes=num_hashes, num_bands=num_bands,
+                    threshold=decontam_fuzzy_threshold,
+                )
+                .where(F.col("contaminated"))
+                .select(F.col("doc_id").alias("_contam_id"))
+            )
+            flagged = flagged.unionByName(fuzzy_flagged).distinct()
         contam_drops = survivors.join(
             flagged, survivors["doc_id"] == flagged["_contam_id"], "left_semi"
         ).select(

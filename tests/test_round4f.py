@@ -514,3 +514,41 @@ def test_decontaminate_fuzzy_validation(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="threshold"):
         decontaminate_fuzzy(d, b, threshold=0.0)
+
+
+def test_curate_fuzzy_decontam_gate(spark):
+    from openmatch_spark.operators.curate import curate_corpus
+
+    bench = spark.createDataFrame(
+        [("b1", "the quick brown fox jumps over the lazy dog at dawn today")],
+        "bench_id string, text string",
+    )
+    base = "this is a perfectly ordinary english document with plenty of words "
+    corpus = spark.createDataFrame(
+        [
+            # paraphrase of the benchmark: one word changed -> fuzzy catches
+            # it, the exact 8-gram rule does NOT (no verbatim 8-gram run)
+            ("p1", "the quick brown fox leaps over the lazy dog at dawn today"),
+            ("ok", base * 3),
+        ],
+        "doc_id string, text string",
+    )
+    # exact-only: the paraphrase survives
+    exact_only = {
+        r["doc_id"]: r["keep"]
+        for r in curate_corpus(
+            corpus, langs=("en",), min_quality=0.0, benchmark=bench,
+            decontam_n=8,
+        ).collect()
+    }
+    assert exact_only["p1"] == 1
+    # with the fuzzy gate: the paraphrase is dropped as decontam
+    rows = {
+        r["doc_id"]: r
+        for r in curate_corpus(
+            corpus, langs=("en",), min_quality=0.0, benchmark=bench,
+            decontam_n=8, decontam_fuzzy_threshold=0.5,
+        ).collect()
+    }
+    assert rows["p1"]["keep"] == 0 and rows["p1"]["reason"] == "decontam"
+    assert rows["ok"]["keep"] == 1

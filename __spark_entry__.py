@@ -1958,6 +1958,20 @@ def q_facet_top_hits(spark, sf_dir):
     )
 
 
+def q_doc_keywords(spark, sf_dir):
+    """Per-doc keyword extraction (query/significant.py): top-3 terms per
+    document by tf·idf (idf = ln(N/df)), rounded before ranking with a
+    term tie-break."""
+    from openmatch_spark.query.significant import doc_keywords
+
+    return doc_keywords(
+        _docs(spark, sf_dir).select(
+            F.col("doc_id").cast("string").alias("doc_id"), "text"
+        ),
+        n=3,
+    )
+
+
 _FUZZY_DC = dict(n=3, num_hashes=8, num_bands=4, threshold=0.5)
 
 
@@ -3203,6 +3217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decay_search": q_decay_search,
         "boosting_search": q_boosting_search,
         "term_vectors": q_term_vectors,
+        "doc_keywords": q_doc_keywords,
         "significant_terms": q_significant_terms,
         "phrase_search": q_phrase_search,
         "proximity_search": q_proximity_search,
@@ -5142,6 +5157,34 @@ dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM per_doc GROUP BY term
 SELECT p.doc_id, p.term, p.tf, p.first_pos, f.df
 FROM per_doc p JOIN dfreq f ON f.term = p.term
 WHERE p.idx % 17 = 0
+"""
+
+    # per-doc keywords: tf*ln(N/df), rounded before the per-doc window
+    sql["doc_keywords"] = """
+WITH d AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+  FROM documents
+),
+per_doc AS (
+  SELECT doc_id, u.term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM d, UNNEST(t) AS u(term) GROUP BY doc_id, u.term
+),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM per_doc GROUP BY term),
+ndocs AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n FROM documents),
+kw AS (
+  SELECT p.doc_id, p.term, p.tf, f.df,
+         ROUND(p.tf * ln(ndocs.n / f.df), 6) AS score
+  FROM per_doc p JOIN dfreq f ON f.term = p.term CROSS JOIN ndocs
+),
+kw_rk AS (
+  SELECT doc_id, term, tf, df, score,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY doc_id ORDER BY score DESC, term ASC
+         ) AS INTEGER) AS rank
+  FROM kw
+)
+SELECT doc_id, term, tf, df, score, rank FROM kw_rk WHERE rank <= 3
 """
 
     # significant terms: fg/bg document-frequency lift over the BM25

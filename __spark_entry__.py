@@ -1958,6 +1958,27 @@ def q_facet_top_hits(spark, sf_dir):
     )
 
 
+_TD_K, _TD_SEED = 10, 42
+
+
+def q_interleave_td(spark, sf_dir):
+    """Team-draft interleaving (operators/interleave.py): BM25 top-10 (team
+    A) × Dirichlet-QLD top-10 (team B) merged per query with md5-coin tie
+    breaks. The oracle replays the draft step by step — ten unrolled
+    count/prefer/avail/pick CTEs over the two SQL-replicated runs, with
+    the identical portable md5 coin."""
+    from openmatch_spark.operators.interleave import team_draft_interleave
+    from openmatch_spark.query.bm25_df import qld_score_adhoc
+
+    run_a = _bm25_run(spark, sf_dir, k=10, rounded=False).select(
+        "query_id", "doc_id", "rank"
+    )
+    run_b = qld_score_adhoc(
+        _docs(spark, sf_dir), _queries_df(spark), k=10, analyzer="simple"
+    ).select("query_id", "doc_id", "rank")
+    return team_draft_interleave(run_a, run_b, k=_TD_K, seed=_TD_SEED)
+
+
 _ERR_MAXREL = 3
 
 
@@ -3297,6 +3318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recall10": q_recall10,
         "ndcg10": q_ndcg10,
         "err10": q_err10,
+        "interleave_td": q_interleave_td,
         "qpp": q_qpp,
         "temperature_mixture": q_temperature_mixture,
         "dedup_exact": q_dedup_exact,
@@ -5203,6 +5225,89 @@ dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM per_doc GROUP BY term
 SELECT p.doc_id, p.term, p.tf, p.first_pos, f.df
 FROM per_doc p JOIN dfreq f ON f.term = p.term
 WHERE p.idx % 17 = 0
+"""
+
+    # team-draft interleaving: BM25 (A) × QLD (B), the draft unrolled into
+    # _TD_K count/prefer/avail/pick CTE rounds with the portable md5 coin
+    _td_steps = []
+    for i in range(1, _TD_K + 1):
+        coin = (
+            f"CAST('0x' || substr(md5(concat_ws('|', '{_TD_SEED}', "
+            f"qs.query_id, '{i}')), 1, 8) AS UBIGINT) / 4294967296.0 < 0.5"
+        )
+        _td_steps.append(f"""cnt{i} AS (
+  SELECT query_id,
+         SUM(CASE WHEN team = 'A' THEN 1 ELSE 0 END) AS na,
+         SUM(CASE WHEN team = 'B' THEN 1 ELSE 0 END) AS nb
+  FROM sel{i - 1} GROUP BY query_id
+),
+pref{i} AS (
+  SELECT qs.query_id,
+         CASE WHEN COALESCE(c.na, 0) < COALESCE(c.nb, 0) THEN 'A'
+              WHEN COALESCE(c.na, 0) > COALESCE(c.nb, 0) THEN 'B'
+              WHEN {coin} THEN 'A' ELSE 'B' END AS pteam
+  FROM qids qs LEFT JOIN cnt{i} c ON c.query_id = qs.query_id
+),
+avail{i} AS (
+  SELECT b.query_id, b.src, MIN(b.rank) AS mr
+  FROM both_l b
+  WHERE NOT EXISTS (SELECT 1 FROM sel{i - 1} s
+                    WHERE s.query_id = b.query_id AND s.doc_id = b.doc_id)
+  GROUP BY b.query_id, b.src
+),
+chosen{i} AS (
+  SELECT p.query_id,
+         CASE WHEN ap.mr IS NOT NULL THEN p.pteam
+              ELSE CASE WHEN p.pteam = 'A' THEN 'B' ELSE 'A' END END AS team,
+         COALESCE(ap.mr, ao.mr) AS mr
+  FROM pref{i} p
+  LEFT JOIN avail{i} ap ON ap.query_id = p.query_id AND ap.src = p.pteam
+  LEFT JOIN avail{i} ao ON ao.query_id = p.query_id AND ao.src <> p.pteam
+  WHERE COALESCE(ap.mr, ao.mr) IS NOT NULL
+),
+picked{i} AS (
+  SELECT c.query_id, b.doc_id, c.team, {i} AS pos
+  FROM chosen{i} c
+  JOIN both_l b ON b.query_id = c.query_id AND b.src = c.team AND b.rank = c.mr
+),
+sel{i} AS MATERIALIZED (SELECT query_id, doc_id, team, pos FROM sel{i - 1}
+           UNION ALL SELECT query_id, doc_id, team, pos FROM picked{i})""")
+    sql["interleave_td"] = f"""
+WITH {_BM25_CTES},
+tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM tok),
+cfreq AS (SELECT term, SUM(tf) AS cf FROM tf GROUP BY term),
+qcontrib AS (
+  SELECT qt.query_id, tf.doc_id,
+         qt.qtf * greatest(0, ln(1 + tf.tf / ({_QLD_MU} * cfreq.cf / tot.total))
+                              + ln({_QLD_MU} / (dl.doclen + {_QLD_MU}))) AS w
+  FROM tf
+  JOIN qt ON qt.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN cfreq ON cfreq.term = tf.term
+  CROSS JOIN tot
+),
+qldscored AS (
+  SELECT query_id, doc_id, SUM(w) AS score FROM qcontrib WHERE w > 0
+  GROUP BY query_id, doc_id
+),
+qldrun AS (
+  SELECT query_id, doc_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
+  FROM qldscored
+),
+both_l AS MATERIALIZED (
+  SELECT 'A' AS src, query_id, doc_id, rank FROM run WHERE rank <= 10
+  UNION ALL
+  SELECT 'B' AS src, query_id, doc_id, rank FROM qldrun WHERE rank <= 10
+),
+qids AS (SELECT DISTINCT query_id FROM both_l),
+sel0 AS (
+  SELECT CAST(NULL AS VARCHAR) AS query_id, CAST(NULL AS VARCHAR) AS doc_id,
+         CAST(NULL AS VARCHAR) AS team, CAST(NULL AS INTEGER) AS pos
+  WHERE FALSE
+),
+{",".join(_td_steps)}
+SELECT query_id, CAST(pos AS INTEGER) AS pos, doc_id, team FROM sel{_TD_K}
 """
 
     # ERR@10: graded cascade over the top-10, rank-ordered window product

@@ -728,3 +728,80 @@ def test_snapshot_restore_search_identical(spark, tmp_path):
     # non-index source refuses
     with pytest.raises(FileNotFoundError, match="manifest"):
         snapshot_index(str(tmp_path / "nothing"), str(tmp_path / "x"))
+
+
+# ------------------------------------------------------------ interleaving
+
+def _td_reference(a, b, qid, k=10, seed=42):
+    """Pure-python team-draft replica over two doc lists."""
+    from openmatch_spark.functions.hashing import md5_rank_py
+
+    lists = {"A": list(a), "B": list(b)}
+    picked, counts, out, pos = set(), {"A": 0, "B": 0}, [], 0
+    while pos < k:
+        pos += 1
+        if counts["A"] < counts["B"]:
+            pref = "A"
+        elif counts["B"] < counts["A"]:
+            pref = "B"
+        else:
+            u = int(md5_rank_py(qid, pos, seed=seed)[:8], 16) / 4294967296.0
+            pref = "A" if u < 0.5 else "B"
+        team = doc = None
+        for t in (pref, "B" if pref == "A" else "A"):
+            cand = [d for d in lists[t] if d not in picked]
+            if cand:
+                team, doc = t, cand[0]
+                break
+        if doc is None:
+            break
+        picked.add(doc)
+        counts[team] += 1
+        out.append((pos, doc, team))
+    return out
+
+
+def test_team_draft_matches_reference(spark):
+    from openmatch_spark.operators.interleave import team_draft_interleave
+
+    a_docs = ["d1", "d2", "d3", "d4"]
+    b_docs = ["d3", "d5", "d1", "d6"]
+    run_a = spark.createDataFrame(
+        [("q", d, i + 1) for i, d in enumerate(a_docs)],
+        "query_id string, doc_id string, rank int",
+    )
+    run_b = spark.createDataFrame(
+        [("q", d, i + 1) for i, d in enumerate(b_docs)],
+        "query_id string, doc_id string, rank int",
+    )
+    got = [
+        (r["pos"], r["doc_id"], r["team"])
+        for r in team_draft_interleave(run_a, run_b, k=10)
+        .orderBy("pos").collect()
+    ]
+    assert got == _td_reference(a_docs, b_docs, "q")
+    # every doc at most once, positions consecutive from 1
+    assert len({d for _, d, _ in got}) == len(got)
+    assert [p for p, _, _ in got] == list(range(1, len(got) + 1))
+    # balanced attribution: |nA - nB| <= 1
+    na = sum(1 for _, _, t in got if t == "A")
+    assert abs(na - (len(got) - na)) <= 1
+
+
+def test_interleave_credit(spark):
+    from openmatch_spark.operators.interleave import interleave_credit
+
+    inter = spark.createDataFrame(
+        [("q", 1, "x", "A"), ("q", 2, "y", "B"), ("q", 3, "z", "A")],
+        "query_id string, pos int, doc_id string, team string",
+    )
+    clicks = spark.createDataFrame(
+        [("q", "x"), ("q", "z")], "query_id string, doc_id string"
+    )
+    row = interleave_credit(inter, clicks).collect()[0]
+    assert (row["clicks_a"], row["clicks_b"], row["winner"]) == (2, 0, "A")
+    # no clicks -> tie, zero counts (not absent)
+    none = interleave_credit(
+        inter, spark.createDataFrame([], "query_id string, doc_id string")
+    ).collect()[0]
+    assert (none["clicks_a"], none["clicks_b"], none["winner"]) == (0, 0, "tie")

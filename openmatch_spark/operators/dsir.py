@@ -36,10 +36,12 @@ from openmatch_spark.analysis import tokenize_col
 
 
 def _term_counts(df: DataFrame, analyzer: str, id_col: str, text_col: str):
+    # two-to-three consumers per side (counts, total, per-doc tf): persist
+    # so each pool is scanned+tokenized once (MEMORY_AND_DISK spill)
     toks = df.select(
         F.col(id_col).cast("string").alias("doc_id"),
         tokenize_col(F.col(text_col), analyzer).alias("t"),
-    )
+    ).persist()
     counts = (
         toks.select(F.explode("t").alias("term"))
         .groupBy("term")

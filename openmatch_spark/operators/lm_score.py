@@ -77,7 +77,11 @@ def ngram_lm_scores(
     if not 0.0 < lam < 1.0:
         raise ValueError(f"lambda must be in (0, 1), got {lam}")
     ref = reference if reference is not None else corpus
-    ref_toks = _toks(ref, analyzer, id_col, text_col)
+    # three consumers each (unigram counts / total / bigram counts, and
+    # sizes / first-token / bigrams on the scoring side): persist the
+    # tokenized frames so the corpus is scanned+tokenized once per side,
+    # not once per aggregate (MEMORY_AND_DISK — spills, never recomputes)
+    ref_toks = _toks(ref, analyzer, id_col, text_col).persist()
     uni = (
         ref_toks.select(F.explode("t").alias("w"))
         .groupBy("w")
@@ -98,7 +102,10 @@ def ngram_lm_scores(
         .agg(F.sum("c2").alias("cp"))
     )
 
-    toks = _toks(corpus, analyzer, id_col, text_col)
+    toks = (
+        ref_toks if reference is None
+        else _toks(corpus, analyzer, id_col, text_col).persist()
+    )
     sizes = toks.select("doc_id", F.size("t").cast("long").alias("n_tokens"))
     floor = F.lit(1.0 / (total + 1.0))
 

@@ -980,10 +980,9 @@ GROUP BY query_id, facet, value
 
 _RRF_K0 = 60
 
-_RRF_SQL = f"""
-WITH {_BM25_CTES},
-run1 AS (SELECT query_id, doc_id, rank FROM run WHERE rank <= 10),
-fdocs_toks AS (
+# BM25F replica CTE block (ends at `fscored`) shared by the fusion oracles;
+# `_BM25F_SQL` above keeps its own copy with unprefixed names.
+_BM25F_FSCORED_CTES = f"""fdocs_toks AS (
   SELECT CAST(d.doc_id AS VARCHAR) AS doc_id,
          list_filter(regexp_split_to_array(lower(d.text), '[^a-z0-9]+'), x -> x <> '') AS toks
   FROM documents d
@@ -1028,7 +1027,12 @@ fscored AS (
   JOIN fdff ON fdff.term = ftfn.term
   CROSS JOIN fnd
   GROUP BY qt.query_id, ftfn.doc_id
-),
+)"""
+
+_RRF_SQL = f"""
+WITH {_BM25_CTES},
+run1 AS (SELECT query_id, doc_id, rank FROM run WHERE rank <= 10),
+{_BM25F_FSCORED_CTES},
 run2 AS (
   SELECT query_id, doc_id, rank FROM (
     SELECT query_id, doc_id,
@@ -1048,6 +1052,68 @@ rrfrun AS (
 )
 SELECT query_id, doc_id, ROUND(score, 9) AS score, rank
 FROM rrfrun WHERE rank <= 10
+"""
+
+# CombSUM / CombMNZ over the SAME two runs, 6 dp-rounded (as the engine
+# emits them) BEFORE the per-run per-query min-max normalization, so both
+# engines normalize identical inputs. Degenerate normalization -> 1.0.
+_COMB_SQL_TMPL = f"""
+WITH {_BM25_CTES},
+s1 AS (SELECT query_id, doc_id, ROUND(score, 6) AS score FROM run WHERE rank <= 10),
+{_BM25F_FSCORED_CTES},
+s2 AS (
+  SELECT query_id, doc_id, ROUND(score, 6) AS score FROM (
+    SELECT query_id, doc_id, score,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+    FROM fscored
+  ) WHERE rank <= 10
+),
+n1 AS (
+  SELECT query_id, doc_id,
+         CASE WHEN mx = mn THEN CAST(1.0 AS DOUBLE)
+              ELSE (score - mn) / (mx - mn) END AS ns
+  FROM (SELECT query_id, doc_id, score,
+               MIN(score) OVER (PARTITION BY query_id) AS mn,
+               MAX(score) OVER (PARTITION BY query_id) AS mx FROM s1)
+),
+n2 AS (
+  SELECT query_id, doc_id,
+         CASE WHEN mx = mn THEN CAST(1.0 AS DOUBLE)
+              ELSE (score - mn) / (mx - mn) END AS ns
+  FROM (SELECT query_id, doc_id, score,
+               MIN(score) OVER (PARTITION BY query_id) AS mn,
+               MAX(score) OVER (PARTITION BY query_id) AS mx FROM s2)
+),
+comb AS (
+  SELECT query_id, doc_id, SUM(ns) AS s, CAST(COUNT(*) AS DOUBLE) AS m
+  FROM (SELECT * FROM n1 UNION ALL SELECT * FROM n2)
+  GROUP BY query_id, doc_id
+),
+cfinal AS (SELECT query_id, doc_id, ROUND({{expr}}, 6) AS score FROM comb)
+SELECT query_id, doc_id, score, rank FROM (
+  SELECT query_id, doc_id, score,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
+  FROM cfinal
+) WHERE rank <= 10
+"""
+
+# ES date_histogram (calendar month) over the BM25 top-10 hit set; the
+# timestamp is synthesized identically in both engines (epoch +
+# doc_id * 7 h — the fixtures' deterministic-ts rule), bucket keyed by
+# its start as fixed text so the compare is representation-independent.
+_DATE_HIST_SQL = f"""
+WITH {_BM25_CTES},
+run10 AS (SELECT query_id, doc_id FROM run WHERE rank <= 10),
+ts AS (
+  SELECT CAST(d.doc_id AS VARCHAR) AS doc_id,
+         TIMESTAMP '2024-01-01 00:00:00' + CAST(d.doc_id AS BIGINT) * INTERVAL 7 HOUR AS warc_ts
+  FROM documents d
+)
+SELECT r.query_id, 'warc_ts' AS facet,
+       strftime(date_trunc('month', t.warc_ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM run10 r JOIN ts t ON t.doc_id = r.doc_id
+GROUP BY r.query_id, bucket
 """
 
 _SUGGEST_SQL = """
@@ -2294,6 +2360,48 @@ def q_facet_histogram(spark, sf_dir):
     return histogram_facets(run, docs, {"n_chars": 100.0})
 
 
+def q_facet_date_histogram(spark, sf_dir):
+    """ES date_histogram (calendar_interval=month) over the BM25 top-10
+    hit set. documents has no timestamp, so one is synthesized
+    deterministically (2024-01-01 + doc_id * 7 h, the fixtures' rule) —
+    identically in the oracle — spreading sf0.01's 500 docs over ~5
+    months."""
+    from openmatch_spark.operators.facets import date_histogram_facets
+
+    run = _bm25_run(spark, sf_dir, k=10, rounded=False).select(
+        "query_id", "doc_id"
+    )
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_interval(hours=(F.col("doc_id") * 7).cast("int"))
+        ).alias("warc_ts"),
+    )
+    return date_histogram_facets(run, docs, "warc_ts", "month")
+
+
+def q_hybrid_combsum(spark, sf_dir):
+    """CombSUM fusion (Fox & Shaw) of the 6 dp-rounded BM25 and BM25F
+    runs: per-run per-query min-max normalization, then sum; fused score
+    rounded before ranking so both engines rank identical values."""
+    from openmatch_spark.operators.fusion import comb_fusion
+
+    r1 = _bm25_run(spark, sf_dir, k=10, rounded=True)
+    r2 = q_bm25f(spark, sf_dir)
+    return comb_fusion([r1, r2], k=10, method="sum", round_to=6)
+
+
+def q_hybrid_combmnz(spark, sf_dir):
+    """CombMNZ: CombSUM × the number of runs retrieving the doc — boosts
+    consensus hits; same normalization/rounding contract as combsum."""
+    from openmatch_spark.operators.fusion import comb_fusion
+
+    r1 = _bm25_run(spark, sf_dir, k=10, rounded=True)
+    r2 = q_bm25f(spark, sf_dir)
+    return comb_fusion([r1, r2], k=10, method="mnz", round_to=6)
+
+
 def q_hybrid_rrf(spark, sf_dir):
     """Reciprocal rank fusion of the plain BM25 run with the BM25F fielded
     run — the standard score-scale-free hybrid combiner. With two runs the
@@ -3297,6 +3405,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_buckets": q_ccnet_buckets,
         "dsir_weights": q_dsir_weights,
         "hybrid_rrf": q_hybrid_rrf,
+        "hybrid_combsum": q_hybrid_combsum,
+        "hybrid_combmnz": q_hybrid_combmnz,
+        "facet_date_histogram": q_facet_date_histogram,
         "mmr_rerank": q_mmr_rerank,
         "suggest": q_suggest,
         "collapsed_search": q_collapsed_search,
@@ -3401,6 +3512,9 @@ def oracle_sql() -> dict[str, str]:
     sql["rm3_expand"] = _RM3_SQL
     sql["facets"] = _FACETS_SQL
     sql["hybrid_rrf"] = _RRF_SQL
+    sql["hybrid_combsum"] = _COMB_SQL_TMPL.format(expr="s")
+    sql["hybrid_combmnz"] = _COMB_SQL_TMPL.format(expr="m * s")
+    sql["facet_date_histogram"] = _DATE_HIST_SQL
     sql["suggest"] = _SUGGEST_SQL
     sql["collapsed_search"] = _COLLAPSED_SQL.format(ctes=_BM25_CTES)
     sql["spell_suggest"] = _SPELL_SQL.format(

@@ -32,5 +32,5 @@ from openmatch_spark.operators.chunking import (  # noqa: F401
     chunk_passages,
     score_aggregate,
 )
-from openmatch_spark.operators.facets import facet_counts  # noqa: F401
-from openmatch_spark.operators.fusion import reciprocal_rank_fusion  # noqa: F401
+from openmatch_spark.operators.facets import date_histogram_facets, facet_counts  # noqa: F401
+from openmatch_spark.operators.fusion import comb_fusion, reciprocal_rank_fusion  # noqa: F401

@@ -191,3 +191,56 @@ def facet_top_hits(
         .where(F.col("pos") <= n)
         .select("query_id", "value", "doc_id", "score", "pos")
     )
+
+
+DATE_INTERVALS = ("year", "quarter", "month", "week", "day", "hour", "minute")
+
+
+def date_histogram_facets(
+    run: DataFrame,
+    docs: DataFrame,
+    ts_col: str,
+    interval: str = "month",
+) -> DataFrame:
+    """(query_id, facet, bucket, n_docs) — the Elasticsearch
+    `date_histogram` aggregation (calendar_interval flavor) over the hit
+    set: hits counted per calendar bucket of a timestamp attribute, the
+    bucket keyed by its START formatted 'yyyy-MM-dd HH:mm:ss' (ES keys
+    buckets by start; a fixed text key makes the output engine- and
+    timezone-representation-independent). Sparse like ES: empty buckets
+    absent. NULL timestamps count under NULL_BUCKET rather than vanishing
+    (ES drops docs missing the field; a curation dashboard should not).
+
+    interval: one of DATE_INTERVALS — both Spark's and ANSI date_trunc's
+    vocabulary, so the oracle replica is a literal date_trunc. 'week'
+    means ISO Monday-start in both engines.
+
+    Plan: identical to facet_counts — the run is queries × k bounded, so
+    one broadcast hydrate join + one groupBy; the truncation is a pure
+    projection on the docs scan. At 100 TB the shuffle carries only
+    (query, bucket) partial counts (map-side combined).
+    """
+    if interval not in DATE_INTERVALS:
+        raise ValueError(
+            f"interval must be one of {DATE_INTERVALS}, got {interval!r}"
+        )
+    base = run.select(
+        F.col("query_id").cast("string").alias("query_id"),
+        F.col("doc_id").cast("string").alias("doc_id"),
+    )
+    bucketed = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.coalesce(
+            F.date_format(
+                F.date_trunc(interval, F.col(ts_col).cast("timestamp")),
+                "yyyy-MM-dd HH:mm:ss",
+            ),
+            F.lit(NULL_BUCKET),
+        ).alias("bucket"),
+    )
+    return (
+        bucketed.join(F.broadcast(base), "doc_id")
+        .select("query_id", F.lit(ts_col).alias("facet"), "bucket")
+        .groupBy("query_id", "facet", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )

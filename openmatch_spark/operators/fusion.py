@@ -52,3 +52,79 @@ def reciprocal_rank_fusion(
         .where(F.col("rank") <= k)
         .select("query_id", "doc_id", "score", "rank")
     )
+
+
+def comb_fusion(
+    runs: list[DataFrame],
+    k: int = 10,
+    method: str = "sum",
+    depth: int | None = None,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Score-based fusion — CombSUM / CombMNZ (Fox & Shaw 1994; Lee 1997),
+    the classic complement to rank-based RRF when run scores ARE worth
+    keeping: per-run per-query min-max normalization puts every run on
+    [0, 1], then
+
+        CombSUM(d) = Σ_runs norm_score_run(d)
+        CombMNZ(d) = |{runs containing d}| × CombSUM(d)
+
+    A doc absent from a run contributes 0 for that run (standard Comb*
+    semantics). Degenerate normalization (a query whose run has one doc,
+    or all-equal scores) maps to 1.0 — present-with-top-score, not 0/0.
+
+    Determinism: callers should pass runs whose scores are already
+    rounded (the house contract rounds at 6 dp); `round_to` then rounds
+    the fused score BEFORE ranking, with doc_id as tie-break, so the
+    ranking is reproducible across engines. IEEE addition over ≤2 runs is
+    order-free; beyond that ties at the last ulp are absorbed by the
+    rounding.
+
+    Spark shape: each run is (queries × depth)-bounded; the min/max are
+    per-query window functions over each run (no corpus scan), one union,
+    ONE groupBy on (query, doc) — same bounded plan family as RRF.
+
+    runs: each (query_id, doc_id, score[, rank]). depth (requires rank)
+    caps how deep each run counts.
+    """
+    if not runs:
+        raise ValueError("need at least one run to fuse")
+    if method not in ("sum", "mnz"):
+        raise ValueError(f"method must be 'sum' or 'mnz', got {method!r}")
+    wq = Window.partitionBy("query_id")
+    tagged = None
+    for r in runs:
+        cols = [
+            F.col("query_id").cast("string").alias("query_id"),
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.col("score").cast("double").alias("score"),
+        ]
+        if depth is not None:
+            part = r.select(*cols, F.col("rank").cast("int").alias("rank"))
+            part = part.where(F.col("rank") <= depth).drop("rank")
+        else:
+            part = r.select(*cols)
+        mn = F.min("score").over(wq)
+        mx = F.max("score").over(wq)
+        part = part.select(
+            "query_id",
+            "doc_id",
+            F.when(mx == mn, F.lit(1.0))
+            .otherwise((F.col("score") - mn) / (mx - mn))
+            .alias("ns"),
+        )
+        tagged = part if tagged is None else tagged.unionByName(part)
+    fused = tagged.groupBy("query_id", "doc_id").agg(
+        F.sum("ns").alias("_s"),
+        F.count(F.lit(1)).cast("double").alias("_m"),
+    )
+    score = F.col("_s") if method == "sum" else F.col("_m") * F.col("_s")
+    if round_to is not None:
+        score = F.round(score, round_to)
+    fused = fused.select("query_id", "doc_id", score.alias("score"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank")
+    )

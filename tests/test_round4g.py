@@ -1,0 +1,125 @@
+"""Round-4 additions: date_histogram facets and CombSUM/CombMNZ fusion."""
+
+import datetime
+
+import pytest
+
+from openmatch_spark.operators.facets import NULL_BUCKET, date_histogram_facets
+from openmatch_spark.operators.fusion import comb_fusion
+
+
+def _ts(s):
+    return datetime.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def hist_inputs(spark):
+    docs = spark.createDataFrame(
+        [
+            ("d1", _ts("2024-01-03 10:00:00")),
+            ("d2", _ts("2024-01-28 23:59:59")),
+            ("d3", _ts("2024-02-01 00:00:00")),
+            ("d4", _ts("2024-02-15 12:30:00")),
+            ("d5", None),
+        ],
+        "doc_id string, warc_ts timestamp",
+    )
+    run = spark.createDataFrame(
+        [("q1", "d1"), ("q1", "d2"), ("q1", "d3"), ("q1", "d5"),
+         ("q2", "d4")],
+        "query_id string, doc_id string",
+    )
+    return run, docs
+
+
+def test_date_histogram_month(spark, hist_inputs):
+    run, docs = hist_inputs
+    out = date_histogram_facets(run, docs, "warc_ts", "month")
+    rows = {(r.query_id, r.bucket): r.n_docs for r in out.collect()}
+    assert rows == {
+        ("q1", "2024-01-01 00:00:00"): 2,
+        ("q1", "2024-02-01 00:00:00"): 1,
+        ("q1", NULL_BUCKET): 1,
+        ("q2", "2024-02-01 00:00:00"): 1,
+    }
+    assert out.columns == ["query_id", "facet", "bucket", "n_docs"]
+    assert {r.facet for r in out.collect()} == {"warc_ts"}
+
+
+def test_date_histogram_day_and_week(spark, hist_inputs):
+    run, docs = hist_inputs
+    day = date_histogram_facets(run, docs, "warc_ts", "day")
+    rows = {(r.query_id, r.bucket) for r in day.collect()}
+    assert ("q1", "2024-01-03 00:00:00") in rows
+    assert ("q2", "2024-02-15 00:00:00") in rows
+    # ISO Monday-start weeks: 2024-01-03 is a Wednesday -> week of Jan 1
+    week = date_histogram_facets(run, docs, "warc_ts", "week")
+    wrows = {(r.query_id, r.bucket) for r in week.collect()}
+    assert ("q1", "2024-01-01 00:00:00") in wrows
+
+
+def test_date_histogram_rejects_unknown_interval(spark, hist_inputs):
+    run, docs = hist_inputs
+    with pytest.raises(ValueError, match="interval"):
+        date_histogram_facets(run, docs, "warc_ts", "fortnight")
+
+
+@pytest.fixture(scope="module")
+def fusion_runs(spark):
+    # run A: scores 10..6 for q1; run B overlaps on d2/d3 only
+    a = spark.createDataFrame(
+        [("q1", "d1", 10.0, 1), ("q1", "d2", 8.0, 2), ("q1", "d3", 6.0, 3)],
+        "query_id string, doc_id string, score double, rank int",
+    )
+    b = spark.createDataFrame(
+        [("q1", "d3", 2.0, 1), ("q1", "d2", 1.0, 2), ("q1", "d9", 0.5, 3)],
+        "query_id string, doc_id string, score double, rank int",
+    )
+    return a, b
+
+
+def test_combsum_hand_math(spark, fusion_runs):
+    a, b = fusion_runs
+    out = comb_fusion([a, b], k=10, method="sum").collect()
+    got = {r.doc_id: (r.score, r.rank) for r in out}
+    # minmax A: d1=1.0, d2=0.5, d3=0.0 ; minmax B: d3=1.0, d2=1/3, d9=0.0
+    assert got["d1"] == (1.0, 1)
+    assert got["d3"] == (1.0, 2)  # tie with d1 broken by doc_id
+    assert got["d2"] == (round(0.5 + 1 / 3, 6), 3)
+    assert got["d9"] == (0.0, 4)
+
+
+def test_combmnz_multiplies_by_match_count(spark, fusion_runs):
+    a, b = fusion_runs
+    out = {r.doc_id: r.score for r in comb_fusion([a, b], method="mnz").collect()}
+    # d2 appears in both runs -> 2x its sum; d1/d9 single-run -> 1x
+    assert out["d2"] == round(2 * (0.5 + 1 / 3), 6)
+    assert out["d1"] == 1.0
+    assert out["d9"] == 0.0
+    # mnz promotes the doubly-retrieved d2 above the single-run d3
+    ranks = {r.doc_id: r.rank for r in comb_fusion([a, b], method="mnz").collect()}
+    assert ranks["d2"] < ranks["d3"] or out["d2"] > 1.0
+
+
+def test_comb_degenerate_run_normalizes_to_one(spark):
+    solo = spark.createDataFrame(
+        [("q1", "d1", 42.0, 1)],
+        "query_id string, doc_id string, score double, rank int",
+    )
+    flat = spark.createDataFrame(
+        [("q1", "d1", 5.0, 1), ("q1", "d2", 5.0, 2)],
+        "query_id string, doc_id string, score double, rank int",
+    )
+    assert comb_fusion([solo]).collect()[0].score == 1.0
+    got = {r.doc_id: r.score for r in comb_fusion([flat]).collect()}
+    assert got == {"d1": 1.0, "d2": 1.0}
+
+
+def test_comb_depth_cap_and_validation(spark, fusion_runs):
+    a, b = fusion_runs
+    capped = comb_fusion([a, b], depth=2)
+    assert {r.doc_id for r in capped.collect()} == {"d1", "d2", "d3"}
+    with pytest.raises(ValueError, match="method"):
+        comb_fusion([a], method="max")
+    with pytest.raises(ValueError, match="at least one"):
+        comb_fusion([])

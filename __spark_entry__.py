@@ -118,6 +118,15 @@ PROX_QUERIES = [
 ]
 PROX_WITHIN = 6
 
+# ordered proximity (span_near in_order): s0/s1 differ only in token order
+SPAN_NEAR_QUERIES = [
+    ("s0", "spark join"),
+    ("s1", "join spark"),
+    ("s2", "window sort merge"),
+    ("s3", "customer nosuchterm"),
+]
+SPAN_NEAR_WITHIN = 8
+
 EN_STOP = ["the", "and", "of", "to", "in", "is", "that", "for", "with", "a"]
 DE_STOP = ["der", "die", "und", "das", "ist", "nicht", "mit", "ein", "zu", "den"]
 FR_STOP = ["le", "la", "et", "les", "des", "est", "pas", "pour", "une", "que"]
@@ -614,6 +623,9 @@ FROM brun WHERE rank <= 10
 
 _PH_VALUES = ", ".join(f"('{qid}', '{text}')" for qid, text in PHRASE_QUERIES)
 _PX_VALUES = ", ".join(f"('{qid}', '{text}')" for qid, text in PROX_QUERIES)
+_SPAN_VALUES = ", ".join(
+    f"('{qid}', '{text}')" for qid, text in SPAN_NEAR_QUERIES
+)
 
 # positional tokenization: DuckDB v1.0 has no UNNEST WITH ORDINALITY, so
 # subscripts come from generate_series over the FILTERED token list —
@@ -739,6 +751,63 @@ xrun AS (
 )
 SELECT query_id, doc_id, ROUND(score, 6) AS score, rank, min_cover
 FROM xrun WHERE rank <= 10
+"""
+
+# Ordered proximity (span_near in_order): the oracle enumerates ALL
+# strictly-increasing slot embeddings with a recursive CTE (UNION dedups
+# states, so rows are bounded by slots × positions × starts — fine at
+# check scale) and takes the exact min window; the engine's DP must agree.
+_SPAN_SQL = f"""
+WITH RECURSIVE {_TOKP},
+{_BM25_CORE},
+sq(query_id, text) AS (VALUES {_SPAN_VALUES}),
+sq_toks AS (
+  SELECT query_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM sq
+),
+seq AS (
+  SELECT query_id, u.i AS slot, toks[u.i] AS term, len(toks) AS m
+  FROM sq_toks, UNNEST(generate_series(1, len(toks))) AS u(i)
+),
+socc AS (
+  SELECT s.query_id, k.doc_id, s.slot, s.m, k.pos
+  FROM seq s JOIN tokp k ON k.term = s.term
+),
+emb(query_id, doc_id, j, pos, strt, m) AS (
+  SELECT query_id, doc_id, slot, pos, pos, m FROM socc WHERE slot = 1
+  UNION
+  SELECT o.query_id, o.doc_id, o.slot, o.pos, e.strt, e.m
+  FROM emb e
+  JOIN socc o ON o.query_id = e.query_id AND o.doc_id = e.doc_id
+             AND o.slot = e.j + 1 AND o.pos > e.pos
+),
+minw AS (
+  SELECT query_id, doc_id, CAST(MIN(pos - strt + 1) AS INTEGER) AS min_window
+  FROM emb WHERE j = m
+  GROUP BY query_id, doc_id
+  HAVING MIN(pos - strt + 1) <= {SPAN_NEAR_WITHIN}
+),
+sqt AS (SELECT query_id, term, CAST(COUNT(*) AS DOUBLE) AS qtf FROM seq GROUP BY query_id, term),
+sscored AS (
+  SELECT sqt.query_id, tf.doc_id,
+         SUM(sqt.qtf
+             * ln(1 + (g.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+             * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.doclen / g.avgdl))) AS score
+  FROM tf
+  JOIN sqt ON sqt.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN dfreq ON dfreq.term = tf.term
+  CROSS JOIN g
+  GROUP BY sqt.query_id, tf.doc_id
+),
+srun AS (
+  SELECT w.query_id, w.doc_id, s.score, w.min_window,
+         CAST(ROW_NUMBER() OVER (PARTITION BY w.query_id ORDER BY s.score DESC, w.doc_id ASC) AS INTEGER) AS rank
+  FROM minw w JOIN sscored s ON s.query_id = w.query_id AND s.doc_id = w.doc_id
+)
+SELECT query_id, doc_id, ROUND(score, 6) AS score, rank, min_window
+FROM srun WHERE rank <= 10
 """
 
 _SNIPPET_W = 12
@@ -2232,6 +2301,28 @@ def q_proximity_search(spark, sf_dir):
     )
 
 
+def q_span_near(spark, sf_dir):
+    """Ordered proximity (Lucene SpanNearQuery in_order=true): the query's
+    token sequence in order within a window <= SPAN_NEAR_WITHIN;
+    min_window = tightest ordered window (min-window-subsequence DP per
+    (query, doc) group). Oracle enumerates every strictly-increasing slot
+    embedding with a recursive CTE and takes the exact minimum."""
+    from openmatch_spark.query import search_span_near
+
+    idx = _entry_index_with_positions(spark, sf_dir)
+    xq = spark.createDataFrame(
+        SPAN_NEAR_QUERIES, "query_id string, text string"
+    )
+    run = search_span_near(idx, xq, within=SPAN_NEAR_WITHIN, k=10)
+    return run.select(
+        "query_id",
+        F.regexp_replace("doc_id", "^doc://", "").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+        "rank",
+        "min_window",
+    )
+
+
 def q_snippets(spark, sf_dir):
     """Query-biased snippets for the BM25 top-10 run: best width-12 token
     window by distinct query-term hits, earliest on ties, doc-head fallback.
@@ -3393,6 +3484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "significant_terms": q_significant_terms,
         "phrase_search": q_phrase_search,
         "proximity_search": q_proximity_search,
+        "span_near": q_span_near,
         "snippets": q_snippets,
         "bm25f": q_bm25f,
         "dismax": q_dismax,
@@ -3507,6 +3599,7 @@ def oracle_sql() -> dict[str, str]:
     sql["bm25_boolean"] = _BM25_BOOLEAN_SQL
     sql["phrase_search"] = _PHRASE_SQL
     sql["proximity_search"] = _PROXIMITY_SQL
+    sql["span_near"] = _SPAN_SQL
     sql["snippets"] = _SNIPPET_SQL
     sql["bm25f"] = _BM25F_SQL
     sql["rm3_expand"] = _RM3_SQL

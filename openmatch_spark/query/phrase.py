@@ -389,3 +389,199 @@ def search_proximity(
         "query_id", "shard", "doc_ord", "score", "min_cover"
     )
     return _finalize(index, cand, k, ["min_cover"])
+
+
+# ---------------------------------------------------------------------------
+# Ordered proximity — Lucene SpanNearQuery(in_order=true) / ES span_near
+# ---------------------------------------------------------------------------
+
+_SEQ_SEP = "\x1f"
+
+_WINDOW_OUT = StructType(
+    [
+        StructField("query_id", StringType()),
+        StructField("shard", IntegerType()),
+        StructField("doc_ord", LongType()),
+        StructField("min_window", IntegerType()),
+    ]
+)
+
+
+def _span_near_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Minimum token window containing the query's token SEQUENCE in order
+    (positions strictly increasing, duplicates in the sequence each need
+    their own occurrence) — the classic minimum-window-subsequence DP.
+
+    Processing occurrences in position order keeps the invariant
+    dp[j] = max start position over embeddings of seq[0..j] whose last
+    element sits strictly before the current position (slots of one term
+    are visited descending so an occurrence can't chain with itself);
+    max start <=> min width for a window ending here. O(n·m) per doc on
+    the pruned occurrence rows, O(m) state."""
+    qid = pdf["query_id"].iloc[0]
+    shard = int(pdf["shard"].iloc[0])
+    ord_ = int(pdf["doc_ord"].iloc[0])
+    seq = pdf["qseq"].iloc[0].split(_SEQ_SEP)
+    m = len(seq)
+    slots: dict[str, list[int]] = {}
+    for j, t in enumerate(seq):
+        slots.setdefault(t, []).append(j)
+    order = np.argsort(pdf["pos"].to_numpy(), kind="stable")
+    pos = pdf["pos"].to_numpy()[order]
+    term = pdf["term"].to_numpy()[order]
+    dp: list = [None] * m
+    best = None
+    for p, t in zip(pos.tolist(), term.tolist()):
+        for j in reversed(slots.get(t, ())):
+            if j == 0:
+                start = p
+            elif dp[j - 1] is not None:
+                start = dp[j - 1]
+            else:
+                continue
+            if j == m - 1:
+                width = p - start + 1
+                if best is None or width < best:
+                    best = width
+            if dp[j] is None or start > dp[j]:
+                dp[j] = start
+    if best is None:
+        return pd.DataFrame(columns=["query_id", "shard", "doc_ord", "min_window"])
+    return pd.DataFrame(
+        {"query_id": [qid], "shard": [shard], "doc_ord": [ord_],
+         "min_window": [int(best)]}
+    )
+
+
+def _search_span_near_distributed(
+    index: BM25Index, q: DataFrame, within: int, k: int
+) -> DataFrame:
+    """Executor-side span-near path for big batches: the full token
+    sequence rides each query's occurrence group as one joined column; an
+    OOV token simply never contributes occurrence rows, so the DP can't
+    complete its slot and the query dies structurally (Lucene: a missing
+    span clause matches nothing)."""
+    from openmatch_spark.analysis import tokenize_col
+
+    analyzer = index.stats["analyzer"]
+    toks = q.select(
+        "query_id", tokenize_col(F.col("text"), analyzer).alias("toks")
+    )
+    toks.persist()
+    xtok = toks.select("query_id", F.explode("toks").alias("term"))
+    pairs = xtok.distinct()
+    qseq = toks.select(
+        "query_id", F.array_join("toks", _SEQ_SEP).alias("qseq")
+    )
+    terms = sorted(r["term"] for r in pairs.select("term").distinct().collect())
+    bucket_of = index.term_buckets(terms)
+    in_vocab = sorted(t for t in terms if t in bucket_of)
+    if not in_vocab:
+        toks.unpersist()
+        return index.spark.createDataFrame(
+            [], "query_id string, doc_id string, score double, rank int, min_window int"
+        )
+    occ = _pruned_positions(index, in_vocab, bucket_of)
+    grouped = (
+        occ.join(pairs, "term")
+        .join(qseq, "query_id")
+        .groupBy("query_id", "shard", "doc_ord")
+        .applyInPandas(_span_near_group, _WINDOW_OUT)
+        .where(F.col("min_window") <= within)
+    )
+    qt = xtok.groupBy("query_id", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("qtf")
+    )
+    decoded = index.postings.where(
+        F.col("term_bucket").isin(sorted({bucket_of[t] for t in in_vocab}))
+        & F.col("term").isin(in_vocab)
+    ).mapInArrow(_decode_blocks_arrow, _DECODED_POSTINGS)
+    scores = (
+        decoded.join(qt, "term")
+        .groupBy("query_id", "shard", "doc_ord")
+        .agg(F.sum(F.col("weight") * F.col("qtf")).alias("score"))
+    )
+    cand = grouped.join(scores, ["query_id", "shard", "doc_ord"]).select(
+        "query_id", "shard", "doc_ord", "score", "min_window"
+    )
+    return _finalize(index, cand, k, ["min_window"])
+
+
+def search_span_near(
+    index: BM25Index,
+    queries: DataFrame,
+    within: int,
+    k: int = 100,
+    distributed_threshold: int = _DISTRIBUTED_TOKENIZE_MIN_QUERIES,
+) -> DataFrame:
+    """Ordered proximity top-k — Lucene SpanNearQuery(in_order=true):
+    docs where the query's token sequence occurs in order (strictly
+    increasing positions) inside some window of <= `within` tokens;
+    min_window reports the tightest such window (>= the sequence length;
+    Lucene's slop = within - len(sequence)). Duplicate query tokens each
+    require their own occurrence. Scored like search_proximity: BM25 over
+    the query terms with qtf multiplicity, ranked by score.
+
+    Returns (query_id, doc_id, score, rank, min_window). Batches above
+    distributed_threshold tokenize executor-side (identical results).
+
+    Plan: identical shape to search_proximity — pruned positional-sidecar
+    scan, ONE shuffle into per-(query, doc) groups, the O(n·m) DP kernel
+    per group with state bounded by one doc's occurrences — plus the
+    postings-side scorer join. Order checking adds no extra exchange.
+    """
+    from openmatch_spark.analysis import tokenize_py
+
+    spark = index.spark
+    analyzer = index.stats["analyzer"]
+    empty = spark.createDataFrame(
+        [], "query_id string, doc_id string, score double, rank int, min_window int"
+    )
+    base = queries.select(
+        F.col("query_id").cast("string").alias("query_id"), "text"
+    )
+    rows = base.take(distributed_threshold + 1)
+    if len(rows) > distributed_threshold:
+        return _search_span_near_distributed(index, base, within, k)
+    qtoks = {str(r["query_id"]): tokenize_py(r["text"], analyzer) for r in rows}
+    qtoks = {q: toks for q, toks in qtoks.items() if toks}
+    if not qtoks:
+        return empty
+    all_terms = sorted({t for toks in qtoks.values() for t in toks})
+    bucket_of = index.term_buckets(all_terms)
+    # an OOV token anywhere in the sequence makes it unmatchable
+    live = {
+        q: toks for q, toks in qtoks.items() if all(t in bucket_of for t in toks)
+    }
+    if not live:
+        return empty
+
+    pairs = [
+        (q, t) for q, toks in sorted(live.items()) for t in sorted(set(toks))
+    ]
+    seqs = [(q, _SEQ_SEP.join(toks)) for q, toks in sorted(live.items())]
+    terms = sorted({t for (_, t) in pairs})
+    occ = _pruned_positions(index, terms, bucket_of)
+    pair_df = F.broadcast(
+        spark.createDataFrame(pairs, "query_id string, term string")
+    )
+    seq_df = F.broadcast(
+        spark.createDataFrame(seqs, "query_id string, qseq string")
+    )
+    grouped = (
+        occ.join(pair_df, "term")
+        .join(seq_df, "query_id")
+        .groupBy("query_id", "shard", "doc_ord")
+        .applyInPandas(_span_near_group, _WINDOW_OUT)
+        .where(F.col("min_window") <= within)
+    )
+    qterms = [
+        (q, t, float(c))
+        for q, toks in sorted(live.items())
+        for t, c in sorted(Counter(toks).items())
+    ]
+    scores = _bm25_scores(index, qterms, bucket_of)
+    cand = grouped.join(scores, ["query_id", "shard", "doc_ord"]).select(
+        "query_id", "shard", "doc_ord", "score", "min_window"
+    )
+    return _finalize(index, cand, k, ["min_window"])

@@ -149,6 +149,7 @@ def cmd_search(args) -> int:
         search_fuzzy,
         search_phrase,
         search_proximity,
+        search_span_near,
         search_wildcard,
     )
 
@@ -169,6 +170,11 @@ def cmd_search(args) -> int:
         mode = f"proximity:{args.proximity}"
         run = search_proximity(idx, queries, within=args.proximity, k=args.k).drop(
             "min_cover"
+        )
+    elif args.span_near is not None:
+        mode = f"span_near:{args.span_near}"
+        run = search_span_near(idx, queries, within=args.span_near, k=args.k).drop(
+            "min_window"
         )
     elif args.wildcard:
         mode = "wildcard"
@@ -375,6 +381,8 @@ def main(argv=None) -> int:
                     help="exact-phrase search over the positional sidecar")
     se.add_argument("--proximity", type=int, default=None, metavar="WITHIN",
                     help="unordered proximity search: all terms within N tokens")
+    se.add_argument("--span-near", type=int, default=None, metavar="WITHIN",
+                    help="ordered proximity: the token sequence in order within N tokens")
     se.add_argument("--wildcard", action="store_true",
                     help="query tokens are wildcard patterns (* any run, ? one char)")
     se.add_argument("--fuzzy", action="store_true",

@@ -123,3 +123,114 @@ def test_comb_depth_cap_and_validation(spark, fusion_runs):
         comb_fusion([a], method="max")
     with pytest.raises(ValueError, match="at least one"):
         comb_fusion([])
+
+
+# ---------------------------------------------------------------------------
+# Ordered proximity (span_near in_order) vs a brute-force reference
+# ---------------------------------------------------------------------------
+
+import itertools
+import re
+import tempfile
+
+
+def _tok(t):
+    return [x for x in re.split(r"[^a-z0-9]+", t.lower()) if x]
+
+
+SPAN_DOCS = [
+    ("doc://0", "spark hash join beats sort merge join on small tables"),
+    ("doc://1", "the hash join and the sort merge join"),
+    ("doc://2", "spark spark spark hash hash join"),
+    ("doc://3", "merge sort is not sort merge"),
+    ("doc://4", "join hash spark"),
+    ("doc://5", "window functions rank rows per partition"),
+    ("doc://6", ""),
+]
+SPAN_CORPUS = {u: _tok(t) for u, t in SPAN_DOCS}
+
+
+def _min_window_ordered(toks, seq):
+    """Brute-force minimum ordered-window reference (exhaustive over all
+    strictly-increasing slot assignments — fine at this corpus size)."""
+    if not seq:
+        return None
+    cand = [[i for i, t in enumerate(toks) if t == s] for s in seq]
+    if any(not c for c in cand):
+        return None
+    best = None
+    for combo in itertools.product(*cand):
+        if all(combo[i] > combo[i - 1] for i in range(1, len(combo))):
+            w = combo[-1] - combo[0] + 1
+            best = w if best is None or w < best else best
+    return best
+
+
+@pytest.fixture(scope="module")
+def span_index(spark):
+    from openmatch_spark.index import build_index, build_positions, load_index
+
+    pages = spark.createDataFrame(
+        [(u, None, None, t, "en") for u, t in SPAN_DOCS],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    d = tempfile.mkdtemp(prefix="om_span_idx_")
+    build_index(spark, pages, d, analyzer="simple", num_shards=2,
+                num_term_buckets=4, block_size=4)
+    build_positions(spark, pages, d)
+    return load_index(spark, d)
+
+
+SPAN_QUERIES = [
+    ("a", "spark join"),     # order matters: doc4 'join hash spark' must NOT match
+    ("b", "join spark"),     # ...and DOES match here
+    ("c", "sort merge"),
+    ("d", "spark spark"),    # duplicate tokens need two occurrences
+    ("e", "hash join tables"),
+    ("f", "nosuchterm join"),
+]
+
+
+@pytest.mark.parametrize("within", [2, 3, 6, 10])
+def test_span_near_matches_reference(spark, span_index, within):
+    from openmatch_spark.query import search_span_near
+
+    q = spark.createDataFrame(SPAN_QUERIES, "query_id string, text string")
+    out = search_span_near(span_index, q, within=within, k=20).collect()
+    for qid, text in SPAN_QUERIES:
+        expect = {
+            u: w
+            for u, toks in SPAN_CORPUS.items()
+            if (w := _min_window_ordered(toks, _tok(text))) is not None
+            and w <= within
+        }
+        got = {r["doc_id"]: r["min_window"] for r in out if r["query_id"] == qid}
+        assert got == expect, (qid, within)
+
+
+def test_span_near_order_sensitivity(spark, span_index):
+    from openmatch_spark.query import search_span_near
+
+    q = spark.createDataFrame(
+        [("a", "spark join"), ("b", "join spark")],
+        "query_id string, text string",
+    )
+    got = {
+        (r["query_id"], r["doc_id"])
+        for r in search_span_near(span_index, q, within=10, k=20).collect()
+    }
+    assert ("a", "doc://4") not in got       # 'join hash spark': wrong order
+    assert ("b", "doc://4") in got
+    assert ("a", "doc://0") in got
+    assert ("b", "doc://0") not in got       # no spark after a join in doc0
+
+
+def test_span_near_distributed_branch_identity(spark, span_index):
+    from openmatch_spark.query import search_span_near
+
+    q = spark.createDataFrame(SPAN_QUERIES, "query_id string, text string")
+    a = search_span_near(span_index, q, within=6, k=20)
+    b = search_span_near(span_index, q, within=6, k=20, distributed_threshold=0)
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    assert ra == rb and len(ra) > 0

@@ -2451,6 +2451,36 @@ def q_facet_histogram(spark, sf_dir):
     return histogram_facets(run, docs, {"n_chars": 100.0})
 
 
+def q_hit_cardinality(spark, sf_dir):
+    """ES cardinality aggregation over the BM25 top-10 hit set: distinct
+    source/lang values per query, NULLs excluded (exact mode — the
+    oracle-checked one; approx=True is the HLL sketch for unbounded
+    candidate sets)."""
+    from openmatch_spark.query import hit_cardinality
+
+    run = _bm25_run(spark, sf_dir, k=10, rounded=False).select(
+        "query_id", "doc_id"
+    )
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "source", "lang"
+    )
+    return hit_cardinality(run, docs, ["source", "lang"])
+
+
+def q_group_cap(spark, sf_dir):
+    """Per-group corpus cap (RefinedWeb-style max-N-pages-per-host, here
+    per source): a deterministic portable-md5 draw keeps the same 3 rows
+    per group in any engine/rerun; sample_rank 1..3."""
+    from openmatch_spark.operators.sampling import cap_per_group
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "source"
+    )
+    return cap_per_group(docs, "source", n=3).select(
+        "doc_id", "source", "sample_rank"
+    )
+
+
 def q_facet_date_histogram(spark, sf_dir):
     """ES date_histogram (calendar_interval=month) over the BM25 top-10
     hit set. documents has no timestamp, so one is synthesized
@@ -3500,6 +3530,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_combsum": q_hybrid_combsum,
         "hybrid_combmnz": q_hybrid_combmnz,
         "facet_date_histogram": q_facet_date_histogram,
+        "hit_cardinality": q_hit_cardinality,
+        "group_cap": q_group_cap,
         "mmr_rerank": q_mmr_rerank,
         "suggest": q_suggest,
         "collapsed_search": q_collapsed_search,
@@ -3608,6 +3640,39 @@ def oracle_sql() -> dict[str, str]:
     sql["hybrid_combsum"] = _COMB_SQL_TMPL.format(expr="s")
     sql["hybrid_combmnz"] = _COMB_SQL_TMPL.format(expr="m * s")
     sql["facet_date_histogram"] = _DATE_HIST_SQL
+
+    sql["hit_cardinality"] = f"""
+WITH {_BM25_CTES},
+run10 AS (SELECT query_id, doc_id FROM run WHERE rank <= 10),
+hyd AS (
+  SELECT r.query_id, d.source, d.lang
+  FROM run10 r JOIN documents d ON CAST(d.doc_id AS VARCHAR) = r.doc_id
+),
+up AS (
+  SELECT query_id, 'source' AS facet, source AS value FROM hyd
+  UNION ALL
+  SELECT query_id, 'lang' AS facet, lang AS value FROM hyd
+)
+SELECT query_id, facet, CAST(COUNT(DISTINCT value) AS BIGINT) AS cardinality
+FROM up WHERE value IS NOT NULL
+GROUP BY query_id, facet
+"""
+
+    # per-group cap: the SAME md5 draw (seed 42 over the string doc_id)
+    # and (u, doc_id) order replayed in SQL — proves which rows survive
+    sql["group_cap"] = """
+WITH drawn AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, source,
+         CAST('0x' || substr(md5(concat_ws('|', '42', CAST(doc_id AS VARCHAR))), 1, 8) AS UBIGINT) / 4294967296.0 AS u
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, source,
+         CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY u ASC, doc_id ASC) AS INTEGER) AS sample_rank
+  FROM drawn
+)
+SELECT doc_id, source, sample_rank FROM ranked WHERE sample_rank <= 3
+"""
     sql["suggest"] = _SUGGEST_SQL
     sql["collapsed_search"] = _COLLAPSED_SQL.format(ctes=_BM25_CTES)
     sql["spell_suggest"] = _SPELL_SQL.format(

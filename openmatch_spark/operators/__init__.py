@@ -17,6 +17,7 @@ from openmatch_spark.operators.decontam import (  # noqa: F401
     decontaminate_corpus,
 )
 from openmatch_spark.operators.sampling import (  # noqa: F401
+    cap_per_group,
     mixture_sample,
     mixture_report,
     seeded_uniform_col,

@@ -25,7 +25,7 @@ from __future__ import annotations
 from typing import Mapping
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 
 from openmatch_spark.functions.hashing import md5_rank_col
 
@@ -34,6 +34,7 @@ __all__ = [
     "mixture_sample",
     "mixture_report",
     "grouped_split",
+    "cap_per_group",
 ]
 
 
@@ -218,4 +219,39 @@ def temperature_weights(
         "domain", "n_docs",
         F.round("p_raw", round_to).alias("p_raw"),
         F.round(F.col("_s") / F.lit(ssum), round_to).alias("weight"),
+    )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    n: int,
+    seed: int = 42,
+    id_cols: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """Deterministic per-group cap — the RefinedWeb/CCNet-style "at most N
+    pages per host/domain" curation rule: within each group value keep a
+    seeded pseudo-random n rows (portable md5 draw over id_cols, so the
+    SAME rows survive in Spark, DuckDB, and any rerun), annotated with
+    sample_rank (1..n). NULL group values form their own group rather
+    than escaping the cap.
+
+    Plan: pure column algebra — one window over the group key (rank by
+    the md5 draw with id tie-break), no UDF, no driver state. The window
+    sorts each group's rows; a pathologically hot group costs
+    O(group log group) in one task — for corpus-scale caps over hosts
+    this is the standard shape (the draw is uniform, so the kept set is
+    an unbiased subsample of the group).
+    """
+    if n <= 0:
+        raise ValueError(f"n must be positive, got {n}")
+    u = seeded_uniform_col(*id_cols, seed=seed)
+    w = Window.partitionBy(group_col).orderBy(
+        F.asc("_u"), *[F.asc(c) for c in id_cols]
+    )
+    return (
+        df.withColumn("_u", u)
+        .withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= n)
+        .drop("_u")
     )

@@ -1,5 +1,6 @@
 from openmatch_spark.query.aggregates import (  # noqa: F401
     count_hits,
+    hit_cardinality,
     hit_percentiles,
     hit_stats,
 )

@@ -128,3 +128,52 @@ def hit_stats(
             F.sum("value").alias("sum"),
         )
     )
+
+
+def hit_cardinality(
+    run: DataFrame,
+    docs: DataFrame,
+    cols: list[str],
+    approx: bool = False,
+    rsd: float = 0.05,
+) -> DataFrame:
+    """(query_id, facet, cardinality) — the ES `cardinality` aggregation
+    over the hit set: per query, the number of DISTINCT values of each
+    attribute among the hit docs, NULLs excluded (ES semantics: a missing
+    field contributes nothing).
+
+    approx=True swaps the exact distinct for approx_count_distinct
+    (HyperLogLog++, relative error `rsd`) — the 100 TB path: the hit set
+    here is queries × k bounded so exact is affordable, but the same
+    surface over an unbounded candidate set (e.g. cardinality under a
+    filter, no top-k) needs the sketch, and HLL merges map-side without
+    holding the distinct set. Exact mode is the oracle-checked one.
+
+    Same bounded plan as hit_stats: one broadcast hydrate of the run,
+    stack() unpivot, one groupBy."""
+    if not cols:
+        raise ValueError("cols must name at least one attribute column")
+    base = run.select(
+        F.col("query_id").cast("string").alias("query_id"),
+        F.col("doc_id").cast("string").alias("doc_id"),
+    )
+    attrs = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        *[F.col(c).cast("string").alias(c) for c in cols],
+    )
+    hydrated = attrs.join(F.broadcast(base), "doc_id")
+    stack_expr = "stack({n}, {pairs}) as (facet, value)".format(
+        n=len(cols),
+        pairs=", ".join(f"'{c}', {c}" for c in cols),
+    )
+    unpivoted = hydrated.select("query_id", F.expr(stack_expr)).where(
+        F.col("value").isNotNull()
+    )
+    agg = (
+        F.approx_count_distinct("value", rsd)
+        if approx
+        else F.countDistinct("value")
+    )
+    return unpivoted.groupBy("query_id", "facet").agg(
+        agg.cast("long").alias("cardinality")
+    )

@@ -234,3 +234,94 @@ def test_span_near_distributed_branch_identity(spark, span_index):
     ra = sorted(map(tuple, a.collect()))
     rb = sorted(map(tuple, b.collect()))
     assert ra == rb and len(ra) > 0
+
+
+# ---------------------------------------------------------------------------
+# hit_cardinality (ES cardinality agg) + cap_per_group (per-host cap)
+# ---------------------------------------------------------------------------
+
+import hashlib
+
+
+def test_hit_cardinality_exact_and_null_semantics(spark):
+    from openmatch_spark.query import hit_cardinality
+
+    docs = spark.createDataFrame(
+        [("d1", "en", "a.com"), ("d2", "en", "b.com"),
+         ("d3", "de", None), ("d4", "fr", "a.com")],
+        "doc_id string, lang string, host string",
+    )
+    run = spark.createDataFrame(
+        [("q1", "d1"), ("q1", "d2"), ("q1", "d3"),
+         ("q2", "d3"), ("q2", "d4")],
+        "query_id string, doc_id string",
+    )
+    out = {
+        (r.query_id, r.facet): r.cardinality
+        for r in hit_cardinality(run, docs, ["lang", "host"]).collect()
+    }
+    # q1: langs {en, de} -> 2; hosts {a.com, b.com} (d3 NULL excluded) -> 2
+    # q2: langs {de, fr} -> 2; hosts {a.com} -> 1
+    assert out == {
+        ("q1", "lang"): 2, ("q1", "host"): 2,
+        ("q2", "lang"): 2, ("q2", "host"): 1,
+    }
+    with pytest.raises(ValueError, match="at least one"):
+        hit_cardinality(run, docs, [])
+
+
+def test_hit_cardinality_approx_close(spark):
+    from openmatch_spark.query import hit_cardinality
+
+    docs = spark.createDataFrame(
+        [(f"d{i}", f"v{i % 40}") for i in range(200)],
+        "doc_id string, attr string",
+    )
+    run = spark.createDataFrame(
+        [("q1", f"d{i}") for i in range(200)], "query_id string, doc_id string"
+    )
+    exact = hit_cardinality(run, docs, ["attr"]).collect()[0].cardinality
+    approx = hit_cardinality(run, docs, ["attr"], approx=True).collect()[0].cardinality
+    assert exact == 40
+    assert abs(approx - 40) <= 8  # HLL++ at rsd=0.05 is far tighter than this
+
+
+def _py_u(doc_id, seed=42):
+    h = hashlib.md5(f"{seed}|{doc_id}".encode()).hexdigest()
+    return int(h[:8], 16) / 2**32
+
+
+def test_cap_per_group_matches_python_replica(spark):
+    from openmatch_spark.operators.sampling import cap_per_group
+
+    rows = [(f"d{i}", f"g{i % 3}") for i in range(30)] + [("dx", None)]
+    df = spark.createDataFrame(rows, "doc_id string, grp string")
+    out = cap_per_group(df, "grp", n=4).collect()
+    got = {(r.doc_id, r.grp, r.sample_rank) for r in out}
+    # python replica: per group, sort by (u, doc_id), take 4
+    expect = set()
+    groups = {}
+    for d, g in rows:
+        groups.setdefault(g, []).append(d)
+    for g, ds in groups.items():
+        picked = sorted(ds, key=lambda d: (_py_u(d), d))[:4]
+        for i, d in enumerate(picked, 1):
+            expect.add((d, g, i))
+    assert got == expect
+    # NULL group forms its own capped group (1 row here)
+    assert ("dx", None, 1) in got
+
+
+def test_cap_per_group_unbiased_and_deterministic(spark):
+    from openmatch_spark.operators.sampling import cap_per_group
+
+    df = spark.createDataFrame(
+        [(f"d{i}", "g") for i in range(100)], "doc_id string, grp string"
+    )
+    a = {r.doc_id for r in cap_per_group(df, "grp", n=10).collect()}
+    b = {r.doc_id for r in cap_per_group(df.repartition(7), "grp", n=10).collect()}
+    assert a == b and len(a) == 10          # partitioning-invariant
+    c = {r.doc_id for r in cap_per_group(df, "grp", n=10, seed=7).collect()}
+    assert c != a                            # seed actually steers the draw
+    with pytest.raises(ValueError, match="positive"):
+        cap_per_group(df, "grp", n=0)

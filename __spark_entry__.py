@@ -873,6 +873,87 @@ LEFT JOIN chosen c ON c.query_id = r.query_id AND c.doc_id = r.doc_id
 JOIN docs_toks dt ON dt.doc_id = r.doc_id
 """
 
+# ES highlighter: same candidate machinery as the snippet oracle, then the
+# 2-round greedy (best, anti-overlap, best again) unrolled as CTEs, and
+# <em> marking replayed with list_transform
+_HIGHLIGHT_SQL = f"""
+WITH {_TOKP},
+{_BM25_CORE},
+q(query_id, text) AS (VALUES {_Q_VALUES}),
+qtok AS (
+  SELECT q.query_id, t.term
+  FROM q, UNNEST(regexp_split_to_array(lower(q.text), '[^a-z0-9]+')) AS t(term)
+  WHERE t.term <> ''
+),
+qt AS (SELECT query_id, term, CAST(COUNT(*) AS DOUBLE) AS qtf FROM qtok GROUP BY query_id, term),
+scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         SUM(qt.qtf
+             * ln(1 + (g.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+             * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.doclen / g.avgdl))) AS score
+  FROM tf
+  JOIN qt ON qt.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN dfreq ON dfreq.term = tf.term
+  CROSS JOIN g
+  GROUP BY qt.query_id, tf.doc_id
+),
+run10 AS (
+  SELECT query_id, doc_id FROM (
+    SELECT query_id, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+    FROM scored
+  ) WHERE rank <= 10
+),
+occ AS (
+  SELECT r.query_id, r.doc_id, k.pos, k.term
+  FROM run10 r
+  JOIN qt ON qt.query_id = r.query_id
+  JOIN tokp k ON k.doc_id = r.doc_id AND k.term = qt.term
+),
+cand AS (
+  SELECT o1.query_id, o1.doc_id, o1.pos AS start, COUNT(DISTINCT o2.term) AS nhit
+  FROM occ o1 JOIN occ o2 ON o2.query_id = o1.query_id AND o2.doc_id = o1.doc_id
+     AND o2.pos >= o1.pos AND o2.pos < o1.pos + {_SNIPPET_W}
+  GROUP BY o1.query_id, o1.doc_id, o1.pos
+),
+pick1 AS (
+  SELECT query_id, doc_id, start, nhit FROM (
+    SELECT query_id, doc_id, start, nhit,
+           ROW_NUMBER() OVER (PARTITION BY query_id, doc_id ORDER BY nhit DESC, start ASC) AS rn
+    FROM cand
+  ) WHERE rn = 1
+),
+cand2 AS (
+  SELECT c.query_id, c.doc_id, c.start, c.nhit
+  FROM cand c JOIN pick1 p ON p.query_id = c.query_id AND p.doc_id = c.doc_id
+  WHERE abs(c.start - p.start) >= {_SNIPPET_W}
+),
+pick2 AS (
+  SELECT query_id, doc_id, start, nhit FROM (
+    SELECT query_id, doc_id, start, nhit,
+           ROW_NUMBER() OVER (PARTITION BY query_id, doc_id ORDER BY nhit DESC, start ASC) AS rn
+    FROM cand2
+  ) WHERE rn = 1
+),
+frags AS (
+  SELECT query_id, doc_id, 1 AS frag_idx, start, nhit FROM pick1
+  UNION ALL
+  SELECT query_id, doc_id, 2 AS frag_idx, start, nhit FROM pick2
+),
+qlist AS (SELECT query_id, list(DISTINCT term) AS qts FROM qtok GROUP BY query_id)
+SELECT f.query_id, f.doc_id, CAST(f.frag_idx AS INTEGER) AS frag_idx,
+       CAST(f.start AS BIGINT) AS start, CAST(f.nhit AS INTEGER) AS n_hit_terms,
+       array_to_string(
+         list_transform(
+           list_slice(dt.toks, CAST(f.start + 1 AS BIGINT), CAST(f.start + {_SNIPPET_W} AS BIGINT)),
+           t -> CASE WHEN list_contains(l.qts, t) THEN '<em>' || t || '</em>' ELSE t END),
+         ' ') AS fragment
+FROM frags f
+JOIN docs_toks dt ON dt.doc_id = f.doc_id
+JOIN qlist l ON l.query_id = f.query_id
+"""
+
 _BM25F_TITLE_W, _BM25F_TITLE_B = 2.0, 0.75
 _BM25F_BODY_W, _BM25F_BODY_B = 1.0, 0.4
 
@@ -2301,6 +2382,25 @@ def q_proximity_search(spark, sf_dir):
     )
 
 
+def q_highlight(spark, sf_dir):
+    """ES highlighter: up to 2 non-overlapping width-12 query-biased
+    fragments per BM25 top-10 hit, query terms wrapped in <em> tags,
+    best-first greedy (hits DESC, start ASC; overlap = |Δstart| < width).
+    No doc-head fallback — non-matching docs emit nothing."""
+    from openmatch_spark.operators.snippets import highlight_fragments
+
+    run = _bm25_run(spark, sf_dir, k=10, rounded=False).select(
+        "query_id", "doc_id"
+    )
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    return highlight_fragments(
+        docs, run, _queries_df(spark), width=_SNIPPET_W, n_fragments=2,
+        analyzer="simple",
+    )
+
+
 def q_span_near(spark, sf_dir):
     """Ordered proximity (Lucene SpanNearQuery in_order=true): the query's
     token sequence in order within a window <= SPAN_NEAR_WITHIN;
@@ -3515,6 +3615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search": q_phrase_search,
         "proximity_search": q_proximity_search,
         "span_near": q_span_near,
+        "highlight": q_highlight,
         "snippets": q_snippets,
         "bm25f": q_bm25f,
         "dismax": q_dismax,
@@ -3633,6 +3734,7 @@ def oracle_sql() -> dict[str, str]:
     sql["proximity_search"] = _PROXIMITY_SQL
     sql["span_near"] = _SPAN_SQL
     sql["snippets"] = _SNIPPET_SQL
+    sql["highlight"] = _HIGHLIGHT_SQL
     sql["bm25f"] = _BM25F_SQL
     sql["rm3_expand"] = _RM3_SQL
     sql["facets"] = _FACETS_SQL

@@ -325,3 +325,83 @@ def test_cap_per_group_unbiased_and_deterministic(spark):
     assert c != a                            # seed actually steers the draw
     with pytest.raises(ValueError, match="positive"):
         cap_per_group(df, "grp", n=0)
+
+
+# ---------------------------------------------------------------------------
+# highlight_fragments (ES highlighter) vs a pure-python greedy reference
+# ---------------------------------------------------------------------------
+
+
+def _py_highlight(toks, qts, width, n_frags):
+    """Greedy reference: candidate starts = occurrence positions; score =
+    distinct query terms in [start, start+width); pick best (score desc,
+    start asc), drop overlapping candidates, repeat."""
+    occ = [i for i, t in enumerate(toks) if t in qts]
+    cands = {
+        s: len({toks[i] for i in occ if s <= i < s + width}) for s in occ
+    }
+    picks = []
+    avail = dict(cands)
+    for _ in range(n_frags):
+        if not avail:
+            break
+        s = min(avail, key=lambda x: (-avail[x], x))
+        picks.append((s, avail[s]))
+        avail = {x: v for x, v in avail.items() if abs(x - s) >= width}
+    return picks
+
+
+def test_highlight_fragments_reference_and_marking(spark):
+    from openmatch_spark.operators.snippets import highlight_fragments
+
+    docs = [
+        ("d1", "alpha beta gamma delta alpha beta zeta eta theta beta alpha"),
+        ("d2", "nothing relevant here at all"),
+        ("d3", "alpha alpha alpha"),
+    ]
+    corpus = spark.createDataFrame(docs, "doc_id string, text string")
+    run = spark.createDataFrame(
+        [("q1", "d1"), ("q1", "d2"), ("q1", "d3")],
+        "query_id string, doc_id string",
+    )
+    queries = spark.createDataFrame(
+        [("q1", "alpha beta")], "query_id string, text string"
+    )
+    out = highlight_fragments(
+        corpus, run, queries, width=4, n_fragments=2
+    ).collect()
+    got = {
+        (r.doc_id, r.frag_idx): (r.start, r.n_hit_terms, r.fragment)
+        for r in out
+    }
+    for doc_id, text in docs:
+        toks = text.split()
+        expect = _py_highlight(toks, {"alpha", "beta"}, 4, 2)
+        for i, (s, nh) in enumerate(expect, 1):
+            st, gn, frag = got[(doc_id, i)]
+            assert (st, gn) == (s, nh), (doc_id, i)
+            # fragment text is the sliced window with query terms tagged
+            want = " ".join(
+                f"<em>{t}</em>" if t in {"alpha", "beta"} else t
+                for t in toks[s : s + 4]
+            )
+            assert frag == want, (doc_id, i)
+        assert (doc_id, len(expect) + 1) not in got
+    # d2 (no occurrences) emits nothing — ES omits non-matching docs
+    assert not any(d == "d2" for d, _ in got)
+
+
+def test_highlight_fragments_non_overlap_and_validation(spark):
+    from openmatch_spark.operators.snippets import highlight_fragments
+
+    corpus = spark.createDataFrame(
+        [("d1", " ".join(["x"] * 3 + ["hit"] + ["x"] * 3 + ["hit"] + ["x"] * 3))],
+        "doc_id string, text string",
+    )
+    run = spark.createDataFrame([("q1", "d1")], "query_id string, doc_id string")
+    queries = spark.createDataFrame([("q1", "hit")], "query_id string, text string")
+    out = highlight_fragments(corpus, run, queries, width=5, n_fragments=3).collect()
+    starts = sorted(r.start for r in out)
+    assert starts == [3]  # second occurrence at 7 overlaps [3, 8) window
+    with pytest.raises(ValueError, match="positive"):
+        highlight_fragments(corpus, run, queries, n_fragments=0)

@@ -2623,6 +2623,24 @@ def q_hybrid_combmnz(spark, sf_dir):
     return comb_fusion([r1, r2], k=10, method="mnz", round_to=6)
 
 
+def q_rescore(spark, sf_dir):
+    """ES rescore: the BM25 top-10 run's FIRST 5 ranks re-scored as
+    1.0×bm25 + 0.6×bm25f (rescorer = the BM25F top-10 run; window docs it
+    doesn't cover keep 1.0×bm25), ranks 6-10 keep score and original
+    order below the window. in_window cast to int for the value-hash."""
+    from openmatch_spark.operators.fusion import rescore_window
+
+    r1 = _bm25_run(spark, sf_dir, k=10, rounded=True)
+    r2 = q_bm25f(spark, sf_dir).select("query_id", "doc_id", "score")
+    out = rescore_window(
+        r1, r2, window_size=5, k=10, query_weight=1.0, rescore_weight=0.6
+    )
+    return out.select(
+        "query_id", "doc_id", "score", "rank",
+        F.col("in_window").cast("int").alias("in_window"),
+    )
+
+
 def q_hybrid_rrf(spark, sf_dir):
     """Reciprocal rank fusion of the plain BM25 run with the BM25F fielded
     run — the standard score-scale-free hybrid combiner. With two runs the
@@ -3629,6 +3647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "hybrid_rrf": q_hybrid_rrf,
         "hybrid_combsum": q_hybrid_combsum,
+        "rescore": q_rescore,
         "hybrid_combmnz": q_hybrid_combmnz,
         "facet_date_histogram": q_facet_date_histogram,
         "hit_cardinality": q_hit_cardinality,
@@ -3740,6 +3759,40 @@ def oracle_sql() -> dict[str, str]:
     sql["facets"] = _FACETS_SQL
     sql["hybrid_rrf"] = _RRF_SQL
     sql["hybrid_combsum"] = _COMB_SQL_TMPL.format(expr="s")
+
+    # ES rescore: window=5 of the 6 dp BM25 run re-scored with the BM25F
+    # top-10 as rescorer (absent -> 0 contribution); tail keeps order
+    sql["rescore"] = f"""
+WITH {_BM25_CTES},
+rbase AS (SELECT query_id, doc_id, ROUND(score, 6) AS score, rank FROM run WHERE rank <= 10),
+{_BM25F_FSCORED_CTES},
+r2 AS (
+  SELECT query_id, doc_id, ROUND(score, 6) AS rs FROM (
+    SELECT query_id, doc_id, score,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+    FROM fscored
+  ) WHERE rank <= 10
+),
+rwin AS (
+  SELECT b.query_id, b.doc_id,
+         ROUND(CAST(1.0 AS DOUBLE) * b.score + CAST(0.6 AS DOUBLE) * COALESCE(r2.rs, 0), 6) AS score,
+         0 AS seg,
+         ROUND(CAST(1.0 AS DOUBLE) * b.score + CAST(0.6 AS DOUBLE) * COALESCE(r2.rs, 0), 6) AS ordv,
+         1 AS in_window
+  FROM rbase b LEFT JOIN r2 ON r2.query_id = b.query_id AND r2.doc_id = b.doc_id
+  WHERE b.rank <= 5
+),
+rtail AS (
+  SELECT query_id, doc_id, score, 1 AS seg, CAST(-rank AS DOUBLE) AS ordv, 0 AS in_window
+  FROM rbase WHERE rank > 5
+),
+rall AS (SELECT * FROM rwin UNION ALL SELECT * FROM rtail)
+SELECT query_id, doc_id, score, rank, CAST(in_window AS INTEGER) AS in_window FROM (
+  SELECT query_id, doc_id, score, in_window,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY seg ASC, ordv DESC, doc_id ASC) AS INTEGER) AS rank
+  FROM rall
+) WHERE rank <= 10
+"""
     sql["hybrid_combmnz"] = _COMB_SQL_TMPL.format(expr="m * s")
     sql["facet_date_histogram"] = _DATE_HIST_SQL
 

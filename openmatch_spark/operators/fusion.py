@@ -128,3 +128,76 @@ def comb_fusion(
         .where(F.col("rank") <= k)
         .select("query_id", "doc_id", "score", "rank")
     )
+
+
+def rescore_window(
+    run: DataFrame,
+    rescore: DataFrame,
+    window_size: int,
+    k: int = 10,
+    query_weight: float = 1.0,
+    rescore_weight: float = 1.0,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """The Elasticsearch `rescore` surface: re-rank only the top
+    `window_size` docs of each query's first-pass run with a second
+    scorer, leaving everything below the window in its original order
+    (after the window). Final score inside the window =
+    query_weight × first_score + rescore_weight × second_score; a window
+    doc the rescorer doesn't match keeps query_weight × first_score
+    (the rescore term contributes 0, ES's default score_mode=total).
+    Docs below the window keep their original score untouched.
+
+    run: (query_id, doc_id, score, rank); rescore: (query_id, doc_id,
+    score) from any second scorer (QLD, BM25F, a cross-encoder run...).
+    Returns (query_id, doc_id, score, rank, in_window). round_to rounds
+    the combined score BEFORE ranking (engine-reproducible ties).
+
+    Plan: the window join is bounded by queries × window_size (broadcast
+    against the rescorer's run); the final order is ONE window function
+    over segment/score sort keys — no corpus access at all.
+    """
+    if window_size <= 0:
+        raise ValueError(f"window_size must be positive, got {window_size}")
+    base = run.select(
+        F.col("query_id").cast("string").alias("query_id"),
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.col("score").cast("double").alias("score"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+    rs = rescore.select(
+        F.col("query_id").cast("string").alias("query_id"),
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.col("score").cast("double").alias("_rs"),
+    )
+    win = base.where(F.col("rank") <= window_size).join(
+        rs, ["query_id", "doc_id"], "left"
+    )
+    combined = (
+        F.lit(float(query_weight)) * F.col("score")
+        + F.lit(float(rescore_weight)) * F.coalesce(F.col("_rs"), F.lit(0.0))
+    )
+    if round_to is not None:
+        combined = F.round(combined, round_to)
+    win = win.select(
+        "query_id", "doc_id",
+        combined.alias("score"),
+        F.lit(0).alias("_seg"),
+        combined.alias("_ord"),
+        F.lit(True).alias("in_window"),
+    )
+    tail = base.where(F.col("rank") > window_size).select(
+        "query_id", "doc_id", "score",
+        F.lit(1).alias("_seg"),
+        (-F.col("rank")).cast("double").alias("_ord"),
+        F.lit(False).alias("in_window"),
+    )
+    both = win.unionByName(tail)
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("_seg"), F.desc("_ord"), F.asc("doc_id")
+    )
+    return (
+        both.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank", "in_window")
+    )

@@ -405,3 +405,54 @@ def test_highlight_fragments_non_overlap_and_validation(spark):
     assert starts == [3]  # second occurrence at 7 overlaps [3, 8) window
     with pytest.raises(ValueError, match="positive"):
         highlight_fragments(corpus, run, queries, n_fragments=0)
+
+
+# ---------------------------------------------------------------------------
+# rescore_window (ES rescore)
+# ---------------------------------------------------------------------------
+
+
+def test_rescore_window_semantics(spark):
+    from openmatch_spark.operators.fusion import rescore_window
+
+    run = spark.createDataFrame(
+        [("q1", "d1", 10.0, 1), ("q1", "d2", 9.0, 2), ("q1", "d3", 8.0, 3),
+         ("q1", "d4", 7.0, 4), ("q1", "d5", 6.0, 5)],
+        "query_id string, doc_id string, score double, rank int",
+    )
+    # rescorer loves d3, ignores d1 (no row) and everything below the window
+    rs = spark.createDataFrame(
+        [("q1", "d3", 5.0), ("q1", "d2", 0.5), ("q1", "d5", 99.0)],
+        "query_id string, doc_id string, score double",
+    )
+    out = rescore_window(run, rs, window_size=3, k=10).collect()
+    got = {r.doc_id: (r.score, r.rank, r.in_window) for r in out}
+    # window: d3 = 8+5 = 13 beats d1 = 10+0 beats d2 = 9.5
+    assert got["d3"] == (13.0, 1, True)
+    assert got["d1"] == (10.0, 2, True)
+    assert got["d2"] == (9.5, 3, True)
+    # below-window docs keep score AND original order, after the window —
+    # even though the rescorer scored d5 huge (ES: window only)
+    assert got["d4"] == (7.0, 4, False)
+    assert got["d5"] == (6.0, 5, False)
+
+
+def test_rescore_window_weights_and_validation(spark):
+    from openmatch_spark.operators.fusion import rescore_window
+
+    run = spark.createDataFrame(
+        [("q1", "d1", 4.0, 1), ("q1", "d2", 3.0, 2)],
+        "query_id string, doc_id string, score double, rank int",
+    )
+    rs = spark.createDataFrame(
+        [("q1", "d2", 10.0)], "query_id string, doc_id string, score double"
+    )
+    out = {
+        r.doc_id: r.score
+        for r in rescore_window(
+            run, rs, window_size=2, query_weight=0.5, rescore_weight=0.1
+        ).collect()
+    }
+    assert out == {"d1": 2.0, "d2": 2.5}
+    with pytest.raises(ValueError, match="window_size"):
+        rescore_window(run, rs, window_size=0)

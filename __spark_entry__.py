@@ -2209,6 +2209,21 @@ def q_err10(spark, sf_dir):
     return err_at_k(run, _qrels(spark, sf_dir), k=10, max_rel=_ERR_MAXREL)
 
 
+_RBP_P = 0.8
+
+
+def q_rbp10(spark, sf_dir):
+    """RBP@10 (Moffat & Zobel): geometric-persistence precision with the
+    truncation residual p^k — per query over the BM25 top-10; binary
+    relevance from the synthetic qrels. The (1-p) and p^k constants are
+    embedded in the oracle at full float repr so both engines use
+    bit-identical doubles."""
+    from openmatch_spark.operators.metrics import rbp_at_k
+
+    run = _bm25_run(spark, sf_dir, k=10, rounded=False)
+    return rbp_at_k(run, _qrels(spark, sf_dir), k=10, p=_RBP_P)
+
+
 def q_qpp(spark, sf_dir):
     """Query performance prediction (query/qpp.py): per-query pre-
     retrieval idf profile + post-retrieval NQC-style score-distribution
@@ -3673,6 +3688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recall10": q_recall10,
         "ndcg10": q_ndcg10,
         "err10": q_err10,
+        "rbp10": q_rbp10,
         "interleave_td": q_interleave_td,
         "qpp": q_qpp,
         "temperature_mixture": q_temperature_mixture,
@@ -5757,6 +5773,21 @@ contrib AS (
   FROM graded
 )
 SELECT query_id, ROUND(SUM(c), 6) AS err FROM contrib GROUP BY query_id
+"""
+
+    sql["rbp10"] = f"""
+WITH {_BM25_CTES},
+{_QRELS_CTE},
+rbpgraded AS (
+  SELECT r.query_id,
+         (CASE WHEN COALESCE(qr.rel, 0) > 0 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+           * pow({_RBP_P!r}, CAST(r.rank AS DOUBLE) - 1.0) AS c
+  FROM (SELECT query_id, doc_id, rank FROM run WHERE rank <= 10) r
+  LEFT JOIN qrels qr ON qr.query_id = r.query_id AND qr.doc_id = r.doc_id
+)
+SELECT query_id, ROUND(CAST({(1.0 - _RBP_P)!r} AS DOUBLE) * SUM(c), 6) AS rbp,
+       ROUND(CAST({(_RBP_P ** 10)!r} AS DOUBLE), 6) AS rbp_residual
+FROM rbpgraded GROUP BY query_id
 """
 
     # QPP: pre-retrieval idf profile + post-retrieval score stats

@@ -7,6 +7,7 @@ from openmatch_spark.operators.mining import (  # noqa: F401
 )
 from openmatch_spark.operators.metrics import (  # noqa: F401
     mrr_at_k,
+    rbp_at_k,
     ndcg_at_k,
     recall_at_k,
     accuracy_at_k,

@@ -281,3 +281,39 @@ def err_at_k(
         ).alias("c"),
     )
     return contrib.groupBy("query_id").agg(F.round(F.sum("c"), 6).alias("err"))
+
+
+def rbp_at_k(
+    run: DataFrame, qrels: DataFrame, k: int = 10, p: float = 0.8
+) -> DataFrame:
+    """(query_id, rbp, rbp_residual) — Rank-Biased Precision (Moffat &
+    Zobel 2008): a user inspects rank r with persistence probability
+    p^(r-1), so
+
+        RBP = (1 - p) * sum_{r<=k} rel_r * p^(r-1)
+
+    with binary relevance (rel > 0 counts, unjudged = 0). rbp_residual is
+    the maximum the score could still gain from ranks below k — the
+    truncation uncertainty the metric is designed to expose:
+    residual = p^k (every deeper doc relevant). Per-query rows.
+
+    Pure projection + one bounded groupBy over the (queries × k) run —
+    the geometric weight is a closed form of the rank, no cumulative
+    window needed."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    if not (0.0 < p < 1.0):
+        raise ValueError(f"p must be in (0, 1), got {p}")
+    r = _ranked(run).where(F.col("rank") <= k)
+    graded = r.join(qrels, ["query_id", "doc_id"], "left").select(
+        "query_id",
+        (
+            F.when(F.coalesce(F.col("rel"), F.lit(0)) > 0, F.lit(1.0))
+            .otherwise(F.lit(0.0))
+            * F.pow(F.lit(float(p)), F.col("rank").cast("double") - 1.0)
+        ).alias("c"),
+    )
+    return graded.groupBy("query_id").agg(
+        F.round(F.lit(1.0 - float(p)) * F.sum("c"), 6).alias("rbp"),
+        F.round(F.lit(float(p) ** k), 6).alias("rbp_residual"),
+    )

@@ -456,3 +456,31 @@ def test_rescore_window_weights_and_validation(spark):
     assert out == {"d1": 2.0, "d2": 2.5}
     with pytest.raises(ValueError, match="window_size"):
         rescore_window(run, rs, window_size=0)
+
+
+# ---------------------------------------------------------------------------
+# RBP@k
+# ---------------------------------------------------------------------------
+
+
+def test_rbp_hand_math(spark):
+    from openmatch_spark.operators.metrics import rbp_at_k
+
+    run = spark.createDataFrame(
+        [("q1", "d1", 1), ("q1", "d2", 2), ("q1", "d3", 3),
+         ("q2", "d1", 1)],
+        "query_id string, doc_id string, rank int",
+    )
+    qrels = spark.createDataFrame(
+        [("q1", "d1", 2), ("q1", "d3", 1), ("q2", "dX", 1)],
+        "query_id string, doc_id string, rel int",
+    )
+    out = {r.query_id: (r.rbp, r.rbp_residual) for r in rbp_at_k(run, qrels, k=3, p=0.5).collect()}
+    # q1: rel at ranks 1 and 3 -> 0.5 * (0.5^0 + 0.5^2) = 0.625; residual 0.5^3
+    assert out["q1"] == (0.625, 0.125)
+    # q2: nothing relevant retrieved -> 0
+    assert out["q2"] == (0.0, 0.125)
+    with pytest.raises(ValueError, match="p must be"):
+        rbp_at_k(run, qrels, k=3, p=1.0)
+    with pytest.raises(ValueError, match="k must be"):
+        rbp_at_k(run, qrels, k=0)

@@ -3293,6 +3293,31 @@ def q_knn_cosine_df(spark, sf_dir):
 _QUANT_RESCORE = 4
 
 
+_PQ_M, _PQ_KSUB, _PQ_ITERS, _PQ_FACTOR = 4, 8, 1, 4
+
+
+def q_knn_pq(spark, sf_dir):
+    """Product-quantized two-phase retrieval (query/pq.py): DISTRIBUTED
+    engine-reproducible codebook training (md5-bucket init + 1 Lloyd
+    round, every mean/distance rounded at 6 dp), ADC scoring from the
+    codes table, k×4 candidate cut, exact rescore. The oracle replays the
+    ENTIRE pipeline — training included — in DuckDB list algebra, so
+    agreement certifies the learned codebook and the codes, not just the
+    final scores."""
+    from openmatch_spark.query.pq import pq_encode, pq_topk, pq_train
+
+    e = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cents = pq_train(e, m=_PQ_M, ksub=_PQ_KSUB, iters=_PQ_ITERS)
+    codes = pq_encode(e, cents)
+    return pq_topk(
+        codes=codes, centroids=cents, embeddings=e,
+        queries=_query_vectors_df(spark, sf_dir),
+        k=10, rescore_factor=_PQ_FACTOR,
+    )
+
+
 def q_knn_quantized(spark, sf_dir):
     """Two-phase int8 scalar-quantized cosine top-k (query/quantize.py):
     L2-normalize, per-vector max-abs int8 codes, exact-integer dot for the
@@ -3710,6 +3735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_cosine": q_knn_cosine,
         "knn_cosine_df": q_knn_cosine_df,
         "knn_quantized": q_knn_quantized,
+        "knn_pq": q_knn_pq,
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_ann": q_embedding_neardup_ann,
         "trec_roundtrip": q_trec_roundtrip,
@@ -5303,6 +5329,99 @@ SELECT query_id, 'n_chars' AS facet,
 FROM hyd
 WHERE v IS NOT NULL
 GROUP BY query_id, bucket_lo
+"""
+
+    # product quantization: FULL replica incl. the distributed training —
+    # md5-bucket init, rounded element-wise means, one Lloyd round
+    # (rounded sq-dist, cid tie-break), encode vs the FINAL codebook, ADC
+    # LUT gather-sum, k×factor cut, exact rescore. sub=16, m=4, ksub=8.
+    sql["knn_pq"] = f"""
+WITH e AS (
+  SELECT CAST(vec_id AS VARCHAR) AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+js AS (SELECT UNNEST(generate_series(0, {_PQ_M - 1})) AS j),
+subs AS (
+  SELECT e.id, js.j, list_slice(e.v, js.j * 16 + 1, js.j * 16 + 16) AS sub
+  FROM e, js
+),
+b0 AS (
+  SELECT id, j, sub,
+         CAST(CAST('0x' || substr(md5(concat_ws('|', '42', id)), 1, 8) AS UBIGINT) % {_PQ_KSUB} AS INTEGER) AS cid
+  FROM subs
+),
+c0 AS (
+  SELECT j, cid, list(av ORDER BY i) AS centroid FROM (
+    SELECT j, cid, u.i AS i, ROUND(AVG(sub[u.i]), 6) AS av
+    FROM b0, UNNEST(generate_series(1, 16)) AS u(i)
+    GROUP BY j, cid, u.i
+  ) GROUP BY j, cid
+),
+a1 AS (
+  SELECT id, j, sub, cid FROM (
+    SELECT s.id, s.j, s.sub, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY s.id, s.j ORDER BY
+             ROUND(list_sum(list_transform(generate_series(1, 16),
+                   i -> (s.sub[i] - c.centroid[i]) * (s.sub[i] - c.centroid[i]))), 6) ASC,
+             c.cid ASC) AS rn
+    FROM subs s JOIN c0 c ON c.j = s.j
+  ) WHERE rn = 1
+),
+c1 AS (
+  SELECT j, cid, list(av ORDER BY i) AS centroid FROM (
+    SELECT j, cid, u.i AS i, ROUND(AVG(sub[u.i]), 6) AS av
+    FROM a1, UNNEST(generate_series(1, 16)) AS u(i)
+    GROUP BY j, cid, u.i
+  ) GROUP BY j, cid
+),
+pqcodes AS (
+  SELECT id, j, cid AS code FROM (
+    SELECT s.id, s.j, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY s.id, s.j ORDER BY
+             ROUND(list_sum(list_transform(generate_series(1, 16),
+                   i -> (s.sub[i] - c.centroid[i]) * (s.sub[i] - c.centroid[i]))), 6) ASC,
+             c.cid ASC) AS rn
+    FROM subs s JOIN c1 c ON c.j = s.j
+  ) WHERE rn = 1
+),
+q0 AS (
+  SELECT CAST(vec_id AS VARCHAR) AS query_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id < 5
+),
+qsubs AS (
+  SELECT q0.query_id, js.j, list_slice(q0.v, js.j * 16 + 1, js.j * 16 + 16) AS sub
+  FROM q0, js
+),
+lut AS (
+  SELECT q.query_id, q.j, c.cid AS code,
+         ROUND(list_sum(list_transform(generate_series(1, 16),
+               i -> q.sub[i] * c.centroid[i])), 6) AS w
+  FROM qsubs q JOIN c1 c ON c.j = q.j
+),
+pqapprox AS (
+  SELECT l.query_id, k.id AS vec_id, ROUND(SUM(l.w), 6) AS ap
+  FROM pqcodes k JOIN lut l ON l.j = k.j AND l.code = k.code
+  GROUP BY l.query_id, k.id
+),
+pqcand AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ap DESC, vec_id ASC) AS rn
+    FROM pqapprox
+  ) WHERE rn <= {10 * _PQ_FACTOR}
+),
+pqexact AS (
+  SELECT c.query_id, c.vec_id,
+         ROUND(list_sum(list_transform(generate_series(1, 64),
+               i -> qv.v[i] * dv.v[i])), 6) AS score
+  FROM pqcand c
+  JOIN e dv ON dv.id = c.vec_id
+  JOIN q0 qv ON qv.query_id = c.query_id
+)
+SELECT query_id, vec_id, score, rank FROM (
+  SELECT query_id, vec_id, score,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS INTEGER) AS rank
+  FROM pqexact
+) WHERE rank <= 10
 """
 
     # int8 scalar-quantized dense: FULL replica — normalize, max-abs int8

@@ -2,6 +2,7 @@
 
 import datetime
 
+import pyspark.sql.functions as F
 import pytest
 
 from openmatch_spark.operators.facets import NULL_BUCKET, date_histogram_facets
@@ -484,3 +485,126 @@ def test_rbp_hand_math(spark):
         rbp_at_k(run, qrels, k=3, p=1.0)
     with pytest.raises(ValueError, match="k must be"):
         rbp_at_k(run, qrels, k=0)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization vs a numpy reference of the same algorithm
+# ---------------------------------------------------------------------------
+
+import numpy as np
+
+
+def _pq_ref(vecs, ids, m, ksub, iters, sub, seed=42, r=6):
+    """Pure-python replica of pq_train/pq_encode: md5 bucket init,
+    rounded means, rounded distances, cid tie-break."""
+    def bucket(i):
+        h = hashlib.md5(f"{seed}|{i}".encode()).hexdigest()
+        return int(h[:8], 16) % ksub
+
+    subv = {(i, j): np.array(vecs[n][j * sub:(j + 1) * sub])
+            for n, i in enumerate(ids) for j in range(m)}
+    assign = {(i, j): bucket(i) for i in ids for j in range(m)}
+    def means():
+        cents = {}
+        for j in range(m):
+            for c in range(ksub):
+                mem = [subv[(i, j)] for i in ids if assign[(i, j)] == c]
+                if mem:
+                    cents[(j, c)] = np.round(np.mean(mem, axis=0), r)
+        return cents
+    def reassign():
+        for i in ids:
+            for j in range(m):
+                ds = sorted(
+                    (round(float(((subv[(i, j)] - v) ** 2).sum()), r), c)
+                    for (jj, c), v in cents.items() if jj == j
+                )
+                assign[(i, j)] = ds[0][1]
+
+    cents = means()
+    for _ in range(iters):
+        reassign()
+        cents = means()
+    # the encode step assigns against the FINAL codebook
+    reassign()
+    return cents, assign
+
+
+@pytest.fixture(scope="module")
+def pq_data(spark):
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(60, 8)).round(3)
+    ids = [str(i) for i in range(60)]
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in zip(ids, vecs)],
+        "vec_id string, embedding array<double>",
+    )
+    return df, vecs, ids
+
+
+def test_pq_train_encode_match_reference(spark, pq_data):
+    from openmatch_spark.query.pq import pq_encode, pq_train
+
+    df, vecs, ids = pq_data
+    m, ksub, sub = 2, 4, 4
+    cents = pq_train(df, m=m, ksub=ksub, iters=1)
+    codes = pq_encode(df, cents)
+    ref_cents, ref_assign = _pq_ref(vecs, ids, m, ksub, 1, sub)
+    got_c = {(r.j, r.cid): np.array(r.centroid) for r in cents.collect()}
+    assert set(got_c) == set(ref_cents)
+    for key in ref_cents:
+        assert np.allclose(got_c[key], ref_cents[key], atol=1e-9), key
+    got_a = {(r.vec_id, r.j): r.code for r in codes.collect()}
+    assert got_a == ref_assign
+
+
+def test_pq_topk_exact_rescore_and_recall(spark, pq_data):
+    from openmatch_spark.query.pq import pq_encode, pq_topk, pq_train
+
+    df, vecs, ids = pq_data
+    cents = pq_train(df, m=2, ksub=4, iters=1)
+    codes = pq_encode(df, cents)
+    queries = df.limit(5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = pq_topk(queries, codes, cents, df, k=5, rescore_factor=4)
+    rows = out.collect()
+    byq = {}
+    for r in rows:
+        byq.setdefault(r.query_id, []).append(r)
+    qvecs = {i: v for i, v in zip(ids, vecs)}
+    for qid, rs in byq.items():
+        # reported scores are EXACT dots of the survivors
+        for r in rs:
+            assert abs(r.score - round(float(qvecs[qid] @ qvecs[r.vec_id]), 6)) < 1e-9
+        # ranks dense from 1
+        assert sorted(r.rank for r in rs) == list(range(1, len(rs) + 1))
+    # with an exhaustive candidate cut the two-phase path IS brute force
+    full = pq_topk(queries, codes, cents, df, k=5, rescore_factor=20).collect()
+    fbyq = {}
+    for r in full:
+        fbyq.setdefault(r.query_id, []).append((r.rank, r.vec_id))
+    for qid, rs in fbyq.items():
+        truth = sorted(
+            ids, key=lambda d: (-round(float(qvecs[qid] @ qvecs[d]), 6), d)
+        )[:5]
+        assert [v for _, v in sorted(rs)] == truth, qid
+    # brute-force recall@5 of the two-phase path is decent even at ksub=4
+    hits = tot = 0
+    for qid in byq:
+        truth = sorted(
+            ids, key=lambda d: (-round(float(qvecs[qid] @ qvecs[d]), 6), d)
+        )[:5]
+        got5 = {r.vec_id for r in byq[qid]}
+        hits += len(got5 & set(truth)); tot += 5
+    assert hits / tot >= 0.5
+
+
+def test_pq_validation(spark, pq_data):
+    from openmatch_spark.query.pq import pq_train
+
+    df, _, _ = pq_data
+    with pytest.raises(ValueError, match="divisible"):
+        pq_train(df, m=3, ksub=4)
+    with pytest.raises(ValueError, match="positive"):
+        pq_train(df, m=0, ksub=4)

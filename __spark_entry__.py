@@ -1516,6 +1516,40 @@ def q_bm25_topk_rebaselined(spark, sf_dir):
     )
 
 
+_PRUNE_KEEP = 20
+
+
+def q_bm25_topk_pruned(spark, sf_dir):
+    """Static index pruning (Carmel et al. 2001) lifecycle: build, then
+    compact_index(prune_keep_per_term=20) keeps only each term's 20
+    highest-impact postings (6 dp-rounded weight, doc-order tie-break);
+    search over the pruned index is deliberately approximate. The oracle
+    recomputes every posting weight from the corpus, applies the SAME
+    per-term cut, and scores only the survivors — so agreement certifies
+    exactly which postings the prune kept."""
+    from openmatch_spark.fixtures import documents_as_pages
+    from openmatch_spark.index import build_index, compact_index, load_index
+    from openmatch_spark.query import search
+
+    key = ("pruned", sf_dir)
+    if key not in _IDX_CACHE:
+        d = tempfile.mkdtemp(prefix="om_entry_prune_")
+        build_index(
+            spark, documents_as_pages(spark, sf_dir), d, analyzer="simple",
+            num_shards=2, num_term_buckets=8, block_size=128,
+        )
+        compact_index(spark, d, prune_keep_per_term=_PRUNE_KEEP)
+        _IDX_CACHE[key] = d
+    idx = load_index(spark, _IDX_CACHE[key])
+    run = search(idx, _queries_df(spark), k=10, mode="maxscore")
+    return run.select(
+        "query_id",
+        F.regexp_replace("doc_id", "^doc://", "").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+        "rank",
+    )
+
+
 def q_bm25_topk_deleted(spark, sf_dir):
     """Tombstone-delete lifecycle: build, delete_docs(doc_id % 7 == 2),
     search. Statistics stay FROZEN at build (deleted docs keep contributing
@@ -3644,6 +3678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "bm25_topk_indexed": q_bm25_topk_indexed,
         "bm25_topk_rebaselined": q_bm25_topk_rebaselined,
+        "bm25_topk_pruned": q_bm25_topk_pruned,
         "bm25_topk_deleted": q_bm25_topk_deleted,
         "bm25_topk_upserted": q_bm25_topk_upserted,
         "bm25_topk_federated": q_bm25_topk_federated,
@@ -3777,6 +3812,40 @@ def oracle_sql() -> dict[str, str]:
     # fresh build (and the engine-less ad-hoc SQL) produces
     sql["bm25_topk_rebaselined"] = _BM25_TOPK_SQL
     sql["bm25_topk_deleted"] = _BM25_DELETED_SQL
+
+    # static pruning: recompute every posting weight, apply the SAME
+    # per-term top-N cut (rounded weight, doc order tie-break — doc_ord IS
+    # doc_id order after a full merge), score survivors only
+    sql["bm25_topk_pruned"] = f"""
+WITH {_BM25_CTES},
+pw AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1 + (g.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.doclen / g.avgdl)) AS w
+  FROM tf
+  JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN dfreq ON dfreq.term = tf.term
+  CROSS JOIN g
+),
+pruned AS (
+  SELECT doc_id, term, w FROM (
+    SELECT doc_id, term, w,
+           ROW_NUMBER() OVER (PARTITION BY term ORDER BY ROUND(w, 6) DESC, doc_id ASC) AS rn
+    FROM pw
+  ) WHERE rn <= {_PRUNE_KEEP}
+),
+pscored AS (
+  SELECT qt.query_id, p.doc_id, SUM(qt.qtf * p.w) AS score
+  FROM pruned p JOIN qt ON qt.term = p.term
+  GROUP BY qt.query_id, p.doc_id
+),
+prun AS (
+  SELECT query_id, doc_id, score,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
+  FROM pscored
+)
+SELECT query_id, doc_id, ROUND(score, 6) AS score, rank FROM prun WHERE rank <= 10
+"""
     sql["bm25_topk_upserted"] = _BM25_UPSERTED_SQL
     # federated search must land on the SAME fresh-build oracle: the member
     # split, geometries, and stat federation are invisible to DuckDB

@@ -191,6 +191,14 @@ def suite() -> dict:
     )
     timings["boolean_50q"], _ = _timed(lambda: search_boolean(idx, bq, k=100).count())
 
+    # ordered proximity over the same sidecar (round-4: pays the same
+    # decode as phrase plus the min-window-subsequence DP kernel)
+    from openmatch_spark.query import search_span_near
+
+    timings["span_near_50q"], _ = _timed(
+        lambda: search_span_near(idx, pq, within=8, k=100).count()
+    )
+
     # entry-contract headliners at the bench scale
     import __spark_entry__ as em
 
@@ -237,6 +245,31 @@ def suite() -> dict:
             "sec": round(t, 3),
         }
     bucketed.unpersist()
+
+    # PQ two-phase ADC (round-4): distributed codebook training + encode
+    # + retrieval, recall vs the same brute-force truth. Codes are what
+    # scan at 100 TB; train/encode are build-time costs.
+    from openmatch_spark.query.pq import pq_encode, pq_topk, pq_train
+
+    def _pq_train():
+        c = pq_train(emb, m=4, ksub=16, iters=1).cache()
+        c.count()
+        return c
+
+    timings["pq_train"], pq_cents = _timed(_pq_train)
+    pq_codes = pq_encode(emb, pq_cents).cache()
+    timings["pq_encode"], _ = _timed(lambda: pq_codes.count())
+    qdf = spark.createDataFrame(qvecs, "query_id string, embedding array<double>")
+    t_pq, pq_rows = _timed(
+        lambda: pq_topk(qdf, pq_codes, pq_cents, emb, k=10, rescore_factor=4).collect()
+    )
+    timings["pq_ann_16q"] = t_pq
+    pq_got = {(r["query_id"], r["vec_id"]) for r in pq_rows}
+    pq_report = {
+        "recall_at_10": round(len(pq_got & exact) / len(exact), 4),
+        "m": 4, "ksub": 16, "rescore_factor": 4,
+    }
+    pq_codes.unpersist()
 
     # plan audit of the flagship query: the judge-facing evidence that
     # filters are pushed, the docmap join broadcasts, Python appears only
@@ -335,6 +368,7 @@ def suite() -> dict:
         "cpus": CPUS,
         "search_plan": plan,
         "ivf_recall": ivf_recall,
+        "pq": pq_report,
         "suite_100k": suite_100k,
         "latency_detail": latency_detail,
         "noise_control": noise,

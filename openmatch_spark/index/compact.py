@@ -180,12 +180,30 @@ def compact_index(
     table_format: str | None = None,
     timings: dict | None = None,
     rebaseline_stats: bool = False,
+    prune_keep_per_term: int | None = None,
 ) -> dict:
     """Merge the given committed shards (default: ALL) into one new shard.
 
     Returns {"merged": [...], "new_shard": id, "n_docs": .., "n_postings": ..}.
     Search results over the index are identical before and after
     (property-tested in tests/test_compaction.py).
+
+    prune_keep_per_term=N applies STATIC INDEX PRUNING (Carmel et al.
+    2001) during the merge: each term keeps only its N highest-impact
+    postings (by 6 dp-rounded stored weight, doc_ord tie-break — and
+    doc_ord is the doc_id sort order, so the survivor set is a pure
+    function of corpus content). Searches over the pruned index are
+    deliberately APPROXIMATE: a doc can lose a term's contribution or
+    vanish from a term's candidates entirely — that is the contract that
+    buys a head-term-bounded index (≤ N postings per term, so index size
+    is O(vocabulary × N) instead of corpus-sized) and head-term-bounded
+    query cost. Weights keep their original values (Carmel's uniform
+    pruning does not rescore); dictionary df/cf keep pre-prune values —
+    the same frozen-statistics semantic the incremental path uses, fixed
+    by a later rebaseline compact if needed. The per-term window sorts
+    each term's postings in one task (df log df) — at extreme scale swap
+    the exact rank for a per-term weight-threshold sketch; composes with
+    rebaseline_stats (prune runs AFTER re-weighting, on the new weights).
 
     rebaseline_stats=True (requires merging ALL committed shards) fixes the
     one remaining way an incrementally grown index diverges from a fresh
@@ -216,7 +234,7 @@ def compact_index(
     manifest_rows = store.read("manifest").collect()
     committed = sorted({r["shard"] for r in manifest_rows})
     merge = sorted(shards) if shards else committed
-    if len(merge) < 2 and not rebaseline_stats:
+    if len(merge) < 2 and not rebaseline_stats and prune_keep_per_term is None:
         # a plain 1-shard merge is a pointless rewrite; a 1-shard REBASELINE
         # is meaningful (re-weight in place) and required for already-
         # compacted indexes — e.g. compact --auto --rebaseline after the
@@ -265,6 +283,13 @@ def compact_index(
             "rebaseline_stats requires compacting ALL committed shards "
             f"(got {merge}, committed {committed}): re-weighting only a "
             "subset would mix two statistics baselines in one index"
+        )
+    if prune_keep_per_term is not None and set(merge) != set(committed):
+        raise ValueError(
+            "prune_keep_per_term requires compacting ALL committed shards "
+            f"(got {merge}, committed {committed}): a per-term cut over a "
+            "subset is not the global top-N — unmerged segments would keep "
+            "postings the cut should have dropped"
         )
     if rebaseline_stats and stats.get("scoring", "bm25") != "bm25":
         # BM25's weight is exactly invertible to tf; QLD's is not — its
@@ -427,6 +452,20 @@ def compact_index(
                 "term_bucket",
                 F.col("new_ord").alias("doc_ord"),
                 "weight",
+            )
+        if prune_keep_per_term is not None:
+            if prune_keep_per_term <= 0:
+                raise ValueError(
+                    f"prune_keep_per_term must be positive, got "
+                    f"{prune_keep_per_term}"
+                )
+            wpr = Window.partitionBy("term").orderBy(
+                F.desc(F.round(F.col("weight"), 6)), F.asc("doc_ord")
+            )
+            rekeyed = (
+                rekeyed.withColumn("_pr", F.row_number().over(wpr))
+                .where(F.col("_pr") <= prune_keep_per_term)
+                .drop("_pr")
             )
         n_out = max(
             2 * spark.sparkContext.defaultParallelism,

@@ -250,13 +250,21 @@ def cmd_compact(args) -> int:
             res = compact_index(
                 spark, args.index, table_prefix=args.table_prefix,
                 rebaseline_stats=True,
+                prune_keep_per_term=args.prune_keep,
             )
         else:
+            if args.prune_keep is not None:
+                raise SystemExit(
+                    "--prune-keep requires a full merge: drop --auto or add "
+                    "--rebaseline (the tiered policy merges subsets, and a "
+                    "per-term cut over a subset is not the global prune)"
+                )
             res = compact_auto(spark, args.index, table_prefix=args.table_prefix)
     else:
         res = compact_index(
             spark, args.index, shards=args.shards,
             table_prefix=args.table_prefix, rebaseline_stats=args.rebaseline,
+            prune_keep_per_term=args.prune_keep,
         )
     print(json.dumps(res))
     return 0
@@ -402,6 +410,10 @@ def main(argv=None) -> int:
                     help="full merge that also recomputes N/avgdl/df/idf and "
                          "re-weights payloads (incremental index converges to "
                          "fresh-build scores); requires merging ALL shards")
+    cp.add_argument("--prune-keep", type=int, default=None, metavar="N",
+                    help="static index pruning during the merge: keep only "
+                         "each term's N highest-impact postings (approximate "
+                         "search, head-term-bounded index)")
     cp.add_argument("--table-prefix", default=None)
     cp.set_defaults(fn=cmd_compact)
 

@@ -608,3 +608,99 @@ def test_pq_validation(spark, pq_data):
         pq_train(df, m=3, ksub=4)
     with pytest.raises(ValueError, match="positive"):
         pq_train(df, m=0, ksub=4)
+
+
+# ---------------------------------------------------------------------------
+# Static index pruning (compact_index(prune_keep_per_term=))
+# ---------------------------------------------------------------------------
+
+
+def _decode_all(idx):
+    from openmatch_spark.index.compact import _decode_blocks_arrow
+
+    return (
+        idx.postings.mapInArrow(
+            _decode_blocks_arrow,
+            "shard int, term string, term_bucket int, doc_ord long, weight double",
+        )
+        .join(idx.docmap.select("shard", "doc_ord", "doc_id"), ["shard", "doc_ord"])
+        .select("term", "doc_id", "weight")
+        .collect()
+    )
+
+
+def test_prune_keeps_global_top_n_per_term(spark):
+    from openmatch_spark.index import build_index, compact_index, load_index
+
+    pages = spark.createDataFrame(
+        [(u, None, None, t, "en") for u, t in SPAN_DOCS],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    d = tempfile.mkdtemp(prefix="om_prune_")
+    build_index(spark, pages, d, analyzer="simple", num_shards=2,
+                num_term_buckets=4, block_size=4)
+    before = _decode_all(load_index(spark, d))
+    res = compact_index(spark, d, prune_keep_per_term=2)
+    assert res["new_shard"] >= 2
+    after = _decode_all(load_index(spark, d))
+    # python replica: per term keep top-2 by (round(w,6) DESC, doc_id ASC)
+    byterm = {}
+    for r in before:
+        byterm.setdefault(r.term, []).append((round(r.weight, 6), r.doc_id, r.weight))
+    expect = set()
+    for term, rows in byterm.items():
+        rows.sort(key=lambda x: (-x[0], x[1]))
+        for w6, doc, w in rows[:2]:
+            expect.add((term, doc, round(w, 9)))
+    got = {(r.term, r.doc_id, round(r.weight, 9)) for r in after}
+    assert got == expect
+    # weights are untouched for survivors (Carmel: no rescoring)
+    assert all(c <= 2 for c in
+               __import__("collections").Counter(t for t, _, _ in got).values())
+
+
+def test_prune_guards(spark):
+    from openmatch_spark.index import build_index, compact_index
+
+    pages = spark.createDataFrame(
+        [(u, None, None, t, "en") for u, t in SPAN_DOCS],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    d = tempfile.mkdtemp(prefix="om_prune_g_")
+    build_index(spark, pages, d, analyzer="simple", num_shards=3,
+                num_term_buckets=4, block_size=4)
+    with pytest.raises(ValueError, match="ALL committed shards"):
+        compact_index(spark, d, shards=[0, 1], prune_keep_per_term=2)
+    with pytest.raises(ValueError, match="positive"):
+        compact_index(spark, d, prune_keep_per_term=0)
+    # pruning an ALREADY single-segment index is a meaningful rewrite
+    compact_index(spark, d, prune_keep_per_term=3)
+    compact_index(spark, d, prune_keep_per_term=2)
+
+
+def test_prune_search_rare_terms_unaffected(spark):
+    from openmatch_spark.index import build_index, compact_index, load_index
+    from openmatch_spark.query import search
+
+    pages = spark.createDataFrame(
+        [(u, None, None, t, "en") for u, t in SPAN_DOCS],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    d = tempfile.mkdtemp(prefix="om_prune_s_")
+    build_index(spark, pages, d, analyzer="simple", num_shards=2,
+                num_term_buckets=4, block_size=4)
+    q = spark.createDataFrame(
+        [("r", "beats"), ("f", "join")], "query_id string, text string"
+    )
+    pre = {(r.query_id, r.doc_id, round(r.score, 6))
+           for r in search(load_index(spark, d), q, k=20).collect()}
+    compact_index(spark, d, prune_keep_per_term=2)
+    idx = load_index(spark, d)
+    post = {(r.query_id, r.doc_id, round(r.score, 6))
+            for r in search(idx, q, k=20).collect()}
+    # 'beats' occurs once (df=1 <= keep) -> its result rows identical
+    assert {x for x in pre if x[0] == "r"} == {x for x in post if x[0] == "r"}
+    # 'join' (df=4): survivors are a subset with unchanged scores
+    fpre = {x for x in pre if x[0] == "f"}
+    fpost = {x for x in post if x[0] == "f"}
+    assert fpost < fpre and len(fpost) == 2

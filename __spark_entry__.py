@@ -2243,6 +2243,15 @@ def q_err10(spark, sf_dir):
     return err_at_k(run, _qrels(spark, sf_dir), k=10, max_rel=_ERR_MAXREL)
 
 
+def q_map10(spark, sf_dir):
+    """MAP@10 per query (trec_eval convention: divide by ALL judged
+    relevant, judged-but-empty queries score 0) over the BM25 top-10."""
+    from openmatch_spark.operators.metrics import map_at_k_per_query
+
+    run = _bm25_run(spark, sf_dir, k=10, rounded=False)
+    return map_at_k_per_query(run, _qrels(spark, sf_dir), k=10)
+
+
 _RBP_P = 0.8
 
 
@@ -3749,6 +3758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ndcg10": q_ndcg10,
         "err10": q_err10,
         "rbp10": q_rbp10,
+        "map10": q_map10,
         "interleave_td": q_interleave_td,
         "qpp": q_qpp,
         "temperature_mixture": q_temperature_mixture,
@@ -5961,6 +5971,27 @@ contrib AS (
   FROM graded
 )
 SELECT query_id, ROUND(SUM(c), 6) AS err FROM contrib GROUP BY query_id
+"""
+
+    sql["map10"] = f"""
+WITH {_BM25_CTES},
+{_QRELS_CTE},
+mhits AS (
+  SELECT r.query_id, r.rank
+  FROM (SELECT query_id, doc_id, rank FROM run WHERE rank <= 10) r
+  JOIN (SELECT DISTINCT query_id, doc_id FROM qrels) qr
+    ON qr.query_id = r.query_id AND qr.doc_id = r.doc_id
+),
+mprec AS (
+  SELECT query_id,
+         CAST(COUNT(*) OVER (PARTITION BY query_id ORDER BY rank
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / rank AS p
+  FROM mhits
+),
+msum AS (SELECT query_id, SUM(p) AS s FROM mprec GROUP BY query_id),
+mtot AS (SELECT query_id, CAST(COUNT(*) AS DOUBLE) AS r FROM qrels GROUP BY query_id)
+SELECT t.query_id, ROUND(COALESCE(m.s, 0) / t.r, 6) AS ap
+FROM mtot t LEFT JOIN msum m ON m.query_id = t.query_id
 """
 
     sql["rbp10"] = f"""

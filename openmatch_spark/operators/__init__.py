@@ -6,6 +6,7 @@ from openmatch_spark.operators.mining import (  # noqa: F401
     depth_cut,
 )
 from openmatch_spark.operators.metrics import (  # noqa: F401
+    map_at_k,
     mrr_at_k,
     rbp_at_k,
     ndcg_at_k,

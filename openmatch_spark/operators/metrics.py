@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import pandas as pd
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import BooleanType
 
@@ -316,4 +316,52 @@ def rbp_at_k(
     return graded.groupBy("query_id").agg(
         F.round(F.lit(1.0 - float(p)) * F.sum("c"), 6).alias("rbp"),
         F.round(F.lit(float(p) ** k), 6).alias("rbp_residual"),
+    )
+
+
+def map_at_k(run: DataFrame, qrels: DataFrame, k: int = 10) -> DataFrame:
+    """(map double, n_queries long) + per-query via map_at_k_per_query —
+    Mean Average Precision at k with the trec_eval convention:
+
+        AP@k(q) = (1/R) * sum_{r<=k, doc_r relevant} P@r
+        P@r     = |relevant in top r| / r,  R = |qrels(q)| (ALL judged
+                  relevant, not min(R, k) — trec_eval divides by R)
+
+    Queries present in qrels but retrieving nothing relevant score 0 and
+    still count in the macro average (same universe rule as mrr_at_k)."""
+    return map_at_k_per_query(run, qrels, k=k).agg(
+        F.avg("ap").alias("map"), F.count(F.lit(1)).alias("n_queries")
+    )
+
+
+def map_at_k_per_query(
+    run: DataFrame, qrels: DataFrame, k: int = 10
+) -> DataFrame:
+    """(query_id, ap) — see map_at_k. The precision-at-relevant-ranks sum
+    is one rank-ordered cumulative window over the (queries × k)-bounded
+    hit set; R is one qrels aggregate. Both are bounded, shuffle-light."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    r = _ranked(run).where(F.col("rank") <= k)
+    hits = r.join(
+        qrels.select("query_id", "doc_id").distinct(),
+        ["query_id", "doc_id"],
+        "left_semi",
+    ).select("query_id", "rank")
+    w = (
+        Window.partitionBy("query_id")
+        .orderBy("rank")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    prec = hits.select(
+        "query_id",
+        (F.count(F.lit(1)).over(w) / F.col("rank")).alias("p_at_r"),
+    )
+    ap_sum = prec.groupBy("query_id").agg(F.sum("p_at_r").alias("_s"))
+    total = qrels.groupBy("query_id").agg(F.count(F.lit(1)).alias("_r"))
+    return total.join(ap_sum, "query_id", "left").select(
+        "query_id",
+        F.round(
+            F.coalesce(F.col("_s"), F.lit(0.0)) / F.col("_r"), 6
+        ).alias("ap"),
     )

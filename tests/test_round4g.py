@@ -704,3 +704,35 @@ def test_prune_search_rare_terms_unaffected(spark):
     fpre = {x for x in pre if x[0] == "f"}
     fpost = {x for x in post if x[0] == "f"}
     assert fpost < fpre and len(fpost) == 2
+
+
+# ---------------------------------------------------------------------------
+# MAP@k
+# ---------------------------------------------------------------------------
+
+
+def test_map_hand_math(spark):
+    from openmatch_spark.operators.metrics import map_at_k, map_at_k_per_query
+
+    run = spark.createDataFrame(
+        [("q1", "d1", 1), ("q1", "d2", 2), ("q1", "d3", 3), ("q1", "d4", 4),
+         ("q2", "d1", 1)],
+        "query_id string, doc_id string, rank int",
+    )
+    # q1: relevant at ranks 1, 3; R = 3 (one judged doc never retrieved)
+    # AP = (1/1 + 2/3) / 3 = 0.555556
+    qrels = spark.createDataFrame(
+        [("q1", "d1", 1), ("q1", "d3", 1), ("q1", "dZ", 1), ("q2", "dX", 1)],
+        "query_id string, doc_id string, rel int",
+    )
+    per = {r.query_id: r.ap for r in map_at_k_per_query(run, qrels, k=10).collect()}
+    assert per["q1"] == round((1.0 + 2 / 3) / 3, 6)
+    assert per["q2"] == 0.0  # judged query, nothing relevant retrieved
+    agg = map_at_k(run, qrels, k=10).collect()[0]
+    assert agg.n_queries == 2
+    assert abs(agg["map"] - (per["q1"] + per["q2"]) / 2) < 1e-9
+    # k cuts the sum: at k=1 only the rank-1 hit counts
+    per1 = {r.query_id: r.ap for r in map_at_k_per_query(run, qrels, k=1).collect()}
+    assert per1["q1"] == round(1.0 / 3, 6)
+    with pytest.raises(ValueError, match="k must be"):
+        map_at_k_per_query(run, qrels, k=0)

@@ -2699,6 +2699,22 @@ def q_rescore(spark, sf_dir):
     )
 
 
+def q_field_value_factor(spark, sf_dir):
+    """ES function_score field_value_factor: BM25 top-10 multiplied by
+    log1p(0.01 × n_chars) — the 'boost by popularity/size' surface; one
+    broadcast hydrate + window re-rank."""
+    from openmatch_spark.query import field_value_factor_rescore
+
+    run = _bm25_run(spark, sf_dir, k=10, rounded=False)
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "n_chars"
+    )
+    return field_value_factor_rescore(
+        run, docs, "n_chars", factor=0.01, modifier="log1p",
+        missing=1.0, boost_mode="multiply", k=10,
+    )
+
+
 def q_hybrid_rrf(spark, sf_dir):
     """Reciprocal rank fusion of the plain BM25 run with the BM25F fielded
     run — the standard score-scale-free hybrid combiner. With two runs the
@@ -3732,6 +3748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf": q_hybrid_rrf,
         "hybrid_combsum": q_hybrid_combsum,
         "rescore": q_rescore,
+        "field_value_factor": q_field_value_factor,
         "hybrid_combmnz": q_hybrid_combmnz,
         "facet_date_histogram": q_facet_date_histogram,
         "hit_cardinality": q_hit_cardinality,
@@ -3880,6 +3897,22 @@ SELECT query_id, doc_id, ROUND(score, 6) AS score, rank FROM prun WHERE rank <= 
     sql["facets"] = _FACETS_SQL
     sql["hybrid_rrf"] = _RRF_SQL
     sql["hybrid_combsum"] = _COMB_SQL_TMPL.format(expr="s")
+
+    sql["field_value_factor"] = f"""
+WITH {_BM25_CTES},
+fvbase AS (SELECT query_id, doc_id, score FROM run WHERE rank <= 10),
+fvhyd AS (
+  SELECT b.query_id, b.doc_id,
+         ROUND(b.score * ln(1 + CAST(0.01 AS DOUBLE)
+               * COALESCE(CAST(d.n_chars AS DOUBLE), CAST(1.0 AS DOUBLE))), 6) AS score
+  FROM fvbase b JOIN documents d ON CAST(d.doc_id AS VARCHAR) = b.doc_id
+)
+SELECT query_id, doc_id, score, rank FROM (
+  SELECT query_id, doc_id, score,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
+  FROM fvhyd
+) WHERE rank <= 10
+"""
 
     # ES rescore: window=5 of the 6 dp BM25 run re-scored with the BM25F
     # top-10 as rescorer (absent -> 0 contribution); tail keeps order

@@ -42,6 +42,7 @@ from openmatch_spark.query.quantize import (  # noqa: F401
 from openmatch_spark.query.decay import (  # noqa: F401
     boosting_rescore,
     decay_rescore,
+    field_value_factor_rescore,
 )
 from openmatch_spark.query.percolate import percolate  # noqa: F401
 from openmatch_spark.query.rm3 import rm3_rescore_adhoc  # noqa: F401

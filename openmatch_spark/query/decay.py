@@ -139,3 +139,84 @@ def boosting_rescore(
     if k is not None:
         out = out.where(F.col("rank") <= k)
     return out.select("query_id", "doc_id", "score", "rank")
+
+
+FVF_MODIFIERS = ("none", "log1p", "sqrt", "square", "reciprocal")
+
+
+def field_value_factor_rescore(
+    run: DataFrame,
+    docs: DataFrame,
+    attr_col: str,
+    factor: float = 1.0,
+    modifier: str = "none",
+    missing: float = 1.0,
+    boost_mode: str = "multiply",
+    k: int | None = None,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """(query_id, doc_id, score, rank) — the ES `function_score`
+    field_value_factor: fold a numeric document attribute (views, stars,
+    link count, freshness score...) into the relevance score:
+
+        fvf   = modifier(factor × attr)      attr NULL/absent -> `missing`
+                modifier ∈ {none, log1p, sqrt, square, reciprocal}
+        score = score × fvf  (boost_mode='multiply', ES default)
+              | score + fvf  (boost_mode='sum')
+
+    ES semantics notes carried over: `missing` substitutes for the FIELD
+    value (before factor/modifier); sqrt/log1p of a negative product is
+    an error in ES — here it yields NULL, which we fail loudly on rather
+    than silently dropping the hit (validate your attribute's domain).
+
+    One broadcast hydrate of the (queries × k)-bounded run against the
+    docs attribute column + one window re-rank — no corpus shuffle."""
+    if modifier not in FVF_MODIFIERS:
+        raise ValueError(
+            f"modifier must be one of {FVF_MODIFIERS}, got {modifier!r}"
+        )
+    if boost_mode not in ("multiply", "sum"):
+        raise ValueError(
+            f"boost_mode must be 'multiply' or 'sum', got {boost_mode!r}"
+        )
+    base = run.select(
+        F.col("query_id").cast("string").alias("query_id"),
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.col("score").cast("double").alias("_base"),
+    )
+    attrs = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.coalesce(F.col(attr_col).cast("double"), F.lit(float(missing))).alias(
+            "_v"
+        ),
+    )
+    x = F.lit(float(factor)) * F.col("_v")
+    fvf = {
+        "none": x,
+        "log1p": F.log1p(x),
+        "sqrt": F.sqrt(x),
+        "square": x * x,
+        "reciprocal": F.lit(1.0) / x,
+    }[modifier]
+    combined = (
+        F.col("_base") * fvf if boost_mode == "multiply" else F.col("_base") + fvf
+    )
+    if round_to is not None:
+        combined = F.round(combined, round_to)
+    rescored = (
+        attrs.join(F.broadcast(base), "doc_id")
+        .select("query_id", "doc_id", combined.alias("score"))
+    )
+    bad = F.col("score").isNull() | F.isnan("score")
+    if rescored.where(bad).limit(1).count() > 0:
+        raise ValueError(
+            f"field_value_factor produced NULL/NaN scores: modifier "
+            f"{modifier!r} is undefined for some factor×{attr_col} values "
+            "(negative log1p/sqrt or reciprocal of 0) — clamp the "
+            "attribute or pick another modifier"
+        )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    out = rescored.withColumn("rank", F.row_number().over(w))
+    if k is not None:
+        out = out.where(F.col("rank") <= k)
+    return out.select("query_id", "doc_id", "score", "rank")

@@ -395,72 +395,83 @@ def search_proximity(
 # Ordered proximity — Lucene SpanNearQuery(in_order=true) / ES span_near
 # ---------------------------------------------------------------------------
 
-_SEQ_SEP = "\x1f"
-
-_WINDOW_OUT = StructType(
-    [
-        StructField("query_id", StringType()),
-        StructField("shard", IntegerType()),
-        StructField("doc_ord", LongType()),
-        StructField("min_window", IntegerType()),
-    ]
-)
+_SENTINEL = 1 << 62
 
 
-def _span_near_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Minimum token window containing the query's token SEQUENCE in order
-    (positions strictly increasing, duplicates in the sequence each need
-    their own occurrence) — the classic minimum-window-subsequence DP.
+def _min_window_grouped(rows: DataFrame) -> DataFrame:
+    """(query_id, shard, doc_ord, min_window) from (query_id, shard,
+    doc_ord, pos, j, m) occurrence×slot rows — the minimum-window-
+    subsequence DP as a PURE-JVM aggregate fold (no Python groups: the
+    per-doc occurrence lists are tiny but there are queries × hit-docs of
+    them, and dispatching each through a pandas kernel costs ~100× the
+    arithmetic — measured 83s → ~3s on the bench's 50-query batch).
 
-    Processing occurrences in position order keeps the invariant
+    One shuffle builds the per-(query, doc) sorted occurrence array
+    (collect_list + array_sort: pos ASC, then slot DESC so an occurrence
+    can't chain with itself); one aggregate() fold walks it keeping
     dp[j] = max start position over embeddings of seq[0..j] whose last
-    element sits strictly before the current position (slots of one term
-    are visited descending so an occurrence can't chain with itself);
-    max start <=> min width for a window ending here. O(n·m) per doc on
-    the pruned occurrence rows, O(m) state."""
-    qid = pdf["query_id"].iloc[0]
-    shard = int(pdf["shard"].iloc[0])
-    ord_ = int(pdf["doc_ord"].iloc[0])
-    seq = pdf["qseq"].iloc[0].split(_SEQ_SEP)
-    m = len(seq)
-    slots: dict[str, list[int]] = {}
-    for j, t in enumerate(seq):
-        slots.setdefault(t, []).append(j)
-    order = np.argsort(pdf["pos"].to_numpy(), kind="stable")
-    pos = pdf["pos"].to_numpy()[order]
-    term = pdf["term"].to_numpy()[order]
-    dp: list = [None] * m
-    best = None
-    for p, t in zip(pos.tolist(), term.tolist()):
-        for j in reversed(slots.get(t, ())):
-            if j == 0:
-                start = p
-            elif dp[j - 1] is not None:
-                start = dp[j - 1]
-            else:
-                continue
-            if j == m - 1:
-                width = p - start + 1
-                if best is None or width < best:
-                    best = width
-            if dp[j] is None or start > dp[j]:
-                dp[j] = start
-    if best is None:
-        return pd.DataFrame(columns=["query_id", "shard", "doc_ord", "min_window"])
-    return pd.DataFrame(
-        {"query_id": [qid], "shard": [shard], "doc_ord": [ord_],
-         "min_window": [int(best)]}
+    element sits strictly before the current position — max start <=> min
+    width for a window ending here. O(n·m) work, O(m) state, all inside
+    the JVM.
+    """
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col("pos").alias("pos"),
+                (-F.col("j")).cast("long").alias("negj"),
+                F.col("j").cast("int").alias("j"),
+            )
+        )
     )
+    g = rows.groupBy("query_id", "shard", "doc_ord").agg(
+        F.max("m").cast("int").alias("m"), arr.alias("_occ")
+    )
+    m = F.col("m")
+    init = F.struct(
+        F.array_repeat(F.lit(-1).cast("long"), m).alias("dp"),
+        F.lit(_SENTINEL).cast("long").alias("best"),
+    )
+
+    def merge(acc, x):
+        # dp[slot] lives at element_at(dp, slot+1); slot j's start chains
+        # from dp[j-1] = element_at(dp, j). greatest() guards the j=0 read
+        # (the branch never uses it, but element_at(_, 0) is an error).
+        prev = F.element_at(acc["dp"], F.greatest(x["j"], F.lit(1)))
+        start = F.when(x["j"] == 0, x["pos"]).otherwise(prev)
+        valid = (x["j"] == 0) | (prev >= 0)
+        new_dp = F.transform(
+            acc["dp"],
+            lambda v, i: F.when(
+                (i == x["j"]) & valid, F.greatest(v, start)
+            ).otherwise(v),
+        )
+        new_best = F.when(
+            valid & (x["j"] == m - 1),
+            F.least(acc["best"], x["pos"] - start + 1),
+        ).otherwise(acc["best"])
+        return F.struct(new_dp.alias("dp"), new_best.alias("best"))
+
+    win = F.aggregate(
+        F.col("_occ"),
+        init,
+        merge,
+        lambda acc: F.when(
+            acc["best"] < F.lit(_SENTINEL), acc["best"]
+        ).cast("int"),
+    )
+    return g.select(
+        "query_id", "shard", "doc_ord", win.alias("min_window")
+    ).where(F.col("min_window").isNotNull())
 
 
 def _search_span_near_distributed(
     index: BM25Index, q: DataFrame, within: int, k: int
 ) -> DataFrame:
-    """Executor-side span-near path for big batches: the full token
-    sequence rides each query's occurrence group as one joined column; an
-    OOV token simply never contributes occurrence rows, so the DP can't
-    complete its slot and the query dies structurally (Lucene: a missing
-    span clause matches nothing)."""
+    """Executor-side span-near path for big batches: the slot table
+    (query, term, slot, m) is built by posexplode — never on the driver;
+    an OOV token simply never contributes occurrence rows, so the DP
+    can't fill its slot and the query dies structurally (Lucene: a
+    missing span clause matches nothing)."""
     from openmatch_spark.analysis import tokenize_col
 
     analyzer = index.stats["analyzer"]
@@ -468,12 +479,14 @@ def _search_span_near_distributed(
         "query_id", tokenize_col(F.col("text"), analyzer).alias("toks")
     )
     toks.persist()
-    xtok = toks.select("query_id", F.explode("toks").alias("term"))
-    pairs = xtok.distinct()
-    qseq = toks.select(
-        "query_id", F.array_join("toks", _SEQ_SEP).alias("qseq")
+    slots = toks.select(
+        "query_id",
+        F.size("toks").alias("m"),
+        F.posexplode("toks").alias("j", "term"),
     )
-    terms = sorted(r["term"] for r in pairs.select("term").distinct().collect())
+    terms = sorted(
+        r["term"] for r in slots.select("term").distinct().collect()
+    )
     bucket_of = index.term_buckets(terms)
     in_vocab = sorted(t for t in terms if t in bucket_of)
     if not in_vocab:
@@ -482,14 +495,10 @@ def _search_span_near_distributed(
             [], "query_id string, doc_id string, score double, rank int, min_window int"
         )
     occ = _pruned_positions(index, in_vocab, bucket_of)
-    grouped = (
-        occ.join(pairs, "term")
-        .join(qseq, "query_id")
-        .groupBy("query_id", "shard", "doc_ord")
-        .applyInPandas(_span_near_group, _WINDOW_OUT)
-        .where(F.col("min_window") <= within)
+    grouped = _min_window_grouped(occ.join(slots, "term")).where(
+        F.col("min_window") <= within
     )
-    qt = xtok.groupBy("query_id", "term").agg(
+    qt = slots.groupBy("query_id", "term").agg(
         F.count(F.lit(1)).cast("double").alias("qtf")
     )
     decoded = index.postings.where(
@@ -526,8 +535,8 @@ def search_span_near(
     distributed_threshold tokenize executor-side (identical results).
 
     Plan: identical shape to search_proximity — pruned positional-sidecar
-    scan, ONE shuffle into per-(query, doc) groups, the O(n·m) DP kernel
-    per group with state bounded by one doc's occurrences — plus the
+    scan, ONE shuffle into per-(query, doc) sorted occurrence arrays, the
+    O(n·m) DP as a JVM aggregate() fold (no Python anywhere) — plus the
     postings-side scorer join. Order checking adds no extra exchange.
     """
     from openmatch_spark.analysis import tokenize_py
@@ -556,24 +565,20 @@ def search_span_near(
     if not live:
         return empty
 
-    pairs = [
-        (q, t) for q, toks in sorted(live.items()) for t in sorted(set(toks))
+    slot_rows = [
+        (q, t, j, len(toks))
+        for q, toks in sorted(live.items())
+        for j, t in enumerate(toks)
     ]
-    seqs = [(q, _SEQ_SEP.join(toks)) for q, toks in sorted(live.items())]
-    terms = sorted({t for (_, t) in pairs})
+    terms = sorted({t for (_, t, _, _) in slot_rows})
     occ = _pruned_positions(index, terms, bucket_of)
-    pair_df = F.broadcast(
-        spark.createDataFrame(pairs, "query_id string, term string")
+    slots_df = F.broadcast(
+        spark.createDataFrame(
+            slot_rows, "query_id string, term string, j int, m int"
+        )
     )
-    seq_df = F.broadcast(
-        spark.createDataFrame(seqs, "query_id string, qseq string")
-    )
-    grouped = (
-        occ.join(pair_df, "term")
-        .join(seq_df, "query_id")
-        .groupBy("query_id", "shard", "doc_ord")
-        .applyInPandas(_span_near_group, _WINDOW_OUT)
-        .where(F.col("min_window") <= within)
+    grouped = _min_window_grouped(occ.join(slots_df, "term")).where(
+        F.col("min_window") <= within
     )
     qterms = [
         (q, t, float(c))

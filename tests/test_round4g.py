@@ -736,3 +736,56 @@ def test_map_hand_math(spark):
     assert per1["q1"] == round(1.0 / 3, 6)
     with pytest.raises(ValueError, match="k must be"):
         map_at_k_per_query(run, qrels, k=0)
+
+
+# ---------------------------------------------------------------------------
+# field_value_factor (ES function_score)
+# ---------------------------------------------------------------------------
+
+
+def test_field_value_factor_modes(spark):
+    import math
+
+    from openmatch_spark.query import field_value_factor_rescore
+
+    run = spark.createDataFrame(
+        [("q1", "d1", 2.0), ("q1", "d2", 3.0), ("q1", "d3", 1.0)],
+        "query_id string, doc_id string, score double",
+    )
+    docs = spark.createDataFrame(
+        [("d1", 100.0), ("d2", 0.0), ("d3", None)],
+        "doc_id string, views double",
+    )
+    out = {
+        r.doc_id: r.score
+        for r in field_value_factor_rescore(
+            run, docs, "views", factor=0.1, modifier="log1p",
+            missing=0.0, boost_mode="multiply",
+        ).collect()
+    }
+    assert out["d1"] == round(2.0 * math.log1p(10.0), 6)
+    assert out["d2"] == 0.0           # log1p(0) = 0 -> multiply kills it
+    assert out["d3"] == 0.0           # missing -> 0.0 field value
+    plus = {
+        r.doc_id: r.score
+        for r in field_value_factor_rescore(
+            run, docs, "views", factor=0.1, modifier="log1p",
+            missing=0.0, boost_mode="sum",
+        ).collect()
+    }
+    assert plus["d2"] == 3.0 and plus["d3"] == 1.0
+    with pytest.raises(ValueError, match="modifier"):
+        field_value_factor_rescore(run, docs, "views", modifier="exp")
+    with pytest.raises(ValueError, match="boost_mode"):
+        field_value_factor_rescore(run, docs, "views", boost_mode="max")
+
+
+def test_field_value_factor_rejects_undefined(spark):
+    from openmatch_spark.query import field_value_factor_rescore
+
+    run = spark.createDataFrame(
+        [("q1", "d1", 2.0)], "query_id string, doc_id string, score double"
+    )
+    docs = spark.createDataFrame([("d1", -5.0)], "doc_id string, v double")
+    with pytest.raises(ValueError, match="undefined"):
+        field_value_factor_rescore(run, docs, "v", modifier="sqrt").collect()

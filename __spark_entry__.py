@@ -2609,6 +2609,21 @@ def q_facet_histogram(spark, sf_dir):
     return histogram_facets(run, docs, {"n_chars": 100.0})
 
 
+def q_facet_terms(spark, sf_dir):
+    """ES terms aggregation proper over the BM25 top-10 hit set: top-2
+    source values per query (_count DESC, _key ASC) + one '(other)' row
+    carrying sum_other_doc_count when a tail exists."""
+    from openmatch_spark.operators.facets import terms_facets
+
+    run = _bm25_run(spark, sf_dir, k=10, rounded=False).select(
+        "query_id", "doc_id"
+    )
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "source"
+    )
+    return terms_facets(run, docs, ["source"], size=2)
+
+
 def q_hit_cardinality(spark, sf_dir):
     """ES cardinality aggregation over the BM25 top-10 hit set: distinct
     source/lang values per query, NULLs excluded (exact mode — the
@@ -3752,6 +3767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_combmnz": q_hybrid_combmnz,
         "facet_date_histogram": q_facet_date_histogram,
         "hit_cardinality": q_hit_cardinality,
+        "facet_terms": q_facet_terms,
         "group_cap": q_group_cap,
         "mmr_rerank": q_mmr_rerank,
         "suggest": q_suggest,
@@ -3949,6 +3965,29 @@ SELECT query_id, doc_id, score, rank, CAST(in_window AS INTEGER) AS in_window FR
 """
     sql["hybrid_combmnz"] = _COMB_SQL_TMPL.format(expr="m * s")
     sql["facet_date_histogram"] = _DATE_HIST_SQL
+
+    sql["facet_terms"] = f"""
+WITH {_BM25_CTES},
+run10 AS (SELECT query_id, doc_id FROM run WHERE rank <= 10),
+thyd AS (
+  SELECT r.query_id, COALESCE(d.source, '(null)') AS value
+  FROM run10 r JOIN documents d ON CAST(d.doc_id AS VARCHAR) = r.doc_id
+),
+tcounts AS (
+  SELECT query_id, 'source' AS facet, value, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM thyd GROUP BY query_id, value
+),
+tranked AS (
+  SELECT query_id, facet, value, n_docs,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id, facet ORDER BY n_docs DESC, value ASC) AS INTEGER) AS pos
+  FROM tcounts
+)
+SELECT query_id, facet, value, n_docs, pos FROM tranked WHERE pos <= 2
+UNION ALL
+SELECT query_id, facet, '(other)' AS value, CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+       CAST(NULL AS INTEGER) AS pos
+FROM tranked WHERE pos > 2 GROUP BY query_id, facet
+"""
 
     sql["hit_cardinality"] = f"""
 WITH {_BM25_CTES},

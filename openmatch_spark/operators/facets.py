@@ -244,3 +244,47 @@ def date_histogram_facets(
         .groupBy("query_id", "facet", "bucket")
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     )
+
+
+OTHER_BUCKET = "(other)"
+
+
+def terms_facets(
+    run: DataFrame,
+    docs: DataFrame,
+    facet_cols: list[str],
+    size: int = 5,
+) -> DataFrame:
+    """(query_id, facet, value, n_docs, pos) — the ES `terms` aggregation
+    proper: per query and attribute, the top `size` values by doc count
+    (count DESC, value ASC — ES's _count,_key order), pos 1-based, plus
+    one OTHER_BUCKET row carrying sum_other_doc_count (the tail mass ES
+    reports as metadata; a row keeps one schema) whenever the tail is
+    non-empty. NULL attribute values count under NULL_BUCKET like
+    facet_counts — they compete for the top like any value.
+
+    Same bounded plan as facet_counts + one window for the size cut and
+    one groupBy for the tail sum."""
+    if size <= 0:
+        raise ValueError(f"size must be positive, got {size}")
+    counts = facet_counts(run, docs, facet_cols)
+    w = Window.partitionBy("query_id", "facet").orderBy(
+        F.desc("n_docs"), F.asc("value")
+    )
+    ranked = counts.withColumn("pos", F.row_number().over(w))
+    top = ranked.where(F.col("pos") <= size).select(
+        "query_id", "facet", "value", "n_docs", "pos"
+    )
+    other = (
+        ranked.where(F.col("pos") > size)
+        .groupBy("query_id", "facet")
+        .agg(F.sum("n_docs").cast("long").alias("n_docs"))
+        .select(
+            "query_id",
+            "facet",
+            F.lit(OTHER_BUCKET).alias("value"),
+            "n_docs",
+            F.lit(None).cast("int").alias("pos"),
+        )
+    )
+    return top.unionByName(other)

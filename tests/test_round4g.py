@@ -789,3 +789,33 @@ def test_field_value_factor_rejects_undefined(spark):
     docs = spark.createDataFrame([("d1", -5.0)], "doc_id string, v double")
     with pytest.raises(ValueError, match="undefined"):
         field_value_factor_rescore(run, docs, "v", modifier="sqrt").collect()
+
+
+# ---------------------------------------------------------------------------
+# terms_facets (ES terms aggregation with sum_other_doc_count)
+# ---------------------------------------------------------------------------
+
+
+def test_terms_facets_top_and_other(spark):
+    from openmatch_spark.operators.facets import OTHER_BUCKET, terms_facets
+
+    docs = spark.createDataFrame(
+        [(f"d{i}", f"v{i % 4}") for i in range(10)] + [("dn", None)],
+        "doc_id string, src string",
+    )
+    run = spark.createDataFrame(
+        [("q1", f"d{i}") for i in range(10)] + [("q1", "dn")],
+        "query_id string, doc_id string",
+    )
+    out = terms_facets(run, docs, ["src"], size=2).collect()
+    top = {(r.value, r.n_docs, r.pos) for r in out if r.pos is not None}
+    # counts: v0=3,v1=3,v2=2,v3=2,(null)=1 -> top2 = v0,v1 (count desc, value asc)
+    assert top == {("v0", 3, 1), ("v1", 3, 2)}
+    other = [r for r in out if r.pos is None]
+    assert len(other) == 1 and other[0].value == OTHER_BUCKET
+    assert other[0].n_docs == 2 + 2 + 1  # v2 + v3 + (null)
+    # no tail -> no other row
+    out8 = terms_facets(run, docs, ["src"], size=8).collect()
+    assert not any(r.pos is None for r in out8)
+    with pytest.raises(ValueError, match="size"):
+        terms_facets(run, docs, ["src"], size=0)

@@ -107,6 +107,7 @@ def maintain_index(
     tier_factor: int = 10,
     min_merge: int = 2,
     max_merge: int = 10,
+    rebuild_positions_from=None,
 ) -> dict:
     """One full maintenance cycle — what a scheduled ingest job runs:
 
@@ -128,6 +129,12 @@ def maintain_index(
     compact_auto's decode/re-pack work would be immediately re-done and
     discarded.
 
+    rebuild_positions_from: pass the full accumulated pages corpus to
+    rebuild the positional sidecar at the end of the cycle — drains
+    append shards the old sidecar doesn't cover and compaction drops it,
+    so an index serving phrase/proximity queries should rebuild per
+    maintenance cycle (returned under "positions").
+
     Near-dup dedup at this cadence: run operators/dedup_incremental
     .incremental_deduplicate over each drain's docs against an
     index-adjacent signature store — signatures are computed for NEW docs
@@ -148,4 +155,17 @@ def maintain_index(
     reb = None
     if rebaseline:
         reb = compact_index(spark, index_dir, rebaseline_stats=True)
-    return {"batches": n, "merges": merges, "rebaseline": reb}
+    pos = None
+    if rebuild_positions_from is not None:
+        # the positional sidecar is keyed to index geometry (shard,
+        # doc_ord): drains append shards it doesn't cover and compaction
+        # drops it outright (fail-safe), so phrase/proximity service over
+        # a maintained index needs a rebuild each cycle. The caller
+        # supplies the FULL accumulated pages corpus (the sidecar is a
+        # from-corpus product, not mergeable from the old one).
+        from openmatch_spark.index.positions import build_positions
+
+        pos = build_positions(spark, rebuild_positions_from, index_dir)
+    return {
+        "batches": n, "merges": merges, "rebaseline": reb, "positions": pos,
+    }

@@ -819,3 +819,42 @@ def test_terms_facets_top_and_other(spark):
     assert not any(r.pos is None for r in out8)
     with pytest.raises(ValueError, match="size"):
         terms_facets(run, docs, ["src"], size=0)
+
+
+# ---------------------------------------------------------------------------
+# maintain_index(rebuild_positions_from=) — sidecar survives the cycle
+# ---------------------------------------------------------------------------
+
+
+def test_maintain_rebuilds_positions(spark, tmp_path):
+    import os
+
+    from openmatch_spark.index import build_index, build_positions, load_index
+    from openmatch_spark.query import search_phrase
+    from openmatch_spark.streaming.incremental import maintain_index
+
+    schema = "url string, warc_ts timestamp, html binary, text string, lang string"
+    base = [(u, None, None, t, "en") for u, t in SPAN_DOCS if t]
+    new = [("doc://new", None, None, "a brand new quick brown fox page", "en")]
+    idx_dir, watch, ckpt = (str(tmp_path / d) for d in ("idx", "in", "ckpt"))
+    os.makedirs(watch)
+    build_index(spark, spark.createDataFrame(base, schema), idx_dir,
+                analyzer="simple", num_shards=2, num_term_buckets=4)
+    build_positions(spark, spark.createDataFrame(base, schema), idx_dir)
+    spark.createDataFrame(new, schema).write.parquet(watch + "/b1.parquet")
+
+    full = spark.createDataFrame(base + new, schema)
+    res = maintain_index(
+        spark, watch, idx_dir, ckpt, rebaseline=True,
+        rebuild_positions_from=full,
+    )
+    assert res["batches"] >= 1 and res["positions"] is not None
+
+    idx = load_index(spark, idx_dir)
+    q = spark.createDataFrame(
+        [("p1", "quick brown fox"), ("p2", "sort merge join")],
+        "query_id string, text string",
+    )
+    got = {(r.query_id, r.doc_id) for r in search_phrase(idx, q, k=10).collect()}
+    assert ("p1", "doc://new") in got        # NEW doc phrase-searchable
+    assert ("p2", "doc://0") in got          # old docs still covered

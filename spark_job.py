@@ -11,6 +11,8 @@ curate-index  pages -> language/quality gates + url/exact/near dedup ->
               under <index>/curation
 search        index + queries TSV/parquet -> TREC run file
 compact       merge index shards (all, or --shards 2 3 4) into one segment
+snapshot      copy a committed index to a backup dir (manifest-last)
+restore       restore an index from a snapshot (refuses partial copies)
 eval          run + qrels -> MRR@k / Recall@k / nDCG@k JSON on stdout
 package       write openmatch_spark.zip next to this file (for --py-files)
 
@@ -270,6 +272,27 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_snapshot(args) -> int:
+    """Copy a committed index to a backup location (index/snapshot.py:
+    manifest-last ordering — a crashed snapshot is visibly incomplete,
+    never silently wrong). No Spark session needed."""
+    from openmatch_spark.index.snapshot import snapshot_index
+
+    info = snapshot_index(args.index, args.dest, overwrite=args.overwrite)
+    print(json.dumps(info))
+    return 0
+
+
+def cmd_restore(args) -> int:
+    """Restore an index from a snapshot directory (refuses partial
+    snapshots and non-empty destinations unless --overwrite)."""
+    from openmatch_spark.index.snapshot import restore_index
+
+    info = restore_index(args.snapshot, args.dest, overwrite=args.overwrite)
+    print(json.dumps(info))
+    return 0
+
+
 def cmd_eval(args) -> int:
     from openmatch_spark.operators.metrics import mrr_at_k, ndcg_at_k, recall_at_k
     from openmatch_spark.operators.runio import load_from_trec
@@ -416,6 +439,18 @@ def main(argv=None) -> int:
                          "search, head-term-bounded index)")
     cp.add_argument("--table-prefix", default=None)
     cp.set_defaults(fn=cmd_compact)
+
+    sn = sub.add_parser("snapshot")
+    sn.add_argument("--index", required=True)
+    sn.add_argument("--dest", required=True)
+    sn.add_argument("--overwrite", action="store_true")
+    sn.set_defaults(fn=cmd_snapshot)
+
+    rs = sub.add_parser("restore")
+    rs.add_argument("--snapshot", required=True)
+    rs.add_argument("--dest", required=True)
+    rs.add_argument("--overwrite", action="store_true")
+    rs.set_defaults(fn=cmd_restore)
 
     pc = sub.add_parser("percolate")
     pc.add_argument("--pages", required=True, help="parquet path or table name")

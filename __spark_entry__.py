@@ -2243,6 +2243,22 @@ def q_err10(spark, sf_dir):
     return err_at_k(run, _qrels(spark, sf_dir), k=10, max_rel=_ERR_MAXREL)
 
 
+def q_ltr_features(spark, sf_dir):
+    """LTR feature extraction (operators/ltr.py): one tokenize pass feeds
+    bm25 / Dirichlet / JM scores plus match-coverage and length features
+    for the BM25 top-10 candidates; the oracle recomputes every feature
+    from the same formulas in one SQL pass."""
+    from openmatch_spark.operators.ltr import ltr_features
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    return ltr_features(
+        docs, _queries_df(spark), k=10, analyzer="simple",
+        mu=_QLD_MU, lam=_QLD_JM_LAMBDA,
+    )
+
+
 def q_map10(spark, sf_dir):
     """MAP@10 per query (trec_eval convention: divide by ALL judged
     relevant, judged-but-empty queries score 0) over the BM25 top-10."""
@@ -3792,6 +3808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "err10": q_err10,
         "rbp10": q_rbp10,
         "map10": q_map10,
+        "ltr_features": q_ltr_features,
         "interleave_td": q_interleave_td,
         "qpp": q_qpp,
         "temperature_mixture": q_temperature_mixture,
@@ -6043,6 +6060,64 @@ contrib AS (
   FROM graded
 )
 SELECT query_id, ROUND(SUM(c), 6) AS err FROM contrib GROUP BY query_id
+"""
+
+    sql["ltr_features"] = f"""
+WITH {_TOK},
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS doclen FROM tok GROUP BY doc_id),
+g AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(doclen) AS avgdl, SUM(doclen) AS total FROM dl),
+lstats AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df, SUM(tf) AS cf FROM tf GROUP BY term),
+q(query_id, text) AS (VALUES {_Q_VALUES}),
+qtok AS (
+  SELECT q.query_id, t.term
+  FROM q, UNNEST(regexp_split_to_array(lower(q.text), '[^a-z0-9]+')) AS t(term)
+  WHERE t.term <> ''
+),
+qt AS (SELECT query_id, term, CAST(COUNT(*) AS DOUBLE) AS qtf FROM qtok GROUP BY query_id, term),
+qlen AS (SELECT query_id, SUM(qtf) AS qlen FROM qt GROUP BY query_id),
+lcontrib AS (
+  SELECT qt.query_id, tf.doc_id, tf.term, qt.qtf, dl.doclen,
+         ln(1 + (g.n_docs - s.df + 0.5) / (s.df + 0.5)) AS idf,
+         qt.qtf * ln(1 + (g.n_docs - s.df + 0.5) / (s.df + 0.5))
+               * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.doclen / g.avgdl)) AS c_bm25,
+         qt.qtf * GREATEST(CAST(0 AS DOUBLE),
+               ln(1 + tf.tf / ({_QLD_MU} * s.cf / g.total))
+               + ln({_QLD_MU} / (dl.doclen + {_QLD_MU}))) AS c_dir,
+         qt.qtf * ln(1 + ((1 - {_QLD_JM_LAMBDA}) * tf.tf / dl.doclen)
+                         / ({_QLD_JM_LAMBDA} * s.cf / g.total)) AS c_jm
+  FROM tf
+  JOIN qt ON qt.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN lstats s ON s.term = tf.term
+  CROSS JOIN g
+),
+lfeats AS (
+  SELECT query_id, doc_id,
+         ROUND(SUM(c_bm25), 6) AS bm25,
+         ROUND(SUM(c_dir), 6) AS qld_dir,
+         ROUND(SUM(c_jm), 6) AS qld_jm,
+         CAST(COUNT(DISTINCT term) AS INTEGER) AS n_matched,
+         SUM(qtf) AS mqtf,
+         ROUND(MAX(doclen), 6) AS doclen
+  FROM lcontrib GROUP BY query_id, doc_id
+),
+lidf AS (
+  SELECT query_id, doc_id, ROUND(SUM(idf), 6) AS sum_idf
+  FROM (SELECT DISTINCT query_id, doc_id, term, idf FROM lcontrib)
+  GROUP BY query_id, doc_id
+)
+SELECT query_id, doc_id, rank, bm25, qld_dir, qld_jm, n_matched,
+       matched_qtf, sum_idf, doclen, qlen
+FROM (
+  SELECT f.query_id, f.doc_id, f.bm25, f.qld_dir, f.qld_jm, f.n_matched,
+         ROUND(f.mqtf / l.qlen, 6) AS matched_qtf, i.sum_idf, f.doclen,
+         ROUND(l.qlen, 6) AS qlen,
+         CAST(ROW_NUMBER() OVER (PARTITION BY f.query_id ORDER BY f.bm25 DESC, f.doc_id ASC) AS INTEGER) AS rank
+  FROM lfeats f
+  JOIN lidf i ON i.query_id = f.query_id AND i.doc_id = f.doc_id
+  JOIN qlen l ON l.query_id = f.query_id
+) WHERE rank <= 10
 """
 
     sql["map10"] = f"""

@@ -25,6 +25,7 @@ from openmatch_spark.operators.sampling import (  # noqa: F401
     seeded_uniform_col,
     grouped_split,
 )
+from openmatch_spark.operators.ltr import ltr_features  # noqa: F401
 from openmatch_spark.operators.packing import pack_sequences  # noqa: F401
 from openmatch_spark.operators.boilerplate import (  # noqa: F401
     boilerplate_lines,

@@ -858,3 +858,42 @@ def test_maintain_rebuilds_positions(spark, tmp_path):
     got = {(r.query_id, r.doc_id) for r in search_phrase(idx, q, k=10).collect()}
     assert ("p1", "doc://new") in got        # NEW doc phrase-searchable
     assert ("p2", "doc://0") in got          # old docs still covered
+
+
+# ---------------------------------------------------------------------------
+# LTR feature extraction
+# ---------------------------------------------------------------------------
+
+
+def test_ltr_features_consistent_with_scorers(spark):
+    from openmatch_spark.operators.ltr import ltr_features
+    from openmatch_spark.query.bm25_df import bm25_score_adhoc
+
+    corpus = spark.createDataFrame(
+        [(u.replace("doc://", ""), t) for u, t in SPAN_DOCS if t],
+        "doc_id string, text string",
+    )
+    queries = spark.createDataFrame(
+        [("q1", "hash join"), ("q2", "sort merge join")],
+        "query_id string, text string",
+    )
+    feats = ltr_features(corpus, queries, k=5).collect()
+    # bm25 feature == the ad-hoc BM25 scorer, and the candidate ranking
+    ref = {
+        (r.query_id, r.doc_id): (round(r.score, 6), r.rank)
+        for r in bm25_score_adhoc(corpus, queries, k=5, analyzer="simple").collect()
+    }
+    got = {(r.query_id, r.doc_id): (r.bm25, r.rank) for r in feats}
+    assert got == ref
+    byrow = {(r.query_id, r.doc_id): r for r in feats}
+    # doc0 'spark hash join beats sort merge join ...' matches both q1 terms
+    r = byrow[("q1", "0")]
+    assert r.n_matched == 2 and r.matched_qtf == 1.0
+    assert r.doclen == 10.0 and r.qlen == 2.0
+    assert r.qld_jm != r.qld_dir  # distinct scorer columns actually differ
+    # doc3 'merge sort is not sort merge' matches only 2 of q2's 3 terms
+    r3 = byrow[("q2", "3")]
+    assert r3.n_matched == 2 and abs(r3.matched_qtf - 2 / 3) < 1e-6
+    assert r3.sum_idf > 0
+    with pytest.raises(ValueError, match="k must be"):
+        ltr_features(corpus, queries, k=0)

@@ -149,3 +149,22 @@ def test_ivf_df_plan_prunes_and_single_corpus_exchange(spark):
     assert semi_pos != -1 and "BroadcastHashJoin" in plan
     # prune sits below (after, in formatted output) the cogroup operator
     assert semi_pos > cg_pos
+
+
+def test_span_near_window_fold_is_python_free(spark):
+    """The r4 rewrite of the min-window-subsequence DP must stay a pure-JVM
+    aggregate() fold: the grouped stage (occurrence rows -> min_window)
+    carries no ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas.
+    (The full search still has its declared Arrow decode kernels; this
+    pins the DP stage itself.)"""
+    from openmatch_spark.query.phrase import _min_window_grouped
+    from openmatch_spark.plans.explain import plan_summary
+
+    rows = spark.createDataFrame(
+        [("q1", 0, 0, 3, 0, 2), ("q1", 0, 0, 7, 1, 2), ("q1", 0, 0, 9, 1, 2)],
+        "query_id string, shard int, doc_ord long, pos long, j int, m int",
+    )
+    out = _min_window_grouped(rows)
+    s = plan_summary(out)
+    assert s["python_evals"] == 0, s
+    assert out.collect()[0]["min_window"] == 5  # 3..7 inclusive

@@ -1550,6 +1550,55 @@ def q_bm25_topk_pruned(spark, sf_dir):
     )
 
 
+_STOP_SUFFIX = "the and of to in is that for with"
+STOP_QUERIES = [
+    ("w0", "the spark join"),
+    ("w1", "scan of data and table"),
+    ("w2", "the and of to"),   # all stopwords -> zero rows in both engines
+]
+
+
+def q_bm25_topk_stopped(spark, sf_dir):
+    """The 'english_stop' analyzer (simple + Lucene's classic 33-word
+    English stop set) end-to-end through the packed index: stopwords are
+    dropped at build (no postings, no doclen mass, no dictionary rows)
+    and identically at query time via the frozen analyzer string — an
+    all-stopword query structurally returns nothing. Corpus stopword-
+    injected on doc_id % 4 == 1 so the filter provably bites."""
+    from openmatch_spark.fixtures import documents_as_pages
+    from openmatch_spark.index import build_index, load_index
+    from openmatch_spark.query import search
+
+    key = ("stop", sf_dir)
+    if key not in _IDX_CACHE:
+        d = tempfile.mkdtemp(prefix="om_entry_stop_")
+        base = documents_as_pages(spark, sf_dir)
+        did = F.regexp_replace("url", "^doc://", "").cast("long")
+        pages = base.withColumn(
+            "text",
+            F.when(
+                did % 4 == 1, F.concat_ws(" ", "text", F.lit(_STOP_SUFFIX))
+            ).otherwise(F.col("text")),
+        )
+        build_index(
+            spark, pages, d, analyzer="english_stop", num_shards=2,
+            num_term_buckets=4, block_size=128,
+        )
+        _IDX_CACHE[key] = d
+    idx = load_index(spark, _IDX_CACHE[key])
+    run = search(
+        idx,
+        spark.createDataFrame(STOP_QUERIES, "query_id string, text string"),
+        k=10,
+    )
+    return run.select(
+        "query_id",
+        F.regexp_replace("doc_id", "^doc://", "").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+        "rank",
+    )
+
+
 def q_bm25_topk_deleted(spark, sf_dir):
     """Tombstone-delete lifecycle: build, delete_docs(doc_id % 7 == 2),
     search. Statistics stay FROZEN at build (deleted docs keep contributing
@@ -3735,6 +3784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_indexed": q_bm25_topk_indexed,
         "bm25_topk_rebaselined": q_bm25_topk_rebaselined,
         "bm25_topk_pruned": q_bm25_topk_pruned,
+        "bm25_topk_stopped": q_bm25_topk_stopped,
         "bm25_topk_deleted": q_bm25_topk_deleted,
         "bm25_topk_upserted": q_bm25_topk_upserted,
         "bm25_topk_federated": q_bm25_topk_federated,
@@ -3872,6 +3922,53 @@ def oracle_sql() -> dict[str, str]:
     # fresh build (and the engine-less ad-hoc SQL) produces
     sql["bm25_topk_rebaselined"] = _BM25_TOPK_SQL
     sql["bm25_topk_deleted"] = _BM25_DELETED_SQL
+
+    # english_stop analyzer: same split, then drop Lucene's classic stop
+    # set on BOTH sides (docs and queries) over the stopword-injected corpus
+    from openmatch_spark.analysis import LUCENE_ENGLISH_STOPWORDS
+
+    _stoplist = ", ".join(f"'{w}'" for w in LUCENE_ENGLISH_STOPWORDS)
+    sql["bm25_topk_stopped"] = f"""
+WITH sdocs AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         CASE WHEN doc_id % 4 = 1 THEN text || ' {_STOP_SUFFIX}' ELSE text END AS text
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, t.term
+  FROM sdocs, UNNEST(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '' AND x NOT IN ({_stoplist}))) AS t(term)
+),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS doclen FROM tok GROUP BY doc_id),
+g AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(doclen) AS avgdl FROM dl),
+dfreq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+q(query_id, text) AS (VALUES {", ".join(f"('{q}', '{t}')" for q, t in STOP_QUERIES)}),
+qtok AS (
+  SELECT q.query_id, t.term
+  FROM q, UNNEST(list_filter(regexp_split_to_array(lower(q.text), '[^a-z0-9]+'),
+                 x -> x <> '' AND x NOT IN ({_stoplist}))) AS t(term)
+),
+qt AS (SELECT query_id, term, CAST(COUNT(*) AS DOUBLE) AS qtf FROM qtok GROUP BY query_id, term),
+scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         SUM(qt.qtf
+             * ln(1 + (g.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+             * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.doclen / g.avgdl))) AS score
+  FROM tf
+  JOIN qt ON qt.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN dfreq ON dfreq.term = tf.term
+  CROSS JOIN g
+  GROUP BY qt.query_id, tf.doc_id
+),
+srun AS (
+  SELECT query_id, doc_id, score,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, doc_id, ROUND(score, 6) AS score, rank FROM srun WHERE rank <= 10
+"""
 
     # static pruning: recompute every posting weight, apply the SAME
     # per-term top-N cut (rounded weight, doc order tie-break — doc_ord IS

@@ -106,14 +106,30 @@ def stem_english_minimal_py(token: str) -> str:
     return re.sub(ENGLISH_MINIMAL_STEM_PATTERN, r"\1", token)
 
 
+# Lucene's classic ENGLISH_STOP_WORDS_SET (EnglishAnalyzer default, 33
+# words) — a FIXED list, frozen in the index's analyzer string, so build
+# and query drop identical tokens in any engine.
+LUCENE_ENGLISH_STOPWORDS = (
+    "a", "an", "and", "are", "as", "at", "be", "but", "by", "for", "if",
+    "in", "into", "is", "it", "no", "not", "of", "on", "or", "such",
+    "that", "the", "their", "then", "there", "these", "they", "this",
+    "to", "was", "will", "with",
+)
+_STOP_SET = frozenset(LUCENE_ENGLISH_STOPWORDS)
+
+
 def tokenize_py(text: str, analyzer: str = "dpr") -> list[str]:
     if analyzer == "dpr":
         return tokenize_dpr_py(text)
     if analyzer == "english":
         return [stem_english_minimal_py(t) for t in tokenize_simple_py(text)]
+    if analyzer == "english_stop":
+        return [t for t in tokenize_simple_py(text) if t not in _STOP_SET]
     if analyzer == "simple":
         return tokenize_simple_py(text)
-    raise ValueError(f"unknown analyzer {analyzer!r} (dpr | simple | english)")
+    raise ValueError(
+        f"unknown analyzer {analyzer!r} (dpr | simple | english | english_stop)"
+    )
 
 
 @pandas_udf(ArrayType(StringType()))
@@ -141,9 +157,16 @@ def tokenize_col(col: Column, analyzer: str = "dpr") -> Column:
         return tokenize_dpr_udf(col)
     if analyzer == "english":
         return F.transform(tokenize_col_simple(col), stem_english_minimal_col)
+    if analyzer == "english_stop":
+        stop = F.array(*[F.lit(w) for w in LUCENE_ENGLISH_STOPWORDS])
+        return F.filter(
+            tokenize_col_simple(col), lambda t: ~F.array_contains(stop, t)
+        )
     if analyzer == "simple":
         return tokenize_col_simple(col)
-    raise ValueError(f"unknown analyzer {analyzer!r} (dpr | simple | english)")
+    raise ValueError(
+        f"unknown analyzer {analyzer!r} (dpr | simple | english | english_stop)"
+    )
 
 
 @pandas_udf(StringType())

@@ -897,3 +897,61 @@ def test_ltr_features_consistent_with_scorers(spark):
     assert r3.sum_idf > 0
     with pytest.raises(ValueError, match="k must be"):
         ltr_features(corpus, queries, k=0)
+
+
+# ---------------------------------------------------------------------------
+# english_stop analyzer (Lucene classic stopword set) end-to-end
+# ---------------------------------------------------------------------------
+
+
+def test_english_stop_tokenizers_agree_and_drop(spark):
+    from openmatch_spark.analysis import (
+        LUCENE_ENGLISH_STOPWORDS,
+        tokenize_col,
+        tokenize_py,
+    )
+
+    texts = [
+        "The quick brown fox and the lazy dog",
+        "to be or not to be that is the question",
+        "no stopwords here whatsoever",
+        "",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [
+        r[0]
+        for r in df.select(tokenize_col(F.col("text"), "english_stop")).collect()
+    ]
+    for t, g in zip(texts, got):
+        assert g == tokenize_py(t, "english_stop"), t
+        assert not set(g) & set(LUCENE_ENGLISH_STOPWORDS)
+    assert got[0] == ["quick", "brown", "fox", "lazy", "dog"]
+
+
+def test_english_stop_index_end_to_end(spark, tmp_path):
+    from openmatch_spark.index import build_index, load_index
+    from openmatch_spark.query import search
+
+    pages = spark.createDataFrame(
+        [
+            ("doc://a", None, None, "the spark engine and the fast join", "en"),
+            ("doc://b", None, None, "a join of the tables", "en"),
+            ("doc://c", None, None, "nothing relevant", "en"),
+        ],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    d = str(tmp_path / "idx")
+    build_index(spark, pages, d, analyzer="english_stop", num_shards=2,
+                num_term_buckets=4)
+    idx = load_index(spark, d)
+    # query full of stopwords + one content term: stopwords drop at query
+    # time too (frozen analyzer), so only 'join' matches
+    q = spark.createDataFrame(
+        [("q1", "the and of to join"), ("q2", "the and of")],
+        "query_id string, text string",
+    )
+    out = search(idx, q, k=10).collect()
+    assert {r.doc_id for r in out if r.query_id == "q1"} == {"doc://a", "doc://b"}
+    assert not [r for r in out if r.query_id == "q2"]  # all-stopword query dies
+    # 'the' contributed nothing to doclen either: idf table has no stopwords
+    assert idx.dictionary.where(F.col("term") == "the").count() == 0

@@ -1251,19 +1251,50 @@ SELECT query_id, doc_id, score, rank FROM (
 # timestamp is synthesized identically in both engines (epoch +
 # doc_id * 7 h — the fixtures' deterministic-ts rule), bucket keyed by
 # its start as fixed text so the compare is representation-independent.
-_DATE_HIST_SQL = f"""
-WITH {_BM25_CTES},
+_DH_CTES = f"""{_BM25_CTES},
 run10 AS (SELECT query_id, doc_id FROM run WHERE rank <= 10),
 ts AS (
   SELECT CAST(d.doc_id AS VARCHAR) AS doc_id,
          TIMESTAMP '2024-01-01 00:00:00' + CAST(d.doc_id AS BIGINT) * INTERVAL 7 HOUR AS warc_ts
   FROM documents d
-)
-SELECT r.query_id, 'warc_ts' AS facet,
-       strftime(date_trunc('month', t.warc_ts), '%Y-%m-%d %H:%M:%S') AS bucket,
-       CAST(COUNT(*) AS BIGINT) AS n_docs
-FROM run10 r JOIN ts t ON t.doc_id = r.doc_id
-GROUP BY r.query_id, bucket
+),
+dhist AS (
+  SELECT r.query_id,
+         strftime(date_trunc('month', t.warc_ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM run10 r JOIN ts t ON t.doc_id = r.doc_id
+  GROUP BY r.query_id, bucket
+)"""
+
+_DATE_HIST_SQL = f"""
+WITH {_DH_CTES}
+SELECT query_id, 'warc_ts' AS facet, bucket, n_docs FROM dhist
+"""
+
+_FACET_PIPELINE_SQL = f"""
+WITH {_DH_CTES}
+SELECT query_id, bucket, n_docs,
+       CAST(n_docs AS DOUBLE) - LAG(CAST(n_docs AS DOUBLE)) OVER seq AS d_n,
+       SUM(CAST(n_docs AS DOUBLE)) OVER (
+         PARTITION BY query_id ORDER BY bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+       ROUND(AVG(CAST(n_docs AS DOUBLE)) OVER (
+         PARTITION BY query_id ORDER BY bucket
+         ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING), 6) AS mov_avg
+FROM dhist
+WINDOW seq AS (PARTITION BY query_id ORDER BY bucket)
+"""
+
+_FACET_BUCKET_SORT_SQL = f"""
+WITH {_DH_CTES},
+kept AS (SELECT * FROM dhist WHERE n_docs >= 2)
+SELECT query_id, bucket, n_docs, pos FROM (
+  SELECT query_id, bucket, n_docs,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY n_docs DESC, bucket ASC
+         ) AS INTEGER) AS pos
+  FROM kept
+) WHERE pos <= 2
 """
 
 _SUGGEST_SQL = """
@@ -2740,6 +2771,67 @@ def q_facet_date_histogram(spark, sf_dir):
     return date_histogram_facets(run, docs, "warc_ts", "month")
 
 
+def _pipeline_buckets(spark, sf_dir):
+    """Shared input for the pipeline-agg entries: the date_histogram
+    bucket frame from q_facet_date_histogram (same synthesized
+    timestamp rule)."""
+    from openmatch_spark.operators.facets import date_histogram_facets
+
+    run = _bm25_run(spark, sf_dir, k=10, rounded=False).select(
+        "query_id", "doc_id"
+    )
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_interval(hours=(F.col("doc_id") * 7).cast("int"))
+        ).alias("warc_ts"),
+    )
+    return date_histogram_facets(run, docs, "warc_ts", "month")
+
+
+def q_facet_pipeline(spark, sf_dir):
+    """ES pipeline aggregations over the monthly date_histogram buckets:
+    derivative, cumulative_sum, and a trailing moving average
+    (moving_fn avg, window=2, shift=0 — the two buckets BEFORE the
+    current one, ES semantics) per query, buckets ordered by month."""
+    from openmatch_spark.operators.pipeline_aggs import (
+        cumulative_sum,
+        derivative,
+        moving_fn,
+    )
+
+    b = _pipeline_buckets(spark, sf_dir)
+    b = derivative(b, "n_docs", "bucket", ["query_id"], out_col="d_n")
+    b = cumulative_sum(b, "n_docs", "bucket", ["query_id"], out_col="cum_n")
+    b = moving_fn(
+        b, "n_docs", "bucket", ["query_id"],
+        fn="avg", window=2, shift=0, out_col="mov_avg",
+    )
+    return b.select(
+        "query_id", "bucket", "n_docs", "d_n", "cum_n",
+        F.round("mov_avg", 6).alias("mov_avg"),
+    )
+
+
+def q_facet_bucket_sort(spark, sf_dir):
+    """ES bucket_selector + bucket_sort composed: keep only months with
+    >= 2 hits, then per query the top-2 buckets by n_docs desc (bucket
+    asc tiebreak), exposing the post-sort position."""
+    from openmatch_spark.operators.pipeline_aggs import (
+        bucket_selector,
+        bucket_sort,
+    )
+
+    b = _pipeline_buckets(spark, sf_dir)
+    b = bucket_selector(b, "n_docs >= 2")
+    return bucket_sort(
+        b, ["query_id"],
+        sort=[("n_docs", "desc"), ("bucket", "asc")],
+        size=2, pos_col="pos",
+    ).select("query_id", "bucket", "n_docs", "pos")
+
+
 def q_hybrid_combsum(spark, sf_dir):
     """CombSUM fusion (Fox & Shaw) of the 6 dp-rounded BM25 and BM25F
     runs: per-run per-query min-max normalization, then sum; fused score
@@ -3832,6 +3924,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "field_value_factor": q_field_value_factor,
         "hybrid_combmnz": q_hybrid_combmnz,
         "facet_date_histogram": q_facet_date_histogram,
+        "facet_pipeline": q_facet_pipeline,
+        "facet_bucket_sort": q_facet_bucket_sort,
         "hit_cardinality": q_hit_cardinality,
         "facet_terms": q_facet_terms,
         "group_cap": q_group_cap,
@@ -4079,6 +4173,8 @@ SELECT query_id, doc_id, score, rank, CAST(in_window AS INTEGER) AS in_window FR
 """
     sql["hybrid_combmnz"] = _COMB_SQL_TMPL.format(expr="m * s")
     sql["facet_date_histogram"] = _DATE_HIST_SQL
+    sql["facet_pipeline"] = _FACET_PIPELINE_SQL
+    sql["facet_bucket_sort"] = _FACET_BUCKET_SORT_SQL
 
     sql["facet_terms"] = f"""
 WITH {_BM25_CTES},

@@ -37,4 +37,13 @@ from openmatch_spark.operators.chunking import (  # noqa: F401
     score_aggregate,
 )
 from openmatch_spark.operators.facets import date_histogram_facets, facet_counts  # noqa: F401
+from openmatch_spark.operators.pipeline_aggs import (  # noqa: F401
+    bucket_script,
+    bucket_selector,
+    bucket_sort,
+    cumulative_sum,
+    derivative,
+    moving_fn,
+    serial_diff,
+)
 from openmatch_spark.operators.fusion import comb_fusion, reciprocal_rank_fusion  # noqa: F401

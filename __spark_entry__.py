@@ -2832,6 +2832,30 @@ def q_facet_bucket_sort(spark, sf_dir):
     ).select("query_id", "bucket", "n_docs", "pos")
 
 
+def q_composite_page(spark, sf_dir):
+    """ES composite aggregation: exhaustive (lang, source, 500-char
+    histogram) buckets over documents in stable ascending key order,
+    paged 5 at a time via the after-key protocol. Returns pages 1 and 2
+    — page 2 is fetched with page 1's LAST bucket key as `after`, so the
+    pagination contract itself is what the oracle checks."""
+    from openmatch_spark.operators.facets import composite_facets
+
+    docs = _docs(spark, sf_dir)
+    sources = [
+        ("lang", "lang"),
+        ("source", "source"),
+        ("chars_bucket", (F.floor(F.col("n_chars") / 500) * 500).cast("long")),
+    ]
+    p1 = composite_facets(docs, sources, size=5)
+    last = p1.orderBy(F.desc("lang"), F.desc("source"), F.desc("chars_bucket")).first()
+    after = {"lang": last["lang"], "source": last["source"],
+             "chars_bucket": last["chars_bucket"]}
+    p2 = composite_facets(docs, sources, size=5, after=after)
+    return p1.withColumn("page", F.lit(1)).unionByName(
+        p2.withColumn("page", F.lit(2))
+    )
+
+
 def q_hybrid_combsum(spark, sf_dir):
     """CombSUM fusion (Fox & Shaw) of the 6 dp-rounded BM25 and BM25F
     runs: per-run per-query min-max normalization, then sum; fused score
@@ -3926,6 +3950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_date_histogram": q_facet_date_histogram,
         "facet_pipeline": q_facet_pipeline,
         "facet_bucket_sort": q_facet_bucket_sort,
+        "composite_page": q_composite_page,
         "hit_cardinality": q_hit_cardinality,
         "facet_terms": q_facet_terms,
         "group_cap": q_group_cap,
@@ -4175,6 +4200,22 @@ SELECT query_id, doc_id, score, rank, CAST(in_window AS INTEGER) AS in_window FR
     sql["facet_date_histogram"] = _DATE_HIST_SQL
     sql["facet_pipeline"] = _FACET_PIPELINE_SQL
     sql["facet_bucket_sort"] = _FACET_BUCKET_SORT_SQL
+    sql["composite_page"] = """
+WITH buckets AS (
+  SELECT lang, source, CAST(FLOOR(n_chars / 500) * 500 AS BIGINT) AS chars_bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents
+  WHERE lang IS NOT NULL AND source IS NOT NULL AND n_chars IS NOT NULL
+  GROUP BY lang, source, chars_bucket
+),
+ordered AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY lang ASC, source ASC, chars_bucket ASC) AS rn
+  FROM buckets
+)
+SELECT lang, source, chars_bucket, n_docs,
+       CAST(((rn - 1) // 5) + 1 AS INTEGER) AS page
+FROM ordered WHERE rn <= 10
+"""
 
     sql["facet_terms"] = f"""
 WITH {_BM25_CTES},

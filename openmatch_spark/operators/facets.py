@@ -288,3 +288,64 @@ def terms_facets(
         )
     )
     return top.unionByName(other)
+
+
+def composite_facets(
+    docs: DataFrame,
+    sources: list[tuple],
+    size: int = 10,
+    after: dict | None = None,
+    count_col: str = "n_docs",
+) -> DataFrame:
+    """The ES `composite` aggregation: multi-source buckets in a STABLE
+    key order with `after`-key pagination, so a client can walk EVERY
+    bucket of an index page by page (terms/date_histogram aggs cap at
+    `size` and shard_size; composite is ES's only exhaustive-enumeration
+    agg — the analog of paging a GROUP BY).
+
+    sources: [(name, column-expression or column name), ...] — each
+    becomes an output column; a histogram source is just an expression
+    (e.g. `F.floor(F.col("n_chars") / 500) * 500`). Buckets are ordered
+    ascending by the source tuple (ES orders by each source's order,
+    default asc; nulls FIRST as in ES missing_bucket ordering — though
+    rows where ANY source is NULL are dropped by default, ES
+    missing_bucket=false). after: {name: value} — the LAST bucket key of
+    the previous page; strictly-greater buckets are returned.
+
+    Plan shape for 100 TB: one groupBy on the source tuple (map-side
+    combined), the after-key cut is a pushed filter on the aggregated
+    frame, and the page materializes via sort+limit — Spark compiles
+    orderBy().limit(size) to TakeOrderedAndProject, a per-partition
+    top-size + driver merge of size-bounded partials, NOT a global sort.
+    Each page is one bounded job; the full walk streams the bucket set
+    through the driver one page at a time, never all at once."""
+    if size <= 0:
+        raise ValueError(f"size must be positive, got {size}")
+    if not sources:
+        raise ValueError("sources must name at least one (name, expr)")
+    names = [n for n, _ in sources]
+    if after is not None and set(after) != set(names):
+        raise ValueError(
+            f"after must key exactly the source names {names}, got {sorted(after)}"
+        )
+    keyed = docs.select(
+        *[
+            (F.col(e) if isinstance(e, str) else e).alias(n)
+            for n, e in sources
+        ]
+    )
+    for n in names:
+        keyed = keyed.where(F.col(n).isNotNull())
+    buckets = keyed.groupBy(*names).agg(
+        F.count(F.lit(1)).cast("long").alias(count_col)
+    )
+    if after is not None:
+        # lexicographic strictly-greater over the source tuple
+        cond = F.lit(False)
+        eq = F.lit(True)
+        for n in names:
+            a = F.lit(after[n])
+            cond = cond | (eq & (F.col(n) > a))
+            eq = eq & (F.col(n) == a)
+        buckets = buckets.where(cond)
+    return buckets.orderBy(*[F.col(n).asc() for n in names]).limit(size)

@@ -128,3 +128,69 @@ def test_bucket_sort_validates(buckets):
         bucket_sort(buckets, ["query_id"], sort=[("n", "down")])
     with pytest.raises(ValueError):
         bucket_sort(buckets, ["query_id"], sort=[("n", "desc")], from_=-1)
+
+
+import pyspark.sql.functions as F
+
+from openmatch_spark.operators.facets import composite_facets
+
+
+@pytest.fixture(scope="module")
+def comp_docs(spark):
+    rows = [("en", "a", 100), ("en", "a", 120), ("en", "b", 700),
+            ("de", "a", 50), ("de", "c", 1400), ("fr", None, 10),
+            ("en", "c", 900), ("de", "b", 300), ("en", "d", 20),
+            ("zh", "a", 600)]
+    return spark.createDataFrame(rows, "lang string, source string, n_chars long")
+
+
+def _sources():
+    return [
+        ("lang", "lang"),
+        ("source", "source"),
+        ("cb", (F.floor(F.col("n_chars") / 500) * 500).cast("long")),
+    ]
+
+
+def test_composite_walk_is_exhaustive_and_disjoint(comp_docs):
+    # walk in pages of 3; union of pages == one-shot full enumeration
+    full = composite_facets(comp_docs, _sources(), size=100).collect()
+    # 10 rows -> 1 null-source dropped (ES missing_bucket=false), the two
+    # ("en","a") rows share chars-bucket 0 -> 8 distinct buckets
+    assert len(full) == 8
+    seen, after = [], None
+    while True:
+        page = composite_facets(comp_docs, _sources(), size=3, after=after).collect()
+        if not page:
+            break
+        seen.extend(page)
+        last = page[-1]
+        after = {"lang": last["lang"], "source": last["source"], "cb": last["cb"]}
+    assert [tuple(r) for r in seen] == [tuple(r) for r in full]
+    keys = [(r["lang"], r["source"], r["cb"]) for r in seen]
+    assert len(set(keys)) == len(keys)
+    assert keys == sorted(keys)
+
+
+def test_composite_after_is_strictly_greater(comp_docs):
+    full = composite_facets(comp_docs, _sources(), size=100).collect()
+    mid = full[3]
+    after = {"lang": mid["lang"], "source": mid["source"], "cb": mid["cb"]}
+    rest = composite_facets(comp_docs, _sources(), size=100, after=after).collect()
+    assert [tuple(r) for r in rest] == [tuple(r) for r in full[4:]]
+
+
+def test_composite_counts(comp_docs):
+    full = {(r["lang"], r["source"], r["cb"]): r["n_docs"]
+            for r in composite_facets(comp_docs, _sources(), size=100).collect()}
+    assert full[("en", "a", 0)] == 2
+    assert full[("de", "c", 1000)] == 1
+
+
+def test_composite_validates(comp_docs):
+    with pytest.raises(ValueError):
+        composite_facets(comp_docs, _sources(), size=0)
+    with pytest.raises(ValueError):
+        composite_facets(comp_docs, [], size=5)
+    with pytest.raises(ValueError):
+        composite_facets(comp_docs, _sources(), size=5, after={"lang": "en"})

@@ -2856,6 +2856,49 @@ def q_composite_page(spark, sf_dir):
     )
 
 
+def _geo_customers(spark, sf_dir):
+    """customer with deterministic synthetic coordinates (pure integer
+    modular arithmetic + exact decimal scaling, so Spark and DuckDB
+    derive bit-identical doubles): lat in [-80, 79.99], lon in
+    [-180, 179.99] at 0.01° granularity."""
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    return cust.select(
+        F.col("c_custkey").cast("string").alias("cust_id"),
+        (((F.col("c_custkey") * 37) % 16000) / 100.0 - 80.0).alias("lat"),
+        (((F.col("c_custkey") * 7919) % 36000) / 100.0 - 180.0).alias("lon"),
+    )
+
+
+def q_geo_distance(spark, sf_dir):
+    """ES geo_distance query + _geo_distance sort: the 15 customers
+    nearest to (10°N, 20°E) within 6,000 km, haversine distance on the
+    IUGG mean radius, nearest-first with cust_id tiebreak."""
+    from openmatch_spark.operators.geo import geo_distance_search
+
+    from pyspark.sql import Window
+
+    hits = geo_distance_search(
+        _geo_customers(spark, sf_dir), "lat", "lon",
+        center_lat=10.0, center_lon=20.0, radius_km=6000.0, k=15,
+        id_col="cust_id",
+    )
+    w = Window.orderBy(F.col("distance_km").asc(), F.col("cust_id").asc())
+    return hits.withColumn("rank", F.row_number().over(w)).select(
+        "cust_id", F.round("distance_km", 6).alias("distance_km"), "rank"
+    )
+
+
+def q_geotile_grid(spark, sf_dir):
+    """ES geotile_grid aggregation at zoom 4: top-10 occupied
+    Web-Mercator 'z/x/y' tiles by customer count (count desc, cell asc
+    — ES bucket order), 1-based pos."""
+    from openmatch_spark.operators.geo import geotile_grid_facets
+
+    return geotile_grid_facets(
+        _geo_customers(spark, sf_dir), "lat", "lon", zoom=4, size=10
+    )
+
+
 def q_hybrid_combsum(spark, sf_dir):
     """CombSUM fusion (Fox & Shaw) of the 6 dp-rounded BM25 and BM25F
     runs: per-run per-query min-max normalization, then sum; fused score
@@ -3951,6 +3994,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_pipeline": q_facet_pipeline,
         "facet_bucket_sort": q_facet_bucket_sort,
         "composite_page": q_composite_page,
+        "geo_distance": q_geo_distance,
+        "geotile_grid": q_geotile_grid,
         "hit_cardinality": q_hit_cardinality,
         "facet_terms": q_facet_terms,
         "group_cap": q_group_cap,
@@ -4200,6 +4245,56 @@ SELECT query_id, doc_id, score, rank, CAST(in_window AS INTEGER) AS in_window FR
     sql["facet_date_histogram"] = _DATE_HIST_SQL
     sql["facet_pipeline"] = _FACET_PIPELINE_SQL
     sql["facet_bucket_sort"] = _FACET_BUCKET_SORT_SQL
+    sql["geo_distance"] = """
+WITH geo AS (
+  SELECT CAST(c_custkey AS VARCHAR) AS cust_id,
+         ((c_custkey * 37) % 16000) / 100.0 - 80.0 AS lat,
+         ((c_custkey * 7919) % 36000) / 100.0 - 180.0 AS lon
+  FROM customer
+),
+d AS (
+  SELECT cust_id,
+         2 * 6371.0088 * ASIN(SQRT(LEAST(
+            POW(SIN((RADIANS(10.0) - RADIANS(lat)) / 2), 2)
+            + COS(RADIANS(lat)) * COS(RADIANS(10.0))
+              * POW(SIN((RADIANS(20.0) - RADIANS(lon)) / 2), 2),
+            1.0))) AS dist
+  FROM geo
+)
+SELECT cust_id, distance_km, rank FROM (
+  SELECT cust_id, ROUND(dist, 6) AS distance_km,
+         CAST(ROW_NUMBER() OVER (ORDER BY dist ASC, cust_id ASC) AS INTEGER) AS rank
+  FROM d WHERE dist <= 6000.0
+) WHERE rank <= 15
+"""
+
+    sql["geotile_grid"] = """
+WITH geo AS (
+  SELECT ((c_custkey * 37) % 16000) / 100.0 - 80.0 AS lat,
+         ((c_custkey * 7919) % 36000) / 100.0 - 180.0 AS lon
+  FROM customer
+),
+tiles AS (
+  SELECT CONCAT('4/',
+           CAST(CAST(GREATEST(LEAST(FLOOR((lon + 180.0) / 360.0 * 16.0), 15), 0) AS BIGINT) AS VARCHAR),
+           '/',
+           CAST(CAST(GREATEST(LEAST(FLOOR(
+             (1.0 - LN(TAN(RADIANS(GREATEST(LEAST(lat, 85.05112878), -85.05112878)))
+                      + 1.0 / COS(RADIANS(GREATEST(LEAST(lat, 85.05112878), -85.05112878))))
+                  / PI()) / 2.0 * 16.0), 15), 0) AS BIGINT) AS VARCHAR)
+         ) AS cell
+  FROM geo WHERE lat IS NOT NULL AND lon IS NOT NULL
+),
+counts AS (
+  SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_docs FROM tiles GROUP BY cell
+)
+SELECT cell, n_docs, pos FROM (
+  SELECT cell, n_docs,
+         CAST(ROW_NUMBER() OVER (ORDER BY n_docs DESC, cell ASC) AS INTEGER) AS pos
+  FROM counts
+) WHERE pos <= 10
+"""
+
     sql["composite_page"] = """
 WITH buckets AS (
   SELECT lang, source, CAST(FLOOR(n_chars / 500) * 500 AS BIGINT) AS chars_bucket,

@@ -3224,6 +3224,58 @@ def q_ground_truth_inject(spark, sf_dir):
     )
 
 
+def _qrels_graded(spark, sf_dir):
+    """_qrels plus EXPLICIT nonrelevant judgments (rel=0): docs with
+    doc_id % 83 == (7*qidx + 4) % 83 are judged irrelevant — the judged
+    pool bpref needs (see _QRELS_GRADED_CTE for the SQL twin)."""
+    docs = _docs(spark, sf_dir).select(F.col("doc_id"))
+    q = spark.createDataFrame(
+        [(qid, i) for i, (qid, _) in enumerate(QUERIES)], "query_id string, qidx int"
+    )
+    pos = F.col("doc_id") % 83 == (7 * F.col("qidx") + 3) % 83
+    neg = F.col("doc_id") % 83 == (7 * F.col("qidx") + 4) % 83
+    return (
+        q.crossJoin(docs)
+        .where(pos | neg)
+        .select(
+            "query_id",
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.when(pos, (F.col("doc_id") % 3 + 1)).otherwise(F.lit(0))
+            .cast("int").alias("rel"),
+        )
+    )
+
+
+def q_bpref(spark, sf_dir):
+    """trec_eval bpref over the BM25 top-10 run with graded qrels that
+    include explicit rel=0 judgments (unjudged docs invisible)."""
+    from openmatch_spark.operators.metrics import bpref
+
+    run = _bm25_run(spark, sf_dir, k=10, rounded=False)
+    m = bpref(run, _qrels_graded(spark, sf_dir), k=10)
+    return m.select(F.round("bpref", 6).alias("bpref"), "n_queries")
+
+
+def q_rprec(spark, sf_dir):
+    """trec_eval Rprec (precision at rank R = the query's judged-
+    relevant count) over the BM25 top-10 run."""
+    from openmatch_spark.operators.metrics import r_precision
+
+    run = _bm25_run(spark, sf_dir, k=10, rounded=False)
+    m = r_precision(run, _qrels(spark, sf_dir))
+    return m.select(F.round("rprec", 6).alias("rprec"), "n_queries")
+
+
+def q_judged10(spark, sf_dir):
+    """judged@10 pool-coverage diagnostic: mean fraction of the top-10
+    carrying ANY judgment (rel 0 rows count as judged)."""
+    from openmatch_spark.operators.metrics import judged_at_k
+
+    run = _bm25_run(spark, sf_dir, k=10, rounded=False)
+    m = judged_at_k(run, _qrels_graded(spark, sf_dir), k=10)
+    return m.select(F.round("judged", 6).alias("judged"), "n_queries")
+
+
 def q_mrr10(spark, sf_dir):
     from openmatch_spark.operators.metrics import mrr_at_k
 
@@ -4017,6 +4069,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": q_hard_negatives,
         "ground_truth_inject": q_ground_truth_inject,
         "mrr10": q_mrr10,
+        "bpref": q_bpref,
+        "rprec": q_rprec,
+        "judged10": q_judged10,
         "recall10": q_recall10,
         "ndcg10": q_ndcg10,
         "err10": q_err10,
@@ -4649,6 +4704,88 @@ merged AS (
 SELECT query_id, doc_id, ROUND(score, 6) AS score,
        CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
 FROM merged
+"""
+
+    sql["bpref"] = f"""
+WITH {_RUN10},
+qrels2 AS (
+  SELECT qi.query_id, CAST(d.doc_id AS VARCHAR) AS doc_id,
+         CAST(CASE WHEN d.doc_id % 83 = (7 * qi.qidx + 3) % 83
+                   THEN d.doc_id % 3 + 1 ELSE 0 END AS INTEGER) AS rel
+  FROM qi, documents d
+  WHERE d.doc_id % 83 = (7 * qi.qidx + 3) % 83
+     OR d.doc_id % 83 = (7 * qi.qidx + 4) % 83
+),
+totals AS (
+  SELECT query_id,
+         SUM(CASE WHEN rel >= 1 THEN 1 ELSE 0 END) AS R,
+         SUM(CASE WHEN rel = 0 THEN 1 ELSE 0 END) AS N
+  FROM qrels2 GROUP BY query_id
+),
+judged AS (
+  SELECT r.query_id, r.rank, x.rel
+  FROM run10 r JOIN qrels2 x ON x.query_id = r.query_id AND x.doc_id = r.doc_id
+),
+bp_scored AS (
+  SELECT query_id, rank, rel,
+         COALESCE(SUM(CASE WHEN rel = 0 THEN 1 ELSE 0 END) OVER (
+           PARTITION BY query_id ORDER BY rank
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nr
+  FROM judged
+),
+contrib AS (
+  SELECT s.query_id,
+         SUM(CASE WHEN LEAST(t.N, t.R) > 0
+                  THEN 1.0 - LEAST(s.nr, t.R) / CAST(LEAST(t.N, t.R) AS DOUBLE)
+                  ELSE 1.0 END) AS sc
+  FROM bp_scored s JOIN totals t ON t.query_id = s.query_id
+  WHERE s.rel >= 1 GROUP BY s.query_id
+),
+perq AS (
+  SELECT t.query_id, ROUND(COALESCE(c.sc, 0.0) / t.R, 6) AS bpref
+  FROM totals t LEFT JOIN contrib c ON c.query_id = t.query_id
+  WHERE t.R > 0
+)
+SELECT ROUND(AVG(bpref), 6) AS bpref, COUNT(*) AS n_queries FROM perq
+"""
+
+    sql["rprec"] = f"""
+WITH {_RUN10},
+totals AS (SELECT query_id, COUNT(*) AS R FROM qrels GROUP BY query_id),
+hits AS (
+  SELECT r.query_id, COUNT(*) AS h
+  FROM run10 r
+  JOIN totals t ON t.query_id = r.query_id
+  JOIN qrels x ON x.query_id = r.query_id AND x.doc_id = r.doc_id
+  WHERE r.rank <= t.R
+  GROUP BY r.query_id
+),
+perq AS (
+  SELECT t.query_id, COALESCE(h.h, 0) / CAST(t.R AS DOUBLE) AS rprec_q
+  FROM totals t LEFT JOIN hits h ON h.query_id = t.query_id
+)
+SELECT ROUND(AVG(rprec_q), 6) AS rprec, COUNT(*) AS n_queries FROM perq
+"""
+
+    sql["judged10"] = f"""
+WITH {_RUN10},
+qrels2 AS (
+  SELECT qi.query_id, CAST(d.doc_id AS VARCHAR) AS doc_id
+  FROM qi, documents d
+  WHERE d.doc_id % 83 = (7 * qi.qidx + 3) % 83
+     OR d.doc_id % 83 = (7 * qi.qidx + 4) % 83
+),
+found AS (
+  SELECT r.query_id, COUNT(*) AS n
+  FROM run10 r JOIN qrels2 x ON x.query_id = r.query_id AND x.doc_id = r.doc_id
+  GROUP BY r.query_id
+),
+perq AS (
+  SELECT q.query_id, COALESCE(f.n, 0) / 10.0 AS j_q
+  FROM (SELECT DISTINCT query_id FROM qrels2) q
+  LEFT JOIN found f ON f.query_id = q.query_id
+)
+SELECT ROUND(AVG(j_q), 6) AS judged, COUNT(*) AS n_queries FROM perq
 """
 
     sql["mrr10"] = f"""

@@ -365,3 +365,150 @@ def map_at_k_per_query(
             F.coalesce(F.col("_s"), F.lit(0.0)) / F.col("_r"), 6
         ).alias("ap"),
     )
+
+
+def bpref(run: DataFrame, qrels: DataFrame, k: int | None = None) -> DataFrame:
+    """One row (bpref double, n_queries long) — macro-average of
+    bpref_per_query over queries with at least one judged-relevant doc
+    (trec_eval skips R=0 queries)."""
+    return bpref_per_query(run, qrels, k=k).agg(
+        F.avg("bpref").alias("bpref"), F.count(F.lit(1)).alias("n_queries")
+    )
+
+
+def bpref_per_query(
+    run: DataFrame, qrels: DataFrame, k: int | None = None
+) -> DataFrame:
+    """(query_id, bpref) — binary preference (Buckley & Voorhees 2004,
+    trec_eval m_bpref convention). qrels must carry rel with EXPLICIT
+    nonrelevant judgments (rel=0); unjudged retrieved docs are invisible
+    to the measure (that is bpref's whole point — robustness to
+    incomplete judgments):
+
+        bpref = (1/R) * sum_{r rel retrieved} (1 - min(nr_above, R) / min(N, R))
+
+    R/N = judged relevant/nonrelevant counts, nr_above = judged-
+    NONRELEVANT docs retrieved ABOVE r. When min(N, R) = 0 each relevant
+    retrieved contributes 1 (trec_eval's guard). k bounds the scored run
+    depth (None = full run, trec_eval's default with its 1000-doc runs).
+
+    Plan: one broadcast-joinable run × qrels equi join, one cumulative
+    window per query, two bounded aggs — (queries × depth)-bounded
+    throughout."""
+    j = qrels.select(
+        F.col("query_id").cast("string").alias("query_id"),
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.col("rel").cast("int").alias("rel"),
+    )
+    totals = j.groupBy("query_id").agg(
+        F.sum((F.col("rel") >= 1).cast("int")).alias("R"),
+        F.sum((F.col("rel") == 0).cast("int")).alias("N"),
+    )
+    r = _ranked(run)
+    if k is not None:
+        if k <= 0:
+            raise ValueError(f"k must be positive, got {k}")
+        r = r.where(F.col("rank") <= k)
+    judged = r.select(
+        F.col("query_id").cast("string").alias("query_id"),
+        F.col("doc_id").cast("string").alias("doc_id"),
+        "rank",
+    ).join(j, ["query_id", "doc_id"])
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("query_id")
+        .orderBy("rank")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    scored = judged.withColumn(
+        "_nr_above",
+        F.coalesce(F.sum((F.col("rel") == 0).cast("int")).over(w), F.lit(0)),
+    )
+    contrib = (
+        scored.where(F.col("rel") >= 1)
+        .join(totals, "query_id")
+        .select(
+            "query_id",
+            F.when(
+                F.least(F.col("N"), F.col("R")) > 0,
+                1.0 - F.least(F.col("_nr_above"), F.col("R"))
+                / F.least(F.col("N"), F.col("R")),
+            ).otherwise(F.lit(1.0)).alias("_c"),
+        )
+        .groupBy("query_id")
+        .agg(F.sum("_c").alias("_s"))
+    )
+    return (
+        totals.where(F.col("R") > 0)
+        .join(contrib, "query_id", "left")
+        .select(
+            "query_id",
+            F.round(
+                F.coalesce(F.col("_s"), F.lit(0.0)) / F.col("R"), 6
+            ).alias("bpref"),
+        )
+    )
+
+
+def r_precision(run: DataFrame, qrels: DataFrame) -> DataFrame:
+    """One row (rprec double, n_queries long) — macro-averaged
+    R-precision: precision at rank R where R is the query's judged-
+    relevant count (trec_eval Rprec). Self-normalizing across queries
+    with different R; only rel>=1 judgments participate."""
+    j = qrels.select(
+        F.col("query_id").cast("string").alias("query_id"),
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.col("rel").cast("int").alias("rel"),
+    ).where(F.col("rel") >= 1)
+    totals = j.groupBy("query_id").agg(F.count(F.lit(1)).alias("R"))
+    r = _ranked(run).select(
+        F.col("query_id").cast("string").alias("query_id"),
+        F.col("doc_id").cast("string").alias("doc_id"),
+        "rank",
+    )
+    hits = (
+        r.join(totals, "query_id")
+        .where(F.col("rank") <= F.col("R"))
+        .join(j.select("query_id", "doc_id"), ["query_id", "doc_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("_h"))
+    )
+    per_q = totals.join(hits, "query_id", "left").select(
+        "query_id",
+        (F.coalesce(F.col("_h"), F.lit(0)) / F.col("R")).alias("rprec_q"),
+    )
+    return per_q.agg(
+        F.avg("rprec_q").alias("rprec"), F.count(F.lit(1)).alias("n_queries")
+    )
+
+
+def judged_at_k(run: DataFrame, qrels: DataFrame, k: int = 10) -> DataFrame:
+    """One row (judged double, n_queries long) — mean fraction of the
+    top-k that is judged at ALL (any rel, including explicit 0). The
+    standard pool-coverage diagnostic: a low judged@k means the metrics
+    above are being computed over holes. Universe = queries in qrels."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    j = qrels.select(
+        F.col("query_id").cast("string").alias("query_id"),
+        F.col("doc_id").cast("string").alias("doc_id"),
+    ).distinct()
+    r = _ranked(run).where(F.col("rank") <= k).select(
+        F.col("query_id").cast("string").alias("query_id"),
+        F.col("doc_id").cast("string").alias("doc_id"),
+    )
+    found = r.join(j, ["query_id", "doc_id"], "left_semi").groupBy(
+        "query_id"
+    ).agg(F.count(F.lit(1)).alias("_n"))
+    per_q = (
+        j.select("query_id").distinct()
+        .join(found, "query_id", "left")
+        .select(
+            "query_id",
+            (F.coalesce(F.col("_n"), F.lit(0)) / F.lit(float(k))).alias("j_q"),
+        )
+    )
+    return per_q.agg(
+        F.avg("j_q").alias("judged"), F.count(F.lit(1)).alias("n_queries")
+    )

@@ -127,6 +127,22 @@ SPAN_NEAR_QUERIES = [
 ]
 SPAN_NEAR_WITHIN = 8
 
+# query_string surface (query/querystring.py): fixed strings covering
+# must/should/not roles, a should-phrase + term mix, prefix and fuzzy
+# expansion clauses, an OOV-must (zero hits), a boost, an exclusion-only
+# string (zero hits), and a must-phrase + term mix
+QS_QUERIES = [
+    ("qs0", "+spark hash -window"),
+    ("qs1", '"part filter scan" merge'),
+    ("qs2", "sp* +join"),
+    ("qs3", "windoq~1 batch"),
+    ("qs4", "+nosuchterm spark"),
+    ("qs5", "spark^2 join"),
+    ("qs6", "-spark"),
+    ("qs7", '+"customer join window" spark'),
+]
+QS_MAX_EXP = 50
+
 EN_STOP = ["the", "and", "of", "to", "in", "is", "that", "for", "with", "a"]
 DE_STOP = ["der", "die", "und", "das", "ist", "nicht", "mit", "ein", "zu", "den"]
 FR_STOP = ["le", "la", "et", "les", "des", "est", "pas", "pour", "une", "que"]
@@ -808,6 +824,156 @@ srun AS (
 )
 SELECT query_id, doc_id, ROUND(score, 6) AS score, rank, min_window
 FROM srun WHERE rank <= 10
+"""
+
+# query_string oracle: the clause tables below are the HAND-COMPILED parse
+# of QS_QUERIES under the module grammar (the parser itself is unit-tested
+# in tests/test_querystring.py — the oracle checks the retrieval math, not
+# the parse). Expansion caps/orders, phrase adjacency, clause-distinct MUST
+# counting and the NOT-EXISTS exclusions replay the engine from first
+# principles. qs6 (-spark) has no scoring clause and must yield no rows;
+# qs4's OOV must term never matches, so its must count can never be met.
+_QUERY_STRING_SQL = f"""
+WITH {_TOKP},
+{_BM25_CORE},
+qs_term(query_id, cid, is_must, term, wgt) AS (VALUES
+  ('qs0', 0, 1, 'spark', 1.0), ('qs0', 1, 0, 'hash', 1.0),
+  ('qs1', 1, 0, 'merge', 1.0),
+  ('qs2', 1, 1, 'join', 1.0),
+  ('qs3', 1, 0, 'batch', 1.0),
+  ('qs4', 0, 1, 'nosuchterm', 1.0), ('qs4', 1, 0, 'spark', 1.0),
+  ('qs5', 0, 0, 'spark', 2.0), ('qs5', 1, 0, 'join', 1.0),
+  ('qs7', 1, 0, 'spark', 1.0)),
+qs_prefix(query_id, cid, is_must, pat, boost) AS (VALUES ('qs2', 0, 0, 'sp', 1.0)),
+qs_fuzzy(query_id, cid, is_must, qterm, edits, boost) AS (VALUES
+  ('qs3', 0, 0, 'windoq', 1, 1.0)),
+qs_phrase(query_id, cid, is_must, ptext, boost) AS (VALUES
+  ('qs1', 0, 0, 'part filter scan', 1.0),
+  ('qs7', 0, 1, 'customer join window', 1.0)),
+qs_not(query_id, nterm) AS (VALUES ('qs0', 'window'), ('qs6', 'spark')),
+qp_cand AS (
+  SELECT p.query_id, p.cid, p.is_must, d.term, p.boost AS wgt, d.df
+  FROM qs_prefix p JOIN dfreq d ON d.term LIKE p.pat || '%'
+),
+qp_cap AS (
+  SELECT query_id, cid, is_must, term, wgt FROM (
+    SELECT query_id, cid, is_must, term, wgt,
+           ROW_NUMBER() OVER (PARTITION BY query_id, cid
+                              ORDER BY df DESC, term ASC) AS r
+    FROM qp_cand
+  ) WHERE r <= {QS_MAX_EXP}
+),
+qf_cand AS (
+  SELECT f.query_id, f.cid, f.is_must, d.term,
+         f.boost / (1 + levenshtein(d.term, f.qterm)) AS wgt,
+         levenshtein(d.term, f.qterm) AS ed, d.df
+  FROM qs_fuzzy f JOIN dfreq d
+    ON substr(d.term, 1, 1) = substr(f.qterm, 1, 1)
+   AND abs(len(d.term) - len(f.qterm)) <= f.edits
+   AND levenshtein(d.term, f.qterm) <= f.edits
+),
+qf_cap AS (
+  SELECT query_id, cid, is_must, term, wgt FROM (
+    SELECT query_id, cid, is_must, term, wgt,
+           ROW_NUMBER() OVER (PARTITION BY query_id, cid
+                              ORDER BY ed ASC, df DESC, term ASC) AS r
+    FROM qf_cand
+  ) WHERE r <= {QS_MAX_EXP}
+),
+qs_sc AS (
+  SELECT query_id, cid, is_must, term, CAST(wgt AS DOUBLE) AS wgt FROM qs_term
+  UNION ALL SELECT query_id, cid, is_must, term, wgt FROM qp_cap
+  UNION ALL SELECT query_id, cid, is_must, term, wgt FROM qf_cap
+),
+qs_tbase AS (
+  SELECT s.query_id, tf.doc_id,
+         SUM(s.wgt
+             * ln(1 + (g.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+             * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.doclen / g.avgdl))) AS t_score,
+         COUNT(DISTINCT CASE WHEN s.is_must = 1 THEN s.cid END) AS t_must
+  FROM tf
+  JOIN qs_sc s ON s.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN dfreq ON dfreq.term = tf.term
+  CROSS JOIN g
+  GROUP BY s.query_id, tf.doc_id
+),
+qs_ph_toks AS (
+  SELECT query_id, cid, is_must, boost,
+         list_filter(regexp_split_to_array(lower(ptext), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM qs_phrase
+),
+qs_pterm AS (
+  SELECT query_id, cid, CAST(u.i - 1 AS BIGINT) AS off, toks[u.i] AS term
+  FROM qs_ph_toks, UNNEST(generate_series(1, len(toks))) AS u(i)
+),
+qs_plen AS (SELECT query_id, cid, COUNT(*) AS plen FROM qs_pterm GROUP BY query_id, cid),
+qs_occm AS (
+  SELECT p.query_id, p.cid, k.doc_id, k.pos - p.off AS adj, COUNT(DISTINCT p.off) AS m
+  FROM qs_pterm p JOIN tokp k ON k.term = p.term
+  GROUP BY p.query_id, p.cid, k.doc_id, k.pos - p.off
+),
+qs_pmatch AS (
+  SELECT DISTINCT o.query_id, o.cid, o.doc_id
+  FROM qs_occm o JOIN qs_plen l ON l.query_id = o.query_id AND l.cid = o.cid AND o.m = l.plen
+),
+qs_pqt AS (
+  SELECT query_id, cid, term, CAST(COUNT(*) AS DOUBLE) AS qtf
+  FROM qs_pterm GROUP BY query_id, cid, term
+),
+qs_pscored AS (
+  SELECT q.query_id, q.cid, tf.doc_id,
+         SUM(q.qtf
+             * ln(1 + (g.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+             * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.doclen / g.avgdl))) AS score
+  FROM tf
+  JOIN qs_pqt q ON q.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN dfreq ON dfreq.term = tf.term
+  CROSS JOIN g
+  GROUP BY q.query_id, q.cid, tf.doc_id
+),
+qs_pm AS (
+  SELECT m.query_id, m.doc_id,
+         SUM(s.score * t.boost) AS p_score,
+         COUNT(DISTINCT CASE WHEN t.is_must = 1 THEN m.cid END) AS p_must
+  FROM qs_pmatch m
+  JOIN qs_pscored s ON s.query_id = m.query_id AND s.cid = m.cid AND s.doc_id = m.doc_id
+  JOIN qs_ph_toks t ON t.query_id = m.query_id AND t.cid = m.cid
+  GROUP BY m.query_id, m.doc_id
+),
+qs_comb AS (
+  SELECT COALESCE(b.query_id, p.query_id) AS query_id,
+         COALESCE(b.doc_id, p.doc_id) AS doc_id,
+         COALESCE(b.t_score, 0) + COALESCE(p.p_score, 0) AS score,
+         COALESCE(b.t_must, 0) + COALESCE(p.p_must, 0) AS must_m
+  FROM qs_tbase b FULL JOIN qs_pm p
+    ON p.query_id = b.query_id AND p.doc_id = b.doc_id
+),
+qs_nmust AS (
+  SELECT query_id, COUNT(DISTINCT cid) AS n FROM (
+    SELECT query_id, cid FROM qs_term WHERE is_must = 1
+    UNION ALL SELECT query_id, cid FROM qs_prefix WHERE is_must = 1
+    UNION ALL SELECT query_id, cid FROM qs_fuzzy WHERE is_must = 1
+    UNION ALL SELECT query_id, cid FROM qs_phrase WHERE is_must = 1
+  ) GROUP BY query_id
+),
+qs_filt AS (
+  SELECT c.query_id, c.doc_id, c.score
+  FROM qs_comb c LEFT JOIN qs_nmust n ON n.query_id = c.query_id
+  WHERE c.must_m = COALESCE(n.n, 0)
+    AND NOT EXISTS (
+      SELECT 1 FROM qs_not x JOIN tok k ON k.term = x.nterm
+      WHERE x.query_id = c.query_id AND k.doc_id = c.doc_id
+    )
+),
+qs_run AS (
+  SELECT query_id, doc_id, score,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
+  FROM qs_filt
+)
+SELECT query_id, doc_id, ROUND(score, 6) AS score, rank
+FROM qs_run WHERE rank <= 10
 """
 
 _SNIPPET_W = 12
@@ -2536,6 +2702,26 @@ def q_proximity_search(spark, sf_dir):
     )
 
 
+def q_query_string(spark, sf_dir):
+    """Lucene-classic query_string front door (query/querystring.py): one
+    string per query parsed into must/should/must_not term, phrase, prefix
+    and fuzzy clauses and executed as one boolean plan. The oracle
+    hand-compiles the SAME clause tables (the parse is unit-tested
+    separately) and replays clause expansion, phrase adjacency, clause-
+    distinct MUST counting, and the anti-joined exclusions in SQL."""
+    from openmatch_spark.query import search_query_string
+
+    idx = _entry_index_with_positions(spark, sf_dir)
+    qdf = spark.createDataFrame(QS_QUERIES, "query_id string, text string")
+    run = search_query_string(idx, qdf, k=10, max_expansions=QS_MAX_EXP)
+    return run.select(
+        "query_id",
+        F.regexp_replace("doc_id", "^doc://", "").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+        "rank",
+    )
+
+
 def q_highlight(spark, sf_dir):
     """ES highlighter: up to 2 non-overlapping width-12 query-biased
     fragments per BM25 top-10 hit, query terms wrapped in <em> tags,
@@ -4024,6 +4210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "significant_terms": q_significant_terms,
         "phrase_search": q_phrase_search,
         "proximity_search": q_proximity_search,
+        "query_string": q_query_string,
         "span_near": q_span_near,
         "highlight": q_highlight,
         "snippets": q_snippets,
@@ -4239,6 +4426,7 @@ SELECT query_id, doc_id, ROUND(score, 6) AS score, rank FROM prun WHERE rank <= 
     sql["phrase_search"] = _PHRASE_SQL
     sql["proximity_search"] = _PROXIMITY_SQL
     sql["span_near"] = _SPAN_SQL
+    sql["query_string"] = _QUERY_STRING_SQL
     sql["snippets"] = _SNIPPET_SQL
     sql["highlight"] = _HIGHLIGHT_SQL
     sql["bm25f"] = _BM25F_SQL

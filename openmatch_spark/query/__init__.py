@@ -45,6 +45,10 @@ from openmatch_spark.query.decay import (  # noqa: F401
     field_value_factor_rescore,
 )
 from openmatch_spark.query.percolate import percolate  # noqa: F401
+from openmatch_spark.query.querystring import (  # noqa: F401
+    parse_query_string,
+    search_query_string,
+)
 from openmatch_spark.query.rm3 import rm3_rescore_adhoc  # noqa: F401
 from openmatch_spark.query.significant import (  # noqa: F401
     significant_terms,

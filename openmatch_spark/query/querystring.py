@@ -1,0 +1,512 @@
+"""Lucene-classic-style query_string search — one string per query, parsed
+into boolean clauses and executed against the packed index.
+
+The reference exposes its first stage through Pyserini/Anserini query
+strings (Lucene classic QueryParser); this module gives the engine the
+same one-string front door by compiling the string onto the already-
+verified clause machinery (boolean roles, phrase/positional match,
+prefix/wildcard/fuzzy expansion).
+
+Grammar — the documented, deterministic subset:
+
+  segment  := [+|-] body [^BOOST]
+  body     := "tok tok ..."[~SLOP]      sloppy/exact phrase clause
+            | tok*                      prefix clause (trailing * only)
+            | tok with * or ?           wildcard clause
+            | tok~[EDITS]               fuzzy clause (default 2 edits)
+            | tok                       term clause
+  role     : '+' = MUST, '-' = MUST_NOT, bare = default_operator
+             ("or" -> SHOULD, "and" -> MUST)
+  BOOST    : positive float, multiplies every weight the clause emits
+  SLOP     : ES match_phrase-style — matched iff some token window of
+             width <= n_tokens + slop contains every DISTINCT phrase term
+             (duplicate tokens collapse under slop > 0; slop = 0 is the
+             exact consecutive-in-order phrase with duplicates honored)
+  EDITS    : Levenshtein budget, Lucene FuzzyQuery's first-char prefix gate
+
+Not supported (documented deviations from Lucene classic): parentheses /
+nested boolean groups, field prefixes (`title:x` — single-field index),
+AND/OR/NOT keywords, inline range syntax. A segment whose text analyzes
+to several tokens becomes one clause PER TOKEN with the segment's role
+and boost (the ES match-query decomposition).
+
+Semantics (Lucene BooleanClause composition, shared with search_boolean):
+  * every MUST clause must match; an unsatisfiable MUST clause (OOV term,
+    zero expansions, phrase with an OOV token) kills the whole query;
+  * SHOULD clauses contribute score; min_should_match requires that many
+    DISTINCT should clauses matched per hit;
+  * MUST_NOT excludes, never scores; a query whose only clauses are
+    MUST_NOT returns nothing (nothing can rank it);
+  * score = Σ over matched scoring clauses of boost x BM25 contribution:
+    term clauses weight 1, fuzzy variants 1/(1+edits), prefix/wildcard
+    variants 1, phrase clauses the BM25 sum of their constituent terms
+    with in-phrase qtf (search_phrase's documented scoring);
+  * expansion caps and orderings are exactly query/expand.py's
+    (edits ASC, df DESC, term ASC — deterministic, oracle-replicable).
+
+Plan shape: parsing is driver-side (queries are strings in the dialog
+path; the expansion surfaces collect queries at the driver identically),
+execution is one declarative plan: postings pruned to the referenced
+term buckets, one decode + one broadcast clause join + one (query, doc)
+aggregate for the term side; the positional sidecar only for phrase
+clauses; must_not postings anti-joined AFTER candidate aggregation so an
+exclusion term costs one bounded shuffle of its own postings.
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+from dataclasses import dataclass, field
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from openmatch_spark.index.compact import _decode_blocks_arrow
+from openmatch_spark.index.load import BM25Index
+from openmatch_spark.query.expand import _expansions, wildcard_to_like
+from openmatch_spark.query.phrase import (
+    _COVER_OUT,
+    _DECODED_POSTINGS,
+    _bm25_scores,
+    _finalize,
+    _min_cover_group,
+    _pruned_positions,
+)
+
+_RUN_SCHEMA = "query_id string, doc_id string, score double, rank int"
+_SEP = "\x1f"  # composite-key glue for per-clause phrase machinery
+
+
+@dataclass(frozen=True)
+class Clause:
+    role: str  # 'must' | 'should' | 'must_not'
+    kind: str  # 'term' | 'phrase' | 'prefix' | 'wildcard' | 'fuzzy'
+    text: str  # analyzed token, pattern (sans operators), or phrase body
+    boost: float = 1.0
+    slop: int = 0  # phrase only
+    edits: int = 2  # fuzzy only
+    tokens: tuple = field(default_factory=tuple)  # phrase only (analyzed)
+
+
+_BOOST_RE = re.compile(r"\^(\d+(?:\.\d+)?)$")
+_PHRASE_RE = re.compile(r'^"([^"]*)"(?:~(\d+))?$')
+_FUZZY_RE = re.compile(r"^(.+?)~(\d*)$")
+# segments: an optionally +/- prefixed quoted phrase with optional ~N / ^B
+# suffixes, or a bare token
+_SEGMENT_RE = re.compile(r'[-+]?"[^"]*"(?:~\d+)?(?:\^\d+(?:\.\d+)?)?|\S+')
+
+
+def parse_query_string(s: str, default_operator: str = "or") -> list[Clause]:
+    """Parse one query string into raw clauses (module grammar). Pure and
+    deterministic; analysis/tokenization happens later against the index's
+    analyzer, so the same parse serves any index."""
+    if default_operator not in ("or", "and"):
+        raise ValueError(
+            f"default_operator must be 'or' or 'and', got {default_operator!r}"
+        )
+    bare_role = "should" if default_operator == "or" else "must"
+    out: list[Clause] = []
+    for seg in _SEGMENT_RE.findall(s or ""):
+        role = bare_role
+        if seg.startswith("+"):
+            role, seg = "must", seg[1:]
+        elif seg.startswith("-"):
+            role, seg = "must_not", seg[1:]
+        if not seg:
+            continue
+        boost = 1.0
+        m = _BOOST_RE.search(seg)
+        if m:
+            boost = float(m.group(1))
+            seg = seg[: m.start()]
+            if boost <= 0:
+                raise ValueError(f"boost must be positive, got {boost}")
+        m = _PHRASE_RE.match(seg)
+        if m:
+            body, slop = m.group(1), int(m.group(2) or 0)
+            if body.strip():
+                out.append(Clause(role, "phrase", body, boost, slop=slop))
+            continue
+        seg = seg.strip('"')  # tolerate an unbalanced stray quote
+        if not seg:
+            continue
+        m = _FUZZY_RE.match(seg)
+        if m and "*" not in seg and "?" not in seg:
+            out.append(
+                Clause(role, "fuzzy", m.group(1), boost,
+                       edits=int(m.group(2) or 2))
+            )
+            continue
+        if "*" in seg or "?" in seg:
+            if seg.endswith("*") and not re.search(r"[*?]", seg[:-1]):
+                if seg[:-1]:
+                    out.append(Clause(role, "prefix", seg[:-1], boost))
+            else:
+                out.append(Clause(role, "wildcard", seg, boost))
+            continue
+        out.append(Clause(role, "term", seg, boost))
+    return out
+
+
+def _analyzed(clauses: list[Clause], analyzer: str) -> list[Clause]:
+    """Normalize parsed clauses against the index analyzer: term texts
+    re-tokenize (multi-token segments split into one clause per token),
+    phrase bodies tokenize in order, pattern bodies keep only the
+    analyzer-legal chars plus wildcards. Empty results drop."""
+    from openmatch_spark.analysis import tokenize_py
+
+    out: list[Clause] = []
+    for c in clauses:
+        if c.kind == "phrase":
+            toks = tuple(tokenize_py(c.text, analyzer))
+            if toks:
+                out.append(Clause(c.role, "phrase", c.text, c.boost,
+                                  slop=c.slop, tokens=toks))
+        elif c.kind in ("prefix", "fuzzy"):
+            for tok in tokenize_py(c.text, analyzer):
+                out.append(Clause(c.role, c.kind, tok, c.boost, edits=c.edits))
+        elif c.kind == "wildcard":
+            pat = re.sub(r"[^a-z0-9*?]+", "", c.text.lower())
+            if pat.replace("*", "").replace("?", ""):
+                out.append(Clause(c.role, "wildcard", pat, c.boost))
+        else:
+            for tok in tokenize_py(c.text, analyzer):
+                out.append(Clause(c.role, "term", tok, c.boost))
+    return out
+
+
+def search_query_string(
+    index: BM25Index,
+    queries: DataFrame,
+    k: int = 100,
+    default_operator: str = "or",
+    min_should_match: int = 0,
+    max_expansions: int = 50,
+    fuzzy_prefix_len: int = 1,
+) -> DataFrame:
+    """Top-k run (query_id, doc_id, score, rank) for query strings.
+
+    queries: (query_id, text) with text in the module grammar. Clause
+    semantics, caps, and weights per the module docstring; phrase clauses
+    need the positional sidecar (index/positions.py)."""
+    spark = index.spark
+    analyzer = index.stats["analyzer"]
+    empty = spark.createDataFrame([], _RUN_SCHEMA)
+    rows = queries.select(
+        F.col("query_id").cast("string").alias("query_id"), "text"
+    ).collect()
+    per_q = {
+        str(r["query_id"]): _analyzed(
+            parse_query_string(r["text"] or "", default_operator), analyzer
+        )
+        for r in rows
+    }
+    per_q = {q: cs for q, cs in per_q.items() if cs}
+    if not per_q:
+        return empty
+
+    # ---- expansion tables (shared caps/order with query/expand.py) ----
+    prefix_toks = sorted(
+        {c.text for cs in per_q.values() for c in cs if c.kind == "prefix"}
+    )
+    wild_pats = sorted(
+        {c.text for cs in per_q.values() for c in cs if c.kind == "wildcard"}
+    )
+    fuzzy_by_edits: dict[int, set] = {}
+    for cs in per_q.values():
+        for c in cs:
+            if c.kind == "fuzzy":
+                fuzzy_by_edits.setdefault(c.edits, set()).add(c.text)
+    pre_exp = (
+        _expansions(index, prefix_toks, "prefix", 0, 0, max_expansions)
+        if prefix_toks else {}
+    )
+    wild_exp = (
+        _expansions(
+            index, sorted(wildcard_to_like(p) for p in wild_pats),
+            "wildcard", 0, 0, max_expansions,
+        )
+        if wild_pats else {}
+    )
+    fuz_exp: dict[tuple, list] = {}
+    for edits, toks in sorted(fuzzy_by_edits.items()):
+        got = _expansions(
+            index, sorted(toks), "fuzzy", edits, fuzzy_prefix_len, max_expansions
+        )
+        for tok, variants in got.items():
+            fuz_exp[(tok, edits)] = variants
+
+    exact_terms = sorted(
+        {c.text for cs in per_q.values() for c in cs if c.kind == "term"}
+        | {t for cs in per_q.values() for c in cs if c.kind == "phrase"
+           for t in c.tokens}
+    )
+    bucket_of = index.term_buckets(exact_terms)
+    for variants in list(pre_exp.values()) + list(wild_exp.values()) + list(
+        fuz_exp.values()
+    ):
+        for term, _, bucket in variants:
+            bucket_of[term] = bucket
+
+    # ---- compile clause tables ----
+    def _variants(c: Clause):
+        if c.kind == "term":
+            return [(c.text, 0)] if c.text in bucket_of else []
+        if c.kind == "prefix":
+            return [(t, 0) for (t, _, _) in pre_exp.get(c.text, [])]
+        if c.kind == "wildcard":
+            return [
+                (t, 0) for (t, _, _) in wild_exp.get(wildcard_to_like(c.text), [])
+            ]
+        return [(t, ed) for (t, ed, _) in fuz_exp.get((c.text, c.edits), [])]
+
+    sc_rows: list = []  # (qid, cid, is_must, term, wgt) — scoring clauses
+    not_terms: list = []  # (qid, term)
+    ph_rows: list = []  # (ck, qid, cid, role, boost, slop, tokens)
+    n_must: dict[str, int] = {}
+    dead: set = set()
+    for qid, cs in sorted(per_q.items()):
+        n_must[qid] = sum(1 for c in cs if c.role == "must")
+        for cid, c in enumerate(cs):
+            if c.kind == "phrase":
+                live = all(t in bucket_of for t in c.tokens)
+                if not live:
+                    if c.role == "must":
+                        dead.add(qid)
+                    continue
+                if c.role in ("must", "should"):
+                    ph_rows.append(
+                        (f"{qid}{_SEP}{cid}", qid, cid, c.role, c.boost,
+                         c.slop, c.tokens)
+                    )
+                else:
+                    ph_rows.append(
+                        (f"{qid}{_SEP}{cid}", qid, cid, "must_not", c.boost,
+                         c.slop, c.tokens)
+                    )
+                continue
+            vs = _variants(c)
+            if not vs:
+                if c.role == "must":
+                    dead.add(qid)
+                continue
+            if c.role == "must_not":
+                not_terms.extend((qid, t) for (t, _) in vs)
+            else:
+                sc_rows.extend(
+                    (qid, cid, int(c.role == "must"), t, c.boost / (1.0 + ed))
+                    for (t, ed) in vs
+                )
+
+    sc_rows = [r for r in sc_rows if r[0] not in dead]
+    ph_rows = [r for r in ph_rows if r[1] not in dead]
+    not_terms = sorted({(q, t) for (q, t) in not_terms if q not in dead})
+    if not sc_rows and not any(r[3] != "must_not" for r in ph_rows):
+        return empty
+
+    # ---- term-clause candidates: one decode + one (query, doc) agg ----
+    if sc_rows:
+        terms = sorted({t for (_, _, _, t, _) in sc_rows})
+        buckets = sorted({bucket_of[t] for t in terms})
+        decoded = index.postings.where(
+            F.col("term_bucket").isin(buckets) & F.col("term").isin(terms)
+        ).mapInArrow(_decode_blocks_arrow, _DECODED_POSTINGS)
+        scdf = F.broadcast(
+            spark.createDataFrame(
+                sorted(sc_rows),
+                "query_id string, cid int, is_must int, term string, wgt double",
+            )
+        )
+        base = (
+            decoded.join(scdf, "term")
+            .groupBy("query_id", "shard", "doc_ord")
+            .agg(
+                F.sum(F.col("weight") * F.col("wgt")).alias("t_score"),
+                F.count_distinct(
+                    F.when(F.col("is_must") == 1, F.col("cid"))
+                ).alias("t_must"),
+                F.count_distinct(
+                    F.when(F.col("is_must") == 0, F.col("cid"))
+                ).alias("t_should"),
+            )
+        )
+    else:
+        base = spark.createDataFrame(
+            [],
+            "query_id string, shard int, doc_ord long, t_score double,"
+            " t_must long, t_should long",
+        )
+
+    # ---- phrase clauses: match sets + constituent scoring per clause ----
+    pm_agg = None
+    not_phrase = None
+    if ph_rows:
+        matches = _phrase_matches(index, ph_rows, bucket_of)  # ck keyed
+        meta = F.broadcast(
+            spark.createDataFrame(
+                [(ck, qid, cid, role, boost)
+                 for (ck, qid, cid, role, boost, _, _) in ph_rows],
+                "ck string, qid string, cid int, role string, boost double",
+            )
+        )
+        scored = matches.join(meta, "ck")
+        not_phrase = (
+            scored.where(F.col("role") == "must_not")
+            .select(F.col("qid").alias("query_id"), "shard", "doc_ord")
+            .distinct()
+        )
+        pm_agg = (
+            scored.where(F.col("role") != "must_not")
+            .groupBy(F.col("qid").alias("query_id"), "shard", "doc_ord")
+            .agg(
+                F.sum(F.col("pscore") * F.col("boost")).alias("p_score"),
+                F.count_distinct(
+                    F.when(F.col("role") == "must", F.col("cid"))
+                ).alias("p_must"),
+                F.count_distinct(
+                    F.when(F.col("role") == "should", F.col("cid"))
+                ).alias("p_should"),
+            )
+        )
+
+    if pm_agg is not None:
+        cand = base.join(
+            pm_agg, ["query_id", "shard", "doc_ord"], "full_outer"
+        ).select(
+            "query_id", "shard", "doc_ord",
+            (F.coalesce("t_score", F.lit(0.0))
+             + F.coalesce("p_score", F.lit(0.0))).alias("score"),
+            (F.coalesce("t_must", F.lit(0))
+             + F.coalesce("p_must", F.lit(0))).alias("must_m"),
+            (F.coalesce("t_should", F.lit(0))
+             + F.coalesce("p_should", F.lit(0))).alias("should_m"),
+        )
+    else:
+        cand = base.select(
+            "query_id", "shard", "doc_ord",
+            F.col("t_score").alias("score"),
+            F.col("t_must").alias("must_m"),
+            F.col("t_should").alias("should_m"),
+        )
+
+    # MUST composition: every must clause matched (an unsatisfiable must
+    # never matches, so dead queries also fall out of the equality here —
+    # the explicit `dead` prune above is just the cheaper early exit)
+    req = F.broadcast(
+        spark.createDataFrame(
+            [(q, n) for q, n in sorted(n_must.items()) if q not in dead],
+            "query_id string, n_must int",
+        )
+    )
+    cand = cand.join(req, "query_id").where(F.col("must_m") == F.col("n_must"))
+    if min_should_match > 0:
+        cand = cand.where(F.col("should_m") >= min_should_match)
+
+    # MUST_NOT: anti-join each exclusion's own postings — never the scorer
+    if not_terms:
+        nterms = sorted({t for (_, t) in not_terms})
+        nbuckets = sorted({bucket_of[t] for t in nterms})
+        ndec = index.postings.where(
+            F.col("term_bucket").isin(nbuckets) & F.col("term").isin(nterms)
+        ).mapInArrow(_decode_blocks_arrow, _DECODED_POSTINGS)
+        ntdf = F.broadcast(
+            spark.createDataFrame(not_terms, "query_id string, term string")
+        )
+        hits_not = ndec.join(ntdf, "term").select(
+            "query_id", "shard", "doc_ord"
+        ).distinct()
+        cand = cand.join(hits_not, ["query_id", "shard", "doc_ord"], "left_anti")
+    if not_phrase is not None:
+        cand = cand.join(not_phrase, ["query_id", "shard", "doc_ord"], "left_anti")
+
+    return _finalize(
+        index, cand.select("query_id", "shard", "doc_ord", "score"), k, []
+    )
+
+
+def _phrase_matches(index: BM25Index, ph_rows: list, bucket_of: dict):
+    """(ck, shard, doc_ord, pscore) for every phrase clause match. Exact
+    clauses (slop=0) use the offset-adjacency trick (all offsets agree on
+    one start); sloppy clauses use the min-cover sweep over DISTINCT terms
+    with window <= n_tokens + slop. pscore is the clause's constituent-term
+    BM25 sum with in-phrase qtf (boost applied by the caller)."""
+    spark = index.spark
+    all_terms = sorted({t for (_, _, _, _, _, _, toks) in ph_rows for t in toks})
+    occ = _pruned_positions(index, all_terms, bucket_of)
+
+    exact = [r for r in ph_rows if r[5] == 0]
+    sloppy = [r for r in ph_rows if r[5] > 0]
+    parts = []
+    if exact:
+        offsets = [
+            (ck, t, off)
+            for (ck, _, _, _, _, _, toks) in sorted(exact)
+            for off, t in enumerate(toks)
+        ]
+        plens = [(ck, len(toks)) for (ck, _, _, _, _, _, toks) in sorted(exact)]
+        off_df = F.broadcast(
+            spark.createDataFrame(offsets, "ck string, term string, off long")
+        )
+        plen_df = F.broadcast(
+            spark.createDataFrame(plens, "ck string, plen long")
+        )
+        parts.append(
+            occ.join(off_df, "term")
+            .groupBy(
+                "ck", "shard", "doc_ord",
+                (F.col("pos") - F.col("off")).alias("adj"),
+            )
+            .agg(F.count_distinct("off").alias("n_off"))
+            .join(plen_df, "ck")
+            .where(F.col("n_off") == F.col("plen"))
+            .select("ck", "shard", "doc_ord")
+            .distinct()
+        )
+    if sloppy:
+        pairs = [
+            (ck, t)
+            for (ck, _, _, _, _, _, toks) in sorted(sloppy)
+            for t in sorted(set(toks))
+        ]
+        nterms = [
+            (ck, len(set(toks))) for (ck, _, _, _, _, _, toks) in sorted(sloppy)
+        ]
+        windows = [
+            (ck, len(toks) + slop)
+            for (ck, _, _, _, _, slop, toks) in sorted(sloppy)
+        ]
+        pair_df = F.broadcast(
+            spark.createDataFrame(pairs, "query_id string, term string")
+        )
+        nt_df = F.broadcast(
+            spark.createDataFrame(nterms, "query_id string, n_terms int")
+        )
+        win_df = F.broadcast(
+            spark.createDataFrame(windows, "query_id string, win int")
+        )
+        covered = (
+            occ.join(pair_df, "term")
+            .join(nt_df, "query_id")
+            .groupBy("query_id", "shard", "doc_ord")
+            .applyInPandas(_min_cover_group, _COVER_OUT)
+            .join(win_df, "query_id")
+            .where(F.col("min_cover") <= F.col("win"))
+            .select(F.col("query_id").alias("ck"), "shard", "doc_ord")
+        )
+        parts.append(covered)
+    matched = parts[0]
+    for p in parts[1:]:
+        matched = matched.unionByName(p)
+
+    qterms = [
+        (ck, t, float(c))
+        for (ck, _, _, _, _, _, toks) in sorted(ph_rows)
+        for t, c in sorted(Counter(toks).items())
+    ]
+    scores = _bm25_scores(index, qterms, bucket_of).withColumnRenamed(
+        "query_id", "ck"
+    )
+    return matched.join(scores, ["ck", "shard", "doc_ord"]).select(
+        "ck", "shard", "doc_ord", F.col("score").alias("pscore")
+    )

@@ -151,6 +151,7 @@ def cmd_search(args) -> int:
         search_fuzzy,
         search_phrase,
         search_proximity,
+        search_query_string,
         search_span_near,
         search_wildcard,
     )
@@ -165,7 +166,15 @@ def cmd_search(args) -> int:
             .schema("query_id string, text string")
             .csv(args.queries)
         )
-    if args.phrase:
+    if args.query_string:
+        # Lucene-classic one-string surface (query/querystring.py grammar):
+        # +must / -not roles, "..."[~slop] phrases, tok* prefix, wildcards,
+        # tok~N fuzzy, ^B boosts; --default-operator sets the bare role
+        mode = f"query_string:{args.default_operator}"
+        run = search_query_string(
+            idx, queries, k=args.k, default_operator=args.default_operator
+        )
+    elif args.phrase:
         mode = "phrase"
         run = search_phrase(idx, queries, k=args.k).drop("phrase_freq")
     elif args.proximity is not None:
@@ -420,6 +429,11 @@ def main(argv=None) -> int:
                     help="fuzzy term match within 1 edit (same first char)")
     se.add_argument("--allowed-docs", default=None, metavar="PATH",
                     help="parquet/TSV doc_id list restricting the candidate set")
+    se.add_argument("--query-string", action="store_true",
+                    help="parse each text as a Lucene-classic query string "
+                         "(+must/-not, phrases, prefixes, wildcards, fuzzy, boosts)")
+    se.add_argument("--default-operator", choices=["or", "and"], default="or",
+                    help="role of bare query_string terms (or=should, and=must)")
     se.add_argument("--run-id", default="openmatch_spark")
     se.add_argument("--table-prefix", default=None)
     se.set_defaults(fn=cmd_search)

@@ -91,6 +91,18 @@ def test_spark_submit_pipeline(tmp_path):
     pparts = glob.glob(os.path.join(phrase_path, "part-*"))
     assert pparts  # phrase hits may be sparse; the sink must still commit
 
+    # 2a'. Lucene-classic query_string from a fresh process (mixed clause
+    # kinds: must term, phrase, exclusion, prefix)
+    qs_tsv = str(tmp_path / "qs.tsv")
+    with open(qs_tsv, "w") as f:
+        f.write('qsA\t+spark "hash join" -window\nqsB\tsp* merge\n')
+    qs_path = str(tmp_path / "run_qs.trec")
+    _submit(zip_path, "search", "--index", idx, "--queries", qs_tsv,
+            "--out", qs_path, "--k", "10", "--query-string")
+    qs_parts = glob.glob(os.path.join(qs_path, "part-*"))
+    qs_lines = open(qs_parts[0]).read().strip().splitlines()
+    assert qs_lines and all(ln.split()[1] == "Q0" for ln in qs_lines)
+
     # 2b. compact the two shards into one from a fresh process; the re-run
     # search must produce byte-identical TREC output
     res = _submit(zip_path, "compact", "--index", idx)

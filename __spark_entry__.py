@@ -4166,6 +4166,132 @@ def q_mixture_report(spark, sf_dir):
     return mixture_report(d, _MIX_WEIGHTS, default_weight=_MIX_DEFAULT)
 
 
+def _attr_docs(spark, sf_dir):
+    """Doc attribute frame shared by the metric-aggregation entries:
+    n_chars, lang, a derived token count (same regexp tokenization as the
+    oracle's tok CTE), and a deterministically-NULLed n_chars sample
+    (doc_id % 7 == 0 -> NULL) so the missing-value semantics are actually
+    exercised at sf0.01."""
+    d = _docs(spark, sf_dir)
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda t: t != F.lit("")
+    )
+    return d.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        "n_chars",
+        "lang",
+        F.size(toks).cast("double").alias("n_tokens"),
+        F.when(F.col("doc_id") % 7 != 0, F.col("n_chars"))
+        .cast("double")
+        .alias("nc_sampled"),
+    )
+
+
+def q_hit_extended_stats(spark, sf_dir):
+    """ES extended_stats over the BM25 top-10 hit set (n_chars): the stats
+    family plus sum_of_squares, population AND sampling variance/std, and
+    avg ± 2σ bounds; two-pass centered moments (cancellation-safe)."""
+    from openmatch_spark.query import hit_extended_stats
+
+    run = _bm25_run(spark, sf_dir, k=10, rounded=False).select(
+        "query_id", "doc_id"
+    )
+    out = hit_extended_stats(run, _attr_docs(spark, sf_dir), ["n_chars"])
+    keep = ["query_id", "facet", "n", "min", "max"]
+    return out.select(
+        *keep,
+        *[
+            F.round(c, 6).alias(c)
+            for c in [
+                "avg", "sum", "sum_of_squares", "variance",
+                "variance_sampling", "std_deviation",
+                "std_deviation_sampling", "std_upper", "std_lower",
+            ]
+        ],
+    )
+
+
+def q_hit_weighted_avg(spark, sf_dir):
+    """ES weighted_avg over the BM25 top-10 hit set: value = the NULLed
+    n_chars sample, weight = token count; ES skip semantics (a hit with a
+    NULL value contributes neither numerator nor denominator)."""
+    from openmatch_spark.query import hit_weighted_avg
+
+    run = _bm25_run(spark, sf_dir, k=10, rounded=False).select(
+        "query_id", "doc_id"
+    )
+    out = hit_weighted_avg(
+        run, _attr_docs(spark, sf_dir), "nc_sampled", "n_tokens"
+    )
+    return out.select(
+        "query_id", F.round("weighted_avg", 6).alias("weighted_avg")
+    )
+
+
+def q_hit_value_count(spark, sf_dir):
+    """ES value_count over the BM25 top-10 hit set: non-NULL values per
+    attribute (the NULLed sample column actually varies; lang is total)."""
+    from openmatch_spark.query import hit_value_count
+
+    run = _bm25_run(spark, sf_dir, k=10, rounded=False).select(
+        "query_id", "doc_id"
+    )
+    return hit_value_count(
+        run, _attr_docs(spark, sf_dir), ["nc_sampled", "lang"]
+    )
+
+
+def q_hit_missing(spark, sf_dir):
+    """ES missing aggregation over the BM25 top-10 hit set: hits whose
+    attribute is NULL (complement of value_count; includes hits absent
+    from the attribute table via the left hydrate)."""
+    from openmatch_spark.query import hit_missing
+
+    run = _bm25_run(spark, sf_dir, k=10, rounded=False).select(
+        "query_id", "doc_id"
+    )
+    return hit_missing(run, _attr_docs(spark, sf_dir), ["nc_sampled", "lang"])
+
+
+def q_hit_filters(spark, sf_dir):
+    """ES filters aggregation over the BM25 top-10 hit set: named
+    independent predicate buckets (long_doc, en), zero-count buckets
+    emitted for every query."""
+    from openmatch_spark.query import hit_filters
+
+    run = _bm25_run(spark, sf_dir, k=10, rounded=False).select(
+        "query_id", "doc_id"
+    )
+    return hit_filters(
+        run,
+        _attr_docs(spark, sf_dir),
+        {"long_doc": "n_chars >= 400", "en": "lang = 'en'"},
+    )
+
+
+def q_matrix_stats(spark, sf_dir):
+    """ES matrix_stats over the BM25 top-10 hit set (n_chars × token
+    count), long form per ordered field pair: population covariance,
+    Pearson correlation (NULL on constant fields, never NaN), population
+    skewness and excess kurtosis from two-pass centered moments."""
+    from openmatch_spark.query import matrix_stats
+
+    run = _bm25_run(spark, sf_dir, k=10, rounded=False).select(
+        "query_id", "doc_id"
+    )
+    out = matrix_stats(run, _attr_docs(spark, sf_dir), ["n_chars", "n_tokens"])
+    return out.select(
+        "query_id", "field_x", "field_y", "n",
+        *[
+            F.round(c, 6).alias(c)
+            for c in [
+                "mean_x", "covariance", "correlation",
+                "skewness_x", "kurtosis_x",
+            ]
+        ],
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -4236,6 +4362,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_distance": q_geo_distance,
         "geotile_grid": q_geotile_grid,
         "hit_cardinality": q_hit_cardinality,
+        "hit_extended_stats": q_hit_extended_stats,
+        "hit_weighted_avg": q_hit_weighted_avg,
+        "hit_value_count": q_hit_value_count,
+        "hit_missing": q_hit_missing,
+        "hit_filters": q_hit_filters,
+        "matrix_stats": q_matrix_stats,
         "facet_terms": q_facet_terms,
         "group_cap": q_group_cap,
         "mmr_rerank": q_mmr_rerank,
@@ -7186,6 +7318,159 @@ SELECT s.doc_id, s.n_tokens,
        ROUND(COALESCE(f.lw, 0.0), 6) AS log_weight,
        ROUND(CASE WHEN s.n_tokens > 0 THEN COALESCE(f.lw, 0.0) / s.n_tokens END, 6) AS avg_log_weight
 FROM sz s LEFT JOIN folded f ON f.doc_id = s.doc_id
+"""
+
+    # shared hydrate for the ES metric-aggregation family: BM25 top-10 run
+    # joined to doc attributes, with the SAME derived columns as _attr_docs
+    # (regexp token count; n_chars NULLed where doc_id % 7 = 0)
+    _HIT_ATTRS = """
+run10 AS (SELECT query_id, doc_id FROM run WHERE rank <= 10),
+hyd AS (
+  SELECT r.query_id,
+         CAST(d.n_chars AS DOUBLE) AS n_chars,
+         d.lang,
+         CAST(len(list_filter(regexp_split_to_array(lower(d.text), '[^a-z0-9]+'),
+                              t -> t <> '')) AS DOUBLE) AS n_tokens,
+         CASE WHEN d.doc_id % 7 <> 0 THEN CAST(d.n_chars AS DOUBLE) END AS nc_sampled
+  FROM run10 r JOIN documents d ON CAST(d.doc_id AS VARCHAR) = r.doc_id
+)"""
+
+    # ES extended_stats: two-pass centered variance (population + n-1),
+    # std bounds avg ± 2σ — formulas mirror hit_extended_stats exactly
+    sql["hit_extended_stats"] = f"""
+WITH {_BM25_CTES},
+{_HIT_ATTRS},
+mu AS (SELECT query_id, AVG(n_chars) AS m FROM hyd GROUP BY query_id),
+c AS (
+  SELECT h.query_id, h.n_chars AS v, h.n_chars - mu.m AS d
+  FROM hyd h JOIN mu ON mu.query_id = h.query_id
+)
+SELECT query_id, 'n_chars' AS facet,
+       CAST(COUNT(v) AS BIGINT) AS n,
+       MIN(v) AS min, MAX(v) AS max,
+       ROUND(AVG(v), 6) AS avg, ROUND(SUM(v), 6) AS sum,
+       ROUND(SUM(v * v), 6) AS sum_of_squares,
+       ROUND(AVG(d * d), 6) AS variance,
+       CASE WHEN COUNT(v) > 1
+            THEN ROUND(AVG(d * d) * COUNT(v) / (COUNT(v) - 1), 6) END
+         AS variance_sampling,
+       ROUND(SQRT(AVG(d * d)), 6) AS std_deviation,
+       CASE WHEN COUNT(v) > 1
+            THEN ROUND(SQRT(AVG(d * d) * COUNT(v) / (COUNT(v) - 1)), 6) END
+         AS std_deviation_sampling,
+       ROUND(AVG(v) + 2 * SQRT(AVG(d * d)), 6) AS std_upper,
+       ROUND(AVG(v) - 2 * SQRT(AVG(d * d)), 6) AS std_lower
+FROM c GROUP BY query_id
+"""
+
+    # ES weighted_avg, skip semantics: a NULL value drops the hit from
+    # both numerator and denominator
+    sql["hit_weighted_avg"] = f"""
+WITH {_BM25_CTES},
+{_HIT_ATTRS}
+SELECT query_id,
+       ROUND(SUM(nc_sampled * n_tokens)
+             / NULLIF(SUM(CASE WHEN nc_sampled IS NOT NULL THEN n_tokens END), 0),
+             6) AS weighted_avg
+FROM hyd GROUP BY query_id
+"""
+
+    sql["hit_value_count"] = f"""
+WITH {_BM25_CTES},
+{_HIT_ATTRS},
+up AS (
+  SELECT query_id, 'nc_sampled' AS facet, CAST(nc_sampled AS VARCHAR) AS value FROM hyd
+  UNION ALL
+  SELECT query_id, 'lang' AS facet, lang AS value FROM hyd
+)
+SELECT query_id, facet,
+       CAST(SUM(CASE WHEN value IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS value_count
+FROM up GROUP BY query_id, facet
+"""
+
+    sql["hit_missing"] = f"""
+WITH {_BM25_CTES},
+{_HIT_ATTRS},
+up AS (
+  SELECT query_id, 'nc_sampled' AS facet, CAST(nc_sampled AS VARCHAR) AS value FROM hyd
+  UNION ALL
+  SELECT query_id, 'lang' AS facet, lang AS value FROM hyd
+)
+SELECT query_id, facet,
+       CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
+FROM up GROUP BY query_id, facet
+"""
+
+    # ES filters aggregation: independent named predicate buckets, zero
+    # counts included (SUM over the full per-query group)
+    sql["hit_filters"] = f"""
+WITH {_BM25_CTES},
+{_HIT_ATTRS}
+SELECT query_id, facet, n FROM (
+  SELECT query_id, 'long_doc' AS facet,
+         CAST(SUM(CASE WHEN n_chars >= 400 THEN 1 ELSE 0 END) AS BIGINT) AS n
+  FROM hyd GROUP BY query_id
+  UNION ALL
+  SELECT query_id, 'en' AS facet,
+         CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n
+  FROM hyd GROUP BY query_id
+)
+"""
+
+    # ES matrix_stats long form (x = n_chars, y = n_tokens): population
+    # covariance, Pearson correlation (NULL on constant fields), population
+    # skewness / excess kurtosis — same two-pass centered moments as the
+    # engine; ES row-drop semantics are vacuous here (no NULLs in either)
+    sql["matrix_stats"] = f"""
+WITH {_BM25_CTES},
+{_HIT_ATTRS},
+mu AS (
+  SELECT query_id, AVG(n_chars) AS mx, AVG(n_tokens) AS my
+  FROM hyd GROUP BY query_id
+),
+c AS (
+  SELECT h.query_id, h.n_chars AS x, h.n_tokens AS y,
+         h.n_chars - mu.mx AS dx, h.n_tokens - mu.my AS dy
+  FROM hyd h JOIN mu ON mu.query_id = h.query_id
+),
+m AS (
+  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n,
+         AVG(x) AS mean_x, AVG(y) AS mean_y,
+         AVG(dx * dx) AS m2x, AVG(dy * dy) AS m2y,
+         AVG(dx * dx * dx) AS m3x, AVG(dy * dy * dy) AS m3y,
+         AVG(dx * dx * dx * dx) AS m4x, AVG(dy * dy * dy * dy) AS m4y,
+         AVG(dx * dy) AS cxy
+  FROM c GROUP BY query_id
+)
+SELECT query_id, field_x, field_y, n,
+       ROUND(mean_x, 6) AS mean_x, ROUND(covariance, 6) AS covariance,
+       ROUND(correlation, 6) AS correlation,
+       ROUND(skewness_x, 6) AS skewness_x, ROUND(kurtosis_x, 6) AS kurtosis_x
+FROM (
+  SELECT query_id, 'n_chars' AS field_x, 'n_chars' AS field_y, n, mean_x, m2x AS covariance,
+         CASE WHEN m2x > 0 THEN 1.0 END AS correlation,
+         CASE WHEN m2x > 0 THEN m3x / POW(m2x, 1.5) END AS skewness_x,
+         CASE WHEN m2x > 0 THEN m4x / (m2x * m2x) - 3.0 END AS kurtosis_x
+  FROM m
+  UNION ALL
+  SELECT query_id, 'n_chars', 'n_tokens', n, mean_x, cxy,
+         CASE WHEN m2x > 0 AND m2y > 0 THEN cxy / SQRT(m2x * m2y) END,
+         CASE WHEN m2x > 0 THEN m3x / POW(m2x, 1.5) END,
+         CASE WHEN m2x > 0 THEN m4x / (m2x * m2x) - 3.0 END
+  FROM m
+  UNION ALL
+  SELECT query_id, 'n_tokens', 'n_chars', n, mean_y, cxy,
+         CASE WHEN m2x > 0 AND m2y > 0 THEN cxy / SQRT(m2x * m2y) END,
+         CASE WHEN m2y > 0 THEN m3y / POW(m2y, 1.5) END,
+         CASE WHEN m2y > 0 THEN m4y / (m2y * m2y) - 3.0 END
+  FROM m
+  UNION ALL
+  SELECT query_id, 'n_tokens', 'n_tokens', n, mean_y, m2y,
+         CASE WHEN m2y > 0 THEN 1.0 END,
+         CASE WHEN m2y > 0 THEN m3y / POW(m2y, 1.5) END,
+         CASE WHEN m2y > 0 THEN m4y / (m2y * m2y) - 3.0 END
+  FROM m
+)
 """
 
     return sql

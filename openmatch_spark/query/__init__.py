@@ -1,8 +1,14 @@
 from openmatch_spark.query.aggregates import (  # noqa: F401
     count_hits,
     hit_cardinality,
+    hit_extended_stats,
+    hit_filters,
+    hit_missing,
     hit_percentiles,
     hit_stats,
+    hit_value_count,
+    hit_weighted_avg,
+    matrix_stats,
 )
 from openmatch_spark.query.bm25_search import search, search_terms  # noqa: F401
 from openmatch_spark.query.boolean import search_boolean  # noqa: F401

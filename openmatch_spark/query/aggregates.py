@@ -130,6 +130,315 @@ def hit_stats(
     )
 
 
+def hit_extended_stats(
+    run: DataFrame,
+    docs: DataFrame,
+    stat_cols: list[str],
+    sigma: float = 2.0,
+) -> DataFrame:
+    """(query_id, facet, n, min, max, avg, sum, sum_of_squares, variance,
+    variance_sampling, std_deviation, std_deviation_sampling, std_upper,
+    std_lower) — the ES `extended_stats` aggregation over the hit set.
+    Variance/std default to the POPULATION estimators (ES's `variance` /
+    `std_deviation` fields) with the (n-1) sampling variants beside them;
+    std bounds are avg ± sigma·std_deviation (ES default sigma=2).
+
+    Population variance is computed two-pass (centered moments via a
+    per-query window mean) rather than from raw power sums — at web-scale
+    attribute magnitudes sum(x²) − n·mean² cancels catastrophically, and
+    the hit set is (queries × k)-bounded so the second pass is free.
+    n-1 variants and bounds are NULL where undefined (n<2 / n=0)."""
+    if not stat_cols:
+        raise ValueError("stat_cols must name at least one attribute column")
+    base = run.select(
+        F.col("query_id").cast("string").alias("query_id"),
+        F.col("doc_id").cast("string").alias("doc_id"),
+    )
+    attrs = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        *[F.col(c).cast("double").alias(c) for c in stat_cols],
+    )
+    hydrated = attrs.join(F.broadcast(base), "doc_id")
+    stack_expr = "stack({n}, {pairs}) as (facet, value)".format(
+        n=len(stat_cols),
+        pairs=", ".join(f"'{c}', {c}" for c in stat_cols),
+    )
+    unpivoted = hydrated.select("query_id", F.expr(stack_expr))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id", "facet")
+    centered = unpivoted.withColumn("_mean", F.avg("value").over(w)).withColumn(
+        "_d", F.col("value") - F.col("_mean")
+    )
+    n = F.count("value").cast("long")
+    m2 = F.avg(F.col("_d") * F.col("_d"))  # population variance, NULL @ n=0
+    agg = centered.groupBy("query_id", "facet").agg(
+        n.alias("n"),
+        F.min("value").alias("min"),
+        F.max("value").alias("max"),
+        F.avg("value").alias("avg"),
+        F.sum("value").alias("sum"),
+        F.sum(F.col("value") * F.col("value")).alias("sum_of_squares"),
+        m2.alias("variance"),
+    )
+    var_samp = F.when(
+        F.col("n") > 1,
+        F.col("variance") * F.col("n") / (F.col("n") - F.lit(1)),
+    )
+    out = agg.withColumn("variance_sampling", var_samp).withColumn(
+        "std_deviation", F.sqrt("variance")
+    ).withColumn("std_deviation_sampling", F.sqrt("variance_sampling"))
+    return out.select(
+        "query_id", "facet", "n", "min", "max", "avg", "sum",
+        "sum_of_squares", "variance", "variance_sampling",
+        "std_deviation", "std_deviation_sampling",
+        (F.col("avg") + F.lit(float(sigma)) * F.col("std_deviation")).alias("std_upper"),
+        (F.col("avg") - F.lit(float(sigma)) * F.col("std_deviation")).alias("std_lower"),
+    )
+
+
+def hit_weighted_avg(
+    run: DataFrame,
+    docs: DataFrame,
+    value_col: str,
+    weight_col: str,
+    value_missing: float | None = None,
+    weight_missing: float | None = None,
+) -> DataFrame:
+    """(query_id, weighted_avg) — the ES `weighted_avg` aggregation over
+    the hit set: Σ(value·weight)/Σ(weight). ES missing semantics: a hit
+    whose value (or weight) is NULL is skipped entirely unless the
+    corresponding `*_missing` default is configured, in which case the
+    default is substituted. A query whose every hit was skipped (or whose
+    weights sum to 0) reports NULL rather than vanishing."""
+    base = run.select(
+        F.col("query_id").cast("string").alias("query_id"),
+        F.col("doc_id").cast("string").alias("doc_id"),
+    )
+    attrs = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.col(value_col).cast("double").alias("_v"),
+        F.col(weight_col).cast("double").alias("_w"),
+    )
+    hydrated = attrs.join(F.broadcast(base), "doc_id")
+    v = (
+        F.coalesce(F.col("_v"), F.lit(float(value_missing)))
+        if value_missing is not None
+        else F.col("_v")
+    )
+    w = (
+        F.coalesce(F.col("_w"), F.lit(float(weight_missing)))
+        if weight_missing is not None
+        else F.col("_w")
+    )
+    # a NULL on either side nulls the product AND must null the weight in
+    # the denominator (the whole hit is skipped, not just its numerator)
+    pair_w = F.when(v.isNotNull() & w.isNotNull(), w)
+    agg = hydrated.groupBy("query_id").agg(
+        F.sum(v * pair_w).alias("_num"), F.sum(pair_w).alias("_den")
+    )
+    return agg.select(
+        "query_id",
+        F.when(F.col("_den") != 0.0, F.col("_num") / F.col("_den")).alias(
+            "weighted_avg"
+        ),
+    )
+
+
+def hit_value_count(
+    run: DataFrame,
+    docs: DataFrame,
+    cols: list[str],
+) -> DataFrame:
+    """(query_id, facet, value_count) — the ES `value_count` aggregation:
+    per query, the number of NON-NULL values of each attribute across the
+    hit set (scalar columns: one potential value per hit; ES would count
+    each element of a multi-valued field, which for an array column here
+    is F.size — document at the call site)."""
+    if not cols:
+        raise ValueError("cols must name at least one attribute column")
+    return _count_unpivoted(run, docs, cols, missing=False, out="value_count")
+
+
+def hit_missing(
+    run: DataFrame,
+    docs: DataFrame,
+    cols: list[str],
+) -> DataFrame:
+    """(query_id, facet, n_missing) — the ES `missing` aggregation: per
+    query, how many hit docs LACK the attribute (NULL). The complement of
+    hit_value_count over the same hit set; a hit doc absent from `docs`
+    entirely also counts as missing (left join)."""
+    if not cols:
+        raise ValueError("cols must name at least one attribute column")
+    return _count_unpivoted(run, docs, cols, missing=True, out="n_missing")
+
+
+def _count_unpivoted(
+    run: DataFrame, docs: DataFrame, cols: list[str], missing: bool, out: str
+) -> DataFrame:
+    base = run.select(
+        F.col("query_id").cast("string").alias("query_id"),
+        F.col("doc_id").cast("string").alias("doc_id"),
+    )
+    attrs = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        *[F.col(c).cast("string").alias(c) for c in cols],
+    )
+    # left join FROM the run so docs absent from the attribute table still
+    # contribute (as missing) — the reverse of hit_stats' inner hydrate
+    hydrated = base.join(F.broadcast(attrs), "doc_id", "left")
+    stack_expr = "stack({n}, {pairs}) as (facet, value)".format(
+        n=len(cols),
+        pairs=", ".join(f"'{c}', {c}" for c in cols),
+    )
+    unpivoted = hydrated.select("query_id", F.expr(stack_expr))
+    flag = F.col("value").isNull() if missing else F.col("value").isNotNull()
+    return unpivoted.groupBy("query_id", "facet").agg(
+        F.sum(flag.cast("long")).alias(out)
+    )
+
+
+def hit_filters(
+    run: DataFrame,
+    docs: DataFrame,
+    filters: dict[str, "str | F.Column"],
+) -> DataFrame:
+    """(query_id, facet, n) — the ES `filters` aggregation over the hit
+    set: per query, how many hits satisfy each NAMED predicate (a hit may
+    match several; buckets are independent, not partitioning). Every named
+    bucket is emitted for every query, zero-count included — ES always
+    returns the full bucket list. Predicates are Columns or SQL strings
+    over the doc attribute columns; NULL predicate results count as
+    non-matching (SQL three-valued logic folded to false)."""
+    if not filters:
+        raise ValueError("filters must name at least one predicate")
+    base = run.select(
+        F.col("query_id").cast("string").alias("query_id"),
+        F.col("doc_id").cast("string").alias("doc_id"),
+    )
+    hydrated = docs.join(F.broadcast(base), "doc_id")
+    counts = [
+        F.sum(
+            F.coalesce(
+                (F.expr(pred) if isinstance(pred, str) else pred).cast("boolean"),
+                F.lit(False),
+            ).cast("long")
+        ).alias(name)
+        for name, pred in filters.items()
+    ]
+    agg = hydrated.groupBy("query_id").agg(*counts)
+    stack_expr = "stack({n}, {pairs}) as (facet, n)".format(
+        n=len(filters),
+        pairs=", ".join(f"'{name}', `{name}`" for name in filters),
+    )
+    return agg.select("query_id", F.expr(stack_expr))
+
+
+def matrix_stats(
+    run: DataFrame,
+    docs: DataFrame,
+    cols: list[str],
+) -> DataFrame:
+    """(query_id, field_x, field_y, n, mean_x, covariance, correlation,
+    skewness_x, kurtosis_x) — the ES `matrix_stats` aggregation over the
+    hit set, in long form: one row per (query, ordered field pair)
+    including the diagonal. ES row-drop semantics: a hit with a NULL in
+    ANY requested field is excluded from the whole matrix (n is therefore
+    identical on every row of a query's matrix).
+
+    Estimator choices (documented because engines disagree): covariance is
+    POPULATION covariance; correlation is Pearson (NULL when either field
+    is constant, never NaN); skewness/kurtosis are the population moment
+    ratios g1 = m3/m2^1.5 and EXCESS g2 = m4/m2² − 3, computed two-pass
+    from centered moments (cancellation-safe), NULL when m2 = 0.
+
+    Plan: one broadcast hydrate, a per-query window mean per field, one
+    groupBy over (queries × k)-bounded rows — the pair expansion happens
+    in the projection (len(cols)² columns), not by exploding rows."""
+    if len(cols) < 2:
+        raise ValueError("matrix_stats needs at least two columns")
+    base = run.select(
+        F.col("query_id").cast("string").alias("query_id"),
+        F.col("doc_id").cast("string").alias("doc_id"),
+    )
+    attrs = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        *[F.col(c).cast("double").alias(c) for c in cols],
+    )
+    hydrated = attrs.join(F.broadcast(base), "doc_id")
+    keep = None
+    for c in cols:
+        cond = F.col(c).isNotNull()
+        keep = cond if keep is None else (keep & cond)
+    rows = hydrated.where(keep)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id")
+    for c in cols:
+        rows = rows.withColumn(f"_d_{c}", F.col(c) - F.avg(c).over(w))
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for c in cols:
+        d = F.col(f"_d_{c}")
+        aggs += [
+            F.avg(c).alias(f"_mean_{c}"),
+            F.avg(d * d).alias(f"_m2_{c}"),
+            F.avg(d * d * d).alias(f"_m3_{c}"),
+            F.avg(d * d * d * d).alias(f"_m4_{c}"),
+        ]
+    for i, cx in enumerate(cols):
+        for cy in cols[i + 1:]:
+            aggs.append(
+                F.avg(F.col(f"_d_{cx}") * F.col(f"_d_{cy}")).alias(f"_cov_{cx}_{cy}")
+            )
+    agg = rows.groupBy("query_id").agg(*aggs)
+
+    def _cov(cx: str, cy: str) -> F.Column:
+        if cx == cy:
+            return F.col(f"_m2_{cx}")
+        a, b = (cx, cy) if cols.index(cx) < cols.index(cy) else (cy, cx)
+        return F.col(f"_cov_{a}_{b}")
+
+    pair_structs = []
+    for cx in cols:
+        m2x = F.col(f"_m2_{cx}")
+        nz = (m2x > 0)
+        skew = F.when(nz, F.col(f"_m3_{cx}") / F.pow(m2x, F.lit(1.5)))
+        kurt = F.when(nz, F.col(f"_m4_{cx}") / (m2x * m2x) - F.lit(3.0))
+        for cy in cols:
+            m2y = F.col(f"_m2_{cy}")
+            corr = F.when(
+                nz & (m2y > 0), _cov(cx, cy) / F.sqrt(m2x * m2y)
+            )
+            pair_structs.append(
+                F.struct(
+                    F.lit(cx).alias("field_x"),
+                    F.lit(cy).alias("field_y"),
+                    _cov(cx, cy).alias("covariance"),
+                    corr.alias("correlation"),
+                    F.col(f"_mean_{cx}").alias("mean_x"),
+                    skew.alias("skewness_x"),
+                    kurt.alias("kurtosis_x"),
+                )
+            )
+    return (
+        agg.select(
+            "query_id", "n", F.explode(F.array(*pair_structs)).alias("_p")
+        )
+        .select(
+            "query_id",
+            F.col("_p.field_x").alias("field_x"),
+            F.col("_p.field_y").alias("field_y"),
+            "n",
+            F.col("_p.mean_x").alias("mean_x"),
+            F.col("_p.covariance").alias("covariance"),
+            F.col("_p.correlation").alias("correlation"),
+            F.col("_p.skewness_x").alias("skewness_x"),
+            F.col("_p.kurtosis_x").alias("kurtosis_x"),
+        )
+    )
+
+
 def hit_cardinality(
     run: DataFrame,
     docs: DataFrame,

@@ -1,0 +1,151 @@
+"""ES metric-aggregation family beside the ranked run: extended_stats,
+weighted_avg, value_count, missing, filters, matrix_stats
+(query/aggregates.py). Hand-computed expectations over tiny hit sets,
+exercising the semantics the oracle entries can't isolate: NULL-skip
+weighted_avg, zero-count filter buckets, hits absent from the attribute
+table, constant-field correlation, n<2 sampling variants."""
+
+import math
+
+import pytest
+
+from openmatch_spark.query import (
+    hit_extended_stats,
+    hit_filters,
+    hit_missing,
+    hit_value_count,
+    hit_weighted_avg,
+    matrix_stats,
+)
+
+
+@pytest.fixture(scope="module")
+def run(spark):
+    return spark.createDataFrame(
+        [("q1", "a"), ("q1", "b"), ("q1", "c"), ("q2", "a"), ("q2", "z")],
+        "query_id string, doc_id string",
+    )
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    # doc z is deliberately ABSENT (hit hydration edge); doc c has NULL v,
+    # doc b has NULL w and NULL lang
+    return spark.createDataFrame(
+        [("a", 1.0, 2.0, "en"), ("b", 3.0, None, None), ("c", None, 4.0, "de")],
+        "doc_id string, v double, w double, lang string",
+    )
+
+
+def test_extended_stats_population_and_sampling(spark, run, docs):
+    rows = {r["query_id"]: r for r in
+            hit_extended_stats(run, docs, ["v"]).collect()}
+    q1 = rows["q1"]  # values {1, 3}; c's NULL excluded
+    assert q1["n"] == 2 and q1["min"] == 1.0 and q1["max"] == 3.0
+    assert q1["avg"] == 2.0 and q1["sum"] == 4.0
+    assert q1["sum_of_squares"] == 10.0
+    assert q1["variance"] == 1.0              # population
+    assert q1["variance_sampling"] == 2.0     # n/(n-1) rescale
+    assert q1["std_deviation"] == 1.0
+    assert abs(q1["std_deviation_sampling"] - math.sqrt(2)) < 1e-12
+    assert q1["std_upper"] == 4.0 and q1["std_lower"] == 0.0  # avg ± 2σ
+    q2 = rows["q2"]  # single value 1.0 (z absent from docs)
+    assert q2["n"] == 1 and q2["variance"] == 0.0
+    assert q2["variance_sampling"] is None    # undefined at n=1, not NaN
+    assert q2["std_deviation_sampling"] is None
+
+
+def test_weighted_avg_skip_and_missing_defaults(spark, run, docs):
+    # ES skip semantics: a NULL value (or weight) drops the hit entirely
+    skip = {r["query_id"]: r["weighted_avg"] for r in
+            hit_weighted_avg(run, docs, "v", "w").collect()}
+    assert skip["q1"] == 1.0  # only a=(1,2) valid: 2/2
+    assert skip["q2"] == 1.0
+    # missing defaults substitute instead of skipping
+    subst = {r["query_id"]: r["weighted_avg"] for r in
+             hit_weighted_avg(run, docs, "v", "w",
+                              value_missing=0.0, weight_missing=1.0).collect()}
+    # q1: a=(1,2) b=(3,->1) c=(->0,4): (2+3+0)/(2+1+4)
+    assert abs(subst["q1"] - 5.0 / 7.0) < 1e-12
+
+
+def test_value_count_and_missing_complement(spark, run, docs):
+    vc = {(r["query_id"], r["facet"]): r["value_count"] for r in
+          hit_value_count(run, docs, ["v", "lang"]).collect()}
+    miss = {(r["query_id"], r["facet"]): r["n_missing"] for r in
+            hit_missing(run, docs, ["v", "lang"]).collect()}
+    assert vc[("q1", "v")] == 2 and miss[("q1", "v")] == 1
+    assert vc[("q1", "lang")] == 2 and miss[("q1", "lang")] == 1
+    # q2 hits {a, z}; z is absent from the attribute table -> missing
+    assert vc[("q2", "v")] == 1 and miss[("q2", "v")] == 1
+    # complement invariant: value_count + missing == hit count
+    for qid, n in (("q1", 3), ("q2", 2)):
+        for facet in ("v", "lang"):
+            assert vc[(qid, facet)] + miss[(qid, facet)] == n
+
+
+def test_filters_zero_buckets_and_null_predicates(spark, run, docs):
+    out = {(r["query_id"], r["facet"]): r["n"] for r in
+           hit_filters(run, docs, {"big": "v >= 3", "en": "lang = 'en'"})
+           .collect()}
+    # every named bucket appears for every query, zeros included
+    assert set(out) == {("q1", "big"), ("q1", "en"), ("q2", "big"), ("q2", "en")}
+    assert out[("q1", "big")] == 1  # b only; c's NULL v folds to false
+    assert out[("q1", "en")] == 1   # b's NULL lang folds to false
+    assert out[("q2", "big")] == 0  # zero-count bucket still emitted
+
+
+def test_matrix_stats_moments_and_constant_field(spark):
+    docs = spark.createDataFrame(
+        [("a", 1.0, 2.0), ("b", 2.0, 4.0), ("c", 3.0, 6.0),
+         ("d", 5.0, 5.0), ("e", None, 9.0)],
+        "doc_id string, x double, y double",
+    )
+    run = spark.createDataFrame(
+        [("q1", d) for d in "abce"] + [("q2", "a"), ("q2", "d")],
+        "query_id string, doc_id string",
+    )
+    out = {(r["query_id"], r["field_x"], r["field_y"]): r for r in
+           matrix_stats(run, docs, ["x", "y"]).collect()}
+    # e has NULL x -> ES row-drop: the WHOLE hit leaves the matrix, so q1
+    # reduces to {a,b,c}: x={1,2,3}, y={2,4,6}
+    d_xy = out[("q1", "x", "y")]
+    assert d_xy["n"] == 3
+    assert abs(d_xy["covariance"] - 4.0 / 3.0) < 1e-12
+    assert abs(d_xy["correlation"] - 1.0) < 1e-12
+    assert d_xy["skewness_x"] == 0.0
+    assert abs(d_xy["kurtosis_x"] - (-1.5)) < 1e-12  # excess, 2-pt-ish flat
+    # symmetric covariance, and mean_x tracks the row's x field
+    assert out[("q1", "y", "x")]["covariance"] == d_xy["covariance"]
+    assert out[("q1", "y", "x")]["mean_x"] == 4.0
+    # diagonal: covariance == population variance, correlation exactly 1
+    assert abs(out[("q1", "x", "x")]["covariance"] - 2.0 / 3.0) < 1e-12
+    assert out[("q1", "x", "x")]["correlation"] == 1.0
+
+
+def test_matrix_stats_constant_field_null_correlation(spark):
+    docs = spark.createDataFrame(
+        [("a", 1.0, 7.0), ("b", 2.0, 7.0)],
+        "doc_id string, x double, y double",
+    )
+    run = spark.createDataFrame(
+        [("q1", "a"), ("q1", "b")], "query_id string, doc_id string"
+    )
+    out = {(r["field_x"], r["field_y"]): r for r in
+           matrix_stats(run, docs, ["x", "y"]).collect()}
+    # y is constant: correlation must be NULL (never NaN), skewness/kurtosis
+    # of y undefined, covariance well-defined (0)
+    assert out[("x", "y")]["correlation"] is None
+    assert out[("x", "y")]["covariance"] == 0.0
+    assert out[("y", "y")]["correlation"] is None
+    assert out[("y", "x")]["skewness_x"] is None
+    assert out[("y", "x")]["kurtosis_x"] is None
+
+
+def test_validation_errors(spark, run, docs):
+    with pytest.raises(ValueError):
+        hit_extended_stats(run, docs, [])
+    with pytest.raises(ValueError):
+        hit_filters(run, docs, {})
+    with pytest.raises(ValueError):
+        matrix_stats(run, docs, ["v"])

@@ -4292,6 +4292,69 @@ def q_matrix_stats(spark, sf_dir):
     )
 
 
+def q_facet_adjacency(spark, sf_dir):
+    """ES adjacency_matrix over the BM25 top-10 hit set: per-filter and
+    pairwise-intersection doc counts in one groupBy pass (keys joined
+    '&' in sorted-name order; empty buckets omitted, ES convention)."""
+    from openmatch_spark.operators.facets import adjacency_matrix_facets
+
+    run = _bm25_run(spark, sf_dir, k=10, rounded=False).select(
+        "query_id", "doc_id"
+    )
+    return adjacency_matrix_facets(
+        run,
+        _attr_docs(spark, sf_dir),
+        {"long": "n_chars >= 400", "en": "lang = 'en'", "toky": "n_tokens >= 60"},
+    )
+
+
+def q_facet_multi_terms(spark, sf_dir):
+    """ES multi_terms over the BM25 top-10 hit set: top composite
+    (lang, source) keys by hit count, count DESC then joined-key ASC;
+    docs missing any key component excluded (ES semantics)."""
+    from openmatch_spark.operators.facets import multi_terms_facets
+
+    run = _bm25_run(spark, sf_dir, k=10, rounded=False).select(
+        "query_id", "doc_id"
+    )
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "lang", "source"
+    )
+    return multi_terms_facets(run, docs, ["lang", "source"], size=3)
+
+
+def q_facet_rare(spark, sf_dir):
+    """ES rare_terms over the BM25 top-10 hit set: the long tail (source
+    values held by exactly one hit doc) — exact here because the hit set
+    is bounded; corpus-scale contexts filter aggregated df instead."""
+    from openmatch_spark.operators.facets import rare_terms_facets
+
+    run = _bm25_run(spark, sf_dir, k=10, rounded=False).select(
+        "query_id", "doc_id"
+    )
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "source"
+    )
+    return rare_terms_facets(run, docs, ["source"], max_doc_count=1)
+
+
+def q_diversified_sample(spark, sf_dir):
+    """ES diversified_sampler sampling step over the BM25 top-10 run:
+    best-ranked 5 hits per query with at most 2 per source (host/source
+    de-biasing before a sub-aggregation)."""
+    from openmatch_spark.operators.facets import diversified_sample
+
+    run = _bm25_run(spark, sf_dir, k=10, rounded=False).select(
+        "query_id", "doc_id", "rank"
+    )
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "source"
+    )
+    return diversified_sample(
+        run, docs, "source", shard_size=5, max_docs_per_value=2
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -4368,6 +4431,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hit_missing": q_hit_missing,
         "hit_filters": q_hit_filters,
         "matrix_stats": q_matrix_stats,
+        "facet_adjacency": q_facet_adjacency,
+        "facet_multi_terms": q_facet_multi_terms,
+        "facet_rare": q_facet_rare,
+        "diversified_sample": q_diversified_sample,
         "facet_terms": q_facet_terms,
         "group_cap": q_group_cap,
         "mmr_rerank": q_mmr_rerank,
@@ -7471,6 +7538,100 @@ FROM (
          CASE WHEN m2y > 0 THEN m4y / (m2y * m2y) - 3.0 END
   FROM m
 )
+"""
+
+    # ES adjacency_matrix: singles + pairwise intersections, empties omitted
+    sql["facet_adjacency"] = f"""
+WITH {_BM25_CTES},
+{_HIT_ATTRS},
+f AS (
+  SELECT query_id,
+         COALESCE(n_chars >= 400, FALSE) AS f_long,
+         COALESCE(lang = 'en', FALSE) AS f_en,
+         COALESCE(n_tokens >= 60, FALSE) AS f_toky
+  FROM hyd
+),
+agg AS (
+  SELECT query_id,
+         SUM(CASE WHEN f_long THEN 1 ELSE 0 END) AS n_long,
+         SUM(CASE WHEN f_en THEN 1 ELSE 0 END) AS n_en,
+         SUM(CASE WHEN f_toky THEN 1 ELSE 0 END) AS n_toky,
+         SUM(CASE WHEN f_en AND f_long THEN 1 ELSE 0 END) AS n_en_long,
+         SUM(CASE WHEN f_en AND f_toky THEN 1 ELSE 0 END) AS n_en_toky,
+         SUM(CASE WHEN f_long AND f_toky THEN 1 ELSE 0 END) AS n_long_toky
+  FROM f GROUP BY query_id
+)
+SELECT query_id, key, CAST(n_docs AS BIGINT) AS n_docs FROM (
+  SELECT query_id, 'long' AS key, n_long AS n_docs FROM agg
+  UNION ALL SELECT query_id, 'en', n_en FROM agg
+  UNION ALL SELECT query_id, 'toky', n_toky FROM agg
+  UNION ALL SELECT query_id, 'en&long', n_en_long FROM agg
+  UNION ALL SELECT query_id, 'en&toky', n_en_toky FROM agg
+  UNION ALL SELECT query_id, 'long&toky', n_long_toky FROM agg
+) WHERE n_docs > 0
+"""
+
+    # ES multi_terms: composite (lang, source) keys, count DESC then
+    # joined-key ASC, docs missing any component excluded
+    sql["facet_multi_terms"] = f"""
+WITH {_BM25_CTES},
+run10 AS (SELECT query_id, doc_id FROM run WHERE rank <= 10),
+hyd AS (
+  SELECT r.query_id, d.lang, d.source
+  FROM run10 r JOIN documents d ON CAST(d.doc_id AS VARCHAR) = r.doc_id
+  WHERE d.lang IS NOT NULL AND d.source IS NOT NULL
+),
+counted AS (
+  SELECT query_id, lang || '|' || source AS key, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM hyd GROUP BY query_id, lang || '|' || source
+),
+ranked AS (
+  SELECT query_id, key, n_docs,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY n_docs DESC, key ASC
+         ) AS INTEGER) AS pos
+  FROM counted
+)
+SELECT query_id, key, n_docs, pos FROM ranked WHERE pos <= 3
+"""
+
+    # ES rare_terms: source values with exactly one hit doc (NULLs excluded)
+    sql["facet_rare"] = f"""
+WITH {_BM25_CTES},
+run10 AS (SELECT query_id, doc_id FROM run WHERE rank <= 10),
+hyd AS (
+  SELECT r.query_id, d.source
+  FROM run10 r JOIN documents d ON CAST(d.doc_id AS VARCHAR) = r.doc_id
+)
+SELECT query_id, 'source' AS facet, source AS value,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM hyd WHERE source IS NOT NULL
+GROUP BY query_id, source
+HAVING COUNT(*) <= 1
+"""
+
+    # ES diversified_sampler: best-ranked 5 per query, <= 2 per source;
+    # same two-window plan replayed in SQL
+    sql["diversified_sample"] = f"""
+WITH {_BM25_CTES},
+run10 AS (SELECT query_id, doc_id, rank FROM run WHERE rank <= 10),
+hyd AS (
+  SELECT r.query_id, r.doc_id, r.rank,
+         COALESCE(d.source, '(null)') AS dv
+  FROM run10 r LEFT JOIN documents d ON CAST(d.doc_id AS VARCHAR) = r.doc_id
+),
+per_value AS (
+  SELECT query_id, doc_id, rank,
+         ROW_NUMBER() OVER (PARTITION BY query_id, dv ORDER BY rank ASC) AS vpos
+  FROM hyd
+),
+kept AS (
+  SELECT query_id, doc_id, rank,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rank ASC) AS INTEGER)
+           AS sample_rank
+  FROM per_value WHERE vpos <= 2
+)
+SELECT query_id, doc_id, rank, sample_rank FROM kept WHERE sample_rank <= 5
 """
 
     return sql

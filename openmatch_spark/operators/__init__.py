@@ -36,7 +36,14 @@ from openmatch_spark.operators.chunking import (  # noqa: F401
     chunk_passages,
     score_aggregate,
 )
-from openmatch_spark.operators.facets import date_histogram_facets, facet_counts  # noqa: F401
+from openmatch_spark.operators.facets import (  # noqa: F401
+    adjacency_matrix_facets,
+    date_histogram_facets,
+    diversified_sample,
+    facet_counts,
+    multi_terms_facets,
+    rare_terms_facets,
+)
 from openmatch_spark.operators.pipeline_aggs import (  # noqa: F401
     bucket_script,
     bucket_selector,

@@ -349,3 +349,163 @@ def composite_facets(
             eq = eq & (F.col(n) == a)
         buckets = buckets.where(cond)
     return buckets.orderBy(*[F.col(n).asc() for n in names]).limit(size)
+
+
+def adjacency_matrix_facets(
+    run: DataFrame,
+    docs: DataFrame,
+    filters: dict[str, "str | F.Column"],
+    separator: str = "&",
+) -> DataFrame:
+    """(query_id, key, n_docs) — the ES `adjacency_matrix` aggregation
+    over the hit set: one bucket per named predicate plus one per
+    UNORDERED pair of predicates (key "a&b", names joined by `separator`
+    in sorted-name order, ES's convention). ES omits empty buckets — so
+    does this (a dense matrix over f² pairs is exactly what the operator
+    exists to avoid); callers needing zeros outer-join the key list.
+
+    Plan: one broadcast hydrate of the (queries × k)-bounded run, every
+    intersection computed as a conjunction column in the SAME single
+    groupBy pass (f + f(f−1)/2 sum columns) — no join per pair, no second
+    shuffle. NULL predicate results fold to false (SQL 3VL)."""
+    if not filters:
+        raise ValueError("filters must name at least one predicate")
+    names = sorted(filters)
+    if any(separator in n for n in names):
+        raise ValueError(f"filter names must not contain {separator!r}")
+    base = run.select(
+        F.col("query_id").cast("string").alias("query_id"),
+        F.col("doc_id").cast("string").alias("doc_id"),
+    )
+    hydrated = docs.join(F.broadcast(base), "doc_id")
+    flag = {
+        n: F.coalesce(
+            (F.expr(p) if isinstance(p, str) else p).cast("boolean"),
+            F.lit(False),
+        )
+        for n, p in filters.items()
+    }
+    sums = [F.sum(flag[n].cast("long")).alias(n) for n in names]
+    keys = list(names)
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            key = f"{a}{separator}{b}"
+            keys.append(key)
+            sums.append(F.sum((flag[a] & flag[b]).cast("long")).alias(key))
+    agg = hydrated.groupBy("query_id").agg(*sums)
+    stack_expr = "stack({n}, {pairs}) as (key, n_docs)".format(
+        n=len(keys), pairs=", ".join(f"'{k}', `{k}`" for k in keys)
+    )
+    return agg.select("query_id", F.expr(stack_expr)).where(F.col("n_docs") > 0)
+
+
+def multi_terms_facets(
+    run: DataFrame,
+    docs: DataFrame,
+    cols: list[str],
+    size: int = 5,
+    key_separator: str = "|",
+) -> DataFrame:
+    """(query_id, key, n_docs, pos) — the ES `multi_terms` aggregation:
+    top `size` COMPOSITE keys (the tuple of attribute values) by hit-doc
+    count. ES semantics: a doc missing ANY key component is excluded from
+    the aggregation entirely (unlike `terms`' missing bucket). Key is the
+    component values joined by `key_separator`; ordering is count DESC
+    then key ASC — callers whose values may contain the separator must
+    pick another, the tie order is over the JOINED string (documented so
+    the oracle can replay it)."""
+    if len(cols) < 2:
+        raise ValueError("multi_terms needs at least two key columns")
+    if size <= 0:
+        raise ValueError(f"size must be positive, got {size}")
+    base = run.select(
+        F.col("query_id").cast("string").alias("query_id"),
+        F.col("doc_id").cast("string").alias("doc_id"),
+    )
+    attrs = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        *[F.col(c).cast("string").alias(c) for c in cols],
+    )
+    hydrated = attrs.join(F.broadcast(base), "doc_id")
+    keep = None
+    for c in cols:
+        cond = F.col(c).isNotNull()
+        keep = cond if keep is None else (keep & cond)
+    counted = (
+        hydrated.where(keep)
+        .select(
+            "query_id",
+            F.concat_ws(key_separator, *[F.col(c) for c in cols]).alias("key"),
+        )
+        .groupBy("query_id", "key")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("n_docs"), F.asc("key"))
+    return (
+        counted.withColumn("pos", F.row_number().over(w))
+        .where(F.col("pos") <= size)
+    )
+
+
+def rare_terms_facets(
+    run: DataFrame,
+    docs: DataFrame,
+    facet_cols: list[str],
+    max_doc_count: int = 1,
+) -> DataFrame:
+    """(query_id, facet, value, n_docs) — the ES `rare_terms` aggregation
+    over the hit set: the LONG TAIL (values held by at most
+    `max_doc_count` hit docs), the complement of `terms`' head. ES
+    computes this approximately with a CuckooFilter because its contexts
+    are unbounded; the hit set here is (queries × k)-bounded so exact is
+    affordable and oracle-checkable — over an unbounded candidate set,
+    aggregate corpus-wide df first and filter (same shape as term_stats).
+    NULL values are excluded (ES: missing values don't participate unless
+    configured). Ordered by count ASC within (query, facet) by contract;
+    no size cut — rarity IS the cut."""
+    if max_doc_count <= 0:
+        raise ValueError(f"max_doc_count must be positive, got {max_doc_count}")
+    counts = facet_counts(run, docs, facet_cols)
+    return counts.where(
+        (F.col("n_docs") <= max_doc_count) & (F.col("value") != NULL_BUCKET)
+    )
+
+
+def diversified_sample(
+    run: DataFrame,
+    docs: DataFrame,
+    field: str,
+    shard_size: int = 100,
+    max_docs_per_value: int = 1,
+) -> DataFrame:
+    """The ES `diversified_sampler` aggregation's sampling step: reduce
+    the run to the best-ranked `shard_size` hits per query while keeping
+    AT MOST `max_docs_per_value` docs per value of `field` (host / source
+    de-biasing before a sub-aggregation; run sub-aggs over the returned
+    frame). NULL field values form one competing group, matching ES's
+    treatment of missing de-dup keys. Output keeps the run's columns plus
+    `sample_rank` (1-based, by original rank). Two windows over the
+    bounded run — rank must be present (the engine's runs always carry
+    it)."""
+    if shard_size <= 0 or max_docs_per_value <= 0:
+        raise ValueError("shard_size and max_docs_per_value must be positive")
+    base = run.withColumn("query_id", F.col("query_id").cast("string")).withColumn(
+        "doc_id", F.col("doc_id").cast("string")
+    )
+    attrs = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.coalesce(F.col(field).cast("string"), F.lit(NULL_BUCKET)).alias("_dv"),
+    )
+    hydrated = base.join(F.broadcast(attrs), "doc_id", "left").withColumn(
+        "_dv", F.coalesce(F.col("_dv"), F.lit(NULL_BUCKET))
+    )
+    per_value = Window.partitionBy("query_id", "_dv").orderBy(F.asc("rank"))
+    kept = hydrated.withColumn("_vpos", F.row_number().over(per_value)).where(
+        F.col("_vpos") <= max_docs_per_value
+    )
+    overall = Window.partitionBy("query_id").orderBy(F.asc("rank"))
+    return (
+        kept.withColumn("sample_rank", F.row_number().over(overall))
+        .where(F.col("sample_rank") <= shard_size)
+        .drop("_dv", "_vpos")
+    )

@@ -149,3 +149,89 @@ def test_validation_errors(spark, run, docs):
         hit_filters(run, docs, {})
     with pytest.raises(ValueError):
         matrix_stats(run, docs, ["v"])
+
+
+# ---------------------------------------------------------------- bucket aggs
+
+@pytest.fixture(scope="module")
+def fdocs(spark):
+    return spark.createDataFrame(
+        [("a", "en", "s1", 100.0), ("b", "en", "s1", 500.0),
+         ("c", "de", "s2", 500.0), ("d", None, "s1", 50.0)],
+        "doc_id string, lang string, source string, n double",
+    )
+
+
+@pytest.fixture(scope="module")
+def frun(spark):
+    return spark.createDataFrame(
+        [("q1", "a", 1), ("q1", "b", 2), ("q1", "c", 3), ("q1", "d", 4),
+         ("q2", "a", 1)],
+        "query_id string, doc_id string, rank int",
+    )
+
+
+def test_adjacency_matrix_pairs_and_empty_omission(spark, frun, fdocs):
+    from openmatch_spark.operators.facets import adjacency_matrix_facets
+
+    out = {(r["query_id"], r["key"]): r["n_docs"] for r in
+           adjacency_matrix_facets(
+               frun, fdocs,
+               {"en": "lang='en'", "big": "n>=400", "s1": "source='s1'"}
+           ).collect()}
+    assert out[("q1", "s1")] == 3          # d's NULL lang doesn't block s1
+    assert out[("q1", "big&en")] == 1      # sorted-name pair key
+    assert out[("q1", "en&s1")] == 2
+    assert ("q1", "big&s1") in out and out[("q1", "big&s1")] == 1
+    assert ("q2", "big") not in out        # empty buckets omitted
+    assert ("q2", "big&en") not in out
+
+
+def test_adjacency_matrix_separator_guard(spark, frun, fdocs):
+    from openmatch_spark.operators.facets import adjacency_matrix_facets
+
+    with pytest.raises(ValueError):
+        adjacency_matrix_facets(frun, fdocs, {"a&b": "n>0"})
+
+
+def test_multi_terms_excludes_null_components(spark, frun, fdocs):
+    from openmatch_spark.operators.facets import multi_terms_facets
+
+    rows = multi_terms_facets(frun, fdocs, ["lang", "source"], size=2).collect()
+    got = {(r["query_id"], r["pos"]): (r["key"], r["n_docs"]) for r in rows}
+    assert got[("q1", 1)] == ("en|s1", 2)  # d (NULL lang) excluded entirely
+    assert got[("q1", 2)] == ("de|s2", 1)
+
+
+def test_rare_terms_tail_only(spark, frun, fdocs):
+    from openmatch_spark.operators.facets import rare_terms_facets
+
+    rows = rare_terms_facets(frun, fdocs, ["lang", "source"]).collect()
+    got = {(r["query_id"], r["facet"], r["value"]) for r in rows}
+    # en (2 docs) and s1 (3 docs) are head; NULL lang excluded
+    assert got == {("q1", "lang", "de"), ("q1", "source", "s2"),
+                   ("q2", "lang", "en"), ("q2", "source", "s1")}
+
+
+def test_diversified_sample_caps_per_value(spark, frun, fdocs):
+    from openmatch_spark.operators.facets import diversified_sample
+
+    rows = diversified_sample(frun, fdocs, "source",
+                              shard_size=2, max_docs_per_value=1).collect()
+    got = [(r["query_id"], r["doc_id"], r["sample_rank"])
+           for r in sorted(rows, key=lambda r: (r["query_id"], r["sample_rank"]))]
+    # q1: a (s1, rank 1) then c (s2, rank 3); b and d lose the s1 slot
+    assert got == [("q1", "a", 1), ("q1", "c", 2), ("q2", "a", 1)]
+
+
+def test_diversified_sample_absent_doc_competes_as_null(spark, fdocs):
+    from openmatch_spark.operators.facets import diversified_sample
+
+    run = spark.createDataFrame(
+        [("q1", "zz", 1), ("q1", "a", 2)],  # zz absent from the attr table
+        "query_id string, doc_id string, rank int",
+    )
+    rows = diversified_sample(run, fdocs, "source",
+                              shard_size=5, max_docs_per_value=1).collect()
+    # zz hydrates to the NULL bucket and still competes (rank 1 survives)
+    assert {(r["doc_id"], r["sample_rank"]) for r in rows} == {("zz", 1), ("a", 2)}

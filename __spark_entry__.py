@@ -4355,6 +4355,62 @@ def q_diversified_sample(spark, sf_dir):
     )
 
 
+def q_percentile_ranks(spark, sf_dir):
+    """ES percentile_ranks over the BM25 top-10 hit set: the share of hit
+    n_chars values <= each probe (exact, not t-digest — bounded hit set,
+    oracle-checkable); NULLed-sample column exercises NULL exclusion."""
+    from openmatch_spark.query import hit_percentile_ranks
+
+    run = _bm25_run(spark, sf_dir, k=10, rounded=False).select(
+        "query_id", "doc_id"
+    )
+    out = hit_percentile_ranks(
+        run, _attr_docs(spark, sf_dir), "nc_sampled", (200.0, 450.0)
+    )
+    return out.select(
+        "query_id", "value", F.round("percent", 6).alias("percent")
+    )
+
+
+def q_top_metrics(spark, sf_dir):
+    """ES top_metrics over the BM25 top-10 hit set: lang and token count
+    carried by the 2 longest hit docs per query (sort n_chars DESC,
+    doc_id tiebreak)."""
+    from openmatch_spark.query import top_metrics
+
+    run = _bm25_run(spark, sf_dir, k=10, rounded=False).select(
+        "query_id", "doc_id"
+    )
+    out = top_metrics(
+        run, _attr_docs(spark, sf_dir), "n_chars", ["lang", "n_tokens"],
+        ascending=False, size=2,
+    )
+    return out.select("query_id", "pos", "sort_value", "lang", "n_tokens")
+
+
+def q_geo_bounds(spark, sf_dir):
+    """ES geo_bounds + geo_centroid over the synthetic customer points,
+    grouped by a deterministic region bucket (custkey % 3): enclosing box
+    and mean coordinate per group in one output row."""
+    from openmatch_spark.operators.geo import geo_bounds, geo_centroid
+
+    pts = _geo_customers(spark, sf_dir).withColumn(
+        "bucket", (F.col("cust_id").cast("long") % 3).cast("int")
+    )
+    b = geo_bounds(pts, "lat", "lon", ["bucket"])
+    c = geo_centroid(pts, "lat", "lon", ["bucket"]).select(
+        "bucket",
+        F.round("lat", 6).alias("centroid_lat"),
+        F.round("lon", 6).alias("centroid_lon"),
+    )
+    return b.join(c, "bucket").select(
+        "bucket",
+        F.round("top", 6).alias("top"), F.round("left", 6).alias("left"),
+        F.round("bottom", 6).alias("bottom"), F.round("right", 6).alias("right"),
+        "n_points", "centroid_lat", "centroid_lon",
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -4435,6 +4491,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_multi_terms": q_facet_multi_terms,
         "facet_rare": q_facet_rare,
         "diversified_sample": q_diversified_sample,
+        "percentile_ranks": q_percentile_ranks,
+        "top_metrics": q_top_metrics,
+        "geo_bounds": q_geo_bounds,
         "facet_terms": q_facet_terms,
         "group_cap": q_group_cap,
         "mmr_rerank": q_mmr_rerank,
@@ -7402,6 +7461,18 @@ hyd AS (
   FROM run10 r JOIN documents d ON CAST(d.doc_id AS VARCHAR) = r.doc_id
 )"""
 
+    # same hydrate keeping doc_id (needed for deterministic tiebreaks)
+    _HIT_ATTRS_WITH_ID = """
+run10 AS (SELECT query_id, doc_id FROM run WHERE rank <= 10),
+hyd2 AS (
+  SELECT r.query_id, r.doc_id,
+         CAST(d.n_chars AS DOUBLE) AS n_chars,
+         d.lang,
+         CAST(len(list_filter(regexp_split_to_array(lower(d.text), '[^a-z0-9]+'),
+                              t -> t <> '')) AS DOUBLE) AS n_tokens
+  FROM run10 r JOIN documents d ON CAST(d.doc_id AS VARCHAR) = r.doc_id
+)"""
+
     # ES extended_stats: two-pass centered variance (population + n-1),
     # std bounds avg ± 2σ — formulas mirror hit_extended_stats exactly
     sql["hit_extended_stats"] = f"""
@@ -7632,6 +7703,57 @@ kept AS (
   FROM per_value WHERE vpos <= 2
 )
 SELECT query_id, doc_id, rank, sample_rank FROM kept WHERE sample_rank <= 5
+"""
+
+    # ES percentile_ranks, exact definition 100·|{v <= x}|/n over non-NULL
+    sql["percentile_ranks"] = f"""
+WITH {_BM25_CTES},
+{_HIT_ATTRS},
+agg AS (
+  SELECT query_id, COUNT(nc_sampled) AS n,
+         SUM(CASE WHEN nc_sampled <= 200.0 THEN 1 ELSE 0 END) AS le0,
+         SUM(CASE WHEN nc_sampled <= 450.0 THEN 1 ELSE 0 END) AS le1
+  FROM hyd GROUP BY query_id
+)
+SELECT query_id, value,
+       ROUND(CASE WHEN n > 0 THEN 100.0 * le / n END, 6) AS percent
+FROM (
+  SELECT query_id, CAST(200.0 AS DOUBLE) AS value, le0 AS le, n FROM agg
+  UNION ALL
+  SELECT query_id, CAST(450.0 AS DOUBLE), le1, n FROM agg
+)
+"""
+
+    # ES top_metrics: metrics of the 2 longest hit docs (n_chars DESC,
+    # doc_id ASC tiebreak; NULL sorts last — vacuous here)
+    sql["top_metrics"] = f"""
+WITH {_BM25_CTES},
+{_HIT_ATTRS_WITH_ID},
+ranked AS (
+  SELECT query_id, n_chars AS sort_value, lang, n_tokens,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id
+           ORDER BY n_chars DESC NULLS LAST, doc_id ASC
+         ) AS INTEGER) AS pos
+  FROM hyd2
+)
+SELECT query_id, pos, sort_value, lang, n_tokens FROM ranked WHERE pos <= 2
+"""
+
+    # ES geo_bounds + geo_centroid per deterministic bucket
+    sql["geo_bounds"] = """
+WITH geo AS (
+  SELECT CAST(c_custkey % 3 AS INTEGER) AS bucket,
+         ((c_custkey * 37) % 16000) / 100.0 - 80.0 AS lat,
+         ((c_custkey * 7919) % 36000) / 100.0 - 180.0 AS lon
+  FROM customer
+)
+SELECT bucket,
+       ROUND(MAX(lat), 6) AS top, ROUND(MIN(lon), 6) AS "left",
+       ROUND(MIN(lat), 6) AS bottom, ROUND(MAX(lon), 6) AS "right",
+       CAST(COUNT(*) AS BIGINT) AS n_points,
+       ROUND(AVG(lat), 6) AS centroid_lat, ROUND(AVG(lon), 6) AS centroid_lon
+FROM geo GROUP BY bucket
 """
 
     return sql

@@ -56,6 +56,8 @@ from openmatch_spark.operators.pipeline_aggs import (  # noqa: F401
 from openmatch_spark.operators.fusion import comb_fusion, reciprocal_rank_fusion  # noqa: F401
 from openmatch_spark.operators.geo import (  # noqa: F401
     geo_bounding_box_filter,
+    geo_bounds,
+    geo_centroid,
     geo_distance_search,
     geotile_grid_facets,
 )

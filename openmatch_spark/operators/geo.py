@@ -102,3 +102,55 @@ def geotile_grid_facets(
     w = Window.orderBy(F.desc("n_docs"), F.asc(cell_col))
     ranked = cells.withColumn("pos", F.row_number().over(w))
     return ranked.where(F.col("pos") <= size) if size is not None else ranked
+
+
+def geo_bounds(
+    df: DataFrame,
+    lat_col: str,
+    lon_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """ES `geo_bounds` aggregation: the smallest lat/lon box enclosing
+    the points — (top, left, bottom, right) per group (or one global
+    row when group_cols is None/empty; a `n_points` column rides along).
+    NULL coordinates are skipped (ES: missing fields don't participate);
+    a group with no valid points reports NULL bounds with n_points 0.
+    ES's wrap_longitude antimeridian mode is NOT implemented — left/right
+    are plain min/max lon (documented deviation; fixture data never
+    straddles ±180)."""
+    keys = list(group_cols or [])
+    valid = F.col(lat_col).isNotNull() & F.col(lon_col).isNotNull()
+    lat = F.when(valid, F.col(lat_col).cast("double"))
+    lon = F.when(valid, F.col(lon_col).cast("double"))
+    aggs = [
+        F.max(lat).alias("top"),
+        F.min(lon).alias("left"),
+        F.min(lat).alias("bottom"),
+        F.max(lon).alias("right"),
+        F.sum(valid.cast("long")).alias("n_points"),
+    ]
+    return df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
+
+
+def geo_centroid(
+    df: DataFrame,
+    lat_col: str,
+    lon_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """ES `geo_centroid` aggregation: arithmetic mean coordinate of the
+    points per group (ES's definition — a flat average of lat and lon,
+    not a spherical centroid; fine away from poles/antimeridian, same
+    caveat ES documents). Rows with a NULL in EITHER coordinate are
+    skipped whole (a half-coordinate must not skew one axis); `count`
+    matches ES's reported point count."""
+    keys = list(group_cols or [])
+    valid = F.col(lat_col).isNotNull() & F.col(lon_col).isNotNull()
+    lat = F.when(valid, F.col(lat_col).cast("double"))
+    lon = F.when(valid, F.col(lon_col).cast("double"))
+    aggs = [
+        F.avg(lat).alias("lat"),
+        F.avg(lon).alias("lon"),
+        F.sum(valid.cast("long")).alias("count"),
+    ]
+    return df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)

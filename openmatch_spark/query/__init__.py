@@ -4,11 +4,13 @@ from openmatch_spark.query.aggregates import (  # noqa: F401
     hit_extended_stats,
     hit_filters,
     hit_missing,
+    hit_percentile_ranks,
     hit_percentiles,
     hit_stats,
     hit_value_count,
     hit_weighted_avg,
     matrix_stats,
+    top_metrics,
 )
 from openmatch_spark.query.bm25_search import search, search_terms  # noqa: F401
 from openmatch_spark.query.boolean import search_boolean  # noqa: F401

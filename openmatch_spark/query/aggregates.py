@@ -130,6 +130,97 @@ def hit_stats(
     )
 
 
+def hit_percentile_ranks(
+    run: DataFrame,
+    docs: DataFrame,
+    stat_col: str,
+    values: tuple[float, ...],
+) -> DataFrame:
+    """(query_id, value, percent) — the ES `percentile_ranks` aggregation
+    (the inverse of percentiles): for each REQUESTED value, the share of
+    observed attribute values ≤ it, as a percentage. EXACT definition
+    100·|{v : v ≤ x}|/n rather than ES's t-digest interpolation — the hit
+    set is (queries × k)-bounded so exactness is affordable and keeps the
+    surface oracle-checkable; NULL attribute values are excluded from
+    both numerator and denominator, and a query with no non-NULL values
+    reports NULL (never a division error)."""
+    if not values:
+        raise ValueError("values must name at least one probe value")
+    base = run.select(
+        F.col("query_id").cast("string").alias("query_id"),
+        F.col("doc_id").cast("string").alias("doc_id"),
+    )
+    attrs = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.col(stat_col).cast("double").alias("_v"),
+    )
+    hydrated = attrs.join(F.broadcast(base), "doc_id")
+    aggs = [F.count("_v").alias("_n")] + [
+        F.sum((F.col("_v") <= F.lit(float(x))).cast("long")).alias(f"_le_{i}")
+        for i, x in enumerate(values)
+    ]
+    agg = hydrated.groupBy("query_id").agg(*aggs)
+    pairs = F.arrays_zip(
+        F.array(*[F.lit(float(x)) for x in values]).alias("value"),
+        F.array(
+            *[
+                F.when(
+                    F.col("_n") > 0,
+                    F.lit(100.0) * F.col(f"_le_{i}") / F.col("_n"),
+                )
+                for i in range(len(values))
+            ]
+        ).alias("percent"),
+    )
+    return agg.select("query_id", F.explode(pairs).alias("_e")).select(
+        "query_id",
+        F.col("_e.value").alias("value"),
+        F.col("_e.percent").alias("percent"),
+    )
+
+
+def top_metrics(
+    run: DataFrame,
+    docs: DataFrame,
+    sort_col: str,
+    metric_cols: list[str],
+    ascending: bool = False,
+    size: int = 1,
+) -> DataFrame:
+    """(query_id, pos, sort_value, <metric cols...>) — the ES
+    `top_metrics` aggregation: the metric values carried by the docs at
+    the top of an attribute sort, per query. NULL sort values sort last
+    (they only appear if fewer than `size` docs carry the attribute —
+    ES's nulls-last behavior); ties break on doc_id ASC so the surface
+    is deterministic and oracle-replayable."""
+    if not metric_cols:
+        raise ValueError("metric_cols must name at least one metric column")
+    if size <= 0:
+        raise ValueError(f"size must be positive, got {size}")
+    base = run.select(
+        F.col("query_id").cast("string").alias("query_id"),
+        F.col("doc_id").cast("string").alias("doc_id"),
+    )
+    attrs = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.col(sort_col).cast("double").alias("sort_value"),
+        *[F.col(c) for c in metric_cols],
+    )
+    hydrated = attrs.join(F.broadcast(base), "doc_id")
+    from pyspark.sql import Window
+
+    order = (
+        F.asc_nulls_last("sort_value") if ascending
+        else F.desc_nulls_last("sort_value")
+    )
+    w = Window.partitionBy("query_id").orderBy(order, F.asc("doc_id"))
+    return (
+        hydrated.withColumn("pos", F.row_number().over(w))
+        .where(F.col("pos") <= size)
+        .select("query_id", "pos", "sort_value", *metric_cols)
+    )
+
+
 def hit_extended_stats(
     run: DataFrame,
     docs: DataFrame,

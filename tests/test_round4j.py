@@ -235,3 +235,62 @@ def test_diversified_sample_absent_doc_competes_as_null(spark, fdocs):
                               shard_size=5, max_docs_per_value=1).collect()
     # zz hydrates to the NULL bucket and still competes (rank 1 survives)
     assert {(r["doc_id"], r["sample_rank"]) for r in rows} == {("zz", 1), ("a", 2)}
+
+
+# ------------------------------------------- percentile_ranks / top_metrics
+
+def test_percentile_ranks_exact_and_null_exclusion(spark, run, docs):
+    from openmatch_spark.query import hit_percentile_ranks
+
+    out = {(r["query_id"], r["value"]): r["percent"] for r in
+           hit_percentile_ranks(run, docs, "v", (1.0, 2.0, 3.0)).collect()}
+    # q1 non-null v = {1, 3} (c's NULL excluded from num AND den)
+    assert out[("q1", 1.0)] == 50.0
+    assert out[("q1", 2.0)] == 50.0
+    assert out[("q1", 3.0)] == 100.0
+    # q2 = {1} (z absent from docs)
+    assert out[("q2", 1.0)] == 100.0
+
+
+def test_percentile_ranks_all_null_group(spark):
+    from openmatch_spark.query import hit_percentile_ranks
+
+    run = spark.createDataFrame([("q1", "a")], "query_id string, doc_id string")
+    docs = spark.createDataFrame([("a", None)], "doc_id string, v double")
+    rows = hit_percentile_ranks(run, docs, "v", (5.0,)).collect()
+    assert len(rows) == 1 and rows[0]["percent"] is None
+
+
+def test_top_metrics_sort_ties_and_nulls_last(spark):
+    from openmatch_spark.query import top_metrics
+
+    run = spark.createDataFrame(
+        [("q1", d) for d in "abcd"], "query_id string, doc_id string"
+    )
+    docs = spark.createDataFrame(
+        [("a", 5.0, "en"), ("b", 9.0, "de"), ("c", 9.0, "fr"), ("d", None, "xx")],
+        "doc_id string, s double, lang string",
+    )
+    rows = top_metrics(run, docs, "s", ["lang"], ascending=False, size=3).collect()
+    got = [(r["pos"], r["sort_value"], r["lang"])
+           for r in sorted(rows, key=lambda r: r["pos"])]
+    # ties break doc_id ASC (b before c); NULL sort value only fills the tail
+    assert got == [(1, 9.0, "de"), (2, 9.0, "fr"), (3, 5.0, "en")]
+
+
+def test_geo_bounds_and_centroid_null_skip(spark):
+    from openmatch_spark.operators.geo import geo_bounds, geo_centroid
+
+    pts = spark.createDataFrame(
+        [("g", 10.0, 20.0), ("g", -5.0, 40.0), ("g", None, 99.0), ("h", None, None)],
+        "k string, lat double, lon double",
+    )
+    b = {r["k"]: r for r in geo_bounds(pts, "lat", "lon", ["k"]).collect()}
+    # the half-NULL row must not leak its lon into the box
+    assert (b["g"]["top"], b["g"]["left"], b["g"]["bottom"], b["g"]["right"]) == \
+        (10.0, 20.0, -5.0, 40.0)
+    assert b["g"]["n_points"] == 2
+    assert b["h"]["top"] is None and b["h"]["n_points"] == 0
+    c = {r["k"]: r for r in geo_centroid(pts, "lat", "lon", ["k"]).collect()}
+    assert c["g"]["lat"] == 2.5 and c["g"]["lon"] == 30.0 and c["g"]["count"] == 2
+    assert c["h"]["lat"] is None and c["h"]["count"] == 0

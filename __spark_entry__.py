@@ -70,6 +70,16 @@ PHRASE_QUERIES = [
     ("ph5", "spark"),
 ]
 
+# match_phrase_prefix queries: last token is a prefix, earlier tokens
+# exact; one zero-expansion tail, one OOV exact token (both zero hits)
+PHRASE_PREFIX_QUERIES = [
+    ("pp0", "table ha"),
+    ("pp1", "part filter sc"),
+    ("pp2", "customer zz"),
+    ("pp3", "nosuchterm jo"),
+]
+PHRASE_PREFIX_MAX_EXP = 50
+
 # autocomplete prefixes ('zz' matches no vocabulary term)
 SUGGEST_PREFIXES = ["s", "sp", "ha", "c", "zz"]
 
@@ -664,6 +674,83 @@ tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM tok GROUP BY doc
 dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS doclen FROM tok GROUP BY doc_id),
 g AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(doclen) AS avgdl FROM dl),
 dfreq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term)"""
+
+_PP_VALUES = ", ".join(
+    f"('{qid}', '{text}')" for qid, text in PHRASE_PREFIX_QUERIES
+)
+
+# match_phrase_prefix oracle: exact offsets as in the phrase oracle, the
+# final slot filled by the capped (df DESC, term ASC) prefix expansion;
+# an occurrence needs every exact offset AND some expansion at the tail.
+# OOV exact tokens die structurally (n_ex counts matched offsets against
+# the PRE-vocabulary exact count). Scored by BM25 over the exact tokens.
+_PHRASE_PREFIX_SQL = f"""
+WITH {_TOKP},
+{_BM25_CORE},
+ppq(query_id, text) AS (VALUES {_PP_VALUES}),
+ppq_toks AS (
+  SELECT query_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM ppq
+),
+pterm AS (
+  SELECT query_id, CAST(u.i - 1 AS BIGINT) AS off, toks[u.i] AS term
+  FROM ppq_toks, UNNEST(generate_series(1, len(toks) - 1)) AS u(i)
+),
+ppfx AS (
+  SELECT query_id, toks[len(toks)] AS pfx, CAST(len(toks) - 1 AS BIGINT) AS last_off
+  FROM ppq_toks
+),
+exp AS (
+  SELECT p.query_id, c.term, p.last_off AS off
+  FROM ppfx p JOIN (
+    SELECT qterm, term FROM (
+      SELECT v.pfx AS qterm, d.term,
+             ROW_NUMBER() OVER (PARTITION BY v.pfx ORDER BY d.df DESC, d.term ASC) AS r
+      FROM dfreq d JOIN (SELECT DISTINCT pfx FROM ppfx) v ON d.term LIKE v.pfx || '%'
+    ) WHERE r <= {PHRASE_PREFIX_MAX_EXP}
+  ) c ON c.qterm = p.pfx
+),
+comb AS (
+  SELECT query_id, term, off, 0 AS is_exp FROM pterm
+  UNION ALL
+  SELECT query_id, term, off, 1 AS is_exp FROM exp
+),
+nex AS (SELECT query_id, COUNT(*) AS n_exact FROM pterm GROUP BY query_id),
+occm AS (
+  SELECT c.query_id, k.doc_id, k.pos - c.off AS adj,
+         COUNT(DISTINCT CASE WHEN c.is_exp = 0 THEN c.off END) AS n_ex,
+         MAX(c.is_exp) AS has_exp
+  FROM comb c JOIN tokp k ON k.term = c.term
+  GROUP BY c.query_id, k.doc_id, k.pos - c.off
+),
+ppfreq AS (
+  SELECT o.query_id, o.doc_id, CAST(COUNT(*) AS INTEGER) AS phrase_freq
+  FROM occm o JOIN nex n ON n.query_id = o.query_id
+  WHERE o.n_ex = n.n_exact AND o.has_exp = 1
+  GROUP BY o.query_id, o.doc_id
+),
+ppqt AS (SELECT query_id, term, CAST(COUNT(*) AS DOUBLE) AS qtf FROM pterm GROUP BY query_id, term),
+ppscored AS (
+  SELECT qt.query_id, tf.doc_id,
+         SUM(qt.qtf
+             * ln(1 + (g.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+             * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.doclen / g.avgdl))) AS score
+  FROM tf
+  JOIN ppqt qt ON qt.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN dfreq ON dfreq.term = tf.term
+  CROSS JOIN g
+  GROUP BY qt.query_id, tf.doc_id
+),
+pprun AS (
+  SELECT p.query_id, p.doc_id, s.score, p.phrase_freq,
+         CAST(ROW_NUMBER() OVER (PARTITION BY p.query_id ORDER BY s.score DESC, p.doc_id ASC) AS INTEGER) AS rank
+  FROM ppfreq p JOIN ppscored s ON s.query_id = p.query_id AND s.doc_id = p.doc_id
+)
+SELECT query_id, doc_id, ROUND(score, 6) AS score, rank, phrase_freq
+FROM pprun WHERE rank <= 10
+"""
 
 _PHRASE_SQL = f"""
 WITH {_TOKP},
@@ -2683,6 +2770,27 @@ def q_phrase_search(spark, sf_dir):
     )
 
 
+def q_phrase_prefix(spark, sf_dir):
+    """Lucene match_phrase_prefix: exact consecutive leading tokens, last
+    token expanded as a prefix (cap df DESC, term ASC); scored by BM25
+    over the exact tokens. Zero-expansion / OOV-exact queries yield no
+    rows (structural, not special-cased)."""
+    from openmatch_spark.query import search_phrase_prefix
+
+    idx = _entry_index_with_positions(spark, sf_dir)
+    pq = spark.createDataFrame(
+        PHRASE_PREFIX_QUERIES, "query_id string, text string"
+    )
+    run = search_phrase_prefix(idx, pq, k=10, max_expansions=PHRASE_PREFIX_MAX_EXP)
+    return run.select(
+        "query_id",
+        F.regexp_replace("doc_id", "^doc://", "").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+        "rank",
+        "phrase_freq",
+    )
+
+
 def q_proximity_search(spark, sf_dir):
     """Unordered proximity top-k: every distinct query term inside some
     token window <= PROX_WITHIN; min_cover = tightest such window (classic
@@ -4454,6 +4562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_keywords": q_doc_keywords,
         "significant_terms": q_significant_terms,
         "phrase_search": q_phrase_search,
+        "phrase_prefix": q_phrase_prefix,
         "proximity_search": q_proximity_search,
         "query_string": q_query_string,
         "span_near": q_span_near,
@@ -4682,6 +4791,7 @@ SELECT query_id, doc_id, ROUND(score, 6) AS score, rank FROM prun WHERE rank <= 
     sql["passage_maxp"] = _PASSAGE_MAXP_SQL
     sql["bm25_boolean"] = _BM25_BOOLEAN_SQL
     sql["phrase_search"] = _PHRASE_SQL
+    sql["phrase_prefix"] = _PHRASE_PREFIX_SQL
     sql["proximity_search"] = _PROXIMITY_SQL
     sql["span_near"] = _SPAN_SQL
     sql["query_string"] = _QUERY_STRING_SQL

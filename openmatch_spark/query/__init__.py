@@ -40,7 +40,12 @@ from openmatch_spark.query.spell import (  # noqa: F401
     suggest_spelling,
 )
 from openmatch_spark.query.paging import page_cursors, search_after  # noqa: F401
-from openmatch_spark.query.phrase import search_phrase, search_proximity, search_span_near  # noqa: F401
+from openmatch_spark.query.phrase import (  # noqa: F401
+    search_phrase,
+    search_phrase_prefix,
+    search_proximity,
+    search_span_near,
+)
 from openmatch_spark.query.bm25f import bm25f_score_adhoc  # noqa: F401
 from openmatch_spark.query.pq import pq_encode, pq_topk, pq_train  # noqa: F401
 from openmatch_spark.query.quantize import (  # noqa: F401

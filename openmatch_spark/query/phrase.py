@@ -590,3 +590,127 @@ def search_span_near(
         "query_id", "shard", "doc_ord", "score", "min_window"
     )
     return _finalize(index, cand, k, ["min_window"])
+
+
+def search_phrase_prefix(
+    index: BM25Index,
+    queries: DataFrame,
+    k: int = 100,
+    max_expansions: int = 50,
+) -> DataFrame:
+    """Lucene MatchPhrasePrefixQuery: every token but the last matches
+    exactly and consecutively; the LAST token matches as a PREFIX of any
+    vocabulary term ("spark str" hits "spark stream", "spark strategy").
+    (query_id, doc_id, score, rank, phrase_freq).
+
+    Expansion: the prefix expands to <= max_expansions vocabulary terms
+    capped by (df DESC, term ASC) — the engine's shared multi-term cap
+    rule (query/expand.py), a total order, deliberately NOT Lucene's
+    term-dictionary-order cap so the surface stays oracle-replicable;
+    both orders are "first N of an explosion guard", neither is ranked.
+    An occurrence at start s needs every exact offset present at
+    adj = pos - off AND some expansion at the final offset. Unmatchable
+    whole-query cases (OOV exact token, zero expansions) return no rows.
+
+    Scoring: BM25 over the EXACT tokens with qtf multiplicity — the
+    prefix gates the match but doesn't perturb the verified weight
+    algebra (Lucene blends expansions as synonyms; documented deviation,
+    same convention as search_phrase's BM25-over-terms). Hence >= 2
+    tokens required: a pure-prefix query is search_prefix's job.
+
+    Plan: ONE pruned positional scan over exact ∪ expansion terms (the
+    occurrence rows ride a single decode), one broadcast of the per-query
+    (term, off, is_exp) table, one occurrence groupBy, and the standard
+    pruned-postings scorer join — the phrase plan plus a flag column.
+    Driver-tokenized (search-box surface); big batches follow
+    search_phrase's distributed pattern if ever needed."""
+    from openmatch_spark.analysis import tokenize_py
+    from openmatch_spark.query.expand import _expansions
+
+    spark = index.spark
+    analyzer = index.stats["analyzer"]
+    empty = spark.createDataFrame(
+        [], "query_id string, doc_id string, score double, rank int, phrase_freq int"
+    )
+    rows = queries.select(
+        F.col("query_id").cast("string").alias("query_id"), "text"
+    ).collect()
+    phrases = {str(r["query_id"]): tokenize_py(r["text"], analyzer) for r in rows}
+    short = sorted(q for q, toks in phrases.items() if 0 < len(toks) < 2)
+    if short:
+        raise ValueError(
+            f"phrase_prefix needs >= 2 tokens (got 1 for {short[:3]}); "
+            "a single-prefix query is search_prefix"
+        )
+    phrases = {q: toks for q, toks in phrases.items() if toks}
+    if not phrases:
+        return empty
+    exact_vocab = index.term_buckets(
+        sorted({t for toks in phrases.values() for t in toks[:-1]})
+    )
+    live = {
+        q: toks for q, toks in phrases.items()
+        if all(t in exact_vocab for t in toks[:-1])
+    }
+    if not live:
+        return empty
+    prefixes = sorted({toks[-1] for toks in live.values()})
+    by_prefix = _expansions(index, prefixes, "prefix", 0, 0, max_expansions)
+    live = {q: toks for q, toks in live.items() if by_prefix.get(toks[-1])}
+    if not live:
+        return empty
+
+    combined = []  # (qid, term, off, is_exp)
+    for q, toks in sorted(live.items()):
+        last = len(toks) - 1
+        for off, t in enumerate(toks[:-1]):
+            combined.append((q, t, off, 0))
+        for term, _, _ in by_prefix[toks[-1]]:
+            combined.append((q, term, last, 1))
+    bucket_of = dict(exact_vocab)
+    for exps in by_prefix.values():
+        for term, _, bucket in exps:
+            bucket_of[term] = bucket
+    all_terms = sorted({t for (_, t, _, _) in combined})
+    occ = _pruned_positions(index, all_terms, bucket_of)
+    comb_df = F.broadcast(
+        spark.createDataFrame(
+            combined, "query_id string, term string, off long, is_exp int"
+        )
+    )
+    plen_df = F.broadcast(
+        spark.createDataFrame(
+            [(q, len(toks) - 1) for q, toks in sorted(live.items())],
+            "query_id string, n_exact long",
+        )
+    )
+    # occurrence at adj: all exact offsets present AND an expansion at the
+    # final slot; two expansion variants at the same slot count one
+    # occurrence (max flag), matching Lucene's synonym-position semantics
+    freq = (
+        occ.join(comb_df, "term")
+        .groupBy(
+            "query_id", "shard", "doc_ord",
+            (F.col("pos") - F.col("off")).alias("adj"),
+        )
+        .agg(
+            F.countDistinct(
+                F.when(F.col("is_exp") == 0, F.col("off"))
+            ).alias("n_ex"),
+            F.max("is_exp").alias("has_exp"),
+        )
+        .join(plen_df, "query_id")
+        .where((F.col("n_ex") == F.col("n_exact")) & (F.col("has_exp") == 1))
+        .groupBy("query_id", "shard", "doc_ord")
+        .agg(F.count(F.lit(1)).cast("int").alias("phrase_freq"))
+    )
+    qterms = [
+        (q, t, float(c))
+        for q, toks in sorted(live.items())
+        for t, c in sorted(Counter(toks[:-1]).items())
+    ]
+    scores = _bm25_scores(index, qterms, bucket_of)
+    cand = freq.join(scores, ["query_id", "shard", "doc_ord"]).select(
+        "query_id", "shard", "doc_ord", "score", "phrase_freq"
+    )
+    return _finalize(index, cand, k, ["phrase_freq"])

@@ -294,3 +294,43 @@ def test_geo_bounds_and_centroid_null_skip(spark):
     c = {r["k"]: r for r in geo_centroid(pts, "lat", "lon", ["k"]).collect()}
     assert c["g"]["lat"] == 2.5 and c["g"]["lon"] == 30.0 and c["g"]["count"] == 2
     assert c["h"]["lat"] is None and c["h"]["count"] == 0
+
+
+# ------------------------------------------------------- match_phrase_prefix
+
+def test_phrase_prefix_occurrences_and_guards(spark, tmp_path):
+    from openmatch_spark.index import build_index, load_index
+    from openmatch_spark.index.positions import build_positions
+    from openmatch_spark.query import search_phrase_prefix
+
+    d = str(tmp_path / "ppidx")
+    docs = spark.createDataFrame(
+        [("d1", "spark streams data fast"),
+         ("d2", "spark strategy wins the data game"),
+         ("d3", "streams spark no phrase here"),        # wrong order
+         ("d4", "spark stronghold spark streams twice spark streams"),
+         ("d5", "totally unrelated text")],
+        "url string, text string",
+    )
+    build_index(spark, docs, d, num_shards=2)
+    build_positions(spark, docs, d)
+    idx = load_index(spark, d)
+    q = spark.createDataFrame(
+        [("q1", "spark str"), ("q2", "data ga"),
+         ("q3", "spark zzz"), ("q4", "xx yy")],
+        "query_id string, text string",
+    )
+    rows = search_phrase_prefix(idx, q, k=10).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], {})[r["doc_id"]] = r["phrase_freq"]
+    # three expansions of "str" but d3's "streams spark" is out of order;
+    # d4 counts stronghold + streams + streams = 3 occurrences
+    assert by_q["q1"] == {"d1": 1, "d2": 1, "d4": 3}
+    assert by_q["q2"] == {"d2": 1}
+    assert "q3" not in by_q          # no expansion of zzz
+    assert "q4" not in by_q          # OOV exact token
+    # a single-token phrase_prefix is search_prefix's job
+    one = spark.createDataFrame([("q", "spar")], "query_id string, text string")
+    with pytest.raises(ValueError):
+        search_phrase_prefix(idx, one)

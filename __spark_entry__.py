@@ -4463,6 +4463,24 @@ def q_diversified_sample(spark, sf_dir):
     )
 
 
+def q_facet_histogram_dense(spark, sf_dir):
+    """ES histogram with min_doc_count=0 + extended_bounds over the BM25
+    top-10 hit set: every n_chars bucket (width 100) between the snapped
+    bounds appears, zero-count gaps and forced edges included."""
+    from openmatch_spark.operators.facets import histogram_facets
+
+    run = _bm25_run(spark, sf_dir, k=10, rounded=False).select(
+        "query_id", "doc_id"
+    )
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "n_chars"
+    )
+    return histogram_facets(
+        run, docs, {"n_chars": 100.0},
+        min_doc_count=0, extended_bounds={"n_chars": (0.0, 700.0)},
+    )
+
+
 def q_percentile_ranks(spark, sf_dir):
     """ES percentile_ranks over the BM25 top-10 hit set: the share of hit
     n_chars values <= each probe (exact, not t-digest — bounded hit set,
@@ -4600,6 +4618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_multi_terms": q_facet_multi_terms,
         "facet_rare": q_facet_rare,
         "diversified_sample": q_diversified_sample,
+        "facet_histogram_dense": q_facet_histogram_dense,
         "percentile_ranks": q_percentile_ranks,
         "top_metrics": q_top_metrics,
         "geo_bounds": q_geo_bounds,
@@ -7864,6 +7883,37 @@ SELECT bucket,
        CAST(COUNT(*) AS BIGINT) AS n_points,
        ROUND(AVG(lat), 6) AS centroid_lat, ROUND(AVG(lon), 6) AS centroid_lon
 FROM geo GROUP BY bucket
+"""
+
+    # ES histogram min_doc_count=0 + extended_bounds: densified buckets
+    # via generate_series over bucket ordinals, zero-count gaps included
+    sql["facet_histogram_dense"] = f"""
+WITH {_BM25_CTES},
+run10 AS (SELECT query_id, doc_id FROM run WHERE rank <= 10),
+hh AS (
+  SELECT r.query_id, FLOOR(CAST(d.n_chars AS DOUBLE) / 100.0) * 100.0 AS bucket_lo
+  FROM run10 r JOIN documents d ON CAST(d.doc_id AS VARCHAR) = r.doc_id
+  WHERE d.n_chars IS NOT NULL
+),
+hcounts AS (
+  SELECT query_id, bucket_lo, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM hh GROUP BY query_id, bucket_lo
+),
+spans AS (
+  SELECT query_id,
+         LEAST(MIN(bucket_lo), 0.0) AS mn,
+         GREATEST(MAX(bucket_lo), 700.0) AS mx
+  FROM hcounts GROUP BY query_id
+),
+grid AS (
+  SELECT s.query_id,
+         (CAST(ROUND(s.mn / 100.0) AS BIGINT) + u.i) * CAST(100.0 AS DOUBLE) AS bucket_lo
+  FROM spans s, UNNEST(generate_series(0, CAST(ROUND((s.mx - s.mn) / 100.0) AS BIGINT))) AS u(i)
+)
+SELECT g.query_id, 'n_chars' AS facet, g.bucket_lo,
+       COALESCE(c.n_docs, 0) AS n_docs
+FROM grid g LEFT JOIN hcounts c
+  ON c.query_id = g.query_id AND c.bucket_lo = g.bucket_lo
 """
 
     return sql

@@ -121,14 +121,30 @@ def histogram_facets(
     run: DataFrame,
     docs: DataFrame,
     intervals: dict[str, float],
+    min_doc_count: int = 1,
+    extended_bounds: dict[str, tuple[float, float]] | None = None,
 ) -> DataFrame:
     """(query_id, facet, bucket_lo, n_docs) — Elasticsearch histogram
     aggregation over the hit set: fixed-width buckets keyed by their lower
-    edge, bucket_lo = floor(value / interval) * interval (origin 0). Empty
-    buckets are NOT emitted (sparse, like ES without min_doc_count=0);
-    NULL attributes are skipped. One broadcast hydrate + one groupBy."""
+    edge, bucket_lo = floor(value / interval) * interval (origin 0); NULL
+    attributes are skipped. One broadcast hydrate + one groupBy.
+
+    min_doc_count follows ES: the default 1 emits only occupied buckets
+    (sparse); 0 DENSIFIES — every bucket between a (query, facet) group's
+    min and max occupied bucket appears with n_docs 0, the gaps generated
+    with sequence() over bucket ordinals (a per-group-bounded explode,
+    never corpus-shaped); higher values filter. extended_bounds widens the
+    densified span per facet column (ES semantics: forces empty edge
+    buckets beyond the data). Deviation, documented: a (query, facet)
+    group with NO occupied bucket at all emits nothing even under
+    extended_bounds — the span is derived from the counts frame, and a
+    query absent from it has no group to widen."""
     if not intervals:
         raise ValueError("intervals must name at least one attribute column")
+    if min_doc_count < 0:
+        raise ValueError(f"min_doc_count must be >= 0, got {min_doc_count}")
+    if extended_bounds and min_doc_count > 0:
+        raise ValueError("extended_bounds requires min_doc_count=0 (ES rule)")
     base = run.select(
         F.col("query_id").cast("string").alias("query_id"),
         F.col("doc_id").cast("string").alias("doc_id"),
@@ -147,12 +163,58 @@ def histogram_facets(
             )
             .where(F.col("bucket_lo").isNotNull())
             .join(F.broadcast(base), "doc_id")
-            .select("query_id", F.lit(col).alias("facet"), "bucket_lo")
+            .select(
+                "query_id",
+                F.lit(col).alias("facet"),
+                F.lit(float(width)).alias("_w"),
+                "bucket_lo",
+            )
         )
         out = part if out is None else out.unionByName(part)
-    return out.groupBy("query_id", "facet", "bucket_lo").agg(
+    counts = out.groupBy("query_id", "facet", "_w", "bucket_lo").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs")
     )
+    if min_doc_count == 0:
+        spans = counts.groupBy("query_id", "facet", "_w").agg(
+            F.min("bucket_lo").alias("_mn"), F.max("bucket_lo").alias("_mx")
+        )
+        for col, (lo, hi) in sorted((extended_bounds or {}).items()):
+            snap_lo = F.floor(F.lit(float(lo)) / F.col("_w")) * F.col("_w")
+            snap_hi = F.floor(F.lit(float(hi)) / F.col("_w")) * F.col("_w")
+            is_col = F.col("facet") == F.lit(col)
+            spans = spans.withColumn(
+                "_mn", F.when(is_col, F.least("_mn", snap_lo)).otherwise(F.col("_mn"))
+            ).withColumn(
+                "_mx", F.when(is_col, F.greatest("_mx", snap_hi)).otherwise(F.col("_mx"))
+            )
+        grid = spans.select(
+            "query_id", "facet", "_mn",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("long"),
+                    F.round((F.col("_mx") - F.col("_mn")) / F.col("_w")).cast("long"),
+                )
+            ).alias("_i"),
+            "_w",
+        ).select(
+            "query_id", "facet",
+            # ordinal * width, the SAME product shape as the counts side's
+            # floor(v/w)*w — bit-identical keys, so the join always lands
+            (
+                (F.round(F.col("_mn") / F.col("_w")).cast("long") + F.col("_i"))
+                * F.col("_w")
+            ).alias("bucket_lo"),
+        )
+        return grid.join(
+            counts.drop("_w"), ["query_id", "facet", "bucket_lo"], "left"
+        ).select(
+            "query_id", "facet", "bucket_lo",
+            F.coalesce(F.col("n_docs"), F.lit(0)).cast("long").alias("n_docs"),
+        )
+    filtered = counts.drop("_w")
+    if min_doc_count > 1:
+        filtered = filtered.where(F.col("n_docs") >= min_doc_count)
+    return filtered
 
 
 def facet_top_hits(

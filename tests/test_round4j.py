@@ -334,3 +334,55 @@ def test_phrase_prefix_occurrences_and_guards(spark, tmp_path):
     one = spark.createDataFrame([("q", "spar")], "query_id string, text string")
     with pytest.raises(ValueError):
         search_phrase_prefix(idx, one)
+
+
+# --------------------------------------------- histogram densification
+
+def test_histogram_min_doc_count_zero_fills_gaps(spark):
+    from openmatch_spark.operators.facets import histogram_facets
+
+    run = spark.createDataFrame(
+        [("q1", "a"), ("q1", "b")], "query_id string, doc_id string"
+    )
+    docs = spark.createDataFrame(
+        [("a", 10.0), ("b", 310.0)], "doc_id string, v double"
+    )
+    rows = histogram_facets(run, docs, {"v": 100.0}, min_doc_count=0).collect()
+    got = {r["bucket_lo"]: r["n_docs"] for r in rows}
+    # gap buckets 100 and 200 appear with zero counts
+    assert got == {0.0: 1, 100.0: 0, 200.0: 0, 300.0: 1}
+
+
+def test_histogram_extended_bounds_and_guards(spark):
+    from openmatch_spark.operators.facets import histogram_facets
+
+    run = spark.createDataFrame([("q1", "a")], "query_id string, doc_id string")
+    docs = spark.createDataFrame([("a", 150.0)], "doc_id string, v double")
+    rows = histogram_facets(
+        run, docs, {"v": 100.0},
+        min_doc_count=0, extended_bounds={"v": (0.0, 350.0)},
+    ).collect()
+    got = {r["bucket_lo"]: r["n_docs"] for r in rows}
+    # bounds snap to bucket edges: 0..300 forced, datum at 100
+    assert got == {0.0: 0, 100.0: 1, 200.0: 0, 300.0: 0}
+    with pytest.raises(ValueError):
+        histogram_facets(run, docs, {"v": 100.0},
+                         min_doc_count=1, extended_bounds={"v": (0, 1)})
+
+
+def test_histogram_min_doc_count_filter_and_fractional_width(spark):
+    from openmatch_spark.operators.facets import histogram_facets
+
+    run = spark.createDataFrame(
+        [("q1", d) for d in "abc"], "query_id string, doc_id string"
+    )
+    docs = spark.createDataFrame(
+        [("a", 0.1), ("b", 0.2), ("c", 0.95)], "doc_id string, v double"
+    )
+    # min_doc_count=2 keeps only the first bucket (2 docs)
+    rows = histogram_facets(run, docs, {"v": 0.3}, min_doc_count=2).collect()
+    assert len(rows) == 1 and rows[0]["n_docs"] == 2
+    # fractional width densified: grid keys must land on the count keys
+    dense = histogram_facets(run, docs, {"v": 0.3}, min_doc_count=0).collect()
+    assert sum(r["n_docs"] for r in dense) == 3
+    assert len(dense) == 4  # ordinals 0..3 for values in [0, 0.95]

@@ -4463,6 +4463,36 @@ def q_diversified_sample(spark, sf_dir):
     )
 
 
+def q_function_score(spark, sf_dir):
+    """Full ES function_score combiner over the BM25 top-10: a filtered
+    weight (lang='en'), a log1p field_value_factor on n_chars, and a
+    deterministic md5-fold random_score, combined score_mode=sum then
+    blended boost_mode=multiply — all pure column algebra."""
+    from openmatch_spark.query import function_score
+
+    run = _bm25_run(spark, sf_dir, k=10, rounded=False).select(
+        "query_id", "doc_id", "score"
+    )
+    attrs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "lang", "n_chars"
+    )
+    out = function_score(
+        run,
+        attrs,
+        [
+            {"kind": "weight", "weight": 1.5, "filter": "lang = 'en'"},
+            {"kind": "field_value_factor", "field": "n_chars",
+             "factor": 0.01, "modifier": "log1p", "missing": 1.0},
+            {"kind": "random_score", "seed": 7},
+        ],
+        score_mode="sum",
+        boost_mode="multiply",
+    )
+    return out.select(
+        "query_id", "doc_id", F.round("score", 6).alias("score"), "rank"
+    )
+
+
 def q_facet_histogram_dense(spark, sf_dir):
     """ES histogram with min_doc_count=0 + extended_bounds over the BM25
     top-10 hit set: every n_chars bucket (width 100) between the snapped
@@ -4619,6 +4649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_rare": q_facet_rare,
         "diversified_sample": q_diversified_sample,
         "facet_histogram_dense": q_facet_histogram_dense,
+        "function_score": q_function_score,
         "percentile_ranks": q_percentile_ranks,
         "top_metrics": q_top_metrics,
         "geo_bounds": q_geo_bounds,
@@ -7914,6 +7945,26 @@ SELECT g.query_id, 'n_chars' AS facet, g.bucket_lo,
        COALESCE(c.n_docs, 0) AS n_docs
 FROM grid g LEFT JOIN hcounts c
   ON c.query_id = g.query_id AND c.bucket_lo = g.bucket_lo
+"""
+
+    # full function_score: filtered weight + log1p fvf + md5-fold random,
+    # score_mode=sum, boost_mode=multiply (fvf and random always match, so
+    # the matched-sum is closed-form; the weight term gates on lang)
+    sql["function_score"] = f"""
+WITH {_BM25_CTES},
+fsrun AS (SELECT query_id, doc_id, score FROM run WHERE rank <= 10),
+fsh AS (
+  SELECT r.query_id, r.doc_id, r.score,
+         (CASE WHEN d.lang = 'en' THEN 1.5 ELSE 0.0 END)
+         + ln(1 + 0.01 * COALESCE(CAST(d.n_chars AS DOUBLE), 1.0))
+         + ((strpos('0123456789abcdef', substring(md5(concat_ws('|', '7', r.doc_id)), 1, 1)) - 1) * power(16.0, -1) + (strpos('0123456789abcdef', substring(md5(concat_ws('|', '7', r.doc_id)), 2, 1)) - 1) * power(16.0, -2) + (strpos('0123456789abcdef', substring(md5(concat_ws('|', '7', r.doc_id)), 3, 1)) - 1) * power(16.0, -3) + (strpos('0123456789abcdef', substring(md5(concat_ws('|', '7', r.doc_id)), 4, 1)) - 1) * power(16.0, -4) + (strpos('0123456789abcdef', substring(md5(concat_ws('|', '7', r.doc_id)), 5, 1)) - 1) * power(16.0, -5) + (strpos('0123456789abcdef', substring(md5(concat_ws('|', '7', r.doc_id)), 6, 1)) - 1) * power(16.0, -6) + (strpos('0123456789abcdef', substring(md5(concat_ws('|', '7', r.doc_id)), 7, 1)) - 1) * power(16.0, -7) + (strpos('0123456789abcdef', substring(md5(concat_ws('|', '7', r.doc_id)), 8, 1)) - 1) * power(16.0, -8)) AS fs
+  FROM fsrun r LEFT JOIN documents d ON CAST(d.doc_id AS VARCHAR) = r.doc_id
+)
+SELECT query_id, doc_id, ROUND(score * fs, 6) AS score,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY query_id ORDER BY score * fs DESC, doc_id ASC
+       ) AS INTEGER) AS rank
+FROM fsh
 """
 
     return sql

@@ -220,3 +220,185 @@ def field_value_factor_rescore(
     if k is not None:
         out = out.where(F.col("rank") <= k)
     return out.select("query_id", "doc_id", "score", "rank")
+
+
+_SCORE_MODES = ("multiply", "sum", "avg", "max", "min", "first")
+_BOOST_MODES = ("multiply", "sum", "replace", "avg", "max", "min")
+_HEX = "0123456789abcdef"
+
+
+def _random_unit_col(doc_id_col: str, seed: int) -> Column:
+    """Deterministic uniform [0, 1) per doc: fold the first 8 nibbles of
+    the engine's portable md5 rank key (functions/hashing.py) into a
+    base-16 fraction. Pure string/arithmetic algebra so DuckDB replays it
+    digit by digit — no hex-parse builtin needed in either engine."""
+    out = F.lit(0.0)
+    for i in range(1, 9):
+        d = F.expr(
+            f"locate(substring(md5(concat_ws('|', '{seed}', {doc_id_col})), "
+            f"{i}, 1), '{_HEX}') - 1"
+        )
+        out = out + d.cast("double") * F.lit(16.0 ** -i)
+    return out
+
+
+def function_score(
+    run: DataFrame,
+    attrs: DataFrame,
+    functions: list[dict],
+    score_mode: str = "multiply",
+    boost_mode: str = "multiply",
+    k: int | None = None,
+) -> DataFrame:
+    """(query_id, doc_id, score, rank) — the full ES `function_score`
+    combiner over a ranked run: each function produces a value for the
+    docs matching its optional `filter` (SQL predicate over the attribute
+    columns; NULL folds to false); matching values combine via
+    `score_mode` (multiply/sum/avg/max/min/first — first = first MATCHING
+    function in list order, ES semantics); the combined function score
+    blends with the query score via `boost_mode` (multiply/sum/replace/
+    avg/max/min). If NO function matches a doc the function score is 1
+    (ES's neutral element regardless of score_mode).
+
+    Function specs (dicts):
+      {"kind": "weight", "weight": w}
+      {"kind": "field_value_factor", "field": f, "factor": a,
+       "modifier": "none"|"log1p"|"sqrt", "missing": m}
+      {"kind": "decay", "decay_kind": "gauss"|"exp"|"linear", "field": f,
+       "origin": o, "scale": s, "decay": d, "offset": off}
+           (NULL attribute -> 1.0, the decay surface's missing rule)
+      {"kind": "random_score", "seed": n}
+           (deterministic uniform [0,1) from the portable md5 rank key —
+            reproducible across engines AND runs, unlike ES's default
+            ctx-dependent seed)
+    Every spec takes an optional "filter" and an optional "weight"
+    multiplier (ES's per-function weight, default 1).
+
+    Plan: the same bounded shape as decay_rescore — one semi-join pass
+    reduces the corpus-sized attribute table to the run's docs, one
+    broadcast hydrate, then pure column algebra (arrays of (value, match)
+    structs folded with F.aggregate/F.filter) and one re-rank window. No
+    UDF, no extra corpus pass."""
+    if score_mode not in _SCORE_MODES:
+        raise ValueError(f"score_mode must be one of {_SCORE_MODES}")
+    if boost_mode not in _BOOST_MODES:
+        raise ValueError(f"boost_mode must be one of {_BOOST_MODES}")
+    if not functions:
+        raise ValueError("functions must contain at least one spec")
+
+    base = run.select(
+        F.col("query_id").cast("string").alias("query_id"),
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.col("score").cast("double").alias("_base"),
+    )
+    fields = sorted({
+        spec["field"] for spec in functions
+        if spec["kind"] in ("field_value_factor", "decay")
+    })
+    av = attrs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        *[F.col(f) for f in
+          sorted(set(attrs.columns) - {"doc_id"})],
+    )
+    bounded = av.join(
+        F.broadcast(base.select("doc_id").distinct()), "doc_id", "left_semi"
+    )
+    hyd = base.join(F.broadcast(bounded), "doc_id", "left")
+
+    structs = []
+    for spec in functions:
+        kind = spec["kind"]
+        weight = float(spec.get("weight", 1.0))
+        if kind == "weight":
+            val = F.lit(1.0)
+        elif kind == "field_value_factor":
+            v = F.coalesce(
+                F.col(spec["field"]).cast("double"),
+                F.lit(float(spec.get("missing", 1.0))),
+            ) * F.lit(float(spec.get("factor", 1.0)))
+            modifier = spec.get("modifier", "none")
+            if modifier == "log1p":
+                val = F.log1p(v)
+            elif modifier == "sqrt":
+                val = F.sqrt(v)
+            elif modifier == "none":
+                val = v
+            else:
+                raise ValueError(f"unknown modifier {modifier!r}")
+        elif kind == "decay":
+            dk = spec.get("decay_kind", "gauss")
+            if dk not in _KINDS:
+                raise ValueError(f"decay_kind must be one of {_KINDS}")
+            scale = float(spec["scale"])
+            decay = float(spec.get("decay", 0.5))
+            origin = float(spec["origin"])
+            offset = float(spec.get("offset", 0.0))
+            if scale <= 0 or not 0.0 < decay < 1.0:
+                raise ValueError("decay needs scale > 0 and decay in (0,1)")
+            vv = F.col(spec["field"]).cast("double")
+            dist = F.greatest(
+                F.abs(vv - F.lit(origin)) - F.lit(offset), F.lit(0.0)
+            )
+            if dk == "gauss":
+                sigma2 = -(scale * scale) / (2.0 * math.log(decay))
+                m = F.exp(-(dist * dist) / F.lit(2.0 * sigma2))
+            elif dk == "exp":
+                m = F.exp(F.lit(math.log(decay) / scale) * dist)
+            else:
+                s = scale / (1.0 - decay)
+                m = F.greatest((F.lit(s) - dist) / F.lit(s), F.lit(0.0))
+            val = F.coalesce(m, F.lit(1.0))
+        elif kind == "random_score":
+            val = _random_unit_col("doc_id", int(spec.get("seed", 42)))
+        else:
+            raise ValueError(f"unknown function kind {kind!r}")
+        flt = spec.get("filter")
+        match = (
+            F.coalesce(F.expr(flt).cast("boolean"), F.lit(False))
+            if flt is not None
+            else F.lit(True)
+        )
+        structs.append(
+            F.struct(
+                (val * F.lit(weight)).cast("double").alias("v"),
+                match.alias("m"),
+            )
+        )
+
+    arr = F.filter(F.array(*structs), lambda x: x["m"])
+    n = F.size(arr)
+    vals = F.transform(arr, lambda x: x["v"])
+    if score_mode == "multiply":
+        fs = F.aggregate(vals, F.lit(1.0), lambda acc, x: acc * x)
+    elif score_mode == "sum":
+        fs = F.aggregate(vals, F.lit(0.0), lambda acc, x: acc + x)
+    elif score_mode == "avg":
+        fs = F.aggregate(vals, F.lit(0.0), lambda acc, x: acc + x) / n
+    elif score_mode == "max":
+        fs = F.array_max(vals)
+    elif score_mode == "min":
+        fs = F.array_min(vals)
+    else:  # first
+        fs = F.element_at(vals, 1)
+    fs = F.when(n > 0, fs).otherwise(F.lit(1.0))
+
+    b = F.col("_base")
+    if boost_mode == "multiply":
+        final = b * fs
+    elif boost_mode == "sum":
+        final = b + fs
+    elif boost_mode == "replace":
+        final = fs
+    elif boost_mode == "avg":
+        final = (b + fs) / F.lit(2.0)
+    elif boost_mode == "max":
+        final = F.greatest(b, fs)
+    else:
+        final = F.least(b, fs)
+
+    rescored = hyd.select("query_id", "doc_id", final.alias("score"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    out = rescored.withColumn("rank", F.row_number().over(w))
+    if k is not None:
+        out = out.where(F.col("rank") <= k)
+    return out.select("query_id", "doc_id", "score", "rank")

@@ -386,3 +386,83 @@ def test_histogram_min_doc_count_filter_and_fractional_width(spark):
     dense = histogram_facets(run, docs, {"v": 0.3}, min_doc_count=0).collect()
     assert sum(r["n_docs"] for r in dense) == 3
     assert len(dense) == 4  # ordinals 0..3 for values in [0, 0.95]
+
+
+# ------------------------------------------------------------ function_score
+
+def test_function_score_modes_and_neutral(spark):
+    import math
+
+    from openmatch_spark.query import function_score
+
+    run = spark.createDataFrame(
+        [("q1", "a", 2.0), ("q1", "b", 1.0), ("q1", "c", 3.0)],
+        "query_id string, doc_id string, score double",
+    )
+    docs = spark.createDataFrame(
+        [("a", "en", 100.0), ("b", "de", None), ("c", "en", None)],
+        "doc_id string, lang string, views double",
+    )
+    out = {r["doc_id"]: r["score"] for r in function_score(
+        run, docs,
+        [{"kind": "weight", "weight": 2.0, "filter": "lang='en'"},
+         {"kind": "field_value_factor", "field": "views", "factor": 0.1,
+          "modifier": "log1p", "missing": 10.0}],
+        score_mode="sum", boost_mode="multiply",
+    ).collect()}
+    assert abs(out["a"] - 2 * (2 + math.log1p(10.0))) < 1e-12
+    assert abs(out["b"] - math.log1p(1.0)) < 1e-12        # weight not matching
+    assert abs(out["c"] - 3 * (2 + math.log1p(1.0))) < 1e-12
+    # no matching function -> neutral 1 regardless of score_mode
+    neutral = {r["doc_id"]: r["score"] for r in function_score(
+        run, docs, [{"kind": "weight", "weight": 5.0, "filter": "lang='xx'"}],
+        score_mode="multiply", boost_mode="multiply",
+    ).collect()}
+    assert neutral == {"a": 2.0, "b": 1.0, "c": 3.0}
+    # boost_mode variants on a fixed fs=2 (weight matching everywhere)
+    fns = [{"kind": "weight", "weight": 2.0}]
+    for mode, expect_a in (("sum", 4.0), ("replace", 2.0), ("avg", 2.0),
+                           ("max", 2.0), ("min", 2.0)):
+        got = {r["doc_id"]: r["score"] for r in
+               function_score(run, docs, fns, boost_mode=mode).collect()}
+        assert got["a"] == expect_a, mode
+    # score_mode first / max / min over two weights
+    two = [{"kind": "weight", "weight": 3.0}, {"kind": "weight", "weight": 5.0}]
+    for mode, fs in (("first", 3.0), ("max", 5.0), ("min", 3.0),
+                     ("avg", 4.0), ("multiply", 15.0), ("sum", 8.0)):
+        got = {r["doc_id"]: r["score"] for r in
+               function_score(run, docs, two, score_mode=mode,
+                              boost_mode="replace").collect()}
+        assert got["a"] == fs, mode
+
+
+def test_function_score_random_and_decay(spark):
+    from openmatch_spark.query import function_score
+
+    run = spark.createDataFrame(
+        [("q1", "a", 1.0), ("q1", "b", 1.0)],
+        "query_id string, doc_id string, score double",
+    )
+    docs = spark.createDataFrame(
+        [("a", 10.0), ("b", 110.0)], "doc_id string, age double"
+    )
+    # random: deterministic in [0,1), distinct per doc, stable across runs
+    r1 = {r["doc_id"]: r["score"] for r in function_score(
+        run, docs, [{"kind": "random_score", "seed": 7}],
+        boost_mode="replace").collect()}
+    r2 = {r["doc_id"]: r["score"] for r in function_score(
+        run, docs, [{"kind": "random_score", "seed": 7}],
+        boost_mode="replace").collect()}
+    assert r1 == r2 and all(0.0 <= v < 1.0 for v in r1.values())
+    assert r1["a"] != r1["b"]
+    # decay inside the combiner: doc AT scale distance scores decay=0.5
+    d = {r["doc_id"]: r["score"] for r in function_score(
+        run, docs,
+        [{"kind": "decay", "decay_kind": "gauss", "field": "age",
+          "origin": 10.0, "scale": 100.0, "decay": 0.5}],
+        boost_mode="replace").collect()}
+    assert d["a"] == 1.0 and abs(d["b"] - 0.5) < 1e-12
+    with pytest.raises(ValueError):
+        function_score(run, docs, [], score_mode="sum")
+    with pytest.raises(ValueError):
+        function_score(run, docs, [{"kind": "weight"}], score_mode="nope")

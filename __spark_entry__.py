@@ -4493,6 +4493,25 @@ def q_function_score(spark, sf_dir):
     )
 
 
+def q_significant_jlh(spark, sf_dir):
+    """significant_terms under the ES JLH heuristic (absolute change x
+    relative change of fg vs bg doc rates) — same fg/bg machinery as the
+    lift entry, different published formula."""
+    from openmatch_spark.query import significant_terms
+
+    run = _bm25_run(spark, sf_dir, k=10, rounded=False).select(
+        "query_id", "doc_id"
+    )
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    out = significant_terms(run, docs, n=10, min_doc_count=2, heuristic="jlh")
+    return out.select(
+        "query_id", "term", "fg_df", "bg_df",
+        F.round("score", 6).alias("score"), "rank",
+    )
+
+
 def q_facet_histogram_dense(spark, sf_dir):
     """ES histogram with min_doc_count=0 + extended_bounds over the BM25
     top-10 hit set: every n_chars bucket (width 100) between the snapped
@@ -4650,6 +4669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diversified_sample": q_diversified_sample,
         "facet_histogram_dense": q_facet_histogram_dense,
         "function_score": q_function_score,
+        "significant_jlh": q_significant_jlh,
         "percentile_ranks": q_percentile_ranks,
         "top_metrics": q_top_metrics,
         "geo_bounds": q_geo_bounds,
@@ -7965,6 +7985,41 @@ SELECT query_id, doc_id, ROUND(score * fs, 6) AS score,
          PARTITION BY query_id ORDER BY score * fs DESC, doc_id ASC
        ) AS INTEGER) AS rank
 FROM fsh
+"""
+
+    # JLH heuristic: (fgr - bgr) * (fgr / bgr) over the same fg/bg counts
+    sql["significant_jlh"] = f"""
+WITH {_BM25_CTES},
+run10 AS (SELECT query_id, doc_id FROM run WHERE rank <= 10),
+dterm AS (SELECT DISTINCT doc_id, term FROM tok),
+bg AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS bg_df FROM dterm GROUP BY term),
+bgn AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n FROM documents),
+fgsz AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS fg_docs FROM run10 GROUP BY query_id),
+fg AS (
+  SELECT r.query_id, d.term, CAST(COUNT(*) AS BIGINT) AS fg_df
+  FROM run10 r JOIN dterm d ON d.doc_id = r.doc_id
+  GROUP BY r.query_id, d.term
+  HAVING COUNT(*) >= 2
+),
+sc AS (
+  SELECT f.query_id, f.term, f.fg_df, b.bg_df,
+         ((CAST(f.fg_df AS DOUBLE) / CAST(s.fg_docs AS DOUBLE))
+            - (CAST(b.bg_df AS DOUBLE) / bgn.n))
+         * ((CAST(f.fg_df AS DOUBLE) / CAST(s.fg_docs AS DOUBLE))
+            / (CAST(b.bg_df AS DOUBLE) / bgn.n)) AS score
+  FROM fg f JOIN bg b ON b.term = f.term
+  JOIN fgsz s ON s.query_id = f.query_id
+  CROSS JOIN bgn
+),
+rk AS (
+  SELECT query_id, term, fg_df, bg_df, score,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY score DESC, term ASC
+         ) AS INTEGER) AS rank
+  FROM sc
+)
+SELECT query_id, term, fg_df, bg_df, ROUND(score, 6) AS score, rank
+FROM rk WHERE rank <= 10
 """
 
     return sql

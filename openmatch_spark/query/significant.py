@@ -60,6 +60,58 @@ def term_vectors(
     )
 
 
+SIGNIFICANCE_HEURISTICS = (
+    "lift", "jlh", "chi_square", "mutual_information", "percentage"
+)
+
+
+def _significance_score(bg_docs: float, heuristic: str):
+    """Score expression over (fg_df, bg_df, fg_docs) columns — the ES
+    significance heuristics, from their published formulas. Contingency
+    cells (background_is_superset, ES default):
+        f11 = fg_df            f10 = bg_df − fg_df
+        f01 = fg_docs − fg_df  f00 = bg_docs − bg_df − f01
+    Degenerate denominators (term in every doc, foreground == corpus)
+    yield NULL, which sorts after every real score."""
+    fg_df = F.col("fg_df").cast("double")
+    bg_df = F.col("bg_df").cast("double")
+    fg_n = F.col("fg_docs").cast("double")
+    bg_n = F.lit(float(bg_docs))
+    fgr = fg_df / fg_n
+    bgr = bg_df / bg_n
+    if heuristic == "lift":
+        return fgr / bgr
+    if heuristic == "percentage":
+        return fg_df / bg_df
+    if heuristic == "jlh":
+        # absolute change × relative change (ES's default heuristic)
+        return (fgr - bgr) * (fgr / bgr)
+    f11 = fg_df
+    f10 = bg_df - fg_df
+    f01 = fg_n - fg_df
+    f00 = bg_n - bg_df - f01
+    if heuristic == "chi_square":
+        num = (f11 + f10 + f01 + f00) * F.pow(f11 * f00 - f10 * f01, F.lit(2.0))
+        den = (f11 + f10) * (f01 + f00) * (f11 + f01) * (f10 + f00)
+        return F.when(den != 0.0, num / den)
+    # mutual_information: Σ p(x,y)·log2(p(x,y)/(p(x)p(y))), 0·log 0 = 0
+    nn = f11 + f10 + f01 + f00
+
+    def mi_term(fxy, fx, fy):
+        p = fxy / nn
+        return F.when(
+            (fxy > 0) & (fx > 0) & (fy > 0),
+            p * F.log2(p / ((fx / nn) * (fy / nn))),
+        ).otherwise(F.lit(0.0))
+
+    return (
+        mi_term(f11, f11 + f10, f11 + f01)
+        + mi_term(f10, f11 + f10, f10 + f00)
+        + mi_term(f01, f01 + f00, f11 + f01)
+        + mi_term(f00, f01 + f00, f10 + f00)
+    )
+
+
 def significant_terms(
     run: DataFrame,
     docs: DataFrame,
@@ -68,15 +120,24 @@ def significant_terms(
     min_doc_count: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    heuristic: str = "lift",
 ) -> DataFrame:
     """(query_id, term, fg_df, bg_df, score, rank) — top-n significant
-    terms per query by foreground/background document-frequency lift.
+    terms per query by a selectable significance heuristic over
+    foreground (hit set) vs background (whole corpus) doc frequencies:
+    'lift' (fg rate / bg rate — the original surface, default), or the
+    ES/Lucene heuristics 'jlh', 'chi_square', 'mutual_information',
+    'percentage' (see _significance_score for the formulas).
 
     run: (query_id, doc_id) — the hit set (typically a top-k run's id
     pairs). docs: the corpus the run was drawn from; the background is
     computed over ALL of it, the foreground only over hit docs."""
     if n <= 0:
         raise ValueError(f"n must be positive, got {n}")
+    if heuristic not in SIGNIFICANCE_HEURISTICS:
+        raise ValueError(
+            f"heuristic must be one of {SIGNIFICANCE_HEURISTICS}, got {heuristic!r}"
+        )
     hit_ids = run.select(
         F.col("query_id").cast("string").alias("query_id"),
         F.col("doc_id").cast("string").alias("doc_id"),
@@ -106,11 +167,10 @@ def significant_terms(
             "term",
             "fg_df",
             "bg_df",
-            (
-                (F.col("fg_df") / F.col("fg_docs"))
-                / (F.col("bg_df") / F.lit(float(bg_docs)))
-            ).alias("score"),
+            "fg_docs",
         )
+        .withColumn("score", _significance_score(bg_docs, heuristic))
+        .drop("fg_docs")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("term"))
     return (

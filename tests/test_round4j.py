@@ -466,3 +466,39 @@ def test_function_score_random_and_decay(spark):
         function_score(run, docs, [], score_mode="sum")
     with pytest.raises(ValueError):
         function_score(run, docs, [{"kind": "weight"}], score_mode="nope")
+
+
+# ------------------------------------------------- significance heuristics
+
+def test_significance_heuristics_hand_checked(spark):
+    from openmatch_spark.query.significant import significant_terms
+
+    docs = spark.createDataFrame(
+        [("a", "apple banana"), ("b", "apple cherry"),
+         ("c", "apple banana"), ("d", "durian")],
+        "doc_id string, text string",
+    )
+    run = spark.createDataFrame(
+        [("q1", "a"), ("q1", "c")], "query_id string, doc_id string"
+    )
+
+    def scores(h):
+        return {r["term"]: r["score"] for r in
+                significant_terms(run, docs, n=5, min_doc_count=2,
+                                  heuristic=h).collect()}
+
+    # apple: f11=2 f10=1 f01=0 f00=1 (fg 2/2, bg 3/4)
+    assert abs(scores("lift")["apple"] - 4.0 / 3.0) < 1e-12
+    assert abs(scores("jlh")["apple"] - 0.25 * 4.0 / 3.0) < 1e-12
+    assert abs(scores("chi_square")["apple"] - 16.0 / 12.0) < 1e-12
+    assert abs(scores("percentage")["apple"] - 2.0 / 3.0) < 1e-12
+    # banana: perfectly associated balanced 2x2 -> exactly 1 bit of MI
+    mi = scores("mutual_information")
+    assert abs(mi["banana"] - 1.0) < 1e-12
+    import math
+    expect_apple = (0.5 * math.log2(0.5 / 0.375)
+                    + 0.25 * math.log2(0.25 / 0.375)
+                    + 0.25 * math.log2(0.25 / 0.125))
+    assert abs(mi["apple"] - expect_apple) < 1e-12
+    with pytest.raises(ValueError):
+        significant_terms(run, docs, heuristic="gnd")

@@ -168,3 +168,57 @@ def test_span_near_window_fold_is_python_free(spark):
     s = plan_summary(out)
     assert s["python_evals"] == 0, s
     assert out.collect()[0]["min_window"] == 5  # 3..7 inclusive
+
+
+def test_function_score_plan_pure_jvm(spark):
+    """function_score is pure column algebra: run hydrate broadcasts, the
+    fold is higher-order array exprs — no Python eval, no Arrow kernel,
+    no corpus-side shuffle beyond the rank window."""
+    from openmatch_spark.query import function_score
+
+    run = spark.createDataFrame(
+        [("q1", "a", 2.0), ("q1", "b", 1.0)],
+        "query_id string, doc_id string, score double",
+    )
+    docs = spark.createDataFrame(
+        [("a", "en", 10.0), ("b", "de", 20.0)],
+        "doc_id string, lang string, views double",
+    )
+    out = function_score(
+        run, docs,
+        [{"kind": "weight", "weight": 2.0, "filter": "lang='en'"},
+         {"kind": "field_value_factor", "field": "views", "factor": 0.1,
+          "modifier": "log1p"},
+         {"kind": "random_score", "seed": 7}],
+        score_mode="sum",
+    )
+    s = plan_summary(out)
+    assert s["python_evals"] == 0
+    plan = capture_plan(out)
+    assert "InArrow" not in plan and "InPandas" not in plan
+    assert s["broadcasts"] >= 2  # semi-join bound + hydrate
+
+
+def test_metric_agg_plans_pure_jvm(spark):
+    """The ES metric/bucket aggregation family stays JVM-side: one
+    broadcast hydrate, groupBy/window algebra, zero Python points."""
+    from openmatch_spark.operators.facets import adjacency_matrix_facets
+    from openmatch_spark.query import hit_extended_stats, matrix_stats
+
+    run = spark.createDataFrame(
+        [("q1", "a"), ("q1", "b")], "query_id string, doc_id string"
+    )
+    docs = spark.createDataFrame(
+        [("a", 1.0, 2.0, "en"), ("b", 3.0, 4.0, "de")],
+        "doc_id string, x double, y double, lang string",
+    )
+    for df in (
+        hit_extended_stats(run, docs, ["x"]),
+        matrix_stats(run, docs, ["x", "y"]),
+        adjacency_matrix_facets(run, docs, {"en": "lang='en'", "big": "x>=3"}),
+    ):
+        s = plan_summary(df)
+        assert s["python_evals"] == 0
+        assert s["broadcasts"] >= 1
+        plan = capture_plan(df)
+        assert "InArrow" not in plan and "InPandas" not in plan

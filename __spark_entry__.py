@@ -4512,6 +4512,26 @@ def q_significant_jlh(spark, sf_dir):
     )
 
 
+def q_auto_date_histogram(spark, sf_dir):
+    """ES auto_date_histogram over the BM25 top-10 hit set (synthetic
+    warc_ts, the fixtures' 2024-01-01 + doc_id*7h rule): per query, the
+    finest calendar rung keeping <= 3 occupied buckets, buckets counted at
+    that rung with the chosen interval reported."""
+    from openmatch_spark.operators.facets import auto_date_histogram_facets
+
+    run = _bm25_run(spark, sf_dir, k=10, rounded=False).select(
+        "query_id", "doc_id"
+    )
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_interval(hours=(F.col("doc_id") * 7).cast("int"))
+        ).alias("warc_ts"),
+    )
+    return auto_date_histogram_facets(run, docs, "warc_ts", target_buckets=3)
+
+
 def q_facet_histogram_dense(spark, sf_dir):
     """ES histogram with min_doc_count=0 + extended_bounds over the BM25
     top-10 hit set: every n_chars bucket (width 100) between the snapped
@@ -4670,6 +4690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_histogram_dense": q_facet_histogram_dense,
         "function_score": q_function_score,
         "significant_jlh": q_significant_jlh,
+        "auto_date_histogram": q_auto_date_histogram,
         "percentile_ranks": q_percentile_ranks,
         "top_metrics": q_top_metrics,
         "geo_bounds": q_geo_bounds,
@@ -8020,6 +8041,49 @@ rk AS (
 )
 SELECT query_id, term, fg_df, bg_df, ROUND(score, 6) AS score, rank
 FROM rk WHERE rank <= 10
+"""
+
+    # auto_date_histogram: monotone rung counts -> finest-fitting CASE
+    sql["auto_date_histogram"] = f"""
+WITH {_BM25_CTES},
+run10 AS (SELECT query_id, doc_id FROM run WHERE rank <= 10),
+adh AS (
+  SELECT r.query_id,
+         TIMESTAMP '2024-01-01 00:00:00'
+           + to_hours(CAST(d.doc_id * 7 AS BIGINT)) AS ts
+  FROM run10 r JOIN documents d ON CAST(d.doc_id AS VARCHAR) = r.doc_id
+),
+tr AS (
+  SELECT query_id, ts,
+         strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS b_minute,
+         strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS b_hour,
+         strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS b_day,
+         strftime(date_trunc('week', ts), '%Y-%m-%d %H:%M:%S') AS b_week,
+         strftime(date_trunc('month', ts), '%Y-%m-%d %H:%M:%S') AS b_month,
+         strftime(date_trunc('quarter', ts), '%Y-%m-%d %H:%M:%S') AS b_quarter,
+         strftime(date_trunc('year', ts), '%Y-%m-%d %H:%M:%S') AS b_year
+  FROM adh
+),
+ch AS (
+  SELECT query_id,
+         CASE WHEN COUNT(DISTINCT b_minute) <= 3 THEN 'minute'
+              WHEN COUNT(DISTINCT b_hour) <= 3 THEN 'hour'
+              WHEN COUNT(DISTINCT b_day) <= 3 THEN 'day'
+              WHEN COUNT(DISTINCT b_week) <= 3 THEN 'week'
+              WHEN COUNT(DISTINCT b_month) <= 3 THEN 'month'
+              WHEN COUNT(DISTINCT b_quarter) <= 3 THEN 'quarter'
+              ELSE 'year' END AS interval
+  FROM tr GROUP BY query_id
+)
+SELECT t.query_id, 'warc_ts' AS facet, c.interval,
+       CASE c.interval
+         WHEN 'minute' THEN t.b_minute WHEN 'hour' THEN t.b_hour
+         WHEN 'day' THEN t.b_day WHEN 'week' THEN t.b_week
+         WHEN 'month' THEN t.b_month WHEN 'quarter' THEN t.b_quarter
+         ELSE t.b_year END AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM tr t JOIN ch c ON c.query_id = t.query_id
+GROUP BY t.query_id, c.interval, 2, 4
 """
 
     return sql

@@ -571,3 +571,75 @@ def diversified_sample(
         .where(F.col("sample_rank") <= shard_size)
         .drop("_dv", "_vpos")
     )
+
+
+# coarse -> fine; auto_date_histogram picks the FINEST rung that still
+# fits the bucket target (ES's ladder minus sub-minute rungs, single-unit)
+AUTO_DATE_LADDER = ("year", "quarter", "month", "week", "day", "hour", "minute")
+
+
+def auto_date_histogram_facets(
+    run: DataFrame,
+    docs: DataFrame,
+    ts_col: str,
+    target_buckets: int = 10,
+) -> DataFrame:
+    """(query_id, facet, interval, bucket, n_docs) — the ES
+    `auto_date_histogram` aggregation: per query, pick the FINEST calendar
+    interval from AUTO_DATE_LADDER whose occupied-bucket count stays
+    within `target_buckets`, then bucket the hits at that rung (interval
+    rides along, as ES reports it). Falls back to the coarsest rung when
+    even 'year' overflows (ES caps the same way). NULL timestamps are
+    dropped (ES's missing-field rule; the fixed-interval surface keeps
+    them under NULL_BUCKET — callers wanting an audit trail use that one).
+
+    Plan: two passes over the (queries × k)-bounded hydrated hit set —
+    one groupBy computing countDistinct per rung (|ladder| expressions,
+    one shuffle), a broadcast of the per-query choice back onto the
+    bucketed rows, one counting groupBy. Nothing corpus-shaped."""
+    if target_buckets <= 0:
+        raise ValueError(f"target_buckets must be positive, got {target_buckets}")
+    base = run.select(
+        F.col("query_id").cast("string").alias("query_id"),
+        F.col("doc_id").cast("string").alias("doc_id"),
+    )
+    ts = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.col(ts_col).cast("timestamp").alias("_ts"),
+    ).where(F.col("_ts").isNotNull())
+    hyd = ts.join(F.broadcast(base), "doc_id")
+    for rung in AUTO_DATE_LADDER:
+        hyd = hyd.withColumn(
+            f"_b_{rung}",
+            F.date_format(F.date_trunc(rung, F.col("_ts")), "yyyy-MM-dd HH:mm:ss"),
+        )
+    counts = hyd.groupBy("query_id").agg(
+        *[
+            F.countDistinct(f"_b_{rung}").alias(f"_n_{rung}")
+            for rung in AUTO_DATE_LADDER
+        ]
+    )
+    # finest rung within target: walk coarse -> fine, keep the last that fits
+    choice = F.lit(AUTO_DATE_LADDER[0])
+    for rung in AUTO_DATE_LADDER[1:]:
+        choice = F.when(
+            F.col(f"_n_{rung}") <= target_buckets, F.lit(rung)
+        ).otherwise(choice)
+    chosen = counts.select("query_id", choice.alias("interval"))
+    bucket = None
+    for rung in AUTO_DATE_LADDER:
+        this = F.col(f"_b_{rung}")
+        bucket = this if bucket is None else F.when(
+            F.col("interval") == rung, this
+        ).otherwise(bucket)
+    return (
+        hyd.join(F.broadcast(chosen), "query_id")
+        .select(
+            "query_id",
+            F.lit(ts_col).alias("facet"),
+            "interval",
+            bucket.alias("bucket"),
+        )
+        .groupBy("query_id", "facet", "interval", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )

@@ -502,3 +502,35 @@ def test_significance_heuristics_hand_checked(spark):
     assert abs(mi["apple"] - expect_apple) < 1e-12
     with pytest.raises(ValueError):
         significant_terms(run, docs, heuristic="gnd")
+
+
+# -------------------------------------------------------- auto_date_histogram
+
+def test_auto_date_histogram_picks_finest_fitting_rung(spark):
+    from datetime import datetime, timedelta
+
+    from openmatch_spark.operators.facets import auto_date_histogram_facets
+
+    base = datetime(2024, 3, 1)
+    docs = spark.createDataFrame(
+        [("d%02d" % i, base + timedelta(hours=i * 5)) for i in range(24)]
+        + [("dn", None)],
+        "doc_id string, ts timestamp",
+    )
+    run = spark.createDataFrame(
+        [("q1", "d%02d" % i) for i in range(24)]
+        + [("q2", "d00"), ("q2", "d01"), ("q2", "dn")],
+        "query_id string, doc_id string",
+    )
+    rows = auto_date_histogram_facets(run, docs, "ts", target_buckets=10).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    # q1: 24 distinct hours (>10) but 5 days -> 'day'; counts 5+5+5+5+4
+    assert {r["interval"] for r in by_q["q1"]} == {"day"}
+    assert sorted(r["n_docs"] for r in by_q["q1"]) == [4, 5, 5, 5, 5]
+    # q2: 2 hits -> finest rung fits; NULL-ts hit dropped (ES missing rule)
+    assert {r["interval"] for r in by_q["q2"]} == {"minute"}
+    assert sum(r["n_docs"] for r in by_q["q2"]) == 2
+    with pytest.raises(ValueError):
+        auto_date_histogram_facets(run, docs, "ts", target_buckets=0)

@@ -70,6 +70,22 @@ PHRASE_QUERIES = [
     ("ph5", "spark"),
 ]
 
+# span_first queries (any token within the first 3 positions); span_not
+# include/exclude pairs (occurrence-level negation, pre=post=2)
+SPAN_FIRST_QUERIES = [
+    ("sf0", "table"),
+    ("sf1", "hash join"),
+    ("sf2", "nosuchterm"),
+]
+SPAN_FIRST_END = 3
+SPAN_NOT_QUERIES = [
+    ("sn0", "join", "merge"),
+    ("sn1", "table", "hash"),
+    ("sn2", "scan", "nosuchterm"),
+]
+SPAN_NOT_PRE = 2
+SPAN_NOT_POST = 2
+
 # match_phrase_prefix queries: last token is a prefix, earlier tokens
 # exact; one zero-expansion tail, one OOV exact token (both zero hits)
 PHRASE_PREFIX_QUERIES = [
@@ -649,6 +665,12 @@ FROM brun WHERE rank <= 10
 
 _PH_VALUES = ", ".join(f"('{qid}', '{text}')" for qid, text in PHRASE_QUERIES)
 _PX_VALUES = ", ".join(f"('{qid}', '{text}')" for qid, text in PROX_QUERIES)
+_SPANF_VALUES = ", ".join(
+    f"('{qid}', '{text}')" for qid, text in SPAN_FIRST_QUERIES
+)
+_SPANN_VALUES = ", ".join(
+    f"('{qid}', '{inc}', '{exc}')" for qid, inc, exc in SPAN_NOT_QUERIES
+)
 _SPAN_VALUES = ", ".join(
     f"('{qid}', '{text}')" for qid, text in SPAN_NEAR_QUERIES
 )
@@ -2791,6 +2813,52 @@ def q_phrase_prefix(spark, sf_dir):
     )
 
 
+def q_span_first(spark, sf_dir):
+    """Lucene SpanFirstQuery: docs where a query token occurs within the
+    first 3 positions; first_pos = earliest qualifying occurrence; BM25
+    over the query terms."""
+    from openmatch_spark.query import search_span_first
+
+    idx = _entry_index_with_positions(spark, sf_dir)
+    q = spark.createDataFrame(
+        SPAN_FIRST_QUERIES, "query_id string, text string"
+    )
+    run = search_span_first(idx, q, end=SPAN_FIRST_END, k=10)
+    return run.select(
+        "query_id",
+        F.regexp_replace("doc_id", "^doc://", "").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+        "rank",
+        "first_pos",
+    )
+
+
+def q_span_not(spark, sf_dir):
+    """Lucene SpanNotQuery (occurrence-level negation): include-token
+    occurrences survive unless an exclude token sits within +-2 positions;
+    docs ranked by BM25 over include terms with surviving-occurrence
+    counts."""
+    from openmatch_spark.query import search_span_not
+
+    idx = _entry_index_with_positions(spark, sf_dir)
+    inc = spark.createDataFrame(
+        [(q, i) for q, i, _ in SPAN_NOT_QUERIES], "query_id string, text string"
+    )
+    exc = spark.createDataFrame(
+        [(q, e) for q, _, e in SPAN_NOT_QUERIES], "query_id string, text string"
+    )
+    run = search_span_not(
+        idx, inc, exc, pre=SPAN_NOT_PRE, post=SPAN_NOT_POST, k=10
+    )
+    return run.select(
+        "query_id",
+        F.regexp_replace("doc_id", "^doc://", "").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+        "rank",
+        "kept_occurrences",
+    )
+
+
 def q_proximity_search(spark, sf_dir):
     """Unordered proximity top-k: every distinct query term inside some
     token window <= PROX_WITHIN; min_cover = tightest such window (classic
@@ -4650,6 +4718,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "significant_terms": q_significant_terms,
         "phrase_search": q_phrase_search,
         "phrase_prefix": q_phrase_prefix,
+        "span_first": q_span_first,
+        "span_not": q_span_not,
         "proximity_search": q_proximity_search,
         "query_string": q_query_string,
         "span_near": q_span_near,
@@ -8084,6 +8154,114 @@ SELECT t.query_id, 'warc_ts' AS facet, c.interval,
        CAST(COUNT(*) AS BIGINT) AS n_docs
 FROM tr t JOIN ch c ON c.query_id = t.query_id
 GROUP BY t.query_id, c.interval, 2, 4
+"""
+
+    # SpanFirst: tokp filtered to pos < end, min position per doc, BM25
+    # over the query terms (OOV-only queries die in the join)
+    sql["span_first"] = f"""
+WITH {_TOKP},
+{_BM25_CORE},
+sfq(query_id, text) AS (VALUES {_SPANF_VALUES}),
+sfqt AS (
+  SELECT DISTINCT sfq.query_id, t.term
+  FROM sfq, UNNEST(regexp_split_to_array(lower(sfq.text), '[^a-z0-9]+')) AS t(term)
+  WHERE t.term <> ''
+),
+sfqtf AS (
+  SELECT sfq.query_id, t.term, CAST(COUNT(*) AS DOUBLE) AS qtf
+  FROM sfq, UNNEST(regexp_split_to_array(lower(sfq.text), '[^a-z0-9]+')) AS t(term)
+  WHERE t.term <> ''
+  GROUP BY sfq.query_id, t.term
+),
+firsts AS (
+  SELECT q.query_id, k.doc_id, CAST(MIN(k.pos) AS INTEGER) AS first_pos
+  FROM sfqt q JOIN tokp k ON k.term = q.term
+  WHERE k.pos < {SPAN_FIRST_END}
+  GROUP BY q.query_id, k.doc_id
+),
+sfscored AS (
+  SELECT qt.query_id, tf.doc_id,
+         SUM(qt.qtf
+             * ln(1 + (g.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+             * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.doclen / g.avgdl))) AS score
+  FROM tf
+  JOIN sfqtf qt ON qt.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN dfreq ON dfreq.term = tf.term
+  CROSS JOIN g
+  GROUP BY qt.query_id, tf.doc_id
+)
+SELECT query_id, doc_id, ROUND(score, 6) AS score, rank, first_pos FROM (
+  SELECT f.query_id, f.doc_id, s.score, f.first_pos,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY f.query_id ORDER BY s.score DESC, f.doc_id ASC
+         ) AS INTEGER) AS rank
+  FROM firsts f JOIN sfscored s ON s.query_id = f.query_id AND s.doc_id = f.doc_id
+) WHERE rank <= 10
+"""
+
+    # SpanNot: include occurrences anti-joined against exclude occurrences
+    # within [pos-pre, pos+post]; docs with >= 1 survivor
+    sql["span_not"] = f"""
+WITH {_TOKP},
+{_BM25_CORE},
+snq(query_id, inc, exc) AS (VALUES {_SPANN_VALUES}),
+iqt AS (
+  SELECT DISTINCT snq.query_id, t.term
+  FROM snq, UNNEST(regexp_split_to_array(lower(snq.inc), '[^a-z0-9]+')) AS t(term)
+  WHERE t.term <> ''
+),
+iqtf AS (
+  SELECT snq.query_id, t.term, CAST(COUNT(*) AS DOUBLE) AS qtf
+  FROM snq, UNNEST(regexp_split_to_array(lower(snq.inc), '[^a-z0-9]+')) AS t(term)
+  WHERE t.term <> ''
+  GROUP BY snq.query_id, t.term
+),
+eqt AS (
+  SELECT DISTINCT snq.query_id, t.term
+  FROM snq, UNNEST(regexp_split_to_array(lower(snq.exc), '[^a-z0-9]+')) AS t(term)
+  WHERE t.term <> ''
+),
+iocc AS (
+  SELECT q.query_id, k.doc_id, k.pos AS ipos
+  FROM iqt q JOIN tokp k ON k.term = q.term
+),
+eocc AS (
+  SELECT q.query_id, k.doc_id, k.pos AS epos
+  FROM eqt q JOIN tokp k ON k.term = q.term
+),
+surv AS (
+  SELECT i.query_id, i.doc_id, i.ipos
+  FROM iocc i
+  WHERE NOT EXISTS (
+    SELECT 1 FROM eocc e
+    WHERE e.query_id = i.query_id AND e.doc_id = i.doc_id
+      AND e.epos BETWEEN i.ipos - {SPAN_NOT_PRE} AND i.ipos + {SPAN_NOT_POST}
+  )
+),
+kept AS (
+  SELECT query_id, doc_id, CAST(COUNT(*) AS INTEGER) AS kept_occurrences
+  FROM surv GROUP BY query_id, doc_id
+),
+snscored AS (
+  SELECT qt.query_id, tf.doc_id,
+         SUM(qt.qtf
+             * ln(1 + (g.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+             * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.doclen / g.avgdl))) AS score
+  FROM tf
+  JOIN iqtf qt ON qt.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN dfreq ON dfreq.term = tf.term
+  CROSS JOIN g
+  GROUP BY qt.query_id, tf.doc_id
+)
+SELECT query_id, doc_id, ROUND(score, 6) AS score, rank, kept_occurrences FROM (
+  SELECT kp.query_id, kp.doc_id, s.score, kp.kept_occurrences,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY kp.query_id ORDER BY s.score DESC, kp.doc_id ASC
+         ) AS INTEGER) AS rank
+  FROM kept kp JOIN snscored s ON s.query_id = kp.query_id AND s.doc_id = kp.doc_id
+) WHERE rank <= 10
 """
 
     return sql

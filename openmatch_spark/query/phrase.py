@@ -714,3 +714,171 @@ def search_phrase_prefix(
         "query_id", "shard", "doc_ord", "score", "phrase_freq"
     )
     return _finalize(index, cand, k, ["phrase_freq"])
+
+
+def search_span_first(
+    index: BM25Index,
+    queries: DataFrame,
+    end: int,
+    k: int = 100,
+) -> DataFrame:
+    """Lucene SpanFirstQuery: docs where SOME query token occurs at a
+    position < `end` (token offsets 0-based — Lucene's "within the first
+    `end` positions"; title/lead-paragraph matching over a body index).
+    (query_id, doc_id, score, rank, first_pos) — first_pos is the earliest
+    qualifying occurrence of any query term. Scored BM25 over the query
+    terms with qtf multiplicity (the engine's span-family convention);
+    OOV-only queries structurally return nothing.
+
+    Plan: the pruned positional scan filtered to pos < end BEFORE the
+    groupBy — the position predicate rides the decode, so state is
+    bounded by matches in the head window, not doc length."""
+    from openmatch_spark.analysis import tokenize_py
+
+    if end <= 0:
+        raise ValueError(f"end must be positive, got {end}")
+    spark = index.spark
+    analyzer = index.stats["analyzer"]
+    empty = spark.createDataFrame(
+        [], "query_id string, doc_id string, score double, rank int, first_pos int"
+    )
+    rows = queries.select(
+        F.col("query_id").cast("string").alias("query_id"), "text"
+    ).collect()
+    qtoks = {str(r["query_id"]): tokenize_py(r["text"], analyzer) for r in rows}
+    qtoks = {q: toks for q, toks in qtoks.items() if toks}
+    if not qtoks:
+        return empty
+    all_terms = sorted({t for toks in qtoks.values() for t in toks})
+    bucket_of = index.term_buckets(all_terms)
+    live = {
+        q: [t for t in toks if t in bucket_of]
+        for q, toks in qtoks.items()
+    }
+    live = {q: ts for q, ts in live.items() if ts}
+    if not live:
+        return empty
+    pairs = sorted({(q, t) for q, ts in live.items() for t in ts})
+    terms = sorted({t for (_, t) in pairs})
+    occ = _pruned_positions(index, terms, bucket_of).where(F.col("pos") < end)
+    qt_df = F.broadcast(
+        spark.createDataFrame(pairs, "query_id string, term string")
+    )
+    firsts = (
+        occ.join(qt_df, "term")
+        .groupBy("query_id", "shard", "doc_ord")
+        .agg(F.min("pos").cast("int").alias("first_pos"))
+    )
+    qterms = [
+        (q, t, float(c))
+        for q, toks in sorted(qtoks.items())
+        for t, c in sorted(Counter([t for t in toks if t in bucket_of]).items())
+    ]
+    scores = _bm25_scores(index, qterms, bucket_of)
+    cand = firsts.join(scores, ["query_id", "shard", "doc_ord"]).select(
+        "query_id", "shard", "doc_ord", "score", "first_pos"
+    )
+    return _finalize(index, cand, k, ["first_pos"])
+
+
+def search_span_not(
+    index: BM25Index,
+    queries: DataFrame,
+    exclude: DataFrame,
+    pre: int = 0,
+    post: int = 0,
+    k: int = 100,
+) -> DataFrame:
+    """Lucene SpanNotQuery over single-term spans: occurrences of the
+    include query's tokens SURVIVE unless an exclude token occurs within
+    [pos - pre, pos + post]; docs with >= 1 surviving occurrence match
+    ("java" but not preceded by "free" — negation at the OCCURRENCE level,
+    not the doc level like must_not). queries/exclude: (query_id, text),
+    matched on query_id; a query with no exclude row keeps all
+    occurrences. (query_id, doc_id, score, rank, kept_occurrences).
+
+    Scored BM25 over the include terms with qtf multiplicity. The
+    include-x-exclude proximity test is a per-(query, doc) position join —
+    bounded by the two terms' occurrence counts in that doc (the inherent
+    cost of occurrence-level negation; same shape as the phrase adj join,
+    one shuffle)."""
+    from openmatch_spark.analysis import tokenize_py
+
+    if pre < 0 or post < 0:
+        raise ValueError("pre and post must be >= 0")
+    spark = index.spark
+    analyzer = index.stats["analyzer"]
+    empty = spark.createDataFrame(
+        [],
+        "query_id string, doc_id string, score double, rank int, "
+        "kept_occurrences int",
+    )
+    inc_rows = queries.select(
+        F.col("query_id").cast("string").alias("query_id"), "text"
+    ).collect()
+    exc_rows = exclude.select(
+        F.col("query_id").cast("string").alias("query_id"), "text"
+    ).collect()
+    inc = {str(r["query_id"]): tokenize_py(r["text"], analyzer) for r in inc_rows}
+    inc = {q: toks for q, toks in inc.items() if toks}
+    exc = {str(r["query_id"]): tokenize_py(r["text"], analyzer) for r in exc_rows}
+    if not inc:
+        return empty
+    all_terms = sorted(
+        {t for toks in inc.values() for t in toks}
+        | {t for toks in exc.values() for t in toks}
+    )
+    bucket_of = index.term_buckets(all_terms)
+    live_inc = sorted({
+        (q, t) for q, toks in inc.items() for t in toks if t in bucket_of
+    })
+    if not live_inc:
+        return empty
+    live_exc = sorted({
+        (q, t) for q, toks in exc.items() for t in toks
+        if t in bucket_of and q in inc
+    })
+    terms = sorted({t for (_, t) in live_inc} | {t for (_, t) in live_exc})
+    occ = _pruned_positions(index, terms, bucket_of)
+    inc_df = F.broadcast(
+        spark.createDataFrame(live_inc, "query_id string, term string")
+    )
+    iocc = occ.join(inc_df, "term").select(
+        "query_id", "shard", "doc_ord", F.col("pos").alias("ipos")
+    )
+    if live_exc:
+        exc_df = F.broadcast(
+            spark.createDataFrame(live_exc, "query_id string, term string")
+        )
+        eocc = occ.join(exc_df, "term").select(
+            "query_id", "shard", "doc_ord", F.col("pos").alias("epos")
+        )
+        clash = (
+            iocc.join(eocc, ["query_id", "shard", "doc_ord"])
+            .where(
+                (F.col("epos") >= F.col("ipos") - F.lit(pre))
+                & (F.col("epos") <= F.col("ipos") + F.lit(post))
+            )
+            .select("query_id", "shard", "doc_ord", "ipos")
+            .distinct()
+        )
+        survivors = iocc.join(
+            clash, ["query_id", "shard", "doc_ord", "ipos"], "left_anti"
+        )
+    else:
+        survivors = iocc
+    kept = survivors.groupBy("query_id", "shard", "doc_ord").agg(
+        F.count(F.lit(1)).cast("int").alias("kept_occurrences")
+    )
+    qterms = [
+        (q, t, float(c))
+        for q, toks in sorted(inc.items())
+        for t, c in sorted(
+            Counter([t for t in toks if t in bucket_of]).items()
+        )
+    ]
+    scores = _bm25_scores(index, qterms, bucket_of)
+    cand = kept.join(scores, ["query_id", "shard", "doc_ord"]).select(
+        "query_id", "shard", "doc_ord", "score", "kept_occurrences"
+    )
+    return _finalize(index, cand, k, ["kept_occurrences"])

@@ -534,3 +534,45 @@ def test_auto_date_histogram_picks_finest_fitting_rung(spark):
     assert sum(r["n_docs"] for r in by_q["q2"]) == 2
     with pytest.raises(ValueError):
         auto_date_histogram_facets(run, docs, "ts", target_buckets=0)
+
+
+# ----------------------------------------------------- span_first / span_not
+
+def test_span_first_and_span_not(spark, tmp_path):
+    from openmatch_spark.index import build_index, load_index
+    from openmatch_spark.index.positions import build_positions
+    from openmatch_spark.query import search_span_first, search_span_not
+
+    d = str(tmp_path / "spanidx")
+    docs = spark.createDataFrame(
+        [("d1", "java tutorial free java download"),
+         ("d2", "free java runtime"),
+         ("d3", "java in the lead position here"),
+         ("d4", "trailing mention of java only at the end java")],
+        "url string, text string",
+    )
+    build_index(spark, docs, d, num_shards=2)
+    build_positions(spark, docs, d)
+    idx = load_index(spark, d)
+    q = spark.createDataFrame([("q1", "java")], "query_id string, text string")
+
+    sf = {r["doc_id"]: r["first_pos"] for r in
+          search_span_first(idx, q, end=2, k=10).collect()}
+    # d4's javas sit at 3 and 8 — outside the first 2 positions
+    assert sf == {"d1": 0, "d2": 1, "d3": 0}
+
+    ex = spark.createDataFrame([("q1", "free")], "query_id string, text string")
+    sn = {r["doc_id"]: r["kept_occurrences"] for r in
+          search_span_not(idx, q, ex, pre=1, post=0, k=10).collect()}
+    # d1: java@0 survives, java@3 killed by free@2 (pre window);
+    # d2: its only java is adjacent to free -> doc absent entirely
+    assert sn == {"d1": 1, "d3": 1, "d4": 2}
+    # no exclude rows for the query -> all occurrences survive
+    no_ex = spark.createDataFrame([], "query_id string, text string")
+    all_kept = {r["doc_id"]: r["kept_occurrences"] for r in
+                search_span_not(idx, q, no_ex, pre=1, post=1, k=10).collect()}
+    assert all_kept == {"d1": 2, "d2": 1, "d3": 1, "d4": 2}
+    with pytest.raises(ValueError):
+        search_span_first(idx, q, end=0)
+    with pytest.raises(ValueError):
+        search_span_not(idx, q, ex, pre=-1)

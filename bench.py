@@ -205,6 +205,19 @@ def suite() -> dict:
     for name in ["bm25_topk", "minhash_pairs", "dedup_exact", "knn_cosine", "mrr10", "lang_id"]:
         timings[name], _ = _timed(lambda n=name: em.queries()[n](spark, SF_DIR).count())
 
+    # round-4 query/aggregation surfaces, timed at the bench scale but
+    # reported SEPARATELY (like suite_100k) so `value` stays comparable
+    # to the r1-r3 suite totals. The positional entries share the entry
+    # cache's sidecar — build it OUTSIDE the timed region (it is already
+    # timed as positions_build above) so the first positional leg doesn't
+    # absorb it.
+    em.queries()["phrase_search"](spark, SF_DIR).count()
+    r4_surfaces = {}
+    for name in ["query_string", "function_score", "facet_adjacency",
+                 "hit_extended_stats", "phrase_prefix"]:
+        t, _ = _timed(lambda n=name: em.queries()[n](spark, SF_DIR).count())
+        r4_surfaces[name] = round(t, 3)
+
     # IVF ANN recall vs brute force at two nprobe settings, with k-means
     # centroids trained on the corpus (VERDICT r1 item 8)
     from openmatch_spark.query.dense import (
@@ -370,6 +383,7 @@ def suite() -> dict:
         "ivf_recall": ivf_recall,
         "pq": pq_report,
         "suite_100k": suite_100k,
+        "r4_surfaces": r4_surfaces,
         "latency_detail": latency_detail,
         "noise_control": noise,
     }

@@ -2813,6 +2813,29 @@ def q_phrase_prefix(spark, sf_dir):
     )
 
 
+def q_terms_set(spark, sf_dir):
+    """ES terms_set query: per-doc minimum_should_match from an attribute
+    (derived 1 + doc_id % 3) — a doc matches iff it holds at least that
+    many DISTINCT query terms; BM25-scored, top-10."""
+    from openmatch_spark.query import search_terms_set
+
+    idx_q = _queries_df(spark)
+    msm = _docs(spark, sf_dir).select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias(
+            "doc_id"
+        ),
+        (F.lit(1) + F.col("doc_id") % 3).cast("int").alias("msm"),
+    )
+    idx = _entry_index(spark, sf_dir)
+    run = search_terms_set(idx, idx_q, msm, "msm", k=10)
+    return run.select(
+        "query_id",
+        F.regexp_replace("doc_id", "^doc://", "").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+        "rank", "n_matched", "msm_required",
+    )
+
+
 def q_span_first(spark, sf_dir):
     """Lucene SpanFirstQuery: docs where a query token occurs within the
     first 3 positions; first_pos = earliest qualifying occurrence; BM25
@@ -4718,6 +4741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "significant_terms": q_significant_terms,
         "phrase_search": q_phrase_search,
         "phrase_prefix": q_phrase_prefix,
+        "terms_set": q_terms_set,
         "span_first": q_span_first,
         "span_not": q_span_not,
         "proximity_search": q_proximity_search,
@@ -8261,6 +8285,36 @@ SELECT query_id, doc_id, ROUND(score, 6) AS score, rank, kept_occurrences FROM (
            PARTITION BY kp.query_id ORDER BY s.score DESC, kp.doc_id ASC
          ) AS INTEGER) AS rank
   FROM kept kp JOIN snscored s ON s.query_id = kp.query_id AND s.doc_id = kp.doc_id
+) WHERE rank <= 10
+"""
+
+    # terms_set: distinct matched-term counts vs per-doc msm attribute
+    sql["terms_set"] = f"""
+WITH {_BM25_CTES},
+tsm AS (
+  SELECT qt.query_id, tf.doc_id, CAST(COUNT(DISTINCT tf.term) AS INTEGER) AS n_matched
+  FROM tf JOIN qt ON qt.term = tf.term
+  GROUP BY qt.query_id, tf.doc_id
+),
+tsmsm AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         GREATEST(CAST(1 + doc_id % 3 AS INTEGER), 1) AS msm_required
+  FROM documents
+),
+tshits AS (
+  SELECT s.query_id, s.doc_id, s.score, m.n_matched, ms.msm_required
+  FROM scored s
+  JOIN tsm m ON m.query_id = s.query_id AND m.doc_id = s.doc_id
+  JOIN tsmsm ms ON ms.doc_id = s.doc_id
+  WHERE m.n_matched >= ms.msm_required
+)
+SELECT query_id, doc_id, ROUND(score, 6) AS score, rank, n_matched, msm_required
+FROM (
+  SELECT query_id, doc_id, score, n_matched, msm_required,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+         ) AS INTEGER) AS rank
+  FROM tshits
 ) WHERE rank <= 10
 """
 

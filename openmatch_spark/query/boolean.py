@@ -316,3 +316,98 @@ def search_boolean(
         )
 
     return _rank_and_hydrate(index, candidates, k)
+
+
+def search_terms_set(
+    index: BM25Index,
+    queries: DataFrame,
+    msm_attrs: DataFrame,
+    msm_col: str,
+    k: int = 100,
+) -> DataFrame:
+    """The ES `terms_set` query (minimum_should_match_field flavor): every
+    query token is a SHOULD clause, and each DOC carries its own required
+    match count in an attribute column — a doc matches iff it contains at
+    least `msm(doc)` DISTINCT query terms. (query_id, doc_id, score, rank,
+    n_matched, msm_required); score = the engine's BM25 sum over matched
+    terms with qtf multiplicity.
+
+    msm semantics, documented: the per-doc value is clamped up to 1 (ES
+    scripts commonly clamp the same way); a doc whose msm value is NULL
+    or missing from msm_attrs never matches (the field IS the contract);
+    msm > the query's in-vocabulary term count is naturally unmatchable.
+
+    Plan: one pruned postings decode + broadcast term join + one
+    (query, doc) aggregate — search_boolean's shape — then the msm
+    attribute reaches the CANDIDATE space through two bounded joins: the
+    docmap slice is semi-joined down to candidate docs before touching
+    the corpus-sized attribute table, so no corpus×corpus shuffle; the
+    rank cut runs after the filter (a per-doc threshold can't commute
+    with top-k)."""
+    from openmatch_spark.analysis import tokenize_py
+
+    spark = index.spark
+    analyzer = index.stats["analyzer"]
+    empty = spark.createDataFrame(
+        [],
+        "query_id string, doc_id string, score double, rank int, "
+        "n_matched int, msm_required int",
+    )
+    rows = queries.select(
+        F.col("query_id").cast("string").alias("query_id"), "text"
+    ).collect()
+    qtoks = {str(r["query_id"]): tokenize_py(r["text"], analyzer) for r in rows}
+    qtoks = {q: toks for q, toks in qtoks.items() if toks}
+    if not qtoks:
+        return empty
+    all_terms = sorted({t for toks in qtoks.values() for t in toks})
+    bucket_of = index.term_buckets(all_terms)
+    live = [
+        (q, t, float(c))
+        for q, toks in sorted(qtoks.items())
+        for t, c in sorted(Counter(toks).items())
+        if t in bucket_of
+    ]
+    if not live:
+        return empty
+    terms = sorted({t for (_, t, _) in live})
+    buckets = sorted({bucket_of[t] for t in terms})
+    decoded = index.postings.where(
+        F.col("term_bucket").isin(buckets) & F.col("term").isin(terms)
+    ).mapInArrow(_decode_blocks_arrow, _DECODED)
+    qt = F.broadcast(
+        spark.createDataFrame(live, "query_id string, term string, qtf double")
+    )
+    cand = (
+        decoded.join(qt, "term")
+        .groupBy("query_id", "shard", "doc_ord")
+        .agg(
+            F.sum(F.col("weight") * F.col("qtf")).alias("score"),
+            F.countDistinct("term").cast("int").alias("n_matched"),
+        )
+    )
+    cand = index.mask_deleted(cand)
+    # per-doc threshold: docmap slice bounded by candidate docs FIRST,
+    # then the attribute join runs over that bounded slice only
+    ids = cand.select("shard", "doc_ord").distinct()
+    id_slice = index.docmap.select("shard", "doc_ord", "doc_id").join(
+        ids, ["shard", "doc_ord"], "left_semi"
+    )
+    attrs = msm_attrs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.greatest(F.col(msm_col).cast("int"), F.lit(1)).alias("msm_required"),
+    ).where(F.col("msm_required").isNotNull())
+    msm_slice = id_slice.join(attrs, "doc_id").select(
+        "shard", "doc_ord", "doc_id", "msm_required"
+    )
+    hits = cand.join(msm_slice, ["shard", "doc_ord"]).where(
+        F.col("n_matched") >= F.col("msm_required")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        hits.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "doc_id", "score", "rank", "n_matched", "msm_required"
+        )
+    )

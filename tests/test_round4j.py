@@ -576,3 +576,37 @@ def test_span_first_and_span_not(spark, tmp_path):
         search_span_first(idx, q, end=0)
     with pytest.raises(ValueError):
         search_span_not(idx, q, ex, pre=-1)
+
+
+# ---------------------------------------------------------------- terms_set
+
+def test_terms_set_per_doc_threshold(spark, tmp_path):
+    from openmatch_spark.index import build_index, load_index
+    from openmatch_spark.query import search_terms_set
+
+    d = str(tmp_path / "tsidx")
+    docs = spark.createDataFrame(
+        [("d1", "red green blue"), ("d2", "red green"),
+         ("d3", "red yellow thing"), ("d4", "unrelated words"),
+         ("d5", "red green blue extra")],
+        "url string, text string",
+    )
+    build_index(spark, docs, d, num_shards=2)
+    idx = load_index(spark, d)
+    msm = spark.createDataFrame(
+        [("d1", 3), ("d2", 2), ("d3", 2), ("d4", 1), ("d5", None)],
+        "doc_id string, msm int",
+    )
+    q = spark.createDataFrame(
+        [("q1", "red green blue")], "query_id string, text string"
+    )
+    rows = {r["doc_id"]: (r["n_matched"], r["msm_required"]) for r in
+            search_terms_set(idx, q, msm, "msm", k=10).collect()}
+    # d3 matches 1 < 2 -> out; d4 matches 0 -> never a candidate;
+    # d5 has NULL msm -> the field is the contract, out
+    assert rows == {"d1": (3, 3), "d2": (2, 2)}
+    # msm clamps up to 1: a 0/negative threshold behaves like 1
+    msm0 = spark.createDataFrame([("d3", 0)], "doc_id string, msm int")
+    rows0 = {r["doc_id"] for r in
+             search_terms_set(idx, q, msm0, "msm", k=10).collect()}
+    assert rows0 == {"d3"}

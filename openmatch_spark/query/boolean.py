@@ -393,10 +393,17 @@ def search_terms_set(
     id_slice = index.docmap.select("shard", "doc_ord", "doc_id").join(
         ids, ["shard", "doc_ord"], "left_semi"
     )
-    attrs = msm_attrs.select(
-        F.col("doc_id").cast("string").alias("doc_id"),
-        F.greatest(F.col(msm_col).cast("int"), F.lit(1)).alias("msm_required"),
-    ).where(F.col("msm_required").isNotNull())
+    # filter the RAW column first: greatest() skips NULLs, so clamping a
+    # NULL threshold would silently turn "no contract" into "msm 1"
+    attrs = (
+        msm_attrs.where(F.col(msm_col).isNotNull())
+        .select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.greatest(F.col(msm_col).cast("int"), F.lit(1)).alias(
+                "msm_required"
+            ),
+        )
+    )
     msm_slice = id_slice.join(attrs, "doc_id").select(
         "shard", "doc_ord", "doc_id", "msm_required"
     )

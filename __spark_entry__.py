@@ -4623,6 +4623,53 @@ def q_auto_date_histogram(spark, sf_dir):
     return auto_date_histogram_facets(run, docs, "warc_ts", target_buckets=3)
 
 
+def q_pinned_search(spark, sf_dir):
+    """ES pinned query over the BM25 top-10: per query, doc 3 then doc 1
+    promoted ahead of organic results (dedup from the tail; a pinned doc
+    outside the organic run keeps a NULL score)."""
+    from openmatch_spark.query import search_pinned
+
+    run = _bm25_run(spark, sf_dir, k=10, rounded=False).select(
+        "query_id", "doc_id", "score"
+    )
+    qids = [qid for qid, _ in QUERIES]
+    pins = spark.createDataFrame(
+        [(q, "3", 1) for q in qids] + [(q, "1", 2) for q in qids],
+        "query_id string, doc_id string, pin_order int",
+    )
+    out = search_pinned(run, pins)
+    return out.select(
+        "query_id", "doc_id", F.round("score", 6).alias("score"),
+        "rank", "pinned",
+    )
+
+
+def q_rank_feature(spark, sf_dir):
+    """ES rank_feature functions inside the function_score combiner:
+    saturation(n_chars, pivot 300) + log(n_tokens, scaling 1), summed and
+    multiplied into the BM25 top-10 scores."""
+    from openmatch_spark.query import function_score
+
+    run = _bm25_run(spark, sf_dir, k=10, rounded=False).select(
+        "query_id", "doc_id", "score"
+    )
+    out = function_score(
+        run,
+        _attr_docs(spark, sf_dir),
+        [
+            {"kind": "rank_feature", "field": "n_chars",
+             "function": "saturation", "pivot": 300.0},
+            {"kind": "rank_feature", "field": "n_tokens",
+             "function": "log", "scaling_factor": 1.0},
+        ],
+        score_mode="sum",
+        boost_mode="multiply",
+    )
+    return out.select(
+        "query_id", "doc_id", F.round("score", 6).alias("score"), "rank"
+    )
+
+
 def q_facet_histogram_dense(spark, sf_dir):
     """ES histogram with min_doc_count=0 + extended_bounds over the BM25
     top-10 hit set: every n_chars bucket (width 100) between the snapped
@@ -4783,6 +4830,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diversified_sample": q_diversified_sample,
         "facet_histogram_dense": q_facet_histogram_dense,
         "function_score": q_function_score,
+        "pinned_search": q_pinned_search,
+        "rank_feature": q_rank_feature,
         "significant_jlh": q_significant_jlh,
         "auto_date_histogram": q_auto_date_histogram,
         "percentile_ranks": q_percentile_ranks,
@@ -8316,6 +8365,53 @@ FROM (
          ) AS INTEGER) AS rank
   FROM tshits
 ) WHERE rank <= 10
+"""
+
+    # pinned query: full outer of run10 x pin VALUES, pin block first
+    _PIN_VALUES = ", ".join(
+        f"('{qid}', '3', 1), ('{qid}', '1', 2)" for qid, _ in QUERIES
+    )
+    sql["pinned_search"] = f"""
+WITH {_BM25_CTES},
+prun AS (SELECT query_id, doc_id, score FROM run WHERE rank <= 10),
+pins(query_id, doc_id, pin_order) AS (VALUES {_PIN_VALUES}),
+merged AS (
+  SELECT COALESCE(r.query_id, p.query_id) AS query_id,
+         COALESCE(r.doc_id, p.doc_id) AS doc_id,
+         r.score, p.pin_order
+  FROM prun r FULL OUTER JOIN pins p
+    ON p.query_id = r.query_id AND p.doc_id = r.doc_id
+)
+SELECT query_id, doc_id, ROUND(score, 6) AS score,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY query_id
+         ORDER BY CASE WHEN pin_order IS NOT NULL THEN 0 ELSE 1 END,
+                  pin_order ASC NULLS LAST,
+                  score DESC NULLS LAST,
+                  doc_id ASC
+       ) AS INTEGER) AS rank,
+       pin_order IS NOT NULL AS pinned
+FROM merged
+"""
+
+    # rank_feature: saturation + log, closed-form (both always match)
+    sql["rank_feature"] = f"""
+WITH {_BM25_CTES},
+rfrun AS (SELECT query_id, doc_id, score FROM run WHERE rank <= 10),
+rfh AS (
+  SELECT r.query_id, r.doc_id, r.score,
+         (GREATEST(COALESCE(CAST(d.n_chars AS DOUBLE), 0.0), 0.0)
+            / (GREATEST(COALESCE(CAST(d.n_chars AS DOUBLE), 0.0), 0.0) + 300.0))
+         + ln(1.0 + GREATEST(COALESCE(
+               CAST(len(list_filter(regexp_split_to_array(lower(d.text), '[^a-z0-9]+'),
+                                    t -> t <> '')) AS DOUBLE), 0.0), 0.0)) AS fs
+  FROM rfrun r LEFT JOIN documents d ON CAST(d.doc_id AS VARCHAR) = r.doc_id
+)
+SELECT query_id, doc_id, ROUND(score * fs, 6) AS score,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY query_id ORDER BY score * fs DESC, doc_id ASC
+       ) AS INTEGER) AS rank
+FROM rfh
 """
 
     return sql

@@ -59,6 +59,7 @@ from openmatch_spark.query.decay import (  # noqa: F401
     decay_rescore,
     field_value_factor_rescore,
     function_score,
+    search_pinned,
 )
 from openmatch_spark.query.percolate import percolate  # noqa: F401
 from openmatch_spark.query.querystring import (  # noqa: F401

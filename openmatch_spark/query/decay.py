@@ -348,6 +348,38 @@ def function_score(
                 s = scale / (1.0 - decay)
                 m = F.greatest((F.lit(s) - dist) / F.lit(s), F.lit(0.0))
             val = F.coalesce(m, F.lit(1.0))
+        elif kind == "rank_feature":
+            # ES rank_feature functions over a non-negative feature field:
+            #   saturation: v / (v + pivot)
+            #   log:        ln(scaling_factor + v)
+            #   sigmoid:    v^exp / (v^exp + pivot^exp)
+            # NULL/missing feature -> 0 contribution (ES: the doc simply
+            # doesn't score on the feature), negative values clamp to 0.
+            fn = spec.get("function", "saturation")
+            v = F.greatest(
+                F.coalesce(F.col(spec["field"]).cast("double"), F.lit(0.0)),
+                F.lit(0.0),
+            )
+            if fn == "saturation":
+                pivot = float(spec["pivot"])
+                if pivot <= 0:
+                    raise ValueError("saturation pivot must be > 0")
+                val = v / (v + F.lit(pivot))
+            elif fn == "log":
+                scaling = float(spec.get("scaling_factor", 1.0))
+                if scaling <= 0:
+                    raise ValueError("log scaling_factor must be > 0")
+                val = F.log(F.lit(scaling) + v)
+            elif fn == "sigmoid":
+                pivot = float(spec["pivot"])
+                exp = float(spec.get("exponent", 1.0))
+                if pivot <= 0 or exp <= 0:
+                    raise ValueError("sigmoid needs pivot > 0 and exponent > 0")
+                val = F.pow(v, F.lit(exp)) / (
+                    F.pow(v, F.lit(exp)) + F.lit(pivot ** exp)
+                )
+            else:
+                raise ValueError(f"unknown rank_feature function {fn!r}")
         elif kind == "random_score":
             val = _random_unit_col("doc_id", int(spec.get("seed", 42)))
         else:
@@ -402,3 +434,44 @@ def function_score(
     if k is not None:
         out = out.where(F.col("rank") <= k)
     return out.select("query_id", "doc_id", "score", "rank")
+
+
+def search_pinned(
+    run: DataFrame,
+    pinned: DataFrame,
+    k: int | None = None,
+) -> DataFrame:
+    """The ES `pinned` query over a ranked run: promoted docs come FIRST
+    in their pin order (regardless of relevance), organic results follow
+    in score order with pinned docs deduplicated out of the tail.
+    pinned: (query_id, doc_id, pin_order) — per-query promotion lists.
+    A pinned doc absent from the organic run still appears (score NULL,
+    ES fetches pinned ids by id-lookup); `pinned` output column marks the
+    provenance. (query_id, doc_id, score, rank, pinned).
+
+    Pure bounded algebra: the run is queries × k bounded and the pin list
+    is tiny — one broadcast outer join + one window."""
+    base = run.select(
+        F.col("query_id").cast("string").alias("query_id"),
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.col("score").cast("double").alias("score"),
+    )
+    pins = pinned.select(
+        F.col("query_id").cast("string").alias("query_id"),
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.col("pin_order").cast("int").alias("pin_order"),
+    )
+    merged = base.join(F.broadcast(pins), ["query_id", "doc_id"], "full_outer")
+    w = Window.partitionBy("query_id").orderBy(
+        # pinned block first (pin_order ASC), then organic by score
+        F.when(F.col("pin_order").isNotNull(), F.lit(0)).otherwise(F.lit(1)),
+        F.asc_nulls_last("pin_order"),
+        F.desc_nulls_last("score"),
+        F.asc("doc_id"),
+    )
+    out = merged.withColumn("rank", F.row_number().over(w)).withColumn(
+        "pinned", F.col("pin_order").isNotNull()
+    )
+    if k is not None:
+        out = out.where(F.col("rank") <= k)
+    return out.select("query_id", "doc_id", "score", "rank", "pinned")

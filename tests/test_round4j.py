@@ -610,3 +610,56 @@ def test_terms_set_per_doc_threshold(spark, tmp_path):
     rows0 = {r["doc_id"] for r in
              search_terms_set(idx, q, msm0, "msm", k=10).collect()}
     assert rows0 == {"d3"}
+
+
+# --------------------------------------------------- pinned / rank_feature
+
+def test_search_pinned_order_and_missing_doc(spark):
+    from openmatch_spark.query import search_pinned
+
+    run = spark.createDataFrame(
+        [("q1", "a", 3.0), ("q1", "b", 2.0), ("q1", "c", 1.0)],
+        "query_id string, doc_id string, score double",
+    )
+    pins = spark.createDataFrame(
+        [("q1", "c", 1), ("q1", "zz", 2)],
+        "query_id string, doc_id string, pin_order int",
+    )
+    rows = [(r["doc_id"], r["rank"], r["pinned"], r["score"]) for r in
+            search_pinned(run, pins).orderBy("rank").collect()]
+    # pinned block first in pin order (c even though lowest-scored, then
+    # the id-fetched zz with NULL score), organic tail deduped
+    assert rows == [("c", 1, True, 1.0), ("zz", 2, True, None),
+                    ("a", 3, False, 3.0), ("b", 4, False, 2.0)]
+
+
+def test_rank_feature_functions(spark):
+    from openmatch_spark.query import function_score
+
+    run = spark.createDataFrame(
+        [("q1", "a", 1.0), ("q1", "b", 1.0), ("q1", "c", 1.0)],
+        "query_id string, doc_id string, score double",
+    )
+    docs = spark.createDataFrame(
+        [("a", 4.0), ("b", None), ("c", 12.0)], "doc_id string, pr double"
+    )
+
+    def rf(spec):
+        return {r["doc_id"]: r["score"] for r in function_score(
+            run, docs, [spec], boost_mode="replace").collect()}
+
+    sat = rf({"kind": "rank_feature", "field": "pr",
+              "function": "saturation", "pivot": 4.0})
+    assert sat == {"a": 0.5, "b": 0.0, "c": 0.75}  # NULL feature -> 0
+    sig = rf({"kind": "rank_feature", "field": "pr",
+              "function": "sigmoid", "pivot": 4.0, "exponent": 2.0})
+    assert abs(sig["c"] - 144.0 / 160.0) < 1e-12
+    import math
+    log = rf({"kind": "rank_feature", "field": "pr",
+              "function": "log", "scaling_factor": 1.0})
+    assert abs(log["c"] - math.log(13.0)) < 1e-12
+    with pytest.raises(ValueError):
+        rf({"kind": "rank_feature", "field": "pr",
+            "function": "saturation", "pivot": 0.0})
+    with pytest.raises(ValueError):
+        rf({"kind": "rank_feature", "field": "pr", "function": "nope"})

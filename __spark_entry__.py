@@ -4004,6 +4004,18 @@ def q_knn_cosine(spark, sf_dir):
     return run
 
 
+def q_knn_filtered(spark, sf_dir):
+    """ES knn-with-filter (PRE-filtered candidates): cosine top-10 over
+    only the even vec_ids — every query still gets k survivors from the
+    allowed subset, unlike post-filtering a finished run."""
+    from openmatch_spark.query.dense import knn_filtered_topk
+
+    return knn_filtered_topk(
+        _emb(spark, sf_dir), _query_vectors(spark, sf_dir),
+        "vec_id % 2 = 0", k=10, metric="cosine", round_to=6,
+    )
+
+
 def _query_vectors_df(spark, sf_dir, n=5):
     """The same query vectors as _query_vectors, as a DataFrame — drives
     the distributed dense paths (broadcast matrix / cogroup-on-bucket)."""
@@ -4885,6 +4897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "quality": q_quality,
         "knn_cosine": q_knn_cosine,
+        "knn_filtered": q_knn_filtered,
         "knn_cosine_df": q_knn_cosine_df,
         "knn_quantized": q_knn_quantized,
         "knn_pq": q_knn_pq,
@@ -8412,6 +8425,28 @@ SELECT query_id, doc_id, ROUND(score * fs, 6) AS score,
          PARTITION BY query_id ORDER BY score * fs DESC, doc_id ASC
        ) AS INTEGER) AS rank
 FROM rfh
+"""
+
+    # knn with pre-filter: same cosine oracle over the restricted set
+    sql["knn_filtered"] = """
+WITH q AS (
+  SELECT CAST(vec_id AS VARCHAR) AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 5
+),
+c AS (
+  SELECT CAST(vec_id AS VARCHAR) AS vec_id, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings WHERE vec_id % 2 = 0
+),
+scored AS (
+  SELECT q.query_id, c.vec_id, list_cosine_similarity(q.qv, c.cv) AS score
+  FROM q CROSS JOIN c
+),
+ranked AS (
+  SELECT query_id, vec_id, score,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, ROUND(score, 6) AS score, rank FROM ranked WHERE rank <= 10
 """
 
     return sql

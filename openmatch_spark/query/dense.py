@@ -490,3 +490,34 @@ def ivf_topk_df(
     if round_to is not None:
         out = out.withColumn("score", F.round("score", round_to))
     return out
+
+
+def knn_filtered_topk(
+    embeddings: DataFrame,
+    queries,
+    predicate,
+    k: int = 10,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = None,
+) -> DataFrame:
+    """The ES `knn` query's `filter` semantics: the predicate restricts
+    the CANDIDATE set BEFORE top-k (pre-filtering), so every query still
+    gets k survivors from the allowed subset — unlike post-filtering a
+    finished run, which silently returns fewer than k. predicate: a
+    Column or SQL string over the embeddings frame's columns (attribute
+    columns may be joined on beforehand by the caller).
+
+    Pre-filtering is the correct 100 TB shape too: the predicate reaches
+    the embeddings scan (PushedFilters when it's a plain column
+    predicate), so excluded vectors never cost a dot product. Routing
+    (closure / broadcast-matrix / cogroup) is inherited unchanged from
+    brute_force_topk."""
+    import pyspark.sql.functions as F  # local: keep module import surface
+
+    cond = F.expr(predicate) if isinstance(predicate, str) else predicate
+    return brute_force_topk(
+        embeddings.where(cond), queries, k=k, metric=metric,
+        id_col=id_col, vec_col=vec_col, round_to=round_to,
+    )

@@ -1295,6 +1295,63 @@ SELECT query_id, doc_id, ROUND(score, 6) AS score, rank
 FROM frun WHERE rank <= 10
 """
 
+_CF_TITLE_W, _CF_BODY_W, _CF_B = 2.0, 1.0, 0.75
+
+_COMBINED_FIELDS_SQL = f"""
+WITH docs_toks AS (
+  SELECT CAST(d.doc_id AS VARCHAR) AS doc_id,
+         list_filter(regexp_split_to_array(lower(d.text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM documents d
+),
+fields AS (
+  SELECT doc_id, list_slice(toks, 1, 8) AS title,
+         list_slice(toks, 9, len(toks)) AS body
+  FROM docs_toks
+),
+ftok AS (
+  SELECT doc_id, t.term, CAST({_CF_TITLE_W} AS DOUBLE) AS w
+  FROM fields, UNNEST(title) AS t(term)
+  UNION ALL
+  SELECT doc_id, t.term, CAST({_CF_BODY_W} AS DOUBLE) AS w
+  FROM fields, UNNEST(body) AS t(term)
+),
+tfw AS (SELECT doc_id, term, SUM(w) AS tfw FROM ftok GROUP BY doc_id, term),
+dlen AS (
+  SELECT doc_id,
+         {_CF_TITLE_W} * len(title) + {_CF_BODY_W} * len(body) AS dlen
+  FROM fields
+),
+g AS (SELECT AVG(dlen) AS avgdl, CAST(COUNT(*) AS DOUBLE) AS n_docs FROM dlen),
+dff AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df FROM ftok GROUP BY term),
+q(query_id, text) AS (VALUES {_Q_VALUES}),
+qtok AS (
+  SELECT q.query_id, t.term
+  FROM q, UNNEST(regexp_split_to_array(lower(q.text), '[^a-z0-9]+')) AS t(term)
+  WHERE t.term <> ''
+),
+qt AS (SELECT query_id, term, CAST(COUNT(*) AS DOUBLE) AS qtf FROM qtok GROUP BY query_id, term),
+scored AS (
+  SELECT qt.query_id, tfw.doc_id,
+         SUM(qt.qtf
+             * ln(1 + (g.n_docs - dff.df + 0.5) / (dff.df + 0.5))
+             * tfw.tfw
+             / (tfw.tfw + {K1} * (1 - {_CF_B} + {_CF_B} * dlen.dlen / g.avgdl))) AS score
+  FROM tfw
+  JOIN qt ON qt.term = tfw.term
+  JOIN dff ON dff.term = tfw.term
+  JOIN dlen ON dlen.doc_id = tfw.doc_id
+  CROSS JOIN g
+  GROUP BY qt.query_id, tfw.doc_id
+),
+cfrun AS (
+  SELECT query_id, doc_id, score,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, doc_id, ROUND(score, 6) AS score, rank
+FROM cfrun WHERE rank <= 10
+"""
+
 _RM3_FB_DOCS, _RM3_FB_TERMS, _RM3_ALPHA = 10, 10, 0.5
 
 _RM3_SQL = f"""
@@ -3000,6 +3057,30 @@ def q_bm25f(spark, sf_dir):
         {"title": (2.0, 0.75), "body": (1.0, 0.4)},
         k=10,
         round_to=6,
+    )
+
+
+def q_combined_fields(spark, sf_dir):
+    """ES combined_fields (Lucene CombinedFieldQuery): fields merged into
+    ONE pseudo-field — weighted tf and length summed FIRST, then a single
+    BM25 with one global avgdl and any-field df. Same title/body split as
+    the BM25F/dis-max entries so all three multi-field semantics are
+    directly comparable on the same corpus."""
+    from openmatch_spark.analysis import tokenize_col
+    from openmatch_spark.query import combined_fields_score_adhoc
+
+    toks = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        tokenize_col(F.col("text"), "simple").alias("toks"),
+    )
+    fields = toks.select(
+        "doc_id",
+        F.slice("toks", 1, 8).alias("title"),
+        F.slice("toks", 9, 1 << 30).alias("body"),
+    )
+    return combined_fields_score_adhoc(
+        fields, _queries_df(spark), {"title": 2.0, "body": 1.0},
+        k=10, round_to=6,
     )
 
 
@@ -4809,6 +4890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "highlight": q_highlight,
         "snippets": q_snippets,
         "bm25f": q_bm25f,
+        "combined_fields": q_combined_fields,
         "dismax": q_dismax,
         "rm3_expand": q_rm3_expand,
         "facets": q_facets,
@@ -5045,6 +5127,7 @@ SELECT query_id, doc_id, ROUND(score, 6) AS score, rank FROM prun WHERE rank <= 
     sql["snippets"] = _SNIPPET_SQL
     sql["highlight"] = _HIGHLIGHT_SQL
     sql["bm25f"] = _BM25F_SQL
+    sql["combined_fields"] = _COMBINED_FIELDS_SQL
     sql["rm3_expand"] = _RM3_SQL
     sql["facets"] = _FACETS_SQL
     sql["hybrid_rrf"] = _RRF_SQL

@@ -48,7 +48,7 @@ from openmatch_spark.query.phrase import (  # noqa: F401
     search_span_near,
     search_span_not,
 )
-from openmatch_spark.query.bm25f import bm25f_score_adhoc  # noqa: F401
+from openmatch_spark.query.bm25f import bm25f_score_adhoc, combined_fields_score_adhoc  # noqa: F401
 from openmatch_spark.query.pq import pq_encode, pq_topk, pq_train  # noqa: F401
 from openmatch_spark.query.quantize import (  # noqa: F401
     quantize_embeddings,

@@ -3112,6 +3112,35 @@ def q_dismax(spark, sf_dir):
     )
 
 
+_XF_TIE, _XF_TITLE_BOOST = 0.15, 2.0
+
+
+def q_cross_fields(spark, sf_dir):
+    """ES multi_match type=cross_fields (Lucene BlendedTermQuery): per-term
+    dis-max over fields like best_fields, but idf uses ONE blended df —
+    the max across fields — so a term rare only in the short field is not
+    over-rewarded. title^2 boost exercises the per-field boost path. Same
+    title/body split as the bm25f/dismax/combined_fields entries so all
+    four multi-field semantics are comparable on the same corpus."""
+    from openmatch_spark.analysis import tokenize_col
+    from openmatch_spark.query import cross_fields_score_adhoc
+
+    toks = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        tokenize_col(F.col("text"), "simple").alias("toks"),
+    )
+    fields = toks.select(
+        "doc_id",
+        F.slice("toks", 1, 8).alias("title"),
+        F.slice("toks", 9, 1 << 30).alias("body"),
+    )
+    return cross_fields_score_adhoc(
+        fields, _queries_df(spark), ["title", "body"],
+        tie_breaker=_XF_TIE, k=10, round_to=6,
+        field_boosts={"title": _XF_TITLE_BOOST, "body": 1.0},
+    )
+
+
 def q_rm3_expand(spark, sf_dir):
     """RM3 pseudo-relevance feedback: BM25 feedback run -> relevance-model
     term weights (rounded before the top-term cut so both engines pick the
@@ -4892,6 +4921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25f": q_bm25f,
         "combined_fields": q_combined_fields,
         "dismax": q_dismax,
+        "cross_fields": q_cross_fields,
         "rm3_expand": q_rm3_expand,
         "facets": q_facets,
         "facet_ranges": q_facet_ranges,
@@ -6781,6 +6811,67 @@ drun AS (
   FROM dscored
 )
 SELECT query_id, doc_id, ROUND(score, 6) AS score, rank FROM drun WHERE rank <= 10
+"""
+
+    # cross_fields: dis-max replica with BLENDED df (max across fields in
+    # the idf) and a title^2 boost on the per-field contribution
+    sql["cross_fields"] = f"""
+WITH docs_toks AS (
+  SELECT CAST(d.doc_id AS VARCHAR) AS doc_id,
+         list_filter(regexp_split_to_array(lower(d.text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM documents d
+),
+fields AS (
+  SELECT doc_id, list_slice(toks, 1, 8) AS title,
+         list_slice(toks, 9, len(toks)) AS body
+  FROM docs_toks
+),
+ftok AS (
+  SELECT doc_id, 'title' AS field, t.term FROM fields, UNNEST(title) AS t(term)
+  UNION ALL
+  SELECT doc_id, 'body' AS field, t.term FROM fields, UNNEST(body) AS t(term)
+),
+flen AS (
+  SELECT doc_id, 'title' AS field, CAST(len(title) AS DOUBLE) AS flen FROM fields
+  UNION ALL
+  SELECT doc_id, 'body' AS field, CAST(len(body) AS DOUBLE) AS flen FROM fields
+),
+tff AS (SELECT doc_id, field, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM ftok GROUP BY doc_id, field, term),
+avgf AS (SELECT field, AVG(flen) AS avgflen FROM flen GROUP BY field),
+nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+dff AS (SELECT field, term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df FROM ftok GROUP BY field, term),
+blend AS (SELECT term, MAX(df) AS df FROM dff GROUP BY term),
+q(query_id, text) AS (VALUES {_Q_VALUES}),
+qtok AS (
+  SELECT q.query_id, t.term
+  FROM q, UNNEST(regexp_split_to_array(lower(q.text), '[^a-z0-9]+')) AS t(term)
+  WHERE t.term <> ''
+),
+qt AS (SELECT query_id, term, CAST(COUNT(*) AS DOUBLE) AS qtf FROM qtok GROUP BY query_id, term),
+contrib AS (
+  SELECT qt.query_id, t.doc_id, t.term,
+         (CASE WHEN t.field = 'title' THEN {_XF_TITLE_BOOST} ELSE 1.0 END)
+               * qt.qtf * ln(1 + (nd.n_docs - blend.df + 0.5) / (blend.df + 0.5))
+               * t.tf / (t.tf + {K1} * (1 - {B} + {B} * l.flen / a.avgflen)) AS s
+  FROM tff t
+  JOIN flen l ON l.doc_id = t.doc_id AND l.field = t.field
+  JOIN avgf a ON a.field = t.field
+  JOIN blend ON blend.term = t.term
+  JOIN qt ON qt.term = t.term
+  CROSS JOIN nd
+),
+per_term AS (
+  SELECT query_id, doc_id, term,
+         MAX(s) + {_XF_TIE} * (SUM(s) - MAX(s)) AS w
+  FROM contrib GROUP BY query_id, doc_id, term
+),
+xscored AS (SELECT query_id, doc_id, SUM(w) AS score FROM per_term GROUP BY query_id, doc_id),
+xrun AS (
+  SELECT query_id, doc_id, score,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
+  FROM xscored
+)
+SELECT query_id, doc_id, ROUND(score, 6) AS score, rank FROM xrun WHERE rank <= 10
 """
 
     # Jelinek-Mercer QLD: linear doc/collection interpolation, no clamp

@@ -14,7 +14,10 @@ from openmatch_spark.query.aggregates import (  # noqa: F401
 )
 from openmatch_spark.query.bm25_search import search, search_terms  # noqa: F401
 from openmatch_spark.query.boolean import search_boolean, search_terms_set  # noqa: F401
-from openmatch_spark.query.dismax import dismax_score_adhoc  # noqa: F401
+from openmatch_spark.query.dismax import (  # noqa: F401
+    cross_fields_score_adhoc,
+    dismax_score_adhoc,
+)
 from openmatch_spark.query.diversify import mmr_rerank  # noqa: F401
 from openmatch_spark.query.expand import (  # noqa: F401
     search_fuzzy,

@@ -33,29 +33,30 @@ from openmatch_spark.analysis import tokenize_col
 from openmatch_spark.functions.bm25 import B, K1
 
 
-def dismax_score_adhoc(
+def _multi_match_topk(
     corpus_fields: DataFrame,
     queries: DataFrame,
     fields: list[str],
-    tie_breaker: float = 0.0,
-    k: int = 10,
-    analyzer: str = "simple",
-    k1: float = K1,
-    b: float = B,
-    round_to: int | None = None,
+    tie_breaker: float,
+    k: int,
+    analyzer: str,
+    k1: float,
+    b: float,
+    round_to: int | None,
+    blended_df: bool = False,
+    field_boosts: dict[str, float] | None = None,
 ) -> DataFrame:
-    """Top-k dis-max run (query_id, doc_id, score, rank).
-
-    corpus_fields: (doc_id, <field> array<string> ...) — one token-array
-    column per field (pre-tokenized, same contract as bm25f_score_adhoc so
-    engine and oracle share the exact field split). Each field is its own
-    BM25 universe: df(t, f) counts docs whose FIELD f contains t, and the
-    length norm uses that field's own avgdl. Docs with an empty field
-    still count toward that field's avgdl (zero-length, same convention
-    as BM25F's unbiased avgdl)."""
+    """Shared term-centric multi-field pipeline. blended_df=False is
+    best_fields (per-field df -> dismax_score_adhoc); blended_df=True is
+    cross_fields (idf from the max df across fields -> 
+    cross_fields_score_adhoc). field_boosts multiply the per-field
+    contribution BEFORE the per-term dis-max fold (ES ^boost)."""
     if not 0.0 <= tie_breaker <= 1.0:
         raise ValueError(f"tie_breaker must be in [0, 1], got {tie_breaker}")
     fields = sorted(fields)
+    boosts = {f: float((field_boosts or {}).get(f, 1.0)) for f in fields}
+    if any(w <= 0 for w in boosts.values()):
+        raise ValueError(f"field boosts must be > 0, got {boosts}")
     per_field = None
     lens = None
     for f in fields:
@@ -95,6 +96,13 @@ def dismax_score_adhoc(
         .groupBy("field", "term")
         .agg(F.count(F.lit(1)).cast("double").alias("df"))
     )
+    if blended_df:
+        # BlendedTermQuery: every field scores the term with the SAME df —
+        # the max across fields — so a rare-in-title term is not over-
+        # rewarded just because titles are short (ES multi_match
+        # type=cross_fields; Lucene BlendedTermQuery takes max docFreq)
+        blend = df_.groupBy("term").agg(F.max("df").alias("df"))
+        df_ = df_.select("field", "term").join(F.broadcast(blend), "term")
 
     # per-(query, doc, term, field) BM25 contribution in that field's universe
     contrib = (
@@ -107,7 +115,8 @@ def dismax_score_adhoc(
             "doc_id",
             "term",
             (
-                F.col("qtf")
+                _boost_expr(boosts)
+                * F.col("qtf")
                 * F.log(
                     F.lit(1.0)
                     + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)
@@ -141,3 +150,76 @@ def dismax_score_adhoc(
     if round_to is not None:
         out = out.withColumn("score", F.round("score", round_to))
     return out
+
+
+def _boost_expr(boosts: dict[str, float]):
+    """CASE over the field tag -> boost literal (1.0 boosts fold away in
+    constant-folding, so the unboosted plan is unchanged)."""
+    e = None
+    for f, w in boosts.items():
+        e = (F.when(F.col("field") == f, F.lit(w)) if e is None
+             else e.when(F.col("field") == f, F.lit(w)))
+    return e
+
+
+def dismax_score_adhoc(
+    corpus_fields: DataFrame,
+    queries: DataFrame,
+    fields: list[str],
+    tie_breaker: float = 0.0,
+    k: int = 10,
+    analyzer: str = "simple",
+    k1: float = K1,
+    b: float = B,
+    round_to: int | None = None,
+    field_boosts: dict[str, float] | None = None,
+) -> DataFrame:
+    """Top-k dis-max run (query_id, doc_id, score, rank) — ES multi_match
+    type=best_fields.
+
+    corpus_fields: (doc_id, <field> array<string> ...) — one token-array
+    column per field (pre-tokenized, same contract as bm25f_score_adhoc so
+    engine and oracle share the exact field split). Each field is its own
+    BM25 universe: df(t, f) counts docs whose FIELD f contains t, and the
+    length norm uses that field's own avgdl. Docs with an empty field
+    still count toward that field's avgdl (zero-length, same convention
+    as BM25F's unbiased avgdl)."""
+    return _multi_match_topk(
+        corpus_fields, queries, fields, tie_breaker, k, analyzer, k1, b,
+        round_to, blended_df=False, field_boosts=field_boosts,
+    )
+
+
+def cross_fields_score_adhoc(
+    corpus_fields: DataFrame,
+    queries: DataFrame,
+    fields: list[str],
+    tie_breaker: float = 0.0,
+    k: int = 10,
+    analyzer: str = "simple",
+    k1: float = K1,
+    b: float = B,
+    round_to: int | None = None,
+    field_boosts: dict[str, float] | None = None,
+) -> DataFrame:
+    """Top-k cross_fields run — ES multi_match type=cross_fields / Lucene
+    BlendedTermQuery. The FOURTH multi-field semantic beside BM25F
+    (weights inside saturation), combined_fields (one pseudo-field), and
+    best_fields dis-max (per-field universes):
+
+    term-centric with BLENDED statistics. Each query term is scored in
+    every field with that field's own tf and length norm, but the idf uses
+    ONE blended df — the max df across the fields — so "smith" in a
+    first-name field is not treated as rare just because first names
+    rarely say smith (the classic cross_fields motivation: a person name
+    split over first_name/last_name fields). Per term the field
+    contributions fold as dis-max (max + tie_breaker * rest), then terms
+    sum. tie_breaker defaults to 0.0 (ES default for cross_fields).
+
+    Spark shape: identical to dis-max (one (doc, field, term) tf shuffle,
+    broadcast stats) plus one extra broadcast-sized max-df agg over the
+    query vocabulary — the blending costs nothing at corpus scale."""
+    return _multi_match_topk(
+        corpus_fields, queries, fields, tie_breaker, k, analyzer, k1, b,
+        round_to, blended_df=True, field_boosts=field_boosts,
+    )

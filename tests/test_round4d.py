@@ -182,6 +182,78 @@ def test_dismax_rejects_bad_tiebreaker(spark, dm_fields):
         dismax_score_adhoc(dm_fields, qs, ["title", "body"], 1.5)
 
 
+# ----------------------------------------------------------- cross_fields
+
+
+def _cross_fields_py(query_terms, tie, boosts=None, k1=0.9, b=0.4):
+    """Pure-python cross_fields reference over DM_DOCS: same per-field
+    tf/length-norm as dis-max but ONE blended idf per term (max df across
+    the fields — Lucene BlendedTermQuery)."""
+    boosts = boosts or {}
+    fields = ["title", "body"]
+    toks = {d: {"title": t.split(), "body": bd.split()} for d, t, bd in DM_DOCS}
+    n = len(DM_DOCS)
+    avg = {f: sum(len(toks[d][f]) for d in toks) / n for f in fields}
+    out = {}
+    for d in toks:
+        score = 0.0
+        for term in query_terms:
+            df = max(
+                sum(1 for dd in toks if term in toks[dd][f]) for f in fields
+            )
+            idf = math.log(1 + (n - df + 0.5) / (df + 0.5)) if df else 0.0
+            per_field = []
+            for f in fields:
+                tf = toks[d][f].count(term)
+                if tf == 0:
+                    continue
+                norm = k1 * (1 - b + b * len(toks[d][f]) / avg[f])
+                per_field.append(
+                    boosts.get(f, 1.0) * idf * tf / (tf + norm))
+            if per_field:
+                score += max(per_field) + tie * (sum(per_field) - max(per_field))
+        if score > 0:
+            out[d] = score
+    return out
+
+
+@pytest.mark.parametrize("tie", [0.0, 0.3])
+def test_cross_fields_matches_python_reference(spark, dm_fields, tie):
+    from openmatch_spark.query.dismax import cross_fields_score_adhoc
+
+    qs = spark.createDataFrame([("q", "apple banana")], QUERIES_SCHEMA)
+    boosts = {"title": 2.0, "body": 1.0}
+    got = {
+        r["doc_id"]: r["score"]
+        for r in cross_fields_score_adhoc(
+            dm_fields, qs, ["title", "body"], tie_breaker=tie, k=10,
+            field_boosts=boosts,
+        ).collect()
+    }
+    want = _cross_fields_py(["apple", "banana"], tie, boosts)
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d] == pytest.approx(want[d], rel=1e-12), (d, tie)
+
+
+def test_cross_fields_blends_df_across_fields(spark, dm_fields):
+    # "banana" appears in 1 title but also 1 body -> blended df is the MAX
+    # across fields, so the title contribution uses the same (lower) idf
+    # as best_fields here; use "apple": title-df=1, body-df=2 -> under
+    # cross_fields the title hit for d1 is scored with df=2, strictly
+    # below its dis-max (per-field df=1) score.
+    from openmatch_spark.query.dismax import cross_fields_score_adhoc
+
+    qs = spark.createDataFrame([("q", "apple")], QUERIES_SCHEMA)
+    bf = {r["doc_id"]: r["score"] for r in dismax_score_adhoc(
+        dm_fields, qs, ["title", "body"], 0.0, k=10).collect()}
+    xf = {r["doc_id"]: r["score"] for r in cross_fields_score_adhoc(
+        dm_fields, qs, ["title", "body"], 0.0, k=10).collect()}
+    assert xf["d1"] < bf["d1"]
+    # d3's body hit already used df=2 under best_fields -> unchanged
+    assert xf["d3"] == pytest.approx(bf["d3"], rel=1e-12)
+
+
 # ----------------------------------------------------------------- QLD-JM
 
 def test_qld_jm_matches_closed_form(spark):

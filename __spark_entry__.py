@@ -4866,6 +4866,118 @@ def q_geo_bounds(spark, sf_dir):
     )
 
 
+def q_facet_sibling_stats(spark, sf_dir):
+    """ES stats_bucket sibling pipeline aggregation: collapse each
+    query's monthly date_histogram buckets into one
+    (n, min, max, avg, sum) row over the bucket metric."""
+    from openmatch_spark.operators.pipeline_aggs import sibling_bucket_agg
+
+    b = _pipeline_buckets(spark, sf_dir)
+    out = sibling_bucket_agg(b, "n_docs", "bucket", ["query_id"], fn="stats")
+    return out.select(
+        "query_id", "n", "min", "max",
+        F.round("avg", 6).alias("avg"), F.round("sum", 6).alias("sum"),
+    )
+
+
+def q_facet_max_bucket(spark, sf_dir):
+    """ES max_bucket: the extremal bucket metric per query plus the
+    ascending comma-joined bucket keys attaining it (ES reports the keys
+    list alongside the value — ties are real in this fixture)."""
+    from openmatch_spark.operators.pipeline_aggs import sibling_bucket_agg
+
+    b = _pipeline_buckets(spark, sf_dir)
+    out = sibling_bucket_agg(b, "n_docs", "bucket", ["query_id"], fn="max")
+    return out.select("query_id", F.round("value", 6).alias("value"), "keys")
+
+
+def q_facet_percentiles_bucket(spark, sf_dir):
+    """ES percentiles_bucket (documented EXACT with linear interpolation,
+    unlike the t-digest metric agg) of each query's monthly bucket-count
+    distribution at 25/50/75."""
+    from openmatch_spark.operators.pipeline_aggs import percentiles_bucket
+
+    b = _pipeline_buckets(spark, sf_dir)
+    out = percentiles_bucket(
+        b, "n_docs", ["query_id"], percents=(25.0, 50.0, 75.0)
+    )
+    return out.select(
+        "query_id", "percent", F.round("value", 6).alias("value")
+    )
+
+
+def q_facet_normalize(spark, sf_dir):
+    """ES normalize pipeline aggregation: percent_of_sum AND z-score of
+    each monthly bucket count within its query (two of the six ES
+    methods; the rest share the same window algebra and are
+    pytest-covered)."""
+    from openmatch_spark.operators.pipeline_aggs import normalize_buckets
+
+    b = _pipeline_buckets(spark, sf_dir)
+    b = normalize_buckets(
+        b, "n_docs", ["query_id"], method="percent_of_sum", out_col="pct"
+    )
+    b = normalize_buckets(b, "n_docs", ["query_id"], method="z-score",
+                          out_col="z")
+    return b.select(
+        "query_id", "bucket", "n_docs",
+        F.round("pct", 6).alias("pct"), F.round("z", 6).alias("z"),
+    )
+
+
+def q_hit_string_stats(spark, sf_dir):
+    """ES string_stats (with show_distribution's Shannon entropy, log2)
+    over the BM25 top-10 hit set's text attribute: codepoint length
+    stats plus the pooled character-distribution entropy per query."""
+    from openmatch_spark.query import hit_string_stats
+
+    run = _bm25_run(spark, sf_dir, k=10, rounded=False).select(
+        "query_id", "doc_id"
+    )
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    out = hit_string_stats(run, docs, "text")
+    return out.select(
+        "query_id", "n", "min_length", "max_length",
+        F.round("avg_length", 6).alias("avg_length"),
+        F.round("entropy", 6).alias("entropy"),
+    )
+
+
+def q_hit_mad(spark, sf_dir):
+    """ES median_absolute_deviation over the BM25 top-10 hit set's
+    n_chars: median(|x - median(x)|) with exact linear-interpolated
+    medians (ES approximates with t-digest; the hit set is k-bounded so
+    exact is free and oracle-checkable)."""
+    from openmatch_spark.query import hit_median_absolute_deviation
+
+    run = _bm25_run(spark, sf_dir, k=10, rounded=False).select(
+        "query_id", "doc_id"
+    )
+    out = hit_median_absolute_deviation(
+        run, _attr_docs(spark, sf_dir), "n_chars"
+    )
+    return out.select("query_id", F.round("mad", 6).alias("mad"))
+
+
+def q_hit_boxplot(spark, sf_dir):
+    """ES boxplot over the BM25 top-10 hit set's n_chars: exact
+    quartiles plus Tukey whiskers clamped to actual observations
+    (smallest value >= q1 - 1.5 IQR, largest <= q3 + 1.5 IQR)."""
+    from openmatch_spark.query import hit_boxplot
+
+    run = _bm25_run(spark, sf_dir, k=10, rounded=False).select(
+        "query_id", "doc_id"
+    )
+    out = hit_boxplot(run, _attr_docs(spark, sf_dir), "n_chars")
+    return out.select(
+        "query_id",
+        *[F.round(c, 6).alias(c)
+          for c in ["min", "max", "q1", "q2", "q3", "lower", "upper"]],
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -4938,6 +5050,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_date_histogram": q_facet_date_histogram,
         "facet_pipeline": q_facet_pipeline,
         "facet_bucket_sort": q_facet_bucket_sort,
+        "facet_sibling_stats": q_facet_sibling_stats,
+        "facet_max_bucket": q_facet_max_bucket,
+        "facet_percentiles_bucket": q_facet_percentiles_bucket,
+        "facet_normalize": q_facet_normalize,
         "composite_page": q_composite_page,
         "geo_distance": q_geo_distance,
         "geotile_grid": q_geotile_grid,
@@ -4947,6 +5063,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hit_value_count": q_hit_value_count,
         "hit_missing": q_hit_missing,
         "hit_filters": q_hit_filters,
+        "hit_string_stats": q_hit_string_stats,
+        "hit_mad": q_hit_mad,
+        "hit_boxplot": q_hit_boxplot,
         "matrix_stats": q_matrix_stats,
         "facet_adjacency": q_facet_adjacency,
         "facet_multi_terms": q_facet_multi_terms,
@@ -8084,6 +8203,142 @@ SELECT query_id, facet, n FROM (
          CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n
   FROM hyd GROUP BY query_id
 )
+"""
+
+    # ES string_stats with show_distribution entropy: codepoint length
+    # stats per query over the hit texts, plus the Shannon entropy (log2)
+    # of the pooled character distribution — chars enumerated by position
+    # so the oracle tokenization is unambiguous
+    sql["hit_string_stats"] = f"""
+WITH {_BM25_CTES},
+run10 AS (SELECT query_id, doc_id FROM run WHERE rank <= 10),
+sv AS (
+  SELECT r.query_id, d.text AS s
+  FROM run10 r JOIN documents d ON CAST(d.doc_id AS VARCHAR) = r.doc_id
+  WHERE d.text IS NOT NULL
+),
+lens AS (
+  SELECT q.query_id, COALESCE(st.n, 0) AS n,
+         st.min_length, st.max_length, st.avg_length
+  FROM (SELECT DISTINCT query_id FROM run10) q
+  LEFT JOIN (
+    SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(len(s)) AS BIGINT) AS min_length,
+           CAST(MAX(len(s)) AS BIGINT) AS max_length,
+           AVG(len(s)) AS avg_length
+    FROM sv GROUP BY query_id
+  ) st USING (query_id)
+),
+chars AS (
+  SELECT query_id, substr(s, CAST(u.i AS INTEGER), 1) AS c
+  FROM sv, UNNEST(range(1, len(s) + 1)) AS u(i)
+),
+dist AS (
+  SELECT query_id, c, CAST(COUNT(*) AS DOUBLE) AS cnt
+  FROM chars GROUP BY query_id, c
+),
+ent AS (
+  SELECT query_id, -SUM(p * log2(p)) AS entropy
+  FROM (SELECT query_id,
+               cnt / SUM(cnt) OVER (PARTITION BY query_id) AS p
+        FROM dist)
+  GROUP BY query_id
+)
+SELECT l.query_id, l.n, l.min_length, l.max_length,
+       ROUND(l.avg_length, 6) AS avg_length, ROUND(e.entropy, 6) AS entropy
+FROM lens l LEFT JOIN ent e USING (query_id)
+"""
+
+    # ES median_absolute_deviation, exact two-pass medians
+    sql["hit_mad"] = f"""
+WITH {_BM25_CTES},
+{_HIT_ATTRS},
+med AS (SELECT query_id, quantile_cont(n_chars, 0.5) AS m
+        FROM hyd GROUP BY query_id)
+SELECT h.query_id,
+       ROUND(quantile_cont(ABS(h.n_chars - med.m), 0.5), 6) AS mad
+FROM hyd h JOIN med ON med.query_id = h.query_id
+GROUP BY h.query_id
+"""
+
+    # ES boxplot: exact quartiles + Tukey whiskers clamped to data points
+    sql["hit_boxplot"] = f"""
+WITH {_BM25_CTES},
+{_HIT_ATTRS},
+bq AS (
+  SELECT query_id, MIN(n_chars) AS mn, MAX(n_chars) AS mx,
+         quantile_cont(n_chars, 0.25) AS q1,
+         quantile_cont(n_chars, 0.5) AS q2,
+         quantile_cont(n_chars, 0.75) AS q3
+  FROM hyd GROUP BY query_id
+)
+SELECT bq.query_id,
+       ROUND(bq.mn, 6) AS min, ROUND(bq.mx, 6) AS max,
+       ROUND(bq.q1, 6) AS q1, ROUND(bq.q2, 6) AS q2, ROUND(bq.q3, 6) AS q3,
+       ROUND(MIN(CASE WHEN h.n_chars >= bq.q1 - 1.5 * (bq.q3 - bq.q1)
+                      THEN h.n_chars END), 6) AS lower,
+       ROUND(MAX(CASE WHEN h.n_chars <= bq.q3 + 1.5 * (bq.q3 - bq.q1)
+                      THEN h.n_chars END), 6) AS upper
+FROM hyd h JOIN bq ON bq.query_id = h.query_id
+GROUP BY bq.query_id, bq.mn, bq.mx, bq.q1, bq.q2, bq.q3
+"""
+
+    # ES stats_bucket sibling pipeline agg over the monthly buckets
+    sql["facet_sibling_stats"] = f"""
+WITH {_DH_CTES}
+SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(CAST(n_docs AS DOUBLE)) AS min, MAX(CAST(n_docs AS DOUBLE)) AS max,
+       ROUND(AVG(CAST(n_docs AS DOUBLE)), 6) AS avg,
+       ROUND(SUM(CAST(n_docs AS DOUBLE)), 6) AS sum
+FROM dhist GROUP BY query_id
+"""
+
+    # ES max_bucket: extremal value + ascending joined keys attaining it
+    sql["facet_max_bucket"] = f"""
+WITH {_DH_CTES},
+mxb AS (SELECT query_id, MAX(CAST(n_docs AS DOUBLE)) AS value
+        FROM dhist GROUP BY query_id)
+SELECT m.query_id, ROUND(m.value, 6) AS value,
+       string_agg(d.bucket, ',' ORDER BY d.bucket) AS keys
+FROM mxb m JOIN dhist d
+  ON d.query_id = m.query_id AND CAST(d.n_docs AS DOUBLE) = m.value
+GROUP BY m.query_id, m.value
+"""
+
+    # ES percentiles_bucket: exact linear-interpolated percentiles of the
+    # sibling metric (quantile_cont == Spark percentile's definition)
+    sql["facet_percentiles_bucket"] = f"""
+WITH {_DH_CTES}
+SELECT query_id, CAST(25.0 AS DOUBLE) AS percent,
+       ROUND(quantile_cont(CAST(n_docs AS DOUBLE), 0.25), 6) AS value
+FROM dhist GROUP BY query_id
+UNION ALL
+SELECT query_id, CAST(50.0 AS DOUBLE) AS percent,
+       ROUND(quantile_cont(CAST(n_docs AS DOUBLE), 0.50), 6) AS value
+FROM dhist GROUP BY query_id
+UNION ALL
+SELECT query_id, CAST(75.0 AS DOUBLE) AS percent,
+       ROUND(quantile_cont(CAST(n_docs AS DOUBLE), 0.75), 6) AS value
+FROM dhist GROUP BY query_id
+"""
+
+    # ES normalize: percent_of_sum and z-score within the parent, NULL on
+    # degenerate parents (zero sum / zero stddev)
+    sql["facet_normalize"] = f"""
+WITH {_DH_CTES},
+nw AS (
+  SELECT query_id, bucket, n_docs,
+         CAST(n_docs AS DOUBLE) AS x,
+         SUM(CAST(n_docs AS DOUBLE)) OVER (PARTITION BY query_id) AS s,
+         AVG(CAST(n_docs AS DOUBLE)) OVER (PARTITION BY query_id) AS m,
+         stddev_pop(CAST(n_docs AS DOUBLE))
+           OVER (PARTITION BY query_id) AS sd
+  FROM dhist
+)
+SELECT query_id, bucket, n_docs,
+       ROUND(x / NULLIF(s, 0), 6) AS pct,
+       ROUND((x - m) / NULLIF(sd, 0), 6) AS z
+FROM nw
 """
 
     # ES matrix_stats long form (x = n_chars, y = n_tokens): population

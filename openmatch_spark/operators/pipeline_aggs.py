@@ -171,3 +171,146 @@ def bucket_sort(
     hi = F.col(pos) <= from_ + size if size is not None else F.lit(True)
     out = out.where(lo & hi)
     return out if pos_col else out.drop(pos)
+
+
+def sibling_bucket_agg(
+    buckets: DataFrame,
+    value_col: str,
+    order_col: str,
+    group_cols: list[str],
+    fn: str = "stats",
+) -> DataFrame:
+    """ES sibling pipeline aggregations (`avg_bucket` / `min_bucket` /
+    `max_bucket` / `sum_bucket` / `stats_bucket`): collapse a parent's
+    bucket metrics into ONE row per parent.
+
+    fn='stats' emits (group_cols..., n, min, max, avg, sum); the scalar
+    fns emit (group_cols..., value) plus — for min/max — `keys`, the
+    ascending comma-joined list of order_col values attaining the
+    extremum (ES min_bucket/max_bucket report the bucket keys alongside
+    the value; a joined string keeps one flat, hashable schema).
+
+    Same scale story as the rest of the module: one bounded groupBy over
+    the post-aggregation bucket frame."""
+    if fn not in ("avg", "min", "max", "sum", "stats"):
+        raise ValueError(f"fn must be avg|min|max|sum|stats, got {fn!r}")
+    v = F.col(value_col).cast("double")
+    g = buckets.groupBy(*group_cols)
+    if fn == "stats":
+        return g.agg(
+            F.count(v).cast("long").alias("n"),
+            F.min(v).alias("min"),
+            F.max(v).alias("max"),
+            F.avg(v).alias("avg"),
+            F.sum(v).alias("sum"),
+        )
+    if fn in ("avg", "sum"):
+        agg = F.avg(v) if fn == "avg" else F.sum(v)
+        return g.agg(agg.alias("value"))
+    ext = F.min(v) if fn == "min" else F.max(v)
+    # keys of the extremal buckets: collect (value, key) pairs in the same
+    # agg pass, then filter to the pairs attaining the extremum — one
+    # bounded groupBy, no second join (the frame is post-aggregation)
+    agg = g.agg(
+        ext.alias("value"),
+        F.collect_list(
+            F.struct(
+                v.alias("v"), F.col(order_col).cast("string").alias("k")
+            )
+        ).alias("_pairs"),
+    )
+    keys = F.array_join(
+        F.array_sort(
+            F.transform(
+                F.filter(F.col("_pairs"), lambda p: p["v"] == F.col("value")),
+                lambda p: p["k"],
+            )
+        ),
+        ",",
+    )
+    return agg.withColumn("keys", keys).drop("_pairs")
+
+
+def percentiles_bucket(
+    buckets: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    percents: tuple[float, ...] = (25.0, 50.0, 75.0),
+) -> DataFrame:
+    """ES `percentiles_bucket`: exact percentiles of a sibling metric
+    across the parent's buckets, one (group_cols..., percent, value) row
+    per requested percent. ES documents this one as EXACT (unlike the
+    t-digest `percentiles` metric agg) with linear interpolation between
+    closest ranks — Spark's `percentile` (and DuckDB's quantile_cont)
+    use the same definition, so the oracle is bit-comparable."""
+    if not percents:
+        raise ValueError("percents must name at least one percent")
+    if any(not 0.0 <= p <= 100.0 for p in percents):
+        raise ValueError(f"percents must be in [0, 100], got {percents}")
+    v = F.col(value_col).cast("double")
+    agg = buckets.groupBy(*group_cols).agg(
+        F.percentile(v, F.array(*[F.lit(p / 100.0) for p in percents]))
+        .alias("_q")
+    )
+    pairs = F.arrays_zip(
+        F.array(*[F.lit(float(p)) for p in percents]).alias("percent"),
+        F.col("_q").alias("value"),
+    )
+    return agg.select(*group_cols, F.explode(pairs).alias("_e")).select(
+        *group_cols,
+        F.col("_e.percent").alias("percent"),
+        F.col("_e.value").alias("value"),
+    )
+
+
+_NORMALIZE_METHODS = (
+    "rescale_0_1", "rescale_0_100", "percent_of_sum", "mean", "z-score",
+    "softmax",
+)
+
+
+def normalize_buckets(
+    buckets: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    method: str = "percent_of_sum",
+    out_col: str = "normalized",
+) -> DataFrame:
+    """ES `normalize` pipeline aggregation: rescale a bucket metric
+    within its parent. Methods (ES search-aggregations-pipeline-normalize
+    docs, same formulas):
+
+      rescale_0_1      (x - min) / (max - min)
+      rescale_0_100    100 * (x - min) / (max - min)
+      percent_of_sum   x / sum(x)
+      mean             (x - avg) / (max - min)
+      z-score          (x - avg) / population_stddev
+      softmax          e^x / sum(e^x)
+
+    Degenerate parents (max == min, sum == 0, stddev == 0) produce NULL
+    rather than a division error — ES skips the value there too. One
+    unbounded window per parent (the frame is post-aggregation bounded);
+    no ordering needed, so no sort in the exchange."""
+    if method not in _NORMALIZE_METHODS:
+        raise ValueError(
+            f"method must be one of {_NORMALIZE_METHODS}, got {method!r}"
+        )
+    w = Window.partitionBy(*group_cols)
+    x = F.col(value_col).cast("double")
+    rng = F.max(x).over(w) - F.min(x).over(w)
+    rng = F.when(rng != 0.0, rng)  # NULL-out degenerate spans
+    if method == "rescale_0_1":
+        col = (x - F.min(x).over(w)) / rng
+    elif method == "rescale_0_100":
+        col = F.lit(100.0) * (x - F.min(x).over(w)) / rng
+    elif method == "percent_of_sum":
+        s = F.sum(x).over(w)
+        col = x / F.when(s != 0.0, s)
+    elif method == "mean":
+        col = (x - F.avg(x).over(w)) / rng
+    elif method == "z-score":
+        sd = F.stddev_pop(x).over(w)
+        col = (x - F.avg(x).over(w)) / F.when(sd != 0.0, sd)
+    else:  # softmax
+        col = F.exp(x) / F.sum(F.exp(x)).over(w)
+    return buckets.withColumn(out_col, col)

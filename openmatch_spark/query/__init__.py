@@ -1,12 +1,15 @@
 from openmatch_spark.query.aggregates import (  # noqa: F401
     count_hits,
+    hit_boxplot,
     hit_cardinality,
     hit_extended_stats,
     hit_filters,
+    hit_median_absolute_deviation,
     hit_missing,
     hit_percentile_ranks,
     hit_percentiles,
     hit_stats,
+    hit_string_stats,
     hit_value_count,
     hit_weighted_avg,
     matrix_stats,

@@ -577,3 +577,156 @@ def hit_cardinality(
     return unpivoted.groupBy("query_id", "facet").agg(
         agg.cast("long").alias("cardinality")
     )
+
+
+def hit_string_stats(
+    run: DataFrame,
+    docs: DataFrame,
+    text_col: str,
+) -> DataFrame:
+    """(query_id, n, min_length, max_length, avg_length, entropy) — the
+    ES `string_stats` aggregation (with show_distribution's entropy) over
+    the hit set's string attribute. Lengths are codepoint counts; entropy
+    is the Shannon entropy (log base 2, ES's convention) of the CHARACTER
+    distribution pooled across all of the query's hit values. NULL values
+    are excluded everywhere; a query whose hits are all-NULL reports n=0
+    with NULL stats (ES omits the agg — one schema keeps it hashable).
+
+    Plan: one broadcast hydration of the (queries × k)-bounded run, a
+    length agg, and a char-explode agg over the same bounded frame —
+    strings are doc-bounded so the explode is hit_chars-sized, never
+    corpus-sized. All JVM (split/explode/log2), no UDF."""
+    base = run.select(
+        F.col("query_id").cast("string").alias("query_id"),
+        F.col("doc_id").cast("string").alias("doc_id"),
+    )
+    attrs = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.col(text_col).cast("string").alias("_s"),
+    )
+    hydrated = attrs.join(F.broadcast(base), "doc_id").where(
+        F.col("_s").isNotNull()
+    )
+    lens = (
+        base.select("query_id")
+        .distinct()
+        .join(
+            hydrated.groupBy("query_id").agg(
+                F.count("_s").cast("long").alias("n"),
+                F.min(F.length("_s")).cast("long").alias("min_length"),
+                F.max(F.length("_s")).cast("long").alias("max_length"),
+                F.avg(F.length("_s")).alias("avg_length"),
+            ),
+            "query_id",
+            "left",
+        )
+        .withColumn("n", F.coalesce("n", F.lit(0).cast("long")))
+    )
+    chars = (
+        hydrated.select(
+            "query_id",
+            F.explode(F.split("_s", "")).alias("_c"),
+        )
+        .where(F.col("_c") != "")
+        .groupBy("query_id", "_c")
+        .agg(F.count(F.lit(1)).cast("double").alias("_cnt"))
+    )
+    from pyspark.sql import Window
+
+    tot = Window.partitionBy("query_id")
+    ent = (
+        chars.withColumn("_p", F.col("_cnt") / F.sum("_cnt").over(tot))
+        .groupBy("query_id")
+        .agg((-F.sum(F.col("_p") * F.log2("_p"))).alias("entropy"))
+    )
+    return lens.join(ent, "query_id", "left").select(
+        "query_id", "n", "min_length", "max_length", "avg_length", "entropy"
+    )
+
+
+def hit_median_absolute_deviation(
+    run: DataFrame,
+    docs: DataFrame,
+    stat_col: str,
+) -> DataFrame:
+    """(query_id, mad) — the ES `median_absolute_deviation` aggregation:
+    median(|x - median(x)|) over the hit set's attribute. EXACT medians
+    (linear-interpolated `percentile(0.5)`, the same definition as
+    DuckDB's `median`) rather than ES's t-digest approximation — the hit
+    set is (queries × k)-bounded so two exact passes are free and keep
+    the surface oracle-checkable. NULLs excluded; all-NULL → NULL."""
+    base = run.select(
+        F.col("query_id").cast("string").alias("query_id"),
+        F.col("doc_id").cast("string").alias("doc_id"),
+    )
+    attrs = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.col(stat_col).cast("double").alias("_v"),
+    )
+    hydrated = attrs.join(F.broadcast(base), "doc_id")
+    med = hydrated.groupBy("query_id").agg(
+        F.percentile("_v", F.lit(0.5)).alias("_med")
+    )
+    return (
+        hydrated.join(F.broadcast(med), "query_id")
+        .groupBy("query_id")
+        .agg(
+            F.percentile(F.abs(F.col("_v") - F.col("_med")), F.lit(0.5))
+            .alias("mad")
+        )
+    )
+
+
+def hit_boxplot(
+    run: DataFrame,
+    docs: DataFrame,
+    stat_col: str,
+) -> DataFrame:
+    """(query_id, min, max, q1, q2, q3, lower, upper) — the ES `boxplot`
+    aggregation over the hit set's attribute. q1/q2/q3 are exact
+    linear-interpolated quartiles (ES uses t-digest; exact keeps the
+    oracle bit-comparable). lower/upper are the Tukey whiskers ES
+    reports: the smallest observation ≥ q1 − 1.5·IQR and the largest
+    observation ≤ q3 + 1.5·IQR (clamped to actual data points, never the
+    fence itself). NULLs excluded. Two bounded passes: quartiles per
+    query, then a broadcast join back for the conditional min/max."""
+    base = run.select(
+        F.col("query_id").cast("string").alias("query_id"),
+        F.col("doc_id").cast("string").alias("doc_id"),
+    )
+    attrs = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.col(stat_col).cast("double").alias("_v"),
+    )
+    hydrated = attrs.join(F.broadcast(base), "doc_id")
+    q = hydrated.groupBy("query_id").agg(
+        F.min("_v").alias("min"),
+        F.max("_v").alias("max"),
+        F.percentile("_v", F.lit(0.25)).alias("q1"),
+        F.percentile("_v", F.lit(0.5)).alias("q2"),
+        F.percentile("_v", F.lit(0.75)).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    fenced = hydrated.join(F.broadcast(q), "query_id")
+    return (
+        fenced.groupBy("query_id")
+        .agg(
+            F.first("min").alias("min"),
+            F.first("max").alias("max"),
+            F.first("q1").alias("q1"),
+            F.first("q2").alias("q2"),
+            F.first("q3").alias("q3"),
+            F.min(
+                F.when(
+                    F.col("_v") >= F.col("q1") - 1.5 * (F.col("q3") - F.col("q1")),
+                    F.col("_v"),
+                )
+            ).alias("lower"),
+            F.max(
+                F.when(
+                    F.col("_v") <= F.col("q3") + 1.5 * (F.col("q3") - F.col("q1")),
+                    F.col("_v"),
+                )
+            ).alias("upper"),
+        )
+    )

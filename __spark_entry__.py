@@ -4978,6 +4978,102 @@ def q_hit_boxplot(spark, sf_dir):
     )
 
 
+def q_hit_t_test(spark, sf_dir):
+    """ES t_test metric aggregation over the BM25 top-10 hit set, all
+    three modes in one long frame: paired (rows with either side NULL
+    dropped), homoscedastic (pooled), heteroscedastic (Welch). Fields:
+    the NULLed n_chars sample vs the token count, so the modes' n_a/n_b
+    actually differ. Reports t statistic + degrees of freedom (the
+    p-value needs the t CDF — documented deviation in hit_t_test)."""
+    from openmatch_spark.query import hit_t_test
+
+    run = _bm25_run(spark, sf_dir, k=10, rounded=False).select(
+        "query_id", "doc_id"
+    )
+    attrs = _attr_docs(spark, sf_dir)
+    out = None
+    for mode in ("paired", "homoscedastic", "heteroscedastic"):
+        o = hit_t_test(run, attrs, "nc_sampled", "n_tokens", mode=mode)
+        o = o.select(
+            F.lit(mode).alias("mode"), "query_id", "n_a", "n_b",
+            F.round("t_stat", 6).alias("t_stat"),
+            F.round("df", 6).alias("df"),
+        )
+        out = o if out is None else out.unionByName(o)
+    return out
+
+
+def q_facet_rate(spark, sf_dir):
+    """ES rate aggregation inside the monthly date_histogram: each
+    bucket count re-expressed per day, divided by the TRUE calendar
+    month length (31 for January, 29 for leap-year February)."""
+    from openmatch_spark.operators.pipeline_aggs import bucket_rate
+
+    b = _pipeline_buckets(spark, sf_dir)
+    out = bucket_rate(b, "n_docs", "bucket", "month", "day")
+    return out.select(
+        "query_id", "bucket", "n_docs", F.round("rate", 6).alias("rate")
+    )
+
+
+def q_geo_rings(spark, sf_dir):
+    """ES geo_distance aggregation: ring buckets by haversine km from
+    (10N, 20E) over the synthetic customer points, grouped by the
+    deterministic custkey%3 bucket — every requested ring present per
+    group even at zero count."""
+    from openmatch_spark.operators.geo import geo_distance_facets
+
+    pts = _geo_customers(spark, sf_dir).withColumn(
+        "grp", (F.col("cust_id").cast("long") % 3).cast("int")
+    )
+    return geo_distance_facets(
+        pts, "lat", "lon", 10.0, 20.0,
+        [(None, 3000.0), (3000.0, 8000.0), (8000.0, None)],
+        group_cols=["grp"],
+    )
+
+
+def q_facet_date_range(spark, sf_dir):
+    """ES date_range aggregation over the BM25 top-10 hit set's
+    synthesized timestamp: from-inclusive / to-exclusive ranges with
+    open ends, overlap allowed, all requested ranges present per query
+    (zero-filled)."""
+    from openmatch_spark.operators.facets import date_range_facets
+
+    run = _bm25_run(spark, sf_dir, k=10, rounded=False).select(
+        "query_id", "doc_id"
+    )
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_interval(hours=(F.col("doc_id") * 7).cast("int"))
+        ).alias("warc_ts"),
+    )
+    return date_range_facets(run, docs, "warc_ts", [
+        (None, "2024-03-01 00:00:00"),
+        ("2024-02-01 00:00:00", "2024-06-01 00:00:00"),
+        ("2025-01-01 00:00:00", None),
+    ])
+
+
+def q_distance_feature(spark, sf_dir):
+    """ES distance_feature query folded into the BM25 score (additive,
+    as a bool-should clause composes): boost 3, pivot 50 around
+    origin 400 on the NULLed n_chars sample — hits missing the field
+    get zero boost, never NULL."""
+    from openmatch_spark.query import distance_feature_rescore
+
+    run = _bm25_run(spark, sf_dir, k=10, rounded=False)
+    out = distance_feature_rescore(
+        run, _attr_docs(spark, sf_dir), "nc_sampled",
+        origin=400.0, pivot=50.0, boost=3.0,
+    )
+    return out.select(
+        "query_id", "doc_id", F.round("score", 6).alias("score"), "rank"
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -5066,6 +5162,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hit_string_stats": q_hit_string_stats,
         "hit_mad": q_hit_mad,
         "hit_boxplot": q_hit_boxplot,
+        "hit_t_test": q_hit_t_test,
+        "facet_rate": q_facet_rate,
+        "geo_rings": q_geo_rings,
+        "facet_date_range": q_facet_date_range,
+        "distance_feature": q_distance_feature,
         "matrix_stats": q_matrix_stats,
         "facet_adjacency": q_facet_adjacency,
         "facet_multi_terms": q_facet_multi_terms,
@@ -8339,6 +8440,151 @@ SELECT query_id, bucket, n_docs,
        ROUND(x / NULLIF(s, 0), 6) AS pct,
        ROUND((x - m) / NULLIF(sd, 0), 6) AS z
 FROM nw
+"""
+
+    # ES t_test (paired / pooled / Welch): t statistic + df, expression
+    # structure mirrored operation-for-operation against hit_t_test
+    sql["hit_t_test"] = f"""
+WITH {_BM25_CTES},
+{_HIT_ATTRS},
+pr AS (
+  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n, AVG(d) AS m,
+         var_samp(d) AS v
+  FROM (SELECT query_id, nc_sampled - n_tokens AS d FROM hyd
+        WHERE nc_sampled IS NOT NULL AND n_tokens IS NOT NULL)
+  GROUP BY query_id
+),
+up AS (
+  SELECT query_id,
+         CAST(COUNT(nc_sampled) AS BIGINT) AS na,
+         CAST(COUNT(n_tokens) AS BIGINT) AS nb,
+         AVG(nc_sampled) AS ma, AVG(n_tokens) AS mb,
+         var_samp(nc_sampled) AS va, var_samp(n_tokens) AS vb
+  FROM hyd GROUP BY query_id
+)
+SELECT 'paired' AS mode, query_id, n AS n_a, n AS n_b,
+       CASE WHEN n >= 2 AND v > 0
+            THEN ROUND(m / SQRT(v / n), 6) END AS t_stat,
+       CASE WHEN n >= 2 THEN CAST(n - 1 AS DOUBLE) END AS df
+FROM pr
+UNION ALL
+SELECT 'homoscedastic' AS mode, query_id, na AS n_a, nb AS n_b,
+       CASE WHEN na >= 2 AND nb >= 2 AND va IS NOT NULL AND vb IS NOT NULL
+                 AND ((na - 1) * va + (nb - 1) * vb) / (na + nb - 2)
+                     * (1.0 / na + 1.0 / nb) > 0
+            THEN ROUND((ma - mb) / SQRT(
+                 ((na - 1) * va + (nb - 1) * vb) / (na + nb - 2)
+                 * (1.0 / na + 1.0 / nb)), 6) END AS t_stat,
+       CASE WHEN na >= 2 AND nb >= 2 AND va IS NOT NULL AND vb IS NOT NULL
+            THEN CAST(na + nb - 2 AS DOUBLE) END AS df
+FROM up
+UNION ALL
+SELECT 'heteroscedastic' AS mode, query_id, na AS n_a, nb AS n_b,
+       CASE WHEN na >= 2 AND nb >= 2 AND va IS NOT NULL AND vb IS NOT NULL
+                 AND va / na + vb / nb > 0
+            THEN ROUND((ma - mb) / SQRT(va / na + vb / nb), 6) END AS t_stat,
+       CASE WHEN na >= 2 AND nb >= 2 AND va IS NOT NULL AND vb IS NOT NULL
+                 AND va / na + vb / nb > 0
+            THEN ROUND((va / na + vb / nb) * (va / na + vb / nb)
+                 / ((va / na) * (va / na) / (na - 1)
+                    + (vb / nb) * (vb / nb) / (nb - 1)), 6) END AS df
+FROM up
+"""
+
+    # ES rate: per-day rate of monthly buckets, true calendar span
+    sql["facet_rate"] = f"""
+WITH {_DH_CTES}
+SELECT query_id, bucket, n_docs,
+       ROUND(CAST(n_docs AS DOUBLE) /
+             ((CAST(epoch(CAST(bucket AS TIMESTAMP) + INTERVAL 1 MONTH) AS DOUBLE)
+               - CAST(epoch(CAST(bucket AS TIMESTAMP)) AS DOUBLE)) / 86400.0),
+             6) AS rate
+FROM dhist
+"""
+
+    # ES geo_distance rings: overlap allowed, zero-filled per group,
+    # NULL coordinates ignored (fixture has none)
+    sql["geo_rings"] = """
+WITH geo AS (
+  SELECT CAST(c_custkey % 3 AS INTEGER) AS grp,
+         ((c_custkey * 37) % 16000) / 100.0 - 80.0 AS lat,
+         ((c_custkey * 7919) % 36000) / 100.0 - 180.0 AS lon
+  FROM customer
+),
+d AS (
+  SELECT grp,
+         2 * 6371.0088 * ASIN(SQRT(LEAST(
+            POW(SIN((RADIANS(10.0) - RADIANS(lat)) / 2), 2)
+            + COS(RADIANS(lat)) * COS(RADIANS(10.0))
+              * POW(SIN((RADIANS(20.0) - RADIANS(lon)) / 2), 2),
+            1.0))) AS dist
+  FROM geo
+),
+rings(bucket, lo, hi) AS (VALUES
+  ('[*,3000)', NULL, 3000.0),
+  ('[3000,8000)', 3000.0, 8000.0),
+  ('[8000,*)', 8000.0, NULL)
+),
+counts AS (
+  SELECT d.grp, r.bucket, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM d JOIN rings r
+    ON (r.lo IS NULL OR d.dist >= r.lo)
+   AND (r.hi IS NULL OR d.dist < r.hi)
+  GROUP BY d.grp, r.bucket
+)
+SELECT g.grp, r.bucket, COALESCE(c.n_docs, 0) AS n_docs
+FROM (SELECT DISTINCT grp FROM d) g
+CROSS JOIN rings r
+LEFT JOIN counts c ON c.grp = g.grp AND c.bucket = r.bucket
+"""
+
+    # ES date_range over the hit set: [from, to), open ends, zero-filled
+    # (reuses the _DH_CTES ts synthesis; dhist goes unused)
+    sql["facet_date_range"] = f"""
+WITH {_DH_CTES},
+dr(bucket, lo, hi) AS (VALUES
+  ('*..2024-03-01 00:00:00', NULL, TIMESTAMP '2024-03-01 00:00:00'),
+  ('2024-02-01 00:00:00..2024-06-01 00:00:00',
+   TIMESTAMP '2024-02-01 00:00:00', TIMESTAMP '2024-06-01 00:00:00'),
+  ('2025-01-01 00:00:00..*', TIMESTAMP '2025-01-01 00:00:00', NULL)
+),
+drh AS (
+  SELECT r.query_id, t.warc_ts
+  FROM run10 r JOIN ts t ON t.doc_id = r.doc_id
+  WHERE t.warc_ts IS NOT NULL
+),
+drc AS (
+  SELECT h.query_id, d.bucket, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM drh h JOIN dr d
+    ON (d.lo IS NULL OR h.warc_ts >= d.lo)
+   AND (d.hi IS NULL OR h.warc_ts < d.hi)
+  GROUP BY h.query_id, d.bucket
+)
+SELECT g.query_id, d.bucket, COALESCE(c.n_docs, 0) AS n_docs
+FROM (SELECT DISTINCT query_id FROM run10) g
+CROSS JOIN dr d
+LEFT JOIN drc c ON c.query_id = g.query_id AND c.bucket = d.bucket
+"""
+
+    # ES distance_feature folded additively into the BM25 score
+    sql["distance_feature"] = f"""
+WITH {_BM25_CTES},
+{_HIT_ATTRS_WITH_ID},
+dfh AS (
+  SELECT r.query_id, r.doc_id,
+         r.score + COALESCE(
+           (3.0 * 50.0) / (50.0 + ABS(
+             (CASE WHEN CAST(h.doc_id AS BIGINT) % 7 <> 0
+                   THEN h.n_chars END) - 400.0)),
+           0.0) AS score
+  FROM (SELECT query_id, doc_id, score FROM run WHERE rank <= 10) r
+  LEFT JOIN hyd2 h ON h.query_id = r.query_id AND h.doc_id = r.doc_id
+)
+SELECT query_id, doc_id, ROUND(score, 6) AS score,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+       ) AS INTEGER) AS rank
+FROM dfh
 """
 
     # ES matrix_stats long form (x = n_chars, y = n_tokens): population

@@ -643,3 +643,63 @@ def auto_date_histogram_facets(
         .groupBy("query_id", "facet", "interval", "bucket")
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     )
+
+
+def date_range_facets(
+    run: DataFrame,
+    docs: DataFrame,
+    ts_col: str,
+    ranges: list[tuple],
+) -> DataFrame:
+    """(query_id, bucket, n_docs) — the ES `date_range` aggregation over
+    the hit set: count hits per half-open timestamp bucket [from, to),
+    endpoints as 'yyyy-MM-dd HH:mm:ss' text or None for an open side.
+    ES semantics kept exactly: `from` is inclusive, `to` exclusive,
+    ranges may overlap, EVERY requested range appears per query even at
+    zero count, and hits with a NULL timestamp are ignored (no
+    `missing` parameter).
+
+    Bucket labels are 'from..to' with '*' for an open side. Plan: one
+    broadcast hydrate of the (queries x k)-bounded run, a membership
+    array projection, one groupBy; the zero-fill cross-join is bounded
+    by distinct queries x len(ranges)."""
+    if not ranges:
+        raise ValueError("ranges must name at least one date range")
+    base = run.select(
+        F.col("query_id").cast("string").alias("query_id"),
+        F.col("doc_id").cast("string").alias("doc_id"),
+    )
+
+    def _lbl(lo, hi):
+        return f"{lo or '*'}..{hi or '*'}"
+
+    ts = F.to_timestamp(F.col(ts_col))
+    membership = F.array(*[
+        F.when(
+            ts.isNotNull()
+            & (F.lit(True) if lo is None
+               else (ts >= F.to_timestamp(F.lit(lo))))
+            & (F.lit(True) if hi is None
+               else (ts < F.to_timestamp(F.lit(hi)))),
+            F.lit(_lbl(lo, hi)),
+        )
+        for lo, hi in ranges
+    ])
+    counts = (
+        docs.select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.filter(membership, lambda x: x.isNotNull()).alias("_m"),
+        )
+        .join(F.broadcast(base), "doc_id")
+        .select("query_id", F.explode("_m").alias("bucket"))
+        .groupBy("query_id", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    rframe = docs.sparkSession.createDataFrame(
+        [(_lbl(lo, hi),) for lo, hi in ranges], "bucket string"
+    )
+    grid = base.select("query_id").distinct().crossJoin(F.broadcast(rframe))
+    return grid.join(counts, ["query_id", "bucket"], "left").select(
+        "query_id", "bucket",
+        F.coalesce("n_docs", F.lit(0).cast("long")).alias("n_docs"),
+    )

@@ -154,3 +154,69 @@ def geo_centroid(
         F.sum(valid.cast("long")).alias("count"),
     ]
     return df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
+
+
+def geo_distance_facets(
+    df: DataFrame,
+    lat_col: str,
+    lon_col: str,
+    origin_lat: float,
+    origin_lon: float,
+    ranges_km: list[tuple],
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """(group_cols..., bucket, n_docs) — the ES `geo_distance`
+    aggregation: ring buckets by haversine distance from an origin,
+    half-open [from, to) in km, open ends via None. ES semantics kept
+    exactly: requested rings may overlap (a point counts in every ring
+    containing it), EVERY requested ring appears in the output even at
+    zero count, and rows with NULL coordinates are ignored.
+
+    Bucket labels are '[lo,hi)' with '*' for an open side. Plan: the
+    distance is scan-side column algebra; ring membership explodes at
+    most len(ranges_km) rows per point into one map-side-combined
+    groupBy; the zero-fill is a broadcast cross-join of the (bounded)
+    distinct group set with the ring list."""
+    if not ranges_km:
+        raise ValueError("ranges_km must name at least one ring")
+    group_cols = list(group_cols or [])
+
+    def _lbl(lo, hi):
+        ls = "*" if lo is None else f"{float(lo):g}"
+        hs = "*" if hi is None else f"{float(hi):g}"
+        return f"[{ls},{hs})"
+
+    dist = haversine_km(lat_col, lon_col, origin_lat, origin_lon)
+    membership = F.array(*[
+        F.when(
+            (F.lit(True) if lo is None else (dist >= F.lit(float(lo))))
+            & (F.lit(True) if hi is None else (dist < F.lit(float(hi)))),
+            F.lit(_lbl(lo, hi)),
+        )
+        for lo, hi in ranges_km
+    ])
+    pts = df.where(
+        F.col(lat_col).isNotNull() & F.col(lon_col).isNotNull()
+    )
+    counts = (
+        pts.select(
+            *group_cols,
+            F.explode(F.filter(membership, lambda x: x.isNotNull()))
+            .alias("bucket"),
+        )
+        .groupBy(*group_cols, "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    rings = pts.sparkSession.createDataFrame(
+        [(_lbl(lo, hi),) for lo, hi in ranges_km], "bucket string"
+    )
+    if group_cols:
+        grid = pts.select(*group_cols).distinct().crossJoin(
+            F.broadcast(rings)
+        )
+    else:
+        grid = rings
+    return grid.join(counts, group_cols + ["bucket"], "left").select(
+        *group_cols, "bucket",
+        F.coalesce("n_docs", F.lit(0).cast("long")).alias("n_docs"),
+    )

@@ -314,3 +314,69 @@ def normalize_buckets(
     else:  # softmax
         col = F.exp(x) / F.sum(F.exp(x)).over(w)
     return buckets.withColumn(out_col, col)
+
+
+_FIXED_UNIT_SECONDS = {
+    "second": 1.0,
+    "minute": 60.0,
+    "hour": 3600.0,
+    "day": 86400.0,
+    "week": 604800.0,
+}
+_CALENDAR_UNIT_MONTHS = {"month": 1.0, "quarter": 3.0, "year": 12.0}
+_CALENDAR_INTERVALS = {
+    "day": "1 day", "week": "1 week", "month": "1 month",
+    "quarter": "3 month", "year": "1 year", "hour": "1 hour",
+    "minute": "1 minute", "second": "1 second",
+}
+
+
+def bucket_rate(
+    buckets: DataFrame,
+    value_col: str,
+    bucket_col: str,
+    calendar_interval: str,
+    unit: str,
+    out_col: str = "rate",
+) -> DataFrame:
+    """ES `rate` aggregation inside a date_histogram: re-express each
+    bucket's metric as a per-`unit` rate, dividing by the bucket's TRUE
+    calendar span in that unit (a January bucket divides a per-day rate
+    by 31, February by 28/29 — ES semantics exactly).
+
+    `bucket_col` holds the bucket START as 'yyyy-MM-dd HH:mm:ss' text
+    (the date_histogram_facets key); the bucket end is start + one
+    `calendar_interval`. Fixed-length units (second..week) divide the
+    actual span in seconds; calendar units (month/quarter/year) divide
+    the span in months — both exact for calendar buckets. ES requires
+    unit <= interval; spans shorter than the unit are still well-defined
+    (fractional divisor) so that restriction is not enforced here.
+
+    One projection over the post-aggregation bucket frame — no shuffle,
+    no UDF."""
+    if calendar_interval not in _CALENDAR_INTERVALS:
+        raise ValueError(
+            f"calendar_interval must be one of "
+            f"{sorted(_CALENDAR_INTERVALS)}, got {calendar_interval!r}"
+        )
+    if unit not in _FIXED_UNIT_SECONDS and unit not in _CALENDAR_UNIT_MONTHS:
+        raise ValueError(
+            f"unit must be one of "
+            f"{sorted(_FIXED_UNIT_SECONDS) + sorted(_CALENDAR_UNIT_MONTHS)},"
+            f" got {unit!r}"
+        )
+    start = F.to_timestamp(F.col(bucket_col))
+    end = start + F.expr(
+        f"INTERVAL {_CALENDAR_INTERVALS[calendar_interval]}"
+    )
+    if unit in _FIXED_UNIT_SECONDS:
+        divisor = (end.cast("double") - start.cast("double")) / F.lit(
+            _FIXED_UNIT_SECONDS[unit]
+        )
+    else:
+        divisor = F.months_between(end, start) / F.lit(
+            _CALENDAR_UNIT_MONTHS[unit]
+        )
+    return buckets.withColumn(
+        out_col, F.col(value_col).cast("double") / divisor
+    )

@@ -10,6 +10,7 @@ from openmatch_spark.query.aggregates import (  # noqa: F401
     hit_percentiles,
     hit_stats,
     hit_string_stats,
+    hit_t_test,
     hit_value_count,
     hit_weighted_avg,
     matrix_stats,
@@ -63,6 +64,7 @@ from openmatch_spark.query.quantize import (  # noqa: F401
 from openmatch_spark.query.decay import (  # noqa: F401
     boosting_rescore,
     decay_rescore,
+    distance_feature_rescore,
     field_value_factor_rescore,
     function_score,
     search_pinned,

@@ -730,3 +730,105 @@ def hit_boxplot(
             ).alias("upper"),
         )
     )
+
+
+_T_TEST_MODES = ("paired", "homoscedastic", "heteroscedastic")
+
+
+def hit_t_test(
+    run: DataFrame,
+    docs: DataFrame,
+    col_a: str,
+    col_b: str,
+    mode: str = "heteroscedastic",
+) -> DataFrame:
+    """(query_id, n_a, n_b, t_stat, df) — the ES `t_test` metric
+    aggregation (two-field form) over the hit set: Student's t between
+    the two numeric attributes.
+
+    Modes (ES names):
+      paired           both fields on the same hit; rows with EITHER
+                       side NULL are dropped (ES requires no missing
+                       values for paired); t = mean(d)/(sd(d)/sqrt(n)),
+                       df = n-1, d = a-b. n_a == n_b == n.
+      homoscedastic    unpaired, pooled sample variance, df = n_a+n_b-2.
+      heteroscedastic  unpaired Welch (ES default), Welch-Satterthwaite
+                       df. Unpaired modes use each field's non-NULL
+                       values independently.
+
+    Deviation from ES (documented): ES reports the p-value; the
+    incomplete-beta CDF behind it is not expressible in column algebra
+    or the SQL oracle, so this surface reports the t statistic and
+    degrees of freedom instead (p = 2 * (1 - T_cdf(|t|, df)) for anyone
+    who needs it driver-side). Degenerate inputs (n < 2 per side, zero
+    variance) yield NULL t_stat rather than an error.
+
+    Plan: one broadcast hydration of the (queries x k)-bounded run and
+    one groupBy — sample variances via var_samp, everything JVM-side.
+    """
+    if mode not in _T_TEST_MODES:
+        raise ValueError(f"mode must be one of {_T_TEST_MODES}, got {mode!r}")
+    base = run.select(
+        F.col("query_id").cast("string").alias("query_id"),
+        F.col("doc_id").cast("string").alias("doc_id"),
+    )
+    attrs = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.col(col_a).cast("double").alias("_a"),
+        F.col(col_b).cast("double").alias("_b"),
+    )
+    hyd = attrs.join(F.broadcast(base), "doc_id")
+    if mode == "paired":
+        d = F.when(
+            F.col("_a").isNotNull() & F.col("_b").isNotNull(),
+            F.col("_a") - F.col("_b"),
+        )
+        agg = hyd.groupBy("query_id").agg(
+            F.count(d).cast("long").alias("n_a"),
+            F.avg(d).alias("_m"),
+            F.var_samp(d).alias("_v"),
+        )
+        t = F.when(
+            (F.col("n_a") >= 2) & (F.col("_v") > 0),
+            F.col("_m") / F.sqrt(F.col("_v") / F.col("n_a")),
+        )
+        return agg.select(
+            "query_id",
+            "n_a",
+            F.col("n_a").alias("n_b"),
+            t.alias("t_stat"),
+            F.when(F.col("n_a") >= 2, (F.col("n_a") - 1).cast("double"))
+            .alias("df"),
+        )
+    agg = hyd.groupBy("query_id").agg(
+        F.count("_a").cast("long").alias("n_a"),
+        F.count("_b").cast("long").alias("n_b"),
+        F.avg("_a").alias("_ma"),
+        F.avg("_b").alias("_mb"),
+        F.var_samp("_a").alias("_va"),
+        F.var_samp("_b").alias("_vb"),
+    )
+    na, nb = F.col("n_a"), F.col("n_b")
+    va, vb = F.col("_va"), F.col("_vb")
+    ok = (na >= 2) & (nb >= 2) & va.isNotNull() & vb.isNotNull()
+    if mode == "homoscedastic":
+        sp2 = ((na - 1) * va + (nb - 1) * vb) / (na + nb - 2)
+        denom = F.sqrt(sp2 * (1.0 / na + 1.0 / nb))
+        t = F.when(ok & (denom > 0), (F.col("_ma") - F.col("_mb")) / denom)
+        df = F.when(ok, (na + nb - 2).cast("double"))
+    else:  # heteroscedastic / Welch
+        se2 = va / na + vb / nb
+        t = F.when(
+            ok & (se2 > 0), (F.col("_ma") - F.col("_mb")) / F.sqrt(se2)
+        )
+        df = F.when(
+            ok & (se2 > 0),
+            (se2 * se2)
+            / (
+                (va / na) * (va / na) / (na - 1)
+                + (vb / nb) * (vb / nb) / (nb - 1)
+            ),
+        )
+    return agg.select(
+        "query_id", "n_a", "n_b", t.alias("t_stat"), df.alias("df")
+    )

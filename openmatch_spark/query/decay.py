@@ -475,3 +475,75 @@ def search_pinned(
     if k is not None:
         out = out.where(F.col("rank") <= k)
     return out.select("query_id", "doc_id", "score", "rank", "pinned")
+
+
+def distance_feature_rescore(
+    run: DataFrame,
+    attrs: DataFrame,
+    field: str,
+    origin: float,
+    pivot: float,
+    boost: float = 1.0,
+    lat_lon: tuple[str, str] | None = None,
+    geo_origin: tuple[float, float] | None = None,
+    k: int | None = None,
+) -> DataFrame:
+    """(query_id, doc_id, score, rank) — the ES `distance_feature` query
+    folded into the relevance score (ES composes it as a bool `should`
+    clause, which ADDS to the BM25 score — so the fold is addition, not
+    the function_score multiply):
+
+        score' = score + boost * pivot / (pivot + distance)
+
+    Numeric/date form: distance = |attrs[field] - origin| (dates as
+    epoch numbers, same units as pivot). Geo form: pass
+    lat_lon=('lat','lon') + geo_origin=(lat, lon); distance is the
+    haversine km and pivot is in km. A hit missing the field
+    contributes 0 boost (ES: the clause simply doesn't match), never
+    NULL. Same bounded plan as decay_rescore: semi-join slice of the
+    attribute table, broadcast left hydrate, one re-rank window."""
+    if pivot <= 0:
+        raise ValueError(f"pivot must be positive, got {pivot}")
+    if (lat_lon is None) != (geo_origin is None):
+        raise ValueError("geo form needs BOTH lat_lon and geo_origin")
+    base = run.select(
+        F.col("query_id").cast("string").alias("query_id"),
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.col("score").cast("double").alias("_base"),
+    )
+    if lat_lon is None:
+        av = attrs.select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.col(field).cast("double").alias("_v"),
+        )
+        dist = F.abs(F.col("_v") - F.lit(float(origin)))
+    else:
+        from openmatch_spark.functions.geo import haversine_km
+
+        av = attrs.select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.col(lat_lon[0]).cast("double").alias("_lat"),
+            F.col(lat_lon[1]).cast("double").alias("_lon"),
+        )
+        dist = F.when(
+            F.col("_lat").isNotNull() & F.col("_lon").isNotNull(),
+            haversine_km("_lat", "_lon", geo_origin[0], geo_origin[1]),
+        )
+    bounded = av.join(
+        F.broadcast(base.select("doc_id").distinct()), "doc_id", "left_semi"
+    )
+    hydrated = base.join(F.broadcast(bounded), "doc_id", "left")
+    feature = F.lit(float(boost)) * F.lit(float(pivot)) / (
+        F.lit(float(pivot)) + dist
+    )
+    rescored = hydrated.select(
+        "query_id", "doc_id",
+        (F.col("_base") + F.coalesce(feature, F.lit(0.0))).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    out = rescored.withColumn("rank", F.row_number().over(w))
+    if k is not None:
+        out = out.where(F.col("rank") <= k)
+    return out.select("query_id", "doc_id", "score", "rank")

@@ -5074,6 +5074,33 @@ def q_distance_feature(spark, sf_dir):
     )
 
 
+PHRASE_SUGGEST_QUERIES = [
+    ("p1", "fast tble scan"),   # 1-edit typo inside a trigram
+    ("p2", "slo queri"),        # two 1-edit typos
+    ("p3", "vector scan"),      # real words — self-phrase must win
+]
+
+
+def q_phrase_suggest(spark, sf_dir):
+    """ES phrase suggester: whole-phrase did-you-mean under the
+    noisy-channel model (stupid-backoff bigram LM x edit-distance
+    channel), top-3 per query. The oracle replays the ENTIRE model in
+    DuckDB — LM tables from the raw corpus, candidate generation, and
+    the exact combination enumeration as a recursive CTE."""
+    from openmatch_spark.query import suggest_phrases
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    qs = spark.createDataFrame(
+        PHRASE_SUGGEST_QUERIES, "query_id string, text string"
+    )
+    out = suggest_phrases(docs, qs)
+    return out.select(
+        "query_id", "suggestion", F.round("score", 6).alias("score"), "rank"
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -5187,6 +5214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest": q_suggest,
         "collapsed_search": q_collapsed_search,
         "spell_suggest": q_spell_suggest,
+        "phrase_suggest": q_phrase_suggest,
         "more_like_this": q_more_like_this,
         "bm25_explain": q_bm25_explain,
         "corpus_stats": q_corpus_stats,
@@ -9100,6 +9128,108 @@ SELECT query_id, doc_id, ROUND(score * fs, 6) AS score,
          PARTITION BY query_id ORDER BY score * fs DESC, doc_id ASC
        ) AS INTEGER) AS rank
 FROM rfh
+"""
+
+    # ES phrase suggester: the full noisy-channel model replayed —
+    # unigram/bigram LM from the raw corpus, DirectSpellChecker candidate
+    # gates, exact combination enumeration via a recursive CTE, stupid
+    # backoff with a Lidstone-0.5 unigram floor. The channel constants
+    # are embedded from Python floats because 1.0 - 0.95 is NOT 0.05 in
+    # IEEE doubles — log10(0.05) in SQL would diverge from the engine.
+    import math as _math
+    import re as _re
+
+    _pq_vals = ", ".join(
+        f"('{qid}', {i + 1}, '{t}')"
+        for qid, text in PHRASE_SUGGEST_QUERIES
+        for i, t in enumerate(
+            [x for x in _re.split("[^a-z0-9]+", text.lower()) if x]
+        )
+    )
+    _chan0 = repr(_math.log10(0.95))
+    _chan1 = repr(_math.log10(1.0 - 0.95))
+    sql["phrase_suggest"] = f"""
+WITH RECURSIVE
+pdt AS (
+  SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS toks
+  FROM documents
+),
+pdn AS (SELECT toks FROM pdt WHERE len(toks) > 0),
+puni AS (
+  SELECT t.term, CAST(COUNT(*) AS DOUBLE) AS cnt
+  FROM pdn, UNNEST(pdn.toks) AS t(term) GROUP BY t.term
+),
+ptot AS (SELECT SUM(cnt) AS n, CAST(COUNT(*) AS DOUBLE) AS v FROM puni),
+pbi AS (
+  SELECT toks[CAST(u.i AS INTEGER)] AS w1,
+         toks[CAST(u.i AS INTEGER) + 1] AS w2,
+         CAST(COUNT(*) AS DOUBLE) AS bcnt
+  FROM pdn, UNNEST(range(1, len(toks))) AS u(i)
+  GROUP BY w1, w2
+),
+pqtok(query_id, pos, token) AS (VALUES {_pq_vals}),
+ptyped AS (SELECT DISTINCT token FROM pqtok),
+pcorr AS (
+  SELECT token, term AS cand,
+         CAST(levenshtein(term, token) AS INTEGER) AS edits, cnt,
+         ROW_NUMBER() OVER (
+           PARTITION BY token
+           ORDER BY levenshtein(term, token) ASC, cnt DESC, term ASC
+         ) AS r
+  FROM puni JOIN ptyped
+    ON substr(term, 1, 1) = substr(token, 1, 1)
+   AND term <> token
+   AND len(term) >= len(token) - 1 AND len(term) <= len(token) + 1
+   AND levenshtein(term, token) <= 1
+),
+pself AS (
+  SELECT t.token, t.token AS cand, 0 AS edits, COALESCE(u.cnt, 0.0) AS cnt
+  FROM ptyped t LEFT JOIN puni u ON u.term = t.token
+),
+ppool AS (
+  SELECT token, cand, edits, cnt FROM pself
+  UNION ALL
+  SELECT token, cand, edits, cnt FROM pcorr WHERE r <= 3
+),
+pcands AS (
+  SELECT q.query_id, q.pos, c.cand, c.cnt,
+         CASE WHEN c.edits = 0 THEN {_chan0}
+              ELSE c.edits * {_chan1} END AS chan
+  FROM pqtok q JOIN ppool c ON c.token = q.token
+),
+pqlen AS (SELECT query_id, MAX(pos) AS plen FROM pqtok GROUP BY query_id),
+pcombo AS (
+  SELECT c.query_id, 1 AS pos, c.cand AS phrase, c.cand AS prev,
+         log10((c.cnt + 0.5) / (ptot.n + 0.5 * ptot.v)) + c.chan AS ls
+  FROM pcands c CROSS JOIN ptot WHERE c.pos = 1
+  UNION ALL
+  SELECT k.query_id, pcombo.pos + 1,
+         pcombo.phrase || ' ' || k.cand, k.cand,
+         pcombo.ls
+         + log10(CASE WHEN b.bcnt IS NOT NULL THEN b.bcnt / up.cnt
+                      ELSE 0.4 * ((k.cnt + 0.5)
+                                  / (ptot.n + 0.5 * ptot.v)) END)
+         + k.chan
+  FROM pcombo
+  JOIN pcands k ON k.query_id = pcombo.query_id
+               AND k.pos = pcombo.pos + 1
+  LEFT JOIN puni up ON up.term = pcombo.prev
+  LEFT JOIN pbi b ON b.w1 = pcombo.prev AND b.w2 = k.cand
+  CROSS JOIN ptot
+),
+pfinal AS (
+  SELECT c.query_id, c.phrase, c.ls
+  FROM pcombo c JOIN pqlen l
+    ON l.query_id = c.query_id AND c.pos = l.plen
+)
+SELECT query_id, suggestion, score, rank FROM (
+  SELECT query_id, phrase AS suggestion, ROUND(ls, 6) AS score,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY ls DESC, phrase ASC
+         ) AS INTEGER) AS rank
+  FROM pfinal
+) WHERE rank <= 3
 """
 
     # knn with pre-filter: same cosine oracle over the restricted set

@@ -70,6 +70,7 @@ from openmatch_spark.query.decay import (  # noqa: F401
     search_pinned,
 )
 from openmatch_spark.query.percolate import percolate  # noqa: F401
+from openmatch_spark.query.phrase_suggest import suggest_phrases  # noqa: F401
 from openmatch_spark.query.querystring import (  # noqa: F401
     parse_query_string,
     search_query_string,

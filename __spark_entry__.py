@@ -5074,6 +5074,68 @@ def q_distance_feature(spark, sf_dir):
     )
 
 
+_FIELDED_CACHE: dict[str, str] = {}
+
+
+def _entry_fielded(spark, sf_dir):
+    """Build (once per sf_dir) and load the fielded index family: the
+    SAME title/body token split as the bm25f/dismax/cross_fields entries,
+    re-serialized to text (the simple analyzer round-trips a space join
+    of its own tokens), one packed sub-index per field."""
+    from openmatch_spark.analysis import tokenize_col
+    from openmatch_spark.query import build_fielded_index, load_fielded_index
+
+    if sf_dir not in _FIELDED_CACHE:
+        d = tempfile.mkdtemp(prefix="om_fielded_idx_")
+        toks = _docs(spark, sf_dir).select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            tokenize_col(F.col("text"), "simple").alias("toks"),
+        )
+        pages = toks.select(
+            "doc_id",
+            F.array_join(F.slice("toks", 1, 8), " ").alias("title"),
+            F.array_join(F.slice("toks", 9, 1 << 30), " ").alias("body"),
+        )
+        build_fielded_index(
+            spark, pages, d, ["title", "body"],
+            analyzer="simple", num_shards=4, num_term_buckets=8,
+        )
+        _FIELDED_CACHE[sf_dir] = d
+    return load_fielded_index(spark, _FIELDED_CACHE[sf_dir])
+
+
+def q_dismax_indexed(spark, sf_dir):
+    """Same answer as q_dismax, produced by the FULL fielded engine: one
+    packed per-field sub-index (Lucene's per-field term spaces), the
+    pruned postings decode per field, and the per-term dis-max fold over
+    stored payload weights. Shares q_dismax's oracle SQL, so the whole
+    fielded index path is DuckDB-checked. Every sf0.01 doc has >= 10
+    tokens, so no doc is missing a field and the index universes equal
+    the ad-hoc ones exactly."""
+    from openmatch_spark.query import search_fielded
+
+    run = search_fielded(
+        _entry_fielded(spark, sf_dir), _queries_df(spark),
+        match_type="best_fields", tie_breaker=_DISMAX_TIE, k=10,
+    )
+    return run.withColumn("score", F.round("score", 6))
+
+
+def q_cross_fields_indexed(spark, sf_dir):
+    """Same answer as q_cross_fields via the fielded index: BlendedTermQuery
+    max-df blending as a pure rescale of the baked per-field payload
+    weight (w * idf_blend / idf_field — no tf recovery), title^2 boosts.
+    Shares q_cross_fields's oracle SQL."""
+    from openmatch_spark.query import search_fielded
+
+    run = search_fielded(
+        _entry_fielded(spark, sf_dir), _queries_df(spark),
+        match_type="cross_fields", tie_breaker=_XF_TIE, k=10,
+        field_boosts={"title": _XF_TITLE_BOOST, "body": 1.0},
+    )
+    return run.withColumn("score", F.round("score", 6))
+
+
 PHRASE_SUGGEST_QUERIES = [
     ("p1", "fast tble scan"),   # 1-edit typo inside a trigram
     ("p2", "slo queri"),        # two 1-edit typos
@@ -5157,6 +5219,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "combined_fields": q_combined_fields,
         "dismax": q_dismax,
         "cross_fields": q_cross_fields,
+        "dismax_indexed": q_dismax_indexed,
+        "cross_fields_indexed": q_cross_fields_indexed,
         "rm3_expand": q_rm3_expand,
         "facets": q_facets,
         "facet_ranges": q_facet_ranges,
@@ -9253,5 +9317,12 @@ ranked AS (
 )
 SELECT query_id, vec_id, ROUND(score, 6) AS score, rank FROM ranked WHERE rank <= 10
 """
+
+    # the fielded-index entries produce the SAME answers as the ad-hoc
+    # multi-field surfaces (row-identity pinned in tests/test_round4n.py);
+    # sharing the oracle makes the per-field packed-index path — build,
+    # per-field postings decode, blended rescale — DuckDB-checked too
+    sql["dismax_indexed"] = sql["dismax"]
+    sql["cross_fields_indexed"] = sql["cross_fields"]
 
     return sql

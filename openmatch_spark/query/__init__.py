@@ -69,6 +69,11 @@ from openmatch_spark.query.decay import (  # noqa: F401
     function_score,
     search_pinned,
 )
+from openmatch_spark.query.fielded import (  # noqa: F401
+    build_fielded_index,
+    load_fielded_index,
+    search_fielded,
+)
 from openmatch_spark.query.percolate import percolate  # noqa: F401
 from openmatch_spark.query.phrase_suggest import suggest_phrases  # noqa: F401
 from openmatch_spark.query.querystring import (  # noqa: F401

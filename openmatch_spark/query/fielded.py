@@ -1,0 +1,227 @@
+"""Fielded (multi-field) index: Lucene's actual storage model — every
+field is its OWN term space with its own postings, norms (doc lengths),
+and collection statistics — materialized as one packed sub-index per
+field under `<index_dir>/field=<name>`, plus index-backed multi_match
+over the family.
+
+Why one sub-index per field instead of threading a field column through
+the packed layout: that IS Lucene's design (per-field FieldInfo, terms
+dict, and norms; a field's docCount/avgFieldLength never mix with
+another's), and it composes with the WHOLE existing index lifecycle for
+free — per-field compaction, deletes, resume, positional sidecars, and
+stats rebaseline all just work because each field is a first-class
+index. The fielded layer is a thin manifest + a query-time combiner.
+
+Query semantics (mirrors the ad-hoc surfaces in query/dismax.py, which
+tests pin against this implementation):
+
+  best_fields   per (query, doc, TERM): max over fields of the field's
+                BM25 contribution + tie_breaker * (sum - max); terms sum
+                (Lucene DisjunctionMaxQuery per term).
+  most_fields   the tie_breaker = 1 degenerate: per-field contributions
+                sum outright.
+  cross_fields  BlendedTermQuery: every field scores the term with the
+                SAME blended df (the max across fields), then the
+                per-term dis-max fold. The stored payload weight is
+                idf_f * saturation, so the blend is the pure rescale
+                w * idf_blend / idf_f — no tf recovery needed. The
+                blended idf is evaluated inside each field's own
+                docCount universe (Lucene rewrites df per reader; with
+                every doc carrying every field the universes coincide
+                and this equals the ad-hoc cross_fields).
+
+A document missing a field (NULL/empty text) is simply absent from that
+field's sub-index — Lucene's docCount semantics — and contributes
+nothing from it at query time.
+
+Scale shape: each per-field search half is the engine's own pruned
+postings decode (vocabulary-pruned scan + Arrow block decode +
+tombstone mask); the fold is one (query, doc, term) groupBy over
+decoded rows bounded by query-vocabulary postings, then the standard
+top-k window. Nothing corpus-sized is collected or broadcast.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from openmatch_spark.functions.bm25 import lucene_idf_col
+from openmatch_spark.index.load import BM25Index
+
+_MANIFEST = "fielded.json"
+_TYPES = ("best_fields", "most_fields", "cross_fields")
+
+
+def build_fielded_index(
+    spark: SparkSession,
+    pages: DataFrame,
+    index_dir: str,
+    fields: list[str],
+    **build_kw,
+) -> dict:
+    """Build one packed sub-index per field from `pages`
+    (doc_id, <field columns>); returns {field: build stats}. Rows where
+    a field is NULL or empty are absent from that field's sub-index.
+    All build_index knobs (analyzer, num_shards, resume, ...) pass
+    through unchanged and apply to every field."""
+    from openmatch_spark.index.build import build_index
+
+    if not fields:
+        raise ValueError("fields must name at least one text column")
+    reports = {}
+    for f in sorted(fields):
+        sub = pages.select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.col(f).cast("string").alias("text"),
+        ).where(F.col(f).isNotNull() & (F.length(F.col(f)) > 0))
+        reports[f] = build_index(
+            spark, sub, os.path.join(index_dir, f"field={f}"), **build_kw
+        )
+    tmp = os.path.join(index_dir, _MANIFEST + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"fields": sorted(fields)}, fh)
+    os.replace(tmp, os.path.join(index_dir, _MANIFEST))
+    return reports
+
+
+def load_fielded_index(
+    spark: SparkSession, index_dir: str
+) -> dict[str, BM25Index]:
+    """{field: BM25Index} for a directory written by
+    build_fielded_index."""
+    from openmatch_spark.index.load import load_index
+
+    with open(os.path.join(index_dir, _MANIFEST)) as fh:
+        manifest = json.load(fh)
+    return {
+        f: load_index(spark, os.path.join(index_dir, f"field={f}"))
+        for f in manifest["fields"]
+    }
+
+
+def _field_contribs(
+    index: BM25Index, queries: DataFrame, field: str, boost: float,
+    blended: bool,
+) -> DataFrame | None:
+    """(query_id, doc_id, term, s) for one field — qtf * stored payload
+    weight * boost, the term left in for the cross-field fold; None when
+    no query term is in this field's vocabulary. For the blended variant
+    the df rides along so the caller can rescale AFTER computing the
+    cross-field max df."""
+    from openmatch_spark.index.compact import _decode_blocks_arrow
+    from openmatch_spark.query.bm25_search import query_terms
+
+    qt = query_terms(index, queries)
+    if not qt:
+        return None
+    terms = sorted({t for (_, t, _, _) in qt})
+    buckets = sorted({b for (_, _, _, b) in qt})
+    decoded = index.postings.where(
+        F.col("term_bucket").isin(buckets) & F.col("term").isin(terms)
+    ).mapInArrow(
+        _decode_blocks_arrow,
+        "shard int, term string, term_bucket int, doc_ord long, weight double",
+    )
+    decoded = index.mask_deleted(decoded)
+    qdf = F.broadcast(
+        index.spark.createDataFrame(
+            sorted({(q, t, w) for (q, t, w, _) in qt}),
+            "query_id string, term string, qtf double",
+        )
+    )
+    hits = decoded.join(qdf, "term").join(
+        index.docmap.select("shard", "doc_ord", "doc_id"),
+        ["shard", "doc_ord"],
+    )
+    out = hits.select(
+        "query_id",
+        "doc_id",
+        "term",
+        (F.col("qtf") * F.col("weight") * F.lit(float(boost))).alias("s"),
+    )
+    if not blended:
+        return out
+    # cross_fields: expose this field's df and docCount so the caller can
+    # divide the baked idf_f back out and multiply the blended idf in
+    dic = F.broadcast(
+        index.dictionary.where(F.col("term").isin(terms)).select("term", "df")
+    )
+    n_docs = float(index.stats["n_docs"])
+    return (
+        out.join(dic, "term")
+        .withColumn("_idf_f", lucene_idf_col(F.col("df"), n_docs))
+        .withColumn("_n_docs", F.lit(n_docs))
+    )
+
+
+def search_fielded(
+    indexes: dict[str, BM25Index],
+    queries: DataFrame,
+    match_type: str = "best_fields",
+    tie_breaker: float = 0.0,
+    field_boosts: dict[str, float] | None = None,
+    k: int = 10,
+) -> DataFrame:
+    """(query_id, doc_id, score, rank) — index-backed ES multi_match over
+    a fielded index family. See the module docstring for the three
+    match_type semantics; most_fields ignores tie_breaker (it IS the
+    tie_breaker=1 fold)."""
+    if match_type not in _TYPES:
+        raise ValueError(f"match_type must be one of {_TYPES}, got {match_type!r}")
+    if not 0.0 <= tie_breaker <= 1.0:
+        raise ValueError(f"tie_breaker must be in [0, 1], got {tie_breaker}")
+    if not indexes:
+        raise ValueError("indexes must hold at least one field")
+    boosts = {f: float((field_boosts or {}).get(f, 1.0)) for f in indexes}
+    if any(w <= 0 for w in boosts.values()):
+        raise ValueError(f"field boosts must be > 0, got {boosts}")
+    blended = match_type == "cross_fields"
+    tie = 1.0 if match_type == "most_fields" else float(tie_breaker)
+
+    spark = next(iter(indexes.values())).spark
+    empty = spark.createDataFrame(
+        [], "query_id string, doc_id string, score double, rank int"
+    )
+    parts = []
+    for f in sorted(indexes):
+        c = _field_contribs(indexes[f], queries, f, boosts[f], blended)
+        if c is not None:
+            parts.append(c)
+    if not parts:
+        return empty
+    contrib = parts[0]
+    for p in parts[1:]:
+        contrib = contrib.unionByName(p)
+    if blended:
+        # BlendedTermQuery: same (max) df for every field's idf, then
+        # rescale the baked weight by idf_blend / idf_f inside each
+        # field's own docCount universe
+        blend = contrib.groupBy("term").agg(F.max("df").alias("_bdf"))
+        # same expression shape as lucene_idf_col, with N as a column
+        # (it differs per field when docs are missing fields)
+        idf_blend = F.log(
+            F.lit(1.0)
+            + (F.col("_n_docs") - F.col("_bdf") + 0.5)
+            / (F.col("_bdf") + 0.5)
+        )
+        contrib = contrib.join(F.broadcast(blend), "term").withColumn(
+            "s", F.col("s") * idf_blend / F.col("_idf_f")
+        )
+    per_term = contrib.groupBy("query_id", "doc_id", "term").agg(
+        (F.max("s") + F.lit(tie) * (F.sum("s") - F.max("s"))).alias("w")
+    )
+    scored = per_term.groupBy("query_id", "doc_id").agg(
+        F.sum("w").alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank")
+    )

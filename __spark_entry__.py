@@ -5074,6 +5074,51 @@ def q_distance_feature(spark, sf_dir):
     )
 
 
+BOOL_PREFIX_QUERIES = [
+    ("bp1", "table valu"),   # full term + prefix with expansions
+    ("bp2", "qu"),           # single token: prefix clause only
+    ("bp3", "customer fast sc"),
+]
+
+
+def q_match_bool_prefix(spark, sf_dir):
+    """ES match_bool_prefix over the packed index: tokens before the last
+    score as BM25 term clauses; the last token is a prefix query worth
+    Lucene's CONSTANT_SCORE rewrite value (1.0 once per matching doc,
+    however many expansions hit). Oracle rebuilds both clause families
+    from the raw corpus."""
+    from openmatch_spark.query import search_bool_prefix
+
+    idx = _entry_index(spark, sf_dir)
+    bq = spark.createDataFrame(
+        BOOL_PREFIX_QUERIES, "query_id string, text string"
+    )
+    run = search_bool_prefix(idx, bq, k=10, max_expansions=PREFIX_MAX_EXP)
+    return run.select(
+        "query_id",
+        F.regexp_replace("doc_id", "^doc://", "").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+        "rank",
+    )
+
+
+def q_facet_moving_percentiles(spark, sf_dir):
+    """ES moving_percentiles over the monthly date_histogram buckets:
+    exact p25/p50/p75 of the 3 buckets strictly before each one (the
+    moving_fn frame), NULL where the frame is empty."""
+    from openmatch_spark.operators.pipeline_aggs import moving_percentiles
+
+    b = _pipeline_buckets(spark, sf_dir)
+    out = moving_percentiles(
+        b, "n_docs", "bucket", ["query_id"],
+        window=3, percents=(25.0, 50.0, 75.0),
+    )
+    return out.select(
+        "query_id", "bucket", "n_docs",
+        *[F.round(f"p{p:g}", 6).alias(f"p{p:g}") for p in (25, 50, 75)],
+    )
+
+
 _FIELDED_CACHE: dict[str, str] = {}
 
 
@@ -5279,6 +5324,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collapsed_search": q_collapsed_search,
         "spell_suggest": q_spell_suggest,
         "phrase_suggest": q_phrase_suggest,
+        "match_bool_prefix": q_match_bool_prefix,
+        "facet_moving_percentiles": q_facet_moving_percentiles,
         "more_like_this": q_more_like_this,
         "bm25_explain": q_bm25_explain,
         "corpus_stats": q_corpus_stats,
@@ -9316,6 +9363,85 @@ ranked AS (
   FROM scored
 )
 SELECT query_id, vec_id, ROUND(score, 6) AS score, rank FROM ranked WHERE rank <= 10
+"""
+
+    # ES match_bool_prefix: BM25 term clauses for all but the last token,
+    # constant-score 1.0 for any doc matching a capped prefix expansion
+    # of the last token, summed per doc — both clause families rebuilt
+    # from the raw corpus
+    _bp_vals = ", ".join(f"('{q}', '{t}')" for q, t in BOOL_PREFIX_QUERIES)
+    sql["match_bool_prefix"] = f"""
+WITH {_EXPAND_PRELUDE},
+bq(query_id, text) AS (VALUES {_bp_vals}),
+bts AS (
+  SELECT query_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS ts
+  FROM bq
+),
+blast AS (
+  SELECT query_id, ts[len(ts)] AS prefix FROM bts WHERE len(ts) > 0
+),
+bfull AS (
+  SELECT query_id, ts[CAST(u.i AS INTEGER)] AS term,
+         CAST(COUNT(*) AS DOUBLE) AS qtf
+  FROM bts, UNNEST(range(1, len(ts))) AS u(i)
+  GROUP BY query_id, term
+),
+btermscore AS (
+  SELECT b.query_id, tf.doc_id,
+         SUM(b.qtf
+             * ln(1 + (g.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+             * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.doclen / g.avgdl))
+         ) AS s
+  FROM tf
+  JOIN bfull b ON b.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN dfreq ON dfreq.term = tf.term
+  CROSS JOIN g
+  GROUP BY b.query_id, tf.doc_id
+),
+bexp AS (
+  SELECT query_id, term FROM (
+    SELECT bl.query_id, d.term,
+           ROW_NUMBER() OVER (
+             PARTITION BY bl.query_id, bl.prefix
+             ORDER BY d.df DESC, d.term ASC
+           ) AS r
+    FROM blast bl JOIN dfreq d ON d.term LIKE bl.prefix || '%'
+  ) WHERE r <= {PREFIX_MAX_EXP}
+),
+bpdocs AS (
+  SELECT DISTINCT e.query_id, tf.doc_id
+  FROM bexp e JOIN tf ON tf.term = e.term
+),
+bscored AS (
+  SELECT query_id, doc_id, SUM(s) AS score FROM (
+    SELECT query_id, doc_id, s FROM btermscore
+    UNION ALL
+    SELECT query_id, doc_id, 1.0 AS s FROM bpdocs
+  ) GROUP BY query_id, doc_id
+)
+SELECT query_id, doc_id, ROUND(score, 6) AS score, rank FROM (
+  SELECT query_id, doc_id, score,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+         ) AS INTEGER) AS rank
+  FROM bscored
+) WHERE rank <= 10
+"""
+
+    # ES moving_percentiles: exact window quantiles over the moving_fn
+    # frame (3 strictly before), NULL on empty frames
+    sql["facet_moving_percentiles"] = f"""
+WITH {_DH_CTES}
+SELECT query_id, bucket, n_docs,
+       ROUND(quantile_cont(CAST(n_docs AS DOUBLE), 0.25) OVER fr, 6) AS p25,
+       ROUND(quantile_cont(CAST(n_docs AS DOUBLE), 0.50) OVER fr, 6) AS p50,
+       ROUND(quantile_cont(CAST(n_docs AS DOUBLE), 0.75) OVER fr, 6) AS p75
+FROM dhist
+WINDOW fr AS (PARTITION BY query_id ORDER BY bucket
+              ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
 """
 
     # the fielded-index entries produce the SAME answers as the ad-hoc

@@ -380,3 +380,42 @@ def bucket_rate(
     return buckets.withColumn(
         out_col, F.col(value_col).cast("double") / divisor
     )
+
+
+def moving_percentiles(
+    buckets: DataFrame,
+    value_col: str,
+    order_col: str,
+    group_cols: list[str],
+    window: int,
+    percents: tuple[float, ...] = (50.0,),
+    shift: int = 0,
+    out_prefix: str = "p",
+) -> DataFrame:
+    """ES `moving_percentiles`: percentiles of a bucket metric over the
+    moving_fn sliding frame — with shift=0 the window is the `window`
+    buckets STRICTLY BEFORE the current one, shift slides right, and a
+    bucket whose frame is empty reports NULL (ES semantics throughout).
+    EXACT linear-interpolated percentiles (ES wraps the t-digest; the
+    frame is window-bounded so exact is free and oracle-comparable).
+    One output column per requested percent: `<out_prefix><percent:g>`.
+    One window pass per percent over the post-aggregation frame — no
+    shuffle beyond the one ordering exchange Spark shares across them."""
+    if window <= 0:
+        raise ValueError(f"window must be positive, got {window}")
+    if not percents:
+        raise ValueError("percents must name at least one percent")
+    if any(not 0.0 <= p <= 100.0 for p in percents):
+        raise ValueError(f"percents must be in [0, 100], got {percents}")
+    w = _seq_window(group_cols, order_col).rowsBetween(
+        -window + shift, shift - 1
+    )
+    out = buckets
+    for p in percents:
+        out = out.withColumn(
+            f"{out_prefix}{p:g}",
+            F.percentile(
+                F.col(value_col).cast("double"), F.lit(p / 100.0)
+            ).over(w),
+        )
+    return out

@@ -24,6 +24,7 @@ from openmatch_spark.query.dismax import (  # noqa: F401
 )
 from openmatch_spark.query.diversify import mmr_rerank  # noqa: F401
 from openmatch_spark.query.expand import (  # noqa: F401
+    search_bool_prefix,
     search_fuzzy,
     search_prefix,
     search_synonyms,

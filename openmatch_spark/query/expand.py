@@ -289,3 +289,103 @@ def search_synonyms(
         if t in bucket_of
     ]
     return search_terms(index, matched, k=k, mode=mode)
+
+
+def search_bool_prefix(
+    index: BM25Index,
+    queries: DataFrame,
+    k: int = 100,
+    max_expansions: int = 50,
+    prefix_boost: float = 1.0,
+) -> DataFrame:
+    """ES match_bool_prefix: every token but the LAST scores as a plain
+    BM25 term clause (qtf multiplicity); the last token is a prefix
+    query contributing Lucene's CONSTANT_SCORE multi-term rewrite value
+    — prefix_boost ONCE per matching doc, however many expansions hit
+    (that is what separates this from search_prefix, which BM25-scores
+    each expansion). Bool OR semantics: a doc matching any clause
+    competes. (query_id, doc_id, score, rank).
+
+    Plan: one pruned postings decode covering full + expansion terms;
+    the term side aggregates sum(qtf x weight), the prefix side reduces
+    to a distinct doc set; a full outer join composes them BEFORE the
+    top-k cut — a doc matching only the prefix can outrank a weak term
+    match, so neither side may be pre-cut."""
+    from openmatch_spark.analysis import tokenize_py
+    from openmatch_spark.index.compact import _decode_blocks_arrow
+    from openmatch_spark.query.phrase import _finalize
+
+    if prefix_boost <= 0:
+        raise ValueError(f"prefix_boost must be > 0, got {prefix_boost}")
+    spark = index.spark
+    analyzer = index.stats["analyzer"]
+    empty = spark.createDataFrame([], EMPTY_RUN)
+    full, pref = [], []
+    for r in queries.select(
+        F.col("query_id").cast("string").alias("query_id"), "text"
+    ).collect():
+        toks = tokenize_py(r["text"], analyzer)
+        if not toks:
+            continue
+        pref.append((str(r["query_id"]), toks[-1]))
+        for t, c in sorted(Counter(toks[:-1]).items()):
+            full.append((str(r["query_id"]), t, float(c)))
+    if not pref:
+        return empty
+    exp = _expansions(
+        index, sorted({t for _, t in pref}), "prefix", 0, 0, max_expansions
+    )
+    bucket_of = index.term_buckets(sorted({t for _, t, _ in full}))
+    live_full = [(q, t, c) for q, t, c in full if t in bucket_of]
+    prefix_pairs = sorted({
+        (q, term) for q, tok in pref for (term, _, _) in exp.get(tok, [])
+    })
+    buckets = sorted(
+        {bucket_of[t] for _, t, _ in live_full}
+        | {b for tok in exp for (_, _, b) in exp[tok]}
+    )
+    all_terms = sorted(
+        {t for _, t, _ in live_full} | {t for _, t in prefix_pairs}
+    )
+    if not all_terms:
+        return empty
+    decoded = index.postings.where(
+        F.col("term_bucket").isin(buckets) & F.col("term").isin(all_terms)
+    ).mapInArrow(
+        _decode_blocks_arrow,
+        "shard int, term string, term_bucket int, doc_ord long, weight double",
+    )
+    decoded = index.mask_deleted(decoded)
+    sides = []
+    if live_full:
+        qt = F.broadcast(
+            spark.createDataFrame(
+                live_full, "query_id string, term string, qtf double"
+            )
+        )
+        sides.append(
+            decoded.join(qt, "term")
+            .groupBy("query_id", "shard", "doc_ord")
+            .agg(F.sum(F.col("qtf") * F.col("weight")).alias("score"))
+        )
+    if prefix_pairs:
+        pq = F.broadcast(
+            spark.createDataFrame(
+                prefix_pairs, "query_id string, term string"
+            )
+        )
+        sides.append(
+            decoded.join(pq, "term")
+            .select("query_id", "shard", "doc_ord")
+            .distinct()
+            .withColumn("score", F.lit(float(prefix_boost)))
+        )
+    if not sides:
+        return empty
+    cand = sides[0]
+    for s in sides[1:]:
+        cand = cand.unionByName(s)
+    cand = cand.groupBy("query_id", "shard", "doc_ord").agg(
+        F.sum("score").alias("score")
+    )
+    return _finalize(index, cand, k, [])

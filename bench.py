@@ -212,9 +212,14 @@ def suite() -> dict:
     # timed as positions_build above) so the first positional leg doesn't
     # absorb it.
     em.queries()["phrase_search"](spark, SF_DIR).count()
-    r4_surfaces = {}
+    # the fielded family builds two per-field sub-indexes on first touch;
+    # time that build as its own leg so cross_fields_indexed measures
+    # QUERY cost (the same split as index_build vs bm25_topk)
+    t, _ = _timed(lambda: em._entry_fielded(spark, SF_DIR))
+    r4_surfaces = {"fielded_build": round(t, 3)}
     for name in ["query_string", "function_score", "facet_adjacency",
-                 "hit_extended_stats", "phrase_prefix"]:
+                 "hit_extended_stats", "phrase_prefix", "phrase_suggest",
+                 "cross_fields_indexed", "match_bool_prefix"]:
         t, _ = _timed(lambda n=name: em.queries()[n](spark, SF_DIR).count())
         r4_surfaces[name] = round(t, 3)
 

@@ -5074,6 +5074,30 @@ def q_distance_feature(spark, sf_dir):
     )
 
 
+def q_frequent_itemsets(spark, sf_dir):
+    """ES frequent_item_sets: which (field, value) items co-occur in the
+    same documents above 5% support — level-wise apriori as joins over
+    lang / source / 200-char size-bucket items. Oracle replays the full
+    lattice (singles, lexicographic pair/triple extension, per-level
+    support gates) in SQL."""
+    from openmatch_spark.operators.itemsets import frequent_item_sets
+
+    d = _docs(spark, sf_dir)
+    out = frequent_item_sets(
+        d,
+        {
+            "lang": F.col("lang"),
+            "source": F.col("source"),
+            "size": F.floor(F.col("n_chars") / 200).cast("long"),
+        },
+        minimum_support=0.05, max_set_size=3, size=15,
+    )
+    return out.select(
+        "items", "set_size", "doc_count",
+        F.round("support", 6).alias("support"), "rank",
+    )
+
+
 BOOL_PREFIX_QUERIES = [
     ("bp1", "table valu"),   # full term + prefix with expansions
     ("bp2", "qu"),           # single token: prefix clause only
@@ -5326,6 +5350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_suggest": q_phrase_suggest,
         "match_bool_prefix": q_match_bool_prefix,
         "facet_moving_percentiles": q_facet_moving_percentiles,
+        "frequent_itemsets": q_frequent_itemsets,
         "more_like_this": q_more_like_this,
         "bm25_explain": q_bm25_explain,
         "corpus_stats": q_corpus_stats,
@@ -9429,6 +9454,58 @@ SELECT query_id, doc_id, ROUND(score, 6) AS score, rank FROM (
          ) AS INTEGER) AS rank
   FROM bscored
 ) WHERE rank <= 10
+"""
+
+    # ES frequent_item_sets: the apriori lattice replayed level by level —
+    # same items, same lexicographic extension, same >= support gates
+    sql["frequent_itemsets"] = """
+WITH fis_items AS (
+  SELECT DISTINCT CAST(doc_id AS VARCHAR) AS txn, item FROM (
+    SELECT doc_id, 'lang:' || lang AS item FROM documents WHERE lang IS NOT NULL
+    UNION ALL
+    SELECT doc_id, 'source:' || source FROM documents WHERE source IS NOT NULL
+    UNION ALL
+    SELECT doc_id, 'size:' || CAST(n_chars // 200 AS VARCHAR) FROM documents
+    WHERE n_chars IS NOT NULL
+  )
+),
+fis_n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n FROM documents),
+f1 AS (
+  SELECT item, CAST(COUNT(*) AS BIGINT) AS dc FROM fis_items GROUP BY item
+  HAVING COUNT(*) >= (SELECT 0.05 * n FROM fis_n)
+),
+fitems AS (SELECT i.txn, i.item FROM fis_items i JOIN f1 ON f1.item = i.item),
+s2 AS (
+  SELECT a.txn, a.item AS i1, b.item AS i2
+  FROM fitems a JOIN fitems b ON b.txn = a.txn AND b.item > a.item
+),
+f2 AS (
+  SELECT i1, i2, CAST(COUNT(*) AS BIGINT) AS dc
+  FROM s2 GROUP BY i1, i2
+  HAVING COUNT(*) >= (SELECT 0.05 * n FROM fis_n)
+),
+s3 AS (
+  SELECT s.txn, s.i1, s.i2, c.item AS i3
+  FROM s2 s
+  JOIN f2 ON f2.i1 = s.i1 AND f2.i2 = s.i2
+  JOIN fitems c ON c.txn = s.txn AND c.item > s.i2
+),
+f3 AS (
+  SELECT i1, i2, i3, CAST(COUNT(*) AS BIGINT) AS dc
+  FROM s3 GROUP BY i1, i2, i3
+  HAVING COUNT(*) >= (SELECT 0.05 * n FROM fis_n)
+),
+allsets AS (
+  SELECT item AS items, 1 AS set_size, dc FROM f1
+  UNION ALL SELECT i1 || ',' || i2, 2, dc FROM f2
+  UNION ALL SELECT i1 || ',' || i2 || ',' || i3, 3, dc FROM f3
+)
+SELECT items, set_size, doc_count, ROUND(support, 6) AS support, rank FROM (
+  SELECT items, CAST(set_size AS INTEGER) AS set_size, dc AS doc_count,
+         dc / (SELECT n FROM fis_n) AS support,
+         CAST(ROW_NUMBER() OVER (ORDER BY dc DESC, items ASC) AS INTEGER) AS rank
+  FROM allsets
+) WHERE rank <= 15
 """
 
     # ES moving_percentiles: exact window quantiles over the moving_fn

@@ -5074,6 +5074,24 @@ def q_distance_feature(spark, sf_dir):
     )
 
 
+def q_facet_change_point(spark, sf_dir):
+    """ES change_point (step-change subset) over each query's monthly
+    bucket series: best two-segment SSE split, classified
+    indeterminable / stationary / step_change; NULL detail columns off
+    the step_change branch. The short monthly series exercise all three
+    verdicts at sf0.01."""
+    from openmatch_spark.operators.pipeline_aggs import change_point
+
+    b = _pipeline_buckets(spark, sf_dir)
+    out = change_point(b, "n_docs", "bucket", ["query_id"])
+    return out.select(
+        "query_id", "type", "change_bucket",
+        F.round("left_mean", 6).alias("left_mean"),
+        F.round("right_mean", 6).alias("right_mean"),
+        F.round("reduction_ratio", 6).alias("reduction_ratio"),
+    )
+
+
 def q_frequent_itemsets(spark, sf_dir):
     """ES frequent_item_sets: which (field, value) items co-occur in the
     same documents above 5% support — level-wise apriori as joins over
@@ -5351,6 +5369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_bool_prefix": q_match_bool_prefix,
         "facet_moving_percentiles": q_facet_moving_percentiles,
         "frequent_itemsets": q_frequent_itemsets,
+        "facet_change_point": q_facet_change_point,
         "more_like_this": q_more_like_this,
         "bm25_explain": q_bm25_explain,
         "corpus_stats": q_corpus_stats,
@@ -9519,6 +9538,54 @@ SELECT query_id, bucket, n_docs,
 FROM dhist
 WINDOW fr AS (PARTITION BY query_id ORDER BY bucket
               ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+"""
+
+    # ES change_point (step-change subset): prefix-sum SSE split replica —
+    # same argmax (ratio desc, earliest i), same min_segment=2/threshold=0.5
+    sql["facet_change_point"] = f"""
+WITH {_DH_CTES},
+cpd AS (
+  SELECT query_id,
+         ROW_NUMBER() OVER seq AS i,
+         SUM(CAST(n_docs AS DOUBLE)) OVER cum AS cs,
+         SUM(CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE)) OVER cum AS cs2,
+         COUNT(*) OVER grp AS n,
+         SUM(CAST(n_docs AS DOUBLE)) OVER grp AS s,
+         SUM(CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE)) OVER grp AS s2,
+         LEAD(bucket) OVER seq AS nxt
+  FROM dhist
+  WINDOW seq AS (PARTITION BY query_id ORDER BY bucket),
+         cum AS (PARTITION BY query_id ORDER BY bucket
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         grp AS (PARTITION BY query_id)
+),
+cpc AS (
+  SELECT query_id, i, n, nxt,
+         CASE WHEN i >= 2 AND n - i >= 2 AND (s2 - s * s / n) > 0 THEN
+           ((s2 - s * s / n) - (cs2 - cs * cs / i)
+            - ((s2 - cs2) - (s - cs) * (s - cs) / (n - i))) / (s2 - s * s / n)
+         END AS ratio,
+         cs / i AS lmean,
+         CASE WHEN n > i THEN (s - cs) / (n - i) END AS rmean
+  FROM cpd
+),
+cpb AS (
+  SELECT *,
+         CASE WHEN n < 4 THEN 'indeterminable'
+              WHEN ratio IS NULL OR ratio < 0.5 THEN 'stationary'
+              ELSE 'step_change' END AS type
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY ratio DESC NULLS LAST, i ASC) AS r
+    FROM cpc
+  ) WHERE r = 1
+)
+SELECT query_id, type,
+       CASE WHEN type = 'step_change' THEN nxt END AS change_bucket,
+       ROUND(CASE WHEN type = 'step_change' THEN lmean END, 6) AS left_mean,
+       ROUND(CASE WHEN type = 'step_change' THEN rmean END, 6) AS right_mean,
+       ROUND(CASE WHEN type = 'step_change' THEN ratio END, 6) AS reduction_ratio
+FROM cpb
 """
 
     # the fielded-index entries produce the SAME answers as the ad-hoc

@@ -419,3 +419,105 @@ def moving_percentiles(
             ).over(w),
         )
     return out
+
+
+def change_point(
+    buckets: DataFrame,
+    value_col: str,
+    order_col: str,
+    group_cols: list[str],
+    min_segment: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """ES `change_point` aggregation, the documented step-change subset:
+    find the split of each parent's ordered bucket series that maximally
+    reduces the two-segment sum of squared errors, and classify:
+
+      type = 'indeterminable'  fewer than 2 * min_segment buckets (ES
+                               returns the same verdict on short series)
+             'stationary'      best reduction ratio < threshold, or the
+                               series is constant (zero total SSE)
+             'step_change'     otherwise; change_bucket is the FIRST
+                               bucket of the new regime
+
+    reduction_ratio = (SSE_total - SSE_left - SSE_right) / SSE_total in
+    [0, 1]; 1.0 means two perfectly flat segments. ES's spike/dip/trend
+    sub-detectors and its ML-derived p-value are documented out — this
+    is the deterministic, oracle-replicable core.
+
+    Plan: prefix sums of x and x^2 over one ordered window give every
+    candidate split's segment SSEs in closed form — pure projection
+    algebra, no UDF, one exchange for the ordering; the argmax is one
+    more window. Output: one row per group
+    (group_cols..., type, change_bucket, left_mean, right_mean,
+    reduction_ratio)."""
+    if min_segment < 1:
+        raise ValueError(f"min_segment must be >= 1, got {min_segment}")
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    x = F.col(value_col).cast("double")
+    w_ord = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_ord")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_grp = Window.partitionBy(*group_cols)
+    w_seq = Window.partitionBy(*group_cols).orderBy("_ord")
+    d = buckets.select(
+        *group_cols,
+        F.col(order_col).alias("_ord"),
+        x.alias("_x"),
+    ).select(
+        "*",
+        F.row_number().over(w_seq).alias("_i"),
+        F.sum("_x").over(w_ord).alias("_cs"),
+        F.sum(F.col("_x") * F.col("_x")).over(w_ord).alias("_cs2"),
+        F.count(F.lit(1)).over(w_grp).alias("_n"),
+        F.sum("_x").over(w_grp).alias("_s"),
+        F.sum(F.col("_x") * F.col("_x")).over(w_grp).alias("_s2"),
+        F.lead("_ord").over(w_seq).alias("_next"),
+    )
+    i, n = F.col("_i"), F.col("_n")
+    cs, cs2 = F.col("_cs"), F.col("_cs2")
+    s, s2 = F.col("_s"), F.col("_s2")
+    sse_all = s2 - s * s / n
+    sse_l = cs2 - cs * cs / i
+    sse_r = (s2 - cs2) - (s - cs) * (s - cs) / (n - i)
+    valid = (i >= F.lit(min_segment)) & ((n - i) >= F.lit(min_segment))
+    ratio = F.when(
+        valid & (sse_all > 0), (sse_all - sse_l - sse_r) / sse_all
+    )
+    cand = d.select(
+        *group_cols,
+        "_i", "_n", "_next",
+        ratio.alias("_ratio"),
+        (cs / i).alias("_lmean"),
+        # the last row has an empty right segment — ANSI mode makes the
+        # ungated n-i division a hard error, so gate it (invalid splits
+        # never win the argmax anyway)
+        F.when(n > i, (s - cs) / (n - i)).alias("_rmean"),
+    )
+    pick = Window.partitionBy(*group_cols).orderBy(
+        F.desc_nulls_last("_ratio"), F.asc("_i")
+    )
+    best = cand.withColumn("_r", F.row_number().over(pick)).where(
+        F.col("_r") == 1
+    )
+    typ = (
+        F.when(F.col("_n") < 2 * min_segment, F.lit("indeterminable"))
+        .when(
+            F.col("_ratio").isNull()
+            | (F.col("_ratio") < F.lit(float(threshold))),
+            F.lit("stationary"),
+        )
+        .otherwise(F.lit("step_change"))
+    )
+    keep = typ == F.lit("step_change")
+    return best.select(
+        *group_cols,
+        typ.alias("type"),
+        F.when(keep, F.col("_next")).alias("change_bucket"),
+        F.when(keep, F.col("_lmean")).alias("left_mean"),
+        F.when(keep, F.col("_rmean")).alias("right_mean"),
+        F.when(keep, F.col("_ratio")).alias("reduction_ratio"),
+    )

@@ -5092,6 +5092,39 @@ def q_facet_change_point(spark, sf_dir):
     )
 
 
+def q_categorize_text(spark, sf_dir):
+    """ES categorize_text (deterministic exact-pattern core) over a
+    log-like message column synthesized from doc_id: four rotating
+    templates plus a rare backup template and one singleton; digit
+    tokens (ids, latencies, status codes) are the variable parts that
+    categorization strips. min_doc_count=3 prunes the singleton."""
+    from openmatch_spark.operators.facets import categorize_text
+
+    d = F.col("doc_id").cast("bigint")
+    s = d.cast("string")
+    msg = (
+        F.when(d == 42, F.lit("weird singleton glitch"))
+        .when(d % 97 == 0,
+              F.concat(F.lit("backup job "), s, F.lit(" finished")))
+        .when(d % 4 == 0,
+              F.concat(F.lit("GET /api/users/"), s,
+                       F.lit(" returned 200 in "),
+                       ((d * 13) % 997).cast("string"), F.lit(" ms")))
+        .when(d % 4 == 1,
+              F.concat(F.lit("POST /api/orders/"), s,
+                       F.lit(" failed with error "),
+                       (d % 7).cast("string")))
+        .when(d % 4 == 2,
+              F.concat(F.lit("cache miss for key k"), s,
+                       F.lit(" after "), (d % 5).cast("string"),
+                       F.lit(" lookups")))
+        .otherwise(F.concat(F.lit("connection to host"), s,
+                            F.lit(" timed out")))
+    )
+    logs = _docs(spark, sf_dir).select(msg.alias("msg"))
+    return categorize_text(logs, "msg", min_doc_count=3)
+
+
 def q_frequent_itemsets(spark, sf_dir):
     """ES frequent_item_sets: which (field, value) items co-occur in the
     same documents above 5% support — level-wise apriori as joins over
@@ -5370,6 +5403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_moving_percentiles": q_facet_moving_percentiles,
         "frequent_itemsets": q_frequent_itemsets,
         "facet_change_point": q_facet_change_point,
+        "categorize_text": q_categorize_text,
         "more_like_this": q_more_like_this,
         "bm25_explain": q_bm25_explain,
         "corpus_stats": q_corpus_stats,
@@ -9586,6 +9620,44 @@ SELECT query_id, type,
        ROUND(CASE WHEN type = 'step_change' THEN rmean END, 6) AS right_mean,
        ROUND(CASE WHEN type = 'step_change' THEN ratio END, 6) AS reduction_ratio
 FROM cpb
+"""
+
+    # ES categorize_text: exact token-pattern categorization replica —
+    # same templates, same digit-token stripping, same min_doc_count=3
+    sql["categorize_text"] = """
+WITH ct_src AS (
+  SELECT CASE
+    WHEN CAST(doc_id AS BIGINT) = 42 THEN 'weird singleton glitch'
+    WHEN CAST(doc_id AS BIGINT) % 97 = 0 THEN
+      'backup job ' || CAST(doc_id AS VARCHAR) || ' finished'
+    WHEN CAST(doc_id AS BIGINT) % 4 = 0 THEN
+      'GET /api/users/' || CAST(doc_id AS VARCHAR) || ' returned 200 in '
+      || CAST((CAST(doc_id AS BIGINT) * 13) % 997 AS VARCHAR) || ' ms'
+    WHEN CAST(doc_id AS BIGINT) % 4 = 1 THEN
+      'POST /api/orders/' || CAST(doc_id AS VARCHAR) || ' failed with error '
+      || CAST(CAST(doc_id AS BIGINT) % 7 AS VARCHAR)
+    WHEN CAST(doc_id AS BIGINT) % 4 = 2 THEN
+      'cache miss for key k' || CAST(doc_id AS VARCHAR) || ' after '
+      || CAST(CAST(doc_id AS BIGINT) % 5 AS VARCHAR) || ' lookups'
+    ELSE 'connection to host' || CAST(doc_id AS VARCHAR) || ' timed out'
+  END AS msg FROM documents
+),
+ct_tok AS (
+  SELECT list_filter(
+           regexp_split_to_array(lower(msg), '[^a-z0-9]+'),
+           t -> t <> '' AND NOT regexp_matches(t, '[0-9]')) AS toks
+  FROM ct_src
+),
+ct_cat AS (
+  SELECT array_to_string(toks, ' ') AS category,
+         CAST(len(toks) AS INTEGER) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS doc_count
+  FROM ct_tok GROUP BY 1, 2 HAVING COUNT(*) >= 3
+)
+SELECT category, n_tokens, doc_count,
+       CAST(ROW_NUMBER() OVER (
+         ORDER BY doc_count DESC, category ASC) AS INTEGER) AS rank
+FROM ct_cat
 """
 
     # the fielded-index entries produce the SAME answers as the ad-hoc

@@ -703,3 +703,55 @@ def date_range_facets(
         "query_id", "bucket",
         F.coalesce("n_docs", F.lit(0).cast("long")).alias("n_docs"),
     )
+
+
+def categorize_text(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_tokens: int | None = None,
+    min_doc_count: int = 1,
+    top_n: int | None = None,
+) -> DataFrame:
+    """ES `categorize_text` aggregation, the deterministic core: group
+    semi-structured text (log lines, error messages) by its stable
+    token pattern. Tokens are lowercased [a-z0-9]+ runs; any token
+    containing a digit is a variable part (ids, sizes, timestamps) and
+    is dropped — the category key is the remaining token sequence,
+    optionally truncated to the first max_tokens tokens (ES's
+    similarity_threshold ML merge of near-identical patterns is
+    documented out; this is the exact-pattern subset an oracle can
+    replicate).
+
+    Plan: the key is pure projection algebra (split / filter / slice /
+    array_join — no UDF), so categorization is one codegen pass over
+    the scan plus a single groupBy exchange on the category key; at
+    100 TB that is the same shape as any word-count. Output one row per
+    category: (category, n_tokens, doc_count, rank), doc_count desc,
+    category asc, rank dense over that order; min_doc_count prunes the
+    long tail BEFORE ranking (matching ES's bucket pruning), top_n cuts
+    after."""
+    if min_doc_count < 1:
+        raise ValueError(f"min_doc_count must be >= 1, got {min_doc_count}")
+    if max_tokens is not None and max_tokens < 1:
+        raise ValueError(f"max_tokens must be >= 1, got {max_tokens}")
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), "[^a-z0-9]+"),
+        lambda t: (t != "") & ~t.rlike("[0-9]"),
+    )
+    if max_tokens is not None:
+        toks = F.slice(toks, 1, max_tokens)
+    cats = (
+        docs.select(toks.alias("_toks"))
+        .select(
+            F.array_join("_toks", " ").alias("category"),
+            F.size("_toks").cast("int").alias("n_tokens"),
+        )
+        .groupBy("category", "n_tokens")
+        .agg(F.count(F.lit(1)).cast("long").alias("doc_count"))
+        .where(F.col("doc_count") >= min_doc_count)
+    )
+    w = Window.orderBy(F.desc("doc_count"), F.asc("category"))
+    out = cats.withColumn("rank", F.row_number().over(w).cast("int"))
+    if top_n is not None:
+        out = out.where(F.col("rank") <= top_n)
+    return out

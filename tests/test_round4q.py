@@ -55,3 +55,48 @@ def test_change_point_picks_best_split_earliest_tie(spark):
     r = change_point(b, "v", "bucket", ["g"]).collect()[0]
     assert r["change_bucket"] == "b02"
     assert abs(r["reduction_ratio"] - 1.0) < 1e-12
+
+
+def test_categorize_text_patterns(spark):
+    from openmatch_spark.operators.facets import categorize_text
+
+    logs = spark.createDataFrame(
+        [("GET /api/users/17 returned 200 in 5 ms",),
+         ("GET /api/users/99 returned 200 in 810 ms",),
+         ("get api users 3 returned 4 in 9 ms",),   # same pattern, punct-free
+         ("cache miss for key k42",),
+         (None,), ("12 34 56",)],                   # all-variable -> empty key
+        "msg string",
+    )
+    out = {r["category"]: r for r in
+           categorize_text(logs, "msg").collect()}
+    assert out["get api users returned in ms"]["doc_count"] == 3
+    assert out["get api users returned in ms"]["n_tokens"] == 6
+    assert out["get api users returned in ms"]["rank"] == 1
+    assert out["cache miss for key"]["doc_count"] == 1
+    assert out[""]["doc_count"] == 2  # null text and all-digit text
+
+
+def test_categorize_text_caps_and_pruning(spark):
+    from openmatch_spark.operators.facets import categorize_text
+    import pytest
+
+    logs = spark.createDataFrame(
+        [("alpha beta gamma delta",), ("alpha beta gamma epsilon",),
+         ("zeta only once",)],
+        "msg string",
+    )
+    # max_tokens=3 merges the two alpha-beta-gamma variants
+    out = {r["category"]: r["doc_count"] for r in
+           categorize_text(logs, "msg", max_tokens=3).collect()}
+    assert out == {"alpha beta gamma": 2, "zeta only once": 1}
+    # min_doc_count prunes BEFORE ranking; top_n cuts after
+    kept = categorize_text(logs, "msg", max_tokens=3,
+                           min_doc_count=2).collect()
+    assert len(kept) == 1 and kept[0]["rank"] == 1
+    top = categorize_text(logs, "msg", max_tokens=3, top_n=1).collect()
+    assert len(top) == 1 and top[0]["category"] == "alpha beta gamma"
+    with pytest.raises(ValueError):
+        categorize_text(logs, "msg", min_doc_count=0)
+    with pytest.raises(ValueError):
+        categorize_text(logs, "msg", max_tokens=0)

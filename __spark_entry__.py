@@ -153,6 +153,22 @@ SPAN_NEAR_QUERIES = [
 ]
 SPAN_NEAR_WITHIN = 8
 
+# intervals query (query/intervals.py): all_of over any_of slots —
+# iv0/iv1 ordered (gap-capped / unlimited), iv2/iv3 unordered with
+# disjoint slot vocabularies, iv4 carries a dead (all-OOV) slot
+INTERVAL_SPECS = [
+    {"query_id": "iv0", "slots": [["spark"], ["join", "merge"]],
+     "ordered": True, "max_gaps": 3},
+    {"query_id": "iv1", "slots": [["hash"], ["table"]],
+     "ordered": True, "max_gaps": -1},
+    {"query_id": "iv2", "slots": [["fast", "slow"], ["scan"], ["row", "line"]],
+     "ordered": False, "max_gaps": 4},
+    {"query_id": "iv3", "slots": [["window"], ["agg"]],
+     "ordered": False, "max_gaps": 0},
+    {"query_id": "iv4", "slots": [["spark"], ["nosuchterm"]],
+     "ordered": True, "max_gaps": -1},
+]
+
 # query_string surface (query/querystring.py): fixed strings covering
 # must/should/not roles, a should-phrase + term mix, prefix and fuzzy
 # expansion clauses, an OOV-must (zero hits), a boost, an exclusion-only
@@ -674,6 +690,20 @@ _SPANN_VALUES = ", ".join(
 _SPAN_VALUES = ", ".join(
     f"('{qid}', '{text}')" for qid, text in SPAN_NEAR_QUERIES
 )
+# intervals specs expanded to one row per (query, slot, alternative);
+# slots are 1-based to match the recursive embedding's slot = 1 seed
+_IV_ORD_VALUES = ", ".join(
+    f"('{s['query_id']}', {j + 1}, '{t}', {len(s['slots'])}, {s['max_gaps']})"
+    for s in INTERVAL_SPECS if s["ordered"]
+    for j, alts in enumerate(s["slots"])
+    for t in alts
+)
+_IV_UNORD_VALUES = ", ".join(
+    f"('{s['query_id']}', {j + 1}, '{t}', {len(s['slots'])}, {s['max_gaps']})"
+    for s in INTERVAL_SPECS if not s["ordered"]
+    for j, alts in enumerate(s["slots"])
+    for t in alts
+)
 
 # positional tokenization: DuckDB v1.0 has no UNNEST WITH ORDINALITY, so
 # subscripts come from generate_series over the FILTERED token list —
@@ -933,6 +963,98 @@ srun AS (
 )
 SELECT query_id, doc_id, ROUND(score, 6) AS score, rank, min_window
 FROM srun WHERE rank <= 10
+"""
+
+# intervals oracle: ordered mode replays the span recursive-CTE embedding
+# with any_of slots (several terms share one slot id); unordered mode is
+# the classic min-cover — for every candidate end position take each
+# slot's latest occurrence <= end, covers needing all m slots. gaps =
+# window - m gated by max_gaps (< 0 = unlimited). Scoring: BM25 with
+# qtf = number of slots listing the term, the engine's rule.
+_INTERVALS_SQL = f"""
+WITH RECURSIVE {_TOKP},
+{_BM25_CORE},
+ivo(query_id, slot, term, m, max_gaps) AS (VALUES {_IV_ORD_VALUES}),
+ivu(query_id, slot, term, m, max_gaps) AS (VALUES {_IV_UNORD_VALUES}),
+ivoocc AS (
+  SELECT s.query_id, k.doc_id, s.slot, s.m, s.max_gaps, k.pos
+  FROM ivo s JOIN tokp k ON k.term = s.term
+),
+ivemb(query_id, doc_id, j, pos, strt, m, max_gaps) AS (
+  SELECT query_id, doc_id, slot, pos, pos, m, max_gaps
+  FROM ivoocc WHERE slot = 1
+  UNION
+  SELECT o.query_id, o.doc_id, o.slot, o.pos, e.strt, e.m, e.max_gaps
+  FROM ivemb e
+  JOIN ivoocc o ON o.query_id = e.query_id AND o.doc_id = e.doc_id
+              AND o.slot = e.j + 1 AND o.pos > e.pos
+),
+ivwin_o AS (
+  SELECT query_id, doc_id, m, max_gaps,
+         CAST(MIN(pos - strt + 1) AS INTEGER) AS win
+  FROM ivemb WHERE j = m
+  GROUP BY query_id, doc_id, m, max_gaps
+),
+ivuocc AS (
+  SELECT s.query_id, k.doc_id, s.slot, s.m, s.max_gaps, k.pos
+  FROM ivu s JOIN tokp k ON k.term = s.term
+),
+ivends AS (
+  SELECT DISTINCT query_id, doc_id, m, max_gaps, pos AS e FROM ivuocc
+),
+ivcov AS (
+  SELECT n.query_id, n.doc_id, n.m, n.max_gaps, n.e, o.slot,
+         MAX(o.pos) AS lastp
+  FROM ivends n
+  JOIN ivuocc o ON o.query_id = n.query_id AND o.doc_id = n.doc_id
+              AND o.pos <= n.e
+  GROUP BY 1, 2, 3, 4, 5, 6
+),
+ivwin_u AS (
+  SELECT query_id, doc_id, m, max_gaps, CAST(MIN(w) AS INTEGER) AS win
+  FROM (
+    SELECT query_id, doc_id, m, max_gaps, e,
+           e - MIN(lastp) + 1 AS w, COUNT(*) AS ns
+    FROM ivcov GROUP BY query_id, doc_id, m, max_gaps, e
+  ) WHERE ns = m
+  GROUP BY query_id, doc_id, m, max_gaps
+),
+ivwin AS (
+  SELECT * FROM ivwin_o UNION ALL SELECT * FROM ivwin_u
+),
+ivgated AS (
+  SELECT query_id, doc_id, win AS "window",
+         CAST(win - m AS INTEGER) AS gaps
+  FROM ivwin
+  WHERE max_gaps < 0 OR win - m <= max_gaps
+),
+ivqt AS (
+  SELECT query_id, term, CAST(COUNT(*) AS DOUBLE) AS qtf
+  FROM (SELECT * FROM ivo UNION ALL SELECT * FROM ivu)
+  GROUP BY query_id, term
+),
+ivscored AS (
+  SELECT q.query_id, tf.doc_id,
+         SUM(q.qtf
+             * ln(1 + (g.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+             * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.doclen / g.avgdl))) AS score
+  FROM tf
+  JOIN ivqt q ON q.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN dfreq ON dfreq.term = tf.term
+  CROSS JOIN g
+  GROUP BY q.query_id, tf.doc_id
+),
+ivrun AS (
+  SELECT w.query_id, w.doc_id, s.score, w."window", w.gaps,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY w.query_id ORDER BY s.score DESC, w.doc_id ASC
+         ) AS INTEGER) AS rank
+  FROM ivgated w
+  JOIN ivscored s ON s.query_id = w.query_id AND s.doc_id = w.doc_id
+)
+SELECT query_id, doc_id, ROUND(score, 6) AS score, rank, "window", gaps
+FROM ivrun WHERE rank <= 10
 """
 
 # query_string oracle: the clause tables below are the HAND-COMPILED parse
@@ -3016,6 +3138,27 @@ def q_span_near(spark, sf_dir):
         F.round("score", 6).alias("score"),
         "rank",
         "min_window",
+    )
+
+
+def q_intervals(spark, sf_dir):
+    """Lucene/ES intervals query (all_of over any_of slots, ordered and
+    unordered, max_gaps-gated). Ordered mode = the span-near DP with
+    per-slot alternatives; unordered = slot-keyed min cover. The oracle
+    replays the ordered embeddings with a recursive CTE and the covers
+    with the candidate-end sweep. iv4's fully-OOV slot must return no
+    rows structurally."""
+    from openmatch_spark.query import search_intervals
+
+    idx = _entry_index_with_positions(spark, sf_dir)
+    run = search_intervals(idx, INTERVAL_SPECS, k=10)
+    return run.select(
+        "query_id",
+        F.regexp_replace("doc_id", "^doc://", "").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+        "rank",
+        "window",
+        "gaps",
     )
 
 
@@ -5404,6 +5547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frequent_itemsets": q_frequent_itemsets,
         "facet_change_point": q_facet_change_point,
         "categorize_text": q_categorize_text,
+        "intervals": q_intervals,
         "more_like_this": q_more_like_this,
         "bm25_explain": q_bm25_explain,
         "corpus_stats": q_corpus_stats,
@@ -5590,6 +5734,7 @@ SELECT query_id, doc_id, ROUND(score, 6) AS score, rank FROM prun WHERE rank <= 
     sql["phrase_prefix"] = _PHRASE_PREFIX_SQL
     sql["proximity_search"] = _PROXIMITY_SQL
     sql["span_near"] = _SPAN_SQL
+    sql["intervals"] = _INTERVALS_SQL
     sql["query_string"] = _QUERY_STRING_SQL
     sql["snippets"] = _SNIPPET_SQL
     sql["highlight"] = _HIGHLIGHT_SQL

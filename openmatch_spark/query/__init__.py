@@ -42,6 +42,7 @@ from openmatch_spark.query.federated import (  # noqa: F401
     search_federated,
 )
 from openmatch_spark.query.filtered import search_filtered  # noqa: F401
+from openmatch_spark.query.intervals import search_intervals  # noqa: F401
 from openmatch_spark.query.mlt import mlt_terms, more_like_this  # noqa: F401
 from openmatch_spark.query.spell import (  # noqa: F401
     correct_queries,

@@ -5235,6 +5235,22 @@ def q_facet_change_point(spark, sf_dir):
     )
 
 
+def q_facet_ks_test(spark, sf_dir):
+    """ES bucket_count_ks_test (deterministic D statistics) of each
+    query's monthly bucket counts against the uniform distribution over
+    its buckets; the ML-derived p-values are documented out."""
+    from openmatch_spark.operators.pipeline_aggs import bucket_count_ks_test
+
+    b = _pipeline_buckets(spark, sf_dir)
+    out = bucket_count_ks_test(b, "n_docs", "bucket", ["query_id"])
+    return out.select(
+        "query_id", "n_buckets",
+        F.round("d_greater", 6).alias("d_greater"),
+        F.round("d_less", 6).alias("d_less"),
+        F.round("d_two_sided", 6).alias("d_two_sided"),
+    )
+
+
 def q_categorize_text(spark, sf_dir):
     """ES categorize_text (deterministic exact-pattern core) over a
     log-like message column synthesized from doc_id: four rotating
@@ -5548,6 +5564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_change_point": q_facet_change_point,
         "categorize_text": q_categorize_text,
         "intervals": q_intervals,
+        "facet_ks_test": q_facet_ks_test,
         "more_like_this": q_more_like_this,
         "bm25_explain": q_bm25_explain,
         "corpus_stats": q_corpus_stats,
@@ -9765,6 +9782,29 @@ SELECT query_id, type,
        ROUND(CASE WHEN type = 'step_change' THEN rmean END, 6) AS right_mean,
        ROUND(CASE WHEN type = 'step_change' THEN ratio END, 6) AS reduction_ratio
 FROM cpb
+"""
+
+    # ES bucket_count_ks_test: prefix-sum CDF distances vs uniform
+    sql["facet_ks_test"] = f"""
+WITH {_DH_CTES},
+ks AS (
+  SELECT query_id,
+         SUM(CAST(n_docs AS DOUBLE)) OVER cum
+           / SUM(CAST(n_docs AS DOUBLE)) OVER grp AS ca,
+         CAST(ROW_NUMBER() OVER seq AS DOUBLE)
+           / CAST(COUNT(*) OVER grp AS DOUBLE) AS ce
+  FROM dhist
+  WINDOW seq AS (PARTITION BY query_id ORDER BY bucket),
+         cum AS (PARTITION BY query_id ORDER BY bucket
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         grp AS (PARTITION BY query_id)
+)
+SELECT query_id,
+       CAST(COUNT(*) AS INTEGER) AS n_buckets,
+       ROUND(GREATEST(MAX(ca - ce), 0.0), 6) AS d_greater,
+       ROUND(GREATEST(MAX(ce - ca), 0.0), 6) AS d_less,
+       ROUND(MAX(ABS(ca - ce)), 6) AS d_two_sided
+FROM ks GROUP BY query_id
 """
 
     # ES categorize_text: exact token-pattern categorization replica —

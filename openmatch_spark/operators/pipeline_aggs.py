@@ -521,3 +521,59 @@ def change_point(
         F.when(keep, F.col("_rmean")).alias("right_mean"),
         F.when(keep, F.col("_ratio")).alias("reduction_ratio"),
     )
+
+
+def bucket_count_ks_test(
+    buckets: DataFrame,
+    value_col: str,
+    order_col: str,
+    group_cols: list[str],
+    expected_col: str | None = None,
+) -> DataFrame:
+    """ES `bucket_count_ks_test`, the deterministic-statistic core:
+    Kolmogorov-Smirnov distances between each group's cumulative
+    bucket-count distribution (buckets ordered by order_col) and an
+    expected cumulative distribution — uniform across the group's
+    buckets by default, or proportional to expected_col when given
+    (ES's `fractions` array). Per group:
+
+      d_greater   = max over buckets of (actual_cdf - expected_cdf)
+      d_less      = max of (expected_cdf - actual_cdf)
+      d_two_sided = max of |actual_cdf - expected_cdf|
+
+    ES's Monte-Carlo / ML-derived p-values for these alternatives are
+    documented out — the D statistics are the replicable core a rule
+    can threshold on. Groups with a zero count total (or zero expected
+    total) report NULL distances.
+
+    Plan: two ordered-window prefix sums and one groupBy — the same
+    single-exchange shape as the sibling pipeline aggs; no UDF."""
+    x = F.col(value_col).cast("double")
+    e = F.col(expected_col).cast("double") if expected_col else F.lit(1.0)
+    w_ord = (
+        Window.partitionBy(*group_cols)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_grp = Window.partitionBy(*group_cols)
+    d = buckets.select(
+        *group_cols,
+        F.col(order_col),
+        F.when(
+            F.sum(x).over(w_grp) > 0, F.sum(x).over(w_ord) / F.sum(x).over(w_grp)
+        ).alias("_ca"),
+        F.when(
+            F.sum(e).over(w_grp) > 0, F.sum(e).over(w_ord) / F.sum(e).over(w_grp)
+        ).alias("_ce"),
+    )
+    diff = F.col("_ca") - F.col("_ce")
+    return d.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("int").alias("n_buckets"),
+        F.when(
+            F.max(diff).isNotNull(), F.greatest(F.max(diff), F.lit(0.0))
+        ).alias("d_greater"),
+        F.when(
+            F.max(diff).isNotNull(), F.greatest(F.max(-diff), F.lit(0.0))
+        ).alias("d_less"),
+        F.max(F.abs(diff)).alias("d_two_sided"),
+    )

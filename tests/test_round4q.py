@@ -100,3 +100,38 @@ def test_categorize_text_caps_and_pruning(spark):
         categorize_text(logs, "msg", min_doc_count=0)
     with pytest.raises(ValueError):
         categorize_text(logs, "msg", max_tokens=0)
+
+
+def test_bucket_count_ks_test(spark):
+    from openmatch_spark.operators.pipeline_aggs import bucket_count_ks_test
+
+    b = _series(spark, [
+        ("uni", [2, 2, 2, 2]),      # exactly uniform -> all D = 0
+        ("front", [8, 0, 0, 0]),    # mass up front -> d_greater = 0.75
+        ("back", [0, 0, 0, 8]),     # mass at the back -> d_less = 0.75
+        ("zero", [0, 0, 0]),        # zero total -> NULL distances
+    ])
+    out = {r["g"]: r for r in
+           bucket_count_ks_test(b, "v", "bucket", ["g"]).collect()}
+    assert out["uni"]["d_two_sided"] == 0.0
+    assert abs(out["front"]["d_greater"] - 0.75) < 1e-12
+    assert out["front"]["d_less"] == 0.0
+    assert abs(out["back"]["d_less"] - 0.75) < 1e-12
+    assert out["back"]["d_greater"] == 0.0
+    assert out["back"]["n_buckets"] == 4
+    assert out["zero"]["d_two_sided"] is None
+    assert out["zero"]["d_greater"] is None
+
+
+def test_bucket_count_ks_test_expected_col(spark):
+    from openmatch_spark.operators.pipeline_aggs import bucket_count_ks_test
+
+    # expected fractions matching the actual distribution -> D = 0
+    b = spark.createDataFrame(
+        [("g", "b0", 1.0, 10.0), ("g", "b1", 3.0, 30.0),
+         ("g", "b2", 4.0, 40.0), ("g", "b3", 2.0, 20.0)],
+        "g string, bucket string, v double, exp double",
+    )
+    r = bucket_count_ks_test(
+        b, "v", "bucket", ["g"], expected_col="exp").collect()[0]
+    assert abs(r["d_two_sided"]) < 1e-12

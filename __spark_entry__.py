@@ -5235,6 +5235,36 @@ def q_facet_change_point(spark, sf_dir):
     )
 
 
+def q_facet_ip_range(spark, sf_dir):
+    """ES ip_range aggregation over the BM25 top-10 hit set: client IPs
+    synthesized deterministically from doc_id (two /16 masks, a bounded
+    from..to split and an open-ended tail; doc 7 gets a malformed
+    address that must fall in no bucket), from inclusive / to exclusive,
+    zero-filled buckets."""
+    from openmatch_spark.operators.facets import ip_range_facets
+
+    run = _bm25_run(spark, sf_dir, k=10, rounded=False).select(
+        "query_id", "doc_id"
+    )
+    d = F.col("doc_id").cast("bigint")
+    ip = F.when(d == 7, F.lit("not.an.ip.addr")).otherwise(
+        F.concat(
+            F.lit("10."), (d % 3).cast("string"),
+            F.lit("."), (d % 256).cast("string"),
+            F.lit("."), ((d * 7) % 256).cast("string"),
+        )
+    )
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), ip.alias("client_ip")
+    )
+    return ip_range_facets(run, docs, "client_ip", [
+        {"mask": "10.0.0.0/16"},
+        {"mask": "10.1.0.0/16"},
+        {"from": "10.2.0.0", "to": "10.2.128.0"},
+        {"from": "10.2.128.0", "to": None},
+    ])
+
+
 def q_facet_ks_test(spark, sf_dir):
     """ES bucket_count_ks_test (deterministic D statistics) of each
     query's monthly bucket counts against the uniform distribution over
@@ -5565,6 +5595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "categorize_text": q_categorize_text,
         "intervals": q_intervals,
         "facet_ks_test": q_facet_ks_test,
+        "facet_ip_range": q_facet_ip_range,
         "more_like_this": q_more_like_this,
         "bm25_explain": q_bm25_explain,
         "corpus_stats": q_corpus_stats,
@@ -9782,6 +9813,67 @@ SELECT query_id, type,
        ROUND(CASE WHEN type = 'step_change' THEN rmean END, 6) AS right_mean,
        ROUND(CASE WHEN type = 'step_change' THEN ratio END, 6) AS reduction_ratio
 FROM cpb
+"""
+
+    # ES ip_range: bounds recomputed independently with ipaddress (the
+    # engine compiles its own); same from-inclusive/to-exclusive rule
+    import ipaddress as _ipa
+
+    def _ipl(s):
+        return int(_ipa.IPv4Address(s))
+
+    _ipr_rows = []
+    for _m in ("10.0.0.0/16", "10.1.0.0/16"):
+        _net = _ipa.ip_network(_m)
+        _ipr_rows.append(
+            (_m, int(_net.network_address), int(_net.broadcast_address) + 1)
+        )
+    _ipr_rows.append(
+        ("10.2.0.0..10.2.128.0", _ipl("10.2.0.0"), _ipl("10.2.128.0"))
+    )
+    _ipr_rows.append(("10.2.128.0..*", _ipl("10.2.128.0"), 1 << 32))
+    _ipr_vals = ", ".join(
+        f"('{b}', {lo}, {hi})" for b, lo, hi in _ipr_rows
+    )
+    sql["facet_ip_range"] = f"""
+WITH {_BM25_CTES},
+ipr10 AS (SELECT query_id, doc_id FROM run WHERE rank <= 10),
+ipd AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         CASE WHEN CAST(doc_id AS BIGINT) = 7 THEN 'not.an.ip.addr'
+              ELSE '10.' || CAST(CAST(doc_id AS BIGINT) % 3 AS VARCHAR)
+                   || '.' || CAST(CAST(doc_id AS BIGINT) % 256 AS VARCHAR)
+                   || '.' || CAST((CAST(doc_id AS BIGINT) * 7) % 256 AS VARCHAR)
+         END AS ip
+  FROM documents
+),
+ipnum AS (
+  SELECT doc_id,
+         CASE WHEN regexp_matches(ip, '^[0-9]+(\\.[0-9]+){{3}}$')
+                   AND CAST(split_part(ip, '.', 1) AS BIGINT) <= 255
+                   AND CAST(split_part(ip, '.', 2) AS BIGINT) <= 255
+                   AND CAST(split_part(ip, '.', 3) AS BIGINT) <= 255
+                   AND CAST(split_part(ip, '.', 4) AS BIGINT) <= 255
+              THEN CAST(split_part(ip, '.', 1) AS BIGINT) * 16777216
+                   + CAST(split_part(ip, '.', 2) AS BIGINT) * 65536
+                   + CAST(split_part(ip, '.', 3) AS BIGINT) * 256
+                   + CAST(split_part(ip, '.', 4) AS BIGINT)
+         END AS num
+  FROM ipd
+),
+ipranges(bucket, lo, hi) AS (VALUES {_ipr_vals}),
+ipcnt AS (
+  SELECT r.query_id, g.bucket, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM ipr10 r
+  JOIN ipnum n ON n.doc_id = r.doc_id
+  JOIN ipranges g ON n.num >= g.lo AND n.num < g.hi
+  GROUP BY 1, 2
+)
+SELECT q.query_id, rg.bucket,
+       CAST(COALESCE(c.n_docs, 0) AS BIGINT) AS n_docs
+FROM (SELECT DISTINCT query_id FROM ipr10) q
+CROSS JOIN ipranges rg
+LEFT JOIN ipcnt c ON c.query_id = q.query_id AND c.bucket = rg.bucket
 """
 
     # ES bucket_count_ks_test: prefix-sum CDF distances vs uniform

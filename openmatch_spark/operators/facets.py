@@ -755,3 +755,85 @@ def categorize_text(
     if top_n is not None:
         out = out.where(F.col("rank") <= top_n)
     return out
+
+
+_IPV4_RE = r"^((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])$"
+
+
+def _ipv4_to_long(ip: str) -> int:
+    parts = ip.split(".")
+    if len(parts) != 4 or any(not p.isdigit() or int(p) > 255 for p in parts):
+        raise ValueError(f"not a dotted-quad IPv4 address: {ip!r}")
+    a, b, c, d = (int(p) for p in parts)
+    return (a << 24) | (b << 16) | (c << 8) | d
+
+
+def _ip_range_bounds(spec: dict) -> tuple[str, int, int]:
+    """-> (bucket_label, lo_inclusive, hi_exclusive) from an ES-style
+    range spec: {"mask": "a.b.c.d/len"} or {"from": ip|None, "to":
+    ip|None} — from inclusive, to exclusive, None = open end."""
+    if "mask" in spec:
+        ip, _, bits = spec["mask"].partition("/")
+        n = int(bits)
+        if not 0 <= n <= 32:
+            raise ValueError(f"mask length out of range: {spec['mask']!r}")
+        width = 1 << (32 - n)
+        lo = _ipv4_to_long(ip) & ~(width - 1)
+        return spec["mask"], lo, lo + width
+    lo = _ipv4_to_long(spec["from"]) if spec.get("from") else 0
+    hi = _ipv4_to_long(spec["to"]) if spec.get("to") else 1 << 32
+    return f"{spec.get('from') or '*'}..{spec.get('to') or '*'}", lo, hi
+
+
+def ip_range_facets(
+    run: DataFrame,
+    docs: DataFrame,
+    ip_col: str,
+    ranges: list[dict],
+) -> DataFrame:
+    """(query_id, bucket, n_docs) — ES `ip_range` aggregation over the
+    run's documents. ranges: ES-style specs ({"mask": "10.0.0.0/16"} or
+    {"from": ..., "to": ...}); from is inclusive, to exclusive,
+    overlapping ranges each count the doc (ES semantics). IPv4 only
+    (IPv6 needs 128-bit arithmetic — documented out); rows whose ip_col
+    is NULL or not a dotted quad fall in no bucket, and every requested
+    range appears with an explicit zero instead of vanishing.
+
+    Plan: each spec compiles driver-side to numeric [lo, hi) bounds;
+    membership is a projection over the broadcast-hydrated run (same
+    shape as range_facets) — one exchange for the count groupBy."""
+    if not ranges:
+        raise ValueError("ranges must name at least one ip range")
+    bounds = [_ip_range_bounds(s) for s in ranges]
+    base = run.select(
+        F.col("query_id").cast("string").alias("query_id"),
+        F.col("doc_id").cast("string").alias("doc_id"),
+    )
+    p = F.split(F.col(ip_col), r"\.")
+    num = F.when(
+        F.col(ip_col).rlike(_IPV4_RE),
+        p[0].cast("long") * 16777216 + p[1].cast("long") * 65536
+        + p[2].cast("long") * 256 + p[3].cast("long"),
+    )
+    membership = F.array(*[
+        F.when((num >= F.lit(lo)) & (num < F.lit(hi)), F.lit(label))
+        for label, lo, hi in bounds
+    ])
+    counts = (
+        docs.select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.filter(membership, lambda x: x.isNotNull()).alias("_m"),
+        )
+        .join(F.broadcast(base), "doc_id")
+        .select("query_id", F.explode("_m").alias("bucket"))
+        .groupBy("query_id", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    rframe = docs.sparkSession.createDataFrame(
+        [(label,) for label, _, _ in bounds], "bucket string"
+    )
+    grid = base.select("query_id").distinct().crossJoin(F.broadcast(rframe))
+    return grid.join(counts, ["query_id", "bucket"], "left").select(
+        "query_id", "bucket",
+        F.coalesce("n_docs", F.lit(0).cast("long")).alias("n_docs"),
+    )

@@ -135,3 +135,39 @@ def test_bucket_count_ks_test_expected_col(spark):
     r = bucket_count_ks_test(
         b, "v", "bucket", ["g"], expected_col="exp").collect()[0]
     assert abs(r["d_two_sided"]) < 1e-12
+
+
+def test_ip_range_facets(spark):
+    from openmatch_spark.operators.facets import (
+        _ip_range_bounds, ip_range_facets,
+    )
+    import pytest
+
+    assert _ip_range_bounds({"mask": "10.1.0.0/16"}) == (
+        "10.1.0.0/16", 10 * 2**24 + 2**16, 10 * 2**24 + 2 * 2**16)
+    # mask bounds snap to the network base
+    assert _ip_range_bounds({"mask": "10.1.5.9/16"})[1:] == (
+        10 * 2**24 + 2**16, 10 * 2**24 + 2 * 2**16)
+    assert _ip_range_bounds({"from": None, "to": "0.0.0.5"}) == (
+        "*..0.0.0.5", 0, 5)
+    with pytest.raises(ValueError):
+        _ip_range_bounds({"mask": "10.0.0.0/40"})
+    with pytest.raises(ValueError):
+        _ip_range_bounds({"from": "300.1.1.1", "to": None})
+
+    run = spark.createDataFrame(
+        [("q", "a"), ("q", "b"), ("q", "c"), ("q", "d")],
+        "query_id string, doc_id string",
+    )
+    docs = spark.createDataFrame(
+        [("a", "10.0.0.1"), ("b", "10.0.255.255"), ("c", "10.1.0.0"),
+         ("d", "garbage"), ("e", "10.9.9.9")],   # e not in run
+        "doc_id string, ip string",
+    )
+    out = {(r["query_id"], r["bucket"]): r["n_docs"] for r in ip_range_facets(
+        run, docs, "ip",
+        [{"mask": "10.0.0.0/16"}, {"from": "10.1.0.0", "to": None},
+         {"mask": "192.168.0.0/24"}],
+    ).collect()}
+    assert out == {("q", "10.0.0.0/16"): 2, ("q", "10.1.0.0..*"): 1,
+                   ("q", "192.168.0.0/24"): 0}

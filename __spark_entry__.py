@@ -5235,6 +5235,21 @@ def q_facet_change_point(spark, sf_dir):
     )
 
 
+def q_geo_line(spark, sf_dir):
+    """ES geo_line aggregation: per coarse bucket (custkey // 30 over
+    the first 100 customers), the WKT track through the synthetic
+    points ordered by cust_id, capped at 20 points — buckets 0..2
+    overflow (complete=false), bucket 3 fits (complete=true)."""
+    from openmatch_spark.operators.geo import geo_line
+
+    pts = _geo_customers(spark, sf_dir).select(
+        F.col("cust_id").cast("long").alias("cid"), "lat", "lon"
+    ).where(F.col("cid") <= 100).withColumn(
+        "bucket", F.floor(F.col("cid") / 30).cast("int")
+    )
+    return geo_line(pts, "lat", "lon", "cid", ["bucket"], size=20)
+
+
 def q_facet_ip_range(spark, sf_dir):
     """ES ip_range aggregation over the BM25 top-10 hit set: client IPs
     synthesized deterministically from doc_id (two /16 masks, a bounded
@@ -5596,6 +5611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "intervals": q_intervals,
         "facet_ks_test": q_facet_ks_test,
         "facet_ip_range": q_facet_ip_range,
+        "geo_line": q_geo_line,
         "more_like_this": q_more_like_this,
         "bm25_explain": q_bm25_explain,
         "corpus_stats": q_corpus_stats,
@@ -9813,6 +9829,30 @@ SELECT query_id, type,
        ROUND(CASE WHEN type = 'step_change' THEN rmean END, 6) AS right_mean,
        ROUND(CASE WHEN type = 'step_change' THEN ratio END, 6) AS reduction_ratio
 FROM cpb
+"""
+
+    # ES geo_line: same synthetic coordinates, same cap-before-pack rule
+    sql["geo_line"] = """
+WITH gl_pts AS (
+  SELECT CAST(c_custkey AS BIGINT) AS cid,
+         CAST(CAST(c_custkey AS BIGINT) // 30 AS INTEGER) AS bucket,
+         ((CAST(c_custkey AS BIGINT) * 37) % 16000) / 100.0 - 80.0 AS lat,
+         ((CAST(c_custkey AS BIGINT) * 7919) % 36000) / 100.0 - 180.0 AS lon
+  FROM customer WHERE CAST(c_custkey AS BIGINT) <= 100
+),
+gl_rk AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY cid, lon, lat) AS r,
+         COUNT(*) OVER (PARTITION BY bucket) AS n
+  FROM gl_pts
+)
+SELECT bucket,
+       'LINESTRING (' || string_agg(
+         printf('%.2f %.2f', lon, lat), ', ' ORDER BY cid, lon, lat
+       ) || ')' AS line,
+       CAST(COUNT(*) AS INTEGER) AS n_points,
+       MAX(n) <= 20 AS complete
+FROM gl_rk WHERE r <= 20 GROUP BY bucket
 """
 
     # ES ip_range: bounds recomputed independently with ipaddress (the

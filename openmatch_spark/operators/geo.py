@@ -220,3 +220,71 @@ def geo_distance_facets(
         *group_cols, "bucket",
         F.coalesce("n_docs", F.lit(0).cast("long")).alias("n_docs"),
     )
+
+
+def geo_line(
+    points: DataFrame,
+    lat_col: str,
+    lon_col: str,
+    sort_col: str,
+    group_cols: list[str],
+    size: int = 10000,
+) -> DataFrame:
+    """ES `geo_line` aggregation: per group, the track connecting the
+    points ordered ascending by sort_col (ES sort_order=ASC), truncated
+    to the `size` points with the SMALLEST sort values when the group
+    overflows (ES keeps by sort order and reports complete=false).
+    Sort ties break on (lon, lat) so the track is deterministic — ES
+    leaves tie order to shard iteration, which an oracle can't replay.
+    Rows with a NULL coordinate or sort value carry no position on the
+    track and are dropped.
+
+    Output per group: (group_cols..., line, n_points, complete) where
+    line is WKT — 'LINESTRING (lon lat, lon lat, ...)' with %.2f
+    coordinates (the synthetic grids are 0.01-degree; WKT is lon-first).
+    Single-point groups still emit (degenerate one-coordinate string),
+    matching ES's behavior of returning whatever track exists.
+
+    Plan: one window ranks points within the group, the size cap
+    filters BEFORE the collect (per-group state is bounded by `size`,
+    never by the group's raw point count), then one groupBy packs the
+    capped track; array_sort orders inside the JVM. Two exchanges on
+    the same key; no UDF."""
+    if size < 1:
+        raise ValueError(f"size must be >= 1, got {size}")
+    s, la, lo = F.col(sort_col), F.col(lat_col), F.col(lon_col)
+    w = Window.partitionBy(*group_cols).orderBy(
+        s.asc(), lo.asc(), la.asc()
+    )
+    wg = Window.partitionBy(*group_cols)
+    ranked = points.where(
+        s.isNotNull() & la.isNotNull() & lo.isNotNull()
+    ).select(
+        *group_cols,
+        s.alias("_s"), la.alias("_la"), lo.alias("_lo"),
+        F.row_number().over(w).alias("_r"),
+        F.count(F.lit(1)).over(wg).alias("_n"),
+    )
+    packed = (
+        ranked.where(F.col("_r") <= size)
+        .groupBy(*group_cols)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("_s", "_lo", "_la"))
+            ).alias("_pts"),
+            F.max("_n").alias("_total"),
+        )
+    )
+    coord = lambda p: F.concat(  # noqa: E731
+        F.format_number(p["_lo"], 2), F.lit(" "), F.format_number(p["_la"], 2)
+    )
+    return packed.select(
+        *group_cols,
+        F.concat(
+            F.lit("LINESTRING ("),
+            F.array_join(F.transform("_pts", coord), ", "),
+            F.lit(")"),
+        ).alias("line"),
+        F.size("_pts").cast("int").alias("n_points"),
+        (F.col("_total") <= F.lit(size)).alias("complete"),
+    )

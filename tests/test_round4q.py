@@ -171,3 +171,31 @@ def test_ip_range_facets(spark):
     ).collect()}
     assert out == {("q", "10.0.0.0/16"): 2, ("q", "10.1.0.0..*"): 1,
                    ("q", "192.168.0.0/24"): 0}
+
+
+def test_geo_line(spark):
+    from openmatch_spark.operators.geo import geo_line
+    import pytest
+
+    pts = spark.createDataFrame(
+        [("a", 3, 10.0, 20.0), ("a", 1, -5.5, 30.25), ("a", 2, 0.0, 0.0),
+         ("b", 1, 1.0, 2.0),
+         ("b", 2, None, 2.0),        # null coordinate -> dropped
+         ("c", None, 9.0, 9.0)],     # null sort -> dropped, group vanishes
+        "g string, s int, lat double, lon double",
+    )
+    out = {r["g"]: r for r in
+           geo_line(pts, "lat", "lon", "s", ["g"]).collect()}
+    assert out["a"]["line"] == (
+        "LINESTRING (30.25 -5.50, 0.00 0.00, 20.00 10.00)")
+    assert out["a"]["n_points"] == 3 and out["a"]["complete"] is True
+    assert out["b"]["line"] == "LINESTRING (2.00 1.00)"
+    assert "c" not in out
+
+    # size cap keeps the SMALLEST sort values and flags incomplete
+    capped = geo_line(pts, "lat", "lon", "s", ["g"], size=2).collect()
+    a = next(r for r in capped if r["g"] == "a")
+    assert a["line"] == "LINESTRING (30.25 -5.50, 0.00 0.00)"
+    assert a["n_points"] == 2 and a["complete"] is False
+    with pytest.raises(ValueError):
+        geo_line(pts, "lat", "lon", "s", ["g"], size=0)

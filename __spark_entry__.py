@@ -5235,6 +5235,29 @@ def q_facet_change_point(spark, sf_dir):
     )
 
 
+def q_facet_date_histogram_tz(spark, sf_dir):
+    """ES date_histogram with time_zone and offset: daily buckets of the
+    hit set's timestamps on +05:30 wall-clock time, boundaries shifted
+    +6h (ES rule: start = trunc(ts - offset) + offset, keys in the
+    requested zone). The oracle pins the fixed zone offset as interval
+    arithmetic; named DST zones ride Spark's from_utc_timestamp."""
+    from openmatch_spark.operators.facets import date_histogram_facets
+
+    run = _bm25_run(spark, sf_dir, k=10, rounded=False).select(
+        "query_id", "doc_id"
+    )
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_interval(hours=(F.col("doc_id") * 7).cast("int"))
+        ).alias("warc_ts"),
+    )
+    return date_histogram_facets(
+        run, docs, "warc_ts", "day", offset="+6h", time_zone="+05:30"
+    )
+
+
 def q_geo_line(spark, sf_dir):
     """ES geo_line aggregation: per coarse bucket (custkey // 30 over
     the first 100 customers), the WKT track through the synthetic
@@ -5612,6 +5635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_ks_test": q_facet_ks_test,
         "facet_ip_range": q_facet_ip_range,
         "geo_line": q_geo_line,
+        "facet_date_histogram_tz": q_facet_date_histogram_tz,
         "more_like_this": q_more_like_this,
         "bm25_explain": q_bm25_explain,
         "corpus_stats": q_corpus_stats,
@@ -9829,6 +9853,27 @@ SELECT query_id, type,
        ROUND(CASE WHEN type = 'step_change' THEN rmean END, 6) AS right_mean,
        ROUND(CASE WHEN type = 'step_change' THEN ratio END, 6) AS reduction_ratio
 FROM cpb
+"""
+
+    # ES date_histogram time_zone/offset: +05:30 pinned as interval
+    # arithmetic, +6h boundary shift per the ES start rule
+    sql["facet_date_histogram_tz"] = f"""
+WITH {_BM25_CTES},
+dz10 AS (SELECT query_id, doc_id FROM run WHERE rank <= 10),
+dzts AS (
+  SELECT CAST(d.doc_id AS VARCHAR) AS doc_id,
+         TIMESTAMP '2024-01-01 00:00:00'
+           + CAST(d.doc_id AS BIGINT) * INTERVAL 7 HOUR
+           + INTERVAL 330 MINUTE AS lts
+  FROM documents d
+)
+SELECT r.query_id, 'warc_ts' AS facet,
+       strftime(
+         date_trunc('day', t.lts - INTERVAL 6 HOUR) + INTERVAL 6 HOUR,
+         '%Y-%m-%d %H:%M:%S') AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM dz10 r JOIN dzts t ON t.doc_id = r.doc_id
+GROUP BY r.query_id, bucket
 """
 
     # ES geo_line: same synthetic coordinates, same cap-before-pack rule

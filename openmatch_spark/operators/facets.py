@@ -258,11 +258,32 @@ def facet_top_hits(
 DATE_INTERVALS = ("year", "quarter", "month", "week", "day", "hour", "minute")
 
 
+def _parse_dh_offset(offset: str):
+    """ES date_histogram `offset` ('+6h', '-30m', '1d') -> a Spark
+    interval column. Units: m(inutes), h(ours), d(ays)."""
+    import re as _re
+
+    m = _re.fullmatch(r"([+-]?)(\d+)([mhd])", offset)
+    if not m:
+        raise ValueError(
+            f"offset must look like '+6h' / '-30m' / '1d', got {offset!r}"
+        )
+    n = (-1 if m.group(1) == "-" else 1) * int(m.group(2))
+    unit = m.group(3)
+    return F.make_interval(
+        days=F.lit(n if unit == "d" else 0),
+        hours=F.lit(n if unit == "h" else 0),
+        mins=F.lit(n if unit == "m" else 0),
+    )
+
+
 def date_histogram_facets(
     run: DataFrame,
     docs: DataFrame,
     ts_col: str,
     interval: str = "month",
+    offset: str | None = None,
+    time_zone: str | None = None,
 ) -> DataFrame:
     """(query_id, facet, bucket, n_docs) — the Elasticsearch
     `date_histogram` aggregation (calendar_interval flavor) over the hit
@@ -277,6 +298,13 @@ def date_histogram_facets(
     vocabulary, so the oracle replica is a literal date_trunc. 'week'
     means ISO Monday-start in both engines.
 
+    offset (ES `offset`, e.g. '+6h'): bucket boundaries shift by the
+    duration — bucket start = trunc(ts - offset) + offset, ES's rule.
+    time_zone (ES `time_zone`): timestamps are interpreted as UTC and
+    bucketed on their wall-clock time in that zone (named zones and
+    fixed '+HH:MM' offsets, via from_utc_timestamp); the bucket key is
+    the LOCAL bucket start — ES likewise keys in the requested zone.
+
     Plan: identical to facet_counts — the run is queries × k bounded, so
     one broadcast hydrate join + one groupBy; the truncation is a pure
     projection on the docs scan. At 100 TB the shuffle carries only
@@ -290,13 +318,18 @@ def date_histogram_facets(
         F.col("query_id").cast("string").alias("query_id"),
         F.col("doc_id").cast("string").alias("doc_id"),
     )
+    ts = F.col(ts_col).cast("timestamp")
+    if time_zone is not None:
+        ts = F.from_utc_timestamp(ts, time_zone)
+    if offset is not None:
+        iv = _parse_dh_offset(offset)
+        start = F.date_trunc(interval, ts - iv) + iv
+    else:
+        start = F.date_trunc(interval, ts)
     bucketed = docs.select(
         F.col("doc_id").cast("string").alias("doc_id"),
         F.coalesce(
-            F.date_format(
-                F.date_trunc(interval, F.col(ts_col).cast("timestamp")),
-                "yyyy-MM-dd HH:mm:ss",
-            ),
+            F.date_format(start, "yyyy-MM-dd HH:mm:ss"),
             F.lit(NULL_BUCKET),
         ).alias("bucket"),
     )

@@ -199,3 +199,34 @@ def test_geo_line(spark):
     assert a["n_points"] == 2 and a["complete"] is False
     with pytest.raises(ValueError):
         geo_line(pts, "lat", "lon", "s", ["g"], size=0)
+
+
+def test_date_histogram_offset_and_tz(spark):
+    from openmatch_spark.operators.facets import date_histogram_facets
+    import pytest
+
+    run = spark.createDataFrame(
+        [("q", "a"), ("q", "b"), ("q", "c")],
+        "query_id string, doc_id string",
+    )
+    docs = spark.createDataFrame(
+        [("a", "2024-01-01 05:00:00"),   # before the +6h boundary
+         ("b", "2024-01-01 07:00:00"),   # after it
+         ("c", "2024-01-01 23:00:00")],  # UTC day 1 but +03:00 day 2
+        "doc_id string, warc_ts string",
+    )
+    plain = {r["bucket"]: r["n_docs"] for r in date_histogram_facets(
+        run, docs, "warc_ts", "day").collect()}
+    assert plain == {"2024-01-01 00:00:00": 3}
+    off = {r["bucket"]: r["n_docs"] for r in date_histogram_facets(
+        run, docs, "warc_ts", "day", offset="+6h").collect()}
+    assert off == {"2023-12-31 06:00:00": 1, "2024-01-01 06:00:00": 2}
+    tz = {r["bucket"]: r["n_docs"] for r in date_histogram_facets(
+        run, docs, "warc_ts", "day", time_zone="+03:00").collect()}
+    assert tz == {"2024-01-01 00:00:00": 2, "2024-01-02 00:00:00": 1}
+    neg = {r["bucket"]: r["n_docs"] for r in date_histogram_facets(
+        run, docs, "warc_ts", "hour", offset="-30m").collect()}
+    assert neg == {"2024-01-01 04:30:00": 1, "2024-01-01 06:30:00": 1,
+                   "2024-01-01 22:30:00": 1}
+    with pytest.raises(ValueError, match="offset"):
+        date_histogram_facets(run, docs, "warc_ts", "day", offset="6x")

@@ -1947,6 +1947,54 @@ def _entry_index(spark, sf_dir):
     return load_index(spark, _IDX_CACHE[sf_dir])
 
 
+# index-time synonym contraction (analysis.py): variants rewritten to the
+# group's canonical token at build AND query time via the analyzer string
+SYN_GROUPS = {"large": ["big", "huge"], "rapid": ["fast", "quick"]}
+SYN_QUERIES = [
+    ("sy0", "large table"),     # 'large' never occurs raw — only via 'big'
+    ("sy1", "fast merge"),      # query-side variant also contracts
+    ("sy2", "quick scan value"),
+]
+
+
+def _entry_index_synonyms(spark, sf_dir):
+    """Entry index built with the synonym analyzer (once per sf_dir)."""
+    from openmatch_spark.analysis import make_synonym_analyzer
+    from openmatch_spark.fixtures import documents_as_pages
+    from openmatch_spark.index import build_index, load_index
+
+    key = ("syn", sf_dir)
+    if key not in _IDX_CACHE:
+        d = tempfile.mkdtemp(prefix="om_syn_idx_")
+        build_index(
+            spark, documents_as_pages(spark, sf_dir), d,
+            analyzer=make_synonym_analyzer("simple", SYN_GROUPS),
+            num_shards=4, num_term_buckets=8, block_size=128,
+        )
+        _IDX_CACHE[key] = d
+    return load_index(spark, _IDX_CACHE[key])
+
+
+def q_bm25_topk_synonyms(spark, sf_dir):
+    """BM25 over an index built with index-time synonym CONTRACTION
+    ('big'/'huge' -> 'large', 'fast'/'quick' -> 'rapid', frozen in the
+    analyzer string in stats.json): queries naming any group member hit
+    docs containing any other member, with tf/df accumulated on the
+    canonical term. The oracle replays the contraction as a CASE over
+    doc tokens and hand-mapped query terms."""
+    from openmatch_spark.query import search
+
+    idx = _entry_index_synonyms(spark, sf_dir)
+    q = spark.createDataFrame(SYN_QUERIES, "query_id string, text string")
+    run = search(idx, q, k=10, mode="maxscore")
+    return run.select(
+        "query_id",
+        F.regexp_replace("doc_id", "^doc://", "").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+        "rank",
+    )
+
+
 def q_bm25_topk_indexed(spark, sf_dir):
     """Same answer as q_bm25_topk, produced by the FULL engine: persistent
     block-max varbyte index + distributed MaxScore kernel. Sharing the
@@ -5636,6 +5684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_ip_range": q_facet_ip_range,
         "geo_line": q_geo_line,
         "facet_date_histogram_tz": q_facet_date_histogram_tz,
+        "bm25_topk_synonyms": q_bm25_topk_synonyms,
         "more_like_this": q_more_like_this,
         "bm25_explain": q_bm25_explain,
         "corpus_stats": q_corpus_stats,
@@ -9853,6 +9902,51 @@ SELECT query_id, type,
        ROUND(CASE WHEN type = 'step_change' THEN rmean END, 6) AS right_mean,
        ROUND(CASE WHEN type = 'step_change' THEN ratio END, 6) AS reduction_ratio
 FROM cpb
+"""
+
+    # index-time synonyms: the contraction replayed as a CASE over doc
+    # tokens; query terms hand-mapped under the same groups
+    sql["bm25_topk_synonyms"] = f"""
+WITH syn_tok AS (
+  SELECT CAST(d.doc_id AS VARCHAR) AS doc_id,
+         CASE t.term WHEN 'big' THEN 'large' WHEN 'huge' THEN 'large'
+                     WHEN 'fast' THEN 'rapid' WHEN 'quick' THEN 'rapid'
+                     ELSE t.term END AS term
+  FROM documents d,
+       UNNEST(regexp_split_to_array(lower(d.text), '[^a-z0-9]+')) AS t(term)
+  WHERE t.term <> ''
+),
+syn_tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+           FROM syn_tok GROUP BY doc_id, term),
+syn_dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS doclen
+           FROM syn_tok GROUP BY doc_id),
+syn_g AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(doclen) AS avgdl
+          FROM syn_dl),
+syn_df AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df
+           FROM syn_tf GROUP BY term),
+syn_q(query_id, term, qtf) AS (VALUES
+  ('sy0', 'large', 1.0), ('sy0', 'table', 1.0),
+  ('sy1', 'rapid', 1.0), ('sy1', 'merge', 1.0),
+  ('sy2', 'rapid', 1.0), ('sy2', 'scan', 1.0), ('sy2', 'value', 1.0)),
+syn_scored AS (
+  SELECT q.query_id, tf.doc_id,
+         SUM(q.qtf
+             * ln(1 + (g.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.doclen / g.avgdl))) AS score
+  FROM syn_tf tf
+  JOIN syn_q q ON q.term = tf.term
+  JOIN syn_dl dl ON dl.doc_id = tf.doc_id
+  JOIN syn_df df ON df.term = tf.term
+  CROSS JOIN syn_g g
+  GROUP BY q.query_id, tf.doc_id
+)
+SELECT query_id, doc_id, ROUND(score, 6) AS score, rank FROM (
+  SELECT query_id, doc_id, score,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+         ) AS INTEGER) AS rank
+  FROM syn_scored
+) WHERE rank <= 10
 """
 
     # ES date_histogram time_zone/offset: +05:30 pinned as interval

@@ -119,6 +119,9 @@ _STOP_SET = frozenset(LUCENE_ENGLISH_STOPWORDS)
 
 
 def tokenize_py(text: str, analyzer: str = "dpr") -> list[str]:
+    if "|syn=" in analyzer:
+        base, mapping = split_synonym_analyzer(analyzer)
+        return [mapping.get(t, t) for t in tokenize_py(text, base)]
     if analyzer == "dpr":
         return tokenize_dpr_py(text)
     if analyzer == "english":
@@ -153,6 +156,16 @@ def stem_english_minimal_col(tok: Column) -> Column:
 
 
 def tokenize_col(col: Column, analyzer: str = "dpr") -> Column:
+    if "|syn=" in analyzer:
+        base, mapping = split_synonym_analyzer(analyzer)
+        # a literal map lookup with identity fallback — stays JVM-side
+        m = F.create_map(*[
+            F.lit(x) for kv in sorted(mapping.items()) for x in kv
+        ])
+        return F.transform(
+            tokenize_col(col, base),
+            lambda t: F.coalesce(F.element_at(m, t), t),
+        )
     if analyzer == "dpr":
         return tokenize_dpr_udf(col)
     if analyzer == "english":
@@ -226,3 +239,81 @@ def iter_tokenize(batches: Iterator[pd.DataFrame], analyzer: str = "dpr") -> Ite
         )
         out["doclen"] = out["terms"].map(len)
         yield out
+
+
+# ---------------------------------------------------------------------------
+# Index-time synonyms (Lucene SynonymFilter, contraction mode)
+# ---------------------------------------------------------------------------
+#
+# A synonym analyzer is a BASE analyzer plus a contraction map, encoded
+# IN the analyzer string itself — "simple|syn=fast:quick,rapid;big:large"
+# maps every variant token to its group's canonical token AFTER base
+# analysis, at build time and query time alike. Because the whole map
+# rides the analyzer string, it is frozen in the index's stats.json and
+# every consumer (build, search, phrase/positional queries, suggesters,
+# compaction rebaseline) reproduces the identical token stream with no
+# side state. Lucene's expansion mode (emit all group members at one
+# position) is documented out: it inflates tf/df and double-counts
+# positions, and Lucene itself recommends contraction for scoring
+# sanity (SynonymGraphFilter docs).
+
+_SYN_SEP = "|syn="
+
+
+def make_synonym_analyzer(base: str, groups: dict[str, list[str]]) -> str:
+    """Build a synonym analyzer string from {canonical: [variants...]}.
+    Every canonical and variant must analyze to exactly one token under
+    the base analyzer (multi-word synonyms are out of scope); a variant
+    may belong to only one group. The encoding is canonicalized (sorted
+    groups, sorted variants) so equal maps yield byte-equal analyzer
+    strings — stats.json equality checks stay meaningful."""
+    if _SYN_SEP in base:
+        raise ValueError("base analyzer already carries a synonym map")
+    tokenize_py("probe", base)  # raises on unknown base
+    if not groups:
+        raise ValueError("groups must name at least one synonym group")
+    seen: dict[str, str] = {}
+    parts = []
+    for canon in sorted(groups):
+        cts = tokenize_py(canon, base)
+        if len(cts) != 1:
+            raise ValueError(
+                f"canonical {canon!r} analyzes to {len(cts)} tokens; "
+                "synonyms are single-token"
+            )
+        variants = set()
+        for v in groups[canon]:
+            vts = tokenize_py(v, base)
+            if len(vts) != 1:
+                raise ValueError(
+                    f"variant {v!r} analyzes to {len(vts)} tokens; "
+                    "synonyms are single-token"
+                )
+            if vts[0] == cts[0]:
+                continue  # mapping a term to itself is a no-op
+            if vts[0] in seen and seen[vts[0]] != cts[0]:
+                raise ValueError(
+                    f"variant {vts[0]!r} appears in groups "
+                    f"{seen[vts[0]]!r} and {cts[0]!r}"
+                )
+            seen[vts[0]] = cts[0]
+            variants.add(vts[0])
+        if not variants:
+            raise ValueError(f"group {canon!r} has no distinct variants")
+        parts.append(f"{cts[0]}:{','.join(sorted(variants))}")
+    return f"{base}{_SYN_SEP}{';'.join(parts)}"
+
+
+def split_synonym_analyzer(analyzer: str) -> tuple[str, dict[str, str] | None]:
+    """-> (base_analyzer, variant->canonical map or None)."""
+    if _SYN_SEP not in analyzer:
+        return analyzer, None
+    base, _, enc = analyzer.partition(_SYN_SEP)
+    mapping: dict[str, str] = {}
+    for part in enc.split(";"):
+        canon, _, alts = part.partition(":")
+        if not canon or not alts:
+            raise ValueError(f"malformed synonym analyzer part {part!r}")
+        for a in alts.split(","):
+            mapping[a] = canon
+    return base, mapping

@@ -2586,6 +2586,49 @@ def q_sorted_search(spark, sf_dir):
     )
 
 
+def _entry_index_sorted(spark, sf_dir):
+    """Entry index built with index_sort='n_chars' (once per sf_dir):
+    per-shard doc ordinals follow (n_chars, doc_id), the sort value is
+    persisted in the docmap, posting lists are physically field-ordered."""
+    from openmatch_spark.index import build_index, load_index
+
+    key = ("isort", sf_dir)
+    if key not in _IDX_CACHE:
+        d = tempfile.mkdtemp(prefix="om_isort_idx_")
+        pages = _docs(spark, sf_dir).select(
+            F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+            F.lit(None).cast("timestamp").alias("warc_ts"),
+            F.col("text").cast("binary").alias("html"),
+            "text", "lang",
+            F.col("n_chars").cast("double").alias("n_chars"),
+        )
+        build_index(
+            spark, pages, d, analyzer="simple", num_shards=4,
+            num_term_buckets=8, block_size=128, index_sort="n_chars",
+        )
+        _IDX_CACHE[key] = d
+    return load_index(spark, _IDX_CACHE[key])
+
+
+def q_sorted_search_indexed(spark, sf_dir):
+    """q_sorted_search answered by an INDEX-SORTED index (Lucene index
+    sorting): ordinals follow the sort field, the docmap carries the
+    value (no attribute join), and blocks past ceil(k/block_size) are
+    pruned at the parquet scan — early termination, plan-tested in
+    tests/test_index_sort.py. Shares q_sorted_search's oracle: the
+    capped read must produce the identical table."""
+    from openmatch_spark.query import search_sorted_indexed
+
+    idx = _entry_index_sorted(spark, sf_dir)
+    run = search_sorted_indexed(idx, _queries_df(spark), k=10)
+    return run.select(
+        "query_id",
+        F.regexp_replace("doc_id", "^doc://", "").alias("doc_id"),
+        "sort_value",
+        "rank",
+    )
+
+
 _LM_LAMBDA = 0.9
 
 
@@ -5685,6 +5728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_line": q_geo_line,
         "facet_date_histogram_tz": q_facet_date_histogram_tz,
         "bm25_topk_synonyms": q_bm25_topk_synonyms,
+        "sorted_search_indexed": q_sorted_search_indexed,
         "more_like_this": q_more_like_this,
         "bm25_explain": q_bm25_explain,
         "corpus_stats": q_corpus_stats,
@@ -10122,5 +10166,9 @@ FROM ct_cat
     # per-field postings decode, blended rescale — DuckDB-checked too
     sql["dismax_indexed"] = sql["dismax"]
     sql["cross_fields_indexed"] = sql["cross_fields"]
+    # the index-sorted early-terminated path must answer identically to
+    # the attribute-join surface — sharing the oracle checks the whole
+    # ordinal re-keying + block-cap machinery against DuckDB
+    sql["sorted_search_indexed"] = sql["sorted_search"]
 
     return sql

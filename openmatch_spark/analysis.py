@@ -208,23 +208,31 @@ def extract_text_udf(html: pd.Series, text: pd.Series) -> pd.Series:
     return pd.Series([one(h, t) for h, t in zip(html, text)], dtype=object)
 
 
-def extract_corpus(pages: DataFrame, analyzer: str = "dpr") -> DataFrame:
+def extract_corpus(
+    pages: DataFrame, analyzer: str = "dpr", carry_cols: tuple = ()
+) -> DataFrame:
     """pages(url, warc_ts, html, text, lang) -> (doc_id, terms, doclen).
 
     doc_id is the url (string end-to-end; reference coerces ids via str(),
     inference_dataset.py:17-28). One Arrow batch pipeline: extract -> tokenize.
-    """
+    carry_cols: extra pages columns passed through unchanged (index-sort
+    fields) — a projection, never a join."""
     cols = set(pages.columns)
+    missing = [c for c in carry_cols if c not in cols]
+    if missing:
+        raise ValueError(f"carry_cols absent from pages: {missing}")
     doc_id = F.col("url") if "url" in cols else F.col("doc_id").cast("string")
     html = F.col("html") if "html" in cols else F.lit(None).cast("binary")
     text = F.col("text") if "text" in cols else F.lit(None).cast("string")
     extracted = pages.select(
         doc_id.alias("doc_id"),
         extract_text_udf(html, text).alias("text"),
+        *carry_cols,
     )
     return extracted.select(
         "doc_id",
         tokenize_col(F.col("text"), analyzer).alias("terms"),
+        *carry_cols,
     ).withColumn("doclen", F.size("terms"))
 
 

@@ -206,20 +206,45 @@ def term_bucket_col(term_col, num_buckets: int):
     return F.pmod(F.xxhash64(term_col), F.lit(num_buckets)).cast("int")
 
 
-def build_docmap(corpus_sharded: DataFrame) -> DataFrame:
-    """(shard, doc_ord, doc_id, doclen): dense per-shard ordinal by doc_id sort.
+def build_docmap(
+    corpus_sharded: DataFrame,
+    sort_col: str | None = None,
+    sort_desc: bool = False,
+) -> DataFrame:
+    """(shard, doc_ord, doc_id, doclen[, sort_value]): dense per-shard
+    ordinal by doc_id sort — or, with sort_col, by (sort value, doc_id):
+    Lucene INDEX SORTING. Ordinals then follow the sort field inside
+    every shard, so posting lists (doc_ord-ordered by construction) are
+    physically sorted by the field and a sort-by-field query can stop
+    after the first blocks (query/sorted.py search_sorted_indexed). The
+    sort value is persisted in the docmap (float64) so sorted queries
+    never need an attribute join; NULLs order last in either direction
+    (ES missing:_last) via the NULL flag leading the sort key.
 
-    Sorting by doc_id makes ordinals (and hence posting payloads) a pure
-    function of corpus content — identical index bytes under any parallelism
-    (property-tested). row_number is a shard-local sort: one task per shard,
-    parallel across shards.
+    Either way ordinals stay a pure function of corpus content —
+    identical index bytes under any parallelism (property-tested).
+    row_number is a shard-local sort: one task per shard, parallel
+    across shards.
     """
-    w = Window.partitionBy("shard").orderBy("doc_id")
+    if sort_col is None:
+        w = Window.partitionBy("shard").orderBy("doc_id")
+        return corpus_sharded.select(
+            "shard",
+            (F.row_number().over(w) - 1).cast("long").alias("doc_ord"),
+            "doc_id",
+            F.col("doclen").cast("long").alias("doclen"),
+        )
+    sv = F.col(sort_col).cast("double")
+    key = sv.desc() if sort_desc else sv.asc()
+    w = Window.partitionBy("shard").orderBy(
+        sv.isNull().asc(), key, F.col("doc_id").asc()
+    )
     return corpus_sharded.select(
         "shard",
         (F.row_number().over(w) - 1).cast("long").alias("doc_ord"),
         "doc_id",
         F.col("doclen").cast("long").alias("doclen"),
+        sv.alias("sort_value"),
     )
 
 
@@ -250,6 +275,8 @@ def build_index(
     shard_override: int | None = None,
     scoring: str = "bm25",
     mu: float = 1000.0,
+    index_sort: str | None = None,
+    index_sort_desc: bool = False,
 ) -> dict:
     """Scoped-conf wrapper around the build body: shuffle partitioning and
     partition-overwrite mode are session confs the build must set, so they
@@ -271,6 +298,7 @@ def build_index(
             block_size, k1, b, shard_batch_size, resume, fail_after_batches,
             timings, shuffle_partitions, table_prefix, table_format,
             extend_dictionary, shard_override, scoring, mu,
+            index_sort, index_sort_desc,
         )
 
 
@@ -295,8 +323,20 @@ def _build_index_body(
     shard_override: int | None = None,
     scoring: str = "bm25",
     mu: float = 1000.0,
+    index_sort: str | None = None,
+    index_sort_desc: bool = False,
 ) -> dict:
     """Build (or resume) the BM25 index at index_dir. Returns stats dict.
+
+    index_sort (Lucene index sorting): name a pages column — per-shard
+    doc ordinals follow (that value, doc_id) instead of doc_id, the
+    value is persisted in the docmap, and stats.json records
+    {"index_sort": {"field", "desc"}}. Posting lists are then physically
+    ordered by the field, enabling block-pruned early termination in
+    search_sorted_indexed (query/sorted.py). Like scoring, the FROZEN
+    stats own the sort on resume/incremental drains — a drained batch
+    must carry the field, and passing a different index_sort than the
+    frozen one raises.
 
     scoring: "bm25" (default) or "qld" (Dirichlet query likelihood,
     functions/bm25.py qld_weight_col). Both are precomputed per-(term, doc)
@@ -351,7 +391,32 @@ def _build_index_body(
         if shard_override is not None
         else shard_col(F.col("doc_id"), num_shards)
     )
-    corpus = extract_corpus(pages, analyzer=analyzer).withColumn("shard", shard_expr)
+
+    # frozen stats own the index sort (same rule as scoring): a resumed or
+    # incremental build MUST keep the base build's ordinal order, or the
+    # new shards' posting lists stop being field-ordered and sorted-query
+    # early termination silently returns wrong answers.
+    if resume and store.has_stats():
+        _frozen_sort = store.read_stats().get("index_sort")
+        if index_sort is not None and (
+            _frozen_sort is None
+            or _frozen_sort.get("field") != index_sort
+            or bool(_frozen_sort.get("desc", False)) != bool(index_sort_desc)
+        ):
+            raise ValueError(
+                f"index_sort={index_sort!r} (desc={index_sort_desc}) differs "
+                f"from the frozen stats' index_sort={_frozen_sort!r}"
+            )
+        if _frozen_sort is not None:
+            index_sort = _frozen_sort["field"]
+            index_sort_desc = bool(_frozen_sort.get("desc", False))
+    if index_sort in ("shard", "doc_id", "doclen", "terms", "sort_value"):
+        raise ValueError(f"index_sort column name {index_sort!r} is reserved")
+
+    corpus = extract_corpus(
+        pages, analyzer=analyzer,
+        carry_cols=(index_sort,) if index_sort else (),
+    ).withColumn("shard", shard_expr)
     corpus.persist()
 
     # tf is THE shared intermediate: the dictionary (df = rows per term,
@@ -443,6 +508,10 @@ def _build_index_body(
             scoring=scoring,
             mu=mu,
         )
+        if index_sort:
+            stats["index_sort"] = {
+                "field": index_sort, "desc": bool(index_sort_desc)
+            }
         store.write_stats(stats)
         _mark("stats_phase", t0)
 
@@ -488,7 +557,10 @@ def _build_index_body(
             # manifest commit. Readers never see these ids yet (manifest
             # gate), so the pre-clean is race-free.
             store.delete_partitions("postings", "shard", shards)
-        store.overwrite(build_docmap(part), "docmap", ["shard"])
+        store.overwrite(
+            build_docmap(part, sort_col=index_sort, sort_desc=index_sort_desc),
+            "docmap", ["shard"],
+        )
         # re-read what we just wrote: downstream consumers (weighted join,
         # manifest doc counts) would otherwise re-run the window sort per use
         docmap = store.read("docmap").where(F.col("shard").isin(shards))

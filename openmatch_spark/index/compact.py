@@ -335,11 +335,26 @@ def compact_index(
             old_docmap = old_docmap.join(
                 F.broadcast(dead), ["shard", "doc_ord"], "left_anti"
             )
-        merged_docmap = build_docmap(
-            old_docmap.select(
-                F.lit(new_shard).cast("int").alias("shard"), "doc_id", "doclen"
+        # index-sorted indexes (stats.index_sort) must keep ordinals in
+        # sort-field order across the merge — the persisted sort_value
+        # rides along and re-keys the merged shard; plain indexes keep
+        # the doc_id ordering
+        sort_meta = stats.get("index_sort")
+        if sort_meta:
+            merged_docmap = build_docmap(
+                old_docmap.select(
+                    F.lit(new_shard).cast("int").alias("shard"),
+                    "doc_id", "doclen", "sort_value",
+                ),
+                sort_col="sort_value",
+                sort_desc=bool(sort_meta.get("desc", False)),
             )
-        )
+        else:
+            merged_docmap = build_docmap(
+                old_docmap.select(
+                    F.lit(new_shard).cast("int").alias("shard"), "doc_id", "doclen"
+                )
+            )
         store.overwrite(merged_docmap, "docmap", ["shard"], stage=True)
         new_docmap = store.read("docmap").where(F.col("shard") == new_shard)
         t["docmap_sec"] = time.time() - t0

@@ -87,5 +87,8 @@ from openmatch_spark.query.significant import (  # noqa: F401
     significant_terms,
     term_vectors,
 )
-from openmatch_spark.query.sorted import search_sorted  # noqa: F401
+from openmatch_spark.query.sorted import (  # noqa: F401
+    search_sorted,
+    search_sorted_indexed,
+)
 from openmatch_spark.query.suggest import suggest_terms  # noqa: F401

@@ -91,13 +91,20 @@ def query_terms(
 def decoded_query_postings(
     index: BM25Index, queries: DataFrame,
     distributed_threshold: int = _DISTRIBUTED_TOKENIZE_MIN_QUERIES,
+    block_cap: int | None = None,
 ):
     """(decoded, qterms) — the shared front half of every any-term query
     surface (count_hits, search_sorted, ...): the vocabulary-pruned,
     tombstone-masked postings decode for the batch's in-vocabulary terms,
     plus the broadcast (query_id, term) frame to join it against. Returns
     (None, None) when no query term is in vocabulary, so callers own only
-    their empty-result shape."""
+    their empty-result shape.
+
+    block_cap: decode only blocks with block_id < block_cap per posting
+    list — the index-sorted early-termination cut (see
+    search_sorted_indexed for the proof of when this is lossless). The
+    predicate lands on the postings scan (parquet pushdown), so skipped
+    blocks are never read, let alone decoded."""
     from openmatch_spark.index.compact import _decode_blocks_arrow
 
     qt = query_terms(index, queries, distributed_threshold)
@@ -105,9 +112,10 @@ def decoded_query_postings(
         return None, None
     terms = sorted({t for (_, t, _, _) in qt})
     buckets = sorted({b for (_, _, _, b) in qt})
-    decoded = index.postings.where(
-        F.col("term_bucket").isin(buckets) & F.col("term").isin(terms)
-    ).mapInArrow(
+    pred = F.col("term_bucket").isin(buckets) & F.col("term").isin(terms)
+    if block_cap is not None:
+        pred = pred & (F.col("block_id") < F.lit(int(block_cap)))
+    decoded = index.postings.where(pred).mapInArrow(
         _decode_blocks_arrow,
         "shard int, term string, term_bucket int, doc_ord long, weight double",
     )

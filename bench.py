@@ -219,7 +219,19 @@ def suite() -> dict:
     r4_surfaces = {"fielded_build": round(t, 3)}
     for name in ["query_string", "function_score", "facet_adjacency",
                  "hit_extended_stats", "phrase_prefix", "phrase_suggest",
-                 "cross_fields_indexed", "match_bool_prefix"]:
+                 "cross_fields_indexed", "match_bool_prefix", "intervals",
+                 "categorize_text"]:
+        t, _ = _timed(lambda n=name: em.queries()[n](spark, SF_DIR).count())
+        r4_surfaces[name] = round(t, 3)
+
+    # index sorting: build the field-ordered index as its own leg, then
+    # the same sorted query answered by (a) the early-terminated indexed
+    # path (block_id < ceil(k/bs) pruned at the scan, no attribute join)
+    # and (b) the attribute-join surface — (a) vs (b) is the measured
+    # early-termination win at this scale
+    t, _ = _timed(lambda: em._entry_index_sorted(spark, SF_DIR))
+    r4_surfaces["sorted_index_build"] = round(t, 3)
+    for name in ["sorted_search_indexed", "sorted_search"]:
         t, _ = _timed(lambda n=name: em.queries()[n](spark, SF_DIR).count())
         r4_surfaces[name] = round(t, 3)
 

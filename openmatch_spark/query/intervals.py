@@ -52,10 +52,9 @@ from pyspark.sql import DataFrame
 
 from openmatch_spark.index.load import BM25Index
 from openmatch_spark.query.phrase import (
-    _COVER_OUT,
     _bm25_scores,
     _finalize,
-    _min_cover_group,
+    _min_cover_grouped,
     _min_window_grouped,
     _pruned_positions,
 )
@@ -164,7 +163,7 @@ def search_intervals(
             )
         )
     unord_rows = [
-        (q, t, str(j), len(slots))
+        (q, t, j, len(slots))
         for q, (slots, is_ord, _) in sorted(live.items()) if not is_ord
         for j, alts in enumerate(slots)
         for t in alts
@@ -172,23 +171,15 @@ def search_intervals(
     if unord_rows:
         pair_df = F.broadcast(
             spark.createDataFrame(
-                unord_rows, "query_id string, term string, slot string, n_terms int"
+                unord_rows, "query_id string, term string, j int, m int"
             )
         )
-        # the cover kernel keys coverage on its `term` column — feed it
-        # the SLOT label so each slot (not each term) must be covered;
-        # disjointness (enforced above) makes this exact
-        relabeled = (
-            occ.join(pair_df, "term")
-            .select(
-                "query_id", "shard", "doc_ord", "pos", "n_terms",
-                F.col("slot").alias("term"),
-            )
-        )
+        # coverage is keyed on the SLOT id so each slot (not each term)
+        # must be covered; disjointness (enforced above) makes this exact
         parts.append(
-            relabeled.groupBy("query_id", "shard", "doc_ord")
-            .applyInPandas(_min_cover_group, _COVER_OUT)
-            .withColumnRenamed("min_cover", "window")
+            _min_cover_grouped(occ.join(pair_df, "term")).withColumnRenamed(
+                "min_cover", "window"
+            )
         )
 
     hits = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])

@@ -27,27 +27,20 @@ The decode explodes Σ cf(term) occurrence rows for the QUERIED terms only
 shuffled exactly once into the occurrence groupBy. The scoring side reuses
 the postings table (never the sidecar).
 
-Proximity plan: same decoded rows, then one applyInPandas kernel per
-(query, shard, doc) group — the classic sorted-merge minimal-cover sweep,
-O(n log t) in the doc's occurrence count with O(t) state (t = #terms).
-Group state is bounded by a single doc's positions for the queried terms.
+Proximity plan: same decoded rows, then the classic minimal-cover sweep
+as a PURE-JVM aggregate fold (_min_cover_grouped — same shape as the
+ordered DP below): one shuffle into per-(query, doc) sorted occurrence
+arrays, O(n·t) fold with O(t) state (t = #slots), no Python anywhere.
+Slots generalize distinct terms so the intervals query (query/
+intervals.py) shares the kernel with per-slot alternatives.
 """
 
 from __future__ import annotations
 
 from collections import Counter
 
-import numpy as np
-import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
-from pyspark.sql.types import (
-    IntegerType,
-    LongType,
-    StringType,
-    StructField,
-    StructType,
-)
 
 from openmatch_spark.index.compact import _decode_blocks_arrow
 from openmatch_spark.index.load import BM25Index
@@ -234,43 +227,58 @@ def search_phrase(
     return _finalize(index, cand, k, ["phrase_freq"])
 
 
-_COVER_OUT = StructType(
-    [
-        StructField("query_id", StringType()),
-        StructField("shard", IntegerType()),
-        StructField("doc_ord", LongType()),
-        StructField("min_cover", IntegerType()),
-    ]
-)
 
+def _min_cover_grouped(rows: DataFrame) -> DataFrame:
+    """(query_id, shard, doc_ord, min_cover) from slot-labeled occurrence
+    rows (query_id, shard, doc_ord, pos, j, m) — the classic minimal-
+    cover sweep as a PURE-JVM aggregate fold (same rationale as
+    _min_window_grouped: dispatching queries × hit-docs of tiny groups
+    through a pandas kernel costs ~100x the arithmetic; measured 33s ->
+    ~3s on the intervals bench leg).
 
-def _min_cover_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Minimal token window covering every distinct term of the group's
-    query present in this doc — emitted only if ALL terms are present.
-    Classic sweep: walk positions in order keeping the latest position per
-    term; once every term has been seen, each step yields a candidate cover
-    [min(latest), current]."""
-    qid = pdf["query_id"].iloc[0]
-    shard = int(pdf["shard"].iloc[0])
-    ord_ = int(pdf["doc_ord"].iloc[0])
-    n_terms = int(pdf["n_terms"].iloc[0])
-    terms = pdf["term"].to_numpy()
-    if len(set(terms.tolist())) < n_terms:
-        return pd.DataFrame(columns=["query_id", "shard", "doc_ord", "min_cover"])
-    order = np.argsort(pdf["pos"].to_numpy(), kind="stable")
-    pos = pdf["pos"].to_numpy()[order]
-    term = terms[order]
-    latest: dict[str, int] = {}
-    best = None
-    for p, t in zip(pos.tolist(), term.tolist()):
-        latest[t] = p
-        if len(latest) == n_terms:
-            width = p - min(latest.values()) + 1
-            if best is None or width < best:
-                best = width
-    return pd.DataFrame(
-        {"query_id": [qid], "shard": [shard], "doc_ord": [ord_], "min_cover": [int(best)]}
+    One shuffle builds the per-(query, doc) pos-sorted occurrence array;
+    one aggregate() walk keeps latest[j] = the slot's most recent
+    position — once every slot has one, the tightest window ending here
+    is pos - min(latest) + 1. O(n*m) work, O(m) state, no Python. A doc
+    missing any slot never fills latest, so best stays sentinel and the
+    doc drops — the all-slots-present gate, structurally."""
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col("pos").alias("pos"), F.col("j").cast("int").alias("j")
+            )
+        )
     )
+    g = rows.groupBy("query_id", "shard", "doc_ord").agg(
+        F.max("m").cast("int").alias("m"), arr.alias("_occ")
+    )
+    init = F.struct(
+        F.array_repeat(F.lit(-1).cast("long"), F.col("m")).alias("latest"),
+        F.lit(_SENTINEL).cast("long").alias("best"),
+    )
+
+    def merge(acc, x):
+        latest = F.transform(
+            acc["latest"],
+            lambda v, i: F.when(i == x["j"], x["pos"]).otherwise(v),
+        )
+        mn = F.array_min(latest)
+        best = F.when(
+            mn >= 0, F.least(acc["best"], x["pos"] - mn + 1)
+        ).otherwise(acc["best"])
+        return F.struct(latest.alias("latest"), best.alias("best"))
+
+    cover = F.aggregate(
+        F.col("_occ"),
+        init,
+        merge,
+        lambda acc: F.when(
+            acc["best"] < F.lit(_SENTINEL), acc["best"]
+        ).cast("int"),
+    )
+    return g.select(
+        "query_id", "shard", "doc_ord", cover.alias("min_cover")
+    ).where(F.col("min_cover").isNotNull())
 
 
 def _search_proximity_distributed(
@@ -299,12 +307,18 @@ def _search_proximity_distributed(
             [], "query_id string, doc_id string, score double, rank int, min_cover int"
         )
     occ = _pruned_positions(index, in_vocab, bucket_of)
-    grouped = (
-        occ.join(pairs, "term")
-        .join(nt, "query_id")
-        .groupBy("query_id", "shard", "doc_ord")
-        .applyInPandas(_min_cover_group, _COVER_OUT)
-        .where(F.col("min_cover") <= within)
+    # slot ids number ALL distinct terms PRE-vocabulary: an OOV term's
+    # slot never receives occurrence rows, so the fold's all-slots gate
+    # kills the query structurally (same rule the pandas kernel enforced
+    # via its n_terms check)
+    wslot = Window.partitionBy("query_id").orderBy("term")
+    slots = pairs.join(nt, "query_id").select(
+        "query_id", "term",
+        (F.row_number().over(wslot) - 1).cast("int").alias("j"),
+        F.col("n_terms").alias("m"),
+    )
+    grouped = _min_cover_grouped(occ.join(slots, "term")).where(
+        F.col("min_cover") <= within
     )
     qt = xtok.groupBy("query_id", "term").agg(
         F.count(F.lit(1)).cast("double").alias("qtf")
@@ -360,24 +374,20 @@ def search_proximity(
     if not live:
         return empty
 
-    pairs = [
-        (q, t) for q, toks in sorted(live.items()) for t in sorted(set(toks))
+    slot_rows = [
+        (q, t, j, len(set(toks)))
+        for q, toks in sorted(live.items())
+        for j, t in enumerate(sorted(set(toks)))
     ]
-    nterms = [(q, len({t for t in toks})) for q, toks in sorted(live.items())]
-    terms = sorted({t for (_, t) in pairs})
+    terms = sorted({t for (_, t, _, _) in slot_rows})
     occ = _pruned_positions(index, terms, bucket_of)
-    pair_df = F.broadcast(
-        spark.createDataFrame(pairs, "query_id string, term string")
+    slots_df = F.broadcast(
+        spark.createDataFrame(
+            slot_rows, "query_id string, term string, j int, m int"
+        )
     )
-    nt_df = F.broadcast(
-        spark.createDataFrame(nterms, "query_id string, n_terms int")
-    )
-    grouped = (
-        occ.join(pair_df, "term")
-        .join(nt_df, "query_id")
-        .groupBy("query_id", "shard", "doc_ord")
-        .applyInPandas(_min_cover_group, _COVER_OUT)
-        .where(F.col("min_cover") <= within)
+    grouped = _min_cover_grouped(occ.join(slots_df, "term")).where(
+        F.col("min_cover") <= within
     )
     qterms = [
         (q, t, float(c))

@@ -66,11 +66,10 @@ from openmatch_spark.index.compact import _decode_blocks_arrow
 from openmatch_spark.index.load import BM25Index
 from openmatch_spark.query.expand import _expansions, wildcard_to_like
 from openmatch_spark.query.phrase import (
-    _COVER_OUT,
     _DECODED_POSTINGS,
     _bm25_scores,
     _finalize,
-    _min_cover_group,
+    _min_cover_grouped,
     _pruned_positions,
 )
 
@@ -464,32 +463,25 @@ def _phrase_matches(index: BM25Index, ph_rows: list, bucket_of: dict):
             .distinct()
         )
     if sloppy:
-        pairs = [
-            (ck, t)
+        slot_rows = [
+            (ck, t, j, len(set(toks)))
             for (ck, _, _, _, _, _, toks) in sorted(sloppy)
-            for t in sorted(set(toks))
-        ]
-        nterms = [
-            (ck, len(set(toks))) for (ck, _, _, _, _, _, toks) in sorted(sloppy)
+            for j, t in enumerate(sorted(set(toks)))
         ]
         windows = [
             (ck, len(toks) + slop)
             for (ck, _, _, _, _, slop, toks) in sorted(sloppy)
         ]
-        pair_df = F.broadcast(
-            spark.createDataFrame(pairs, "query_id string, term string")
-        )
-        nt_df = F.broadcast(
-            spark.createDataFrame(nterms, "query_id string, n_terms int")
+        slots_df = F.broadcast(
+            spark.createDataFrame(
+                slot_rows, "query_id string, term string, j int, m int"
+            )
         )
         win_df = F.broadcast(
             spark.createDataFrame(windows, "query_id string, win int")
         )
         covered = (
-            occ.join(pair_df, "term")
-            .join(nt_df, "query_id")
-            .groupBy("query_id", "shard", "doc_ord")
-            .applyInPandas(_min_cover_group, _COVER_OUT)
+            _min_cover_grouped(occ.join(slots_df, "term"))
             .join(win_df, "query_id")
             .where(F.col("min_cover") <= F.col("win"))
             .select(F.col("query_id").alias("ck"), "shard", "doc_ord")

@@ -362,9 +362,46 @@ def suite() -> dict:
         "query_1024_sec": round(t_big_query, 2),
         "queries_per_sec": round(1024 / t_big_query, 1),
     }
+
+    # index-sorting early termination at a scale where it bites: 100k docs
+    # at block_size=128 gives head terms ~100+ blocks per list; a k=10
+    # sorted query caps the scan at block_id < 1, so the indexed path
+    # reads ~1% of the candidate postings the attribute-join path decodes.
+    # (At sf0.1's 5k docs every list fits in a handful of blocks and the
+    # two paths tie — see r4_surfaces — which is why this leg lives here.)
+    from openmatch_spark.query import search_sorted, search_sorted_indexed
+
+    sorted_pages = big_pages.withColumn(
+        "crawl_ts", (F.pmod(F.xxhash64("url"), F.lit(10_000_000))).cast("double")
+    )
+    sorted_dir = tempfile.mkdtemp(prefix="om_bench_sorted_")
+    t_sorted_build, _ = _timed(
+        lambda: build_index(
+            spark, sorted_pages, sorted_dir, analyzer="dpr",
+            num_shards=8, num_term_buckets=16, block_size=128,
+            index_sort="crawl_ts",
+        )
+    )
+    sorted_idx = load_index(spark, sorted_dir)
+    sq = spark.createDataFrame(
+        _gen_queries(256, seed=11), "query_id string, text string"
+    )
+    t_sorted_et, n_et = _timed(
+        lambda: search_sorted_indexed(sorted_idx, sq, k=10).count()
+    )
+    attrs = sorted_pages.select(F.col("url").alias("doc_id"), "crawl_ts")
+    t_sorted_join, n_join = _timed(
+        lambda: search_sorted(sorted_idx, sq, attrs, "crawl_ts", k=10).count()
+    )
+    assert n_et == n_join, f"early-terminated rows {n_et} != join rows {n_join}"
+    suite_100k["sorted_build_sec"] = round(t_sorted_build, 2)
+    suite_100k["sorted_256q_early_term_sec"] = round(t_sorted_et, 2)
+    suite_100k["sorted_256q_attr_join_sec"] = round(t_sorted_join, 2)
+    suite_100k["early_term_speedup"] = round(t_sorted_join / t_sorted_et, 2)
     import shutil as _sh
 
     _sh.rmtree(big_dir, ignore_errors=True)
+    _sh.rmtree(sorted_dir, ignore_errors=True)
 
     spark.stop()
     noise_post = _noise_probe()

@@ -76,17 +76,28 @@ def cmd_build_index(args) -> int:
 
     spark = _spark("om-build-index")
     pages = _load_pages(spark, args)
+    analyzer = args.analyzer
+    if getattr(args, "synonyms", None):
+        from openmatch_spark.analysis import make_synonym_analyzer
+
+        groups = {}
+        for part in args.synonyms.split(";"):
+            canon, _, alts = part.partition(":")
+            groups[canon] = alts.split(",") if alts else []
+        analyzer = make_synonym_analyzer(analyzer, groups)
     stats = build_index(
         spark,
         pages,
         args.index,
-        analyzer=args.analyzer,
+        analyzer=analyzer,
         num_shards=args.num_shards,
         num_term_buckets=args.num_term_buckets,
         block_size=args.block_size,
         shard_batch_size=args.shard_batch_size,
         resume=args.resume,
         table_prefix=args.table_prefix,
+        index_sort=getattr(args, "index_sort", None),
+        index_sort_desc=getattr(args, "index_sort_desc", False),
     )
     print(json.dumps({k: v for k, v in stats.items() if not hasattr(v, "toPandas")}))
     return 0
@@ -166,7 +177,17 @@ def cmd_search(args) -> int:
             .schema("query_id string, text string")
             .csv(args.queries)
         )
-    if args.query_string:
+    if getattr(args, "sorted_by_index", False):
+        import pyspark.sql.functions as F
+
+        from openmatch_spark.query import search_sorted_indexed
+
+        mode = "sorted_indexed"
+        run = search_sorted_indexed(idx, queries, k=args.k).select(
+            "query_id", "doc_id",
+            F.col("sort_value").alias("score"), "rank",
+        )
+    elif args.query_string:
         # Lucene-classic one-string surface (query/querystring.py grammar):
         # +must / -not roles, "..."[~slop] phrases, tok* prefix, wildcards,
         # tok~N fuzzy, ^B boosts; --default-operator sets the bare role
@@ -372,7 +393,17 @@ def main(argv=None) -> int:
     bi.add_argument("--pages", required=True, help="parquet path or table name")
     bi.add_argument("--pages-format", choices=["pages", "documents", "table"], default="pages")
     bi.add_argument("--index", required=True)
-    bi.add_argument("--analyzer", choices=["dpr", "simple"], default="dpr")
+    bi.add_argument("--analyzer",
+                    choices=["dpr", "simple", "english", "english_stop"],
+                    default="dpr")
+    bi.add_argument("--synonyms", default=None, metavar="MAP",
+                    help="index-time synonym contraction, "
+                         "'canon:alt1,alt2;canon2:alt3' (analysis.py)")
+    bi.add_argument("--index-sort", default=None, metavar="FIELD",
+                    help="Lucene index sorting: order doc ordinals by this "
+                         "pages column (enables early-terminated "
+                         "search --sorted-by-index)")
+    bi.add_argument("--index-sort-desc", action="store_true")
     bi.add_argument("--num-shards", type=int, default=8)
     bi.add_argument("--num-term-buckets", type=int, default=16)
     bi.add_argument("--block-size", type=int, default=128)
@@ -434,6 +465,10 @@ def main(argv=None) -> int:
                          "(+must/-not, phrases, prefixes, wildcards, fuzzy, boosts)")
     se.add_argument("--default-operator", choices=["or", "and"], default="or",
                     help="role of bare query_string terms (or=should, and=must)")
+    se.add_argument("--sorted-by-index", action="store_true",
+                    help="sort-by-field search over an index-sorted index "
+                         "(block-pruned early termination; the sort value "
+                         "is written as the run score)")
     se.add_argument("--run-id", default="openmatch_spark")
     se.add_argument("--table-prefix", default=None)
     se.set_defaults(fn=cmd_search)

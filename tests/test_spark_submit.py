@@ -175,3 +175,60 @@ def test_spark_submit_percolate(tmp_path):
         "--rules", rules, "--out", str(tmp_path / "matches"),
     )
     assert res["matches"] > 0
+
+
+def test_spark_submit_index_sort_and_synonyms(tmp_path):
+    """build-index --index-sort/--synonyms -> search --sorted-by-index,
+    through real process boundaries."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    zip_path = str(tmp_path / "openmatch_spark.zip")
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "spark_job.py"), "package",
+         "--out", zip_path],
+        capture_output=True, text=True, cwd=REPO,
+    )
+    assert out.returncode == 0, out.stderr
+
+    pages = str(tmp_path / "pages.parquet")
+    rows = [
+        ("doc://0", "big spark table", "en", 30.0),
+        ("doc://1", "huge spark join", "en", 10.0),
+        ("doc://2", "large spark merge", "en", 20.0),
+        ("doc://3", "nothing here", "en", 5.0),
+    ]
+    pq.write_table(pa.table({
+        "url": [r[0] for r in rows],
+        "text": [r[1] for r in rows],
+        "lang": [r[2] for r in rows],
+        "price": [r[3] for r in rows],
+    }), pages)
+
+    idx = str(tmp_path / "idx")
+    stats = _submit(
+        zip_path, "build-index", "--pages", pages, "--index", idx,
+        "--analyzer", "simple", "--num-shards", "2",
+        "--num-term-buckets", "4",
+        "--index-sort", "price",
+        "--synonyms", "large:big,huge",
+    )
+    assert stats["index_sort"] == {"field": "price", "desc": False}
+    assert stats["analyzer"] == "simple|syn=large:big,huge"
+
+    queries_tsv = str(tmp_path / "q.tsv")
+    with open(queries_tsv, "w") as f:
+        f.write("q0\tlarge spark\n")  # 'large' hits big/huge docs via contraction
+    run_path = str(tmp_path / "run.trec")
+    res = _submit(zip_path, "search", "--index", idx,
+                  "--queries", queries_tsv, "--out", run_path,
+                  "--k", "10", "--sorted-by-index")
+    assert res["mode"] == "sorted_indexed"
+    part = glob.glob(os.path.join(run_path, "part-*"))[0]
+    lines = [ln.split() for ln in open(part).read().splitlines()]
+    # docs 0,1,2 all match (contraction); order = price ascending
+    assert [ln[2] for ln in lines] == ["doc://1", "doc://2", "doc://0"]
+    scores = [float(ln[4]) for ln in lines]
+    assert scores == sorted(scores) == [10.0, 20.0, 30.0]

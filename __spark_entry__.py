@@ -128,6 +128,19 @@ WILD_QUERIES = [
 ]
 WILD_MAX_EXP = 50
 
+# regexp patterns (Lucene RegexpQuery: full-term match, Java/RE2 common
+# subset); one dot, one alternation+optional group, one char class, one
+# unanchored-shape (.*ust.*), one all-OOV
+REGEXP_QUERIES = [
+    ("re0", "spar.*"),
+    ("re1", "jo.n merge"),
+    ("re2", "wind(ow|y).*"),
+    ("re3", "[bc]atch"),
+    ("re4", ".*ust.*"),
+    ("re5", "zzz+"),
+]
+REGEXP_MAX_EXP = 50
+
 # query-side synonym table (term -> variant, directional, weighted)
 SYNONYMS = [
     ("spark", "stream", 0.5),
@@ -450,6 +463,44 @@ wterms AS (
   SELECT wpat.query_id, capped.term, SUM(wpat.qtf) AS wgt
   FROM wpat JOIN capped ON capped.pat = wpat.pat
   GROUP BY wpat.query_id, capped.term
+),
+{_EXPAND_TAIL}
+"""
+
+# regexp oracle (query/expand.py search_regexp): patterns tokenize by
+# whitespace + lowercase + keep the Java/RE2-common charset, match the
+# ENTIRE vocabulary term (anchored non-capturing group, Lucene semantics),
+# cap per pattern by (df DESC, term ASC), weight qtf, then plain BM25 over
+# the variants — the engine's exact pipeline from first principles.
+_REGEXP_Q_VALUES = ", ".join(f"('{q}', '{t}')" for q, t in REGEXP_QUERIES)
+_REGEXP_SQL = f"""
+WITH {_EXPAND_PRELUDE},
+rq(query_id, text) AS (VALUES {_REGEXP_Q_VALUES}),
+rtok AS (
+  SELECT rq.query_id,
+         regexp_replace(lower(t.tk), '[^a-z0-9.*+?\\[\\](){{}}|,\\-]+', '', 'g') AS pat
+  FROM rq, UNNEST(regexp_split_to_array(rq.text, '\\s+')) AS t(tk)
+),
+rpat AS (
+  SELECT query_id, pat, CAST(COUNT(*) AS DOUBLE) AS qtf
+  FROM rtok WHERE pat <> '' GROUP BY query_id, pat
+),
+cand AS (
+  SELECT v.pat, d.term, d.df
+  FROM dfreq d JOIN (SELECT DISTINCT pat FROM rpat) v
+    ON regexp_matches(d.term, '^(?:' || v.pat || ')$')
+),
+capped AS (
+  SELECT pat, term FROM (
+    SELECT pat, term,
+           ROW_NUMBER() OVER (PARTITION BY pat ORDER BY df DESC, term ASC) AS r
+    FROM cand
+  ) WHERE r <= {REGEXP_MAX_EXP}
+),
+wterms AS (
+  SELECT rpat.query_id, capped.term, SUM(rpat.qtf) AS wgt
+  FROM rpat JOIN capped ON capped.pat = rpat.pat
+  GROUP BY rpat.query_id, capped.term
 ),
 {_EXPAND_TAIL}
 """
@@ -2351,6 +2402,25 @@ def q_wildcard_search(spark, sf_dir):
     idx = _entry_index(spark, sf_dir)
     wq = spark.createDataFrame(WILD_QUERIES, "query_id string, text string")
     run = search_wildcard(idx, wq, k=10, max_expansions=WILD_MAX_EXP)
+    return run.select(
+        "query_id",
+        F.regexp_replace("doc_id", "^doc://", "").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+        "rank",
+    )
+
+
+def q_regexp_search(spark, sf_dir):
+    """Regexp (Lucene RegexpQuery) search over the packed index: each
+    pattern matches the ENTIRE vocabulary term (implicit anchoring) via one
+    pruned dictionary RLIKE scan, capped (df DESC, term ASC), scored as
+    plain BM25 terms. Patterns restricted to the Java-regex/RE2 common
+    subset so Spark and the DuckDB oracle agree on every match."""
+    from openmatch_spark.query import search_regexp
+
+    idx = _entry_index(spark, sf_dir)
+    rq = spark.createDataFrame(REGEXP_QUERIES, "query_id string, text string")
+    run = search_regexp(idx, rq, k=10, max_expansions=REGEXP_MAX_EXP)
     return run.select(
         "query_id",
         F.regexp_replace("doc_id", "^doc://", "").alias("doc_id"),
@@ -5627,6 +5697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_search": q_fuzzy_search,
         "prefix_search": q_prefix_search,
         "wildcard_search": q_wildcard_search,
+        "regexp_search": q_regexp_search,
         "synonym_search": q_synonym_search,
         "search_after": q_search_after,
         "filtered_search": q_filtered_search,
@@ -5906,6 +5977,7 @@ SELECT query_id, doc_id, ROUND(score, 6) AS score, rank FROM prun WHERE rank <= 
     sql["fuzzy_search"] = _FUZZY_SQL
     sql["prefix_search"] = _PREFIX_SQL
     sql["wildcard_search"] = _WILDCARD_SQL
+    sql["regexp_search"] = _REGEXP_SQL
     sql["synonym_search"] = _SYNONYM_SQL
     sql["search_after"] = _SEARCH_AFTER_SQL
     sql["filtered_search"] = _FILTERED_SQL

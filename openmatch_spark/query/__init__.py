@@ -27,6 +27,7 @@ from openmatch_spark.query.expand import (  # noqa: F401
     search_bool_prefix,
     search_fuzzy,
     search_prefix,
+    search_regexp,
     search_synonyms,
     search_wildcard,
     wildcard_to_like,

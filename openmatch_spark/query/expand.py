@@ -90,6 +90,15 @@ def _expansions(
         # qterm arrives already translated to SQL LIKE (* -> %, ? -> _,
         # literal %/_/\ escaped); Spark's default LIKE escape is backslash
         cand = d.join(qt, F.expr("term LIKE qterm")).withColumn("ed", F.lit(0))
+    elif kind == "regexp":
+        # Lucene RegexpQuery matches the ENTIRE term: anchor the validated
+        # pattern with a non-capturing group so alternation at the top level
+        # ('a|b') can't escape the anchors. The pattern charset is restricted
+        # to the Java-regex/RE2 common subset (see _regexp_tokens), so Spark's
+        # Java RLIKE and the DuckDB oracle's RE2 agree on every match.
+        cand = d.join(
+            qt, F.expr("term RLIKE concat('^(?:', qterm, ')$')")
+        ).withColumn("ed", F.lit(0))
     else:  # prefix
         cand = d.join(qt, F.col("term").startswith(F.col("qterm"))).withColumn(
             "ed", F.lit(0)
@@ -232,6 +241,71 @@ def search_wildcard(
         return index.spark.createDataFrame([], EMPTY_RUN)
     by_tok = _expansions(
         index, sorted({t for (_, t, _) in qtoks}), "wildcard", 0, 0, max_expansions
+    )
+    return search_terms(index, _weighted_matched(qtoks, by_tok), k=k, mode=mode)
+
+
+# Lucene-RegexpQuery pattern surface restricted to the subset on which
+# Java regex (Spark RLIKE) and RE2 (the DuckDB oracle) agree exactly:
+# literals, '.', quantifiers * + ? {m,n}, character classes, alternation,
+# grouping. No backslash escapes, no anchors (full-term match is implicit,
+# Lucene semantics), no backrefs/lookaround (RE2 has neither).
+_REGEXP_ALLOWED = r"[^a-z0-9.*+?\[\](){}|,\-]+"
+
+
+def _regexp_tokens(index: BM25Index, queries: DataFrame) -> list:
+    """[(query_id, pattern, qtf)] — regexp queries can NOT go through the
+    analyzer (it would strip the metachars), so tokenization is whitespace-
+    split + lowercase + keep only the allowed pattern charset. Every kept
+    pattern must compile (Python re compiles the Java/RE2 common subset
+    identically), else the whole batch is rejected loudly — a silently
+    dropped malformed pattern would look like zero hits."""
+    import re as _re
+
+    out = []
+    for r in queries.select(
+        F.col("query_id").cast("string").alias("query_id"), "text"
+    ).collect():
+        toks = [
+            _re.sub(_REGEXP_ALLOWED, "", t)
+            for t in (r["text"] or "").lower().split()
+        ]
+        c = Counter(t for t in toks if t)
+        for pat, n in sorted(c.items()):
+            try:
+                _re.compile(f"^(?:{pat})$")
+            except _re.error as e:
+                raise ValueError(f"invalid regexp pattern {pat!r}: {e}") from e
+            out.append((r["query_id"], pat, float(n)))
+    return out
+
+
+def search_regexp(
+    index: BM25Index,
+    queries: DataFrame,
+    k: int = 100,
+    max_expansions: int = 50,
+    mode: str = "batch",
+) -> DataFrame:
+    """Regexp top-k run (Lucene RegexpQuery): each whitespace-separated
+    query token is a regular expression matched against the ENTIRE
+    vocabulary term (Lucene's implicit anchoring), capped at
+    max_expansions by (df DESC, term ASC); variants score as plain BM25
+    terms with the pattern's qtf, identical to the wildcard surface.
+    Patterns are restricted to the Java-regex/RE2 common subset (no
+    escapes, anchors, backrefs, or lookaround) and validated up front.
+
+    Scale note: Lucene compiles the regexp to an automaton and intersects
+    it with the term FST; here the match is ONE column-pruned vocabulary
+    scan (bounded by vocab size, not corpus — ~1e7 rows even at 10^12
+    docs), and only the capped variant list crosses to the driver. The
+    scoring pass reuses the bucket-pruned postings scan like every other
+    expansion surface."""
+    qtoks = _regexp_tokens(index, queries)
+    if not qtoks:
+        return index.spark.createDataFrame([], EMPTY_RUN)
+    by_tok = _expansions(
+        index, sorted({t for (_, t, _) in qtoks}), "regexp", 0, 0, max_expansions
     )
     return search_terms(index, _weighted_matched(qtoks, by_tok), k=k, mode=mode)
 

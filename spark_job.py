@@ -163,6 +163,7 @@ def cmd_search(args) -> int:
         search_phrase,
         search_proximity,
         search_query_string,
+        search_regexp,
         search_span_near,
         search_wildcard,
     )
@@ -211,6 +212,9 @@ def cmd_search(args) -> int:
     elif args.wildcard:
         mode = "wildcard"
         run = search_wildcard(idx, queries, k=args.k)
+    elif args.regexp:
+        mode = "regexp"
+        run = search_regexp(idx, queries, k=args.k)
     elif args.fuzzy:
         mode = "fuzzy"
         run = search_fuzzy(idx, queries, k=args.k)
@@ -458,6 +462,9 @@ def main(argv=None) -> int:
                     help="query tokens are wildcard patterns (* any run, ? one char)")
     se.add_argument("--fuzzy", action="store_true",
                     help="fuzzy term match within 1 edit (same first char)")
+    se.add_argument("--regexp", action="store_true",
+                    help="query tokens are full-term regular expressions "
+                         "(Lucene RegexpQuery, Java/RE2 common subset)")
     se.add_argument("--allowed-docs", default=None, metavar="PATH",
                     help="parquet/TSV doc_id list restricting the candidate set")
     se.add_argument("--query-string", action="store_true",

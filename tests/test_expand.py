@@ -120,3 +120,75 @@ def test_prefix_cap_keeps_top_df(spark, idx, vocab):
     bucket_of = idx.term_buckets(top3)
     manual = [("p1", t, 1.0, bucket_of[t]) for t in sorted(top3)]
     assert got == _rows(search_terms(idx, manual, k=10))
+
+
+def test_regexp_matches_manual_expansion(spark, idx, vocab):
+    # full-term match (Lucene implicit anchoring): char class + dot
+    import re
+
+    from openmatch_spark.query import search_regexp
+
+    q = spark.createDataFrame([("r1", "term00[0-4].")], QUERIES_SCHEMA)
+    got = _rows(search_regexp(idx, q, k=10, max_expansions=1000))
+    variants = sorted(t for t in vocab if re.fullmatch(r"term00[0-4].", t))
+    assert variants  # the fixture vocabulary must exercise the class
+    bucket_of = idx.term_buckets(variants)
+    manual = [("r1", t, 1.0, bucket_of[t]) for t in variants]
+    assert got == _rows(search_terms(idx, manual, k=10))
+    assert got
+
+
+def test_regexp_literal_degenerates_to_exact(spark, idx):
+    # a pattern with no metacharacters is an exact term lookup
+    from openmatch_spark.query import search_regexp
+
+    q = spark.createDataFrame([("r1", "term0001 term0040")], QUERIES_SCHEMA)
+    assert _rows(search_regexp(idx, q, k=10)) == _rows(search(idx, q, k=10))
+
+
+def test_regexp_alternation_cannot_escape_anchor(spark, idx):
+    # '^(?:a|b)$' — NOT '^a|b$': top-level alternation must stay anchored,
+    # so 'term0001|term0002' matches exactly those two whole terms
+    from openmatch_spark.query import search_regexp, search_terms
+
+    q = spark.createDataFrame([("r1", "term0001|term0002")], QUERIES_SCHEMA)
+    got = _rows(search_regexp(idx, q, k=10, max_expansions=1000))
+    bucket_of = idx.term_buckets(["term0001", "term0002"])
+    manual = [("r1", t, 1.0, bucket_of[t]) for t in sorted(bucket_of)]
+    assert got == _rows(search_terms(idx, manual, k=10))
+    assert got
+
+
+def test_regexp_merges_weights_across_patterns(spark, idx):
+    # two patterns hitting the same variant sum their qtf contributions:
+    # 'term000.' (weight 1 on term0001) + literal 'term0001' (weight 1)
+    import re
+
+    from openmatch_spark.query import search_regexp, search_terms
+
+    q = spark.createDataFrame([("r1", "term000. term0001")], QUERIES_SCHEMA)
+    got = _rows(search_regexp(idx, q, k=10, max_expansions=1000))
+    vocab = [r["term"] for r in idx.dictionary.select("term").collect()]
+    acc: dict = {}
+    for t in vocab:
+        if re.fullmatch(r"term000.", t):
+            acc[t] = acc.get(t, 0.0) + 1.0
+    acc["term0001"] = acc.get("term0001", 0.0) + 1.0
+    bucket_of = idx.term_buckets(sorted(acc))
+    manual = [("r1", t, w, bucket_of[t]) for t, w in sorted(acc.items())]
+    assert got == _rows(search_terms(idx, manual, k=10))
+
+
+def test_regexp_invalid_pattern_raises(spark, idx):
+    from openmatch_spark.query import search_regexp
+
+    q = spark.createDataFrame([("r1", "term(0")], QUERIES_SCHEMA)
+    with pytest.raises(ValueError, match="invalid regexp"):
+        search_regexp(idx, q, k=10)
+
+
+def test_regexp_oov_everything_empty(spark, idx):
+    from openmatch_spark.query import search_regexp
+
+    q = spark.createDataFrame([("r1", "zzz+ qqq.*")], QUERIES_SCHEMA)
+    assert search_regexp(idx, q, k=10).count() == 0

@@ -3698,6 +3698,86 @@ def q_geotile_grid(spark, sf_dir):
     )
 
 
+def q_geohash_grid(spark, sf_dir):
+    """ES geohash_grid aggregation at precision 3: top-15 occupied
+    base32 geohash cells by customer count (count desc, cell asc — ES
+    bucket order), 1-based pos. The engine computes bisection-exact
+    quantization (closed form + one-bin boundary correction) folded
+    into base32 chars; the oracle replays quantization, interleave, and
+    base32 with DuckDB's exact BIGINT bit ops."""
+    from openmatch_spark.operators.geo import geohash_grid_facets
+
+    return geohash_grid_facets(
+        _geo_customers(spark, sf_dir), "lat", "lon", precision=3, size=15
+    )
+
+
+def _geohash_grid_sql(precision: int, size: int) -> str:
+    """Generate the DuckDB replica of geohash_grid_facets over the
+    synthetic customer coordinates: same quantize-correct-clamp
+    arithmetic as functions/geo.py geohash_cell, interleave + base32
+    done with exact BIGINT shifts (safe in SQL: 5·precision ≤ 53 bits
+    here, unlike the engine's double-division shifts)."""
+    total = 5 * precision
+    nlon = (total + 1) // 2
+    nlat = total // 2
+    latw = repr(180.0 / (2 ** nlat))  # exact decimal (45·2^k)
+    lonw = repr(360.0 / (2 ** nlon))
+    interleave = []
+    for j in range(total):
+        if j % 2 == 0:
+            src, idx = "lonb", nlon - 1 - j // 2
+        else:
+            src, idx = "latb", nlat - 1 - j // 2
+        interleave.append(f"((({src} >> {idx}) & 1) << {total - 1 - j})")
+    comb = "\n         + ".join(interleave)
+    b32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+    chars = " || ".join(
+        f"substr('{b32}', CAST(((comb >> {5 * (precision - 1 - i)}) & 31) "
+        "AS INTEGER) + 1, 1)"
+        for i in range(precision)
+    )
+    return f"""
+WITH geo AS (
+  SELECT ((c_custkey * 37) % 16000) / 100.0 - 80.0 AS lat,
+         ((c_custkey * 7919) % 36000) / 100.0 - 180.0 AS lon
+  FROM customer
+),
+qa AS (
+  SELECT lat, lon,
+         GREATEST(LEAST(CAST(FLOOR((lat + 90.0) / 180.0 * {float(2 ** nlat)!r}) AS BIGINT), {2 ** nlat - 1}), 0) AS lk0,
+         GREATEST(LEAST(CAST(FLOOR((lon + 180.0) / 360.0 * {float(2 ** nlon)!r}) AS BIGINT), {2 ** nlon - 1}), 0) AS nk0
+  FROM geo WHERE lat IS NOT NULL AND lon IS NOT NULL
+),
+qb AS (
+  SELECT
+    GREATEST(LEAST(CASE
+      WHEN lat < CAST(lk0 AS DOUBLE) * {latw} - 90.0 THEN lk0 - 1
+      WHEN lat >= CAST(lk0 + 1 AS DOUBLE) * {latw} - 90.0 THEN lk0 + 1
+      ELSE lk0 END, {2 ** nlat - 1}), 0) AS latb,
+    GREATEST(LEAST(CASE
+      WHEN lon < CAST(nk0 AS DOUBLE) * {lonw} - 180.0 THEN nk0 - 1
+      WHEN lon >= CAST(nk0 + 1 AS DOUBLE) * {lonw} - 180.0 THEN nk0 + 1
+      ELSE nk0 END, {2 ** nlon - 1}), 0) AS lonb
+  FROM qa
+),
+qc AS (
+  SELECT ({comb}) AS comb FROM qb
+),
+cells AS (
+  SELECT {chars} AS cell FROM qc
+),
+counts AS (
+  SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_docs FROM cells GROUP BY cell
+)
+SELECT cell, n_docs, pos FROM (
+  SELECT cell, n_docs,
+         CAST(ROW_NUMBER() OVER (ORDER BY n_docs DESC, cell ASC) AS INTEGER) AS pos
+  FROM counts
+) WHERE pos <= {size}
+"""
+
+
 def q_hybrid_combsum(spark, sf_dir):
     """CombSUM fusion (Fox & Shaw) of the 6 dp-rounded BM25 and BM25F
     runs: per-run per-query min-max normalization, then sum; fused score
@@ -5753,6 +5833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "composite_page": q_composite_page,
         "geo_distance": q_geo_distance,
         "geotile_grid": q_geotile_grid,
+        "geohash_grid": q_geohash_grid,
         "hit_cardinality": q_hit_cardinality,
         "hit_extended_stats": q_hit_extended_stats,
         "hit_weighted_avg": q_hit_weighted_avg,
@@ -6100,6 +6181,8 @@ SELECT cell, n_docs, pos FROM (
   FROM counts
 ) WHERE pos <= 10
 """
+
+    sql["geohash_grid"] = _geohash_grid_sql(precision=3, size=15)
 
     sql["composite_page"] = """
 WITH buckets AS (

@@ -79,6 +79,111 @@ def geotile_cell(lat, lon, zoom: int) -> Column:
     return F.concat_ws("/", F.lit(str(zoom)), x.cast("string"), y.cast("string"))
 
 
+GEOHASH_BASE32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_cell(lat, lon, precision: int) -> Column:
+    """Standard geohash (Niemeyer base32) of length `precision` — the
+    key format of ES's geohash_grid aggregation. The textbook bisection
+    recurrence in closed form: each coordinate quantized to the floor
+    bin of its bit half (lon gets ceil(5p/2) bits, lat floor(5p/2)),
+    the two halves interleaved lon-first MSB-first into one ≤60-bit
+    word (precision ≤ 12), 5 bits per base32 character.
+
+    Pure integer column algebra (floor + shift + mask inside
+    whole-stage codegen, no UDF), with the double arithmetic written in
+    the exact literal order a SQL oracle replays — so Spark, DuckDB,
+    and any reference geohash library agree character-for-character.
+    lat=90 / lon=180 clamp into the last bin (the standard convention);
+    NULL coordinates yield NULL."""
+    if not 1 <= precision <= 12:
+        raise ValueError(f"precision must be in [1, 12], got {precision}")
+    total = 5 * precision
+    nlon = (total + 1) // 2  # lon owns the even (first) interleave slots
+    nlat = total // 2
+    latd = _lit(lat).cast("double")
+    lond = _lit(lon).cast("double")
+
+    # The naive floor((v - lo) / range * 2^n) suffers 3 float roundings
+    # and can land one bin off the canonical bisection near boundaries
+    # (the wiki point 57.64911,10.40744 @11 chars ends 'h' not 'j').
+    # Bin boundaries ARE exact doubles (range/2^n = 45·2^k, so every
+    # k·width+lo is exact), so one ±1 correction against the exact
+    # boundary recovers bisection exactly — closed form, no recursion,
+    # same ops a SQL oracle replays verbatim.
+    def _quantize(v, vmin: float, vrange: float, n: int):
+        width = vrange / (2 ** n)  # exact python double (45 · 2^k)
+        top = F.lit(2 ** n - 1)
+        k0 = F.greatest(
+            F.least(
+                F.floor((v - F.lit(vmin)) / F.lit(vrange) * F.lit(float(2 ** n))),
+                top,
+            ),
+            F.lit(0),
+        ).cast("long")
+        lo_edge = k0.cast("double") * F.lit(width) + F.lit(vmin)
+        hi_edge = (k0 + 1).cast("double") * F.lit(width) + F.lit(vmin)
+        k1 = (
+            F.when(v < lo_edge, k0 - 1)
+            .when(v >= hi_edge, k0 + 1)
+            .otherwise(k0)
+        )
+        return F.greatest(F.least(k1, top), F.lit(0)).cast("long")
+
+    lat_bits = _quantize(latd, -90.0, 180.0, nlat)
+    lon_bits = _quantize(lond, -180.0, 360.0, nlon)
+    # Interleave via ONE aggregate() fold with the bit words bound once
+    # in the fold state (an unrolled 5p-term sum would inline the floor
+    # expressions 5p times and overflow janino's generated-method limit,
+    # and a combined 5p-bit word exceeds double-exact range at p ≥ 11).
+    # Bits stream MSB-first into a 5-bit register flushed to a base32
+    # char — every intermediate stays < 2^30, exact in the double
+    # divisions that stand in for shifts.
+    alphabet = F.array(*[F.lit(c) for c in GEOHASH_BASE32])
+
+    def _step(st, j):
+        even = j % 2 == 0
+        word = F.when(even, st["lo"]).otherwise(st["la"])
+        idx = (
+            F.when(even, F.lit(nlon - 1)).otherwise(F.lit(nlat - 1))
+            - F.floor(j / 2).cast("int")
+        )
+        bit = (
+            F.floor(word / F.pow(F.lit(2.0), idx.cast("double"))).cast("long")
+            % 2
+        )
+        cur2 = st["cur"] * 2 + bit
+        flush = j % 5 == 4  # total = 5p, so the last bit always flushes
+        return F.struct(
+            st["lo"].alias("lo"),
+            st["la"].alias("la"),
+            F.when(flush, F.lit(0).cast("long")).otherwise(cur2).alias("cur"),
+            F.when(
+                flush,
+                F.concat(
+                    st["s"], F.element_at(alphabet, cur2.cast("int") + 1)
+                ),
+            )
+            .otherwise(st["s"])
+            .alias("s"),
+        )
+
+    cell = F.aggregate(
+        F.sequence(F.lit(0), F.lit(total - 1)),
+        F.struct(
+            lon_bits.alias("lo"),
+            lat_bits.alias("la"),
+            F.lit(0).cast("long").alias("cur"),
+            F.lit("").alias("s"),
+        ),
+        _step,
+        lambda st: st["s"],
+    )
+    # least/greatest skip NULLs (they'd resolve to the clamp bound), so
+    # NULL propagation needs the explicit guard
+    return F.when(latd.isNotNull() & lond.isNotNull(), cell)
+
+
 def in_bounding_box(lat, lon, top: float, left: float, bottom: float,
                     right: float) -> Column:
     """ES geo_bounding_box predicate. Handles boxes crossing the

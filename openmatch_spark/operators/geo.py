@@ -17,6 +17,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
 from openmatch_spark.functions.geo import (
+    geohash_cell,
     geotile_cell,
     haversine_km,
     in_bounding_box,
@@ -96,6 +97,37 @@ def geotile_grid_facets(
     cells = (
         df.where(F.col(lat_col).isNotNull() & F.col(lon_col).isNotNull())
         .select(geotile_cell(lat_col, lon_col, zoom).alias(cell_col))
+        .groupBy(cell_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    w = Window.orderBy(F.desc("n_docs"), F.asc(cell_col))
+    ranked = cells.withColumn("pos", F.row_number().over(w))
+    return ranked.where(F.col("pos") <= size) if size is not None else ranked
+
+
+def geohash_grid_facets(
+    df: DataFrame,
+    lat_col: str,
+    lon_col: str,
+    precision: int,
+    size: int | None = None,
+    cell_col: str = "cell",
+) -> DataFrame:
+    """ES geohash_grid aggregation: doc counts per base32 geohash cell
+    of length `precision`. Same contract as geotile_grid_facets — size
+    keeps the top-`size` cells (count DESC, cell ASC, ES bucket order)
+    with a 1-based pos, size=None enumerates all occupied cells; NULL
+    coordinates are dropped (ES skips docs missing the field).
+
+    The pos window is unpartitioned but runs over the POST-aggregation
+    cell frame — bounded by 32^precision occupied cells, not the
+    corpus (the same single-reducer top-N an ES coordinating node
+    performs)."""
+    if size is not None and size <= 0:
+        raise ValueError(f"size must be positive, got {size}")
+    cells = (
+        df.where(F.col(lat_col).isNotNull() & F.col(lon_col).isNotNull())
+        .select(geohash_cell(lat_col, lon_col, precision).alias(cell_col))
         .groupBy(cell_col)
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     )

@@ -111,3 +111,75 @@ def test_geotile_grid_counts(points):
     assert out["2/2/2"] >= 2  # equator points land in row y=2 at zoom 2
     with pytest.raises(ValueError):
         geotile_grid_facets(points, "lat", "lon", 2, size=0)
+
+
+def _ref_geohash(lat, lon, precision):
+    # textbook bisection — the definition every geohash library implements
+    b32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+    lat_rng, lon_rng = [-90.0, 90.0], [-180.0, 180.0]
+    bits, out, even, ch = 0, [], True, 0
+    while len(out) < precision:
+        rng, v = (lon_rng, lon) if even else (lat_rng, lat)
+        mid = (rng[0] + rng[1]) / 2
+        ch <<= 1
+        if v >= mid:
+            ch |= 1
+            rng[0] = mid
+        else:
+            rng[1] = mid
+        even = not even
+        bits += 1
+        if bits == 5:
+            out.append(b32[ch])
+            bits, ch = 0, 0
+    return "".join(out)
+
+
+def test_geohash_cell_matches_bisection_reference(spark):
+    from openmatch_spark.functions.geo import geohash_cell
+
+    assert _ref_geohash(57.64911, 10.40744, 11) == "u4pruydqqvj"  # wiki golden
+    pts = [
+        (57.64911, 10.40744), (0.0, 0.0), (90.0, 180.0), (-90.0, -180.0),
+        (89.99, 179.99), (45.0, 90.0), (-33.87, 151.21), (0.0001, -0.0001),
+    ] + [
+        (-80.0 + (i * 37 % 16000) / 100.0, -180.0 + (i * 7919 % 36000) / 100.0)
+        for i in range(1, 50)
+    ]
+    df = spark.createDataFrame(pts, "lat double, lon double")
+    for p in (1, 2, 5, 11, 12):  # odd totals, 5-bit boundary, >53-bit word
+        got = [r[0] for r in df.select(geohash_cell("lat", "lon", p)).collect()]
+        assert got == [_ref_geohash(la, lo, p) for la, lo in pts], p
+
+
+def test_geohash_cell_null_and_validation(spark):
+    from openmatch_spark.functions.geo import geohash_cell
+
+    r = spark.createDataFrame(
+        [(None, 1.0), (1.0, None), (1.0, 1.0)], "lat double, lon double"
+    ).select(geohash_cell("lat", "lon", 4)).collect()
+    assert [x[0] for x in r][:2] == [None, None]
+    assert r[2][0] == _ref_geohash(1.0, 1.0, 4)
+    with pytest.raises(ValueError, match="precision"):
+        geohash_cell("lat", "lon", 0)
+    with pytest.raises(ValueError, match="precision"):
+        geohash_cell("lat", "lon", 13)
+
+
+def test_geohash_grid_facets_counts_and_order(spark):
+    from openmatch_spark.operators.geo import geohash_grid_facets
+
+    # three points share a precision-2 cell, two share another, one alone
+    pts = [(10.001, 10.001), (10.002, 10.002), (10.003, 10.001),
+           (-40.0, 100.0), (-40.001, 100.001), (70.0, -120.0),
+           (None, 5.0), (5.0, None)]
+    df = spark.createDataFrame(pts, "lat double, lon double")
+    out = geohash_grid_facets(df, "lat", "lon", precision=2).collect()
+    got = {r["cell"]: (r["n_docs"], r["pos"]) for r in out}
+    c3 = _ref_geohash(10.001, 10.001, 2)
+    c2 = _ref_geohash(-40.0, 100.0, 2)
+    c1 = _ref_geohash(70.0, -120.0, 2)
+    assert got[c3] == (3, 1) and got[c2] == (2, 2) and got[c1] == (1, 3)
+    assert sum(n for n, _ in got.values()) == 6  # NULL coordinates dropped
+    top = geohash_grid_facets(df, "lat", "lon", precision=2, size=2).collect()
+    assert [r["cell"] for r in sorted(top, key=lambda r: r["pos"])] == [c3, c2]

@@ -3549,6 +3549,19 @@ def q_group_cap(spark, sf_dir):
     )
 
 
+def q_random_sampler(spark, sf_dir):
+    """ES random_sampler aggregation + terms sub-agg: language counts over
+    a seeded 40% sample of the documents table, doc counts scaled back by
+    1/probability to corpus estimates (ES's inverse-probability scaling).
+    The portable md5 draw keeps the identical sample in both engines."""
+    from openmatch_spark.operators.sampling import random_sampler_counts
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "lang"
+    )
+    return random_sampler_counts(docs, "lang", probability=0.4, seed=7)
+
+
 def q_facet_date_histogram(spark, sf_dir):
     """ES date_histogram (calendar_interval=month) over the BM25 top-10
     hit set. documents has no timestamp, so one is synthesized
@@ -5864,6 +5877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_bounds": q_geo_bounds,
         "facet_terms": q_facet_terms,
         "group_cap": q_group_cap,
+        "random_sampler": q_random_sampler,
         "mmr_rerank": q_mmr_rerank,
         "suggest": q_suggest,
         "collapsed_search": q_collapsed_search,
@@ -6255,6 +6269,17 @@ ranked AS (
   FROM drawn
 )
 SELECT doc_id, source, sample_rank FROM ranked WHERE sample_rank <= 3
+"""
+    sql["random_sampler"] = """
+WITH sampled AS (
+  SELECT lang
+  FROM documents
+  WHERE CAST('0x' || substr(md5(concat_ws('|', '7', CAST(doc_id AS VARCHAR))), 1, 8) AS UBIGINT) / 4294967296.0 < 0.4
+)
+SELECT lang AS value,
+       CAST(COUNT(*) AS BIGINT) AS n_sampled,
+       ROUND(COUNT(*) / 0.4, 6) AS n_docs_est
+FROM sampled GROUP BY lang
 """
     sql["suggest"] = _SUGGEST_SQL
     sql["collapsed_search"] = _COLLAPSED_SQL.format(ctes=_BM25_CTES)

@@ -35,6 +35,8 @@ __all__ = [
     "mixture_report",
     "grouped_split",
     "cap_per_group",
+    "random_sampler",
+    "random_sampler_counts",
 ]
 
 
@@ -254,4 +256,51 @@ def cap_per_group(
         .withColumn("sample_rank", F.row_number().over(w))
         .where(F.col("sample_rank") <= n)
         .drop("_u")
+    )
+
+
+def random_sampler(
+    df: DataFrame,
+    probability: float,
+    seed: int = 42,
+    id_cols: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """The sampling phase of ES's random_sampler aggregation: keep each
+    row independently with `probability`, decided by the portable seeded
+    md5 uniform over id_cols — so the SAME rows survive in Spark, DuckDB,
+    and any rerun (ES's seed parameter exists for exactly this
+    repeatability). Downstream aggregations run over the sample; pair
+    with random_sampler_counts for ES's inverse-probability scaling.
+
+    Plan: a pure projection predicate on the scan — zero shuffles, and
+    the sample never concentrates (hash-uniform over ids), so at 100 TB
+    this is the cheapest way to bound an exploratory aggregation."""
+    if not 0.0 < probability <= 1.0:
+        raise ValueError(f"probability must be in (0, 1], got {probability}")
+    u = seeded_uniform_col(*id_cols, seed=seed)
+    return df.where(u < F.lit(float(probability)))
+
+
+def random_sampler_counts(
+    df: DataFrame,
+    attr_col: str,
+    probability: float,
+    seed: int = 42,
+    id_cols: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """ES random_sampler + terms sub-aggregation: value counts over the
+    seeded sample, with doc counts scaled back by 1/probability to
+    full-corpus estimates (exactly what ES reports — doc_count in a
+    random_sampler subtree is the scaled estimate, not the raw sample
+    tally). NULL attribute values bucket explicitly, mirroring
+    facet_counts; n_docs_est is rounded to 6 dp for engine-reproducible
+    comparison. One projection + one map-side-combined groupBy."""
+    s = random_sampler(df, probability, seed=seed, id_cols=id_cols)
+    return (
+        s.groupBy(F.col(attr_col).alias("value"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sampled"))
+        .withColumn(
+            "n_docs_est",
+            F.round(F.col("n_sampled") / F.lit(float(probability)), 6),
+        )
     )

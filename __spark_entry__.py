@@ -2827,6 +2827,51 @@ def q_significant_terms(spark, sf_dir):
     )
 
 
+# significant_text fixture: a 7-token boilerplate span appended to every
+# doc_id % 4 == 0 doc; each query's hit set contains several such docs, so
+# filter_duplicate_text must collapse the span to ONE surviving copy per
+# query (fg_df 1 < min_doc_count) — without it the span terms would top
+# every list by lift
+SIGTEXT_SPAN = "sigtext0 sigtext1 sigtext2 sigtext3 sigtext4 sigtext5 sigtext6"
+SIGTEXT_RUN = (
+    [("sq1", str(d)) for d in (0, 4, 8, 12, 16, 1, 2, 3, 5, 6)]
+    + [("sq2", str(d)) for d in (20, 24, 28, 32, 7, 9, 10, 11)]
+    + [("sq3", str(d)) for d in (36, 40, 13, 14, 15, 17)]
+)
+
+
+def _sigtext_corpus(spark, sf_dir):
+    base = _docs(spark, sf_dir).where(F.col("doc_id") < 240)
+    return base.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat_ws(" ", "text", F.lit(SIGTEXT_SPAN)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+def q_significant_text(spark, sf_dir):
+    """ES significant_text with filter_duplicate_text (query/significant.py):
+    per query, duplicate 5-token sequences in the hit set are removed
+    (set-global first occurrence survives) before foreground counting, so
+    the injected boilerplate span cannot masquerade as significant; scores
+    are document-frequency lift vs the raw-corpus background."""
+    from openmatch_spark.query import significant_text
+
+    run = spark.createDataFrame(SIGTEXT_RUN, "query_id string, doc_id string")
+    out = significant_text(
+        run, _sigtext_corpus(spark, sf_dir),
+        n=10, min_doc_count=2, filter_duplicate_text=True, dup_window=5,
+    )
+    return out.select(
+        "query_id", "term", "fg_df", "bg_df",
+        F.round("score", 6).alias("score"), "rank",
+    )
+
+
 _PCTS = (0.25, 0.5, 0.75)
 
 
@@ -5878,6 +5923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_terms": q_facet_terms,
         "group_cap": q_group_cap,
         "random_sampler": q_random_sampler,
+        "significant_text": q_significant_text,
         "mmr_rerank": q_mmr_rerank,
         "suggest": q_suggest,
         "collapsed_search": q_collapsed_search,
@@ -8631,6 +8677,99 @@ fg AS (
   FROM run10 r JOIN dterm d ON d.doc_id = r.doc_id
   GROUP BY r.query_id, d.term
   HAVING COUNT(*) >= 2
+),
+sc AS (
+  SELECT f.query_id, f.term, f.fg_df, b.bg_df,
+         (CAST(f.fg_df AS DOUBLE) / CAST(s.fg_docs AS DOUBLE))
+           / (CAST(b.bg_df AS DOUBLE) / bgn.n) AS score
+  FROM fg f JOIN bg b ON b.term = f.term
+  JOIN fgsz s ON s.query_id = f.query_id
+  CROSS JOIN bgn
+),
+rk AS (
+  SELECT query_id, term, fg_df, bg_df, score,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY score DESC, term ASC
+         ) AS INTEGER) AS rank
+  FROM sc
+)
+SELECT query_id, term, fg_df, bg_df, ROUND(score, 6) AS score, rank
+FROM rk WHERE rank <= 10
+"""
+
+    _sigtext_run_values = ", ".join(
+        f"('{q}', '{d}')" for q, d in SIGTEXT_RUN
+    )
+    sql["significant_text"] = f"""
+WITH corpus AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         CASE WHEN doc_id % 4 = 0 THEN text || ' {SIGTEXT_SPAN}' ELSE text END AS text
+  FROM documents WHERE doc_id < 240
+),
+srun(query_id, doc_id) AS (VALUES {_sigtext_run_values}),
+hit AS (
+  SELECT r.query_id, r.doc_id, c.text
+  FROM srun r JOIN corpus c USING (doc_id)
+),
+stoks AS (
+  SELECT query_id, doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+  FROM hit
+),
+socc AS (
+  SELECT query_id, doc_id, s.i - 1 AS pos, array_to_string(t[s.i:s.i+4], ' ') AS key
+  FROM stoks, UNNEST(generate_series(1, len(t) - 4)) AS s(i)
+  WHERE len(t) >= 5
+),
+sdup AS (
+  SELECT query_id, key FROM socc GROUP BY query_id, key
+  HAVING COUNT(DISTINCT doc_id) >= 2 OR COUNT(*) >= 2
+),
+sranked AS (
+  SELECT o.query_id, o.doc_id, o.pos,
+         ROW_NUMBER() OVER (PARTITION BY o.query_id, o.key
+                            ORDER BY o.doc_id, o.pos) AS rn
+  FROM socc o JOIN sdup d ON d.query_id = o.query_id AND d.key = o.key
+),
+sremove AS (
+  SELECT query_id, doc_id, list(pos) AS starts
+  FROM sranked WHERE rn > 1 GROUP BY query_id, doc_id
+),
+srebuilt AS (
+  SELECT tk.query_id, tk.doc_id, tk.t,
+         COALESCE(r.starts, CAST([] AS BIGINT[])) AS starts
+  FROM stoks tk LEFT JOIN sremove r
+    ON tk.query_id = r.query_id AND tk.doc_id = r.doc_id
+),
+scleaned AS (
+  SELECT query_id, doc_id,
+         COALESCE(array_to_string(
+           list_transform(
+             list_filter(generate_series(0, len(t) - 1),
+                         i -> len(list_filter(starts, s -> i >= s AND i < s + 5)) = 0),
+             i -> t[i + 1]),
+           ' '), '') AS text
+  FROM srebuilt
+),
+fgterm AS (
+  SELECT DISTINCT query_id, doc_id, t.term
+  FROM scleaned, UNNEST(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t(term)
+  WHERE t.term <> ''
+),
+fg AS (
+  SELECT query_id, term, CAST(COUNT(*) AS BIGINT) AS fg_df
+  FROM fgterm GROUP BY query_id, term HAVING COUNT(*) >= 2
+),
+sdterm AS (
+  SELECT DISTINCT doc_id, t.term
+  FROM corpus, UNNEST(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t(term)
+  WHERE t.term <> ''
+),
+bg AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS bg_df FROM sdterm GROUP BY term),
+bgn AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n FROM corpus),
+fgsz AS (
+  SELECT query_id, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS fg_docs
+  FROM srun GROUP BY query_id
 ),
 sc AS (
   SELECT f.query_id, f.term, f.fg_df, b.bg_df,

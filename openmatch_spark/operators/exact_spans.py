@@ -52,6 +52,7 @@ def remove_duplicate_spans(
     min_dup_docs: int = 2,
     within_doc: bool = False,
     hash_key: bool = True,
+    group_col: str | None = None,
 ) -> DataFrame:
     """(doc_id, text, n_tokens, n_removed): text with every non-canonical
     occurrence of a duplicated k-token span removed.
@@ -62,12 +63,19 @@ def remove_duplicate_spans(
     default because in-doc repetition is quality-filter territory
     (textstats.repetition_signals), not cross-doc contamination.
     hash_key=False shuffles the raw window text instead of its 64-bit hash
-    (exact, wider shuffle) — the contract-oracle mode."""
+    (exact, wider shuffle) — the contract-oracle mode.
+    group_col scopes duplication: windows only count against occurrences
+    in the SAME group (significant_text dedups each query's hit set
+    independently — boilerplate shared across groups must not bleed);
+    the group rides every key, so the plan shape is unchanged."""
     if k < 2:
         raise ValueError("k must be >= 2 (a 1-token window would remove "
                          "every repeated word)")
+    grp = [group_col] if group_col else []
     toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: F.length(w) > 0)
-    base = docs.select(F.col(doc_id_col).alias("_did"), toks.alias("_toks"))
+    base = docs.select(
+        *grp, F.col(doc_id_col).alias("_did"), toks.alias("_toks")
+    )
 
     n = F.size("_toks")
     starts = F.when(n >= k, F.sequence(F.lit(0), n - k)).otherwise(
@@ -75,8 +83,9 @@ def remove_duplicate_spans(
     )
     win_txt = F.concat_ws(" ", F.slice("_toks", F.col("_p") + 1, k))
     occ = (
-        base.select("_did", "_toks", F.explode(starts).alias("_p"))
+        base.select(*grp, "_did", "_toks", F.explode(starts).alias("_p"))
         .select(
+            *grp,
             "_did",
             "_p",
             (F.xxhash64(win_txt) if hash_key else win_txt).alias("_key"),
@@ -90,21 +99,21 @@ def remove_duplicate_spans(
         # partitioning (min over a struct is total given unique (_did, _p))
         F.min(F.struct(F.col("_did"), F.col("_p"))).alias("_canon"),
     ]
-    stats = occ.groupBy("_key").agg(*agg)
+    stats = occ.groupBy(*grp, "_key").agg(*agg)
     dup_cond = F.col("_ndocs") >= min_dup_docs
     if within_doc:
         dup_cond = dup_cond | (F.col("_occ") >= 2)
-    dup = stats.where(dup_cond).select("_key", "_canon")
+    dup = stats.where(dup_cond).select(*grp, "_key", "_canon")
 
     removals = (
-        occ.join(dup, "_key")
+        occ.join(dup, [*grp, "_key"])
         .where(
             ~(
                 (F.col("_did") == F.col("_canon._did"))
                 & (F.col("_p") == F.col("_canon._p"))
             )
         )
-        .groupBy("_did")
+        .groupBy(*grp, "_did")
         .agg(F.sort_array(F.collect_list("_p")).alias("_starts"))
     )
 
@@ -119,8 +128,9 @@ def remove_duplicate_spans(
         )
     )
     return (
-        base.join(removals, "_did", "left")
+        base.join(removals, [*grp, "_did"], "left")
         .select(
+            *grp,
             F.col("_did").alias(doc_id_col),
             F.concat_ws(" ", kept).alias(text_col),
             F.size("_toks").cast("int").alias("n_tokens"),

@@ -86,6 +86,7 @@ from openmatch_spark.query.querystring import (  # noqa: F401
 from openmatch_spark.query.rm3 import rm3_rescore_adhoc  # noqa: F401
 from openmatch_spark.query.significant import (  # noqa: F401
     significant_terms,
+    significant_text,
     term_vectors,
 )
 from openmatch_spark.query.sorted import (  # noqa: F401

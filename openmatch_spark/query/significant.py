@@ -180,6 +180,105 @@ def significant_terms(
     )
 
 
+def significant_text(
+    run: DataFrame,
+    docs: DataFrame,
+    analyzer: str = "simple",
+    n: int = 10,
+    min_doc_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    heuristic: str = "lift",
+    filter_duplicate_text: bool = False,
+    dup_window: int = 6,
+) -> DataFrame:
+    """ES significant_text aggregation: significant_terms re-analyzing
+    the hit documents' free text, with the aggregation's defining option
+    — filter_duplicate_text. When set, duplicate `dup_window`-token
+    sequences within EACH query's hit set (cross-doc AND in-doc — ES's
+    DeDuplicatingTokenFilter semantics, which drops any sequence already
+    seen while processing the aggregation's docs) are removed before
+    foreground counting, only the set-global first occurrence keeping
+    its tokens — so boilerplate shared by many hits (navigation chrome,
+    quoted replies, licence blocks) cannot masquerade as significant.
+    Background statistics stay corpus-wide over the RAW text (ES: the
+    background comes from preexisting index statistics).
+    filter_duplicate_text=False degenerates to significant_terms exactly.
+
+    Plan: the dedup pass and foreground tokenize run over the hit set
+    only — (queries × k)-bounded, hydrated through one broadcast join —
+    while the background df is the same corpus aggregate
+    significant_terms uses. Output (query_id, term, fg_df, bg_df, score,
+    rank), identical schema."""
+    if not filter_duplicate_text:
+        return significant_terms(
+            run, docs, analyzer=analyzer, n=n, min_doc_count=min_doc_count,
+            id_col=id_col, text_col=text_col, heuristic=heuristic,
+        )
+    if n <= 0:
+        raise ValueError(f"n must be positive, got {n}")
+    if heuristic not in SIGNIFICANCE_HEURISTICS:
+        raise ValueError(
+            f"heuristic must be one of {SIGNIFICANCE_HEURISTICS}, got {heuristic!r}"
+        )
+    from openmatch_spark.operators.exact_spans import remove_duplicate_spans
+
+    hit_ids = run.select(
+        F.col("query_id").cast("string").alias("query_id"),
+        F.col("doc_id").cast("string").alias("doc_id"),
+    ).distinct()
+    hit_txt = docs.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.col(text_col).alias("_text"),
+    ).join(F.broadcast(hit_ids), "doc_id")
+    cleaned = remove_duplicate_spans(
+        hit_txt,
+        k=dup_window,
+        text_col="_text",
+        doc_id_col="doc_id",
+        min_dup_docs=2,
+        within_doc=True,
+        group_col="query_id",
+    )
+    fg = (
+        cleaned.select(
+            "query_id",
+            "doc_id",
+            F.explode(
+                F.array_distinct(tokenize_col(F.col("_text"), analyzer))
+            ).alias("term"),
+        )
+        .groupBy("query_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("fg_df"))
+        .where(F.col("fg_df") >= min_doc_count)
+    )
+    doc_terms = docs.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.explode(F.array_distinct(tokenize_col(F.col(text_col), analyzer))).alias(
+            "term"
+        ),
+    )
+    bg_docs = docs.select(F.col(id_col)).distinct().count()
+    bg = doc_terms.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("bg_df")
+    )
+    fg_sizes = hit_ids.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("fg_docs")
+    )
+    scored = (
+        fg.join(bg, "term")
+        .join(F.broadcast(fg_sizes), "query_id")
+        .withColumn("score", _significance_score(bg_docs, heuristic))
+        .drop("fg_docs")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= n)
+        .select("query_id", "term", "fg_df", "bg_df", "score", "rank")
+    )
+
+
 def doc_keywords(
     docs: DataFrame,
     n: int = 5,

@@ -65,3 +65,109 @@ def test_random_sampler_validation(spark, docs):
     for p in (0.0, -0.1, 1.5):
         with pytest.raises(ValueError, match="probability"):
             random_sampler(docs, p)
+
+
+# ---------------------------------------------------------------- sig text
+
+SPAN5 = "boil0 boil1 boil2 boil3 boil4"
+
+
+@pytest.fixture(scope="module")
+def sig_fixture(spark):
+    # three hit docs of q1 share a 5-token boilerplate span; unique bodies
+    # keep every doc distinct. d9 is background-only filler.
+    docs = spark.createDataFrame(
+        [
+            ("d1", f"alpha beta gamma {SPAN5} delta"),
+            ("d2", f"{SPAN5} epsilon zeta alpha"),
+            ("d3", f"eta theta {SPAN5} beta"),
+            ("d4", "iota kappa alpha beta"),
+            ("d9", "lambda mu nu xi omicron pi rho sigma tau"),
+        ],
+        "doc_id string, text string",
+    )
+    run = spark.createDataFrame(
+        [("q1", "d1"), ("q1", "d2"), ("q1", "d3"), ("q1", "d4")],
+        "query_id string, doc_id string",
+    )
+    return run, docs
+
+
+def test_significant_text_off_equals_significant_terms(spark, sig_fixture):
+    from openmatch_spark.query import significant_terms, significant_text
+
+    run, docs = sig_fixture
+    a = sorted(map(tuple, significant_text(run, docs, n=10).collect()))
+    b = sorted(map(tuple, significant_terms(run, docs, n=10).collect()))
+    assert a == b and a
+
+
+def test_significant_text_filters_duplicate_boilerplate(spark, sig_fixture):
+    from openmatch_spark.query import significant_text
+
+    run, docs = sig_fixture
+    span_terms = set(SPAN5.split())
+    off = significant_text(run, docs, n=20, min_doc_count=2).collect()
+    assert span_terms <= {r["term"] for r in off}  # dominates unfiltered
+    on = significant_text(
+        run, docs, n=20, min_doc_count=2,
+        filter_duplicate_text=True, dup_window=5,
+    ).collect()
+    got = {r["term"] for r in on}
+    # only the set-global first copy (d1) survives -> fg_df 1 < 2
+    assert not (span_terms & got)
+    # organically shared terms are untouched (alpha in d1, d2, d4)
+    alpha = [r for r in on if r["term"] == "alpha"]
+    assert alpha and alpha[0]["fg_df"] == 3
+
+
+def test_significant_text_dedup_scoped_per_query(spark):
+    from openmatch_spark.query import significant_text
+
+    # the span appears ONCE per query but in different docs across queries:
+    # per-query scoping must NOT remove it (a global dedup would strip it
+    # from q2's only copy)
+    docs = spark.createDataFrame(
+        [
+            ("a1", f"alpha beta {SPAN5}"),
+            ("a2", "gamma delta alpha"),
+            ("b1", f"epsilon zeta {SPAN5}"),
+            ("b2", "eta theta epsilon"),
+        ],
+        "doc_id string, text string",
+    )
+    run = spark.createDataFrame(
+        [("q1", "a1"), ("q1", "a2"), ("q2", "b1"), ("q2", "b2")],
+        "query_id string, doc_id string",
+    )
+    out = significant_text(
+        run, docs, n=20, min_doc_count=1,
+        filter_duplicate_text=True, dup_window=5,
+    ).collect()
+    for q in ("q1", "q2"):
+        got = {r["term"] for r in out if r["query_id"] == q}
+        assert set(SPAN5.split()) <= got, (q, got)
+
+
+def test_remove_duplicate_spans_group_col_scoping(spark):
+    from openmatch_spark.operators.exact_spans import remove_duplicate_spans
+
+    df = spark.createDataFrame(
+        [
+            ("g1", "x1", f"{SPAN5} one two three"),
+            ("g1", "x2", f"four five {SPAN5}"),
+            ("g2", "x3", f"{SPAN5} six seven"),
+        ],
+        "grp string, doc_id string, text string",
+    )
+    out = {
+        (r["grp"], r["doc_id"]): (r["text"], r["n_removed"])
+        for r in remove_duplicate_spans(
+            df, k=5, min_dup_docs=2, group_col="grp"
+        ).collect()
+    }
+    # g1: duplicated across x1/x2 -> x2's copy removed (x1 canonical)
+    assert out[("g1", "x1")] == (f"{SPAN5} one two three", 0)
+    assert out[("g1", "x2")] == ("four five", 5)
+    # g2: only one copy IN ITS GROUP -> untouched
+    assert out[("g2", "x3")] == (f"{SPAN5} six seven", 0)

@@ -2827,6 +2827,39 @@ def q_significant_terms(spark, sf_dir):
     )
 
 
+# completion-suggester fixture: stored suggestions = the first two tokens
+# of every doc, weight = n_chars (max per surface form); prefixes cover
+# exact match, a fuzzy-only prefix ('spall' ~ 'small', 1 edit after the
+# exact first char), and an OOV prefix
+COMPLETION_PREFIXES = ["sp", "sm", "ba", "spall", "xq"]
+
+
+def q_completion_suggest(spark, sf_dir):
+    """ES completion suggester (query/suggest.py suggest_completions):
+    top-5 stored suggestions per typed prefix by (weight DESC, suggestion
+    ASC), fuzzy mode on (max_edits=1, prefix_length=1) so 'spall' still
+    completes to 'small …' entries while exact prefixes behave as plain
+    completion."""
+    from openmatch_spark.query import suggest_completions
+
+    docs = _docs(spark, sf_dir).select(
+        F.filter(
+            F.split(F.col("text"), r"\s+"), lambda w: F.length(w) > 0
+        ).alias("t"),
+        F.col("n_chars").cast("double").alias("weight"),
+    ).where(F.size("t") >= 2)
+    sugg = docs.select(
+        F.concat_ws(
+            " ", F.element_at("t", 1), F.element_at("t", 2)
+        ).alias("suggestion"),
+        "weight",
+    )
+    return suggest_completions(
+        sugg, COMPLETION_PREFIXES, size=5, fuzzy=True, max_edits=1,
+        prefix_len=1,
+    )
+
+
 # significant_text fixture: a 7-token boilerplate span appended to every
 # doc_id % 4 == 0 doc; each query's hit set contains several such docs, so
 # filter_duplicate_text must collapse the span to ONE surviving copy per
@@ -5924,6 +5957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_cap": q_group_cap,
         "random_sampler": q_random_sampler,
         "significant_text": q_significant_text,
+        "completion_suggest": q_completion_suggest,
         "mmr_rerank": q_mmr_rerank,
         "suggest": q_suggest,
         "collapsed_search": q_collapsed_search,
@@ -8788,6 +8822,35 @@ rk AS (
 )
 SELECT query_id, term, fg_df, bg_df, ROUND(score, 6) AS score, rank
 FROM rk WHERE rank <= 10
+"""
+
+    _comp_legs = "\n  UNION ALL\n  ".join(
+        f"SELECT '{p}' AS prefix, suggestion, weight FROM sugg "
+        f"WHERE suggestion LIKE '{p}%' OR (substr(suggestion, 1, 1) = '{p[:1]}' "
+        f"AND levenshtein(substr(suggestion, 1, {len(p)}), '{p}') <= 1)"
+        for p in sorted(set(COMPLETION_PREFIXES))
+    )
+    sql["completion_suggest"] = f"""
+WITH ctoks AS (
+  SELECT list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t,
+         n_chars
+  FROM documents
+),
+sugg AS (
+  SELECT t[1] || ' ' || t[2] AS suggestion,
+         MAX(CAST(n_chars AS DOUBLE)) AS weight
+  FROM ctoks WHERE len(t) >= 2 GROUP BY t[1] || ' ' || t[2]
+),
+matches AS (
+  {_comp_legs}
+)
+SELECT prefix, suggestion, weight, rank FROM (
+  SELECT prefix, suggestion, weight,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY prefix ORDER BY weight DESC, suggestion ASC
+         ) AS INTEGER) AS rank
+  FROM matches
+) WHERE rank <= 5
 """
 
     # exact PERCENTILE_CONT percentiles of n_chars over the top-10 hit set

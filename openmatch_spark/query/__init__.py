@@ -93,4 +93,7 @@ from openmatch_spark.query.sorted import (  # noqa: F401
     search_sorted,
     search_sorted_indexed,
 )
-from openmatch_spark.query.suggest import suggest_terms  # noqa: F401
+from openmatch_spark.query.suggest import (  # noqa: F401
+    suggest_completions,
+    suggest_terms,
+)

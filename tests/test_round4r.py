@@ -171,3 +171,65 @@ def test_remove_duplicate_spans_group_col_scoping(spark):
     assert out[("g1", "x2")] == ("four five", 5)
     # g2: only one copy IN ITS GROUP -> untouched
     assert out[("g2", "x3")] == (f"{SPAN5} six seven", 0)
+
+
+# ------------------------------------------------------------- completion
+
+@pytest.fixture(scope="module")
+def sugg(spark):
+    return spark.createDataFrame(
+        [
+            ("spark sql", 10.0),
+            ("spark streaming", 30.0),
+            ("spark sql", 25.0),        # duplicate surface form, higher weight
+            ("small tables", 40.0),
+            ("smell test", 15.0),
+            ("batch jobs", 5.0),
+        ],
+        "suggestion string, weight double",
+    )
+
+
+def test_completion_exact_prefix_weight_order(spark, sugg):
+    from openmatch_spark.query import suggest_completions
+
+    out = suggest_completions(sugg, ["sp"], size=5).collect()
+    got = [(r["suggestion"], r["weight"], r["rank"]) for r in
+           sorted(out, key=lambda r: r["rank"])]
+    # duplicate 'spark sql' keeps max weight 25; weight DESC order
+    assert got == [("spark streaming", 30.0, 1), ("spark sql", 25.0, 2)]
+
+
+def test_completion_fuzzy_prefix(spark, sugg):
+    from openmatch_spark.query import suggest_completions
+
+    # 'spall' ~ 'small' (1 edit, first char exact) but not 'smell' (2 edits)
+    out = suggest_completions(
+        sugg, ["spall"], size=5, fuzzy=True, max_edits=1, prefix_len=1
+    ).collect()
+    assert [r["suggestion"] for r in out] == ["small tables"]
+    # without fuzzy: no exact 'spall' prefix -> nothing
+    assert not suggest_completions(sugg, ["spall"], size=5).collect()
+
+
+def test_completion_fuzzy_prefix_len_gate(spark, sugg):
+    from openmatch_spark.query import suggest_completions
+
+    # 'bmall' is 1 edit from 'small' but the first char differs -> gated out
+    out = suggest_completions(
+        sugg, ["bmall"], size=5, fuzzy=True, max_edits=1, prefix_len=1
+    ).collect()
+    assert not out
+
+
+def test_completion_size_and_validation(spark, sugg):
+    from openmatch_spark.query import suggest_completions
+
+    out = suggest_completions(sugg, ["s"], size=2).collect()
+    assert [r["suggestion"] for r in sorted(out, key=lambda r: r["rank"])] == [
+        "small tables", "spark streaming",
+    ]
+    with pytest.raises(ValueError, match="prefixes"):
+        suggest_completions(sugg, [])
+    with pytest.raises(ValueError, match="size"):
+        suggest_completions(sugg, ["s"], size=0)

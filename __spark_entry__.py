@@ -1993,6 +1993,7 @@ def _entry_index(spark, sf_dir):
         build_index(
             spark, pages, d, analyzer="simple", num_shards=4,
             num_term_buckets=8, block_size=128,
+            store_attrs=["lang"],  # doc values: filtered_search_dv entry
         )
         _IDX_CACHE[sf_dir] = d
     return load_index(spark, _IDX_CACHE[sf_dir])
@@ -2479,6 +2480,25 @@ def q_filtered_search(spark, sf_dir):
         .select(F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("doc_id"))
     )
     run = search_filtered(idx, _queries_df(spark), allowed, k=10)
+    return run.select(
+        "query_id",
+        F.regexp_replace("doc_id", "^doc://", "").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+        "rank",
+    )
+
+
+def q_filtered_search_dv(spark, sf_dir):
+    """The doc-values filter path (query/filtered.py search_filtered
+    where=): the lang predicate evaluates on the index's OWN stored
+    docmap column (build_index store_attrs) — no corpus access, no
+    doc_id join. Shares filtered_search's oracle SQL: the run must be
+    bit-identical whether the filter hydrates from the raw corpus or
+    from the index's doc values."""
+    from openmatch_spark.query import search_filtered
+
+    idx = _entry_index(spark, sf_dir)
+    run = search_filtered(idx, _queries_df(spark), where="lang = 'en'", k=10)
     return run.select(
         "query_id",
         F.regexp_replace("doc_id", "^doc://", "").alias("doc_id"),
@@ -5872,6 +5892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "synonym_search": q_synonym_search,
         "search_after": q_search_after,
         "filtered_search": q_filtered_search,
+        "filtered_search_dv": q_filtered_search_dv,
         "passage_maxp": q_passage_maxp,
         "bm25_boolean": q_bm25_boolean,
         "bm25_boolean_msm": q_bm25_boolean_msm,
@@ -6156,6 +6177,9 @@ SELECT query_id, doc_id, ROUND(score, 6) AS score, rank FROM prun WHERE rank <= 
     sql["synonym_search"] = _SYNONYM_SQL
     sql["search_after"] = _SEARCH_AFTER_SQL
     sql["filtered_search"] = _FILTERED_SQL
+    # the doc-values route must land on the SAME oracle: the stored-attr
+    # hydration is invisible to DuckDB
+    sql["filtered_search_dv"] = _FILTERED_SQL
     sql["passage_maxp"] = _PASSAGE_MAXP_SQL
     sql["bm25_boolean"] = _BM25_BOOLEAN_SQL
     sql["phrase_search"] = _PHRASE_SQL

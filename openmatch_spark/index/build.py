@@ -210,22 +210,29 @@ def build_docmap(
     corpus_sharded: DataFrame,
     sort_col: str | None = None,
     sort_desc: bool = False,
+    attr_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(shard, doc_ord, doc_id, doclen[, sort_value]): dense per-shard
-    ordinal by doc_id sort — or, with sort_col, by (sort value, doc_id):
-    Lucene INDEX SORTING. Ordinals then follow the sort field inside
-    every shard, so posting lists (doc_ord-ordered by construction) are
-    physically sorted by the field and a sort-by-field query can stop
+    """(shard, doc_ord, doc_id, doclen[, sort_value][, attrs...]): dense
+    per-shard ordinal by doc_id sort — or, with sort_col, by (sort value,
+    doc_id): Lucene INDEX SORTING. Ordinals then follow the sort field
+    inside every shard, so posting lists (doc_ord-ordered by construction)
+    are physically sorted by the field and a sort-by-field query can stop
     after the first blocks (query/sorted.py search_sorted_indexed). The
     sort value is persisted in the docmap (float64) so sorted queries
     never need an attribute join; NULLs order last in either direction
     (ES missing:_last) via the NULL flag leading the sort key.
+
+    attr_cols are DOC VALUES (build_index store_attrs): per-doc attribute
+    columns persisted verbatim alongside the ordinal, so filtered search
+    and facets hydrate from the index's own column-pruned docmap scan
+    instead of joining the raw corpus at query time.
 
     Either way ordinals stay a pure function of corpus content —
     identical index bytes under any parallelism (property-tested).
     row_number is a shard-local sort: one task per shard, parallel
     across shards.
     """
+    attrs = [F.col(a) for a in attr_cols]
     if sort_col is None:
         w = Window.partitionBy("shard").orderBy("doc_id")
         return corpus_sharded.select(
@@ -233,6 +240,7 @@ def build_docmap(
             (F.row_number().over(w) - 1).cast("long").alias("doc_ord"),
             "doc_id",
             F.col("doclen").cast("long").alias("doclen"),
+            *attrs,
         )
     sv = F.col(sort_col).cast("double")
     key = sv.desc() if sort_desc else sv.asc()
@@ -245,6 +253,7 @@ def build_docmap(
         "doc_id",
         F.col("doclen").cast("long").alias("doclen"),
         sv.alias("sort_value"),
+        *attrs,
     )
 
 
@@ -277,6 +286,7 @@ def build_index(
     mu: float = 1000.0,
     index_sort: str | None = None,
     index_sort_desc: bool = False,
+    store_attrs: tuple[str, ...] | list[str] | None = None,
 ) -> dict:
     """Scoped-conf wrapper around the build body: shuffle partitioning and
     partition-overwrite mode are session confs the build must set, so they
@@ -298,7 +308,7 @@ def build_index(
             block_size, k1, b, shard_batch_size, resume, fail_after_batches,
             timings, shuffle_partitions, table_prefix, table_format,
             extend_dictionary, shard_override, scoring, mu,
-            index_sort, index_sort_desc,
+            index_sort, index_sort_desc, store_attrs,
         )
 
 
@@ -325,8 +335,18 @@ def _build_index_body(
     mu: float = 1000.0,
     index_sort: str | None = None,
     index_sort_desc: bool = False,
+    store_attrs: tuple[str, ...] | list[str] | None = None,
 ) -> dict:
     """Build (or resume) the BM25 index at index_dir. Returns stats dict.
+
+    store_attrs (Lucene doc values): pages columns persisted verbatim in
+    the docmap at build time, frozen in stats.json like index_sort —
+    resumed builds and incremental drains must carry the same columns (a
+    drain missing one would leave NULL holes in the stored table), and
+    compaction re-keys them with the merged ordinals. Query surfaces then
+    hydrate attributes from the index itself (BM25Index.stored_attributes,
+    search_filtered(where=...)) with one column-pruned docmap scan — no
+    corpus join.
 
     index_sort (Lucene index sorting): name a pages column — per-shard
     doc ordinals follow (that value, doc_id) instead of doc_id, the
@@ -396,8 +416,10 @@ def _build_index_body(
     # incremental build MUST keep the base build's ordinal order, or the
     # new shards' posting lists stop being field-ordered and sorted-query
     # early termination silently returns wrong answers.
+    store_attrs = tuple(store_attrs) if store_attrs else ()
     if resume and store.has_stats():
-        _frozen_sort = store.read_stats().get("index_sort")
+        _frozen = store.read_stats()
+        _frozen_sort = _frozen.get("index_sort")
         if index_sort is not None and (
             _frozen_sort is None
             or _frozen_sort.get("field") != index_sort
@@ -410,12 +432,28 @@ def _build_index_body(
         if _frozen_sort is not None:
             index_sort = _frozen_sort["field"]
             index_sort_desc = bool(_frozen_sort.get("desc", False))
-    if index_sort in ("shard", "doc_id", "doclen", "terms", "sort_value"):
+        # frozen stats own the doc-values columns too: a drain writing a
+        # different attr set would leave NULL holes (or missing columns)
+        # in the stored table
+        _frozen_attrs = tuple(_frozen.get("store_attrs") or ())
+        if store_attrs and store_attrs != _frozen_attrs:
+            raise ValueError(
+                f"store_attrs={store_attrs!r} differs from the frozen "
+                f"stats' store_attrs={_frozen_attrs!r}"
+            )
+        store_attrs = _frozen_attrs
+    _RESERVED = ("shard", "doc_id", "doclen", "terms", "sort_value", "doc_ord")
+    if index_sort in _RESERVED:
         raise ValueError(f"index_sort column name {index_sort!r} is reserved")
+    for a in store_attrs:
+        if a in _RESERVED:
+            raise ValueError(f"store_attrs column name {a!r} is reserved")
 
+    carry = tuple(dict.fromkeys(
+        ((index_sort,) if index_sort else ()) + store_attrs
+    ))
     corpus = extract_corpus(
-        pages, analyzer=analyzer,
-        carry_cols=(index_sort,) if index_sort else (),
+        pages, analyzer=analyzer, carry_cols=carry,
     ).withColumn("shard", shard_expr)
     corpus.persist()
 
@@ -512,6 +550,8 @@ def _build_index_body(
             stats["index_sort"] = {
                 "field": index_sort, "desc": bool(index_sort_desc)
             }
+        if store_attrs:
+            stats["store_attrs"] = list(store_attrs)
         store.write_stats(stats)
         _mark("stats_phase", t0)
 
@@ -558,7 +598,8 @@ def _build_index_body(
             # gate), so the pre-clean is race-free.
             store.delete_partitions("postings", "shard", shards)
         store.overwrite(
-            build_docmap(part, sort_col=index_sort, sort_desc=index_sort_desc),
+            build_docmap(part, sort_col=index_sort, sort_desc=index_sort_desc,
+                         attr_cols=store_attrs),
             "docmap", ["shard"],
         )
         # re-read what we just wrote: downstream consumers (weighted join,

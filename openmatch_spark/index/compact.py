@@ -340,20 +340,26 @@ def compact_index(
         # rides along and re-keys the merged shard; plain indexes keep
         # the doc_id ordering
         sort_meta = stats.get("index_sort")
+        # stored doc-values columns (stats.store_attrs) ride the merge
+        # verbatim and re-key with the merged ordinals
+        attr_cols = tuple(stats.get("store_attrs") or ())
         if sort_meta:
             merged_docmap = build_docmap(
                 old_docmap.select(
                     F.lit(new_shard).cast("int").alias("shard"),
-                    "doc_id", "doclen", "sort_value",
+                    "doc_id", "doclen", "sort_value", *attr_cols,
                 ),
                 sort_col="sort_value",
                 sort_desc=bool(sort_meta.get("desc", False)),
+                attr_cols=attr_cols,
             )
         else:
             merged_docmap = build_docmap(
                 old_docmap.select(
-                    F.lit(new_shard).cast("int").alias("shard"), "doc_id", "doclen"
-                )
+                    F.lit(new_shard).cast("int").alias("shard"),
+                    "doc_id", "doclen", *attr_cols,
+                ),
+                attr_cols=attr_cols,
             )
         store.overwrite(merged_docmap, "docmap", ["shard"], stage=True)
         new_docmap = store.read("docmap").where(F.col("shard") == new_shard)

@@ -156,6 +156,30 @@ class BM25Index:
         return self._gated("docmap")
 
     @property
+    def stored_attrs(self) -> tuple:
+        """Doc-values columns frozen at build time (build_index
+        store_attrs) — () when the index stores none."""
+        return tuple(self.stats.get("store_attrs") or ())
+
+    def stored_attributes(self, *attrs: str) -> DataFrame:
+        """(doc_id, <attrs...>) hydration table from the index's OWN
+        docmap — Lucene doc values: a column-pruned, manifest-gated scan
+        that replaces the raw-corpus join wherever a query surface needs
+        per-doc attributes (facets, hit_stats, decay_rescore, ...).
+        Defaults to every stored column."""
+        import pyspark.sql.functions as F
+
+        want = list(attrs) if attrs else list(self.stored_attrs)
+        missing = [a for a in want if a not in self.stored_attrs]
+        if missing:
+            raise ValueError(
+                f"attributes {missing} are not stored in this index "
+                f"(stored: {list(self.stored_attrs)}) — rebuild with "
+                f"build_index(store_attrs=...)"
+            )
+        return self.docmap.select(F.col("doc_id"), *[F.col(a) for a in want])
+
+    @property
     def postings(self) -> DataFrame:
         return self._gated("postings")
 

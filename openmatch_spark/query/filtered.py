@@ -68,24 +68,44 @@ def _collect_mask(ords: DataFrame) -> dict:
 def search_filtered(
     index: BM25Index,
     queries: DataFrame,
-    allowed_docs: DataFrame,
+    allowed_docs: DataFrame | None = None,
     k: int = 100,
     max_driver_ords: int = MAX_DRIVER_ORDS,
     route: str | None = None,
+    where=None,
 ) -> DataFrame:
-    """Top-k run restricted to ``allowed_docs`` (any DataFrame with a doc_id
-    column — typically ``docs.where(predicate).select("doc_id")``).
+    """Top-k run restricted to a filter context. Two ways to express it:
+
+    - ``allowed_docs``: any DataFrame with a doc_id column — typically
+      ``docs.where(predicate).select("doc_id")``. One equi-join against
+      the docmap resolves ids to (shard, doc_ord).
+    - ``where``: a predicate (SQL string or Column) over the index's OWN
+      stored doc-values columns (build_index store_attrs) — e.g.
+      ``where="lang = 'en'"``. The allowed set comes straight off the
+      column-pruned docmap scan: no corpus access, no doc_id join, no
+      id strings in flight — the doc-values filter path.
 
     route: None (auto by selectivity) | "keep" | "drop" | "cogroup" —
     explicit routes exist for tests and for callers that already know their
     filter's selectivity (skips the counting job).
     """
+    if (allowed_docs is None) == (where is None):
+        raise ValueError("give exactly one of allowed_docs or where")
     matched = query_terms(index, queries)
     if not matched:
         return index.spark.createDataFrame(
             [], "query_id string, doc_id string, score double, rank int"
         )
-    ords = _allowed_ords(index, allowed_docs)
+    if where is not None:
+        if not index.stored_attrs:
+            raise ValueError(
+                "where= filters on stored doc values, but this index was "
+                "built without store_attrs"
+            )
+        pred = F.expr(where) if isinstance(where, str) else where
+        ords = index.docmap.where(pred).select("shard", "doc_ord")
+    else:
+        ords = _allowed_ords(index, allowed_docs)
     if route is None:
         n_allowed = ords.count()
         if n_allowed <= max_driver_ords:

@@ -98,6 +98,10 @@ def cmd_build_index(args) -> int:
         table_prefix=args.table_prefix,
         index_sort=getattr(args, "index_sort", None),
         index_sort_desc=getattr(args, "index_sort_desc", False),
+        store_attrs=(
+            args.store_attrs.split(",")
+            if getattr(args, "store_attrs", None) else None
+        ),
     )
     print(json.dumps({k: v for k, v in stats.items() if not hasattr(v, "toPandas")}))
     return 0
@@ -218,6 +222,11 @@ def cmd_search(args) -> int:
     elif args.fuzzy:
         mode = "fuzzy"
         run = search_fuzzy(idx, queries, k=args.k)
+    elif getattr(args, "where", None):
+        # doc-values filter: predicate over the index's stored attributes
+        # (build-index --store-attrs) — zero corpus access
+        mode = "filtered_dv"
+        run = search_filtered(idx, queries, where=args.where, k=args.k)
     elif args.allowed_docs:
         # attribute-filtered: any parquet/TSV with a doc_id column restricts
         # the candidate set (statistics stay corpus-wide)
@@ -408,6 +417,10 @@ def main(argv=None) -> int:
                          "pages column (enables early-terminated "
                          "search --sorted-by-index)")
     bi.add_argument("--index-sort-desc", action="store_true")
+    bi.add_argument("--store-attrs", default=None, metavar="COLS",
+                    help="comma-separated pages columns persisted in the "
+                         "docmap as doc values (enables search --where "
+                         "without corpus access)")
     bi.add_argument("--num-shards", type=int, default=8)
     bi.add_argument("--num-term-buckets", type=int, default=16)
     bi.add_argument("--block-size", type=int, default=128)
@@ -467,6 +480,10 @@ def main(argv=None) -> int:
                          "(Lucene RegexpQuery, Java/RE2 common subset)")
     se.add_argument("--allowed-docs", default=None, metavar="PATH",
                     help="parquet/TSV doc_id list restricting the candidate set")
+    se.add_argument("--where", default=None, metavar="SQL",
+                    help="doc-values filter: SQL predicate over columns "
+                         "stored with build-index --store-attrs "
+                         "(e.g. \"lang = 'en'\")")
     se.add_argument("--query-string", action="store_true",
                     help="parse each text as a Lucene-classic query string "
                          "(+must/-not, phrases, prefixes, wildcards, fuzzy, boosts)")

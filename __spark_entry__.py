@@ -2488,6 +2488,34 @@ def q_filtered_search(spark, sf_dir):
     )
 
 
+def q_dsl_search(spark, sf_dir):
+    """ES Query-DSL front door (query/dsl.py search_dsl): the boolean
+    fixture queries re-expressed as bool/match/term JSON dicts and
+    compiled onto the shared clause executor — must land on the SAME
+    oracle as bm25_boolean (role semantics, OOV-must kill, qtf-equivalent
+    per-token decomposition, must_not exclusion)."""
+    from openmatch_spark.query import search_dsl
+
+    idx = _entry_index(spark, sf_dir)
+    dsl = {}
+    for qid, must, should, must_not in BOOL_QUERIES:
+        body = {}
+        if must:
+            body["must"] = [{"match": {"text": must}}]
+        if should:
+            body["should"] = [{"match": {"text": should}}]
+        if must_not:
+            body["must_not"] = [{"match": {"text": must_not}}]
+        dsl[qid] = {"bool": body}
+    run = search_dsl(idx, dsl, k=10)
+    return run.select(
+        "query_id",
+        F.regexp_replace("doc_id", "^doc://", "").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+        "rank",
+    )
+
+
 def q_filtered_search_dv(spark, sf_dir):
     """The doc-values filter path (query/filtered.py search_filtered
     where=): the lang predicate evaluates on the index's OWN stored
@@ -5893,6 +5921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_after": q_search_after,
         "filtered_search": q_filtered_search,
         "filtered_search_dv": q_filtered_search_dv,
+        "dsl_search": q_dsl_search,
         "passage_maxp": q_passage_maxp,
         "bm25_boolean": q_bm25_boolean,
         "bm25_boolean_msm": q_bm25_boolean_msm,
@@ -6182,6 +6211,9 @@ SELECT query_id, doc_id, ROUND(score, 6) AS score, rank FROM prun WHERE rank <= 
     sql["filtered_search_dv"] = _FILTERED_SQL
     sql["passage_maxp"] = _PASSAGE_MAXP_SQL
     sql["bm25_boolean"] = _BM25_BOOLEAN_SQL
+    # the DSL front door compiles the same fixture onto the shared clause
+    # executor — identical results required, so identical oracle
+    sql["dsl_search"] = _BM25_BOOLEAN_SQL
     sql["phrase_search"] = _PHRASE_SQL
     sql["phrase_prefix"] = _PHRASE_PREFIX_SQL
     sql["proximity_search"] = _PROXIMITY_SQL

@@ -169,6 +169,21 @@ def _analyzed(clauses: list[Clause], analyzer: str) -> list[Clause]:
             pat = re.sub(r"[^a-z0-9*?]+", "", c.text.lower())
             if pat.replace("*", "").replace("?", ""):
                 out.append(Clause(c.role, "wildcard", pat, c.boost))
+        elif c.kind == "regexp":
+            # Lucene RegexpQuery clause (DSL-only; the query_string grammar
+            # never emits it): restrict to the Java/RE2 common charset and
+            # validate — same contract as expand.py search_regexp
+            from openmatch_spark.query.expand import _REGEXP_ALLOWED
+
+            pat = re.sub(_REGEXP_ALLOWED, "", c.text.lower())
+            if pat:
+                try:
+                    re.compile(f"^(?:{pat})$")
+                except re.error as e:
+                    raise ValueError(
+                        f"invalid regexp pattern {pat!r}: {e}"
+                    ) from e
+                out.append(Clause(c.role, "regexp", pat, c.boost))
         else:
             for tok in tokenize_py(c.text, analyzer):
                 out.append(Clause(c.role, "term", tok, c.boost))
@@ -189,9 +204,7 @@ def search_query_string(
     queries: (query_id, text) with text in the module grammar. Clause
     semantics, caps, and weights per the module docstring; phrase clauses
     need the positional sidecar (index/positions.py)."""
-    spark = index.spark
     analyzer = index.stats["analyzer"]
-    empty = spark.createDataFrame([], _RUN_SCHEMA)
     rows = queries.select(
         F.col("query_id").cast("string").alias("query_id"), "text"
     ).collect()
@@ -201,6 +214,25 @@ def search_query_string(
         )
         for r in rows
     }
+    return _execute_clauses(
+        index, per_q, k, min_should_match, max_expansions, fuzzy_prefix_len
+    )
+
+
+def _execute_clauses(
+    index: BM25Index,
+    per_q: dict,
+    k: int,
+    min_should_match,
+    max_expansions: int,
+    fuzzy_prefix_len: int,
+) -> DataFrame:
+    """Execute analyzed clause lists ({query_id: [Clause]}) — the shared
+    back half of search_query_string and query/dsl.py search_dsl.
+    min_should_match: a global int, or a {query_id: int} dict (the DSL's
+    per-bool minimum_should_match)."""
+    spark = index.spark
+    empty = spark.createDataFrame([], _RUN_SCHEMA)
     per_q = {q: cs for q, cs in per_q.items() if cs}
     if not per_q:
         return empty
@@ -211,6 +243,9 @@ def search_query_string(
     )
     wild_pats = sorted(
         {c.text for cs in per_q.values() for c in cs if c.kind == "wildcard"}
+    )
+    reg_pats = sorted(
+        {c.text for cs in per_q.values() for c in cs if c.kind == "regexp"}
     )
     fuzzy_by_edits: dict[int, set] = {}
     for cs in per_q.values():
@@ -228,6 +263,10 @@ def search_query_string(
         )
         if wild_pats else {}
     )
+    reg_exp = (
+        _expansions(index, reg_pats, "regexp", 0, 0, max_expansions)
+        if reg_pats else {}
+    )
     fuz_exp: dict[tuple, list] = {}
     for edits, toks in sorted(fuzzy_by_edits.items()):
         got = _expansions(
@@ -242,8 +281,9 @@ def search_query_string(
            for t in c.tokens}
     )
     bucket_of = index.term_buckets(exact_terms)
-    for variants in list(pre_exp.values()) + list(wild_exp.values()) + list(
-        fuz_exp.values()
+    for variants in (
+        list(pre_exp.values()) + list(wild_exp.values())
+        + list(reg_exp.values()) + list(fuz_exp.values())
     ):
         for term, _, bucket in variants:
             bucket_of[term] = bucket
@@ -258,6 +298,8 @@ def search_query_string(
             return [
                 (t, 0) for (t, _, _) in wild_exp.get(wildcard_to_like(c.text), [])
             ]
+        if c.kind == "regexp":
+            return [(t, 0) for (t, _, _) in reg_exp.get(c.text, [])]
         return [(t, ed) for (t, ed, _) in fuz_exp.get((c.text, c.edits), [])]
 
     sc_rows: list = []  # (qid, cid, is_must, term, wgt) — scoring clauses
@@ -399,7 +441,21 @@ def search_query_string(
         )
     )
     cand = cand.join(req, "query_id").where(F.col("must_m") == F.col("n_must"))
-    if min_should_match > 0:
+    if isinstance(min_should_match, dict):
+        msm_rows = [
+            (q, int(m)) for q, m in sorted(min_should_match.items())
+            if q in per_q and int(m) > 0
+        ]
+        if msm_rows:
+            msmdf = F.broadcast(
+                spark.createDataFrame(msm_rows, "query_id string, msm int")
+            )
+            cand = (
+                cand.join(msmdf, "query_id", "left")
+                .where(F.col("msm").isNull() | (F.col("should_m") >= F.col("msm")))
+                .drop("msm")
+            )
+    elif min_should_match > 0:
         cand = cand.where(F.col("should_m") >= min_should_match)
 
     # MUST_NOT: anti-join each exclusion's own postings — never the scorer

@@ -182,7 +182,18 @@ def cmd_search(args) -> int:
             .schema("query_id string, text string")
             .csv(args.queries)
         )
-    if getattr(args, "sorted_by_index", False):
+    if getattr(args, "dsl", False):
+        # ES-DSL front door: each query's text column holds a JSON query
+        # dict (query/dsl.py grammar)
+        from openmatch_spark.query import search_dsl
+
+        mode = "dsl"
+        qmap = {
+            str(r["query_id"]): json.loads(r["text"])
+            for r in queries.select("query_id", "text").collect()
+        }
+        run = search_dsl(idx, qmap, k=args.k)
+    elif getattr(args, "sorted_by_index", False):
         import pyspark.sql.functions as F
 
         from openmatch_spark.query import search_sorted_indexed
@@ -484,6 +495,10 @@ def main(argv=None) -> int:
                     help="doc-values filter: SQL predicate over columns "
                          "stored with build-index --store-attrs "
                          "(e.g. \"lang = 'en'\")")
+    se.add_argument("--dsl", action="store_true",
+                    help="each query text is an ES-style JSON query dict "
+                         "(bool/match/match_phrase/term/prefix/wildcard/"
+                         "fuzzy/regexp)")
     se.add_argument("--query-string", action="store_true",
                     help="parse each text as a Lucene-classic query string "
                          "(+must/-not, phrases, prefixes, wildcards, fuzzy, boosts)")

@@ -136,9 +136,8 @@ def compile_dsl(query: dict) -> tuple[list, int]:
     unknown = set(body) - {"must", "should", "must_not", "minimum_should_match"}
     if unknown:
         raise ValueError(f"unsupported bool options: {sorted(unknown)}")
-    msm = int(body.get("minimum_should_match", 0))
-    if msm < 0:
-        raise ValueError(f"minimum_should_match must be >= 0, got {msm}")
+    msm = body.get("minimum_should_match", 0)
+    _validate_msm_spec(msm)
     clauses: list = []
     for role in ("must", "should", "must_not"):
         entries = body.get(role, [])
@@ -159,6 +158,46 @@ def compile_dsl(query: dict) -> tuple[list, int]:
     if not clauses:
         raise ValueError("bool query has no clauses")
     return clauses, msm
+
+
+def _validate_msm_spec(spec) -> None:
+    """minimum_should_match accepts ES's single forms: an integer
+    (negative = that many should clauses may be missing) or a percentage
+    string like '75%' / '-25%' (of the post-analysis should-clause count).
+    ES's combination grammar ('3<90%') is not supported."""
+    if isinstance(spec, int):
+        return
+    if isinstance(spec, str):
+        s = spec.strip()
+        if s.endswith("%"):
+            try:
+                float(s[:-1])
+                return
+            except ValueError:
+                pass
+    raise ValueError(
+        f"minimum_should_match must be an integer or a percentage string, "
+        f"got {spec!r}"
+    )
+
+
+def resolve_msm(spec, n_should: int) -> int:
+    """ES minimum_should_match resolution against the actual number of
+    should clauses (Lucene's spec): positive int = fixed quota; negative
+    int = n_should + spec (that many optional clauses may be missing);
+    'P%' = floor(P/100 · n_should); '-P%' = n_should − floor(P/100 ·
+    n_should). Floored at 0; a quota ABOVE n_should is kept as-is and is
+    structurally unsatisfiable (Lucene: such a query matches nothing —
+    the same rule search_boolean documents)."""
+    import math
+
+    if isinstance(spec, int):
+        m = spec if spec >= 0 else n_should + spec
+    else:
+        pct = float(spec.strip()[:-1])
+        part = math.floor(abs(pct) / 100.0 * n_should)
+        m = part if pct >= 0 else n_should - part
+    return max(0, int(m))
 
 
 def search_dsl(
@@ -188,7 +227,14 @@ def search_dsl(
         raw, msm = compile_dsl(qdict)
         per_q[str(qid)] = _analyzed(raw, analyzer)
         if msm:
-            msm_by_q[str(qid)] = msm
+            # resolve percentage/negative forms against the POST-analysis
+            # should-clause count (a multi-token match is several clauses)
+            n_should = sum(
+                1 for c in per_q[str(qid)] if c.role == "should"
+            )
+            resolved = resolve_msm(msm, n_should)
+            if resolved:
+                msm_by_q[str(qid)] = resolved
         # ES term queries are atomic: a value that analyzes into several
         # tokens means the caller wanted `match`
         from openmatch_spark.analysis import tokenize_py

@@ -150,3 +150,35 @@ def test_dsl_validation(spark, idx):
         ]}}})
     with pytest.raises(ValueError, match="invalid regexp"):
         search_dsl(idx, {"q": {"regexp": {"text": "jo(n"}}})
+
+
+def test_resolve_msm_forms():
+    from openmatch_spark.query.dsl import resolve_msm
+
+    assert resolve_msm(2, 5) == 2
+    assert resolve_msm(-2, 5) == 3          # two may be missing
+    assert resolve_msm("75%", 4) == 3       # floor(3.0)
+    assert resolve_msm("75%", 5) == 3       # floor(3.75)
+    assert resolve_msm("-25%", 4) == 3      # 4 - floor(1.0)
+    assert resolve_msm("-30%", 5) == 4      # 5 - floor(1.5)
+    assert resolve_msm(-9, 5) == 0          # floored at 0
+    assert resolve_msm(9, 5) == 9           # unsatisfiable, kept as-is
+
+
+def test_dsl_percentage_msm_matches_integer(spark, idx):
+    shoulds = [{"match": {"text": "spark"}}, {"match": {"text": "merge"}},
+               {"match": {"text": "window"}}, {"match": {"text": "hash"}}]
+    pct = {"bool": {"should": shoulds, "minimum_should_match": "50%"}}
+    fixed = {"bool": {"should": shoulds, "minimum_should_match": 2}}
+    a = _rows(search_dsl(idx, {"q": pct}, k=10))
+    b = _rows(search_dsl(idx, {"q": fixed}, k=10))
+    assert a == b and a
+    # quota above the should count matches nothing (Lucene rule)
+    over = {"bool": {"should": shoulds, "minimum_should_match": 9}}
+    assert not search_dsl(idx, {"q": over}, k=10).collect()
+
+
+def test_dsl_msm_validation(spark, idx):
+    with pytest.raises(ValueError, match="minimum_should_match"):
+        compile_dsl({"bool": {"should": [{"match": {"text": "x"}}],
+                              "minimum_should_match": "3<90%"}})

@@ -166,6 +166,16 @@ SPAN_NEAR_QUERIES = [
 ]
 SPAN_NEAR_WITHIN = 8
 
+# span containment (Lucene SpanContaining/SpanWithin over exact-phrase
+# spans): (big, little) pairs — strict containment, single-token little,
+# self-containment (big == little), and an OOV little (structurally dead)
+SPAN_CONTAIN_QUERIES = [
+    ("sc0", "part filter scan", "filter scan"),
+    ("sc1", "customer join window", "join"),
+    ("sc2", "table hash", "table hash"),
+    ("sc3", "sort merge", "nosuchterm"),
+]
+
 # intervals query (query/intervals.py): all_of over any_of slots —
 # iv0/iv1 ordered (gap-capped / unlimited), iv2/iv3 unordered with
 # disjoint slot vocabularies, iv4 carries a dead (all-OOV) slot
@@ -741,6 +751,10 @@ _SPANN_VALUES = ", ".join(
 _SPAN_VALUES = ", ".join(
     f"('{qid}', '{text}')" for qid, text in SPAN_NEAR_QUERIES
 )
+_SPANC_VALUES = ", ".join(
+    f"('{qid}', '{big}', '{little}')"
+    for qid, big, little in SPAN_CONTAIN_QUERIES
+)
 # intervals specs expanded to one row per (query, slot, alternative);
 # slots are 1-based to match the recursive embedding's slot = 1 seed
 _IV_ORD_VALUES = ", ".join(
@@ -1015,6 +1029,91 @@ srun AS (
 SELECT query_id, doc_id, ROUND(score, 6) AS score, rank, min_window
 FROM srun WHERE rank <= 10
 """
+
+
+def _span_contain_sql(mode: str) -> str:
+    """Oracle for search_span_containing / search_span_within: both
+    phrases' occurrence starts via the offset-adjacency groupBy (as in
+    the phrase oracle), paired per (query, doc) under b0 <= l0 AND
+    l1 <= b1; n_spans counts distinct big starts ('containing') or
+    little starts ('within'); BM25 over the governing phrase's terms.
+    An OOV token in either phrase kills the query structurally (its
+    role produces no starts, so the inner join yields nothing)."""
+    span_col = "b0" if mode == "containing" else "l0"
+    gov_role = "B" if mode == "containing" else "L"
+    return f"""
+WITH {_TOKP},
+{_BM25_CORE},
+scq(query_id, big, little) AS (VALUES {_SPANC_VALUES}),
+roles AS (
+  SELECT query_id, 'B' AS role, big AS text FROM scq
+  UNION ALL
+  SELECT query_id, 'L' AS role, little AS text FROM scq
+),
+rtoks AS (
+  SELECT query_id, role,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM roles
+),
+rterm AS (
+  SELECT query_id, role, CAST(u.i - 1 AS BIGINT) AS off, toks[u.i] AS term
+  FROM rtoks, UNNEST(generate_series(1, len(toks))) AS u(i)
+),
+rlen AS (SELECT query_id, role, COUNT(*) AS plen FROM rterm GROUP BY query_id, role),
+roccm AS (
+  SELECT p.query_id, p.role, k.doc_id, k.pos - p.off AS strt, COUNT(DISTINCT p.off) AS m
+  FROM rterm p JOIN tokp k ON k.term = p.term
+  GROUP BY p.query_id, p.role, k.doc_id, k.pos - p.off
+),
+rstarts AS (
+  SELECT o.query_id, o.role, o.doc_id, o.strt
+  FROM roccm o JOIN rlen l ON l.query_id = o.query_id AND l.role = o.role AND o.m = l.plen
+),
+paired AS (
+  SELECT b.query_id, b.doc_id,
+         b.strt AS b0, li.strt AS l0
+  FROM rstarts b
+  JOIN rlen lb ON lb.query_id = b.query_id AND lb.role = 'B'
+  JOIN rstarts li ON li.query_id = b.query_id AND li.doc_id = b.doc_id AND li.role = 'L'
+  JOIN rlen ll ON ll.query_id = li.query_id AND ll.role = 'L'
+  WHERE b.role = 'B'
+    AND b.strt <= li.strt
+    AND li.strt + ll.plen - 1 <= b.strt + lb.plen - 1
+),
+sccnt AS (
+  SELECT query_id, doc_id, CAST(COUNT(DISTINCT {span_col}) AS INTEGER) AS n_spans
+  FROM paired GROUP BY query_id, doc_id
+),
+scqt AS (
+  SELECT query_id, term, CAST(COUNT(*) AS DOUBLE) AS qtf
+  FROM rterm WHERE role = '{gov_role}' GROUP BY query_id, term
+),
+scscored AS (
+  SELECT qt.query_id, tf.doc_id,
+         SUM(qt.qtf
+             * ln(1 + (g.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+             * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.doclen / g.avgdl))) AS score
+  FROM tf
+  JOIN scqt qt ON qt.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN dfreq ON dfreq.term = tf.term
+  CROSS JOIN g
+  GROUP BY qt.query_id, tf.doc_id
+),
+scrun AS (
+  SELECT c.query_id, c.doc_id, s.score, c.n_spans,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY c.query_id ORDER BY s.score DESC, c.doc_id ASC
+         ) AS INTEGER) AS rank
+  FROM sccnt c JOIN scscored s ON s.query_id = c.query_id AND s.doc_id = c.doc_id
+)
+SELECT query_id, doc_id, ROUND(score, 6) AS score, rank, n_spans
+FROM scrun WHERE rank <= 10
+"""
+
+
+_SPAN_CONTAINING_SQL = _span_contain_sql("containing")
+_SPAN_WITHIN_SQL = _span_contain_sql("within")
 
 # intervals oracle: ordered mode replays the span recursive-CTE embedding
 # with any_of slots (several terms share one slot id); unordered mode is
@@ -3425,6 +3524,46 @@ def q_span_near(spark, sf_dir):
         F.round("score", 6).alias("score"),
         "rank",
         "min_window",
+    )
+
+
+def _span_contain_queries_df(spark):
+    return spark.createDataFrame(
+        SPAN_CONTAIN_QUERIES, "query_id string, big string, little string"
+    )
+
+
+def q_span_containing(spark, sf_dir):
+    """Lucene SpanContainingQuery: big-phrase occurrences that contain a
+    little-phrase occurrence; n_spans = distinct qualifying big starts;
+    BM25 over the big phrase's terms."""
+    from openmatch_spark.query import search_span_containing
+
+    idx = _entry_index_with_positions(spark, sf_dir)
+    run = search_span_containing(idx, _span_contain_queries_df(spark), k=10)
+    return run.select(
+        "query_id",
+        F.regexp_replace("doc_id", "^doc://", "").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+        "rank",
+        "n_spans",
+    )
+
+
+def q_span_within(spark, sf_dir):
+    """Lucene SpanWithinQuery: little-phrase occurrences inside a
+    big-phrase occurrence; n_spans = distinct qualifying little starts;
+    BM25 over the little phrase's terms."""
+    from openmatch_spark.query import search_span_within
+
+    idx = _entry_index_with_positions(spark, sf_dir)
+    run = search_span_within(idx, _span_contain_queries_df(spark), k=10)
+    return run.select(
+        "query_id",
+        F.regexp_replace("doc_id", "^doc://", "").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+        "rank",
+        "n_spans",
     )
 
 
@@ -5943,6 +6082,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "proximity_search": q_proximity_search,
         "query_string": q_query_string,
         "span_near": q_span_near,
+        "span_containing": q_span_containing,
+        "span_within": q_span_within,
         "highlight": q_highlight,
         "snippets": q_snippets,
         "bm25f": q_bm25f,
@@ -6218,6 +6359,8 @@ SELECT query_id, doc_id, ROUND(score, 6) AS score, rank FROM prun WHERE rank <= 
     sql["phrase_prefix"] = _PHRASE_PREFIX_SQL
     sql["proximity_search"] = _PROXIMITY_SQL
     sql["span_near"] = _SPAN_SQL
+    sql["span_containing"] = _SPAN_CONTAINING_SQL
+    sql["span_within"] = _SPAN_WITHIN_SQL
     sql["intervals"] = _INTERVALS_SQL
     sql["query_string"] = _QUERY_STRING_SQL
     sql["snippets"] = _SNIPPET_SQL

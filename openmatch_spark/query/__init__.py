@@ -55,9 +55,11 @@ from openmatch_spark.query.phrase import (  # noqa: F401
     search_phrase,
     search_phrase_prefix,
     search_proximity,
+    search_span_containing,
     search_span_first,
     search_span_near,
     search_span_not,
+    search_span_within,
 )
 from openmatch_spark.query.bm25f import bm25f_score_adhoc, combined_fields_score_adhoc  # noqa: F401
 from openmatch_spark.query.pq import pq_encode, pq_topk, pq_train  # noqa: F401

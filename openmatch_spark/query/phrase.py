@@ -892,3 +892,158 @@ def search_span_not(
         "query_id", "shard", "doc_ord", "score", "kept_occurrences"
     )
     return _finalize(index, cand, k, ["kept_occurrences"])
+
+
+def _phrase_starts(index: BM25Index, keyed: dict, bucket_of: dict) -> DataFrame:
+    """{composite_key: token tuple} -> (ck, shard, doc_ord, start): every
+    occurrence start of each exact phrase, via the offset-adjacency trick
+    (all offsets agree on one start) over ONE pruned positional scan —
+    the per-clause machinery search_phrase/_phrase_matches use, exposed
+    for the span-containment surfaces."""
+    spark = index.spark
+    offsets = [
+        (ck, t, off)
+        for ck, toks in sorted(keyed.items())
+        for off, t in enumerate(toks)
+    ]
+    plens = [(ck, len(toks)) for ck, toks in sorted(keyed.items())]
+    terms = sorted({t for (_, t, _) in offsets})
+    occ = _pruned_positions(index, terms, bucket_of)
+    off_df = F.broadcast(
+        spark.createDataFrame(offsets, "ck string, term string, off long")
+    )
+    plen_df = F.broadcast(
+        spark.createDataFrame(plens, "ck string, plen long")
+    )
+    return (
+        occ.join(off_df, "term")
+        .groupBy(
+            "ck", "shard", "doc_ord",
+            (F.col("pos") - F.col("off")).alias("start"),
+        )
+        .agg(F.countDistinct("off").alias("n_off"))
+        .join(plen_df, "ck")
+        .where(F.col("n_off") == F.col("plen"))
+        .select("ck", "shard", "doc_ord", "start")
+    )
+
+
+_SPAN_SEP = "\x1f"
+
+
+def _span_containment(
+    index: BM25Index, queries: DataFrame, k: int, mode: str
+) -> DataFrame:
+    """Shared engine for search_span_containing / search_span_within.
+
+    queries: (query_id, big, little) — both exact phrases (analyzed,
+    order + adjacency significant). A BIG span is each occurrence of the
+    big phrase ([start, start + len_big - 1]); a LITTLE span likewise.
+    mode 'containing' keeps big spans that contain some little span and
+    ranks by BM25 over the BIG phrase's terms; mode 'within' keeps little
+    spans inside some big span and ranks by the LITTLE phrase's terms —
+    Lucene's SpanContainingQuery / SpanWithinQuery, whose result spans
+    (and hence scoring terms) differ exactly this way. n_spans counts the
+    distinct qualifying spans. An OOV token in either phrase makes the
+    query unmatchable (structural, like every span surface).
+
+    Plan: one pruned positional scan resolves BOTH phrase families'
+    occurrence starts (the adjacency groupBy), one (query, doc)-keyed
+    join pairs them — fan-out bounded by per-doc phrase frequencies —
+    and the scoring pass is the standard pruned postings decode."""
+    from openmatch_spark.analysis import tokenize_py
+
+    spark = index.spark
+    analyzer = index.stats["analyzer"]
+    empty = spark.createDataFrame(
+        [], "query_id string, doc_id string, score double, rank int, n_spans int"
+    )
+    rows = queries.select(
+        F.col("query_id").cast("string").alias("query_id"), "big", "little"
+    ).collect()
+    per_q = {
+        str(r["query_id"]): (
+            tuple(tokenize_py(r["big"] or "", analyzer)),
+            tuple(tokenize_py(r["little"] or "", analyzer)),
+        )
+        for r in rows
+    }
+    per_q = {q: (b, l) for q, (b, l) in per_q.items() if b and l}
+    if not per_q:
+        return empty
+    all_terms = sorted({t for (b, l) in per_q.values() for t in (*b, *l)})
+    bucket_of = index.term_buckets(all_terms)
+    live = {
+        q: (b, l)
+        for q, (b, l) in per_q.items()
+        if all(t in bucket_of for t in (*b, *l))
+    }
+    if not live:
+        return empty
+    keyed = {}
+    for q, (b, l) in sorted(live.items()):
+        keyed[f"{q}{_SPAN_SEP}B"] = b
+        keyed[f"{q}{_SPAN_SEP}L"] = l
+    starts = _phrase_starts(index, keyed, bucket_of)
+    qid = F.split(F.col("ck"), _SPAN_SEP)[0]
+    role = F.split(F.col("ck"), _SPAN_SEP)[1]
+    blen = F.broadcast(spark.createDataFrame(
+        [(q, len(b), len(l)) for q, (b, l) in sorted(live.items())],
+        "query_id string, blen long, llen long",
+    ))
+    spans = starts.select(
+        qid.alias("query_id"), role.alias("role"), "shard", "doc_ord", "start"
+    ).join(blen, "query_id")
+    bigs = spans.where(F.col("role") == "B").select(
+        "query_id", "shard", "doc_ord",
+        F.col("start").alias("b0"),
+        (F.col("start") + F.col("blen") - 1).alias("b1"),
+    )
+    littles = spans.where(F.col("role") == "L").select(
+        "query_id", "shard", "doc_ord",
+        F.col("start").alias("l0"),
+        (F.col("start") + F.col("llen") - 1).alias("l1"),
+    )
+    paired = bigs.join(littles, ["query_id", "shard", "doc_ord"]).where(
+        (F.col("b0") <= F.col("l0")) & (F.col("l1") <= F.col("b1"))
+    )
+    span_col = "b0" if mode == "containing" else "l0"
+    counted = (
+        paired.select("query_id", "shard", "doc_ord", span_col)
+        .distinct()
+        .groupBy("query_id", "shard", "doc_ord")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_spans"))
+    )
+    gov = 0 if mode == "containing" else 1
+    qterms = [
+        (q, t, float(c))
+        for q, toks in sorted(live.items())
+        for t, c in sorted(Counter(toks[gov]).items())
+    ]
+    scores = _bm25_scores(index, qterms, bucket_of)
+    cand = counted.join(scores, ["query_id", "shard", "doc_ord"]).select(
+        "query_id", "shard", "doc_ord", "score", "n_spans"
+    )
+    return _finalize(index, cand, k, ["n_spans"])
+
+
+def search_span_containing(
+    index: BM25Index, queries: DataFrame, k: int = 100
+) -> DataFrame:
+    """Lucene SpanContainingQuery over exact-phrase spans: docs where an
+    occurrence of the `big` phrase CONTAINS an occurrence of the `little`
+    phrase; ranked BM25 over the big phrase's terms. queries: (query_id,
+    big, little). (query_id, doc_id, score, rank, n_spans) — n_spans =
+    distinct qualifying big spans."""
+    return _span_containment(index, queries, k, "containing")
+
+
+def search_span_within(
+    index: BM25Index, queries: DataFrame, k: int = 100
+) -> DataFrame:
+    """Lucene SpanWithinQuery over exact-phrase spans: docs where an
+    occurrence of the `little` phrase lies WITHIN an occurrence of the
+    `big` phrase; ranked BM25 over the little phrase's terms. queries:
+    (query_id, big, little). n_spans = distinct qualifying little
+    spans."""
+    return _span_containment(index, queries, k, "within")

@@ -233,3 +233,98 @@ def test_completion_size_and_validation(spark, sugg):
         suggest_completions(sugg, [])
     with pytest.raises(ValueError, match="size"):
         suggest_completions(sugg, ["s"], size=0)
+
+
+# ------------------------------------------------- span containing/within
+
+SPAN_DOCS = [
+    ("doc://s0", "a b c d a b"),
+    ("doc://s1", "b c a b c d"),
+    ("doc://s2", "a b x c d"),
+    ("doc://s3", "a b c d a b c d"),
+    ("doc://s4", "c b a d c b"),
+]
+
+
+@pytest.fixture(scope="module")
+def span_idx(spark, tmp_path_factory):
+    from openmatch_spark.index import build_index, build_positions, load_index
+
+    pages = spark.createDataFrame(
+        [(u, None, None, t, "en") for u, t in SPAN_DOCS],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    d = str(tmp_path_factory.mktemp("spanc") / "idx")
+    build_index(spark, pages, d, analyzer="simple", num_shards=2,
+                num_term_buckets=4, block_size=4)
+    build_positions(spark, pages, d)
+    return load_index(spark, d)
+
+
+def _py_spans(text, big, little, mode):
+    toks = text.split()
+    bt, lt = big.split(), little.split()
+    occs = lambda p: [
+        i for i in range(len(toks) - len(p) + 1)
+        if toks[i:i + len(p)] == p
+    ]
+    bo, lo = occs(bt), occs(lt)
+    if mode == "containing":
+        keep = {b for b in bo for l in lo
+                if b <= l and l + len(lt) - 1 <= b + len(bt) - 1}
+    else:
+        keep = {l for l in lo for b in bo
+                if b <= l and l + len(lt) - 1 <= b + len(bt) - 1}
+    return len(keep)
+
+
+@pytest.mark.parametrize("mode", ["containing", "within"])
+@pytest.mark.parametrize("big,little", [
+    ("a b c d", "b c"),
+    ("a b", "a b"),        # a span trivially contains itself
+    ("c b", "b"),
+    ("a b c d", "c d"),
+])
+def test_span_containment_matches_python(spark, span_idx, mode, big, little):
+    from openmatch_spark.query import (
+        search_span_containing,
+        search_span_within,
+    )
+
+    fn = search_span_containing if mode == "containing" else search_span_within
+    q = spark.createDataFrame(
+        [("q", big, little)], "query_id string, big string, little string"
+    )
+    got = {r["doc_id"]: r["n_spans"] for r in fn(span_idx, q, k=10).collect()}
+    want = {
+        u: _py_spans(t, big, little, mode)
+        for u, t in SPAN_DOCS
+        if _py_spans(t, big, little, mode) > 0
+    }
+    assert got == want, (mode, big, little, got, want)
+
+
+def test_span_containment_doc_sets_agree(spark, span_idx):
+    # containing and within match the SAME docs (both need an existing
+    # (big, little) pair) — only the counted spans and scoring terms differ
+    from openmatch_spark.query import (
+        search_span_containing,
+        search_span_within,
+    )
+
+    q = spark.createDataFrame(
+        [("q", "a b c d", "b c")], "query_id string, big string, little string"
+    )
+    a = {r["doc_id"] for r in search_span_containing(span_idx, q, k=10).collect()}
+    b = {r["doc_id"] for r in search_span_within(span_idx, q, k=10).collect()}
+    assert a == b and a
+
+
+def test_span_containment_oov_and_empty(spark, span_idx):
+    from openmatch_spark.query import search_span_containing
+
+    q = spark.createDataFrame(
+        [("q1", "a b c d", "zz"), ("q2", "", "b")],
+        "query_id string, big string, little string",
+    )
+    assert search_span_containing(span_idx, q, k=10).count() == 0

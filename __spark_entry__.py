@@ -176,6 +176,18 @@ SPAN_CONTAIN_QUERIES = [
     ("sc3", "sort merge", "nosuchterm"),
 ]
 
+# span_or (Lucene SpanOrQuery over phrase spans): alternative phrase
+# lists — multi-token pair, single-token pair, overlapping spans of
+# different lengths, an OOV alternative that must drop ALONE, and an
+# all-dead query (no rows)
+SPAN_OR_QUERIES = [
+    ("so0", ["part filter scan", "sort merge"]),
+    ("so1", ["join", "merge"]),
+    ("so2", ["customer join", "join window"]),
+    ("so3", ["spark", "nosuchterm fast"]),
+    ("so4", ["nosuchterm", "zzzmissing scan"]),
+]
+
 # intervals query (query/intervals.py): all_of over any_of slots —
 # iv0/iv1 ordered (gap-capped / unlimited), iv2/iv3 unordered with
 # disjoint slot vocabularies, iv4 carries a dead (all-OOV) slot
@@ -207,6 +219,26 @@ QS_QUERIES = [
     ("qs7", '+"customer join window" spark'),
 ]
 QS_MAX_EXP = 50
+
+# simple_query_string surface (query/simpleqs.py), default_operator 'or',
+# flags ALL: OR junction of branches (whitespace = OR), '+' AND-run, a
+# phrase branch with a lifted global negation, prefix|fuzzy branches, an
+# OOV-killed single branch (no rows), an OOV branch that dies ALONE, an
+# exclusion-only string (no rows), a multi-token segment ('hash-table' —
+# one group unit matching either token), a phrase+term branch sum, and a
+# run-local negation that must NOT leak to the sibling branch
+SQS_QUERIES = [
+    ("sq0", "spark | merge"),
+    ("sq1", "spark + join"),
+    ("sq2", '"part filter scan" -window'),
+    ("sq3", "sp* | windoq~1"),
+    ("sq4", "nosuchterm + spark"),
+    ("sq5", "spark + nosuchterm | join"),
+    ("sq6", "-spark"),
+    ("sq7", "hash-table join"),
+    ("sq8", '"sort merge" scan'),
+    ("sq9", "merge + -window | hash"),
+]
 
 EN_STOP = ["the", "and", "of", "to", "in", "is", "that", "for", "with", "a"]
 DE_STOP = ["der", "die", "und", "das", "ist", "nicht", "mit", "ein", "zu", "den"]
@@ -755,6 +787,12 @@ _SPANC_VALUES = ", ".join(
     f"('{qid}', '{big}', '{little}')"
     for qid, big, little in SPAN_CONTAIN_QUERIES
 )
+# span_or expanded to one row per (query, alternative-index, text)
+_SPANOR_VALUES = ", ".join(
+    f"('{qid}', {i}, '{text}')"
+    for qid, alts in SPAN_OR_QUERIES
+    for i, text in enumerate(alts)
+)
 # intervals specs expanded to one row per (query, slot, alternative);
 # slots are 1-based to match the recursive embedding's slot = 1 seed
 _IV_ORD_VALUES = ", ".join(
@@ -1115,6 +1153,78 @@ FROM scrun WHERE rank <= 10
 _SPAN_CONTAINING_SQL = _span_contain_sql("containing")
 _SPAN_WITHIN_SQL = _span_contain_sql("within")
 
+# span_or oracle: each alternative's occurrence starts via the
+# offset-adjacency groupBy; an alternative is LIVE iff every token is in
+# the dictionary (an OOV alternative drops alone — so3's second
+# alternative; a fully-dead query — so4 — yields nothing). n_spans counts
+# DISTINCT (start, end) pairs across live alternatives; BM25 over the
+# UNION of the live alternatives' terms with qtf = total count across
+# those alternatives.
+_SPAN_OR_SQL = f"""
+WITH {_TOKP},
+{_BM25_CORE},
+soq(query_id, alt, text) AS (VALUES {_SPANOR_VALUES}),
+sotok AS (
+  SELECT query_id, alt,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM soq
+),
+soterm AS (
+  SELECT query_id, alt, CAST(u.i - 1 AS BIGINT) AS off, toks[u.i] AS term
+  FROM sotok, UNNEST(generate_series(1, len(toks))) AS u(i)
+),
+solen AS (SELECT query_id, alt, COUNT(*) AS plen FROM soterm GROUP BY query_id, alt),
+solive AS (
+  SELECT s.query_id, s.alt
+  FROM soterm s LEFT JOIN dfreq d ON d.term = s.term
+  GROUP BY s.query_id, s.alt
+  HAVING COUNT(*) = COUNT(d.term)
+),
+sooccm AS (
+  SELECT p.query_id, p.alt, k.doc_id, k.pos - p.off AS strt, COUNT(DISTINCT p.off) AS m
+  FROM soterm p
+  JOIN solive v ON v.query_id = p.query_id AND v.alt = p.alt
+  JOIN tokp k ON k.term = p.term
+  GROUP BY p.query_id, p.alt, k.doc_id, k.pos - p.off
+),
+sospan AS (
+  SELECT DISTINCT o.query_id, o.doc_id, o.strt, o.strt + l.plen - 1 AS fin
+  FROM sooccm o
+  JOIN solen l ON l.query_id = o.query_id AND l.alt = o.alt AND o.m = l.plen
+),
+socnt AS (
+  SELECT query_id, doc_id, CAST(COUNT(*) AS INTEGER) AS n_spans
+  FROM sospan GROUP BY query_id, doc_id
+),
+soqt AS (
+  SELECT s.query_id, s.term, CAST(COUNT(*) AS DOUBLE) AS qtf
+  FROM soterm s
+  JOIN solive v ON v.query_id = s.query_id AND v.alt = s.alt
+  GROUP BY s.query_id, s.term
+),
+soscored AS (
+  SELECT qt.query_id, tf.doc_id,
+         SUM(qt.qtf
+             * ln(1 + (g.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+             * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.doclen / g.avgdl))) AS score
+  FROM tf
+  JOIN soqt qt ON qt.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN dfreq ON dfreq.term = tf.term
+  CROSS JOIN g
+  GROUP BY qt.query_id, tf.doc_id
+),
+sorun AS (
+  SELECT c.query_id, c.doc_id, s.score, c.n_spans,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY c.query_id ORDER BY s.score DESC, c.doc_id ASC
+         ) AS INTEGER) AS rank
+  FROM socnt c JOIN soscored s ON s.query_id = c.query_id AND s.doc_id = c.doc_id
+)
+SELECT query_id, doc_id, ROUND(score, 6) AS score, rank, n_spans
+FROM sorun WHERE rank <= 10
+"""
+
 # intervals oracle: ordered mode replays the span recursive-CTE embedding
 # with any_of slots (several terms share one slot id); unordered mode is
 # the classic min-cover — for every candidate end position take each
@@ -1355,6 +1465,173 @@ qs_run AS (
 )
 SELECT query_id, doc_id, ROUND(score, 6) AS score, rank
 FROM qs_run WHERE rank <= 10
+"""
+
+# simple_query_string oracle: the clause tables are the HAND-COMPILED
+# OR-of-AND-branches decomposition of SQS_QUERIES under default_operator
+# 'or' (parser unit-tested in tests/test_round4s.py — the oracle checks
+# the retrieval math). Per branch: every positive segment is one MUST
+# GROUP (gid) that matches when ANY of its clauses/expansions matches
+# (sq7's 'hash-table' analyzes to a two-term group); a branch qualifies
+# when its matched-group count equals the branch's hand-coded group
+# count (sq4/sq5-branch-0 carry a dead OOV group and can never qualify);
+# not-terms are branch-scoped (sq9) with lifted global negations expanded
+# onto every branch of their query (sq2); the final score is the SUM over
+# qualifying branches (sq0 docs matching both spark and merge accumulate
+# both branches); sq6 has no positive branch and must yield nothing.
+_SIMPLE_QS_SQL = f"""
+WITH {_TOKP},
+{_BM25_CORE},
+sq_term(query_id, br, gid, term) AS (VALUES
+  ('sq0', 0, 0, 'spark'), ('sq0', 1, 0, 'merge'),
+  ('sq1', 0, 0, 'spark'), ('sq1', 0, 1, 'join'),
+  ('sq4', 0, 0, 'nosuchterm'), ('sq4', 0, 1, 'spark'),
+  ('sq5', 0, 0, 'spark'), ('sq5', 0, 1, 'nosuchterm'), ('sq5', 1, 0, 'join'),
+  ('sq7', 0, 0, 'hash'), ('sq7', 0, 0, 'table'), ('sq7', 1, 0, 'join'),
+  ('sq8', 1, 0, 'scan'),
+  ('sq9', 0, 0, 'merge'), ('sq9', 1, 0, 'hash')),
+sq_prefix(query_id, br, gid, pat) AS (VALUES ('sq3', 0, 0, 'sp')),
+sq_fuzzy(query_id, br, gid, qterm, edits) AS (VALUES ('sq3', 1, 0, 'windoq', 1)),
+sq_phrase(query_id, br, gid, ptext) AS (VALUES
+  ('sq2', 0, 0, 'part filter scan'),
+  ('sq8', 0, 0, 'sort merge')),
+sq_not(query_id, br, nterm) AS (VALUES
+  ('sq2', 0, 'window'), ('sq9', 0, 'window')),
+sq_nmust(query_id, br, n) AS (VALUES
+  ('sq0', 0, 1), ('sq0', 1, 1),
+  ('sq1', 0, 2),
+  ('sq2', 0, 1),
+  ('sq3', 0, 1), ('sq3', 1, 1),
+  ('sq4', 0, 2),
+  ('sq5', 0, 2), ('sq5', 1, 1),
+  ('sq7', 0, 1), ('sq7', 1, 1),
+  ('sq8', 0, 1), ('sq8', 1, 1),
+  ('sq9', 0, 1), ('sq9', 1, 1)),
+sqp_cand AS (
+  SELECT p.query_id, p.br, p.gid, d.term, d.df
+  FROM sq_prefix p JOIN dfreq d ON d.term LIKE p.pat || '%'
+),
+sqp_cap AS (
+  SELECT query_id, br, gid, term, CAST(1.0 AS DOUBLE) AS wgt FROM (
+    SELECT query_id, br, gid, term,
+           ROW_NUMBER() OVER (PARTITION BY query_id, br, gid
+                              ORDER BY df DESC, term ASC) AS r
+    FROM sqp_cand
+  ) WHERE r <= {QS_MAX_EXP}
+),
+sqf_cand AS (
+  SELECT f.query_id, f.br, f.gid, d.term,
+         1.0 / (1 + levenshtein(d.term, f.qterm)) AS wgt,
+         levenshtein(d.term, f.qterm) AS ed, d.df
+  FROM sq_fuzzy f JOIN dfreq d
+    ON substr(d.term, 1, 1) = substr(f.qterm, 1, 1)
+   AND abs(len(d.term) - len(f.qterm)) <= f.edits
+   AND levenshtein(d.term, f.qterm) <= f.edits
+),
+sqf_cap AS (
+  SELECT query_id, br, gid, term, wgt FROM (
+    SELECT query_id, br, gid, term, wgt,
+           ROW_NUMBER() OVER (PARTITION BY query_id, br, gid
+                              ORDER BY ed ASC, df DESC, term ASC) AS r
+    FROM sqf_cand
+  ) WHERE r <= {QS_MAX_EXP}
+),
+sq_sc AS (
+  SELECT query_id, br, gid, term, CAST(1.0 AS DOUBLE) AS wgt FROM sq_term
+  UNION ALL SELECT query_id, br, gid, term, wgt FROM sqp_cap
+  UNION ALL SELECT query_id, br, gid, term, wgt FROM sqf_cap
+),
+sq_tbase AS (
+  SELECT s.query_id, s.br, tf.doc_id,
+         SUM(s.wgt
+             * ln(1 + (g.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+             * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.doclen / g.avgdl))) AS t_score,
+         COUNT(DISTINCT s.gid) AS t_must
+  FROM tf
+  JOIN sq_sc s ON s.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN dfreq ON dfreq.term = tf.term
+  CROSS JOIN g
+  GROUP BY s.query_id, s.br, tf.doc_id
+),
+sq_ptoks AS (
+  SELECT query_id, br, gid,
+         list_filter(regexp_split_to_array(lower(ptext), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM sq_phrase
+),
+sq_pterm AS (
+  SELECT query_id, br, gid, CAST(u.i - 1 AS BIGINT) AS off, toks[u.i] AS term
+  FROM sq_ptoks, UNNEST(generate_series(1, len(toks))) AS u(i)
+),
+sq_plen AS (SELECT query_id, br, gid, COUNT(*) AS plen FROM sq_pterm GROUP BY query_id, br, gid),
+sq_occm AS (
+  SELECT p.query_id, p.br, p.gid, k.doc_id, k.pos - p.off AS adj, COUNT(DISTINCT p.off) AS m
+  FROM sq_pterm p JOIN tokp k ON k.term = p.term
+  GROUP BY p.query_id, p.br, p.gid, k.doc_id, k.pos - p.off
+),
+sq_pmatch AS (
+  SELECT DISTINCT o.query_id, o.br, o.gid, o.doc_id
+  FROM sq_occm o
+  JOIN sq_plen l ON l.query_id = o.query_id AND l.br = o.br
+                AND l.gid = o.gid AND o.m = l.plen
+),
+sq_pqt AS (
+  SELECT query_id, br, gid, term, CAST(COUNT(*) AS DOUBLE) AS qtf
+  FROM sq_pterm GROUP BY query_id, br, gid, term
+),
+sq_pscored AS (
+  SELECT q.query_id, q.br, q.gid, tf.doc_id,
+         SUM(q.qtf
+             * ln(1 + (g.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+             * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.doclen / g.avgdl))) AS score
+  FROM tf
+  JOIN sq_pqt q ON q.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN dfreq ON dfreq.term = tf.term
+  CROSS JOIN g
+  GROUP BY q.query_id, q.br, q.gid, tf.doc_id
+),
+sq_pm AS (
+  SELECT m.query_id, m.br, m.doc_id,
+         SUM(s.score) AS p_score,
+         COUNT(DISTINCT m.gid) AS p_must
+  FROM sq_pmatch m
+  JOIN sq_pscored s ON s.query_id = m.query_id AND s.br = m.br
+                   AND s.gid = m.gid AND s.doc_id = m.doc_id
+  GROUP BY m.query_id, m.br, m.doc_id
+),
+sq_comb AS (
+  SELECT COALESCE(b.query_id, p.query_id) AS query_id,
+         COALESCE(b.br, p.br) AS br,
+         COALESCE(b.doc_id, p.doc_id) AS doc_id,
+         COALESCE(b.t_score, 0) + COALESCE(p.p_score, 0) AS score,
+         COALESCE(b.t_must, 0) + COALESCE(p.p_must, 0) AS must_m
+  FROM sq_tbase b FULL JOIN sq_pm p
+    ON p.query_id = b.query_id AND p.br = b.br AND p.doc_id = b.doc_id
+),
+sq_bfilt AS (
+  SELECT c.query_id, c.br, c.doc_id, c.score
+  FROM sq_comb c
+  JOIN sq_nmust n ON n.query_id = c.query_id AND n.br = c.br
+  WHERE c.must_m = n.n
+    AND NOT EXISTS (
+      SELECT 1 FROM sq_not x JOIN tok k ON k.term = x.nterm
+      WHERE x.query_id = c.query_id AND x.br = c.br AND k.doc_id = c.doc_id
+    )
+),
+sq_sum AS (
+  SELECT query_id, doc_id, SUM(score) AS score
+  FROM sq_bfilt GROUP BY query_id, doc_id
+),
+sq_srun AS (
+  SELECT query_id, doc_id, score,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+         ) AS INTEGER) AS rank
+  FROM sq_sum
+)
+SELECT query_id, doc_id, ROUND(score, 6) AS score, rank
+FROM sq_srun WHERE rank <= 10
 """
 
 _SNIPPET_W = 12
@@ -3564,6 +3841,49 @@ def q_span_within(spark, sf_dir):
         F.round("score", 6).alias("score"),
         "rank",
         "n_spans",
+    )
+
+
+def q_span_or(spark, sf_dir):
+    """Lucene SpanOrQuery over phrase spans: docs where ANY alternative
+    phrase occurs; n_spans = distinct (start, end) spans across LIVE
+    alternatives; BM25 over the union of the live alternatives' terms
+    (an OOV alternative drops alone, a fully-dead query yields no rows)."""
+    from openmatch_spark.query import search_span_or
+
+    idx = _entry_index_with_positions(spark, sf_dir)
+    qdf = spark.createDataFrame(
+        SPAN_OR_QUERIES, "query_id string, alternatives array<string>"
+    )
+    run = search_span_or(idx, qdf, k=10)
+    return run.select(
+        "query_id",
+        F.regexp_replace("doc_id", "^doc://", "").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+        "rank",
+        "n_spans",
+    )
+
+
+def q_simple_query_string(spark, sf_dir):
+    """ES simple_query_string front door (query/simpleqs.py): lenient
+    OR-of-AND-branches parse, each positive segment one MUST group,
+    per-branch execution on the shared clause executor, branch-sum
+    scoring. The oracle hand-compiles the SAME branch/group tables and
+    replays expansion caps, phrase adjacency, group-distinct MUST
+    counting, branch-scoped exclusions, and the branch sum in SQL."""
+    from openmatch_spark.query import search_simple_query_string
+
+    idx = _entry_index_with_positions(spark, sf_dir)
+    qdf = spark.createDataFrame(SQS_QUERIES, "query_id string, text string")
+    run = search_simple_query_string(
+        idx, qdf, k=10, max_expansions=QS_MAX_EXP
+    )
+    return run.select(
+        "query_id",
+        F.regexp_replace("doc_id", "^doc://", "").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+        "rank",
     )
 
 
@@ -6084,6 +6404,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_near": q_span_near,
         "span_containing": q_span_containing,
         "span_within": q_span_within,
+        "span_or": q_span_or,
+        "simple_query_string": q_simple_query_string,
         "highlight": q_highlight,
         "snippets": q_snippets,
         "bm25f": q_bm25f,
@@ -6361,6 +6683,8 @@ SELECT query_id, doc_id, ROUND(score, 6) AS score, rank FROM prun WHERE rank <= 
     sql["span_near"] = _SPAN_SQL
     sql["span_containing"] = _SPAN_CONTAINING_SQL
     sql["span_within"] = _SPAN_WITHIN_SQL
+    sql["span_or"] = _SPAN_OR_SQL
+    sql["simple_query_string"] = _SIMPLE_QS_SQL
     sql["intervals"] = _INTERVALS_SQL
     sql["query_string"] = _QUERY_STRING_SQL
     sql["snippets"] = _SNIPPET_SQL

@@ -59,6 +59,7 @@ from openmatch_spark.query.phrase import (  # noqa: F401
     search_span_first,
     search_span_near,
     search_span_not,
+    search_span_or,
     search_span_within,
 )
 from openmatch_spark.query.bm25f import bm25f_score_adhoc, combined_fields_score_adhoc  # noqa: F401
@@ -85,6 +86,10 @@ from openmatch_spark.query.phrase_suggest import suggest_phrases  # noqa: F401
 from openmatch_spark.query.querystring import (  # noqa: F401
     parse_query_string,
     search_query_string,
+)
+from openmatch_spark.query.simpleqs import (  # noqa: F401
+    parse_simple_query_string,
+    search_simple_query_string,
 )
 from openmatch_spark.query.rm3 import rm3_rescore_adhoc  # noqa: F401
 from openmatch_spark.query.significant import (  # noqa: F401

@@ -1047,3 +1047,95 @@ def search_span_within(
     (query_id, big, little). n_spans = distinct qualifying little
     spans."""
     return _span_containment(index, queries, k, "within")
+
+
+def search_span_or(
+    index: BM25Index, queries: DataFrame, k: int = 100
+) -> DataFrame:
+    """Lucene SpanOrQuery over exact-phrase spans: docs where ANY of the
+    alternative phrases occurs. queries: (query_id, alternatives) with
+    alternatives an array<string> of phrase texts (a single-token
+    alternative is a 1-length span — SpanTermQuery). (query_id, doc_id,
+    score, rank, n_spans) — n_spans counts DISTINCT matched spans, i.e.
+    distinct (start, end) pairs across alternatives (SpanOr merges its
+    sub-spans; two alternatives matching the same positions contribute
+    one span, alternatives of different lengths starting at the same
+    position are distinct spans).
+
+    Scoring: the engine's span-family convention — BM25 over the UNION of
+    the LIVE alternatives' constituent terms, qtf = the term's total
+    count across those alternatives (similarity stats over the combined
+    term set, mirroring how SpanOrQuery builds its SpanWeight from all
+    sub-queries' terms). An alternative with an OOV token is structurally
+    unmatchable and drops ALONE — the query stays live through its other
+    alternatives (unlike span_near, where one dead slot kills the query);
+    a query whose alternatives ALL die returns nothing.
+
+    Plan: one pruned positional scan resolves every alternative's
+    occurrence starts via the shared offset-adjacency groupBy
+    (_phrase_starts); the span union is a distinct over (query, doc,
+    start, end); scoring is the standard pruned postings decode. No
+    per-row Python anywhere."""
+    from openmatch_spark.analysis import tokenize_py
+
+    spark = index.spark
+    analyzer = index.stats["analyzer"]
+    empty = spark.createDataFrame(
+        [], "query_id string, doc_id string, score double, rank int, n_spans int"
+    )
+    rows = queries.select(
+        F.col("query_id").cast("string").alias("query_id"), "alternatives"
+    ).collect()
+    per_q: dict = {}
+    for r in rows:
+        alts = [
+            tuple(tokenize_py(a or "", analyzer))
+            for a in (r["alternatives"] or [])
+        ]
+        alts = [a for a in alts if a]
+        if alts:
+            per_q[str(r["query_id"])] = alts
+    if not per_q:
+        return empty
+    all_terms = sorted({t for alts in per_q.values() for a in alts for t in a})
+    bucket_of = index.term_buckets(all_terms)
+    live = {
+        q: [a for a in alts if all(t in bucket_of for t in a)]
+        for q, alts in per_q.items()
+    }
+    live = {q: alts for q, alts in live.items() if alts}
+    if not live:
+        return empty
+    keyed = {
+        f"{q}{_SPAN_SEP}{i}": a
+        for q, alts in sorted(live.items())
+        for i, a in enumerate(alts)
+    }
+    starts = _phrase_starts(index, keyed, bucket_of)
+    alen = F.broadcast(spark.createDataFrame(
+        [(ck, len(a)) for ck, a in sorted(keyed.items())],
+        "ck string, alen long",
+    ))
+    spans = (
+        starts.join(alen, "ck")
+        .select(
+            F.split(F.col("ck"), _SPAN_SEP, 2)[0].alias("query_id"),
+            "shard", "doc_ord",
+            F.col("start").alias("s0"),
+            (F.col("start") + F.col("alen") - 1).alias("s1"),
+        )
+        .distinct()
+    )
+    counted = spans.groupBy("query_id", "shard", "doc_ord").agg(
+        F.count(F.lit(1)).cast("int").alias("n_spans")
+    )
+    qterms = [
+        (q, t, float(c))
+        for q, alts in sorted(live.items())
+        for t, c in sorted(Counter(t for a in alts for t in a).items())
+    ]
+    scores = _bm25_scores(index, qterms, bucket_of)
+    cand = counted.join(scores, ["query_id", "shard", "doc_ord"]).select(
+        "query_id", "shard", "doc_ord", "score", "n_spans"
+    )
+    return _finalize(index, cand, k, ["n_spans"])

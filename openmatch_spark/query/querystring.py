@@ -86,6 +86,13 @@ class Clause:
     slop: int = 0  # phrase only
     edits: int = 2  # fuzzy only
     tokens: tuple = field(default_factory=tuple)  # phrase only (analyzed)
+    # group >= 0 makes several clauses count as ONE boolean unit: a MUST
+    # group matches when ANY member matches (Lucene's nested match query —
+    # a multi-token segment under default_operator 'or'), and an OOV
+    # member never kills the query alone. A caller must either group ALL
+    # of a query's clauses (with ids unique per unit) or none — group ids
+    # share the cid space with list positions.
+    group: int = -1
 
 
 _BOOST_RE = re.compile(r"\^(\d+(?:\.\d+)?)$")
@@ -161,14 +168,16 @@ def _analyzed(clauses: list[Clause], analyzer: str) -> list[Clause]:
             toks = tuple(tokenize_py(c.text, analyzer))
             if toks:
                 out.append(Clause(c.role, "phrase", c.text, c.boost,
-                                  slop=c.slop, tokens=toks))
+                                  slop=c.slop, tokens=toks, group=c.group))
         elif c.kind in ("prefix", "fuzzy"):
             for tok in tokenize_py(c.text, analyzer):
-                out.append(Clause(c.role, c.kind, tok, c.boost, edits=c.edits))
+                out.append(Clause(c.role, c.kind, tok, c.boost,
+                                  edits=c.edits, group=c.group))
         elif c.kind == "wildcard":
             pat = re.sub(r"[^a-z0-9*?]+", "", c.text.lower())
             if pat.replace("*", "").replace("?", ""):
-                out.append(Clause(c.role, "wildcard", pat, c.boost))
+                out.append(Clause(c.role, "wildcard", pat, c.boost,
+                                  group=c.group))
         elif c.kind == "regexp":
             # Lucene RegexpQuery clause (DSL-only; the query_string grammar
             # never emits it): restrict to the Java/RE2 common charset and
@@ -183,10 +192,12 @@ def _analyzed(clauses: list[Clause], analyzer: str) -> list[Clause]:
                     raise ValueError(
                         f"invalid regexp pattern {pat!r}: {e}"
                     ) from e
-                out.append(Clause(c.role, "regexp", pat, c.boost))
+                out.append(Clause(c.role, "regexp", pat, c.boost,
+                                  group=c.group))
         else:
             for tok in tokenize_py(c.text, analyzer):
-                out.append(Clause(c.role, "term", tok, c.boost))
+                out.append(Clause(c.role, "term", tok, c.boost,
+                                  group=c.group))
     return out
 
 
@@ -219,6 +230,9 @@ def search_query_string(
     )
 
 
+_CAND_SCHEMA = "query_id string, shard int, doc_ord long, score double"
+
+
 def _execute_clauses(
     index: BM25Index,
     per_q: dict,
@@ -226,13 +240,19 @@ def _execute_clauses(
     min_should_match,
     max_expansions: int,
     fuzzy_prefix_len: int,
+    finalize: bool = True,
 ) -> DataFrame:
     """Execute analyzed clause lists ({query_id: [Clause]}) — the shared
-    back half of search_query_string and query/dsl.py search_dsl.
+    back half of search_query_string, query/dsl.py search_dsl, and
+    query/simpleqs.py search_simple_query_string.
     min_should_match: a global int, or a {query_id: int} dict (the DSL's
-    per-bool minimum_should_match)."""
+    per-bool minimum_should_match). finalize=False returns the raw
+    candidate set (query_id, shard, doc_ord, score) BEFORE the top-k cut
+    and doc_id hydration — the simple_query_string branch decomposition
+    needs full per-branch candidates so the branch sum can promote a doc
+    that no single branch ranks in its own top k."""
     spark = index.spark
-    empty = spark.createDataFrame([], _RUN_SCHEMA)
+    empty = spark.createDataFrame([], _RUN_SCHEMA if finalize else _CAND_SCHEMA)
     per_q = {q: cs for q, cs in per_q.items() if cs}
     if not per_q:
         return empty
@@ -308,12 +328,21 @@ def _execute_clauses(
     n_must: dict[str, int] = {}
     dead: set = set()
     for qid, cs in sorted(per_q.items()):
-        n_must[qid] = sum(1 for c in cs if c.role == "must")
+        # grouped clauses (Clause.group >= 0) count as ONE must unit; the
+        # ungrouped path is the historical one-unit-per-clause behavior
+        n_must[qid] = len({
+            (c.group if c.group >= 0 else i)
+            for i, c in enumerate(cs) if c.role == "must"
+        })
         for cid, c in enumerate(cs):
+            if c.group >= 0:
+                cid = c.group
             if c.kind == "phrase":
                 live = all(t in bucket_of for t in c.tokens)
                 if not live:
-                    if c.role == "must":
+                    # grouped: a sibling may still carry the unit — the
+                    # must_m == n_must equality handles a fully-dead group
+                    if c.role == "must" and c.group < 0:
                         dead.add(qid)
                     continue
                 if c.role in ("must", "should"):
@@ -329,7 +358,7 @@ def _execute_clauses(
                 continue
             vs = _variants(c)
             if not vs:
-                if c.role == "must":
+                if c.role == "must" and c.group < 0:
                     dead.add(qid)
                 continue
             if c.role == "must_not":
@@ -475,9 +504,10 @@ def _execute_clauses(
     if not_phrase is not None:
         cand = cand.join(not_phrase, ["query_id", "shard", "doc_ord"], "left_anti")
 
-    return _finalize(
-        index, cand.select("query_id", "shard", "doc_ord", "score"), k, []
-    )
+    cand = cand.select("query_id", "shard", "doc_ord", "score")
+    if not finalize:
+        return cand
+    return _finalize(index, cand, k, [])
 
 
 def _phrase_matches(index: BM25Index, ph_rows: list, bucket_of: dict):

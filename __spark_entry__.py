@@ -220,6 +220,28 @@ QS_QUERIES = [
 ]
 QS_MAX_EXP = 50
 
+# DSL filter context (query/dsl.py bool.filter): attribute predicates
+# over the entry index's stored doc values (lang, n_chars). df0 term,
+# df1 range, df2 terms, df3 FILTER-ONLY (match_all shape: score 0, page
+# = first 10 by doc_id), df4 must + ids, df5 exists (no-op — lang never
+# null in the fixture corpus)
+_DSLF_IDS = [f"doc://{i}" for i in range(0, 60, 3)]
+DSL_FILTER_QUERIES = {
+    "df0": {"bool": {"should": [{"match": {"text": "spark join"}}],
+                     "filter": [{"term": {"lang": "en"}}]}},
+    "df1": {"bool": {"should": [{"match": {"text": "customer window"}}],
+                     "filter": [{"range": {"n_chars": {"gte": 200,
+                                                       "lt": 500}}}]}},
+    "df2": {"bool": {"should": [{"match": {"text": "hash merge scan"}}],
+                     "filter": [{"terms": {"lang": ["de", "fr"]}}]}},
+    "df3": {"bool": {"filter": [{"term": {"lang": "en"}},
+                                {"range": {"n_chars": {"lt": 150}}}]}},
+    "df4": {"bool": {"must": [{"match": {"text": "spark"}}],
+                     "filter": [{"ids": {"values": _DSLF_IDS}}]}},
+    "df5": {"bool": {"should": [{"match": {"text": "merge"}}],
+                     "filter": [{"exists": {"field": "lang"}}]}},
+}
+
 # simple_query_string surface (query/simpleqs.py), default_operator 'or',
 # flags ALL: OR junction of branches (whitespace = OR), '+' AND-run, a
 # phrase branch with a lifted global negation, prefix|fuzzy branches, an
@@ -1467,6 +1489,65 @@ SELECT query_id, doc_id, ROUND(score, 6) AS score, rank
 FROM qs_run WHERE rank <= 10
 """
 
+# dsl_filtered oracle: per-token BM25 sum (the match decomposition — all
+# fixture tokens distinct, weight 1) with each query's filter predicate
+# replayed over the raw documents table; df3's filter-only leg is the
+# first-10-by-doc_id zero-score page; df4's must is a single token, so
+# containment == the scored join itself.
+_DSLF_ID_LIST = ", ".join(
+    f"'{i.removeprefix('doc://')}'" for i in _DSLF_IDS
+)
+_DSL_FILTERED_SQL = f"""
+WITH {_TOKP},
+{_BM25_CORE},
+dfq(query_id, text) AS (VALUES
+  ('df0', 'spark join'), ('df1', 'customer window'),
+  ('df2', 'hash merge scan'), ('df4', 'spark'), ('df5', 'merge')),
+dfqt AS (
+  SELECT query_id, t.term
+  FROM dfq, UNNEST(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t(term)
+  WHERE t.term <> ''
+),
+dfscored AS (
+  SELECT q.query_id, tf.doc_id,
+         SUM(ln(1 + (g.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+             * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.doclen / g.avgdl))) AS score
+  FROM tf
+  JOIN dfqt q ON q.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN dfreq ON dfreq.term = tf.term
+  CROSS JOIN g
+  GROUP BY q.query_id, tf.doc_id
+),
+dffilt AS (
+  SELECT s.query_id, s.doc_id, s.score
+  FROM dfscored s JOIN documents d ON CAST(d.doc_id AS VARCHAR) = s.doc_id
+  WHERE (s.query_id = 'df0' AND d.lang = 'en')
+     OR (s.query_id = 'df1' AND d.n_chars >= 200 AND d.n_chars < 500)
+     OR (s.query_id = 'df2' AND d.lang IN ('de', 'fr'))
+     OR (s.query_id = 'df4' AND s.doc_id IN ({_DSLF_ID_LIST}))
+     OR (s.query_id = 'df5' AND d.lang IS NOT NULL)
+),
+dfzero AS (
+  SELECT 'df3' AS query_id, CAST(doc_id AS VARCHAR) AS doc_id,
+         CAST(0.0 AS DOUBLE) AS score
+  FROM documents WHERE lang = 'en' AND n_chars < 150
+  ORDER BY CAST(doc_id AS VARCHAR) ASC LIMIT 10
+),
+dfall AS (
+  SELECT * FROM dffilt UNION ALL SELECT * FROM dfzero
+),
+dfrun AS (
+  SELECT query_id, doc_id, score,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+         ) AS INTEGER) AS rank
+  FROM dfall
+)
+SELECT query_id, doc_id, ROUND(score, 6) AS score, rank
+FROM dfrun WHERE rank <= 10
+"""
+
 # simple_query_string oracle: the clause tables are the HAND-COMPILED
 # OR-of-AND-branches decomposition of SQS_QUERIES under default_operator
 # 'or' (parser unit-tested in tests/test_round4s.py — the oracle checks
@@ -2365,11 +2446,12 @@ def _entry_index(spark, sf_dir):
 
     if sf_dir not in _IDX_CACHE:
         d = tempfile.mkdtemp(prefix="om_entry_idx_")
-        pages = documents_as_pages(spark, sf_dir)
+        pages = documents_as_pages(spark, sf_dir, extra_cols=("n_chars",))
         build_index(
             spark, pages, d, analyzer="simple", num_shards=4,
             num_term_buckets=8, block_size=128,
-            store_attrs=["lang"],  # doc values: filtered_search_dv entry
+            # doc values: filtered_search_dv + dsl_filtered entries
+            store_attrs=["lang", "n_chars"],
         )
         _IDX_CACHE[sf_dir] = d
     return load_index(spark, _IDX_CACHE[sf_dir])
@@ -2884,6 +2966,26 @@ def q_dsl_search(spark, sf_dir):
             body["must_not"] = [{"match": {"text": must_not}}]
         dsl[qid] = {"bool": body}
     run = search_dsl(idx, dsl, k=10)
+    return run.select(
+        "query_id",
+        F.regexp_replace("doc_id", "^doc://", "").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+        "rank",
+    )
+
+
+def q_dsl_filtered(spark, sf_dir):
+    """ES bool.filter context on the DSL front door (query/dsl.py):
+    term/range/terms/exists/ids attribute predicates evaluated on the
+    entry index's stored doc values gate the candidate set BEFORE the
+    top-k cut without touching scores or statistics; df3 is the
+    filter-only match_all shape (score 0.0, page = first 10 by doc_id).
+    The oracle replays the per-token BM25 sum and every predicate over
+    the raw documents table."""
+    from openmatch_spark.query import search_dsl
+
+    idx = _entry_index(spark, sf_dir)
+    run = search_dsl(idx, DSL_FILTER_QUERIES, k=10)
     return run.select(
         "query_id",
         F.regexp_replace("doc_id", "^doc://", "").alias("doc_id"),
@@ -6381,6 +6483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filtered_search": q_filtered_search,
         "filtered_search_dv": q_filtered_search_dv,
         "dsl_search": q_dsl_search,
+        "dsl_filtered": q_dsl_filtered,
         "passage_maxp": q_passage_maxp,
         "bm25_boolean": q_bm25_boolean,
         "bm25_boolean_msm": q_bm25_boolean_msm,
@@ -6677,6 +6780,7 @@ SELECT query_id, doc_id, ROUND(score, 6) AS score, rank FROM prun WHERE rank <= 
     # the DSL front door compiles the same fixture onto the shared clause
     # executor — identical results required, so identical oracle
     sql["dsl_search"] = _BM25_BOOLEAN_SQL
+    sql["dsl_filtered"] = _DSL_FILTERED_SQL
     sql["phrase_search"] = _PHRASE_SQL
     sql["phrase_prefix"] = _PHRASE_PREFIX_SQL
     sql["proximity_search"] = _PROXIMITY_SQL

@@ -132,9 +132,12 @@ def qrels_df(spark: SparkSession, pages_rows, queries_rows, seed: int = 44) -> D
     return spark.createDataFrame(gen_qrels_rows(pages_rows, queries_rows, seed=seed), QRELS_SCHEMA)
 
 
-def documents_as_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+def documents_as_pages(spark: SparkSession, sf_dir: str,
+                       extra_cols: tuple = ()) -> DataFrame:
     """Adapt the driver's documents table to the pages contract
-    (FIXTURES.md §1 alternate-corpus rule)."""
+    (FIXTURES.md §1 alternate-corpus rule). extra_cols: further documents
+    columns carried through verbatim — metadata for build_index
+    store_attrs (the pages contract columns stay first and unchanged)."""
     import pyspark.sql.functions as F
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -144,6 +147,7 @@ def documents_as_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").cast("binary").alias("html"),
         F.col("text"),
         F.col("lang"),
+        *[F.col(c) for c in extra_cols],
     )
 
 

@@ -22,12 +22,39 @@ Supported grammar (one dict per query):
   {"regexp":       {"text": p | {"value": p, "boost": b}}}
   {"fuzzy":        {"text": v | {"value": v, "fuzziness": n, "boost": b}}}
   {"bool":         {"must": [...], "should": [...], "must_not": [...],
-                    "minimum_should_match": n}}
+                    "filter": [...], "minimum_should_match": n}}
+
+`bool.filter` is ES filter context — non-scoring, must-match, and per
+Lucene semantics it restricts the CANDIDATE set, never the statistics
+(idf/avgdl stay corpus-wide; surviving docs keep their unfiltered
+scores — the same contract query/filtered.py documents). Filter leaves
+are ATTRIBUTE predicates evaluated on the index's own doc-values store
+(build_index store_attrs) — no corpus access, no doc_id join:
+
+  {"term":   {attr: v | {"value": v}}}
+  {"terms":  {attr: [v, ...]}}
+  {"range":  {attr: {"gte"/"gt"/"lte"/"lt": v, ...}}}
+  {"exists": {"field": attr}}
+  {"ids":    {"values": [doc_id, ...]}}        (the docmap's own key)
+
+A bool with ONLY filter clauses is the match_all-in-filter-context
+shape: every passing doc scores 0.0 and the page is the k first docs
+by doc_id (deterministic; ES returns constant 0 scores there too).
+Execution: each query's filter conjunction compiles to ONE predicate
+over the column-pruned docmap scan; distinct predicates are evaluated
+once per BATCH (not per query) and the allowed (shard, doc_ord) sets
+semi-join the full candidate set BEFORE the top-k cut — correct here
+precisely because the clause executor scores every matching doc (no
+per-shard pre-cut to lose filtered-in docs), and the filter-only leg is
+row_number-bounded to k per query before it ever unions in.
 
 Documented deviations (all fail loudly, never silently approximate):
-  * the index is single-field — the leaf field key must be "text";
-  * `bool` does not nest (no bool inside bool) and has no `filter` list —
-    filter context is query/filtered.py's surface (search_filtered);
+  * the index is single-field — the leaf SCORING field key must be
+    "text"; filter fields must be stored doc-values columns;
+  * `bool` does not nest (no bool inside bool); scoring leaves are not
+    accepted in filter context (use must — identical matching, and the
+    engine's scoring is the point), nor attribute leaves in must_not
+    (negate the predicate instead);
   * `match` decomposes into one clause per analyzed token (the module's
     standard decomposition, same as query_string multi-token segments),
     so match.operator is only honored at the TOP level, where it picks
@@ -42,10 +69,11 @@ from __future__ import annotations
 import json
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 from openmatch_spark.index.load import BM25Index
 from openmatch_spark.query.querystring import (
+    _CAND_SCHEMA,
     Clause,
     _analyzed,
     _execute_clauses,
@@ -115,9 +143,109 @@ def _leaf_clauses(kind: str, body, role: str, allow_operator: bool):
     return [Clause(role, ckind, text, boost)]
 
 
-def compile_dsl(query: dict) -> tuple[list, int]:
-    """One DSL dict -> (raw clauses, minimum_should_match). Pure and
-    deterministic; analysis happens later against the index analyzer."""
+_FILTER_KINDS = ("term", "terms", "range", "exists", "ids")
+_RANGE_OPS = {"gte": ">=", "gt": ">", "lte": "<=", "lt": "<"}
+
+
+def _is_scalar(v) -> bool:
+    return isinstance(v, (str, int, float, bool))
+
+
+def _filter_leaf(kind: str, body) -> dict:
+    """One filter-context leaf -> normalized spec dict (index-free shape
+    validation; field existence is checked at execution against the
+    index's stored attrs)."""
+    if kind not in _FILTER_KINDS:
+        raise ValueError(
+            f"unsupported filter leaf {kind!r} (supported: "
+            f"{', '.join(_FILTER_KINDS)}; scoring leaves belong in must)"
+        )
+    if kind == "ids":
+        if (not isinstance(body, dict) or set(body) != {"values"}
+                or not isinstance(body["values"], list) or not body["values"]
+                or not all(isinstance(v, str) for v in body["values"])):
+            raise ValueError(
+                f"ids filter needs {{'values': [doc_id, ...]}}, got {body!r}"
+            )
+        return {"kind": "ids", "values": sorted(set(body["values"]))}
+    if kind == "exists":
+        if not isinstance(body, dict) or set(body) != {"field"} \
+                or not isinstance(body["field"], str):
+            raise ValueError(
+                f"exists filter needs {{'field': name}}, got {body!r}"
+            )
+        return {"kind": "exists", "field": body["field"]}
+    if not isinstance(body, dict) or len(body) != 1:
+        raise ValueError(f"{kind} filter must map exactly one field, got {body!r}")
+    field, spec = next(iter(body.items()))
+    if kind == "term":
+        if isinstance(spec, dict):
+            if set(spec) != {"value"}:
+                raise ValueError(f"term filter options: only 'value', got {spec!r}")
+            spec = spec["value"]
+        if not _is_scalar(spec):
+            raise ValueError(f"term filter value must be a scalar, got {spec!r}")
+        return {"kind": "term", "field": field, "value": spec}
+    if kind == "terms":
+        if not isinstance(spec, list) or not spec \
+                or not all(_is_scalar(v) for v in spec):
+            raise ValueError(
+                f"terms filter needs a non-empty scalar list, got {spec!r}"
+            )
+        return {"kind": "terms", "field": field, "values": spec}
+    # range
+    if not isinstance(spec, dict) or not spec \
+            or not set(spec) <= set(_RANGE_OPS) \
+            or not all(_is_scalar(v) for v in spec.values()):
+        raise ValueError(
+            f"range filter needs {{gte/gt/lte/lt: scalar}}, got {spec!r}"
+        )
+    return {"kind": "range", "field": field,
+            "bounds": {op: spec[op] for op in sorted(spec)}}
+
+
+def _sql_lit(v) -> str:
+    """Scalar -> Spark-SQL literal (bool before int: bool is an int
+    subclass)."""
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    return "'" + v.replace("'", "''") + "'"
+
+
+def _filter_sql(flt: dict, stored: tuple) -> str:
+    """Normalized filter spec -> one SQL fragment over docmap columns.
+    Deterministic text (sorted values/bounds) so identical filters on
+    different queries dedupe to one docmap scan."""
+    if flt["kind"] == "ids":
+        vals = ", ".join(_sql_lit(v) for v in flt["values"])
+        return f"doc_id IN ({vals})"
+    field = flt["field"]
+    if field not in stored:
+        raise ValueError(
+            f"filter field {field!r} is not a stored doc-values column "
+            f"(this index stores {sorted(stored)}; build_index store_attrs)"
+        )
+    col = f"`{field}`"
+    if flt["kind"] == "exists":
+        return f"{col} IS NOT NULL"
+    if flt["kind"] == "term":
+        return f"{col} = {_sql_lit(flt['value'])}"
+    if flt["kind"] == "terms":
+        vals = ", ".join(_sql_lit(v) for v in sorted(set(flt["values"]), key=str))
+        return f"{col} IN ({vals})"
+    return " AND ".join(
+        f"{col} {_RANGE_OPS[op]} {_sql_lit(v)}"
+        for op, v in flt["bounds"].items()
+    )
+
+
+def compile_dsl(query: dict) -> tuple[list, int, list]:
+    """One DSL dict -> (raw clauses, minimum_should_match, filters).
+    Pure and deterministic; analysis happens later against the index
+    analyzer, filter-field validation at execution against the index's
+    stored attrs."""
     if not isinstance(query, dict) or len(query) != 1:
         raise ValueError(
             f"a DSL query maps exactly one query type, got {query!r}"
@@ -125,7 +253,7 @@ def compile_dsl(query: dict) -> tuple[list, int]:
     kind, body = next(iter(query.items()))
     if kind in _LEAF_KINDS:
         # a bare leaf at the top level scores whatever it matches
-        return _leaf_clauses(kind, body, "should", allow_operator=True), 0
+        return _leaf_clauses(kind, body, "should", allow_operator=True), 0, []
     if kind != "bool":
         raise ValueError(
             f"unsupported query type {kind!r} (supported: bool, "
@@ -133,7 +261,9 @@ def compile_dsl(query: dict) -> tuple[list, int]:
         )
     if not isinstance(body, dict):
         raise ValueError(f"bool body must be a dict, got {body!r}")
-    unknown = set(body) - {"must", "should", "must_not", "minimum_should_match"}
+    unknown = set(body) - {
+        "must", "should", "must_not", "filter", "minimum_should_match"
+    }
     if unknown:
         raise ValueError(f"unsupported bool options: {sorted(unknown)}")
     msm = body.get("minimum_should_match", 0)
@@ -155,9 +285,19 @@ def compile_dsl(query: dict) -> tuple[list, int]:
             clauses.extend(
                 _leaf_clauses(ekind, ebody, role, allow_operator=False)
             )
-    if not clauses:
+    filters: list = []
+    entries = body.get("filter", [])
+    if isinstance(entries, dict):
+        entries = [entries]
+    for entry in entries:
+        if not isinstance(entry, dict) or len(entry) != 1:
+            raise ValueError(f"bool filter entries must be single-key "
+                             f"query dicts, got {entry!r}")
+        fkind, fbody = next(iter(entry.items()))
+        filters.append(_filter_leaf(fkind, fbody))
+    if not clauses and not filters:
         raise ValueError("bool query has no clauses")
-    return clauses, msm
+    return clauses, msm, filters
 
 
 def _validate_msm_spec(spec) -> None:
@@ -212,7 +352,10 @@ def search_dsl(
     queries: {query_id: dsl_dict} — or a DataFrame(query_id, dsl) whose
     dsl column holds the JSON text (the CLI shape). Compilation is
     driver-side (queries are small); execution is the query_string
-    surface's single declarative plan."""
+    surface's single declarative plan, plus — when any query carries a
+    bool.filter — one column-pruned docmap scan per DISTINCT filter
+    predicate and one (shard, doc_ord) semi-join over the candidate set
+    before the top-k cut (module docstring)."""
     if isinstance(queries, DataFrame):
         rows = queries.select(
             F.col("query_id").cast("string").alias("query_id"), "dsl"
@@ -220,12 +363,26 @@ def search_dsl(
         queries = {
             str(r["query_id"]): json.loads(r["dsl"]) for r in rows
         }
+    spark = index.spark
     analyzer = index.stats["analyzer"]
     per_q: dict = {}
     msm_by_q: dict = {}
+    fsql_by_q: dict = {}
     for qid, qdict in sorted(queries.items()):
-        raw, msm = compile_dsl(qdict)
+        raw, msm, filters = compile_dsl(qdict)
         per_q[str(qid)] = _analyzed(raw, analyzer)
+        if filters:
+            if not index.stored_attrs and any(
+                f["kind"] != "ids" for f in filters
+            ):
+                raise ValueError(
+                    "bool.filter needs stored doc values, but this index "
+                    "was built without store_attrs (ids filters work on "
+                    "any index)"
+                )
+            fsql_by_q[str(qid)] = " AND ".join(
+                f"({_filter_sql(f, index.stored_attrs)})" for f in filters
+            )
         if msm:
             # resolve percentage/negative forms against the POST-analysis
             # should-clause count (a multi-token match is several clauses)
@@ -246,9 +403,63 @@ def search_dsl(
                     f"term value {v!r} analyzes to {len(toks)} tokens — "
                     "use match for multi-token text"
                 )
-    return _execute_clauses(
-        index, per_q, k, msm_by_q, max_expansions, fuzzy_prefix_len
+    if not fsql_by_q:
+        return _execute_clauses(
+            index, per_q, k, msm_by_q, max_expansions, fuzzy_prefix_len
+        )
+
+    from openmatch_spark.query.phrase import _finalize
+
+    scoring_q = {q: cs for q, cs in per_q.items() if cs}
+    # filter-only bools: no scoring clause compiled (compile_dsl
+    # guarantees they carry filters) — the match_all-in-filter shape
+    zero_qids = sorted(q for q, cs in per_q.items()
+                       if not cs and q in fsql_by_q)
+    cand = (
+        _execute_clauses(index, scoring_q, k, msm_by_q, max_expansions,
+                         fuzzy_prefix_len, finalize=False)
+        if scoring_q else spark.createDataFrame([], _CAND_SCHEMA)
     )
+    # distinct predicates evaluated once per batch: fid = predicate id
+    fids: dict[str, int] = {}
+    qmap_rows = []
+    for qid, sql in sorted(fsql_by_q.items()):
+        fid = fids.setdefault(sql, len(fids))
+        qmap_rows.append((qid, fid))
+    allowed = None
+    for sql, fid in sorted(fids.items(), key=lambda kv: kv[1]):
+        a = index.docmap.where(F.expr(sql)).select(
+            F.lit(fid).cast("int").alias("fid"), "shard", "doc_ord", "doc_id"
+        )
+        allowed = a if allowed is None else allowed.unionByName(a)
+    qmap = F.broadcast(
+        spark.createDataFrame(qmap_rows, "query_id string, fid int")
+    )
+    gated = (
+        cand.join(qmap, "query_id")
+        .join(allowed, ["fid", "shard", "doc_ord"], "left_semi")
+        .select("query_id", "shard", "doc_ord", "score")
+    )
+    out = cand.join(qmap, "query_id", "left_anti").unionByName(gated)
+    if zero_qids:
+        zmap = F.broadcast(spark.createDataFrame(
+            [(q, fids[fsql_by_q[q]]) for q in zero_qids],
+            "query_id string, fid int",
+        ))
+        wz = Window.partitionBy("query_id").orderBy(F.asc("doc_id"))
+        zeros = (
+            zmap.join(allowed, "fid")
+            # bound the scoreless candidate set to k per query BEFORE the
+            # union — _finalize's rank() pre-cut cannot reduce an
+            # all-ties set, and this is the cut it would make anyway
+            # (score DESC then doc_id ASC over equal scores)
+            .withColumn("_r", F.row_number().over(wz))
+            .where(F.col("_r") <= k)
+            .select("query_id", "shard", "doc_ord",
+                    F.lit(0.0).alias("score"))
+        )
+        out = out.unionByName(zeros)
+    return _finalize(index, out, k, [])
 
 
 def _collect_term_values(query: dict) -> list:

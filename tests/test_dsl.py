@@ -57,9 +57,9 @@ def _qs(spark, text):
 
 
 def test_compile_units():
-    cs, msm = compile_dsl({"match": {"text": "hash join"}})
+    cs, msm, flt = compile_dsl({"match": {"text": "hash join"}})
     assert [(c.role, c.kind, c.text) for c in cs] == [("should", "term", "hash join")]
-    cs, msm = compile_dsl({"bool": {
+    cs, msm, flt = compile_dsl({"bool": {
         "must": [{"match": {"text": "spark"}}],
         "should": [{"fuzzy": {"text": {"value": "joim", "fuzziness": 1}}}],
         "must_not": [{"term": {"text": "window"}}],

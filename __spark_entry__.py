@@ -242,6 +242,46 @@ DSL_FILTER_QUERIES = {
                      "filter": [{"exists": {"field": "lang"}}]}},
 }
 
+# Nested bool on the DSL front door (query/dsl.py item-composition
+# path). dn0 nested should-group with its own msm + sibling leaf; dn1
+# nested OR-group under must + optional should; dn2 nested AND-group
+# under must_not; dn3 nested group carrying its own filter context; dn4
+# the must_not filter-only rewrite (attribute exclusion); dn5 depth-3
+# nesting with msm at the innermost level.
+DSL_NESTED_QUERIES = {
+    "dn0": {"bool": {"should": [
+        {"bool": {"should": [{"match": {"text": "spark join window"}}],
+                  "minimum_should_match": 2}},
+        {"match": {"text": "customer"}},
+    ]}},
+    "dn1": {"bool": {
+        "must": [{"bool": {"should": [{"match": {"text": "hash"}},
+                                      {"match": {"text": "merge"}}]}}],
+        "should": [{"match": {"text": "scan"}}],
+    }},
+    "dn2": {"bool": {
+        "should": [{"match": {"text": "spark"}}],
+        "must_not": [{"bool": {"must": [{"match": {"text": "join"}},
+                                        {"match": {"text": "window"}}]}}],
+    }},
+    "dn3": {"bool": {"should": [
+        {"bool": {"should": [{"match": {"text": "customer window"}}],
+                  "filter": [{"term": {"lang": "en"}}]}},
+        {"match": {"text": "merge"}},
+    ]}},
+    "dn4": {"bool": {
+        "should": [{"match": {"text": "spark join"}}],
+        "must_not": [{"bool": {"filter": [{"term": {"lang": "en"}}]}}],
+    }},
+    "dn5": {"bool": {"should": [
+        {"bool": {"should": [
+            {"bool": {"should": [{"match": {"text": "hash scan"}}],
+                      "minimum_should_match": 2}},
+            {"match": {"text": "merge"}},
+        ]}},
+    ]}},
+}
+
 # simple_query_string surface (query/simpleqs.py), default_operator 'or',
 # flags ALL: OR junction of branches (whitespace = OR), '+' AND-run, a
 # phrase branch with a lifted global negation, prefix|fuzzy branches, an
@@ -1546,6 +1586,91 @@ dfrun AS (
 )
 SELECT query_id, doc_id, ROUND(score, 6) AS score, rank
 FROM dfrun WHERE rank <= 10
+"""
+
+# dsl_nested oracle: a per-(doc, term) BM25 weight table, then each
+# query's bool tree replayed as explicit group CTEs — group = SUM of its
+# matched members with HAVING as the msm/must gate, parent = outer-join
+# sum, must_not = NOT IN, nested filter = lang join — mirroring the
+# engine's composition structure (group partial sums, then the parent
+# sum) so float rounding at 6 decimals can never diverge.
+_DSL_NESTED_SQL = f"""
+WITH {_TOKP},
+{_BM25_CORE},
+w AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1 + (g.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.doclen / g.avgdl)) AS wgt
+  FROM tf
+  JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN dfreq ON dfreq.term = tf.term
+  CROSS JOIN g
+),
+dlang AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, lang FROM documents),
+dn0_g AS (SELECT doc_id, SUM(wgt) AS s FROM w
+          WHERE term IN ('spark', 'join', 'window')
+          GROUP BY doc_id HAVING COUNT(*) >= 2),
+dn0_l AS (SELECT doc_id, wgt AS s FROM w WHERE term = 'customer'),
+dn0 AS (
+  SELECT 'dn0' AS query_id, COALESCE(a.doc_id, b.doc_id) AS doc_id,
+         COALESCE(a.s, 0) + COALESCE(b.s, 0) AS score
+  FROM dn0_g a FULL OUTER JOIN dn0_l b ON a.doc_id = b.doc_id
+),
+dn1_g AS (SELECT doc_id, SUM(wgt) AS s FROM w
+          WHERE term IN ('hash', 'merge') GROUP BY doc_id),
+dn1_l AS (SELECT doc_id, wgt AS s FROM w WHERE term = 'scan'),
+dn1 AS (
+  SELECT 'dn1' AS query_id, a.doc_id, a.s + COALESCE(b.s, 0) AS score
+  FROM dn1_g a LEFT JOIN dn1_l b ON a.doc_id = b.doc_id
+),
+dn2_x AS (SELECT doc_id FROM w WHERE term IN ('join', 'window')
+          GROUP BY doc_id HAVING COUNT(*) = 2),
+dn2 AS (
+  SELECT 'dn2' AS query_id, doc_id, wgt AS score FROM w
+  WHERE term = 'spark' AND doc_id NOT IN (SELECT doc_id FROM dn2_x)
+),
+dn3_g AS (
+  SELECT w.doc_id, SUM(wgt) AS s
+  FROM w JOIN dlang ON dlang.doc_id = w.doc_id
+  WHERE term IN ('customer', 'window') AND dlang.lang = 'en'
+  GROUP BY w.doc_id
+),
+dn3_l AS (SELECT doc_id, wgt AS s FROM w WHERE term = 'merge'),
+dn3 AS (
+  SELECT 'dn3' AS query_id, COALESCE(a.doc_id, b.doc_id) AS doc_id,
+         COALESCE(a.s, 0) + COALESCE(b.s, 0) AS score
+  FROM dn3_g a FULL OUTER JOIN dn3_l b ON a.doc_id = b.doc_id
+),
+dn4_s AS (SELECT doc_id, SUM(wgt) AS s FROM w
+          WHERE term IN ('spark', 'join') GROUP BY doc_id),
+dn4 AS (
+  SELECT 'dn4' AS query_id, a.doc_id, a.s AS score
+  FROM dn4_s a JOIN dlang ON dlang.doc_id = a.doc_id
+  WHERE dlang.lang IS DISTINCT FROM 'en'
+),
+dn5_i AS (SELECT doc_id, SUM(wgt) AS s FROM w
+          WHERE term IN ('hash', 'scan')
+          GROUP BY doc_id HAVING COUNT(*) >= 2),
+dn5_m AS (SELECT doc_id, wgt AS s FROM w WHERE term = 'merge'),
+dn5 AS (
+  SELECT 'dn5' AS query_id, COALESCE(a.doc_id, b.doc_id) AS doc_id,
+         COALESCE(a.s, 0) + COALESCE(b.s, 0) AS score
+  FROM dn5_i a FULL OUTER JOIN dn5_m b ON a.doc_id = b.doc_id
+),
+dnall AS (
+  SELECT * FROM dn0 UNION ALL SELECT * FROM dn1 UNION ALL SELECT * FROM dn2
+  UNION ALL SELECT * FROM dn3 UNION ALL SELECT * FROM dn4
+  UNION ALL SELECT * FROM dn5
+),
+dnrun AS (
+  SELECT query_id, doc_id, score,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+         ) AS INTEGER) AS rank
+  FROM dnall
+)
+SELECT query_id, doc_id, ROUND(score, 6) AS score, rank
+FROM dnrun WHERE rank <= 10
 """
 
 # simple_query_string oracle: the clause tables are the HAND-COMPILED
@@ -2986,6 +3111,25 @@ def q_dsl_filtered(spark, sf_dir):
 
     idx = _entry_index(spark, sf_dir)
     run = search_dsl(idx, DSL_FILTER_QUERIES, k=10)
+    return run.select(
+        "query_id",
+        F.regexp_replace("doc_id", "^doc://", "").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+        "rank",
+    )
+
+
+def q_dsl_nested(spark, sf_dir):
+    """Nested bool on the DSL front door (query/dsl.py item-composition
+    path): nested should-groups with their own minimum_should_match,
+    OR-groups under must, AND-groups under must_not, nested filter
+    context, the must_not filter-only rewrite, and depth-3 nesting. The
+    oracle replays each tree as explicit group CTEs over a per-(doc,
+    term) BM25 weight table."""
+    from openmatch_spark.query import search_dsl
+
+    idx = _entry_index(spark, sf_dir)
+    run = search_dsl(idx, DSL_NESTED_QUERIES, k=10)
     return run.select(
         "query_id",
         F.regexp_replace("doc_id", "^doc://", "").alias("doc_id"),
@@ -6484,6 +6628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filtered_search_dv": q_filtered_search_dv,
         "dsl_search": q_dsl_search,
         "dsl_filtered": q_dsl_filtered,
+        "dsl_nested": q_dsl_nested,
         "passage_maxp": q_passage_maxp,
         "bm25_boolean": q_bm25_boolean,
         "bm25_boolean_msm": q_bm25_boolean_msm,
@@ -6781,6 +6926,7 @@ SELECT query_id, doc_id, ROUND(score, 6) AS score, rank FROM prun WHERE rank <= 
     # executor — identical results required, so identical oracle
     sql["dsl_search"] = _BM25_BOOLEAN_SQL
     sql["dsl_filtered"] = _DSL_FILTERED_SQL
+    sql["dsl_nested"] = _DSL_NESTED_SQL
     sql["phrase_search"] = _PHRASE_SQL
     sql["phrase_prefix"] = _PHRASE_PREFIX_SQL
     sql["proximity_search"] = _PROXIMITY_SQL

@@ -48,13 +48,40 @@ precisely because the clause executor scores every matching doc (no
 per-shard pre-cut to lose filtered-in docs), and the filter-only leg is
 row_number-bounded to k per query before it ever unions in.
 
+`bool` NESTS: a bool may appear inside must / should / must_not of
+another bool, to any depth. Semantics are Lucene BooleanQuery
+composition — a nested bool is ONE clause of its parent (it counts once
+toward the parent's minimum_should_match), it matches a doc when its
+own must/should/msm/filter rules hold, and when matched it contributes
+the SUM of its matched scoring clauses to the parent's score. Nested
+bools may carry their own filter context. Two compile-time rewrites
+keep plans tight without changing semantics:
+  * `must: [{bool: {filter: [...]}}]` (a filter-only bool under must)
+    folds its predicates into the parent's filter conjunction;
+  * `must_not: [{bool: {filter: [...]}}]` becomes a predicate
+    ANTI-gate — this is also the supported way to exclude by attribute.
+Execution (nested queries only; non-nested queries keep the flat
+plan): every analyzed leaf clause anywhere in the tree becomes an
+ITEM executed as its own pseudo-query in ONE shared clause plan (one
+decode, one aggregate — the flat plan's shape), then bool nodes
+compose bottom-up, one (query, node, doc) aggregate per tree DEPTH
+(not per node), with per-node must/msm gates, must_not anti-joins,
+and filter semi-joins. A composed node's passing docs become one item
+row of its parent.
+
 Documented deviations (all fail loudly, never silently approximate):
   * the index is single-field — the leaf SCORING field key must be
     "text"; filter fields must be stored doc-values columns;
-  * `bool` does not nest (no bool inside bool); scoring leaves are not
-    accepted in filter context (use must — identical matching, and the
-    engine's scoring is the point), nor attribute leaves in must_not
-    (negate the predicate instead);
+  * scoring leaves are not accepted in filter context (use must —
+    identical matching, and the engine's scoring is the point), nor
+    attribute leaves directly in must_not (use the filter-only-bool
+    form above);
+  * a filter-only bool under SHOULD is refused (it would contribute
+    score 0 and drag a corpus-sized constant-score set through the
+    plan; put it in must or must_not, where it compiles to a gate);
+  * as in the flat path, a doc must match at least one SCORING clause
+    to appear — a doc matching only filter context scores nothing and
+    is not returned (except in the top-level filter-only page shape);
   * `match` decomposes into one clause per analyzed token (the module's
     standard decomposition, same as query_string multi-token segments),
     so match.operator is only honored at the TOP level, where it picks
@@ -279,7 +306,11 @@ def compile_dsl(query: dict) -> tuple[list, int, list]:
                                  f"query dicts, got {entry!r}")
             ekind, ebody = next(iter(entry.items()))
             if ekind == "bool":
-                raise ValueError("nested bool queries are not supported")
+                raise ValueError(
+                    "compile_dsl is the FLAT compiler — nested bool "
+                    "queries take _compile_bool_node / the item-"
+                    "composition path (search_dsl routes them there)"
+                )
             if ekind not in _LEAF_KINDS:
                 raise ValueError(f"unsupported query type {ekind!r} in bool")
             clauses.extend(
@@ -340,6 +371,376 @@ def resolve_msm(spec, n_should: int) -> int:
     return max(0, int(m))
 
 
+# ---------------------------------------------------------------------
+# nested bool: item-composition path (module docstring, "bool NESTS")
+# ---------------------------------------------------------------------
+
+_GLUE = "\x1e"  # pseudo-query-id glue: "<query_id>\x1e<item_id>"
+
+
+class _BoolNode:
+    """One bool in the query tree. clause_items / bool_items are
+    (item_id, role, payload) with role ∈ must/should/must_not; filters
+    and anti_filters hold normalized filter-leaf spec lists (each inner
+    list one conjunction)."""
+
+    __slots__ = ("node_id", "depth", "clause_items", "bool_items",
+                 "filters", "anti_filters", "n_must", "msm")
+
+    def __init__(self, node_id: int, depth: int):
+        self.node_id = node_id
+        self.depth = depth
+        self.clause_items: list = []
+        self.bool_items: list = []
+        self.filters: list = []
+        self.anti_filters: list = []
+        self.n_must = 0
+        self.msm = 0
+
+
+def has_nested_bool(qdict: dict) -> bool:
+    """True when the query dict needs the item-composition path (a bool
+    inside a bool role)."""
+    if not isinstance(qdict, dict) or len(qdict) != 1:
+        return False
+    kind, body = next(iter(qdict.items()))
+    if kind != "bool" or not isinstance(body, dict):
+        return False
+    for role in ("must", "should", "must_not"):
+        entries = body.get(role, [])
+        entries = [entries] if isinstance(entries, dict) else entries
+        for e in entries:
+            if isinstance(e, dict) and len(e) == 1 and next(iter(e)) == "bool":
+                return True
+    return False
+
+
+class _TreeCtx:
+    """Per-query id allocator (items and nodes share nothing)."""
+
+    def __init__(self):
+        self.next_item = 0
+        self.next_node = 0
+
+    def item(self) -> int:
+        i = self.next_item
+        self.next_item += 1
+        return i
+
+    def node(self) -> int:
+        n = self.next_node
+        self.next_node += 1
+        return n
+
+
+def _compile_bool_node(body, analyzer: str, ctx: _TreeCtx,
+                       depth: int) -> _BoolNode:
+    """One bool body -> _BoolNode (recursive). Leaves analyze here so
+    item counts (and therefore msm resolution and must gating) see the
+    post-analysis clause set — the flat path's exact rule."""
+    if not isinstance(body, dict):
+        raise ValueError(f"bool body must be a dict, got {body!r}")
+    unknown = set(body) - {
+        "must", "should", "must_not", "filter", "minimum_should_match"
+    }
+    if unknown:
+        raise ValueError(f"unsupported bool options: {sorted(unknown)}")
+    msm_spec = body.get("minimum_should_match", 0)
+    _validate_msm_spec(msm_spec)
+    node = _BoolNode(ctx.node(), depth)
+    for role in ("must", "should", "must_not"):
+        entries = body.get(role, [])
+        if isinstance(entries, dict):
+            entries = [entries]
+        for entry in entries:
+            if not isinstance(entry, dict) or len(entry) != 1:
+                raise ValueError(f"bool {role} entries must be single-key "
+                                 f"query dicts, got {entry!r}")
+            ekind, ebody = next(iter(entry.items()))
+            if ekind == "bool":
+                child = _compile_bool_node(ebody, analyzer, ctx, depth + 1)
+                if not child.clause_items and not child.bool_items:
+                    # filter-only bool: compile-time rewrite to a gate
+                    if role == "must":
+                        node.filters.extend(child.filters)
+                        node.anti_filters.extend(child.anti_filters)
+                    elif role == "must_not":
+                        if child.anti_filters:
+                            raise ValueError(
+                                "a filter-only bool under must_not cannot "
+                                "itself carry must_not filter rewrites — "
+                                "flatten the negation"
+                            )
+                        # the child's conjunctions all had to pass, so the
+                        # negation is NOT(AND of every spec) — one flat
+                        # conjunction
+                        node.anti_filters.append(
+                            [f for fs in child.filters for f in fs]
+                        )
+                    else:
+                        raise ValueError(
+                            "a filter-only bool under should is refused: it "
+                            "contributes no score — put it under must (gate) "
+                            "or must_not (exclusion)"
+                        )
+                else:
+                    node.bool_items.append((ctx.item(), role, child))
+                continue
+            if ekind not in _LEAF_KINDS:
+                raise ValueError(f"unsupported query type {ekind!r} in bool")
+            raws = _leaf_clauses(ekind, ebody, role, allow_operator=False)
+            for c in _analyzed(raws, analyzer):
+                node.clause_items.append((ctx.item(), c.role, c))
+    entries = body.get("filter", [])
+    if isinstance(entries, dict):
+        entries = [entries]
+    fspecs = []
+    for entry in entries:
+        if not isinstance(entry, dict) or len(entry) != 1:
+            raise ValueError(f"bool filter entries must be single-key "
+                             f"query dicts, got {entry!r}")
+        fkind, fbody = next(iter(entry.items()))
+        fspecs.append(_filter_leaf(fkind, fbody))
+    if fspecs:
+        node.filters.append(fspecs)
+    if (not node.clause_items and not node.bool_items
+            and not node.filters and not node.anti_filters):
+        raise ValueError("bool query has no clauses")
+    node.n_must = sum(
+        1 for (_, r, _) in node.clause_items + node.bool_items if r == "must"
+    )
+    n_should = sum(
+        1 for (_, r, _) in node.clause_items + node.bool_items
+        if r == "should"
+    )
+    node.msm = resolve_msm(msm_spec, n_should) if msm_spec else 0
+    return node
+
+
+def _walk_nodes(node: _BoolNode):
+    yield node
+    for (_, _, child) in node.bool_items:
+        yield from _walk_nodes(child)
+
+
+def _execute_tree(
+    index: BM25Index,
+    roots: dict,
+    k: int,
+    max_expansions: int,
+    fuzzy_prefix_len: int,
+) -> DataFrame:
+    """Execute compiled trees ({query_id: _BoolNode}) and return the
+    finalized run. One shared clause plan for every leaf item, then one
+    composition aggregate per tree DEPTH (module docstring)."""
+    from openmatch_spark.query.phrase import _finalize
+
+    spark = index.spark
+    for qid in roots:
+        if _GLUE in qid:
+            raise ValueError(
+                f"query_id {qid!r} contains the reserved separator U+001E"
+            )
+
+    # ---- leaf items -> one shared clause plan ----
+    clause_pq: dict = {}
+    for qid, root in sorted(roots.items()):
+        for node in _walk_nodes(root):
+            for (iid, _, c) in node.clause_items:
+                clause_pq[f"{qid}{_GLUE}{iid}"] = [
+                    Clause("should", c.kind, c.text, c.boost,
+                           slop=c.slop, edits=c.edits, tokens=c.tokens)
+                ]
+    cand = _execute_clauses(
+        index, clause_pq, k, {}, max_expansions, fuzzy_prefix_len,
+        finalize=False,
+    )
+    items = cand.select(
+        F.substring_index("query_id", _GLUE, 1).alias("query_id"),
+        F.substring_index("query_id", _GLUE, -1).cast("int").alias("iid"),
+        "shard", "doc_ord", "score",
+    )
+
+    # ---- filter gates: distinct conjunctions -> one docmap scan each ----
+    fids: dict = {}
+    fmap_rows: list = []   # (qid, node_id, fid) — semi-join gates
+    amap_rows: list = []   # (qid, node_id, fid) — anti-join gates
+    need_attrs = False
+    for qid, root in sorted(roots.items()):
+        for node in _walk_nodes(root):
+            if any(f["kind"] != "ids"
+                   for fspecs in node.filters + node.anti_filters
+                   for f in fspecs):
+                need_attrs = True
+                if not index.stored_attrs:
+                    break
+            if node.filters:
+                # every conjunction must pass -> AND them into ONE
+                # predicate (one docmap scan, one semi-join per node)
+                sql = " AND ".join(
+                    f"({_filter_sql(f, index.stored_attrs)})"
+                    for fspecs in node.filters for f in fspecs
+                )
+                fmap_rows.append(
+                    (qid, node.node_id, fids.setdefault(sql, len(fids)))
+                )
+            for fspecs in node.anti_filters:
+                # each anti conjunction excludes independently (NOT (f1
+                # AND f2 ...) per must_not entry) — keep them separate
+                sql = " AND ".join(
+                    f"({_filter_sql(f, index.stored_attrs)})" for f in fspecs
+                )
+                amap_rows.append(
+                    (qid, node.node_id, fids.setdefault(sql, len(fids)))
+                )
+    if need_attrs and not index.stored_attrs:
+        raise ValueError(
+            "bool.filter needs stored doc values, but this index was built "
+            "without store_attrs (ids filters work on any index)"
+        )
+    allowed = None
+    for sql, fid in sorted(fids.items(), key=lambda kv: kv[1]):
+        a = index.docmap.where(F.expr(sql)).select(
+            F.lit(fid).cast("int").alias("fid"), "shard", "doc_ord", "doc_id"
+        )
+        allowed = a if allowed is None else allowed.unionByName(a)
+
+    # roots left with NO scoring items after the rewrites (filter-only
+    # shapes) take the flat path's zero-score page semantics: the k
+    # first passing docs by doc_id at score 0.0
+    zero_roots = {
+        qid: root for qid, root in sorted(roots.items())
+        if not root.clause_items and not root.bool_items
+    }
+    for qid, root in zero_roots.items():
+        if not root.filters:
+            raise ValueError(
+                f"query {qid!r} reduces to a pure negation — give it a "
+                "positive filter context (or a scoring clause)"
+            )
+
+    # ---- compose bottom-up, one aggregate pass per depth ----
+    max_depth = max(
+        node.depth for root in roots.values() for node in _walk_nodes(root)
+    )
+    item_src = items
+    root_out = None
+    for depth in range(max_depth, -1, -1):
+        level = [
+            (qid, node) for qid, root in sorted(roots.items())
+            for node in _walk_nodes(root) if node.depth == depth
+        ]
+        meta_rows = [
+            (qid, iid, node.node_id, role)
+            for (qid, node) in level
+            for (iid, role, _) in node.clause_items + node.bool_items
+        ]
+        gate_rows = [
+            (qid, node.node_id, node.n_must, node.msm)
+            for (qid, node) in level
+        ]
+        meta = F.broadcast(spark.createDataFrame(
+            meta_rows, "query_id string, iid int, node int, role string"
+        ))
+        gates = F.broadcast(spark.createDataFrame(
+            gate_rows, "query_id string, node int, n_must int, msm int"
+        ))
+        rows = item_src.join(meta, ["query_id", "iid"])
+        res = (
+            rows.where(F.col("role") != "must_not")
+            .groupBy("query_id", "node", "shard", "doc_ord")
+            .agg(
+                F.sum("score").alias("score"),
+                F.count_distinct(
+                    F.when(F.col("role") == "must", F.col("iid"))
+                ).alias("must_m"),
+                F.count_distinct(
+                    F.when(F.col("role") == "should", F.col("iid"))
+                ).alias("should_m"),
+            )
+            .join(gates, ["query_id", "node"])
+            .where(
+                (F.col("must_m") == F.col("n_must"))
+                & (F.col("should_m") >= F.col("msm"))
+            )
+            .select("query_id", "node", "shard", "doc_ord", "score")
+        )
+        neg = (
+            rows.where(F.col("role") == "must_not")
+            .select("query_id", "node", "shard", "doc_ord").distinct()
+        )
+        res = res.join(neg, ["query_id", "node", "shard", "doc_ord"],
+                       "left_anti")
+        level_keys = {(lq, ln.node_id) for (lq, ln) in level}
+        lvl_fmap = [(q, n, f) for (q, n, f) in fmap_rows
+                    if (q, n) in level_keys]
+        if lvl_fmap:
+            fm = F.broadcast(spark.createDataFrame(
+                lvl_fmap, "query_id string, node int, fid int"
+            ))
+            gated = (
+                res.join(fm, ["query_id", "node"])
+                .join(allowed, ["fid", "shard", "doc_ord"], "left_semi")
+                .select("query_id", "node", "shard", "doc_ord", "score")
+            )
+            res = res.join(fm, ["query_id", "node"], "left_anti") \
+                     .unionByName(gated)
+        lvl_amap = [(q, n, f) for (q, n, f) in amap_rows
+                    if (q, n) in level_keys]
+        if lvl_amap:
+            am = F.broadcast(spark.createDataFrame(
+                lvl_amap, "query_id string, node int, fid int"
+            ))
+            excl = am.join(allowed, "fid").select(
+                "query_id", "node", "shard", "doc_ord"
+            )
+            res = res.join(excl, ["query_id", "node", "shard", "doc_ord"],
+                           "left_anti")
+        if depth == 0:
+            root_out = res.select("query_id", "shard", "doc_ord", "score")
+            if zero_roots:
+                zfmap = {q: f for (q, n, f) in fmap_rows if q in zero_roots}
+                zm = F.broadcast(spark.createDataFrame(
+                    sorted(zfmap.items()), "query_id string, fid int"
+                ))
+                zp = zm.join(allowed, "fid")
+                zamap = [(q, f) for (q, n, f) in amap_rows if q in zero_roots]
+                if zamap:
+                    za = F.broadcast(spark.createDataFrame(
+                        zamap, "query_id string, fid int"
+                    ))
+                    excl = za.join(
+                        allowed.select("fid", "shard", "doc_ord"), "fid"
+                    ).select("query_id", "shard", "doc_ord")
+                    zp = zp.join(excl, ["query_id", "shard", "doc_ord"],
+                                 "left_anti")
+                wz = Window.partitionBy("query_id").orderBy(F.asc("doc_id"))
+                zp = (
+                    zp.withColumn("_r", F.row_number().over(wz))
+                    .where(F.col("_r") <= k)
+                    .select("query_id", "shard", "doc_ord",
+                            F.lit(0.0).alias("score"))
+                )
+                root_out = root_out.unionByName(zp)
+        else:
+            # composed nodes become one item row of their parent
+            parent_map = [
+                (qid, child.node_id, iid)
+                for qid, root in sorted(roots.items())
+                for node in _walk_nodes(root)
+                for (iid, _, child) in node.bool_items
+                if child.depth == depth
+            ]
+            pm = F.broadcast(spark.createDataFrame(
+                parent_map, "query_id string, node int, iid int"
+            ))
+            item_src = item_src.unionByName(
+                res.join(pm, ["query_id", "node"])
+                .select("query_id", "iid", "shard", "doc_ord", "score")
+            )
+    return _finalize(index, root_out, k, [])
+
+
 def search_dsl(
     index: BM25Index,
     queries,
@@ -365,6 +766,37 @@ def search_dsl(
         }
     spark = index.spark
     analyzer = index.stats["analyzer"]
+
+    # term atomicity holds at every depth (ES term queries are atomic)
+    from openmatch_spark.analysis import tokenize_py
+
+    for qid, qdict in sorted(queries.items()):
+        for v in _collect_term_values(qdict):
+            toks = tokenize_py(v, analyzer)
+            if len(toks) != 1:
+                raise ValueError(
+                    f"term value {v!r} analyzes to {len(toks)} tokens — "
+                    "use match for multi-token text"
+                )
+
+    nested = {str(q): d for q, d in queries.items() if has_nested_bool(d)}
+    if nested:
+        trees = {
+            qid: _compile_bool_node(
+                next(iter(qdict.values())), analyzer, _TreeCtx(), 0
+            )
+            for qid, qdict in sorted(nested.items())
+        }
+        nested_run = _execute_tree(
+            index, trees, k, max_expansions, fuzzy_prefix_len
+        )
+        flat_qs = {q: d for q, d in queries.items() if str(q) not in nested}
+        if not flat_qs:
+            return nested_run
+        return search_dsl(
+            index, flat_qs, k, max_expansions, fuzzy_prefix_len
+        ).unionByName(nested_run)
+
     per_q: dict = {}
     msm_by_q: dict = {}
     fsql_by_q: dict = {}
@@ -392,17 +824,6 @@ def search_dsl(
             resolved = resolve_msm(msm, n_should)
             if resolved:
                 msm_by_q[str(qid)] = resolved
-        # ES term queries are atomic: a value that analyzes into several
-        # tokens means the caller wanted `match`
-        from openmatch_spark.analysis import tokenize_py
-
-        for v in _collect_term_values(qdict):
-            toks = tokenize_py(v, analyzer)
-            if len(toks) != 1:
-                raise ValueError(
-                    f"term value {v!r} analyzes to {len(toks)} tokens — "
-                    "use match for multi-token text"
-                )
     if not fsql_by_q:
         return _execute_clauses(
             index, per_q, k, msm_by_q, max_expansions, fuzzy_prefix_len
@@ -463,20 +884,25 @@ def search_dsl(
 
 
 def _collect_term_values(query: dict) -> list:
-    """All `term` leaf values in a DSL dict (for atomicity validation)."""
+    """All scoring `term` leaf values in a DSL dict, at any nesting
+    depth (for atomicity validation). Filter-context term leaves are
+    attribute predicates, not analyzed text — excluded."""
+    if not isinstance(query, dict) or len(query) != 1:
+        return []
     out = []
     kind, body = next(iter(query.items()))
-    entries = []
-    if kind == "term":
-        entries = [body]
-    elif kind == "bool":
+    if kind == "term" and isinstance(body, dict):
+        spec = next(iter(body.values()), None)
+        v = spec if isinstance(spec, str) else (
+            spec.get("value") if isinstance(spec, dict) else None
+        )
+        if isinstance(v, str):
+            out.append(v)
+    elif kind == "bool" and isinstance(body, dict):
         for role in ("must", "should", "must_not"):
             rs = body.get(role, [])
             rs = [rs] if isinstance(rs, dict) else rs
             for e in rs:
-                if next(iter(e.items()))[0] == "term":
-                    entries.append(e["term"])
-    for b in entries:
-        spec = next(iter(b.values()))
-        out.append(spec if isinstance(spec, str) else spec.get("value"))
+                if isinstance(e, dict):
+                    out.extend(_collect_term_values(e))
     return out

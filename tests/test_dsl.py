@@ -138,7 +138,9 @@ def test_dsl_json_dataframe_input(spark, idx):
 def test_dsl_validation(spark, idx):
     with pytest.raises(ValueError, match="single analyzed"):
         search_dsl(idx, {"q": {"match": {"title": "x"}}})
-    with pytest.raises(ValueError, match="nested bool"):
+    # nested bool is supported now (test_dsl_nested.py); an EMPTY nested
+    # bool still fails loudly
+    with pytest.raises(ValueError, match="no clauses"):
         search_dsl(idx, {"q": {"bool": {"must": [{"bool": {}}]}}})
     with pytest.raises(ValueError, match="analyzes to 2 tokens"):
         search_dsl(idx, {"q": {"term": {"text": "hash join"}}})

@@ -1,0 +1,223 @@
+"""Nested bool on the DSL front door (query/dsl.py item-composition
+path): every expectation is composed in plain Python from single-leaf
+runs of the ALREADY-VERIFIED flat path, so the nested executor is
+checked against the engine's own leaf semantics, not a reimplementation."""
+
+import os
+import sys
+import tempfile
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from openmatch_spark.index import build_index, load_index
+from openmatch_spark.query import search_dsl
+
+DOCS = [
+    # (url, text, lang)
+    ("doc://0", "spark hash join beats sort merge join on small tables", "en"),
+    ("doc://1", "the hash join and the sort merge join", "de"),
+    ("doc://2", "spark spark spark hash hash join", "en"),
+    ("doc://3", "merge sort is not sort merge", "fr"),
+    ("doc://4", "join hash spark", "de"),
+    ("doc://5", "window functions rank rows per partition", "en"),
+    ("doc://6", "spark window merge", "fr"),
+    ("doc://7", "hash window sort", "en"),
+]
+
+
+@pytest.fixture(scope="module")
+def idx(spark):
+    pages = spark.createDataFrame(
+        [(u, None, None, t, lg) for u, t, lg in DOCS],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    d = tempfile.mkdtemp(prefix="om_dsl_nested_idx_")
+    build_index(
+        spark, pages, d, analyzer="simple", num_shards=2,
+        num_term_buckets=4, block_size=4, store_attrs=["lang"],
+    )
+    return load_index(spark, d)
+
+
+@pytest.fixture(scope="module")
+def leaf(idx):
+    """doc -> score maps for every single-term flat run used below."""
+    out = {}
+    for t in ("spark", "hash", "join", "merge", "window", "sort"):
+        run = search_dsl(idx, {"q": {"match": {"text": t}}}, k=1000)
+        out[t] = {r["doc_id"]: r["score"] for r in run.collect()}
+    return out
+
+
+LANG = {u: lg for u, _, lg in DOCS}
+
+
+def _run(idx, q, k=1000):
+    run = search_dsl(idx, {"q": q}, k=k)
+    return {r["doc_id"]: r["score"] for r in run.collect()}
+
+
+def _close(got, exp):
+    assert set(got) == set(exp), (sorted(got), sorted(exp))
+    for d in got:
+        assert abs(got[d] - exp[d]) < 1e-9, (d, got[d], exp[d])
+
+
+def test_nested_should_group_msm(idx, leaf):
+    got = _run(idx, {"bool": {"should": [
+        {"bool": {"should": [{"match": {"text": "spark"}},
+                             {"match": {"text": "merge"}}],
+                  "minimum_should_match": 2}},
+        {"match": {"text": "window"}},
+    ]}})
+    s, m, w = leaf["spark"], leaf["merge"], leaf["window"]
+    exp = {}
+    for d in set(s) | set(m) | set(w):
+        g = s[d] + m[d] if (d in s and d in m) else None
+        l = w.get(d)
+        if g is None and l is None:
+            continue
+        exp[d] = (g or 0.0) + (l or 0.0)
+    _close(got, exp)
+
+
+def test_nested_must_or_group(idx, leaf):
+    got = _run(idx, {"bool": {
+        "must": [{"bool": {"should": [{"match": {"text": "hash"}},
+                                      {"match": {"text": "merge"}}]}}],
+        "should": [{"match": {"text": "window"}}],
+    }})
+    h, m, w = leaf["hash"], leaf["merge"], leaf["window"]
+    exp = {d: h.get(d, 0.0) + m.get(d, 0.0) + w.get(d, 0.0)
+           for d in set(h) | set(m)}
+    _close(got, exp)
+
+
+def test_nested_must_not_and_group(idx, leaf):
+    got = _run(idx, {"bool": {
+        "should": [{"match": {"text": "window"}}],
+        "must_not": [{"bool": {"must": [{"match": {"text": "spark"}},
+                                        {"match": {"text": "hash"}}]}}],
+    }})
+    s, h, w = leaf["spark"], leaf["hash"], leaf["window"]
+    exp = {d: v for d, v in w.items() if not (d in s and d in h)}
+    _close(got, exp)
+
+
+def test_nested_group_with_filter(idx, leaf):
+    got = _run(idx, {"bool": {"should": [
+        {"bool": {"should": [{"match": {"text": "spark"}}],
+                  "filter": [{"term": {"lang": "en"}}]}},
+        {"match": {"text": "merge"}},
+    ]}})
+    s, m = leaf["spark"], leaf["merge"]
+    exp = {}
+    for d in set(s) | set(m):
+        g = s[d] if (d in s and LANG[d] == "en") else None
+        l = m.get(d)
+        if g is None and l is None:
+            continue
+        exp[d] = (g or 0.0) + (l or 0.0)
+    _close(got, exp)
+
+
+def test_must_not_filter_only_rewrite(idx, leaf):
+    got = _run(idx, {"bool": {
+        "should": [{"match": {"text": "join"}}],
+        "must_not": [{"bool": {"filter": [{"term": {"lang": "en"}}]}}],
+    }})
+    exp = {d: v for d, v in leaf["join"].items() if LANG[d] != "en"}
+    _close(got, exp)
+
+
+def test_must_filter_only_rewrite_gates(idx, leaf):
+    got = _run(idx, {"bool": {
+        "must": [{"bool": {"filter": [{"term": {"lang": "de"}}]}}],
+        "should": [{"bool": {"should": [{"match": {"text": "join"}}]}}],
+    }})
+    exp = {d: v for d, v in leaf["join"].items() if LANG[d] == "de"}
+    _close(got, exp)
+
+
+def test_depth_three(idx, leaf):
+    got = _run(idx, {"bool": {"should": [
+        {"bool": {"should": [
+            {"bool": {"should": [{"match": {"text": "spark"}},
+                                 {"match": {"text": "sort"}}],
+                      "minimum_should_match": 2}},
+            {"match": {"text": "window"}},
+        ]}},
+    ]}})
+    s, o, w = leaf["spark"], leaf["sort"], leaf["window"]
+    inner = {d: s[d] + o[d] for d in set(s) & set(o)}
+    exp = {d: inner.get(d, 0.0) + w.get(d, 0.0) for d in set(inner) | set(w)}
+    _close(got, exp)
+
+
+def test_single_wrapped_leaf_equals_flat(idx):
+    """A nested bool that only wraps one leaf must reproduce the flat
+    run bit-identically (same executor, same weights)."""
+    flat = search_dsl(idx, {"q": {"match": {"text": "hash join"}}}, k=1000)
+    nested = search_dsl(idx, {"q": {"bool": {"should": [
+        {"bool": {"should": [{"match": {"text": "hash join"}}]}},
+    ]}}}, k=1000)
+    assert sorted(map(tuple, flat.collect())) == \
+        sorted(map(tuple, nested.collect()))
+
+
+def test_mixed_batch_flat_and_nested(idx):
+    run = search_dsl(idx, {
+        "a": {"match": {"text": "spark"}},
+        "b": {"bool": {"should": [
+            {"bool": {"should": [{"match": {"text": "spark"}}]}},
+        ]}},
+    }, k=1000)
+    rows = run.collect()
+    a = sorted((r["doc_id"], round(r["score"], 9), r["rank"])
+               for r in rows if r["query_id"] == "a")
+    b = sorted((r["doc_id"], round(r["score"], 9), r["rank"])
+               for r in rows if r["query_id"] == "b")
+    assert a == b and a
+
+
+def test_zero_root_page_after_rewrites(idx):
+    """must: filter-only bool + top filter with no scoring clause left:
+    the flat path's zero-score page semantics (first k by doc_id)."""
+    run = search_dsl(idx, {"q": {"bool": {
+        "must": [{"bool": {"filter": [{"term": {"lang": "en"}}]}}],
+    }}}, k=2).collect()
+    assert [(r["doc_id"], r["score"], r["rank"]) for r in
+            sorted(run, key=lambda r: r["rank"])] == [
+        ("doc://0", 0.0, 1), ("doc://2", 0.0, 2)]
+
+
+def test_dead_must_inside_group(idx, leaf):
+    """A vocabulary-missing must INSIDE a nested group kills the group,
+    not the whole query."""
+    got = _run(idx, {"bool": {"should": [
+        {"bool": {"must": [{"match": {"text": "spark"}},
+                           {"term": {"text": "zzzmissing"}}]}},
+        {"match": {"text": "window"}},
+    ]}})
+    _close(got, leaf["window"])
+
+
+def test_validation(idx):
+    with pytest.raises(ValueError, match="refused"):
+        search_dsl(idx, {"q": {"bool": {"should": [
+            {"bool": {"filter": [{"term": {"lang": "en"}}]}},
+        ]}}}, k=5)
+    with pytest.raises(ValueError, match="negation"):
+        search_dsl(idx, {"q": {"bool": {"must_not": [
+            {"bool": {"filter": [{"term": {"lang": "en"}}]}},
+        ]}}}, k=5)
+    with pytest.raises(ValueError, match="analyzes to"):
+        search_dsl(idx, {"q": {"bool": {"should": [
+            {"bool": {"should": [{"term": {"text": "two words"}}]}},
+        ]}}}, k=5)
+    with pytest.raises(ValueError, match="U\\+001E"):
+        search_dsl(idx, {"q\x1e0": {"bool": {"should": [
+            {"bool": {"should": [{"match": {"text": "spark"}}]}},
+        ]}}}, k=5)

@@ -282,6 +282,35 @@ DSL_NESTED_QUERIES = {
     ]}},
 }
 
+# constant_score / match_all on the DSL front door. dc0 top-level
+# constant_score page (first 10 by doc_id at the boost); dc1 top-level
+# match_all page; dc2 constant_score under must (attribute gate + fixed
+# bonus on the BM25 score); dc3 constant_score under must_not
+# (exclusion, boost irrelevant); dc4 range-filter constant_score under
+# must beside a scoring must.
+DSL_CONST_QUERIES = {
+    "dc0": {"constant_score": {"filter": {"term": {"lang": "en"}},
+                               "boost": 2.5}},
+    "dc1": {"match_all": {"boost": 1.5}},
+    "dc2": {"bool": {
+        "must": [{"constant_score": {"filter": {"term": {"lang": "en"}},
+                                     "boost": 3.0}}],
+        "should": [{"match": {"text": "spark"}}],
+    }},
+    "dc3": {"bool": {
+        "should": [{"match": {"text": "spark"}}],
+        "must_not": [{"constant_score": {
+            "filter": {"range": {"n_chars": {"lt": 300}}}, "boost": 9.0}}],
+    }},
+    "dc4": {"bool": {
+        "must": [{"match": {"text": "merge"}},
+                 {"constant_score": {
+                     "filter": {"range": {"n_chars": {"gte": 200,
+                                                      "lt": 500}}},
+                     "boost": 0.75}}],
+    }},
+}
+
 # simple_query_string surface (query/simpleqs.py), default_operator 'or',
 # flags ALL: OR junction of branches (whitespace = OR), '+' AND-run, a
 # phrase branch with a lifted global negation, prefix|fuzzy branches, an
@@ -1671,6 +1700,62 @@ dnrun AS (
 )
 SELECT query_id, doc_id, ROUND(score, 6) AS score, rank
 FROM dnrun WHERE rank <= 10
+"""
+
+# dsl_constant_score oracle: constant pages are first-10-by-doc_id
+# scans of the documents table at the boost; gate+bonus queries replay
+# the per-term BM25 weight plus the constant against the raw attribute
+# columns.
+_DSL_CONST_SQL = f"""
+WITH {_TOKP},
+{_BM25_CORE},
+w AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1 + (g.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.doclen / g.avgdl)) AS wgt
+  FROM tf
+  JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN dfreq ON dfreq.term = tf.term
+  CROSS JOIN g
+),
+dmeta AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, lang, n_chars
+          FROM documents),
+dc0 AS (
+  SELECT 'dc0' AS query_id, doc_id, CAST(2.5 AS DOUBLE) AS score
+  FROM dmeta WHERE lang = 'en' ORDER BY doc_id ASC LIMIT 10
+),
+dc1 AS (
+  SELECT 'dc1' AS query_id, doc_id, CAST(1.5 AS DOUBLE) AS score
+  FROM dmeta ORDER BY doc_id ASC LIMIT 10
+),
+dc2 AS (
+  SELECT 'dc2' AS query_id, w.doc_id, w.wgt + 3.0 AS score
+  FROM w JOIN dmeta m ON m.doc_id = w.doc_id
+  WHERE w.term = 'spark' AND m.lang = 'en'
+),
+dc3 AS (
+  SELECT 'dc3' AS query_id, w.doc_id, w.wgt AS score
+  FROM w JOIN dmeta m ON m.doc_id = w.doc_id
+  WHERE w.term = 'spark' AND NOT (m.n_chars < 300)
+),
+dc4 AS (
+  SELECT 'dc4' AS query_id, w.doc_id, w.wgt + 0.75 AS score
+  FROM w JOIN dmeta m ON m.doc_id = w.doc_id
+  WHERE w.term = 'merge' AND m.n_chars >= 200 AND m.n_chars < 500
+),
+dcall AS (
+  SELECT * FROM dc0 UNION ALL SELECT * FROM dc1 UNION ALL SELECT * FROM dc2
+  UNION ALL SELECT * FROM dc3 UNION ALL SELECT * FROM dc4
+),
+dcrun AS (
+  SELECT query_id, doc_id, score,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+         ) AS INTEGER) AS rank
+  FROM dcall
+)
+SELECT query_id, doc_id, ROUND(score, 6) AS score, rank
+FROM dcrun WHERE rank <= 10
 """
 
 # simple_query_string oracle: the clause tables are the HAND-COMPILED
@@ -3130,6 +3215,24 @@ def q_dsl_nested(spark, sf_dir):
 
     idx = _entry_index(spark, sf_dir)
     run = search_dsl(idx, DSL_NESTED_QUERIES, k=10)
+    return run.select(
+        "query_id",
+        F.regexp_replace("doc_id", "^doc://", "").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+        "rank",
+    )
+
+
+def q_dsl_constant_score(spark, sf_dir):
+    """constant_score / match_all on the DSL front door: constant pages
+    (first k by doc_id at the boost), attribute gate + fixed score bonus
+    under must, and exclusion under must_not — all evaluated on the
+    index's stored doc values; the oracle replays pages and gates over
+    the raw documents table."""
+    from openmatch_spark.query import search_dsl
+
+    idx = _entry_index(spark, sf_dir)
+    run = search_dsl(idx, DSL_CONST_QUERIES, k=10)
     return run.select(
         "query_id",
         F.regexp_replace("doc_id", "^doc://", "").alias("doc_id"),
@@ -6629,6 +6732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_search": q_dsl_search,
         "dsl_filtered": q_dsl_filtered,
         "dsl_nested": q_dsl_nested,
+        "dsl_constant_score": q_dsl_constant_score,
         "passage_maxp": q_passage_maxp,
         "bm25_boolean": q_bm25_boolean,
         "bm25_boolean_msm": q_bm25_boolean_msm,
@@ -6927,6 +7031,7 @@ SELECT query_id, doc_id, ROUND(score, 6) AS score, rank FROM prun WHERE rank <= 
     sql["dsl_search"] = _BM25_BOOLEAN_SQL
     sql["dsl_filtered"] = _DSL_FILTERED_SQL
     sql["dsl_nested"] = _DSL_NESTED_SQL
+    sql["dsl_constant_score"] = _DSL_CONST_SQL
     sql["phrase_search"] = _PHRASE_SQL
     sql["phrase_prefix"] = _PHRASE_PREFIX_SQL
     sql["proximity_search"] = _PROXIMITY_SQL

@@ -23,6 +23,13 @@ Supported grammar (one dict per query):
   {"fuzzy":        {"text": v | {"value": v, "fuzziness": n, "boost": b}}}
   {"bool":         {"must": [...], "should": [...], "must_not": [...],
                     "filter": [...], "minimum_should_match": n}}
+  {"constant_score": {"filter": leaf | [leaves] | filter-only bool,
+                      "boost": b}}   (every passing doc scores b; under
+                      bool.must it is a gate + fixed bonus, under
+                      must_not an exclusion; should is refused)
+  {"match_all":    {"boost": b}}     (top level: the full-corpus page at
+                      score b, first k by doc_id; under must: a fixed
+                      bonus on every passing doc)
 
 `bool.filter` is ES filter context — non-scoring, must-match, and per
 Lucene semantics it restricts the CANDIDATE set, never the statistics
@@ -245,6 +252,8 @@ def _filter_sql(flt: dict, stored: tuple) -> str:
     """Normalized filter spec -> one SQL fragment over docmap columns.
     Deterministic text (sorted values/bounds) so identical filters on
     different queries dedupe to one docmap scan."""
+    if flt["kind"] == "all":
+        return "TRUE"
     if flt["kind"] == "ids":
         vals = ", ".join(_sql_lit(v) for v in flt["values"])
         return f"doc_id IN ({vals})"
@@ -382,10 +391,11 @@ class _BoolNode:
     """One bool in the query tree. clause_items / bool_items are
     (item_id, role, payload) with role ∈ must/should/must_not; filters
     and anti_filters hold normalized filter-leaf spec lists (each inner
-    list one conjunction)."""
+    list one conjunction); const_bonus is the summed constant_score /
+    match_all must-context boost added to every passing doc's score."""
 
     __slots__ = ("node_id", "depth", "clause_items", "bool_items",
-                 "filters", "anti_filters", "n_must", "msm")
+                 "filters", "anti_filters", "n_must", "msm", "const_bonus")
 
     def __init__(self, node_id: int, depth: int):
         self.node_id = node_id
@@ -396,23 +406,82 @@ class _BoolNode:
         self.anti_filters: list = []
         self.n_must = 0
         self.msm = 0
+        self.const_bonus = 0.0
+
+
+_TREE_KINDS = ("bool", "constant_score", "match_all")
 
 
 def has_nested_bool(qdict: dict) -> bool:
-    """True when the query dict needs the item-composition path (a bool
-    inside a bool role)."""
+    """True when the query dict needs the item-composition path: a
+    constant_score / match_all anywhere, or a bool inside a bool role."""
     if not isinstance(qdict, dict) or len(qdict) != 1:
         return False
     kind, body = next(iter(qdict.items()))
+    if kind in ("constant_score", "match_all"):
+        return True
     if kind != "bool" or not isinstance(body, dict):
         return False
     for role in ("must", "should", "must_not"):
         entries = body.get(role, [])
         entries = [entries] if isinstance(entries, dict) else entries
         for e in entries:
-            if isinstance(e, dict) and len(e) == 1 and next(iter(e)) == "bool":
+            if (isinstance(e, dict) and len(e) == 1
+                    and next(iter(e)) in _TREE_KINDS):
                 return True
     return False
+
+
+def _parse_constant_score(body) -> tuple[list, float]:
+    """constant_score body -> (filter conjunction specs, boost). filter
+    accepts one attribute leaf, a list of them, or a filter-only bool."""
+    if not isinstance(body, dict) or "filter" not in body \
+            or not set(body) <= {"filter", "boost"}:
+        raise ValueError(
+            f"constant_score needs {{'filter': ..., 'boost'?: b}}, "
+            f"got {body!r}"
+        )
+    boost = float(body.get("boost", 1.0))
+    if boost <= 0:
+        raise ValueError(f"boost must be positive, got {boost}")
+    flt = body["filter"]
+    entries = flt if isinstance(flt, list) else [flt]
+    specs: list = []
+    for entry in entries:
+        if not isinstance(entry, dict) or len(entry) != 1:
+            raise ValueError(
+                f"constant_score filter entries must be single-key query "
+                f"dicts, got {entry!r}"
+            )
+        fkind, fbody = next(iter(entry.items()))
+        if fkind == "bool":
+            if not isinstance(fbody, dict) or set(fbody) != {"filter"}:
+                raise ValueError(
+                    "a bool inside constant_score.filter must be "
+                    "filter-only (scoring there would be discarded anyway)"
+                )
+            inner = fbody["filter"]
+            inner = inner if isinstance(inner, list) else [inner]
+            for ie in inner:
+                ik, ib = next(iter(ie.items()))
+                specs.append(_filter_leaf(ik, ib))
+        else:
+            specs.append(_filter_leaf(fkind, fbody))
+    if not specs:
+        raise ValueError("constant_score filter is empty")
+    return specs, boost
+
+
+def _parse_match_all(body) -> float:
+    """match_all body -> boost (ES: every doc matches at `boost`)."""
+    if body is None:
+        body = {}
+    if not isinstance(body, dict) or not set(body) <= {"boost"}:
+        raise ValueError(f"match_all options: only 'boost', got {body!r}")
+    boost = float(body.get("boost", 1.0))
+    if boost <= 0:
+        raise ValueError(f"boost must be positive, got {boost}")
+    return boost
 
 
 class _TreeCtx:
@@ -464,6 +533,7 @@ def _compile_bool_node(body, analyzer: str, ctx: _TreeCtx,
                     if role == "must":
                         node.filters.extend(child.filters)
                         node.anti_filters.extend(child.anti_filters)
+                        node.const_bonus += child.const_bonus
                     elif role == "must_not":
                         if child.anti_filters:
                             raise ValueError(
@@ -473,18 +543,46 @@ def _compile_bool_node(body, analyzer: str, ctx: _TreeCtx,
                             )
                         # the child's conjunctions all had to pass, so the
                         # negation is NOT(AND of every spec) — one flat
-                        # conjunction
+                        # conjunction (a constant bonus on an excluded doc
+                        # is irrelevant and drops)
                         node.anti_filters.append(
                             [f for fs in child.filters for f in fs]
                         )
                     else:
                         raise ValueError(
                             "a filter-only bool under should is refused: it "
-                            "contributes no score — put it under must (gate) "
+                            "would drag a corpus-sized constant-score set "
+                            "through the plan — put it under must (gate) "
                             "or must_not (exclusion)"
                         )
                 else:
                     node.bool_items.append((ctx.item(), role, child))
+                continue
+            if ekind == "constant_score":
+                specs, boost = _parse_constant_score(ebody)
+                if role == "must":
+                    node.filters.append(specs)
+                    node.const_bonus += boost
+                elif role == "must_not":
+                    node.anti_filters.append(specs)
+                else:
+                    raise ValueError(
+                        "constant_score under should is refused: it would "
+                        "drag a corpus-sized constant-score set through the "
+                        "plan — put it under must (gate + fixed bonus) or "
+                        "must_not (exclusion)"
+                    )
+                continue
+            if ekind == "match_all":
+                boost = _parse_match_all(ebody)
+                if role != "must":
+                    raise ValueError(
+                        "match_all only composes under must (a fixed bonus "
+                        "on every passing doc) or at the top level (the "
+                        "full-corpus page)"
+                    )
+                node.filters.append([{"kind": "all"}])
+                node.const_bonus += boost
                 continue
             if ekind not in _LEAF_KINDS:
                 raise ValueError(f"unsupported query type {ekind!r} in bool")
@@ -568,7 +666,7 @@ def _execute_tree(
     need_attrs = False
     for qid, root in sorted(roots.items()):
         for node in _walk_nodes(root):
-            if any(f["kind"] != "ids"
+            if any(f["kind"] not in ("ids", "all")
                    for fspecs in node.filters + node.anti_filters
                    for f in fspecs):
                 need_attrs = True
@@ -576,14 +674,21 @@ def _execute_tree(
                     break
             if node.filters:
                 # every conjunction must pass -> AND them into ONE
-                # predicate (one docmap scan, one semi-join per node)
+                # predicate (one docmap scan, one semi-join per node);
+                # 'all' specs (match_all) are vacuous alongside real ones
+                specs = [f for fspecs in node.filters for f in fspecs]
+                real = [f for f in specs if f["kind"] != "all"]
                 sql = " AND ".join(
-                    f"({_filter_sql(f, index.stored_attrs)})"
-                    for fspecs in node.filters for f in fspecs
-                )
-                fmap_rows.append(
-                    (qid, node.node_id, fids.setdefault(sql, len(fids)))
-                )
+                    f"({_filter_sql(f, index.stored_attrs)})" for f in real
+                ) if real else "TRUE"
+                zero = (not node.clause_items and not node.bool_items
+                        and node.depth == 0)
+                if real or zero:
+                    # a TRUE gate is a no-op for scoring nodes; zero
+                    # roots keep it as the page's scan predicate
+                    fmap_rows.append(
+                        (qid, node.node_id, fids.setdefault(sql, len(fids)))
+                    )
             for fspecs in node.anti_filters:
                 # each anti conjunction excludes independently (NOT (f1
                 # AND f2 ...) per must_not entry) — keep them separate
@@ -636,14 +741,16 @@ def _execute_tree(
             for (iid, role, _) in node.clause_items + node.bool_items
         ]
         gate_rows = [
-            (qid, node.node_id, node.n_must, node.msm)
+            (qid, node.node_id, node.n_must, node.msm,
+             float(node.const_bonus))
             for (qid, node) in level
         ]
         meta = F.broadcast(spark.createDataFrame(
             meta_rows, "query_id string, iid int, node int, role string"
         ))
         gates = F.broadcast(spark.createDataFrame(
-            gate_rows, "query_id string, node int, n_must int, msm int"
+            gate_rows,
+            "query_id string, node int, n_must int, msm int, bonus double",
         ))
         rows = item_src.join(meta, ["query_id", "iid"])
         res = (
@@ -663,7 +770,8 @@ def _execute_tree(
                 (F.col("must_m") == F.col("n_must"))
                 & (F.col("should_m") >= F.col("msm"))
             )
-            .select("query_id", "node", "shard", "doc_ord", "score")
+            .select("query_id", "node", "shard", "doc_ord",
+                    (F.col("score") + F.col("bonus")).alias("score"))
         )
         neg = (
             rows.where(F.col("role") == "must_not")
@@ -701,7 +809,9 @@ def _execute_tree(
             if zero_roots:
                 zfmap = {q: f for (q, n, f) in fmap_rows if q in zero_roots}
                 zm = F.broadcast(spark.createDataFrame(
-                    sorted(zfmap.items()), "query_id string, fid int"
+                    [(q, f, float(zero_roots[q].const_bonus))
+                     for q, f in sorted(zfmap.items())],
+                    "query_id string, fid int, bonus double",
                 ))
                 zp = zm.join(allowed, "fid")
                 zamap = [(q, f) for (q, n, f) in amap_rows if q in zero_roots]
@@ -719,7 +829,7 @@ def _execute_tree(
                     zp.withColumn("_r", F.row_number().over(wz))
                     .where(F.col("_r") <= k)
                     .select("query_id", "shard", "doc_ord",
-                            F.lit(0.0).alias("score"))
+                            F.col("bonus").alias("score"))
                 )
                 root_out = root_out.unionByName(zp)
         else:
@@ -781,12 +891,13 @@ def search_dsl(
 
     nested = {str(q): d for q, d in queries.items() if has_nested_bool(d)}
     if nested:
-        trees = {
-            qid: _compile_bool_node(
-                next(iter(qdict.values())), analyzer, _TreeCtx(), 0
-            )
-            for qid, qdict in sorted(nested.items())
-        }
+        trees = {}
+        for qid, qdict in sorted(nested.items()):
+            kind = next(iter(qdict))
+            # top-level constant_score / match_all: the must-of-one form
+            body = (qdict["bool"] if kind == "bool"
+                    else {"must": [qdict]})
+            trees[qid] = _compile_bool_node(body, analyzer, _TreeCtx(), 0)
         nested_run = _execute_tree(
             index, trees, k, max_expansions, fuzzy_prefix_len
         )

@@ -221,3 +221,62 @@ def test_validation(idx):
         search_dsl(idx, {"q\x1e0": {"bool": {"should": [
             {"bool": {"should": [{"match": {"text": "spark"}}]}},
         ]}}}, k=5)
+
+
+def test_constant_score_top_level(idx):
+    run = search_dsl(idx, {"q": {"constant_score": {
+        "filter": {"term": {"lang": "en"}}, "boost": 2.5}}}, k=3).collect()
+    en = sorted(u for u, lg in LANG.items() if lg == "en")[:3]
+    got = [(r["doc_id"], r["score"]) for r in sorted(run, key=lambda r: r["rank"])]
+    assert got == [(d, 2.5) for d in en]
+
+
+def test_match_all_top_level(idx):
+    run = search_dsl(idx, {"q": {"match_all": {"boost": 1.5}}}, k=4).collect()
+    got = [(r["doc_id"], r["score"]) for r in sorted(run, key=lambda r: r["rank"])]
+    assert got == [(d, 1.5) for d in sorted(LANG)[:4]]
+
+
+def test_constant_score_must_gate_and_bonus(idx, leaf):
+    got = _run(idx, {"bool": {
+        "must": [{"constant_score": {"filter": {"term": {"lang": "en"}},
+                                     "boost": 3.0}}],
+        "should": [{"match": {"text": "join"}}],
+    }})
+    exp = {d: s + 3.0 for d, s in leaf["join"].items() if LANG[d] == "en"}
+    _close(got, exp)
+
+
+def test_constant_score_must_not_excludes(idx, leaf):
+    got = _run(idx, {"bool": {
+        "should": [{"match": {"text": "join"}}],
+        "must_not": [{"constant_score": {"filter": {"term": {"lang": "de"}},
+                                         "boost": 9.0}}],
+    }})
+    exp = {d: s for d, s in leaf["join"].items() if LANG[d] != "de"}
+    _close(got, exp)
+
+
+def test_match_all_must_bonus(idx, leaf):
+    got = _run(idx, {"bool": {
+        "must": [{"match_all": {"boost": 0.5}}],
+        "should": [{"match": {"text": "window"}}],
+    }})
+    exp = {d: s + 0.5 for d, s in leaf["window"].items()}
+    _close(got, exp)
+
+
+def test_constant_score_validation(idx):
+    with pytest.raises(ValueError, match="refused"):
+        search_dsl(idx, {"q": {"bool": {"should": [
+            {"constant_score": {"filter": {"term": {"lang": "en"}}}},
+        ]}}}, k=5)
+    with pytest.raises(ValueError, match="only composes"):
+        search_dsl(idx, {"q": {"bool": {
+            "should": [{"match_all": {}}],
+            "must": [{"match": {"text": "spark"}}],
+        }}}, k=5)
+    with pytest.raises(ValueError, match="filter-only"):
+        search_dsl(idx, {"q": {"constant_score": {
+            "filter": {"bool": {"must": [{"match": {"text": "spark"}}]}},
+        }}}, k=5)

@@ -653,11 +653,15 @@ def _execute_tree(
         index, clause_pq, k, {}, max_expansions, fuzzy_prefix_len,
         finalize=False,
     )
+    # the item candidate set is referenced by every composition level;
+    # checkpoint it so the clause plan executes ONCE and each level's
+    # plan stays compact (it is posting-bounded — small relative to the
+    # corpus — so materializing it is cheap at any scale)
     items = cand.select(
         F.substring_index("query_id", _GLUE, 1).alias("query_id"),
         F.substring_index("query_id", _GLUE, -1).cast("int").alias("iid"),
         "shard", "doc_ord", "score",
-    )
+    ).localCheckpoint()
 
     # ---- filter gates: distinct conjunctions -> one docmap scan each ----
     fids: dict = {}
@@ -752,47 +756,57 @@ def _execute_tree(
             gate_rows,
             "query_id string, node int, n_must int, msm int, bonus double",
         ))
-        rows = item_src.join(meta, ["query_id", "iid"])
+        # ONE aggregate per level: must_not membership rides the same
+        # groupBy as a count (a matched must_not item disqualifies the
+        # doc; its score is excluded from the sum), and the positive-
+        # match contract (a doc must match >= 1 scoring item) is the
+        # must_m + should_m >= 1 conjunct
         res = (
-            rows.where(F.col("role") != "must_not")
+            item_src.join(meta, ["query_id", "iid"])
             .groupBy("query_id", "node", "shard", "doc_ord")
             .agg(
-                F.sum("score").alias("score"),
+                F.sum(
+                    F.when(F.col("role") != "must_not", F.col("score"))
+                    .otherwise(F.lit(0.0))
+                ).alias("score"),
                 F.count_distinct(
                     F.when(F.col("role") == "must", F.col("iid"))
                 ).alias("must_m"),
                 F.count_distinct(
                     F.when(F.col("role") == "should", F.col("iid"))
                 ).alias("should_m"),
+                F.count_distinct(
+                    F.when(F.col("role") == "must_not", F.col("iid"))
+                ).alias("not_m"),
             )
             .join(gates, ["query_id", "node"])
             .where(
                 (F.col("must_m") == F.col("n_must"))
                 & (F.col("should_m") >= F.col("msm"))
+                & (F.col("not_m") == 0)
+                & (F.col("must_m") + F.col("should_m") >= 1)
             )
             .select("query_id", "node", "shard", "doc_ord",
                     (F.col("score") + F.col("bonus")).alias("score"))
         )
-        neg = (
-            rows.where(F.col("role") == "must_not")
-            .select("query_id", "node", "shard", "doc_ord").distinct()
-        )
-        res = res.join(neg, ["query_id", "node", "shard", "doc_ord"],
-                       "left_anti")
         level_keys = {(lq, ln.node_id) for (lq, ln) in level}
         lvl_fmap = [(q, n, f) for (q, n, f) in fmap_rows
                     if (q, n) in level_keys]
         if lvl_fmap:
+            # single-pass gate: rows of unfiltered nodes carry a NULL
+            # fid and pass; filtered nodes need a probe hit
             fm = F.broadcast(spark.createDataFrame(
                 lvl_fmap, "query_id string, node int, fid int"
             ))
-            gated = (
-                res.join(fm, ["query_id", "node"])
-                .join(allowed, ["fid", "shard", "doc_ord"], "left_semi")
+            probe = allowed.select(
+                "fid", "shard", "doc_ord", F.lit(1).alias("_fhit")
+            )
+            res = (
+                res.join(fm, ["query_id", "node"], "left")
+                .join(probe, ["fid", "shard", "doc_ord"], "left")
+                .where(F.col("fid").isNull() | F.col("_fhit").isNotNull())
                 .select("query_id", "node", "shard", "doc_ord", "score")
             )
-            res = res.join(fm, ["query_id", "node"], "left_anti") \
-                     .unionByName(gated)
         lvl_amap = [(q, n, f) for (q, n, f) in amap_rows
                     if (q, n) in level_keys]
         if lvl_amap:
@@ -833,7 +847,9 @@ def _execute_tree(
                 )
                 root_out = root_out.unionByName(zp)
         else:
-            # composed nodes become one item row of their parent
+            # composed nodes become one item row of their parent;
+            # checkpoint the (small, post-gate) level result so the next
+            # level's plan does not re-embed this one
             parent_map = [
                 (qid, child.node_id, iid)
                 for qid, root in sorted(roots.items())
@@ -847,6 +863,7 @@ def _execute_tree(
             item_src = item_src.unionByName(
                 res.join(pm, ["query_id", "node"])
                 .select("query_id", "iid", "shard", "doc_ord", "score")
+                .localCheckpoint()
             )
     return _finalize(index, root_out, k, [])
 

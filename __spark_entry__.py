@@ -311,6 +311,29 @@ DSL_CONST_QUERIES = {
     }},
 }
 
+# dis_max on the DSL front door. dd0 top-level dis_max (one multi-token
+# branch that sums INSIDE the branch, one single-term branch, tie_breaker
+# 0.3); dd1 a bool branch (AND of two terms) against a leaf at
+# tie_breaker 0.5; dd2 dis_max composed as one should clause of a bool.
+DSL_DISMAX_QUERIES = {
+    "dd0": {"dis_max": {
+        "queries": [{"match": {"text": "spark join"}},
+                    {"match": {"text": "customer"}}],
+        "tie_breaker": 0.3,
+    }},
+    "dd1": {"dis_max": {
+        "queries": [{"bool": {"must": [{"match": {"text": "hash"}},
+                                       {"match": {"text": "merge"}}]}},
+                    {"match": {"text": "scan"}}],
+        "tie_breaker": 0.5,
+    }},
+    "dd2": {"bool": {"should": [
+        {"dis_max": {"queries": [{"match": {"text": "spark"}},
+                                 {"match": {"text": "window"}}]}},
+        {"match": {"text": "merge"}},
+    ]}},
+}
+
 # simple_query_string surface (query/simpleqs.py), default_operator 'or',
 # flags ALL: OR junction of branches (whitespace = OR), '+' AND-run, a
 # phrase branch with a lifted global negation, prefix|fuzzy branches, an
@@ -1756,6 +1779,67 @@ dcrun AS (
 )
 SELECT query_id, doc_id, ROUND(score, 6) AS score, rank
 FROM dcrun WHERE rank <= 10
+"""
+
+# dsl_dismax oracle: per-branch score CTEs (a multi-term branch sums
+# inside the branch), then max + tie_breaker × (sum − max) via GREATEST
+# over the outer-joined branches — the same combination structure the
+# engine's level aggregate evaluates.
+_DSL_DISMAX_SQL = f"""
+WITH {_TOKP},
+{_BM25_CORE},
+w AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1 + (g.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.doclen / g.avgdl)) AS wgt
+  FROM tf
+  JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN dfreq ON dfreq.term = tf.term
+  CROSS JOIN g
+),
+dd0_b1 AS (SELECT doc_id, SUM(wgt) AS s FROM w
+           WHERE term IN ('spark', 'join') GROUP BY doc_id),
+dd0_b2 AS (SELECT doc_id, wgt AS s FROM w WHERE term = 'customer'),
+dd0 AS (
+  SELECT 'dd0' AS query_id, COALESCE(a.doc_id, b.doc_id) AS doc_id,
+         CASE WHEN a.s IS NOT NULL AND b.s IS NOT NULL
+              THEN GREATEST(a.s, b.s)
+                   + 0.3 * (a.s + b.s - GREATEST(a.s, b.s))
+              ELSE COALESCE(a.s, b.s) END AS score
+  FROM dd0_b1 a FULL OUTER JOIN dd0_b2 b ON a.doc_id = b.doc_id
+),
+dd1_b1 AS (SELECT doc_id, SUM(wgt) AS s FROM w
+           WHERE term IN ('hash', 'merge')
+           GROUP BY doc_id HAVING COUNT(*) = 2),
+dd1_b2 AS (SELECT doc_id, wgt AS s FROM w WHERE term = 'scan'),
+dd1 AS (
+  SELECT 'dd1' AS query_id, COALESCE(a.doc_id, b.doc_id) AS doc_id,
+         CASE WHEN a.s IS NOT NULL AND b.s IS NOT NULL
+              THEN GREATEST(a.s, b.s)
+                   + 0.5 * (a.s + b.s - GREATEST(a.s, b.s))
+              ELSE COALESCE(a.s, b.s) END AS score
+  FROM dd1_b1 a FULL OUTER JOIN dd1_b2 b ON a.doc_id = b.doc_id
+),
+dd2_g AS (SELECT doc_id, MAX(wgt) AS s FROM w
+          WHERE term IN ('spark', 'window') GROUP BY doc_id),
+dd2_l AS (SELECT doc_id, wgt AS s FROM w WHERE term = 'merge'),
+dd2 AS (
+  SELECT 'dd2' AS query_id, COALESCE(a.doc_id, b.doc_id) AS doc_id,
+         COALESCE(a.s, 0) + COALESCE(b.s, 0) AS score
+  FROM dd2_g a FULL OUTER JOIN dd2_l b ON a.doc_id = b.doc_id
+),
+ddall AS (
+  SELECT * FROM dd0 UNION ALL SELECT * FROM dd1 UNION ALL SELECT * FROM dd2
+),
+ddrun AS (
+  SELECT query_id, doc_id, score,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+         ) AS INTEGER) AS rank
+  FROM ddall
+)
+SELECT query_id, doc_id, ROUND(score, 6) AS score, rank
+FROM ddrun WHERE rank <= 10
 """
 
 # simple_query_string oracle: the clause tables are the HAND-COMPILED
@@ -3233,6 +3317,23 @@ def q_dsl_constant_score(spark, sf_dir):
 
     idx = _entry_index(spark, sf_dir)
     run = search_dsl(idx, DSL_CONST_QUERIES, k=10)
+    return run.select(
+        "query_id",
+        F.regexp_replace("doc_id", "^doc://", "").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+        "rank",
+    )
+
+
+def q_dsl_dismax(spark, sf_dir):
+    """dis_max on the DSL front door: max + tie_breaker × rest over
+    branches, multi-token branches summing inside the branch, a bool
+    branch, and dis_max composed as one bool clause. Oracle: per-branch
+    CTEs combined with GREATEST in the same structure."""
+    from openmatch_spark.query import search_dsl
+
+    idx = _entry_index(spark, sf_dir)
+    run = search_dsl(idx, DSL_DISMAX_QUERIES, k=10)
     return run.select(
         "query_id",
         F.regexp_replace("doc_id", "^doc://", "").alias("doc_id"),
@@ -6733,6 +6834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_filtered": q_dsl_filtered,
         "dsl_nested": q_dsl_nested,
         "dsl_constant_score": q_dsl_constant_score,
+        "dsl_dismax": q_dsl_dismax,
         "passage_maxp": q_passage_maxp,
         "bm25_boolean": q_bm25_boolean,
         "bm25_boolean_msm": q_bm25_boolean_msm,
@@ -7032,6 +7134,7 @@ SELECT query_id, doc_id, ROUND(score, 6) AS score, rank FROM prun WHERE rank <= 
     sql["dsl_filtered"] = _DSL_FILTERED_SQL
     sql["dsl_nested"] = _DSL_NESTED_SQL
     sql["dsl_constant_score"] = _DSL_CONST_SQL
+    sql["dsl_dismax"] = _DSL_DISMAX_SQL
     sql["phrase_search"] = _PHRASE_SQL
     sql["phrase_prefix"] = _PHRASE_PREFIX_SQL
     sql["proximity_search"] = _PROXIMITY_SQL

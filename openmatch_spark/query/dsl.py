@@ -30,6 +30,10 @@ Supported grammar (one dict per query):
   {"match_all":    {"boost": b}}     (top level: the full-corpus page at
                       score b, first k by doc_id; under must: a fixed
                       bonus on every passing doc)
+  {"dis_max":      {"queries": [...], "tie_breaker": t}}   (score =
+                      max(matched branches) + t × (sum of the others);
+                      a multi-clause leaf branch sums INSIDE the branch
+                      first; composes anywhere a bool can appear)
 
 `bool.filter` is ES filter context — non-scoring, must-match, and per
 Lucene semantics it restricts the CANDIDATE set, never the statistics
@@ -395,7 +399,8 @@ class _BoolNode:
     match_all must-context boost added to every passing doc's score."""
 
     __slots__ = ("node_id", "depth", "clause_items", "bool_items",
-                 "filters", "anti_filters", "n_must", "msm", "const_bonus")
+                 "filters", "anti_filters", "n_must", "msm", "const_bonus",
+                 "combine", "tie_breaker")
 
     def __init__(self, node_id: int, depth: int):
         self.node_id = node_id
@@ -407,18 +412,21 @@ class _BoolNode:
         self.n_must = 0
         self.msm = 0
         self.const_bonus = 0.0
+        self.combine = "bool"      # 'bool' (sum) | 'dis_max'
+        self.tie_breaker = 0.0     # dis_max only
 
 
-_TREE_KINDS = ("bool", "constant_score", "match_all")
+_TREE_KINDS = ("bool", "constant_score", "match_all", "dis_max")
 
 
 def has_nested_bool(qdict: dict) -> bool:
     """True when the query dict needs the item-composition path: a
-    constant_score / match_all anywhere, or a bool inside a bool role."""
+    constant_score / match_all / dis_max anywhere, or a bool inside a
+    bool role."""
     if not isinstance(qdict, dict) or len(qdict) != 1:
         return False
     kind, body = next(iter(qdict.items()))
-    if kind in ("constant_score", "match_all"):
+    if kind in ("constant_score", "match_all", "dis_max"):
         return True
     if kind != "bool" or not isinstance(body, dict):
         return False
@@ -470,6 +478,67 @@ def _parse_constant_score(body) -> tuple[list, float]:
     if not specs:
         raise ValueError("constant_score filter is empty")
     return specs, boost
+
+
+def _compile_dismax_node(body, analyzer: str, ctx: "_TreeCtx",
+                         depth: int) -> _BoolNode:
+    """ES dis_max: score = max(branch scores) + tie_breaker × (sum of
+    the other matched branches); a doc matches when any branch matches.
+    Each queries[] entry is ONE branch — a leaf that analyzes to several
+    clauses (multi-token match) wraps in an implicit bool so its tokens
+    sum INSIDE the branch before the max."""
+    if not isinstance(body, dict) or "queries" not in body \
+            or not set(body) <= {"queries", "tie_breaker"}:
+        raise ValueError(
+            f"dis_max needs {{'queries': [...], 'tie_breaker'?: t}}, "
+            f"got {body!r}"
+        )
+    tb = float(body.get("tie_breaker", 0.0))
+    if not 0.0 <= tb <= 1.0:
+        raise ValueError(f"tie_breaker must be in [0, 1], got {tb}")
+    entries = body["queries"]
+    if not isinstance(entries, list) or not entries:
+        raise ValueError("dis_max queries must be a non-empty list")
+    node = _BoolNode(ctx.node(), depth)
+    node.combine = "dis_max"
+    node.tie_breaker = tb
+    for entry in entries:
+        if not isinstance(entry, dict) or len(entry) != 1:
+            raise ValueError(f"dis_max queries entries must be single-key "
+                             f"query dicts, got {entry!r}")
+        ekind, ebody = next(iter(entry.items()))
+        if ekind == "bool":
+            child = _compile_bool_node(ebody, analyzer, ctx, depth + 1)
+            if not child.clause_items and not child.bool_items:
+                raise ValueError(
+                    "a filter-only bool cannot be a dis_max branch (it "
+                    "contributes no score to maximize)"
+                )
+            node.bool_items.append((ctx.item(), "should", child))
+        elif ekind == "dis_max":
+            child = _compile_dismax_node(ebody, analyzer, ctx, depth + 1)
+            node.bool_items.append((ctx.item(), "should", child))
+        elif ekind in _LEAF_KINDS:
+            cs = _analyzed(
+                _leaf_clauses(ekind, ebody, "should", allow_operator=False),
+                analyzer,
+            )
+            if len(cs) == 1:
+                node.clause_items.append((ctx.item(), "should", cs[0]))
+            elif len(cs) > 1:
+                sub = _BoolNode(ctx.node(), depth + 1)
+                sub.clause_items = [(ctx.item(), "should", c) for c in cs]
+                node.bool_items.append((ctx.item(), "should", sub))
+            # len 0: the branch analyzed to nothing and vanishes (the
+            # flat path's empty-clause rule)
+        else:
+            raise ValueError(
+                f"unsupported query type {ekind!r} in dis_max (scoring "
+                "queries only — constant_score/match_all belong in bool)"
+            )
+    if not node.clause_items and not node.bool_items:
+        raise ValueError("dis_max has no live branches")
+    return node
 
 
 def _parse_match_all(body) -> float:
@@ -572,6 +641,10 @@ def _compile_bool_node(body, analyzer: str, ctx: _TreeCtx,
                         "plan — put it under must (gate + fixed bonus) or "
                         "must_not (exclusion)"
                     )
+                continue
+            if ekind == "dis_max":
+                child = _compile_dismax_node(ebody, analyzer, ctx, depth + 1)
+                node.bool_items.append((ctx.item(), role, child))
                 continue
             if ekind == "match_all":
                 boost = _parse_match_all(ebody)
@@ -746,7 +819,8 @@ def _execute_tree(
         ]
         gate_rows = [
             (qid, node.node_id, node.n_must, node.msm,
-             float(node.const_bonus))
+             float(node.const_bonus),
+             int(node.combine == "dis_max"), float(node.tie_breaker))
             for (qid, node) in level
         ]
         meta = F.broadcast(spark.createDataFrame(
@@ -754,7 +828,8 @@ def _execute_tree(
         ))
         gates = F.broadcast(spark.createDataFrame(
             gate_rows,
-            "query_id string, node int, n_must int, msm int, bonus double",
+            "query_id string, node int, n_must int, msm int, bonus double,"
+            " dismax int, tb double",
         ))
         # ONE aggregate per level: must_not membership rides the same
         # groupBy as a count (a matched must_not item disqualifies the
@@ -778,6 +853,9 @@ def _execute_tree(
                 F.count_distinct(
                     F.when(F.col("role") == "must_not", F.col("iid"))
                 ).alias("not_m"),
+                F.max(
+                    F.when(F.col("role") != "must_not", F.col("score"))
+                ).alias("max_s"),
             )
             .join(gates, ["query_id", "node"])
             .where(
@@ -786,8 +864,17 @@ def _execute_tree(
                 & (F.col("not_m") == 0)
                 & (F.col("must_m") + F.col("should_m") >= 1)
             )
-            .select("query_id", "node", "shard", "doc_ord",
-                    (F.col("score") + F.col("bonus")).alias("score"))
+            .select(
+                "query_id", "node", "shard", "doc_ord",
+                (
+                    F.when(
+                        F.col("dismax") == 1,
+                        F.col("max_s")
+                        + F.col("tb") * (F.col("score") - F.col("max_s")),
+                    ).otherwise(F.col("score"))
+                    + F.col("bonus")
+                ).alias("score"),
+            )
         )
         level_keys = {(lq, ln.node_id) for (lq, ln) in level}
         lvl_fmap = [(q, n, f) for (q, n, f) in fmap_rows

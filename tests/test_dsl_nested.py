@@ -280,3 +280,74 @@ def test_constant_score_validation(idx):
         search_dsl(idx, {"q": {"constant_score": {
             "filter": {"bool": {"must": [{"match": {"text": "spark"}}]}},
         }}}, k=5)
+
+
+def test_dismax_top_level(idx, leaf):
+    got = _run(idx, {"dis_max": {
+        "queries": [{"match": {"text": "hash sort"}},
+                    {"match": {"text": "window"}}],
+        "tie_breaker": 0.3,
+    }})
+    h, o, w = leaf["hash"], leaf["sort"], leaf["window"]
+    exp = {}
+    for d in set(h) | set(o) | set(w):
+        b1 = (h.get(d, 0.0) + o.get(d, 0.0)) if (d in h or d in o) else None
+        b2 = w.get(d)
+        br = [b for b in (b1, b2) if b is not None]
+        if not br:
+            continue
+        exp[d] = max(br) + 0.3 * (sum(br) - max(br))
+    _close(got, exp)
+
+
+def test_dismax_inside_bool(idx, leaf):
+    got = _run(idx, {"bool": {"should": [
+        {"dis_max": {"queries": [{"match": {"text": "spark"}},
+                                 {"match": {"text": "merge"}}]}},
+        {"match": {"text": "hash"}},
+    ]}})
+    s, m, h = leaf["spark"], leaf["merge"], leaf["hash"]
+    exp = {}
+    for d in set(s) | set(m) | set(h):
+        br = [b for b in (s.get(d), m.get(d)) if b is not None]
+        g = max(br) if br else None
+        l = h.get(d)
+        if g is None and l is None:
+            continue
+        exp[d] = (g or 0.0) + (l or 0.0)
+    _close(got, exp)
+
+
+def test_dismax_nested_bool_branch(idx, leaf):
+    """A bool branch's score sums inside the branch before the max."""
+    got = _run(idx, {"dis_max": {"queries": [
+        {"bool": {"must": [{"match": {"text": "hash"}},
+                           {"match": {"text": "sort"}}]}},
+        {"match": {"text": "merge"}},
+    ], "tie_breaker": 0.5}})
+    h, o, m = leaf["hash"], leaf["sort"], leaf["merge"]
+    exp = {}
+    for d in set(h) | set(o) | set(m):
+        b1 = h[d] + o[d] if (d in h and d in o) else None
+        b2 = m.get(d)
+        br = [b for b in (b1, b2) if b is not None]
+        if not br:
+            continue
+        exp[d] = max(br) + 0.5 * (sum(br) - max(br))
+    _close(got, exp)
+
+
+def test_dismax_validation(idx):
+    with pytest.raises(ValueError, match="non-empty"):
+        search_dsl(idx, {"q": {"dis_max": {"queries": []}}}, k=5)
+    with pytest.raises(ValueError, match="tie_breaker"):
+        search_dsl(idx, {"q": {"dis_max": {
+            "queries": [{"match": {"text": "spark"}}], "tie_breaker": 2}}}, k=5)
+    with pytest.raises(ValueError, match="filter-only"):
+        search_dsl(idx, {"q": {"dis_max": {"queries": [
+            {"bool": {"filter": [{"term": {"lang": "en"}}]}},
+        ]}}}, k=5)
+    with pytest.raises(ValueError, match="in dis_max"):
+        search_dsl(idx, {"q": {"dis_max": {"queries": [
+            {"match_all": {}},
+        ]}}}, k=5)

@@ -311,6 +311,18 @@ DSL_CONST_QUERIES = {
     }},
 }
 
+# Grouped query_string grammar (parentheses / AND / OR / NOT compiled
+# onto the nested-bool tree, Lucene classic addClause occur rules). qg0
+# OR-group under AND; qg1 NOT over a group; qg2 boosted group (the ^2
+# distributes into leaf boosts — exact, power of two); qg3 the classic
+# promote quirk "a AND b OR c" = +a +b c.
+QS_GROUPED_QUERIES = [
+    ("qg0", "(spark OR join) AND customer"),
+    ("qg1", "hash AND NOT (merge OR scan)"),
+    ("qg2", "(spark join)^2 window"),
+    ("qg3", "spark AND merge OR window"),
+]
+
 # dis_max on the DSL front door. dd0 top-level dis_max (one multi-token
 # branch that sums INSIDE the branch, one single-term branch, tie_breaker
 # 0.3); dd1 a bool branch (AND of two terms) against a leaf at
@@ -1779,6 +1791,67 @@ dcrun AS (
 )
 SELECT query_id, doc_id, ROUND(score, 6) AS score, rank
 FROM dcrun WHERE rank <= 10
+"""
+
+# query_string_grouped oracle: the grouped grammar hand-compiled (the
+# parser is unit-tested in tests/test_qs_grouped.py) and replayed as
+# group CTEs over the per-(doc, term) BM25 weight table — the same
+# composition structure as the dsl_nested oracle.
+_QS_GROUPED_SQL = f"""
+WITH {_TOKP},
+{_BM25_CORE},
+w AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1 + (g.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.doclen / g.avgdl)) AS wgt
+  FROM tf
+  JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN dfreq ON dfreq.term = tf.term
+  CROSS JOIN g
+),
+qg0_g AS (SELECT doc_id, SUM(wgt) AS s FROM w
+          WHERE term IN ('spark', 'join') GROUP BY doc_id),
+qg0_l AS (SELECT doc_id, wgt AS s FROM w WHERE term = 'customer'),
+qg0 AS (
+  SELECT 'qg0' AS query_id, a.doc_id, a.s + b.s AS score
+  FROM qg0_g a JOIN qg0_l b ON a.doc_id = b.doc_id
+),
+qg1_x AS (SELECT DISTINCT doc_id FROM w WHERE term IN ('merge', 'scan')),
+qg1 AS (
+  SELECT 'qg1' AS query_id, doc_id, wgt AS score FROM w
+  WHERE term = 'hash' AND doc_id NOT IN (SELECT doc_id FROM qg1_x)
+),
+qg2_g AS (SELECT doc_id, SUM(2.0 * wgt) AS s FROM w
+          WHERE term IN ('spark', 'join') GROUP BY doc_id),
+qg2_l AS (SELECT doc_id, wgt AS s FROM w WHERE term = 'window'),
+qg2 AS (
+  SELECT 'qg2' AS query_id, COALESCE(a.doc_id, b.doc_id) AS doc_id,
+         COALESCE(a.s, 0) + COALESCE(b.s, 0) AS score
+  FROM qg2_g a FULL OUTER JOIN qg2_l b ON a.doc_id = b.doc_id
+),
+qg3_a AS (SELECT doc_id, wgt AS s FROM w WHERE term = 'spark'),
+qg3_b AS (SELECT doc_id, wgt AS s FROM w WHERE term = 'merge'),
+qg3_c AS (SELECT doc_id, wgt AS s FROM w WHERE term = 'window'),
+qg3 AS (
+  SELECT 'qg3' AS query_id, a.doc_id,
+         a.s + b.s + COALESCE(c.s, 0) AS score
+  FROM qg3_a a
+  JOIN qg3_b b ON b.doc_id = a.doc_id
+  LEFT JOIN qg3_c c ON c.doc_id = a.doc_id
+),
+qgall AS (
+  SELECT * FROM qg0 UNION ALL SELECT * FROM qg1 UNION ALL SELECT * FROM qg2
+  UNION ALL SELECT * FROM qg3
+),
+qgrun AS (
+  SELECT query_id, doc_id, score,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+         ) AS INTEGER) AS rank
+  FROM qgall
+)
+SELECT query_id, doc_id, ROUND(score, 6) AS score, rank
+FROM qgrun WHERE rank <= 10
 """
 
 # dsl_dismax oracle: per-branch score CTEs (a multi-term branch sums
@@ -3317,6 +3390,27 @@ def q_dsl_constant_score(spark, sf_dir):
 
     idx = _entry_index(spark, sf_dir)
     run = search_dsl(idx, DSL_CONST_QUERIES, k=10)
+    return run.select(
+        "query_id",
+        F.regexp_replace("doc_id", "^doc://", "").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+        "rank",
+    )
+
+
+def q_query_string_grouped(spark, sf_dir):
+    """Grouped query_string grammar: parentheses / AND / OR / NOT
+    compiled onto the nested-bool tree executor with Lucene classic
+    addClause occur rules (incl. the 'a AND b OR c' promote quirk and
+    multiplicative group-boost distribution). Oracle: the hand-compiled
+    groups replayed as CTEs over a per-(doc, term) BM25 weight table."""
+    from openmatch_spark.query import search_query_string
+
+    idx = _entry_index(spark, sf_dir)
+    qdf = spark.createDataFrame(
+        QS_GROUPED_QUERIES, "query_id string, text string"
+    )
+    run = search_query_string(idx, qdf, k=10)
     return run.select(
         "query_id",
         F.regexp_replace("doc_id", "^doc://", "").alias("doc_id"),
@@ -6835,6 +6929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_nested": q_dsl_nested,
         "dsl_constant_score": q_dsl_constant_score,
         "dsl_dismax": q_dsl_dismax,
+        "query_string_grouped": q_query_string_grouped,
         "passage_maxp": q_passage_maxp,
         "bm25_boolean": q_bm25_boolean,
         "bm25_boolean_msm": q_bm25_boolean_msm,
@@ -7135,6 +7230,7 @@ SELECT query_id, doc_id, ROUND(score, 6) AS score, rank FROM prun WHERE rank <= 
     sql["dsl_nested"] = _DSL_NESTED_SQL
     sql["dsl_constant_score"] = _DSL_CONST_SQL
     sql["dsl_dismax"] = _DSL_DISMAX_SQL
+    sql["query_string_grouped"] = _QS_GROUPED_SQL
     sql["phrase_search"] = _PHRASE_SQL
     sql["phrase_prefix"] = _PHRASE_PREFIX_SQL
     sql["proximity_search"] = _PROXIMITY_SQL

@@ -24,11 +24,26 @@ Grammar — the documented, deterministic subset:
              exact consecutive-in-order phrase with duplicates honored)
   EDITS    : Levenshtein budget, Lucene FuzzyQuery's first-char prefix gate
 
-Not supported (documented deviations from Lucene classic): parentheses /
-nested boolean groups, field prefixes (`title:x` — single-field index),
-AND/OR/NOT keywords, inline range syntax. A segment whose text analyzes
-to several tokens becomes one clause PER TOKEN with the segment's role
-and boost (the ES match-query decomposition).
+PARENTHESES and the AND / OR / NOT (&& / || / !) keywords ARE
+supported: a query containing any of them compiles to a nested-bool
+DSL tree (query/dsl.py's item-composition executor) via
+`parse_query_string_grouped`, with Lucene classic QueryParser's exact
+addClause occur rules — AND retroactively promotes the preceding
+non-prohibited clause to MUST; under default_operator 'and', OR
+retroactively demotes it to SHOULD (even an explicit '+', Lucene's
+own quirk); NOT / ! / - prohibit the next clause; a parenthesized
+group is ONE clause of its parent and `(...)^B` distributes the boost
+multiplicatively into every descendant leaf (exact, since a group's
+score is the sum of its children). Keywords must be uppercase
+(lowercase and/or/not are terms, as in Lucene); a bare '!' only acts
+as NOT inside grouped queries — a query with no grouping syntax keeps
+the byte-identical legacy flat path.
+
+Not supported (documented deviations from Lucene classic): field
+prefixes (`title:x` — single-field index), inline range syntax. A
+segment whose text analyzes to several tokens becomes one clause PER
+TOKEN with the segment's role and boost (the ES match-query
+decomposition).
 
 Semantics (Lucene BooleanClause composition, shared with search_boolean):
   * every MUST clause must match; an unsatisfiable MUST clause (OOV term,
@@ -155,6 +170,160 @@ def parse_query_string(s: str, default_operator: str = "or") -> list[Clause]:
     return out
 
 
+# grouping syntax that routes a query to the nested-bool tree executor
+_GROUPED_RE = re.compile(r"[()]|&&|\|\||\b(?:AND|OR|NOT)\b")
+# one grouped-grammar token: quoted phrase (with suffixes), paren,
+# keyword operator, standalone modifier, boost suffix, or bare segment
+_GTOKEN_RE = re.compile(
+    r'"[^"]*"(?:~\d+)?(?:\^\d+(?:\.\d+)?)?'
+    r"|\(|\)|&&|\|\||\^\d+(?:\.\d+)?|[^\s()]+"
+)
+
+
+def _clause_to_dsl(c: Clause) -> dict:
+    """One parsed legacy Clause -> the equivalent DSL leaf dict (same
+    decomposition and scoring once compiled back)."""
+    if c.kind == "phrase":
+        return {"match_phrase": {"text": {"query": c.text, "slop": c.slop,
+                                          "boost": c.boost}}}
+    if c.kind == "prefix":
+        return {"prefix": {"text": {"value": c.text, "boost": c.boost}}}
+    if c.kind == "wildcard":
+        return {"wildcard": {"text": {"value": c.text, "boost": c.boost}}}
+    if c.kind == "fuzzy":
+        return {"fuzzy": {"text": {"value": c.text, "fuzziness": c.edits,
+                                   "boost": c.boost}}}
+    # term segments (possibly multi-token) are the match decomposition
+    return {"match": {"text": {"query": c.text, "boost": c.boost}}}
+
+
+def _apply_group_boost(q: dict, boost: float) -> dict:
+    """Distribute a group boost multiplicatively into every descendant
+    leaf (exact: a group's score is the sum of its children)."""
+    if boost == 1.0:
+        return q
+    kind, body = next(iter(q.items()))
+    if kind == "bool":
+        out = {}
+        for role, entries in body.items():
+            out[role] = [_apply_group_boost(e, boost) for e in entries]
+        return {"bool": out}
+    spec = dict(next(iter(body.values())))
+    spec["boost"] = spec.get("boost", 1.0) * boost
+    return {kind: {"text": spec}}
+
+
+def _add_grouped_clause(clauses: list, q: dict, conj, mods, dop: str) -> None:
+    """Lucene classic QueryParserBase.addClause occur resolution."""
+    if clauses and conj == "AND":
+        if clauses[-1][0] != "must_not":
+            clauses[-1][0] = "must"
+    if clauses and dop == "and" and conj == "OR":
+        if clauses[-1][0] != "must_not":
+            clauses[-1][0] = "should"
+    if dop == "or":
+        if mods == "NOT":
+            occur = "must_not"
+        elif mods == "REQ" or conj == "AND":
+            occur = "must"
+        else:
+            occur = "should"
+    else:
+        if mods == "NOT":
+            occur = "must_not"
+        elif mods == "REQ":
+            occur = "must"
+        else:
+            occur = "should" if conj == "OR" else "must"
+    clauses.append([occur, q])
+
+
+def _parse_group(toks: list, i: int, dop: str, top: bool) -> tuple[dict, int]:
+    """Recursive descent over grouped-grammar tokens from position i.
+    Returns (DSL bool dict, next position)."""
+    clauses: list = []
+    conj = None
+    mods = None
+    closed = False
+    while i < len(toks):
+        t = toks[i]
+        if t == ")":
+            if top:
+                raise ValueError("unbalanced ')' in query string")
+            i += 1
+            closed = True
+            break
+        if t in ("AND", "&&"):
+            conj, i = "AND", i + 1
+            continue
+        if t in ("OR", "||"):
+            conj, i = "OR", i + 1
+            continue
+        if t in ("NOT", "!"):
+            mods, i = "NOT", i + 1
+            continue
+        if t == "+":
+            mods, i = "REQ", i + 1
+            continue
+        if t == "-":
+            mods, i = "NOT", i + 1
+            continue
+        if t == "(":
+            sub, i = _parse_group(toks, i + 1, dop, top=False)
+            boost = 1.0
+            if i < len(toks) and re.fullmatch(r"\^\d+(?:\.\d+)?", toks[i]):
+                boost = float(toks[i][1:])
+                if boost <= 0:
+                    raise ValueError(f"boost must be positive, got {boost}")
+                i += 1
+            _add_grouped_clause(
+                clauses, _apply_group_boost(sub, boost), conj, mods, dop
+            )
+            conj = mods = None
+            continue
+        if re.fullmatch(r"\^\d+(?:\.\d+)?", t):
+            raise ValueError(f"dangling boost {t!r} in query string")
+        # one plain segment: the legacy single-segment parse handles
+        # embedded +/- prefixes, phrases, suffixes; '!seg' is the NOT
+        # modifier glued to its segment
+        seg = t
+        if seg.startswith("!") and len(seg) > 1:
+            mods, seg = "NOT", seg[1:]
+        parsed = parse_query_string(seg, "or")
+        i += 1
+        if not parsed:
+            continue
+        c = parsed[0]
+        emb = {"must": "REQ", "must_not": "NOT"}.get(c.role)
+        _add_grouped_clause(
+            clauses, _clause_to_dsl(c), conj, emb or mods, dop
+        )
+        conj = mods = None
+    if not top and not closed:
+        raise ValueError("unbalanced '(' in query string")
+    body: dict = {}
+    for occur, q in clauses:
+        body.setdefault(occur, []).append(q)
+    if not body:
+        raise ValueError("empty group in query string")
+    return {"bool": body}, i
+
+
+def parse_query_string_grouped(s: str, default_operator: str = "or") -> dict:
+    """One grouped query string (parentheses / AND / OR / NOT) -> the
+    equivalent DSL dict (module docstring: Lucene classic occur rules;
+    group boosts distributed into leaves)."""
+    if default_operator not in ("or", "and"):
+        raise ValueError(
+            f"default_operator must be 'or' or 'and', got {default_operator!r}"
+        )
+    toks = _GTOKEN_RE.findall(s or "")
+    node, i = _parse_group(toks, 0, default_operator, top=True)
+    if i != len(toks):
+        raise ValueError("unbalanced parentheses in query string")
+    return node
+
+
 def _analyzed(clauses: list[Clause], analyzer: str) -> list[Clause]:
     """Normalize parsed clauses against the index analyzer: term texts
     re-tokenize (multi-token segments split into one clause per token),
@@ -219,15 +388,35 @@ def search_query_string(
     rows = queries.select(
         F.col("query_id").cast("string").alias("query_id"), "text"
     ).collect()
+    grouped = {
+        str(r["query_id"]): parse_query_string_grouped(
+            r["text"], default_operator
+        )
+        for r in rows if _GROUPED_RE.search(r["text"] or "")
+    }
     per_q = {
         str(r["query_id"]): _analyzed(
             parse_query_string(r["text"] or "", default_operator), analyzer
         )
-        for r in rows
+        for r in rows if str(r["query_id"]) not in grouped
     }
-    return _execute_clauses(
+    flat = _execute_clauses(
         index, per_q, k, min_should_match, max_expansions, fuzzy_prefix_len
     )
+    if not grouped:
+        return flat
+    if min_should_match:
+        raise ValueError(
+            "min_should_match does not compose with grouped query strings "
+            "— write the quota into the groups (the DSL surface takes "
+            "per-bool minimum_should_match)"
+        )
+    from openmatch_spark.query.dsl import search_dsl
+
+    grun = search_dsl(index, grouped, k, max_expansions, fuzzy_prefix_len)
+    if not per_q:
+        return grun
+    return flat.unionByName(grun)
 
 
 _CAND_SCHEMA = "query_id string, shard int, doc_ord long, score double"

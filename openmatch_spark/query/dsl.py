@@ -22,7 +22,10 @@ Supported grammar (one dict per query):
   {"regexp":       {"text": p | {"value": p, "boost": b}}}
   {"fuzzy":        {"text": v | {"value": v, "fuzziness": n, "boost": b}}}
   {"bool":         {"must": [...], "should": [...], "must_not": [...],
-                    "filter": [...], "minimum_should_match": n}}
+                    "filter": [...], "minimum_should_match": n,
+                    "boost": b}}   (boost multiplies the bool's final
+                    score — nested or top-level; a boosted flat bool
+                    routes onto the tree path)
   {"constant_score": {"filter": leaf | [leaves] | filter-only bool,
                       "boost": b}}   (every passing doc scores b; under
                       bool.must it is a gate + fixed bonus, under
@@ -400,7 +403,7 @@ class _BoolNode:
 
     __slots__ = ("node_id", "depth", "clause_items", "bool_items",
                  "filters", "anti_filters", "n_must", "msm", "const_bonus",
-                 "combine", "tie_breaker")
+                 "combine", "tie_breaker", "boost")
 
     def __init__(self, node_id: int, depth: int):
         self.node_id = node_id
@@ -414,6 +417,7 @@ class _BoolNode:
         self.const_bonus = 0.0
         self.combine = "bool"      # 'bool' (sum) | 'dis_max'
         self.tie_breaker = 0.0     # dis_max only
+        self.boost = 1.0           # multiplies the node's final score
 
 
 _TREE_KINDS = ("bool", "constant_score", "match_all", "dis_max")
@@ -430,6 +434,9 @@ def has_nested_bool(qdict: dict) -> bool:
         return True
     if kind != "bool" or not isinstance(body, dict):
         return False
+    if "boost" in body:
+        # bool.boost only exists on the tree path
+        return True
     for role in ("must", "should", "must_not"):
         entries = body.get(role, [])
         entries = [entries] if isinstance(entries, dict) else entries
@@ -579,13 +586,17 @@ def _compile_bool_node(body, analyzer: str, ctx: _TreeCtx,
     if not isinstance(body, dict):
         raise ValueError(f"bool body must be a dict, got {body!r}")
     unknown = set(body) - {
-        "must", "should", "must_not", "filter", "minimum_should_match"
+        "must", "should", "must_not", "filter", "minimum_should_match",
+        "boost",
     }
     if unknown:
         raise ValueError(f"unsupported bool options: {sorted(unknown)}")
     msm_spec = body.get("minimum_should_match", 0)
     _validate_msm_spec(msm_spec)
     node = _BoolNode(ctx.node(), depth)
+    node.boost = float(body.get("boost", 1.0))
+    if node.boost <= 0:
+        raise ValueError(f"boost must be positive, got {node.boost}")
     for role in ("must", "should", "must_not"):
         entries = body.get(role, [])
         if isinstance(entries, dict):
@@ -602,7 +613,7 @@ def _compile_bool_node(body, analyzer: str, ctx: _TreeCtx,
                     if role == "must":
                         node.filters.extend(child.filters)
                         node.anti_filters.extend(child.anti_filters)
-                        node.const_bonus += child.const_bonus
+                        node.const_bonus += child.const_bonus * child.boost
                     elif role == "must_not":
                         if child.anti_filters:
                             raise ValueError(
@@ -820,7 +831,8 @@ def _execute_tree(
         gate_rows = [
             (qid, node.node_id, node.n_must, node.msm,
              float(node.const_bonus),
-             int(node.combine == "dis_max"), float(node.tie_breaker))
+             int(node.combine == "dis_max"), float(node.tie_breaker),
+             float(node.boost))
             for (qid, node) in level
         ]
         meta = F.broadcast(spark.createDataFrame(
@@ -829,7 +841,7 @@ def _execute_tree(
         gates = F.broadcast(spark.createDataFrame(
             gate_rows,
             "query_id string, node int, n_must int, msm int, bonus double,"
-            " dismax int, tb double",
+            " dismax int, tb double, mult double",
         ))
         # ONE aggregate per level: must_not membership rides the same
         # groupBy as a count (a matched must_not item disqualifies the
@@ -867,12 +879,15 @@ def _execute_tree(
             .select(
                 "query_id", "node", "shard", "doc_ord",
                 (
-                    F.when(
-                        F.col("dismax") == 1,
-                        F.col("max_s")
-                        + F.col("tb") * (F.col("score") - F.col("max_s")),
-                    ).otherwise(F.col("score"))
-                    + F.col("bonus")
+                    (
+                        F.when(
+                            F.col("dismax") == 1,
+                            F.col("max_s")
+                            + F.col("tb") * (F.col("score") - F.col("max_s")),
+                        ).otherwise(F.col("score"))
+                        + F.col("bonus")
+                    )
+                    * F.col("mult")
                 ).alias("score"),
             )
         )
@@ -910,7 +925,8 @@ def _execute_tree(
             if zero_roots:
                 zfmap = {q: f for (q, n, f) in fmap_rows if q in zero_roots}
                 zm = F.broadcast(spark.createDataFrame(
-                    [(q, f, float(zero_roots[q].const_bonus))
+                    [(q, f,
+                      float(zero_roots[q].const_bonus * zero_roots[q].boost))
                      for q, f in sorted(zfmap.items())],
                     "query_id string, fid int, bonus double",
                 ))

@@ -351,3 +351,28 @@ def test_dismax_validation(idx):
         search_dsl(idx, {"q": {"dis_max": {"queries": [
             {"match_all": {}},
         ]}}}, k=5)
+
+
+def test_bool_boost_top_level(idx, leaf):
+    """bool.boost multiplies the whole query's scores (routes a flat
+    bool onto the tree path)."""
+    got = _run(idx, {"bool": {"should": [{"match": {"text": "join"}}],
+                              "boost": 2.0}})
+    exp = {d: 2.0 * s for d, s in leaf["join"].items()}
+    _close(got, exp)
+
+
+def test_bool_boost_nested_group(idx, leaf):
+    got = _run(idx, {"bool": {"should": [
+        {"bool": {"should": [{"match": {"text": "spark"}}], "boost": 4.0}},
+        {"match": {"text": "merge"}},
+    ]}})
+    s, m = leaf["spark"], leaf["merge"]
+    exp = {d: 4.0 * s.get(d, 0.0) + m.get(d, 0.0) for d in set(s) | set(m)}
+    _close(got, exp)
+
+
+def test_bool_boost_validation(idx):
+    with pytest.raises(ValueError, match="positive"):
+        search_dsl(idx, {"q": {"bool": {
+            "should": [{"match": {"text": "spark"}}], "boost": -1}}}, k=5)

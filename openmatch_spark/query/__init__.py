@@ -85,6 +85,7 @@ from openmatch_spark.query.percolate import percolate  # noqa: F401
 from openmatch_spark.query.phrase_suggest import suggest_phrases  # noqa: F401
 from openmatch_spark.query.querystring import (  # noqa: F401
     parse_query_string,
+    parse_query_string_grouped,
     search_query_string,
 )
 from openmatch_spark.query.simpleqs import (  # noqa: F401

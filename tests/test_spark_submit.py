@@ -103,6 +103,18 @@ def test_spark_submit_pipeline(tmp_path):
     qs_lines = open(qs_parts[0]).read().strip().splitlines()
     assert qs_lines and all(ln.split()[1] == "Q0" for ln in qs_lines)
 
+    # 2a''. grouped query_string grammar (parens + keywords) from a
+    # fresh process — routed onto the nested-bool tree executor
+    qsg_tsv = str(tmp_path / "qsg.tsv")
+    with open(qsg_tsv, "w") as f:
+        f.write("qsG\t(spark OR merge) AND hash\n")
+    qsg_path = str(tmp_path / "run_qsg.trec")
+    _submit(zip_path, "search", "--index", idx, "--queries", qsg_tsv,
+            "--out", qsg_path, "--k", "10", "--query-string")
+    qsg_parts = glob.glob(os.path.join(qsg_path, "part-*"))
+    qsg_lines = open(qsg_parts[0]).read().strip().splitlines()
+    assert qsg_lines and all(ln.split()[0] == "qsG" for ln in qsg_lines)
+
     # 2b. compact the two shards into one from a fresh process; the re-run
     # search must produce byte-identical TREC output
     res = _submit(zip_path, "compact", "--index", idx)

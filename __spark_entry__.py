@@ -3728,6 +3728,42 @@ def q_percolate(spark, sf_dir):
     return percolate(docs, stored, min_should_match=0)
 
 
+# Phrase percolation rules (query/percolate.py must_phrase/not_phrase):
+# pp0 phrase-only, pp1 phrase + must term, pp2 should terms gated by a
+# not_phrase exclusion, pp3 a plain term rule through the same code path.
+PERC_PHRASE_RULES = [
+    ("pp0", None, None, None, "spark join", None),
+    ("pp1", "customer", None, None, "hash merge", None),
+    ("pp2", None, "window scan", None, None, "spark join"),
+    ("pp3", "merge", None, None, None, None),
+]
+_PERC_PH_VALUES = ", ".join(
+    "('{}', {}, {}, {}, {}, {})".format(
+        q, *("NULL" if v is None else f"'{v}'" for v in vals)
+    )
+    for (q, *vals) in PERC_PHRASE_RULES
+)
+
+
+def q_percolate_phrase(spark, sf_dir):
+    """Phrase percolation: must_phrase requires the rule's phrase as
+    CONSECUTIVE analyzed tokens in the doc (phrase-only rules live),
+    not_phrase excludes occurrence-level (scattered terms do not
+    exclude). The oracle replays the offset-adjacency check over the
+    positional tokenization."""
+    from openmatch_spark.query import percolate
+
+    stored = spark.createDataFrame(
+        PERC_PHRASE_RULES,
+        "query_id string, must string, should string, must_not string,"
+        " must_phrase string, not_phrase string",
+    )
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    return percolate(docs, stored, min_should_match=0)
+
+
 _DECAY_ORIGIN, _DECAY_SCALE, _DECAY_DECAY = 500.0, 300.0, 0.5
 # the exact float steps query/decay.py performs: sigma2 then 2*sigma2 —
 # inlined into the oracle so both engines exponentiate identical doubles
@@ -6938,6 +6974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hit_percentiles": q_hit_percentiles,
         "sorted_search": q_sorted_search,
         "percolate": q_percolate,
+        "percolate_phrase": q_percolate_phrase,
         "decay_search": q_decay_search,
         "boosting_search": q_boosting_search,
         "term_vectors": q_term_vectors,
@@ -7231,6 +7268,113 @@ SELECT query_id, doc_id, ROUND(score, 6) AS score, rank FROM prun WHERE rank <= 
     sql["dsl_constant_score"] = _DSL_CONST_SQL
     sql["dsl_dismax"] = _DSL_DISMAX_SQL
     sql["query_string_grouped"] = _QS_GROUPED_SQL
+
+    # phrase percolation: roles as in `percolate`, plus the offset-
+    # adjacency phrase check over the positional tokenization; phrase-
+    # only rules enter via the FULL OUTER join of term hits and phrase
+    # hits (the engine's exact composition)
+    sql["percolate_phrase"] = f"""
+WITH {_TOKP},
+pprules(query_id, must, should, must_not, must_phrase, not_phrase)
+  AS (VALUES {_PERC_PH_VALUES}),
+pp_role_raw AS (
+  SELECT query_id, t.term, 1 AS is_must, 0 AS is_should, 0 AS is_not
+  FROM pprules, UNNEST(regexp_split_to_array(lower(COALESCE(must, '')), '[^a-z0-9]+')) AS t(term)
+  WHERE t.term <> ''
+  UNION
+  SELECT query_id, t.term, 0, 1, 0
+  FROM pprules, UNNEST(regexp_split_to_array(lower(COALESCE(should, '')), '[^a-z0-9]+')) AS t(term)
+  WHERE t.term <> ''
+  UNION
+  SELECT query_id, t.term, 0, 0, 1
+  FROM pprules, UNNEST(regexp_split_to_array(lower(COALESCE(must_not, '')), '[^a-z0-9]+')) AS t(term)
+  WHERE t.term <> ''
+),
+pp_roles AS (
+  SELECT query_id, term, MAX(is_must) AS is_must,
+         MAX(is_should) * (1 - MAX(is_must)) AS is_should,
+         MAX(is_not) AS is_not
+  FROM pp_role_raw GROUP BY query_id, term
+),
+pp_req AS (
+  SELECT r.query_id, COALESCE(a.req_must, 0) AS req_must,
+         COALESCE(a.n_should_avail, 0) AS n_should_avail,
+         CASE WHEN r.must_phrase IS NOT NULL THEN 1 ELSE 0 END AS req_phrase
+  FROM pprules r LEFT JOIN (
+    SELECT query_id, SUM(is_must) AS req_must,
+           SUM(is_should) AS n_should_avail
+    FROM pp_roles GROUP BY query_id
+  ) a ON a.query_id = r.query_id
+),
+mp_src AS (
+  SELECT query_id,
+         list_filter(regexp_split_to_array(lower(must_phrase), '[^a-z0-9]+'),
+                     x -> x <> '') AS ph
+  FROM pprules WHERE must_phrase IS NOT NULL
+),
+mp_off AS (
+  SELECT query_id, CAST(t.i - 1 AS BIGINT) AS off, ph[t.i] AS term
+  FROM mp_src, UNNEST(generate_series(1, len(ph))) AS t(i)
+),
+mp_len AS (SELECT query_id, COUNT(*) AS plen FROM mp_off GROUP BY query_id),
+mp_hit AS (
+  SELECT x.doc_id, x.query_id FROM (
+    SELECT tp.doc_id, o.query_id, tp.pos - o.off AS adj,
+           COUNT(DISTINCT o.off) AS n_off
+    FROM tokp tp JOIN mp_off o ON o.term = tp.term
+    GROUP BY tp.doc_id, o.query_id, tp.pos - o.off
+  ) x JOIN mp_len m ON m.query_id = x.query_id AND x.n_off = m.plen
+  GROUP BY x.doc_id, x.query_id
+),
+np_src AS (
+  SELECT query_id,
+         list_filter(regexp_split_to_array(lower(not_phrase), '[^a-z0-9]+'),
+                     x -> x <> '') AS ph
+  FROM pprules WHERE not_phrase IS NOT NULL
+),
+np_off AS (
+  SELECT query_id, CAST(t.i - 1 AS BIGINT) AS off, ph[t.i] AS term
+  FROM np_src, UNNEST(generate_series(1, len(ph))) AS t(i)
+),
+np_len AS (SELECT query_id, COUNT(*) AS plen FROM np_off GROUP BY query_id),
+np_hit AS (
+  SELECT x.doc_id, x.query_id FROM (
+    SELECT tp.doc_id, o.query_id, tp.pos - o.off AS adj,
+           COUNT(DISTINCT o.off) AS n_off
+    FROM tokp tp JOIN np_off o ON o.term = tp.term
+    GROUP BY tp.doc_id, o.query_id, tp.pos - o.off
+  ) x JOIN np_len m ON m.query_id = x.query_id AND x.n_off = m.plen
+  GROUP BY x.doc_id, x.query_id
+),
+pp_dterm AS (SELECT DISTINCT doc_id, term FROM tok),
+pp_hits AS (
+  SELECT d.doc_id, r.query_id,
+         SUM(r.is_must) AS n_must, SUM(r.is_should) AS n_should,
+         SUM(r.is_not) AS n_not
+  FROM pp_dterm d JOIN pp_roles r ON r.term = d.term
+  GROUP BY d.doc_id, r.query_id
+),
+pp_cand AS (
+  SELECT COALESCE(h.doc_id, p.doc_id) AS doc_id,
+         COALESCE(h.query_id, p.query_id) AS query_id,
+         COALESCE(h.n_must, 0) AS n_must,
+         COALESCE(h.n_should, 0) AS n_should,
+         COALESCE(h.n_not, 0) AS n_not,
+         CASE WHEN p.doc_id IS NOT NULL THEN 1 ELSE 0 END AS phrase_hit
+  FROM pp_hits h FULL OUTER JOIN mp_hit p
+    ON p.doc_id = h.doc_id AND p.query_id = h.query_id
+)
+SELECT c.doc_id, c.query_id,
+       CAST(c.n_must AS INTEGER) AS n_must,
+       CAST(c.n_should AS INTEGER) AS n_should
+FROM pp_cand c JOIN pp_req q ON q.query_id = c.query_id
+WHERE c.n_not = 0 AND c.n_must = q.req_must
+  AND c.phrase_hit >= q.req_phrase
+  AND (q.req_must > 0 OR q.req_phrase > 0 OR c.n_should >= 1)
+  AND (q.req_must + q.n_should_avail + q.req_phrase) > 0
+  AND NOT EXISTS (SELECT 1 FROM np_hit n
+                  WHERE n.doc_id = c.doc_id AND n.query_id = c.query_id)
+"""
     sql["phrase_search"] = _PHRASE_SQL
     sql["phrase_prefix"] = _PHRASE_PREFIX_SQL
     sql["proximity_search"] = _PROXIMITY_SQL

@@ -72,6 +72,43 @@ def _role_table(stored: DataFrame, analyzer: str) -> DataFrame:
     )
 
 
+def _phrase_hits(
+    docs: DataFrame,
+    phrases: DataFrame,
+    analyzer: str,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """(doc_id, query_id) for every doc containing a rule's phrase as
+    CONSECUTIVE analyzed tokens — the offset-adjacency check phrase
+    search uses, against the doc's own token positions instead of the
+    positional sidecar. phrases: (query_id, phrase-text), non-empty."""
+    offs = phrases.select(
+        "query_id",
+        F.posexplode(tokenize_col(F.col("phrase"), analyzer)).alias(
+            "off", "term"
+        ),
+    ).withColumn("off", F.col("off").cast("long"))
+    plen = offs.groupBy("query_id").agg(F.count(F.lit(1)).alias("plen"))
+    doc_pos = docs.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.posexplode(tokenize_col(F.col(text_col), analyzer)).alias(
+            "pos", "term"
+        ),
+    ).withColumn("pos", F.col("pos").cast("long"))
+    return (
+        doc_pos.join(F.broadcast(offs), "term")
+        .groupBy(
+            "doc_id", "query_id", (F.col("pos") - F.col("off")).alias("adj")
+        )
+        .agg(F.count_distinct("off").alias("n_off"))
+        .join(F.broadcast(plen), "query_id")
+        .where(F.col("n_off") == F.col("plen"))
+        .select("doc_id", "query_id")
+        .distinct()
+    )
+
+
 def percolate(
     docs: DataFrame,
     stored: DataFrame,
@@ -86,12 +123,59 @@ def percolate(
     docs: (doc_id, text). stored: (query_id, must, should, must_not) —
     free-text role fields tokenized with ``analyzer`` (use the same
     analyzer the forward index uses so percolation and search agree on
-    term identity); NULL/empty roles allowed."""
+    term identity); NULL/empty roles allowed.
+
+    stored may also carry PHRASE rule columns (the ES percolator's
+    match_phrase leaves, each optional, NULL/empty = absent):
+      * must_phrase — the text must occur as CONSECUTIVE analyzed tokens
+        in the doc (a must clause; a rule may be phrase-only);
+      * not_phrase  — a doc containing the phrase contiguously never
+        matches (occurrence-level exclusion — its terms scattered
+        non-adjacently do NOT exclude).
+    Docs pay the positional explode only when phrase rules exist; the
+    adjacency check is phrase search's offset trick against the doc's
+    own positions (one bounded (doc, query, alignment) aggregate)."""
     roles = _role_table(stored, analyzer)
-    req = roles.groupBy("query_id").agg(
-        F.sum("is_must").alias("req_must"),
-        F.sum("is_should").alias("n_should_avail"),
+    # the rule universe comes from `stored` itself — a phrase-only rule
+    # has no role terms and must still own a req row
+    req = (
+        stored.select(F.col("query_id").cast("string").alias("query_id"))
+        .distinct()
+        .join(
+            roles.groupBy("query_id").agg(
+                F.sum("is_must").alias("req_must"),
+                F.sum("is_should").alias("n_should_avail"),
+            ),
+            "query_id",
+            "left",
+        )
+        .fillna({"req_must": 0, "n_should_avail": 0})
     )
+    cols = set(stored.columns)
+    mph = (
+        stored.select(
+            F.col("query_id").cast("string").alias("query_id"),
+            F.col("must_phrase").alias("phrase"),
+        ).where(F.size(tokenize_col(F.col("phrase"), analyzer)) > 0)
+        if "must_phrase" in cols else None
+    )
+    nph = (
+        stored.select(
+            F.col("query_id").cast("string").alias("query_id"),
+            F.col("not_phrase").alias("phrase"),
+        ).where(F.size(tokenize_col(F.col("phrase"), analyzer)) > 0)
+        if "not_phrase" in cols else None
+    )
+    if mph is not None and not mph.isEmpty():
+        has_mph = mph.select(
+            "query_id", F.lit(1).alias("req_phrase")
+        ).distinct()
+        req = req.join(has_mph, "query_id", "left").fillna(
+            {"req_phrase": 0}
+        )
+    else:
+        mph = None
+        req = req.withColumn("req_phrase", F.lit(0))
     # rules table is small by contract: broadcast both sides of it
     doc_terms = docs.select(
         F.col(id_col).cast("string").alias("doc_id"),
@@ -107,19 +191,34 @@ def percolate(
             F.sum("is_should").alias("n_should"),
             F.sum("is_not").alias("n_not"),
         )
-        .join(F.broadcast(req), "query_id")
     )
+    if mph is not None:
+        ph = _phrase_hits(docs, mph, analyzer, id_col, text_col)
+        hits = hits.join(
+            ph.withColumn("phrase_hit", F.lit(1)),
+            ["doc_id", "query_id"], "full_outer",
+        ).fillna({"n_must": 0, "n_should": 0, "n_not": 0, "phrase_hit": 0})
+    else:
+        hits = hits.withColumn("phrase_hit", F.lit(0))
+    hits = hits.join(F.broadcast(req), "query_id")
     matched = hits.where(
         (F.col("n_not") == 0)
         & (F.col("n_must") == F.col("req_must"))
+        & (F.col("phrase_hit") >= F.col("req_phrase"))
         & (
-            # pure-disjunction rule: no must terms -> need >= 1 should hit
-            (F.col("req_must") > 0) | (F.col("n_should") >= 1)
+            # pure-disjunction rule: no must terms and no must phrase ->
+            # need >= 1 should hit
+            (F.col("req_must") > 0) | (F.col("req_phrase") > 0)
+            | (F.col("n_should") >= 1)
         )
         & (F.col("n_should") >= F.lit(min_should_match))
-        # a rule with no scoring terms at all can never match
-        & ((F.col("req_must") + F.col("n_should_avail")) > 0)
+        # a rule with no scoring terms and no must phrase can never match
+        & ((F.col("req_must") + F.col("n_should_avail")
+            + F.col("req_phrase")) > 0)
     )
+    if nph is not None and not nph.isEmpty():
+        nhits = _phrase_hits(docs, nph, analyzer, id_col, text_col)
+        matched = matched.join(nhits, ["doc_id", "query_id"], "left_anti")
     return matched.select(
         "doc_id",
         "query_id",

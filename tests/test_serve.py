@@ -110,3 +110,72 @@ def test_served_percolation_equals_batch(spark, tmp_path):
     assert got_rows == want_rows
     # the must_not doc (d2 contains zeta) and the unmatched doc are absent
     assert ("d2", "r2") not in got_rows
+
+
+def test_percolate_phrase_rules(spark):
+    """Phrase percolation (must_phrase / not_phrase): adjacency decided
+    against the doc's own token positions; expectations from a plain
+    Python replica."""
+    import re
+
+    from openmatch_spark.query import percolate
+
+    docs = spark.createDataFrame([
+        ("d0", "breaking news spark releases new engine"),
+        ("d1", "news breaking spark engine"),
+        ("d2", "quarterly report breaking news again"),
+        ("d3", "nothing relevant here"),
+        ("d4", "spark breaking news engine update"),
+        ("d5", "breaking breaking news news"),
+    ], "doc_id string, text string")
+    stored = spark.createDataFrame([
+        ("r0", None, None, None, "breaking news", None),   # phrase-only
+        ("r1", "spark", None, None, "breaking news", None),
+        ("r2", None, "engine update", None, None, "breaking news"),
+        ("r3", "report", None, None, None, None),          # no phrase cols
+    ], "query_id string, must string, should string, must_not string,"
+       " must_phrase string, not_phrase string")
+    got = sorted(
+        (r["doc_id"], r["query_id"]) for r in percolate(docs, stored).collect()
+    )
+
+    def toks(t):
+        return re.findall(r"[a-z0-9]+", t.lower())
+
+    def has_phrase(ts, ph):
+        p = toks(ph)
+        return any(ts[i:i + len(p)] == p for i in range(len(ts)))
+
+    exp = []
+    for r in docs.collect():
+        d, ts = r["doc_id"], toks(r["text"])
+        s = set(ts)
+        if has_phrase(ts, "breaking news"):
+            exp.append((d, "r0"))
+            if "spark" in s:
+                exp.append((d, "r1"))
+        if (s & {"engine", "update"}) and not has_phrase(ts, "breaking news"):
+            exp.append((d, "r2"))
+        if "report" in s:
+            exp.append((d, "r3"))
+    assert got == sorted(exp) and got
+
+
+def test_percolate_phrase_scattered_terms_do_not_match(spark):
+    """Terms present but never adjacent: must_phrase refuses, not_phrase
+    does NOT exclude."""
+    from openmatch_spark.query import percolate
+
+    docs = spark.createDataFrame(
+        [("d0", "news of the breaking storm")],
+        "doc_id string, text string",
+    )
+    stored = spark.createDataFrame([
+        ("rm", None, None, None, "breaking news", None),
+        ("rn", "storm", None, None, None, "breaking news"),
+    ], "query_id string, must string, should string, must_not string,"
+       " must_phrase string, not_phrase string")
+    got = sorted(
+        (r["doc_id"], r["query_id"]) for r in percolate(docs, stored).collect()
+    )
+    assert got == [("d0", "rn")]

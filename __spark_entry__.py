@@ -311,6 +311,18 @@ DSL_CONST_QUERIES = {
     }},
 }
 
+# prefix / wildcard attribute predicates in DSL filter context. dfp0
+# prefix; dfp1 '?' single-char wildcard; dfp2 the filter-only zero page
+# under a wildcard.
+DSL_FILTER_PATTERN_QUERIES = {
+    "dfp0": {"bool": {"should": [{"match": {"text": "spark join"}}],
+                      "filter": [{"prefix": {"lang": "e"}}]}},
+    "dfp1": {"bool": {"should": [{"match": {"text": "customer window"}}],
+                      "filter": [{"wildcard": {"lang": "?e"}}]}},
+    "dfp2": {"bool": {"filter": [{"wildcard": {"lang": "e?"}},
+                                 {"range": {"n_chars": {"lt": 200}}}]}},
+}
+
 # Grouped query_string grammar (parentheses / AND / OR / NOT compiled
 # onto the nested-bool tree, Lucene classic addClause occur rules). qg0
 # OR-group under AND; qg1 NOT over a group; qg2 boosted group (the ^2
@@ -1791,6 +1803,56 @@ dcrun AS (
 )
 SELECT query_id, doc_id, ROUND(score, 6) AS score, rank
 FROM dcrun WHERE rank <= 10
+"""
+
+# dsl_filtered_pattern oracle: per-token BM25 + LIKE predicates over the
+# raw documents table; dfp2's filter-only leg is the first-10-by-doc_id
+# zero-score page.
+_DSL_FILTER_PATTERN_SQL = f"""
+WITH {_TOKP},
+{_BM25_CORE},
+dfpq(query_id, text) AS (VALUES
+  ('dfp0', 'spark join'), ('dfp1', 'customer window')),
+dfpqt AS (
+  SELECT query_id, t.term
+  FROM dfpq, UNNEST(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t(term)
+  WHERE t.term <> ''
+),
+dfpscored AS (
+  SELECT q.query_id, tf.doc_id,
+         SUM(ln(1 + (g.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+             * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.doclen / g.avgdl))) AS score
+  FROM tf
+  JOIN dfpqt q ON q.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN dfreq ON dfreq.term = tf.term
+  CROSS JOIN g
+  GROUP BY q.query_id, tf.doc_id
+),
+dfpfilt AS (
+  SELECT s.query_id, s.doc_id, s.score
+  FROM dfpscored s JOIN documents d ON CAST(d.doc_id AS VARCHAR) = s.doc_id
+  WHERE (s.query_id = 'dfp0' AND d.lang LIKE 'e%')
+     OR (s.query_id = 'dfp1' AND d.lang LIKE '_e')
+),
+dfpzero AS (
+  SELECT 'dfp2' AS query_id, CAST(doc_id AS VARCHAR) AS doc_id,
+         CAST(0.0 AS DOUBLE) AS score
+  FROM documents WHERE lang LIKE 'e_' AND n_chars < 200
+  ORDER BY CAST(doc_id AS VARCHAR) ASC LIMIT 10
+),
+dfpall AS (
+  SELECT * FROM dfpfilt UNION ALL SELECT * FROM dfpzero
+),
+dfprun AS (
+  SELECT query_id, doc_id, score,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+         ) AS INTEGER) AS rank
+  FROM dfpall
+)
+SELECT query_id, doc_id, ROUND(score, 6) AS score, rank
+FROM dfprun WHERE rank <= 10
 """
 
 # query_string_grouped oracle: the grouped grammar hand-compiled (the
@@ -3411,6 +3473,22 @@ def q_query_string_grouped(spark, sf_dir):
         QS_GROUPED_QUERIES, "query_id string, text string"
     )
     run = search_query_string(idx, qdf, k=10)
+    return run.select(
+        "query_id",
+        F.regexp_replace("doc_id", "^doc://", "").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+        "rank",
+    )
+
+
+def q_dsl_filtered_pattern(spark, sf_dir):
+    """prefix / wildcard attribute predicates in DSL filter context
+    (LIKE compilation with escaped metacharacters), incl. the
+    filter-only zero page under a wildcard."""
+    from openmatch_spark.query import search_dsl
+
+    idx = _entry_index(spark, sf_dir)
+    run = search_dsl(idx, DSL_FILTER_PATTERN_QUERIES, k=10)
     return run.select(
         "query_id",
         F.regexp_replace("doc_id", "^doc://", "").alias("doc_id"),
@@ -6965,6 +7043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_nested": q_dsl_nested,
         "dsl_constant_score": q_dsl_constant_score,
         "dsl_dismax": q_dsl_dismax,
+        "dsl_filtered_pattern": q_dsl_filtered_pattern,
         "query_string_grouped": q_query_string_grouped,
         "passage_maxp": q_passage_maxp,
         "bm25_boolean": q_bm25_boolean,
@@ -7267,6 +7346,7 @@ SELECT query_id, doc_id, ROUND(score, 6) AS score, rank FROM prun WHERE rank <= 
     sql["dsl_nested"] = _DSL_NESTED_SQL
     sql["dsl_constant_score"] = _DSL_CONST_SQL
     sql["dsl_dismax"] = _DSL_DISMAX_SQL
+    sql["dsl_filtered_pattern"] = _DSL_FILTER_PATTERN_SQL
     sql["query_string_grouped"] = _QS_GROUPED_SQL
 
     # phrase percolation: roles as in `percolate`, plus the offset-

@@ -184,8 +184,15 @@ def _leaf_clauses(kind: str, body, role: str, allow_operator: bool):
     return [Clause(role, ckind, text, boost)]
 
 
-_FILTER_KINDS = ("term", "terms", "range", "exists", "ids")
+_FILTER_KINDS = ("term", "terms", "range", "exists", "ids", "prefix",
+                 "wildcard")
 _RANGE_OPS = {"gte": ">=", "gt": ">", "lte": "<=", "lt": "<"}
+
+
+def _like_escape(v: str) -> str:
+    """Escape LIKE metacharacters in a literal fragment (backslash
+    escape, shared by Spark and DuckDB with ESCAPE '\\')."""
+    return v.replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")
 
 
 def _is_scalar(v) -> bool:
@@ -219,6 +226,18 @@ def _filter_leaf(kind: str, body) -> dict:
     if not isinstance(body, dict) or len(body) != 1:
         raise ValueError(f"{kind} filter must map exactly one field, got {body!r}")
     field, spec = next(iter(body.items()))
+    if kind in ("prefix", "wildcard"):
+        if isinstance(spec, dict):
+            if set(spec) != {"value"}:
+                raise ValueError(
+                    f"{kind} filter options: only 'value', got {spec!r}"
+                )
+            spec = spec["value"]
+        if not isinstance(spec, str) or not spec:
+            raise ValueError(
+                f"{kind} filter value must be a non-empty string, got {spec!r}"
+            )
+        return {"kind": kind, "field": field, "value": spec}
     if kind == "term":
         if isinstance(spec, dict):
             if set(spec) != {"value"}:
@@ -273,6 +292,19 @@ def _filter_sql(flt: dict, stored: tuple) -> str:
     col = f"`{field}`"
     if flt["kind"] == "exists":
         return f"{col} IS NOT NULL"
+    if flt["kind"] in ("prefix", "wildcard"):
+        if flt["kind"] == "prefix":
+            pat = _like_escape(flt["value"]) + "%"
+        else:
+            pat = "".join(
+                "%" if ch == "*" else "_" if ch == "?" else _like_escape(ch)
+                for ch in flt["value"]
+            )
+        # the fragment feeds Spark's F.expr, whose string literals use
+        # backslash escaping — double every backslash (the LIKE escape
+        # char) and single quotes on the way into the literal
+        lit = pat.replace("\\", "\\\\").replace("'", "''")
+        return f"{col} LIKE '{lit}' ESCAPE '\\\\'"
     if flt["kind"] == "term":
         return f"{col} = {_sql_lit(flt['value'])}"
     if flt["kind"] == "terms":

@@ -376,3 +376,19 @@ def test_bool_boost_validation(idx):
     with pytest.raises(ValueError, match="positive"):
         search_dsl(idx, {"q": {"bool": {
             "should": [{"match": {"text": "spark"}}], "boost": -1}}}, k=5)
+
+
+def test_filter_prefix_wildcard_leaves(idx, leaf):
+    """prefix / wildcard attribute predicates in filter context."""
+    got = _run(idx, {"bool": {"should": [{"match": {"text": "join"}}],
+                              "filter": [{"prefix": {"lang": "e"}}]}})
+    exp = {d: s for d, s in leaf["join"].items() if LANG[d].startswith("e")}
+    _close(got, exp)
+    got = _run(idx, {"bool": {"should": [{"match": {"text": "join"}}],
+                              "filter": [{"wildcard": {"lang": "d?"}}]}})
+    exp = {d: s for d, s in leaf["join"].items() if LANG[d] == "de"}
+    _close(got, exp)
+    with pytest.raises(ValueError, match="non-empty"):
+        search_dsl(idx, {"q": {"bool": {
+            "should": [{"match": {"text": "join"}}],
+            "filter": [{"prefix": {"lang": ""}}]}}}, k=5)

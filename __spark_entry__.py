@@ -335,6 +335,27 @@ QS_GROUPED_QUERIES = [
     ("qg3", "spark AND merge OR window"),
 ]
 
+# Multi-field DSL over the fielded index (query/fielded.py
+# search_dsl_fielded, title = first 8 tokens / body = rest — the
+# dismax/bm25f split). fd0 bool summing across fields; fd1 dis_max over
+# the same term in both fields (best_fields shape, per-field stats);
+# fd2 must across fields with a nested OR-group; fd3 must_not on the
+# OTHER field.
+DSL_FIELDED_QUERIES = {
+    "fd0": {"bool": {"should": [{"match": {"title": "spark join"}},
+                                {"match": {"body": "customer window"}}]}},
+    "fd1": {"dis_max": {"queries": [{"match": {"title": "spark"}},
+                                    {"match": {"body": "spark"}}],
+                        "tie_breaker": 0.4}},
+    "fd2": {"bool": {"must": [
+        {"match": {"title": "spark"}},
+        {"bool": {"should": [{"match": {"body": "hash"}},
+                             {"match": {"body": "merge"}}]}},
+    ]}},
+    "fd3": {"bool": {"should": [{"match": {"title": "merge"}}],
+                     "must_not": [{"match": {"body": "scan"}}]}},
+}
+
 # dis_max on the DSL front door. dd0 top-level dis_max (one multi-token
 # branch that sums INSIDE the branch, one single-term branch, tie_breaker
 # 0.3); dd1 a bool branch (AND of two terms) against a leaf at
@@ -1916,6 +1937,99 @@ SELECT query_id, doc_id, ROUND(score, 6) AS score, rank
 FROM qgrun WHERE rank <= 10
 """
 
+# dsl_fielded oracle: the dismax entries' per-field BM25 machinery
+# (per-field tf/df/len/avgdl over the title/body token split) exposed as
+# one weight table, then each query's composition replayed as group
+# CTEs — outer-join sums for bool, GREATEST + tie_breaker for dis_max,
+# NOT IN for must_not.
+_DSL_FIELDED_SQL = f"""
+WITH docs_toks AS (
+  SELECT CAST(d.doc_id AS VARCHAR) AS doc_id,
+         list_filter(regexp_split_to_array(lower(d.text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM documents d
+),
+fields AS (
+  SELECT doc_id, list_slice(toks, 1, 8) AS title,
+         list_slice(toks, 9, len(toks)) AS body
+  FROM docs_toks
+),
+ftok AS (
+  SELECT doc_id, 'title' AS field, t.term FROM fields, UNNEST(title) AS t(term)
+  UNION ALL
+  SELECT doc_id, 'body' AS field, t.term FROM fields, UNNEST(body) AS t(term)
+),
+flen AS (
+  SELECT doc_id, 'title' AS field, CAST(len(title) AS DOUBLE) AS flen FROM fields
+  UNION ALL
+  SELECT doc_id, 'body' AS field, CAST(len(body) AS DOUBLE) AS flen FROM fields
+),
+tff AS (SELECT doc_id, field, term, CAST(COUNT(*) AS DOUBLE) AS tf
+        FROM ftok GROUP BY doc_id, field, term),
+avgf AS (SELECT field, AVG(flen) AS avgflen FROM flen GROUP BY field),
+nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+dff AS (SELECT field, term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+        FROM ftok GROUP BY field, term),
+wf AS (
+  SELECT t.doc_id, t.field, t.term,
+         ln(1 + (nd.n_docs - dff.df + 0.5) / (dff.df + 0.5))
+           * t.tf / (t.tf + {K1} * (1 - {B} + {B} * l.flen / a.avgflen)) AS wgt
+  FROM tff t
+  JOIN flen l ON l.doc_id = t.doc_id AND l.field = t.field
+  JOIN avgf a ON a.field = t.field
+  JOIN dff ON dff.field = t.field AND dff.term = t.term
+  CROSS JOIN nd
+),
+fd0_t AS (SELECT doc_id, SUM(wgt) AS s FROM wf
+          WHERE field = 'title' AND term IN ('spark', 'join') GROUP BY doc_id),
+fd0_b AS (SELECT doc_id, SUM(wgt) AS s FROM wf
+          WHERE field = 'body' AND term IN ('customer', 'window') GROUP BY doc_id),
+fd0 AS (
+  SELECT 'fd0' AS query_id, COALESCE(a.doc_id, b.doc_id) AS doc_id,
+         COALESCE(a.s, 0) + COALESCE(b.s, 0) AS score
+  FROM fd0_t a FULL OUTER JOIN fd0_b b ON a.doc_id = b.doc_id
+),
+fd1_t AS (SELECT doc_id, wgt AS s FROM wf
+          WHERE field = 'title' AND term = 'spark'),
+fd1_b AS (SELECT doc_id, wgt AS s FROM wf
+          WHERE field = 'body' AND term = 'spark'),
+fd1 AS (
+  SELECT 'fd1' AS query_id, COALESCE(a.doc_id, b.doc_id) AS doc_id,
+         CASE WHEN a.s IS NOT NULL AND b.s IS NOT NULL
+              THEN GREATEST(a.s, b.s)
+                   + 0.4 * (a.s + b.s - GREATEST(a.s, b.s))
+              ELSE COALESCE(a.s, b.s) END AS score
+  FROM fd1_t a FULL OUTER JOIN fd1_b b ON a.doc_id = b.doc_id
+),
+fd2_t AS (SELECT doc_id, wgt AS s FROM wf
+          WHERE field = 'title' AND term = 'spark'),
+fd2_g AS (SELECT doc_id, SUM(wgt) AS s FROM wf
+          WHERE field = 'body' AND term IN ('hash', 'merge') GROUP BY doc_id),
+fd2 AS (
+  SELECT 'fd2' AS query_id, a.doc_id, a.s + b.s AS score
+  FROM fd2_t a JOIN fd2_g b ON b.doc_id = a.doc_id
+),
+fd3_x AS (SELECT DISTINCT doc_id FROM wf
+          WHERE field = 'body' AND term = 'scan'),
+fd3 AS (
+  SELECT 'fd3' AS query_id, doc_id, wgt AS score FROM wf
+  WHERE field = 'title' AND term = 'merge'
+    AND doc_id NOT IN (SELECT doc_id FROM fd3_x)
+),
+fdall AS (
+  SELECT * FROM fd0 UNION ALL SELECT * FROM fd1 UNION ALL SELECT * FROM fd2
+  UNION ALL SELECT * FROM fd3
+),
+fdrun AS (
+  SELECT query_id, doc_id, score,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+         ) AS INTEGER) AS rank
+  FROM fdall
+)
+SELECT query_id, doc_id, ROUND(score, 6) AS score, rank
+FROM fdrun WHERE rank <= 10
+"""
+
 # dsl_dismax oracle: per-branch score CTEs (a multi-term branch sums
 # inside the branch), then max + tie_breaker × (sum − max) via GREATEST
 # over the outer-joined branches — the same combination structure the
@@ -3479,6 +3593,19 @@ def q_query_string_grouped(spark, sf_dir):
         F.round("score", 6).alias("score"),
         "rank",
     )
+
+
+def q_dsl_fielded(spark, sf_dir):
+    """Multi-field DSL over the fielded index: leaves name any sub-index
+    field and score with that field's OWN statistics; bool / dis_max /
+    nesting / must_not compose on doc_id (query/fielded.py
+    search_dsl_fielded). Oracle: the per-field BM25 weight table over
+    the title/body split with each composition replayed as group CTEs."""
+    from openmatch_spark.query import search_dsl_fielded
+
+    fx = _entry_fielded(spark, sf_dir)
+    run = search_dsl_fielded(fx, DSL_FIELDED_QUERIES, k=10)
+    return run.withColumn("score", F.round("score", 6))
 
 
 def q_dsl_filtered_pattern(spark, sf_dir):
@@ -7044,6 +7171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_constant_score": q_dsl_constant_score,
         "dsl_dismax": q_dsl_dismax,
         "dsl_filtered_pattern": q_dsl_filtered_pattern,
+        "dsl_fielded": q_dsl_fielded,
         "query_string_grouped": q_query_string_grouped,
         "passage_maxp": q_passage_maxp,
         "bm25_boolean": q_bm25_boolean,
@@ -7347,6 +7475,7 @@ SELECT query_id, doc_id, ROUND(score, 6) AS score, rank FROM prun WHERE rank <= 
     sql["dsl_constant_score"] = _DSL_CONST_SQL
     sql["dsl_dismax"] = _DSL_DISMAX_SQL
     sql["dsl_filtered_pattern"] = _DSL_FILTER_PATTERN_SQL
+    sql["dsl_fielded"] = _DSL_FIELDED_SQL
     sql["query_string_grouped"] = _QS_GROUPED_SQL
 
     # phrase percolation: roles as in `percolate`, plus the offset-

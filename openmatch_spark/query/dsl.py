@@ -135,15 +135,18 @@ _LEAF_MAP = {
 }
 
 
-def _leaf_clauses(kind: str, body, role: str, allow_operator: bool):
-    """One DSL leaf -> [Clause] (pre-analysis: texts still raw)."""
+def _leaf_clauses(kind: str, body, role: str, allow_operator: bool,
+                  fields: tuple = ("text",)):
+    """One DSL leaf -> [Clause] (pre-analysis: texts still raw). fields:
+    the index's analyzed field names — a single packed index exposes
+    ("text",), the fielded DSL passes its sub-index names."""
     if not isinstance(body, dict) or len(body) != 1:
         raise ValueError(f"{kind} must map exactly one field, got {body!r}")
     field, spec = next(iter(body.items()))
-    if field != "text":
+    if field not in fields:
         raise ValueError(
-            f"unknown field {field!r} — this index has the single analyzed "
-            "field 'text'"
+            f"unknown field {field!r} — this index has the analyzed "
+            f"field(s) {sorted(fields)}"
         )
     ckind, text_key, extra_keys = _LEAF_MAP[kind]
     if isinstance(spec, str):
@@ -170,18 +173,20 @@ def _leaf_clauses(kind: str, body, role: str, allow_operator: bool):
                 "bool.must instead"
             )
         role = "must" if (op == "and" and allow_operator) else role
-        return [Clause(role, "term", text, boost)]
+        return [Clause(role, "term", text, boost, fieldname=field)]
     if kind == "match_phrase":
         slop = int(spec.get("slop", 0))
         if slop < 0:
             raise ValueError(f"slop must be >= 0, got {slop}")
-        return [Clause(role, "phrase", text, boost, slop=slop)]
+        return [Clause(role, "phrase", text, boost, slop=slop,
+                       fieldname=field)]
     if kind == "fuzzy":
         edits = int(spec.get("fuzziness", 2))
         if not 0 <= edits <= 2:
             raise ValueError(f"fuzziness must be 0..2, got {edits}")
-        return [Clause(role, "fuzzy", text, boost, edits=edits)]
-    return [Clause(role, ckind, text, boost)]
+        return [Clause(role, "fuzzy", text, boost, edits=edits,
+                       fieldname=field)]
+    return [Clause(role, ckind, text, boost, fieldname=field)]
 
 
 _FILTER_KINDS = ("term", "terms", "range", "exists", "ids", "prefix",
@@ -520,7 +525,8 @@ def _parse_constant_score(body) -> tuple[list, float]:
 
 
 def _compile_dismax_node(body, analyzer: str, ctx: "_TreeCtx",
-                         depth: int) -> _BoolNode:
+                         depth: int,
+                         fields: tuple = ("text",)) -> _BoolNode:
     """ES dis_max: score = max(branch scores) + tie_breaker × (sum of
     the other matched branches); a doc matches when any branch matches.
     Each queries[] entry is ONE branch — a leaf that analyzes to several
@@ -547,7 +553,8 @@ def _compile_dismax_node(body, analyzer: str, ctx: "_TreeCtx",
                              f"query dicts, got {entry!r}")
         ekind, ebody = next(iter(entry.items()))
         if ekind == "bool":
-            child = _compile_bool_node(ebody, analyzer, ctx, depth + 1)
+            child = _compile_bool_node(ebody, analyzer, ctx, depth + 1,
+                                       fields=fields)
             if not child.clause_items and not child.bool_items:
                 raise ValueError(
                     "a filter-only bool cannot be a dis_max branch (it "
@@ -555,11 +562,13 @@ def _compile_dismax_node(body, analyzer: str, ctx: "_TreeCtx",
                 )
             node.bool_items.append((ctx.item(), "should", child))
         elif ekind == "dis_max":
-            child = _compile_dismax_node(ebody, analyzer, ctx, depth + 1)
+            child = _compile_dismax_node(ebody, analyzer, ctx, depth + 1,
+                                         fields=fields)
             node.bool_items.append((ctx.item(), "should", child))
         elif ekind in _LEAF_KINDS:
             cs = _analyzed(
-                _leaf_clauses(ekind, ebody, "should", allow_operator=False),
+                _leaf_clauses(ekind, ebody, "should", allow_operator=False,
+                              fields=fields),
                 analyzer,
             )
             if len(cs) == 1:
@@ -611,7 +620,8 @@ class _TreeCtx:
 
 
 def _compile_bool_node(body, analyzer: str, ctx: _TreeCtx,
-                       depth: int) -> _BoolNode:
+                       depth: int,
+                       fields: tuple = ("text",)) -> _BoolNode:
     """One bool body -> _BoolNode (recursive). Leaves analyze here so
     item counts (and therefore msm resolution and must gating) see the
     post-analysis clause set — the flat path's exact rule."""
@@ -639,7 +649,8 @@ def _compile_bool_node(body, analyzer: str, ctx: _TreeCtx,
                                  f"query dicts, got {entry!r}")
             ekind, ebody = next(iter(entry.items()))
             if ekind == "bool":
-                child = _compile_bool_node(ebody, analyzer, ctx, depth + 1)
+                child = _compile_bool_node(ebody, analyzer, ctx, depth + 1,
+                                       fields=fields)
                 if not child.clause_items and not child.bool_items:
                     # filter-only bool: compile-time rewrite to a gate
                     if role == "must":
@@ -686,7 +697,8 @@ def _compile_bool_node(body, analyzer: str, ctx: _TreeCtx,
                     )
                 continue
             if ekind == "dis_max":
-                child = _compile_dismax_node(ebody, analyzer, ctx, depth + 1)
+                child = _compile_dismax_node(ebody, analyzer, ctx, depth + 1,
+                                         fields=fields)
                 node.bool_items.append((ctx.item(), role, child))
                 continue
             if ekind == "match_all":
@@ -702,7 +714,8 @@ def _compile_bool_node(body, analyzer: str, ctx: _TreeCtx,
                 continue
             if ekind not in _LEAF_KINDS:
                 raise ValueError(f"unsupported query type {ekind!r} in bool")
-            raws = _leaf_clauses(ekind, ebody, role, allow_operator=False)
+            raws = _leaf_clauses(ekind, ebody, role, allow_operator=False,
+                                 fields=fields)
             for c in _analyzed(raws, analyzer):
                 node.clause_items.append((ctx.item(), c.role, c))
     entries = body.get("filter", [])

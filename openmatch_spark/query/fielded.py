@@ -225,3 +225,221 @@ def search_fielded(
         .where(F.col("rank") <= k)
         .select("query_id", "doc_id", "score", "rank")
     )
+
+
+def search_dsl_fielded(
+    findex: dict[str, BM25Index],
+    queries,
+    k: int = 100,
+    max_expansions: int = 50,
+    fuzzy_prefix_len: int = 1,
+) -> DataFrame:
+    """Top-k run (query_id, doc_id, score, rank) for ES-DSL query dicts
+    with MULTI-FIELD leaves over a fielded index ({field: BM25Index}
+    from load_fielded_index).
+
+    Each leaf names any sub-index field (`{"match": {"title": ...}}`)
+    and scores with that field's OWN statistics — per-field docCount,
+    avgdl, and idf, Lucene's actual fielded scoring — so a bool over
+    fields is ES's natural `bool` of per-field matches and a dis_max
+    over fields is the classic best_fields shape. Composition
+    (bool nesting, minimum_should_match, must_not, dis_max,
+    bool.boost) is query/dsl.py's tree executor keyed on doc_id: one
+    shared clause plan PER FIELD, sub-index candidates hydrated to
+    doc_id through their own docmaps, then one aggregate per tree
+    depth. Filter context / constant_score / match_all need a
+    doc-values store and are refused here (the single-index search_dsl
+    surface carries them)."""
+    import json as _json
+
+    from openmatch_spark.query.dsl import (
+        _GLUE,
+        _TreeCtx,
+        _collect_term_values,
+        _compile_bool_node,
+        _walk_nodes,
+    )
+    from openmatch_spark.query.querystring import Clause, _execute_clauses
+
+    if isinstance(queries, DataFrame):
+        rows = queries.select(
+            F.col("query_id").cast("string").alias("query_id"), "dsl"
+        ).collect()
+        queries = {str(r["query_id"]): _json.loads(r["dsl"]) for r in rows}
+    if not findex:
+        raise ValueError("findex is empty")
+    fields = tuple(sorted(findex))
+    first = findex[fields[0]]
+    spark = first.spark
+    analyzer = first.stats["analyzer"]
+
+    from openmatch_spark.analysis import tokenize_py
+
+    trees: dict = {}
+    for qid, qdict in sorted(queries.items()):
+        qid = str(qid)
+        if _GLUE in qid:
+            raise ValueError(
+                f"query_id {qid!r} contains the reserved separator U+001E"
+            )
+        for v in _collect_term_values(qdict):
+            toks = tokenize_py(v, analyzer)
+            if len(toks) != 1:
+                raise ValueError(
+                    f"term value {v!r} analyzes to {len(toks)} tokens — "
+                    "use match for multi-token text"
+                )
+        if not isinstance(qdict, dict) or len(qdict) != 1:
+            raise ValueError(
+                f"a DSL query maps exactly one query type, got {qdict!r}"
+            )
+        kind = next(iter(qdict))
+        if kind in ("constant_score", "match_all"):
+            raise ValueError(
+                f"{kind} needs a doc-values store — not supported on the "
+                "fielded index (use the single-index search_dsl surface)"
+            )
+        body = (qdict["bool"] if kind == "bool"
+                else {"must": [qdict]} if kind == "dis_max"
+                else {"should": [qdict]})
+        root = _compile_bool_node(body, analyzer, _TreeCtx(), 0,
+                                  fields=fields)
+        for node in _walk_nodes(root):
+            if node.filters or node.anti_filters:
+                raise ValueError(
+                    "filter context needs a doc-values store — not "
+                    "supported on the fielded index"
+                )
+        trees[qid] = root
+
+    # ---- one shared clause plan per FIELD, candidates keyed by doc_id ----
+    per_field: dict = {}
+    for qid, root in sorted(trees.items()):
+        for node in _walk_nodes(root):
+            for (iid, _, c) in node.clause_items:
+                per_field.setdefault(c.fieldname, {})[
+                    f"{qid}{_GLUE}{iid}"
+                ] = [Clause("should", c.kind, c.text, c.boost, slop=c.slop,
+                            edits=c.edits, tokens=c.tokens)]
+    items = None
+    for f in sorted(per_field):
+        sub = findex[f]
+        cand = _execute_clauses(
+            sub, per_field[f], k, {}, max_expansions, fuzzy_prefix_len,
+            finalize=False,
+        )
+        hyd = (
+            sub.mask_deleted(cand)
+            .join(sub.docmap.select("shard", "doc_ord", "doc_id"),
+                  ["shard", "doc_ord"])
+            .select(
+                F.substring_index("query_id", _GLUE, 1).alias("query_id"),
+                F.substring_index("query_id", _GLUE, -1).cast("int")
+                .alias("iid"),
+                "doc_id", "score",
+            )
+        )
+        items = hyd if items is None else items.unionByName(hyd)
+    empty = spark.createDataFrame(
+        [], "query_id string, doc_id string, score double, rank int"
+    )
+    if items is None:
+        return empty
+    item_src = items.localCheckpoint()
+
+    # ---- compose bottom-up, one aggregate per depth (doc_id-keyed
+    # twin of dsl._execute_tree's loop, minus the filter machinery) ----
+    max_depth = max(
+        node.depth for root in trees.values() for node in _walk_nodes(root)
+    )
+    root_out = None
+    for depth in range(max_depth, -1, -1):
+        level = [
+            (qid, node) for qid, root in sorted(trees.items())
+            for node in _walk_nodes(root) if node.depth == depth
+        ]
+        meta_rows = [
+            (qid, iid, node.node_id, role)
+            for (qid, node) in level
+            for (iid, role, _) in node.clause_items + node.bool_items
+        ]
+        gate_rows = [
+            (qid, node.node_id, node.n_must, node.msm,
+             int(node.combine == "dis_max"), float(node.tie_breaker),
+             float(node.boost))
+            for (qid, node) in level
+        ]
+        meta = F.broadcast(spark.createDataFrame(
+            meta_rows, "query_id string, iid int, node int, role string"
+        ))
+        gates = F.broadcast(spark.createDataFrame(
+            gate_rows,
+            "query_id string, node int, n_must int, msm int,"
+            " dismax int, tb double, mult double",
+        ))
+        res = (
+            item_src.join(meta, ["query_id", "iid"])
+            .groupBy("query_id", "node", "doc_id")
+            .agg(
+                F.sum(
+                    F.when(F.col("role") != "must_not", F.col("score"))
+                    .otherwise(F.lit(0.0))
+                ).alias("score"),
+                F.count_distinct(
+                    F.when(F.col("role") == "must", F.col("iid"))
+                ).alias("must_m"),
+                F.count_distinct(
+                    F.when(F.col("role") == "should", F.col("iid"))
+                ).alias("should_m"),
+                F.count_distinct(
+                    F.when(F.col("role") == "must_not", F.col("iid"))
+                ).alias("not_m"),
+                F.max(
+                    F.when(F.col("role") != "must_not", F.col("score"))
+                ).alias("max_s"),
+            )
+            .join(gates, ["query_id", "node"])
+            .where(
+                (F.col("must_m") == F.col("n_must"))
+                & (F.col("should_m") >= F.col("msm"))
+                & (F.col("not_m") == 0)
+                & (F.col("must_m") + F.col("should_m") >= 1)
+            )
+            .select(
+                "query_id", "node", "doc_id",
+                (
+                    F.when(
+                        F.col("dismax") == 1,
+                        F.col("max_s")
+                        + F.col("tb") * (F.col("score") - F.col("max_s")),
+                    ).otherwise(F.col("score"))
+                    * F.col("mult")
+                ).alias("score"),
+            )
+        )
+        if depth == 0:
+            root_out = res.select("query_id", "doc_id", "score")
+        else:
+            parent_map = [
+                (qid, child.node_id, iid)
+                for qid, root in sorted(trees.items())
+                for node in _walk_nodes(root)
+                for (iid, _, child) in node.bool_items
+                if child.depth == depth
+            ]
+            pm = F.broadcast(spark.createDataFrame(
+                parent_map, "query_id string, node int, iid int"
+            ))
+            item_src = item_src.unionByName(
+                res.join(pm, ["query_id", "node"])
+                .select("query_id", "iid", "doc_id", "score")
+                .localCheckpoint()
+            )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        root_out.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank")
+    )

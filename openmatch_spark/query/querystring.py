@@ -108,6 +108,9 @@ class Clause:
     # of a query's clauses (with ids unique per unit) or none — group ids
     # share the cid space with list positions.
     group: int = -1
+    # which index field the clause targets; the single-field executor
+    # ignores it, the fielded DSL routes each clause to its sub-index
+    fieldname: str = "text"
 
 
 _BOOST_RE = re.compile(r"\^(\d+(?:\.\d+)?)$")
@@ -337,16 +340,18 @@ def _analyzed(clauses: list[Clause], analyzer: str) -> list[Clause]:
             toks = tuple(tokenize_py(c.text, analyzer))
             if toks:
                 out.append(Clause(c.role, "phrase", c.text, c.boost,
-                                  slop=c.slop, tokens=toks, group=c.group))
+                                  slop=c.slop, tokens=toks, group=c.group,
+                                  fieldname=c.fieldname))
         elif c.kind in ("prefix", "fuzzy"):
             for tok in tokenize_py(c.text, analyzer):
                 out.append(Clause(c.role, c.kind, tok, c.boost,
-                                  edits=c.edits, group=c.group))
+                                  edits=c.edits, group=c.group,
+                                  fieldname=c.fieldname))
         elif c.kind == "wildcard":
             pat = re.sub(r"[^a-z0-9*?]+", "", c.text.lower())
             if pat.replace("*", "").replace("?", ""):
                 out.append(Clause(c.role, "wildcard", pat, c.boost,
-                                  group=c.group))
+                                  group=c.group, fieldname=c.fieldname))
         elif c.kind == "regexp":
             # Lucene RegexpQuery clause (DSL-only; the query_string grammar
             # never emits it): restrict to the Java/RE2 common charset and
@@ -362,11 +367,11 @@ def _analyzed(clauses: list[Clause], analyzer: str) -> list[Clause]:
                         f"invalid regexp pattern {pat!r}: {e}"
                     ) from e
                 out.append(Clause(c.role, "regexp", pat, c.boost,
-                                  group=c.group))
+                                  group=c.group, fieldname=c.fieldname))
         else:
             for tok in tokenize_py(c.text, analyzer):
                 out.append(Clause(c.role, "term", tok, c.boost,
-                                  group=c.group))
+                                  group=c.group, fieldname=c.fieldname))
     return out
 
 

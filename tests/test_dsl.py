@@ -136,7 +136,7 @@ def test_dsl_json_dataframe_input(spark, idx):
 
 
 def test_dsl_validation(spark, idx):
-    with pytest.raises(ValueError, match="single analyzed"):
+    with pytest.raises(ValueError, match="unknown field"):
         search_dsl(idx, {"q": {"match": {"title": "x"}}})
     # nested bool is supported now (test_dsl_nested.py); an EMPTY nested
     # bool still fails loudly

@@ -1,0 +1,152 @@
+"""Multi-field DSL over the fielded index (query/fielded.py
+search_dsl_fielded): every expectation is composed in Python from
+single-index DSL runs over the per-field corpora, so per-field
+statistics and the doc_id-keyed composition are checked against the
+already-verified single-field surfaces."""
+
+import os
+import sys
+import tempfile
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from openmatch_spark.index import build_index, load_index
+from openmatch_spark.query import (
+    build_fielded_index,
+    load_fielded_index,
+    search_dsl,
+    search_dsl_fielded,
+    search_fielded,
+)
+
+ROWS = [
+    ("d0", "spark engine overview", "the spark engine builds hash join plans quickly"),
+    ("d1", "merge sort deep dive", "sort merge join beats hash join on sorted input"),
+    ("d2", "window functions", "rank rows per partition with window functions"),
+    ("d3", "spark windowing", "spark window aggregates and sessionization"),
+    ("d4", "hash tables", "open addressing and chained hash tables"),
+    ("d5", "spark hash internals", "window merge spark spark"),
+]
+
+
+@pytest.fixture(scope="module")
+def fx(spark):
+    pages = spark.createDataFrame(ROWS, "doc_id string, title string, body string")
+    d = tempfile.mkdtemp(prefix="om_fdsl_idx_")
+    build_fielded_index(spark, pages, d, ["title", "body"], analyzer="simple",
+                        num_shards=2, num_term_buckets=4, block_size=4)
+    return load_fielded_index(spark, d)
+
+
+@pytest.fixture(scope="module")
+def ref(spark):
+    """field -> term -> {doc: score} single-index reference runs."""
+    out = {}
+    for fi, name in ((1, "title"), (2, "body")):
+        dd = tempfile.mkdtemp(prefix=f"om_fdsl_{name}_")
+        pg = spark.createDataFrame(
+            [(r[0], None, None, r[fi], "en") for r in ROWS],
+            "url string, warc_ts timestamp, html binary, text string,"
+            " lang string",
+        )
+        build_index(spark, pg, dd, analyzer="simple", num_shards=2,
+                    num_term_buckets=4, block_size=4)
+        idx = load_index(spark, dd)
+        out[name] = {
+            t: {
+                r["doc_id"]: r["score"]
+                for r in search_dsl(
+                    idx, {"q": {"match": {"text": t}}}, k=1000
+                ).collect()
+            }
+            for t in ("spark", "hash", "join", "merge", "window", "sort")
+        }
+    return out
+
+
+def _run(fx, q, k=1000):
+    return {r["doc_id"]: r["score"]
+            for r in search_dsl_fielded(fx, {"q": q}, k=k).collect()}
+
+
+def _close(got, exp):
+    assert set(got) == set(exp), (sorted(got), sorted(exp))
+    for d in got:
+        assert abs(got[d] - exp[d]) < 1e-9, (d, got[d], exp[d])
+
+
+def test_bool_across_fields(fx, ref):
+    got = _run(fx, {"bool": {"should": [
+        {"match": {"title": "spark window"}},
+        {"match": {"body": "hash join"}},
+    ]}})
+    t = {d: ref["title"]["spark"].get(d, 0.0) + ref["title"]["window"].get(d, 0.0)
+         for d in set(ref["title"]["spark"]) | set(ref["title"]["window"])}
+    b = {d: ref["body"]["hash"].get(d, 0.0) + ref["body"]["join"].get(d, 0.0)
+         for d in set(ref["body"]["hash"]) | set(ref["body"]["join"])}
+    exp = {d: t.get(d, 0.0) + b.get(d, 0.0) for d in set(t) | set(b)}
+    _close(got, exp)
+
+
+def test_dismax_best_fields_shape(fx, ref):
+    got = _run(fx, {"dis_max": {"queries": [
+        {"match": {"title": "spark"}},
+        {"match": {"body": "spark"}},
+    ], "tie_breaker": 0.3}})
+    t, b = ref["title"]["spark"], ref["body"]["spark"]
+    exp = {}
+    for d in set(t) | set(b):
+        br = [x for x in (t.get(d), b.get(d)) if x is not None]
+        exp[d] = max(br) + 0.3 * (sum(br) - max(br))
+    _close(got, exp)
+
+
+def test_must_across_fields_with_nested_group(fx, ref):
+    got = _run(fx, {"bool": {"must": [
+        {"match": {"title": "spark"}},
+        {"bool": {"should": [{"match": {"body": "hash"}},
+                             {"match": {"body": "window"}}]}},
+    ]}})
+    ts, bh, bw = (ref["title"]["spark"], ref["body"]["hash"],
+                  ref["body"]["window"])
+    exp = {}
+    for d in ts:
+        if d in bh or d in bw:
+            exp[d] = ts[d] + bh.get(d, 0.0) + bw.get(d, 0.0)
+    _close(got, exp)
+
+
+def test_must_not_on_other_field(fx, ref):
+    got = _run(fx, {"bool": {
+        "should": [{"match": {"title": "hash"}}],
+        "must_not": [{"match": {"body": "join"}}],
+    }})
+    exp = {d: s for d, s in ref["title"]["hash"].items()
+           if d not in ref["body"]["join"]}
+    _close(got, exp)
+
+
+def test_same_term_different_fields_distinct_stats(fx, ref):
+    """'spark' scores differently per field (own df/avgdl/docCount)."""
+    t, b = ref["title"]["spark"], ref["body"]["spark"]
+    shared = set(t) & set(b)
+    assert shared and any(abs(t[d] - b[d]) > 1e-9 for d in shared)
+    got_t = _run(fx, {"match": {"title": "spark"}})
+    got_b = _run(fx, {"match": {"body": "spark"}})
+    _close(got_t, t)
+    _close(got_b, b)
+
+
+def test_validation(fx):
+    with pytest.raises(ValueError, match="unknown field"):
+        search_dsl_fielded(fx, {"q": {"match": {"abstract": "x"}}}, k=5)
+    with pytest.raises(ValueError, match="doc-values"):
+        search_dsl_fielded(fx, {"q": {"bool": {
+            "should": [{"match": {"title": "spark"}}],
+            "filter": [{"term": {"lang": "en"}}]}}}, k=5)
+    with pytest.raises(ValueError, match="doc-values"):
+        search_dsl_fielded(fx, {"q": {"match_all": {}}}, k=5)
+    with pytest.raises(ValueError, match="analyzes to"):
+        search_dsl_fielded(fx, {"q": {"term": {"title": "two words"}}}, k=5)

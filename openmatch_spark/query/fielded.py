@@ -278,6 +278,7 @@ def search_dsl_fielded(
     trees: dict = {}
     for qid, qdict in sorted(queries.items()):
         qid = str(qid)
+        qdict = rewrite_multi_match(qdict)
         if _GLUE in qid:
             raise ValueError(
                 f"query_id {qid!r} contains the reserved separator U+001E"
@@ -443,3 +444,81 @@ def search_dsl_fielded(
         .where(F.col("rank") <= k)
         .select("query_id", "doc_id", "score", "rank")
     )
+
+
+_MM_TYPES = ("best_fields", "most_fields", "phrase")
+
+
+def _parse_mm_fields(entries) -> list:
+    """multi_match fields list -> [(field, boost)]; 'name^2' syntax."""
+    if not isinstance(entries, list) or not entries:
+        raise ValueError("multi_match fields must be a non-empty list")
+    out = []
+    for e in entries:
+        if not isinstance(e, str) or not e:
+            raise ValueError(f"multi_match field entries are strings, got {e!r}")
+        name, _, b = e.partition("^")
+        boost = float(b) if b else 1.0
+        if boost <= 0:
+            raise ValueError(f"boost must be positive, got {boost}")
+        out.append((name, boost))
+    return out
+
+
+def rewrite_multi_match(q):
+    """Recursively replace {"multi_match": ...} nodes with their
+    bool / dis_max decomposition (ES's own documented rewrite):
+    best_fields -> dis_max of per-field match clauses with the given
+    tie_breaker; most_fields -> bool.should of them (scores sum);
+    phrase -> dis_max of per-field match_phrase clauses (needs each
+    sub-index's positional sidecar). cross_fields is term-centric and
+    lives on search_fielded, not the DSL. Pure and compile-time — the
+    result runs on already-verified constructs."""
+    if not isinstance(q, dict) or len(q) != 1:
+        return q
+    kind, body = next(iter(q.items()))
+    if kind == "multi_match":
+        if not isinstance(body, dict) or "query" not in body \
+                or "fields" not in body \
+                or not set(body) <= {"query", "fields", "type", "tie_breaker"}:
+            raise ValueError(
+                "multi_match needs {'query', 'fields', 'type'?, "
+                f"'tie_breaker'?}}, got {body!r}"
+            )
+        text = body["query"]
+        if not isinstance(text, str) or not text.strip():
+            raise ValueError("multi_match query must be a non-empty string")
+        mtype = body.get("type", "best_fields")
+        if mtype not in _MM_TYPES:
+            raise ValueError(
+                f"multi_match type {mtype!r} unsupported here (supported: "
+                f"{', '.join(_MM_TYPES)}; cross_fields is search_fielded's "
+                "term-centric surface)"
+            )
+        tb = float(body.get("tie_breaker", 0.0))
+        leaf = "match_phrase" if mtype == "phrase" else "match"
+        key = "query"
+        leaves = [
+            {leaf: {f: {key: text, "boost": b}}}
+            for (f, b) in _parse_mm_fields(body["fields"])
+        ]
+        if mtype == "most_fields":
+            if "tie_breaker" in body:
+                raise ValueError("tie_breaker only applies to best_fields/phrase")
+            return {"bool": {"should": leaves}}
+        return {"dis_max": {"queries": leaves, "tie_breaker": tb}}
+    if kind == "bool" and isinstance(body, dict):
+        out = {}
+        for role, entries in body.items():
+            if role in ("must", "should", "must_not"):
+                entries = [entries] if isinstance(entries, dict) else entries
+                out[role] = [rewrite_multi_match(e) for e in entries]
+            else:
+                out[role] = entries
+        return {"bool": out}
+    if kind == "dis_max" and isinstance(body, dict):
+        out = dict(body)
+        if isinstance(body.get("queries"), list):
+            out["queries"] = [rewrite_multi_match(e) for e in body["queries"]]
+        return {"dis_max": out}
+    return q

@@ -150,3 +150,58 @@ def test_validation(fx):
         search_dsl_fielded(fx, {"q": {"match_all": {}}}, k=5)
     with pytest.raises(ValueError, match="analyzes to"):
         search_dsl_fielded(fx, {"q": {"term": {"title": "two words"}}}, k=5)
+
+
+def test_multi_match_best_fields_rewrite(fx):
+    from openmatch_spark.query.fielded import rewrite_multi_match
+
+    got = rewrite_multi_match({"multi_match": {
+        "query": "spark hash", "fields": ["title^2", "body"],
+        "type": "best_fields", "tie_breaker": 0.3}})
+    assert got == {"dis_max": {"queries": [
+        {"match": {"title": {"query": "spark hash", "boost": 2.0}}},
+        {"match": {"body": {"query": "spark hash", "boost": 1.0}}},
+    ], "tie_breaker": 0.3}}
+    a = _run(fx, {"multi_match": {"query": "spark hash",
+                                  "fields": ["title^2", "body"],
+                                  "tie_breaker": 0.3}})
+    b = _run(fx, got)
+    _close(a, b)
+    assert a
+
+
+def test_multi_match_most_fields_sums(fx):
+    a = _run(fx, {"multi_match": {"query": "spark", "fields": ["title", "body"],
+                                  "type": "most_fields"}})
+    b = _run(fx, {"bool": {"should": [{"match": {"title": "spark"}},
+                                      {"match": {"body": "spark"}}]}})
+    _close(a, b)
+    assert a
+
+
+def test_multi_match_inside_bool(fx):
+    a = _run(fx, {"bool": {
+        "must": [{"multi_match": {"query": "spark",
+                                  "fields": ["title", "body"]}}],
+        "should": [{"match": {"body": "join"}}],
+    }})
+    b = _run(fx, {"bool": {
+        "must": [{"dis_max": {"queries": [{"match": {"title": "spark"}},
+                                          {"match": {"body": "spark"}}],
+                              "tie_breaker": 0.0}}],
+        "should": [{"match": {"body": "join"}}],
+    }})
+    _close(a, b)
+    assert a
+
+
+def test_multi_match_validation(fx):
+    with pytest.raises(ValueError, match="cross_fields"):
+        search_dsl_fielded(fx, {"q": {"multi_match": {
+            "query": "x", "fields": ["title"], "type": "cross_fields"}}}, k=5)
+    with pytest.raises(ValueError, match="non-empty list"):
+        search_dsl_fielded(fx, {"q": {"multi_match": {
+            "query": "x", "fields": []}}}, k=5)
+    with pytest.raises(ValueError, match="unknown field"):
+        search_dsl_fielded(fx, {"q": {"multi_match": {
+            "query": "x", "fields": ["abstract"]}}}, k=5)

@@ -356,6 +356,18 @@ DSL_FIELDED_QUERIES = {
                      "must_not": [{"match": {"body": "scan"}}]}},
 }
 
+# multi_match leaves on the fielded DSL (ES's documented decomposition,
+# compile-time rewrite): mm0 best_fields with a title^2 boost and
+# tie_breaker; mm1 most_fields (per-field scores sum).
+DSL_MULTI_MATCH_QUERIES = {
+    "mm0": {"multi_match": {"query": "spark hash",
+                            "fields": ["title^2", "body"],
+                            "type": "best_fields", "tie_breaker": 0.4}},
+    "mm1": {"multi_match": {"query": "merge window",
+                            "fields": ["title", "body"],
+                            "type": "most_fields"}},
+}
+
 # dis_max on the DSL front door. dd0 top-level dis_max (one multi-token
 # branch that sums INSIDE the branch, one single-term branch, tie_breaker
 # 0.3); dd1 a bool branch (AND of two terms) against a leaf at
@@ -2030,6 +2042,80 @@ SELECT query_id, doc_id, ROUND(score, 6) AS score, rank
 FROM fdrun WHERE rank <= 10
 """
 
+# dsl_multi_match oracle: the same per-field weight table; best_fields
+# = GREATEST + tie_breaker over per-field branch sums (title boost
+# folded into the branch sum — exact, power of two), most_fields =
+# outer-join sum.
+_DSL_MM_SQL = f"""
+WITH docs_toks AS (
+  SELECT CAST(d.doc_id AS VARCHAR) AS doc_id,
+         list_filter(regexp_split_to_array(lower(d.text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM documents d
+),
+fields AS (
+  SELECT doc_id, list_slice(toks, 1, 8) AS title,
+         list_slice(toks, 9, len(toks)) AS body
+  FROM docs_toks
+),
+ftok AS (
+  SELECT doc_id, 'title' AS field, t.term FROM fields, UNNEST(title) AS t(term)
+  UNION ALL
+  SELECT doc_id, 'body' AS field, t.term FROM fields, UNNEST(body) AS t(term)
+),
+flen AS (
+  SELECT doc_id, 'title' AS field, CAST(len(title) AS DOUBLE) AS flen FROM fields
+  UNION ALL
+  SELECT doc_id, 'body' AS field, CAST(len(body) AS DOUBLE) AS flen FROM fields
+),
+tff AS (SELECT doc_id, field, term, CAST(COUNT(*) AS DOUBLE) AS tf
+        FROM ftok GROUP BY doc_id, field, term),
+avgf AS (SELECT field, AVG(flen) AS avgflen FROM flen GROUP BY field),
+nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+dff AS (SELECT field, term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+        FROM ftok GROUP BY field, term),
+wf AS (
+  SELECT t.doc_id, t.field, t.term,
+         ln(1 + (nd.n_docs - dff.df + 0.5) / (dff.df + 0.5))
+           * t.tf / (t.tf + {K1} * (1 - {B} + {B} * l.flen / a.avgflen)) AS wgt
+  FROM tff t
+  JOIN flen l ON l.doc_id = t.doc_id AND l.field = t.field
+  JOIN avgf a ON a.field = t.field
+  JOIN dff ON dff.field = t.field AND dff.term = t.term
+  CROSS JOIN nd
+),
+mm0_t AS (SELECT doc_id, SUM(2.0 * wgt) AS s FROM wf
+          WHERE field = 'title' AND term IN ('spark', 'hash') GROUP BY doc_id),
+mm0_b AS (SELECT doc_id, SUM(wgt) AS s FROM wf
+          WHERE field = 'body' AND term IN ('spark', 'hash') GROUP BY doc_id),
+mm0 AS (
+  SELECT 'mm0' AS query_id, COALESCE(a.doc_id, b.doc_id) AS doc_id,
+         CASE WHEN a.s IS NOT NULL AND b.s IS NOT NULL
+              THEN GREATEST(a.s, b.s)
+                   + 0.4 * (a.s + b.s - GREATEST(a.s, b.s))
+              ELSE COALESCE(a.s, b.s) END AS score
+  FROM mm0_t a FULL OUTER JOIN mm0_b b ON a.doc_id = b.doc_id
+),
+mm1_t AS (SELECT doc_id, SUM(wgt) AS s FROM wf
+          WHERE field = 'title' AND term IN ('merge', 'window') GROUP BY doc_id),
+mm1_b AS (SELECT doc_id, SUM(wgt) AS s FROM wf
+          WHERE field = 'body' AND term IN ('merge', 'window') GROUP BY doc_id),
+mm1 AS (
+  SELECT 'mm1' AS query_id, COALESCE(a.doc_id, b.doc_id) AS doc_id,
+         COALESCE(a.s, 0) + COALESCE(b.s, 0) AS score
+  FROM mm1_t a FULL OUTER JOIN mm1_b b ON a.doc_id = b.doc_id
+),
+mmall AS (SELECT * FROM mm0 UNION ALL SELECT * FROM mm1),
+mmrun AS (
+  SELECT query_id, doc_id, score,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+         ) AS INTEGER) AS rank
+  FROM mmall
+)
+SELECT query_id, doc_id, ROUND(score, 6) AS score, rank
+FROM mmrun WHERE rank <= 10
+"""
+
 # dsl_dismax oracle: per-branch score CTEs (a multi-term branch sums
 # inside the branch), then max + tie_breaker × (sum − max) via GREATEST
 # over the outer-joined branches — the same combination structure the
@@ -3605,6 +3691,18 @@ def q_dsl_fielded(spark, sf_dir):
 
     fx = _entry_fielded(spark, sf_dir)
     run = search_dsl_fielded(fx, DSL_FIELDED_QUERIES, k=10)
+    return run.withColumn("score", F.round("score", 6))
+
+
+def q_dsl_multi_match(spark, sf_dir):
+    """multi_match leaves on the fielded DSL: best_fields (dis_max of
+    per-field matches, field boosts folded into leaf boosts) and
+    most_fields (bool.should sum) — ES's documented decomposition as a
+    compile-time rewrite onto already-verified constructs."""
+    from openmatch_spark.query import search_dsl_fielded
+
+    fx = _entry_fielded(spark, sf_dir)
+    run = search_dsl_fielded(fx, DSL_MULTI_MATCH_QUERIES, k=10)
     return run.withColumn("score", F.round("score", 6))
 
 
@@ -7172,6 +7270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_dismax": q_dsl_dismax,
         "dsl_filtered_pattern": q_dsl_filtered_pattern,
         "dsl_fielded": q_dsl_fielded,
+        "dsl_multi_match": q_dsl_multi_match,
         "query_string_grouped": q_query_string_grouped,
         "passage_maxp": q_passage_maxp,
         "bm25_boolean": q_bm25_boolean,
@@ -7476,6 +7575,7 @@ SELECT query_id, doc_id, ROUND(score, 6) AS score, rank FROM prun WHERE rank <= 
     sql["dsl_dismax"] = _DSL_DISMAX_SQL
     sql["dsl_filtered_pattern"] = _DSL_FILTER_PATTERN_SQL
     sql["dsl_fielded"] = _DSL_FIELDED_SQL
+    sql["dsl_multi_match"] = _DSL_MM_SQL
     sql["query_string_grouped"] = _QS_GROUPED_SQL
 
     # phrase percolation: roles as in `percolate`, plus the offset-

@@ -220,7 +220,8 @@ def suite() -> dict:
     for name in ["query_string", "function_score", "facet_adjacency",
                  "hit_extended_stats", "phrase_prefix", "phrase_suggest",
                  "cross_fields_indexed", "match_bool_prefix", "intervals",
-                 "categorize_text", "dsl_nested", "dsl_constant_score"]:
+                 "categorize_text", "dsl_nested", "dsl_constant_score",
+                 "dsl_fielded", "query_string_grouped"]:
         t, _ = _timed(lambda n=name: em.queries()[n](spark, SF_DIR).count())
         r4_surfaces[name] = round(t, 3)
 

@@ -173,7 +173,14 @@ def cmd_search(args) -> int:
     )
 
     spark = _spark("om-search")
-    idx = load_index(spark, args.index, table_prefix=args.table_prefix)
+    fielded = getattr(args, "fielded", False)
+    if fielded and not getattr(args, "dsl", False):
+        raise SystemExit(
+            "--fielded pairs with --dsl (the multi-field DSL surface); "
+            "plain fielded search is `search_fielded` via the library API"
+        )
+    idx = (None if fielded
+           else load_index(spark, args.index, table_prefix=args.table_prefix))
     if args.queries.endswith(".parquet"):
         queries = spark.read.parquet(args.queries)
     else:
@@ -184,15 +191,27 @@ def cmd_search(args) -> int:
         )
     if getattr(args, "dsl", False):
         # ES-DSL front door: each query's text column holds a JSON query
-        # dict (query/dsl.py grammar)
-        from openmatch_spark.query import search_dsl
-
-        mode = "dsl"
+        # dict (query/dsl.py grammar); --fielded routes multi-field
+        # leaves over a build-fielded-index directory
         qmap = {
             str(r["query_id"]): json.loads(r["text"])
             for r in queries.select("query_id", "text").collect()
         }
-        run = search_dsl(idx, qmap, k=args.k)
+        if fielded:
+            from openmatch_spark.query import (
+                load_fielded_index,
+                search_dsl_fielded,
+            )
+
+            mode = "dsl_fielded"
+            run = search_dsl_fielded(
+                load_fielded_index(spark, args.index), qmap, k=args.k
+            )
+        else:
+            from openmatch_spark.query import search_dsl
+
+            mode = "dsl"
+            run = search_dsl(idx, qmap, k=args.k)
     elif getattr(args, "sorted_by_index", False):
         import pyspark.sql.functions as F
 
@@ -497,8 +516,14 @@ def main(argv=None) -> int:
                          "(e.g. \"lang = 'en'\")")
     se.add_argument("--dsl", action="store_true",
                     help="each query text is an ES-style JSON query dict "
-                         "(bool/match/match_phrase/term/prefix/wildcard/"
-                         "fuzzy/regexp)")
+                         "(bool to any nesting depth / match / match_phrase /"
+                         " term / prefix / wildcard / fuzzy / regexp /"
+                         " constant_score / match_all / dis_max; filter"
+                         " context on doc values)")
+    se.add_argument("--fielded", action="store_true",
+                    help="with --dsl: --index is a build-fielded-index "
+                         "directory and leaves may name any sub-index "
+                         "field (multi_match supported)")
     se.add_argument("--query-string", action="store_true",
                     help="parse each text as a Lucene-classic query string "
                          "(+must/-not, phrases, prefixes, wildcards, fuzzy, boosts)")

@@ -356,6 +356,24 @@ DSL_FIELDED_QUERIES = {
                      "must_not": [{"match": {"body": "scan"}}]}},
 }
 
+# filter context on the fielded DSL (union-of-docmaps doc values). ff0
+# cross-field bool gated by lang; ff1 constant_score under must (gate +
+# fixed bonus); ff2 the must_not filter-only rewrite.
+DSL_FIELDED_FILTERED_QUERIES = {
+    "ff0": {"bool": {"should": [{"match": {"title": "spark"}},
+                                {"match": {"body": "join"}}],
+            "filter": [{"term": {"lang": "en"}}]}},
+    "ff1": {"bool": {
+        "should": [{"match": {"body": "merge"}}],
+        "must": [{"constant_score": {"filter": {"terms": {"lang": ["de", "fr"]}},
+                                     "boost": 1.5}}],
+    }},
+    "ff2": {"bool": {
+        "should": [{"match": {"title": "hash"}}],
+        "must_not": [{"bool": {"filter": [{"term": {"lang": "en"}}]}}],
+    }},
+}
+
 # multi_match leaves on the fielded DSL (ES's documented decomposition,
 # compile-time rewrite): mm0 best_fields with a title^2 boost and
 # tie_breaker; mm1 most_fields (per-field scores sum).
@@ -2116,6 +2134,82 @@ SELECT query_id, doc_id, ROUND(score, 6) AS score, rank
 FROM mmrun WHERE rank <= 10
 """
 
+# dsl_fielded_filtered oracle: the per-field weight table gated by lang
+# predicates over the raw documents table (attrs are doc-level, so the
+# union-of-docmaps evaluation equals one lang lookup per doc).
+_DSL_FF_SQL = f"""
+WITH docs_toks AS (
+  SELECT CAST(d.doc_id AS VARCHAR) AS doc_id,
+         list_filter(regexp_split_to_array(lower(d.text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM documents d
+),
+fields AS (
+  SELECT doc_id, list_slice(toks, 1, 8) AS title,
+         list_slice(toks, 9, len(toks)) AS body
+  FROM docs_toks
+),
+ftok AS (
+  SELECT doc_id, 'title' AS field, t.term FROM fields, UNNEST(title) AS t(term)
+  UNION ALL
+  SELECT doc_id, 'body' AS field, t.term FROM fields, UNNEST(body) AS t(term)
+),
+flen AS (
+  SELECT doc_id, 'title' AS field, CAST(len(title) AS DOUBLE) AS flen FROM fields
+  UNION ALL
+  SELECT doc_id, 'body' AS field, CAST(len(body) AS DOUBLE) AS flen FROM fields
+),
+tff AS (SELECT doc_id, field, term, CAST(COUNT(*) AS DOUBLE) AS tf
+        FROM ftok GROUP BY doc_id, field, term),
+avgf AS (SELECT field, AVG(flen) AS avgflen FROM flen GROUP BY field),
+nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+dff AS (SELECT field, term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+        FROM ftok GROUP BY field, term),
+wf AS (
+  SELECT t.doc_id, t.field, t.term,
+         ln(1 + (nd.n_docs - dff.df + 0.5) / (dff.df + 0.5))
+           * t.tf / (t.tf + {K1} * (1 - {B} + {B} * l.flen / a.avgflen)) AS wgt
+  FROM tff t
+  JOIN flen l ON l.doc_id = t.doc_id AND l.field = t.field
+  JOIN avgf a ON a.field = t.field
+  JOIN dff ON dff.field = t.field AND dff.term = t.term
+  CROSS JOIN nd
+),
+dmeta AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, lang FROM documents),
+ff0_t AS (SELECT doc_id, wgt AS s FROM wf WHERE field = 'title' AND term = 'spark'),
+ff0_b AS (SELECT doc_id, wgt AS s FROM wf WHERE field = 'body' AND term = 'join'),
+ff0 AS (
+  SELECT 'ff0' AS query_id, m.doc_id,
+         COALESCE(a.s, 0) + COALESCE(b.s, 0) AS score
+  FROM dmeta m
+  LEFT JOIN ff0_t a ON a.doc_id = m.doc_id
+  LEFT JOIN ff0_b b ON b.doc_id = m.doc_id
+  WHERE m.lang = 'en' AND (a.doc_id IS NOT NULL OR b.doc_id IS NOT NULL)
+),
+ff1 AS (
+  SELECT 'ff1' AS query_id, w.doc_id, w.wgt + 1.5 AS score
+  FROM wf w JOIN dmeta m ON m.doc_id = w.doc_id
+  WHERE w.field = 'body' AND w.term = 'merge' AND m.lang IN ('de', 'fr')
+),
+ff2 AS (
+  SELECT 'ff2' AS query_id, w.doc_id, w.wgt AS score
+  FROM wf w JOIN dmeta m ON m.doc_id = w.doc_id
+  WHERE w.field = 'title' AND w.term = 'hash'
+    AND m.lang IS DISTINCT FROM 'en'
+),
+ffall AS (
+  SELECT * FROM ff0 UNION ALL SELECT * FROM ff1 UNION ALL SELECT * FROM ff2
+),
+ffrun AS (
+  SELECT query_id, doc_id, score,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+         ) AS INTEGER) AS rank
+  FROM ffall
+)
+SELECT query_id, doc_id, ROUND(score, 6) AS score, rank
+FROM ffrun WHERE rank <= 10
+"""
+
 # dsl_dismax oracle: per-branch score CTEs (a multi-term branch sums
 # inside the branch), then max + tie_breaker × (sum − max) via GREATEST
 # over the outer-joined branches — the same combination structure the
@@ -3691,6 +3785,20 @@ def q_dsl_fielded(spark, sf_dir):
 
     fx = _entry_fielded(spark, sf_dir)
     run = search_dsl_fielded(fx, DSL_FIELDED_QUERIES, k=10)
+    return run.withColumn("score", F.round("score", 6))
+
+
+def q_dsl_fielded_filtered(spark, sf_dir):
+    """Filter context on the fielded DSL: lang predicates evaluate on
+    the UNION of sub-index docmaps (doc-level attrs stored per sub-index
+    by build_fielded_index store_attrs) and gate node results on doc_id
+    without touching per-field scores; constant_score under must is a
+    gate + fixed bonus; the must_not filter-only rewrite excludes by
+    attribute."""
+    from openmatch_spark.query import search_dsl_fielded
+
+    fx = _entry_fielded(spark, sf_dir)
+    run = search_dsl_fielded(fx, DSL_FIELDED_FILTERED_QUERIES, k=10)
     return run.withColumn("score", F.round("score", 6))
 
 
@@ -7159,15 +7267,18 @@ def _entry_fielded(spark, sf_dir):
         toks = _docs(spark, sf_dir).select(
             F.col("doc_id").cast("string").alias("doc_id"),
             tokenize_col(F.col("text"), "simple").alias("toks"),
+            "lang",
         )
         pages = toks.select(
             "doc_id",
             F.array_join(F.slice("toks", 1, 8), " ").alias("title"),
             F.array_join(F.slice("toks", 9, 1 << 30), " ").alias("body"),
+            "lang",  # doc values: dsl_fielded_filtered entry
         )
         build_fielded_index(
             spark, pages, d, ["title", "body"],
             analyzer="simple", num_shards=4, num_term_buckets=8,
+            store_attrs=["lang"],
         )
         _FIELDED_CACHE[sf_dir] = d
     return load_fielded_index(spark, _FIELDED_CACHE[sf_dir])
@@ -7271,6 +7382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_filtered_pattern": q_dsl_filtered_pattern,
         "dsl_fielded": q_dsl_fielded,
         "dsl_multi_match": q_dsl_multi_match,
+        "dsl_fielded_filtered": q_dsl_fielded_filtered,
         "query_string_grouped": q_query_string_grouped,
         "passage_maxp": q_passage_maxp,
         "bm25_boolean": q_bm25_boolean,
@@ -7576,6 +7688,7 @@ SELECT query_id, doc_id, ROUND(score, 6) AS score, rank FROM prun WHERE rank <= 
     sql["dsl_filtered_pattern"] = _DSL_FILTER_PATTERN_SQL
     sql["dsl_fielded"] = _DSL_FIELDED_SQL
     sql["dsl_multi_match"] = _DSL_MM_SQL
+    sql["dsl_fielded_filtered"] = _DSL_FF_SQL
     sql["query_string_grouped"] = _QS_GROUPED_SQL
 
     # phrase percolation: roles as in `percolate`, plus the offset-

@@ -67,16 +67,27 @@ def build_fielded_index(
     (doc_id, <field columns>); returns {field: build stats}. Rows where
     a field is NULL or empty are absent from that field's sub-index.
     All build_index knobs (analyzer, num_shards, resume, ...) pass
-    through unchanged and apply to every field."""
+    through unchanged and apply to every field — including store_attrs:
+    attribute columns are doc-level, so each sub-index stores the same
+    values in its own docmap (search_dsl_fielded's filter context
+    evaluates predicates on the UNION of sub-index docmaps, so a doc
+    missing one field still filters through another's)."""
     from openmatch_spark.index.build import build_index
 
     if not fields:
         raise ValueError("fields must name at least one text column")
+    attrs = list(build_kw.get("store_attrs") or [])
+    overlap = set(attrs) & set(fields)
+    if overlap:
+        raise ValueError(
+            f"store_attrs {sorted(overlap)} collide with analyzed fields"
+        )
     reports = {}
     for f in sorted(fields):
         sub = pages.select(
             F.col("doc_id").cast("string").alias("doc_id"),
             F.col(f).cast("string").alias("text"),
+            *[F.col(a) for a in attrs],
         ).where(F.col(f).isNotNull() & (F.length(F.col(f)) > 0))
         reports[f] = build_index(
             spark, sub, os.path.join(index_dir, f"field={f}"), **build_kw
@@ -247,9 +258,14 @@ def search_dsl_fielded(
     bool.boost) is query/dsl.py's tree executor keyed on doc_id: one
     shared clause plan PER FIELD, sub-index candidates hydrated to
     doc_id through their own docmaps, then one aggregate per tree
-    depth. Filter context / constant_score / match_all need a
-    doc-values store and are refused here (the single-index search_dsl
-    surface carries them)."""
+    depth. Filter context works when the family was built with
+    store_attrs: attrs are doc-level, so predicates evaluate on the
+    UNION of sub-index docmaps and gate node results on doc_id (same
+    semantics as the single-index surface — statistics and scores
+    untouched); constant_score under must composes as gate + fixed
+    bonus. What the fielded surface does NOT have is the constant doc
+    PAGE shapes (top-level match_all / constant_score / filter-only
+    bools) — a query must carry at least one scoring clause."""
     import json as _json
 
     from openmatch_spark.query.dsl import (
@@ -295,23 +311,66 @@ def search_dsl_fielded(
                 f"a DSL query maps exactly one query type, got {qdict!r}"
             )
         kind = next(iter(qdict))
-        if kind in ("constant_score", "match_all"):
-            raise ValueError(
-                f"{kind} needs a doc-values store — not supported on the "
-                "fielded index (use the single-index search_dsl surface)"
-            )
         body = (qdict["bool"] if kind == "bool"
-                else {"must": [qdict]} if kind == "dis_max"
+                else {"must": [qdict]} if kind in ("dis_max", "constant_score",
+                                                   "match_all")
                 else {"should": [qdict]})
         root = _compile_bool_node(body, analyzer, _TreeCtx(), 0,
                                   fields=fields)
-        for node in _walk_nodes(root):
-            if node.filters or node.anti_filters:
-                raise ValueError(
-                    "filter context needs a doc-values store — not "
-                    "supported on the fielded index"
-                )
+        if not root.clause_items and not root.bool_items:
+            raise ValueError(
+                f"query {qid!r} has no scoring clause — the fielded DSL "
+                "has no doc page shape (constant/filter-only queries "
+                "belong on the single-index search_dsl surface)"
+            )
         trees[qid] = root
+
+    # ---- filter context on the UNION of sub-index docmaps: attrs are
+    # doc-level and stored identically in every sub-index, so a doc
+    # missing one field still filters through another's docmap ----
+    from openmatch_spark.query.dsl import _filter_sql
+
+    stored = tuple(sorted(
+        set.intersection(*(set(findex[f].stored_attrs) for f in fields))
+    )) if all(findex[f].stored_attrs for f in fields) else tuple()
+    fids: dict = {}
+    fmap_rows: list = []
+    amap_rows: list = []
+    for qid, root in sorted(trees.items()):
+        for node in _walk_nodes(root):
+            need = [f2 for fspecs in node.filters + node.anti_filters
+                    for f2 in fspecs if f2["kind"] not in ("ids", "all")]
+            if need and not stored:
+                raise ValueError(
+                    "bool.filter needs stored doc values, but this fielded "
+                    "index was built without store_attrs (ids filters work "
+                    "on any index)"
+                )
+            if node.filters:
+                specs = [f2 for fspecs in node.filters for f2 in fspecs]
+                real = [f2 for f2 in specs if f2["kind"] != "all"]
+                sql = " AND ".join(
+                    f"({_filter_sql(f2, stored)})" for f2 in real
+                ) if real else None
+                if sql is not None:
+                    fmap_rows.append(
+                        (qid, node.node_id, fids.setdefault(sql, len(fids)))
+                    )
+            for fspecs in node.anti_filters:
+                sql = " AND ".join(
+                    f"({_filter_sql(f2, stored)})" for f2 in fspecs
+                )
+                amap_rows.append(
+                    (qid, node.node_id, fids.setdefault(sql, len(fids)))
+                )
+    allowed = None
+    for sql, fid in sorted(fids.items(), key=lambda kv: kv[1]):
+        a = None
+        for f2 in fields:
+            part = findex[f2].docmap.where(F.expr(sql)).select("doc_id")
+            a = part if a is None else a.unionByName(part)
+        a = a.distinct().select(F.lit(fid).cast("int").alias("fid"), "doc_id")
+        allowed = a if allowed is None else allowed.unionByName(a)
 
     # ---- one shared clause plan per FIELD, candidates keyed by doc_id ----
     per_field: dict = {}
@@ -367,7 +426,7 @@ def search_dsl_fielded(
         gate_rows = [
             (qid, node.node_id, node.n_must, node.msm,
              int(node.combine == "dis_max"), float(node.tie_breaker),
-             float(node.boost))
+             float(node.boost), float(node.const_bonus))
             for (qid, node) in level
         ]
         meta = F.broadcast(spark.createDataFrame(
@@ -376,7 +435,7 @@ def search_dsl_fielded(
         gates = F.broadcast(spark.createDataFrame(
             gate_rows,
             "query_id string, node int, n_must int, msm int,"
-            " dismax int, tb double, mult double",
+            " dismax int, tb double, mult double, bonus double",
         ))
         res = (
             item_src.join(meta, ["query_id", "iid"])
@@ -409,15 +468,40 @@ def search_dsl_fielded(
             .select(
                 "query_id", "node", "doc_id",
                 (
-                    F.when(
-                        F.col("dismax") == 1,
-                        F.col("max_s")
-                        + F.col("tb") * (F.col("score") - F.col("max_s")),
-                    ).otherwise(F.col("score"))
+                    (
+                        F.when(
+                            F.col("dismax") == 1,
+                            F.col("max_s")
+                            + F.col("tb") * (F.col("score") - F.col("max_s")),
+                        ).otherwise(F.col("score"))
+                        + F.col("bonus")
+                    )
                     * F.col("mult")
                 ).alias("score"),
             )
         )
+        level_keys = {(lq, ln.node_id) for (lq, ln) in level}
+        lvl_fmap = [(q, n, f2) for (q, n, f2) in fmap_rows
+                    if (q, n) in level_keys]
+        if lvl_fmap:
+            fm = F.broadcast(spark.createDataFrame(
+                lvl_fmap, "query_id string, node int, fid int"
+            ))
+            probe = allowed.select("fid", "doc_id", F.lit(1).alias("_fhit"))
+            res = (
+                res.join(fm, ["query_id", "node"], "left")
+                .join(probe, ["fid", "doc_id"], "left")
+                .where(F.col("fid").isNull() | F.col("_fhit").isNotNull())
+                .select("query_id", "node", "doc_id", "score")
+            )
+        lvl_amap = [(q, n, f2) for (q, n, f2) in amap_rows
+                    if (q, n) in level_keys]
+        if lvl_amap:
+            am = F.broadcast(spark.createDataFrame(
+                lvl_amap, "query_id string, node int, fid int"
+            ))
+            excl = am.join(allowed, "fid").select("query_id", "node", "doc_id")
+            res = res.join(excl, ["query_id", "node", "doc_id"], "left_anti")
         if depth == 0:
             root_out = res.select("query_id", "doc_id", "score")
         else:

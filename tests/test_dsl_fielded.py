@@ -29,14 +29,20 @@ ROWS = [
     ("d4", "hash tables", "open addressing and chained hash tables"),
     ("d5", "spark hash internals", "window merge spark spark"),
 ]
+LANGS = {"d0": "en", "d1": "de", "d2": "en", "d3": "fr", "d4": "en",
+         "d5": "de"}
 
 
 @pytest.fixture(scope="module")
 def fx(spark):
-    pages = spark.createDataFrame(ROWS, "doc_id string, title string, body string")
+    pages = spark.createDataFrame(
+        [(*r, LANGS[r[0]]) for r in ROWS],
+        "doc_id string, title string, body string, lang string",
+    )
     d = tempfile.mkdtemp(prefix="om_fdsl_idx_")
     build_fielded_index(spark, pages, d, ["title", "body"], analyzer="simple",
-                        num_shards=2, num_term_buckets=4, block_size=4)
+                        num_shards=2, num_term_buckets=4, block_size=4,
+                        store_attrs=["lang"])
     return load_fielded_index(spark, d)
 
 
@@ -142,14 +148,44 @@ def test_same_term_different_fields_distinct_stats(fx, ref):
 def test_validation(fx):
     with pytest.raises(ValueError, match="unknown field"):
         search_dsl_fielded(fx, {"q": {"match": {"abstract": "x"}}}, k=5)
-    with pytest.raises(ValueError, match="doc-values"):
-        search_dsl_fielded(fx, {"q": {"bool": {
-            "should": [{"match": {"title": "spark"}}],
-            "filter": [{"term": {"lang": "en"}}]}}}, k=5)
-    with pytest.raises(ValueError, match="doc-values"):
+    with pytest.raises(ValueError, match="no scoring clause"):
         search_dsl_fielded(fx, {"q": {"match_all": {}}}, k=5)
+    with pytest.raises(ValueError, match="no scoring clause"):
+        search_dsl_fielded(fx, {"q": {"constant_score": {
+            "filter": {"term": {"lang": "en"}}}}}, k=5)
     with pytest.raises(ValueError, match="analyzes to"):
         search_dsl_fielded(fx, {"q": {"term": {"title": "two words"}}}, k=5)
+
+
+def test_filter_context_on_union_docmaps(fx, ref):
+    got = _run(fx, {"bool": {
+        "should": [{"match": {"title": "spark"}}],
+        "filter": [{"term": {"lang": "en"}}],
+    }})
+    exp = {d: s for d, s in ref["title"]["spark"].items()
+           if LANGS[d] == "en"}
+    _close(got, exp)
+
+
+def test_constant_score_must_on_fielded(fx, ref):
+    got = _run(fx, {"bool": {
+        "should": [{"match": {"body": "hash"}}],
+        "must": [{"constant_score": {"filter": {"term": {"lang": "en"}},
+                                     "boost": 2.0}}],
+    }})
+    exp = {d: s + 2.0 for d, s in ref["body"]["hash"].items()
+           if LANGS[d] == "en"}
+    _close(got, exp)
+
+
+def test_must_not_filter_rewrite_on_fielded(fx, ref):
+    got = _run(fx, {"bool": {
+        "should": [{"match": {"body": "join"}}],
+        "must_not": [{"bool": {"filter": [{"term": {"lang": "de"}}]}}],
+    }})
+    exp = {d: s for d, s in ref["body"]["join"].items()
+           if LANGS[d] != "de"}
+    _close(got, exp)
 
 
 def test_multi_match_best_fields_rewrite(fx):

@@ -84,8 +84,10 @@ and filter semi-joins. A composed node's passing docs become one item
 row of its parent.
 
 Documented deviations (all fail loudly, never silently approximate):
-  * the index is single-field — the leaf SCORING field key must be
-    "text"; filter fields must be stored doc-values columns;
+  * on a single packed index the leaf SCORING field key must be "text"
+    (multi-field leaves + multi_match live on the fielded surface,
+    query/fielded.py search_dsl_fielded); filter fields must be stored
+    doc-values columns;
   * scoring leaves are not accepted in filter context (use must —
     identical matching, and the engine's scoring is the point), nor
     attribute leaves directly in must_not (use the filter-only-bool

@@ -557,6 +557,8 @@ def _compile_dismax_node(body, analyzer: str, ctx: "_TreeCtx",
         if ekind == "bool":
             child = _compile_bool_node(ebody, analyzer, ctx, depth + 1,
                                        fields=fields)
+            if child is None:
+                continue  # the branch analyzed to nothing and vanishes
             if not child.clause_items and not child.bool_items:
                 raise ValueError(
                     "a filter-only bool cannot be a dis_max branch (it "
@@ -566,13 +568,15 @@ def _compile_dismax_node(body, analyzer: str, ctx: "_TreeCtx",
         elif ekind == "dis_max":
             child = _compile_dismax_node(ebody, analyzer, ctx, depth + 1,
                                          fields=fields)
+            if child is None:
+                continue
             node.bool_items.append((ctx.item(), "should", child))
         elif ekind in _LEAF_KINDS:
-            cs = _analyzed(
-                _leaf_clauses(ekind, ebody, "should", allow_operator=False,
-                              fields=fields),
-                analyzer,
-            )
+            raws = _leaf_clauses(ekind, ebody, "should",
+                                 allow_operator=False, fields=fields)
+            a = (analyzer[raws[0].fieldname]
+                 if isinstance(analyzer, dict) else analyzer)
+            cs = _analyzed(raws, a)
             if len(cs) == 1:
                 node.clause_items.append((ctx.item(), "should", cs[0]))
             elif len(cs) > 1:
@@ -587,7 +591,9 @@ def _compile_dismax_node(body, analyzer: str, ctx: "_TreeCtx",
                 "queries only — constant_score/match_all belong in bool)"
             )
     if not node.clause_items and not node.bool_items:
-        raise ValueError("dis_max has no live branches")
+        # every branch analyzed to nothing: the dis_max vanishes (the
+        # flat path's empty-clause rule lifted to the whole node)
+        return None
     return node
 
 
@@ -641,6 +647,7 @@ def _compile_bool_node(body, analyzer: str, ctx: _TreeCtx,
     node.boost = float(body.get("boost", 1.0))
     if node.boost <= 0:
         raise ValueError(f"boost must be positive, got {node.boost}")
+    n_entries = 0
     for role in ("must", "should", "must_not"):
         entries = body.get(role, [])
         if isinstance(entries, dict):
@@ -650,9 +657,14 @@ def _compile_bool_node(body, analyzer: str, ctx: _TreeCtx,
                 raise ValueError(f"bool {role} entries must be single-key "
                                  f"query dicts, got {entry!r}")
             ekind, ebody = next(iter(entry.items()))
+            n_entries += 1
             if ekind == "bool":
                 child = _compile_bool_node(ebody, analyzer, ctx, depth + 1,
                                        fields=fields)
+                if child is None:
+                    # the child's clauses all analyzed away: like the
+                    # flat path's vanished clauses, it imposes nothing
+                    continue
                 if not child.clause_items and not child.bool_items:
                     # filter-only bool: compile-time rewrite to a gate
                     if role == "must":
@@ -701,6 +713,8 @@ def _compile_bool_node(body, analyzer: str, ctx: _TreeCtx,
             if ekind == "dis_max":
                 child = _compile_dismax_node(ebody, analyzer, ctx, depth + 1,
                                          fields=fields)
+                if child is None:
+                    continue
                 node.bool_items.append((ctx.item(), role, child))
                 continue
             if ekind == "match_all":
@@ -718,7 +732,11 @@ def _compile_bool_node(body, analyzer: str, ctx: _TreeCtx,
                 raise ValueError(f"unsupported query type {ekind!r} in bool")
             raws = _leaf_clauses(ekind, ebody, role, allow_operator=False,
                                  fields=fields)
-            for c in _analyzed(raws, analyzer):
+            # per-field analyzers (fielded surface): analyzer may be a
+            # {field: analyzer} dict; one leaf targets one field
+            a = (analyzer[raws[0].fieldname]
+                 if isinstance(analyzer, dict) else analyzer)
+            for c in _analyzed(raws, a):
                 node.clause_items.append((ctx.item(), c.role, c))
     entries = body.get("filter", [])
     if isinstance(entries, dict):
@@ -734,6 +752,12 @@ def _compile_bool_node(body, analyzer: str, ctx: _TreeCtx,
         node.filters.append(fspecs)
     if (not node.clause_items and not node.bool_items
             and not node.filters and not node.anti_filters):
+        if n_entries:
+            # every written clause analyzed to nothing (e.g. all
+            # stopwords): the bool VANISHES — flat-path parity, where
+            # analysis-emptied clauses drop silently and an all-empty
+            # query matches nothing
+            return None
         raise ValueError("bool query has no clauses")
     node.n_must = sum(
         1 for (_, r, _) in node.clause_items + node.bool_items if r == "must"
@@ -1064,9 +1088,14 @@ def search_dsl(
             # top-level constant_score / match_all: the must-of-one form
             body = (qdict["bool"] if kind == "bool"
                     else {"must": [qdict]})
-            trees[qid] = _compile_bool_node(body, analyzer, _TreeCtx(), 0)
-        nested_run = _execute_tree(
-            index, trees, k, max_expansions, fuzzy_prefix_len
+            root = _compile_bool_node(body, analyzer, _TreeCtx(), 0)
+            if root is not None:  # None: everything analyzed away
+                trees[qid] = root
+        nested_run = (
+            _execute_tree(index, trees, k, max_expansions, fuzzy_prefix_len)
+            if trees else spark.createDataFrame(
+                [], "query_id string, doc_id string, score double, rank int"
+            )
         )
         flat_qs = {q: d for q, d in queries.items() if str(q) not in nested}
         if not flat_qs:

@@ -82,6 +82,16 @@ def build_fielded_index(
         raise ValueError(
             f"store_attrs {sorted(overlap)} collide with analyzed fields"
         )
+    # per-field analyzers (the ES mapping shape): analyzer may be a
+    # {field: analyzer} dict; each sub-index freezes its own in
+    # stats.json and every query surface reads it from there
+    analyzer = build_kw.pop("analyzer", None)
+    if isinstance(analyzer, dict):
+        missing = set(fields) - set(analyzer)
+        if missing:
+            raise ValueError(
+                f"analyzer dict is missing fields {sorted(missing)}"
+            )
     reports = {}
     for f in sorted(fields):
         sub = pages.select(
@@ -89,8 +99,12 @@ def build_fielded_index(
             F.col(f).cast("string").alias("text"),
             *[F.col(a) for a in attrs],
         ).where(F.col(f).isNotNull() & (F.length(F.col(f)) > 0))
+        kw = dict(build_kw)
+        if analyzer is not None:
+            kw["analyzer"] = (analyzer[f] if isinstance(analyzer, dict)
+                              else analyzer)
         reports[f] = build_index(
-            spark, sub, os.path.join(index_dir, f"field={f}"), **build_kw
+            spark, sub, os.path.join(index_dir, f"field={f}"), **kw
         )
     tmp = os.path.join(index_dir, _MANIFEST + ".tmp")
     with open(tmp, "w") as fh:
@@ -271,7 +285,6 @@ def search_dsl_fielded(
     from openmatch_spark.query.dsl import (
         _GLUE,
         _TreeCtx,
-        _collect_term_values,
         _compile_bool_node,
         _walk_nodes,
     )
@@ -287,9 +300,35 @@ def search_dsl_fielded(
     fields = tuple(sorted(findex))
     first = findex[fields[0]]
     spark = first.spark
-    analyzer = first.stats["analyzer"]
+    # per-field analyzers (each sub-index froze its own in stats.json)
+    analyzers = {f: findex[f].stats["analyzer"] for f in fields}
 
     from openmatch_spark.analysis import tokenize_py
+
+    def _term_field_values(q):
+        out = []
+        if not isinstance(q, dict) or len(q) != 1:
+            return out
+        kind, body = next(iter(q.items()))
+        if kind == "term" and isinstance(body, dict) and len(body) == 1:
+            fld, spec = next(iter(body.items()))
+            v = spec if isinstance(spec, str) else (
+                spec.get("value") if isinstance(spec, dict) else None
+            )
+            if isinstance(v, str):
+                out.append((fld, v))
+        elif kind == "bool" and isinstance(body, dict):
+            for role in ("must", "should", "must_not"):
+                rs = body.get(role, [])
+                rs = [rs] if isinstance(rs, dict) else rs
+                for e in rs:
+                    if isinstance(e, dict):
+                        out.extend(_term_field_values(e))
+        elif kind == "dis_max" and isinstance(body, dict):
+            for e in body.get("queries", []) or []:
+                if isinstance(e, dict):
+                    out.extend(_term_field_values(e))
+        return out
 
     trees: dict = {}
     for qid, qdict in sorted(queries.items()):
@@ -299,8 +338,10 @@ def search_dsl_fielded(
             raise ValueError(
                 f"query_id {qid!r} contains the reserved separator U+001E"
             )
-        for v in _collect_term_values(qdict):
-            toks = tokenize_py(v, analyzer)
+        for fld, v in _term_field_values(qdict):
+            if fld not in analyzers:
+                continue  # the compile raises the unknown-field error
+            toks = tokenize_py(v, analyzers[fld])
             if len(toks) != 1:
                 raise ValueError(
                     f"term value {v!r} analyzes to {len(toks)} tokens — "
@@ -315,8 +356,10 @@ def search_dsl_fielded(
                 else {"must": [qdict]} if kind in ("dis_max", "constant_score",
                                                    "match_all")
                 else {"should": [qdict]})
-        root = _compile_bool_node(body, analyzer, _TreeCtx(), 0,
+        root = _compile_bool_node(body, analyzers, _TreeCtx(), 0,
                                   fields=fields)
+        if root is None:
+            continue  # every clause analyzed away: the query matches nothing
         if not root.clause_items and not root.bool_items:
             raise ValueError(
                 f"query {qid!r} has no scoring clause — the fielded DSL "
@@ -403,7 +446,7 @@ def search_dsl_fielded(
     empty = spark.createDataFrame(
         [], "query_id string, doc_id string, score double, rank int"
     )
-    if items is None:
+    if items is None or not trees:
         return empty
     item_src = items.localCheckpoint()
 

@@ -241,3 +241,53 @@ def test_multi_match_validation(fx):
     with pytest.raises(ValueError, match="unknown field"):
         search_dsl_fielded(fx, {"q": {"multi_match": {
             "query": "x", "fields": ["abstract"]}}}, k=5)
+
+
+@pytest.fixture(scope="module")
+def fx_mixed(spark):
+    """title: simple (keeps stopwords); body: english_stop (drops them)."""
+    pages = spark.createDataFrame(
+        [("m0", "The Spark Engine", "the spark engine and the hash join"),
+         ("m1", "A Sort Merge", "sort merge join and the hash join"),
+         ("m2", "Window Functions", "the rank of the rows in the window")],
+        "doc_id string, title string, body string",
+    )
+    d = tempfile.mkdtemp(prefix="om_fdsl_mixed_")
+    build_fielded_index(
+        spark, pages, d, ["title", "body"],
+        analyzer={"title": "simple", "body": "english_stop"},
+        num_shards=1, num_term_buckets=2, block_size=4,
+    )
+    return load_fielded_index(spark, d)
+
+
+def test_per_field_analyzers(fx_mixed):
+    assert fx_mixed["title"].stats["analyzer"] == "simple"
+    assert fx_mixed["body"].stats["analyzer"] == "english_stop"
+    # 'the' is a term under simple, a stopword under english_stop
+    t = _run(fx_mixed, {"match": {"title": "the"}})
+    b = _run(fx_mixed, {"match": {"body": "the"}})
+    assert set(t) == {"m0"} and not b
+    got = _run(fx_mixed, {"bool": {"should": [
+        {"match": {"title": "the spark"}},
+        {"match": {"body": "the hash join"}},
+    ]}})
+    assert set(got) == {"m0", "m1"}
+
+
+def test_all_stopword_queries_vanish_not_error(fx_mixed):
+    # a leaf, a nested group, and a dis_max that fully analyze away all
+    # return EMPTY results (flat-path parity), never raise
+    assert _run(fx_mixed, {"match": {"body": "the and of"}}) == {}
+    assert _run(fx_mixed, {"bool": {"should": [
+        {"bool": {"should": [{"match": {"body": "the and"}}]}},
+    ]}}) == {}
+    assert _run(fx_mixed, {"dis_max": {"queries": [
+        {"match": {"body": "the"}}, {"match": {"body": "and"}},
+    ]}}) == {}
+    # and a vanished nested group beside a live leaf imposes nothing
+    got = _run(fx_mixed, {"bool": {"should": [
+        {"bool": {"should": [{"match": {"body": "the and"}}]}},
+        {"match": {"body": "hash"}},
+    ]}})
+    assert set(got) == {"m0", "m1"}

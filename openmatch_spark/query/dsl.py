@@ -1022,8 +1022,10 @@ def _execute_tree(
                 root_out = root_out.unionByName(zp)
         else:
             # composed nodes become one item row of their parent;
-            # checkpoint the (small, post-gate) level result so the next
-            # level's plan does not re-embed this one
+            # checkpoint the (small, post-gate) level result so LOWER
+            # levels' plans do not re-embed this one — except at depth 1,
+            # where only the root remains and references it exactly once
+            # (a checkpoint there is a pure extra materialization job)
             parent_map = [
                 (qid, child.node_id, iid)
                 for qid, root in sorted(roots.items())
@@ -1034,11 +1036,12 @@ def _execute_tree(
             pm = F.broadcast(spark.createDataFrame(
                 parent_map, "query_id string, node int, iid int"
             ))
-            item_src = item_src.unionByName(
-                res.join(pm, ["query_id", "node"])
-                .select("query_id", "iid", "shard", "doc_ord", "score")
-                .localCheckpoint()
+            conv = res.join(pm, ["query_id", "node"]).select(
+                "query_id", "iid", "shard", "doc_ord", "score"
             )
+            if depth > 1:
+                conv = conv.localCheckpoint()
+            item_src = item_src.unionByName(conv)
     return _finalize(index, root_out, k, [])
 
 

@@ -558,11 +558,14 @@ def search_dsl_fielded(
             pm = F.broadcast(spark.createDataFrame(
                 parent_map, "query_id string, node int, iid int"
             ))
-            item_src = item_src.unionByName(
-                res.join(pm, ["query_id", "node"])
-                .select("query_id", "iid", "doc_id", "score")
-                .localCheckpoint()
+            conv = res.join(pm, ["query_id", "node"]).select(
+                "query_id", "iid", "doc_id", "score"
             )
+            if depth > 1:
+                # at depth 1 only the root remains and references this
+                # once — checkpointing there is pure overhead
+                conv = conv.localCheckpoint()
+            item_src = item_src.unionByName(conv)
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("doc_id")
     )

@@ -222,3 +222,34 @@ def test_metric_agg_plans_pure_jvm(spark):
         assert s["broadcasts"] >= 1
         plan = capture_plan(df)
         assert "InArrow" not in plan and "InPandas" not in plan
+
+
+def test_nested_dsl_plan_stays_compact(spark, idx):
+    """The nested-DSL item-composition path must keep its one-aggregate-
+    per-level shape: bounded shuffle exchanges and parquet scans for a
+    depth-1 two-query batch (the restructure took 117 exchanges / 45
+    scans down to ~13 / ~8 — this pins against plan-blowup regressions;
+    the checkpointed item plan executes separately and is not in this
+    lineage)."""
+    import re
+
+    from openmatch_spark.query import search_dsl
+
+    run = search_dsl(idx, {
+        "n1": {"bool": {"should": [
+            {"bool": {"should": [{"match": {"text": "term0001"}},
+                                 {"match": {"text": "term0002"}}],
+                      "minimum_should_match": 2}},
+            {"match": {"text": "term0003"}},
+        ]}},
+        "n2": {"bool": {
+            "must": [{"bool": {"should": [{"match": {"text": "term0004"}},
+                                          {"match": {"text": "term0001"}}]}}],
+            "must_not": [{"bool": {"must": [{"match": {"text": "term0002"}}]}}],
+        }},
+    }, k=10)
+    plan = capture_plan(run)
+    ex = len(re.findall(r"\bExchange hash", plan))
+    sc = plan.count("Scan parquet")
+    assert ex <= 20, f"nested-DSL plan regressed to {ex} shuffle exchanges"
+    assert sc <= 12, f"nested-DSL plan regressed to {sc} parquet scans"

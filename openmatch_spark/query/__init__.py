@@ -78,6 +78,7 @@ from openmatch_spark.query.decay import (  # noqa: F401
 )
 from openmatch_spark.query.fielded import (  # noqa: F401
     build_fielded_index,
+    compact_fielded_index,
     load_fielded_index,
     search_dsl_fielded,
     search_fielded,

@@ -652,3 +652,39 @@ def rewrite_multi_match(q):
             out["queries"] = [rewrite_multi_match(e) for e in body["queries"]]
         return {"dis_max": out}
     return q
+
+
+def compact_fielded_index(
+    spark: SparkSession,
+    index_dir: str,
+    auto: bool = False,
+    **compact_kw,
+) -> dict:
+    """Compact every sub-index of a fielded family (each field is a
+    first-class packed index, so this is the per-field loop the module
+    docstring promises — search-identity per field is the single-index
+    compaction contract, property-tested in tests/test_compaction.py).
+    auto=False runs one full merge per field (compact_index defaults);
+    auto=True runs the tiered policy per field (compact_auto). Returns
+    {field: result}."""
+    from openmatch_spark.index import compact_auto, compact_index
+    from openmatch_spark.index.storage import IndexStorage
+
+    with open(os.path.join(index_dir, _MANIFEST)) as fh:
+        manifest = json.load(fh)
+    out = {}
+    for f in manifest["fields"]:
+        sub_dir = os.path.join(index_dir, f"field={f}")
+        if auto:
+            out[f] = compact_auto(spark, sub_dir, **compact_kw)
+            continue
+        store = IndexStorage.resolve(spark, sub_dir)
+        n_shards = store.read("manifest").count()
+        if n_shards < 2:
+            # a single committed segment has nothing to merge — record
+            # the no-op instead of failing the whole family
+            out[f] = {"merged": [], "new_shard": None,
+                      "skipped": "single shard"}
+            continue
+        out[f] = compact_index(spark, sub_dir, **compact_kw)
+    return out

@@ -291,3 +291,30 @@ def test_all_stopword_queries_vanish_not_error(fx_mixed):
         {"match": {"body": "hash"}},
     ]}})
     assert set(got) == {"m0", "m1"}
+
+
+def test_compact_fielded_search_identity(spark):
+    """Compacting every sub-index leaves the fielded DSL run identical
+    (the single-index compaction contract, looped per field)."""
+    from openmatch_spark.query import compact_fielded_index
+
+    # enough docs that both shards of every sub-index commit a segment
+    many = [(f"{r[0]}x{i}", r[1], r[2]) for i in range(20) for r in ROWS]
+    pages = spark.createDataFrame(
+        many, "doc_id string, title string, body string")
+    d = tempfile.mkdtemp(prefix="om_fdsl_cpt_")
+    build_fielded_index(spark, pages, d, ["title", "body"], analyzer="simple",
+                        num_shards=2, num_term_buckets=4, block_size=4)
+    fx = load_fielded_index(spark, d)
+    q = {"bool": {"should": [{"match": {"title": "spark"}},
+                             {"match": {"body": "hash join"}}]}}
+    before = sorted(map(tuple, search_dsl_fielded(fx, {"q": q}, k=100).collect()))
+    res = compact_fielded_index(spark, d)
+    assert set(res) == {"title", "body"}
+    # a sub-index that committed a single segment records the no-op;
+    # multi-segment ones merge
+    assert all(r["merged"] in ([], [0, 1]) for r in res.values())
+    assert any(r["merged"] == [0, 1] for r in res.values())
+    fx2 = load_fielded_index(spark, d)
+    after = sorted(map(tuple, search_dsl_fielded(fx2, {"q": q}, k=100).collect()))
+    assert before == after and before

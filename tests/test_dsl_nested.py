@@ -392,3 +392,31 @@ def test_filter_prefix_wildcard_leaves(idx, leaf):
         search_dsl(idx, {"q": {"bool": {
             "should": [{"match": {"text": "join"}}],
             "filter": [{"prefix": {"lang": ""}}]}}}, k=5)
+
+
+def test_nested_path_masks_tombstones(spark, leaf):
+    """Deleted docs vanish from nested-DSL results (mask_deleted rides
+    _finalize on the tree path too)."""
+    import tempfile as _tf
+
+    from openmatch_spark.index import build_index, load_index
+    from openmatch_spark.index.deletes import delete_docs
+
+    pages = spark.createDataFrame(
+        [(u, None, None, t, lg) for u, t, lg in DOCS],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    d = _tf.mkdtemp(prefix="om_dsl_del_")
+    build_index(spark, pages, d, analyzer="simple", num_shards=2,
+                num_term_buckets=4, block_size=4, store_attrs=["lang"])
+    idx2 = load_index(spark, d)
+    q = {"bool": {"should": [
+        {"bool": {"should": [{"match": {"text": "spark"}},
+                             {"match": {"text": "hash"}}]}},
+    ]}}
+    before = {r["doc_id"] for r in search_dsl(idx2, {"q": q}, k=100).collect()}
+    victim = sorted(before)[0]
+    delete_docs(spark, d, [victim])
+    idx3 = load_index(spark, d)
+    after = {r["doc_id"] for r in search_dsl(idx3, {"q": q}, k=100).collect()}
+    assert after == before - {victim} and victim in before

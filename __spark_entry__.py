@@ -374,6 +374,16 @@ DSL_FIELDED_FILTERED_QUERIES = {
     }},
 }
 
+# explain_dsl: per-clause breakdown on a fixed doc set; root must leaf
+# (node 0) + a nested boosted should group (node 1).
+_DSL_EXPLAIN_DOCS = [f"doc://{i}" for i in range(40)]
+DSL_EXPLAIN_QUERY = {"bool": {
+    "must": [{"match": {"text": "spark"}}],
+    "should": [{"bool": {"should": [
+        {"match": {"text": {"query": "merge", "boost": 2.0}}},
+    ]}}],
+}}
+
 # multi_match leaves on the fielded DSL (ES's documented decomposition,
 # compile-time rewrite): mm0 best_fields with a title^2 boost and
 # tie_breaker; mm1 most_fields (per-field scores sum).
@@ -2210,6 +2220,35 @@ SELECT query_id, doc_id, ROUND(score, 6) AS score, rank
 FROM ffrun WHERE rank <= 10
 """
 
+# dsl_explain oracle: the per-(doc, term) weight table restricted to the
+# fixed doc set, with the hand-compiled clause metadata (node ids follow
+# the compiler's deterministic role-order numbering: root 0, first
+# nested group 1).
+_DSL_EXPLAIN_ID_LIST = ", ".join(
+    f"'{d.removeprefix('doc://')}'" for d in _DSL_EXPLAIN_DOCS
+)
+_DSL_EXPLAIN_SQL = f"""
+WITH {_TOKP},
+{_BM25_CORE},
+w AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1 + (g.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.doclen / g.avgdl)) AS wgt
+  FROM tf
+  JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN dfreq ON dfreq.term = tf.term
+  CROSS JOIN g
+)
+SELECT 'qe0' AS query_id, doc_id, 0 AS node, 0 AS depth,
+       'must' AS role, 'term' AS kind, 'spark' AS text,
+       CAST(1.0 AS DOUBLE) AS boost, ROUND(wgt, 6) AS score
+FROM w WHERE term = 'spark' AND doc_id IN ({_DSL_EXPLAIN_ID_LIST})
+UNION ALL
+SELECT 'qe0', doc_id, 1, 1, 'should', 'term', 'merge',
+       CAST(2.0 AS DOUBLE), ROUND(2.0 * wgt, 6)
+FROM w WHERE term = 'merge' AND doc_id IN ({_DSL_EXPLAIN_ID_LIST})
+"""
+
 # dsl_dismax oracle: per-branch score CTEs (a multi-term branch sums
 # inside the branch), then max + tie_breaker × (sum − max) via GREATEST
 # over the outer-joined branches — the same combination structure the
@@ -3800,6 +3839,23 @@ def q_dsl_fielded_filtered(spark, sf_dir):
     fx = _entry_fielded(spark, sf_dir)
     run = search_dsl_fielded(fx, DSL_FIELDED_FILTERED_QUERIES, k=10)
     return run.withColumn("score", F.round("score", 6))
+
+
+def q_dsl_explain(spark, sf_dir):
+    """ES _explain-style per-clause breakdown (query/dsl.py explain_dsl)
+    on a fixed doc set: one row per matched clause with its tree
+    location (node, depth, role) and contribution. Oracle: the weight
+    table restricted to the doc set with hand-compiled metadata."""
+    from openmatch_spark.query import explain_dsl
+
+    idx = _entry_index(spark, sf_dir)
+    out = explain_dsl(idx, {"qe0": DSL_EXPLAIN_QUERY}, _DSL_EXPLAIN_DOCS)
+    return out.select(
+        "query_id",
+        F.regexp_replace("doc_id", "^doc://", "").alias("doc_id"),
+        "node", "depth", "role", "kind", "text", "boost",
+        F.round("score", 6).alias("score"),
+    )
 
 
 def q_dsl_multi_match(spark, sf_dir):
@@ -7383,6 +7439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_fielded": q_dsl_fielded,
         "dsl_multi_match": q_dsl_multi_match,
         "dsl_fielded_filtered": q_dsl_fielded_filtered,
+        "dsl_explain": q_dsl_explain,
         "query_string_grouped": q_query_string_grouped,
         "passage_maxp": q_passage_maxp,
         "bm25_boolean": q_bm25_boolean,
@@ -7689,6 +7746,7 @@ SELECT query_id, doc_id, ROUND(score, 6) AS score, rank FROM prun WHERE rank <= 
     sql["dsl_fielded"] = _DSL_FIELDED_SQL
     sql["dsl_multi_match"] = _DSL_MM_SQL
     sql["dsl_fielded_filtered"] = _DSL_FF_SQL
+    sql["dsl_explain"] = _DSL_EXPLAIN_SQL
     sql["query_string_grouped"] = _QS_GROUPED_SQL
 
     # phrase percolation: roles as in `percolate`, plus the offset-

@@ -23,7 +23,7 @@ from openmatch_spark.query.dismax import (  # noqa: F401
     dismax_score_adhoc,
 )
 from openmatch_spark.query.diversify import mmr_rerank  # noqa: F401
-from openmatch_spark.query.dsl import compile_dsl, search_dsl  # noqa: F401
+from openmatch_spark.query.dsl import compile_dsl, explain_dsl, search_dsl  # noqa: F401
 from openmatch_spark.query.expand import (  # noqa: F401
     search_bool_prefix,
     search_fuzzy,

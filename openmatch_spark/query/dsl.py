@@ -1216,3 +1216,92 @@ def _collect_term_values(query: dict) -> list:
                 if isinstance(e, dict):
                     out.extend(_collect_term_values(e))
     return out
+
+
+def explain_dsl(
+    index: BM25Index,
+    queries: dict,
+    doc_ids,
+    max_expansions: int = 50,
+    fuzzy_prefix_len: int = 1,
+) -> DataFrame:
+    """ES `_explain`-style per-clause breakdown: for each (query, doc in
+    doc_ids) pair, one row per MATCHED scoring clause anywhere in the
+    query tree — (query_id, doc_id, node, depth, role, kind, text,
+    boost, score). `node` / `depth` locate the clause in the bool tree
+    (node 0 is the root; ids assigned in role order must, should,
+    must_not then document order — deterministic). Works for flat and
+    nested queries alike (everything compiles through the tree path);
+    filter context gates nothing here — explain shows raw clause
+    contributions, the composition rules are the module docstring's.
+    The doc restriction rides the docmap scan as a pushed-down doc_id
+    predicate; clause execution is the standard shared plan."""
+    spark = index.spark
+    analyzer = index.stats["analyzer"]
+    doc_ids = sorted({str(d) for d in doc_ids})
+    if not doc_ids:
+        raise ValueError("doc_ids must name at least one document")
+    trees: dict = {}
+    for qid, qdict in sorted(queries.items()):
+        qid = str(qid)
+        if _GLUE in qid:
+            raise ValueError(
+                f"query_id {qid!r} contains the reserved separator U+001E"
+            )
+        if not isinstance(qdict, dict) or len(qdict) != 1:
+            raise ValueError(
+                f"a DSL query maps exactly one query type, got {qdict!r}"
+            )
+        kind = next(iter(qdict))
+        body = (qdict["bool"] if kind == "bool"
+                else {"must": [qdict]} if kind in ("dis_max",
+                                                   "constant_score",
+                                                   "match_all")
+                else {"should": [qdict]})
+        root = _compile_bool_node(body, analyzer, _TreeCtx(), 0)
+        if root is not None:
+            trees[qid] = root
+    schema = ("query_id string, doc_id string, node int, depth int,"
+              " role string, kind string, text string, boost double,"
+              " score double")
+    clause_pq: dict = {}
+    meta_rows: list = []
+    for qid, root in sorted(trees.items()):
+        for node in _walk_nodes(root):
+            for (iid, role, c) in node.clause_items:
+                clause_pq[f"{qid}{_GLUE}{iid}"] = [
+                    Clause("should", c.kind, c.text, c.boost,
+                           slop=c.slop, edits=c.edits, tokens=c.tokens)
+                ]
+                meta_rows.append(
+                    (qid, iid, node.node_id, node.depth, role, c.kind,
+                     c.text, float(c.boost))
+                )
+    if not clause_pq:
+        return spark.createDataFrame([], schema)
+    cand = _execute_clauses(
+        index, clause_pq, 10, {}, max_expansions, fuzzy_prefix_len,
+        finalize=False,
+    )
+    items = cand.select(
+        F.substring_index("query_id", _GLUE, 1).alias("query_id"),
+        F.substring_index("query_id", _GLUE, -1).cast("int").alias("iid"),
+        "shard", "doc_ord", "score",
+    )
+    sel = F.broadcast(
+        index.docmap.where(F.col("doc_id").isin(doc_ids)).select(
+            "shard", "doc_ord", "doc_id"
+        )
+    )
+    meta = F.broadcast(spark.createDataFrame(
+        meta_rows,
+        "query_id string, iid int, node int, depth int, role string,"
+        " kind string, text string, boost double",
+    ))
+    return (
+        items.join(sel, ["shard", "doc_ord"])
+        .join(meta, ["query_id", "iid"])
+        .select("query_id", "doc_id", "node", "depth", "role", "kind",
+                "text", "boost", "score")
+        .orderBy("query_id", "doc_id", "node", "role", "text")
+    )

@@ -420,3 +420,43 @@ def test_nested_path_masks_tombstones(spark, leaf):
     idx3 = load_index(spark, d)
     after = {r["doc_id"] for r in search_dsl(idx3, {"q": q}, k=100).collect()}
     assert after == before - {victim} and victim in before
+
+
+def test_explain_dsl_breakdown(idx, leaf):
+    """explain_dsl rows reproduce the leaf scores that compose the
+    query, located by (node, depth, role)."""
+    from openmatch_spark.query import explain_dsl
+
+    q = {"bool": {
+        "must": [{"match": {"text": "spark"}}],
+        "should": [{"bool": {"should": [
+            {"match": {"text": {"query": "merge", "boost": 2.0}}},
+        ]}}],
+    }}
+    rows = explain_dsl(idx, {"q": q}, ["doc://6"]).collect()
+    got = {(r["node"], r["depth"], r["role"], r["text"]):
+           (r["boost"], round(r["score"], 9)) for r in rows}
+    # doc6 = "spark window merge": root must 'spark' at node 0, nested
+    # should 'merge' (boost 2) at the child node depth 1
+    assert got == {
+        (0, 0, "must", "spark"): (1.0, round(leaf["spark"]["doc://6"], 9)),
+        (1, 1, "should", "merge"): (2.0, round(2.0 * leaf["merge"]["doc://6"], 9)),
+    }, got
+
+
+def test_explain_dsl_sums_to_search(idx):
+    """Per-doc explain scores sum to the search_dsl score for a pure
+    should query (no gating subtleties)."""
+    from openmatch_spark.query import explain_dsl
+
+    q = {"bool": {"should": [{"match": {"text": "hash join"}},
+                             {"match": {"text": "window"}}]}}
+    run = {r["doc_id"]: r["score"]
+           for r in search_dsl(idx, {"q": q}, k=100).collect()}
+    docs = sorted(run)[:4]
+    rows = explain_dsl(idx, {"q": q}, docs).collect()
+    sums = {}
+    for r in rows:
+        sums[r["doc_id"]] = sums.get(r["doc_id"], 0.0) + r["score"]
+    for d in docs:
+        assert abs(sums[d] - run[d]) < 1e-9, (d, sums[d], run[d])

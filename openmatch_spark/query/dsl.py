@@ -868,6 +868,11 @@ def _execute_tree(
             F.lit(fid).cast("int").alias("fid"), "shard", "doc_ord", "doc_id"
         )
         allowed = a if allowed is None else allowed.unionByName(a)
+    if allowed is not None:
+        # tombstones must come out BEFORE the zero-roots row_number cut
+        # below — mask_deleted's contract is "before any rank/top-k cut",
+        # and a deleted doc must not consume a filter-only page slot
+        allowed = index.mask_deleted(allowed)
 
     # roots left with NO scoring items after the rewrites (filter-only
     # shapes) take the flat path's zero-score page semantics: the k
@@ -1163,6 +1168,10 @@ def search_dsl(
             F.lit(fid).cast("int").alias("fid"), "shard", "doc_ord", "doc_id"
         )
         allowed = a if allowed is None else allowed.unionByName(a)
+    if allowed is not None:
+        # tombstones out BEFORE the zero_qids row_number cut below —
+        # a deleted doc must not consume a filter-only page slot
+        allowed = index.mask_deleted(allowed)
     qmap = F.broadcast(
         spark.createDataFrame(qmap_rows, "query_id string, fid int")
     )
@@ -1215,6 +1224,12 @@ def _collect_term_values(query: dict) -> list:
             for e in rs:
                 if isinstance(e, dict):
                     out.extend(_collect_term_values(e))
+    elif kind == "dis_max" and isinstance(body, dict):
+        # mirror fielded.py's _term_field_values — a term inside dis_max
+        # is held to the same one-token atomicity rule
+        for e in body.get("queries", []) or []:
+            if isinstance(e, dict):
+                out.extend(_collect_term_values(e))
     return out
 
 
@@ -1258,6 +1273,16 @@ def explain_dsl(
                                                    "constant_score",
                                                    "match_all")
                 else {"should": [qdict]})
+        # mirror search_dsl's top-level handling: a bare match with
+        # operator='and' is legal at the top (compile_dsl maps its tokens
+        # to must) — explain must accept the same query, so strip the
+        # operator and wrap under must instead of should
+        if kind == "match" and isinstance(qdict.get("match"), dict) \
+                and len(qdict["match"]) == 1:
+            fld, spec = next(iter(qdict["match"].items()))
+            if isinstance(spec, dict) and spec.get("operator") == "and":
+                cleaned = {k: v for k, v in spec.items() if k != "operator"}
+                body = {"must": [{"match": {fld: cleaned}}]}
         root = _compile_bool_node(body, analyzer, _TreeCtx(), 0)
         if root is not None:
             trees[qid] = root

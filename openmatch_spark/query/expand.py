@@ -247,10 +247,14 @@ def search_wildcard(
 
 # Lucene-RegexpQuery pattern surface restricted to the subset on which
 # Java regex (Spark RLIKE) and RE2 (the DuckDB oracle) agree exactly:
-# literals, '.', quantifiers * + ? {m,n}, character classes, alternation,
-# grouping. No backslash escapes, no anchors (full-term match is implicit,
-# Lucene semantics), no backrefs/lookaround (RE2 has neither).
-_REGEXP_ALLOWED = r"[^a-z0-9.*+?\[\](){}|,\-]+"
+# literals, '.', quantifiers * + ? {m,n}, character classes (including
+# [^...] negation — Lucene RegexpQuery supports it and Java/RE2 agree),
+# alternation, grouping. No backslash escapes, no anchors (full-term match
+# is implicit, Lucene semantics — so a '^' anywhere except class-negation
+# position is rejected loudly rather than stripped: stripping would turn
+# [^ab] into the positive class [ab] and silently invert the match set),
+# no backrefs/lookaround (RE2 has neither).
+_REGEXP_ALLOWED = r"[^a-z0-9.*+?\[\](){}|,\^\-]+"
 
 
 def _regexp_tokens(index: BM25Index, queries: DataFrame) -> list:
@@ -272,6 +276,14 @@ def _regexp_tokens(index: BM25Index, queries: DataFrame) -> list:
         ]
         c = Counter(t for t in toks if t)
         for pat, n in sorted(c.items()):
+            for i, ch in enumerate(pat):
+                if ch == "^" and (i == 0 or pat[i - 1] != "["):
+                    raise ValueError(
+                        f"invalid regexp pattern {pat!r}: '^' is only "
+                        "supported as class negation '[^...]' (full-term "
+                        "match is implicit; anchors are not part of the "
+                        "Lucene RegexpQuery surface)"
+                    )
             try:
                 _re.compile(f"^(?:{pat})$")
             except _re.error as e:

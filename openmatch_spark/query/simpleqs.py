@@ -204,8 +204,10 @@ def _lex(s: str, flags: frozenset):
         m = _TERM_FUZZY_RE.match(word) if "FUZZY" in flags else None
         if m and "*" not in word:
             toks.append(
+                # Lucene FuzzyQuery caps maxEdits at 2; leniency contract
+                # forbids raising on query text, so clamp silently
                 ("SEG", Segment(neg, "fuzzy", m.group(1),
-                                edits=int(m.group(2) or 2)))
+                                edits=min(int(m.group(2) or 2), 2)))
             )
             continue
         toks.append(("SEG", Segment(neg, "term", word)))

@@ -1,63 +1,73 @@
-from openmatch_spark.operators.runio import save_as_trec, load_from_trec, trec_lines  # noqa: F401
-from openmatch_spark.operators.mining import (  # noqa: F401
-    build_hard_negatives,
-    add_ground_truth,
-    combine_negatives,
-    depth_cut,
-)
-from openmatch_spark.operators.metrics import (  # noqa: F401
-    map_at_k,
-    mrr_at_k,
-    rbp_at_k,
-    ndcg_at_k,
-    recall_at_k,
-    accuracy_at_k,
-    duplicate_docs,
-)
-from openmatch_spark.operators.decontam import (  # noqa: F401
-    decontaminate,
-    decontaminate_corpus,
-)
-from openmatch_spark.operators.sampling import (  # noqa: F401
-    cap_per_group,
-    mixture_sample,
-    mixture_report,
-    seeded_uniform_col,
-    grouped_split,
-)
-from openmatch_spark.operators.ltr import ltr_features  # noqa: F401
-from openmatch_spark.operators.packing import pack_sequences  # noqa: F401
-from openmatch_spark.operators.boilerplate import (  # noqa: F401
-    boilerplate_lines,
-    remove_boilerplate_lines,
-)
-from openmatch_spark.operators.snippets import extract_snippets  # noqa: F401
-from openmatch_spark.operators.chunking import (  # noqa: F401
-    chunk_passages,
-    score_aggregate,
-)
-from openmatch_spark.operators.facets import (  # noqa: F401
-    adjacency_matrix_facets,
-    date_histogram_facets,
-    diversified_sample,
-    facet_counts,
-    multi_terms_facets,
-    rare_terms_facets,
-)
-from openmatch_spark.operators.pipeline_aggs import (  # noqa: F401
-    bucket_script,
-    bucket_selector,
-    bucket_sort,
-    cumulative_sum,
-    derivative,
-    moving_fn,
-    serial_diff,
-)
-from openmatch_spark.operators.fusion import comb_fusion, reciprocal_rank_fusion  # noqa: F401
-from openmatch_spark.operators.geo import (  # noqa: F401
-    geo_bounding_box_filter,
-    geo_bounds,
-    geo_centroid,
-    geo_distance_search,
-    geotile_grid_facets,
-)
+"""Operators — lazily re-exported (PEP 562); see query/__init__.py for the
+measured worker-import rationale."""
+
+_EXPORTS = {
+    "save_as_trec": "runio",
+    "load_from_trec": "runio",
+    "trec_lines": "runio",
+    "build_hard_negatives": "mining",
+    "add_ground_truth": "mining",
+    "combine_negatives": "mining",
+    "depth_cut": "mining",
+    "map_at_k": "metrics",
+    "mrr_at_k": "metrics",
+    "rbp_at_k": "metrics",
+    "ndcg_at_k": "metrics",
+    "recall_at_k": "metrics",
+    "accuracy_at_k": "metrics",
+    "duplicate_docs": "metrics",
+    "decontaminate": "decontam",
+    "decontaminate_corpus": "decontam",
+    "cap_per_group": "sampling",
+    "mixture_sample": "sampling",
+    "mixture_report": "sampling",
+    "seeded_uniform_col": "sampling",
+    "grouped_split": "sampling",
+    "ltr_features": "ltr",
+    "pack_sequences": "packing",
+    "boilerplate_lines": "boilerplate",
+    "remove_boilerplate_lines": "boilerplate",
+    "extract_snippets": "snippets",
+    "chunk_passages": "chunking",
+    "score_aggregate": "chunking",
+    "adjacency_matrix_facets": "facets",
+    "date_histogram_facets": "facets",
+    "diversified_sample": "facets",
+    "facet_counts": "facets",
+    "multi_terms_facets": "facets",
+    "rare_terms_facets": "facets",
+    "bucket_script": "pipeline_aggs",
+    "bucket_selector": "pipeline_aggs",
+    "bucket_sort": "pipeline_aggs",
+    "cumulative_sum": "pipeline_aggs",
+    "derivative": "pipeline_aggs",
+    "moving_fn": "pipeline_aggs",
+    "serial_diff": "pipeline_aggs",
+    "comb_fusion": "fusion",
+    "reciprocal_rank_fusion": "fusion",
+    "geo_bounding_box_filter": "geo",
+    "geo_bounds": "geo",
+    "geo_centroid": "geo",
+    "geo_distance_search": "geo",
+    "geotile_grid_facets": "geo",
+}
+
+
+def __getattr__(name):
+    try:
+        submod = _EXPORTS[name]
+    except KeyError:
+        raise AttributeError(
+            f"module 'openmatch_spark.operators' has no attribute {name!r}"
+        ) from None
+    import importlib
+
+    obj = getattr(
+        importlib.import_module(f"openmatch_spark.operators.{submod}"), name
+    )
+    globals()[name] = obj
+    return obj
+
+
+def __dir__():
+    return sorted(set(globals()) | set(_EXPORTS))

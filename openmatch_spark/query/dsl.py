@@ -576,7 +576,7 @@ def _compile_dismax_node(body, analyzer: str, ctx: "_TreeCtx",
                                  allow_operator=False, fields=fields)
             a = (analyzer[raws[0].fieldname]
                  if isinstance(analyzer, dict) else analyzer)
-            cs = _analyzed(raws, a)
+            cs = _analyzed(raws, a, ctx.tok_cache)
             if len(cs) == 1:
                 node.clause_items.append((ctx.item(), "should", cs[0]))
             elif len(cs) > 1:
@@ -610,11 +610,14 @@ def _parse_match_all(body) -> float:
 
 
 class _TreeCtx:
-    """Per-query id allocator (items and nodes share nothing)."""
+    """Per-query id allocator (items and nodes share nothing).
+    tok_cache: optional {(analyzer, text) -> tokens} memo filled
+    executor-side for huge batches (_distributed_tok_cache)."""
 
-    def __init__(self):
+    def __init__(self, tok_cache: dict | None = None):
         self.next_item = 0
         self.next_node = 0
+        self.tok_cache = tok_cache
 
     def item(self) -> int:
         i = self.next_item
@@ -736,7 +739,7 @@ def _compile_bool_node(body, analyzer: str, ctx: _TreeCtx,
             # {field: analyzer} dict; one leaf targets one field
             a = (analyzer[raws[0].fieldname]
                  if isinstance(analyzer, dict) else analyzer)
-            for c in _analyzed(raws, a):
+            for c in _analyzed(raws, a, ctx.tok_cache):
                 node.clause_items.append((ctx.item(), c.role, c))
     entries = body.get("filter", [])
     if isinstance(entries, dict):
@@ -1050,34 +1053,165 @@ def _execute_tree(
     return _finalize(index, root_out, k, [])
 
 
+def _leaf_texts(query: dict) -> list:
+    """Best-effort walk of a DSL dict for (field, text) pairs of every
+    scoring leaf whose compile will TOKENIZE its text (match,
+    match_phrase, fuzzy, prefix, term — wildcard/regexp bodies are
+    regex-cleaned, never analyzed). Filter context is skipped (attribute
+    predicates, not analyzed text). Best-effort is safe: a text this
+    walker misses simply falls back to the driver tokenizer
+    (querystring._tokens_cached), it cannot change results."""
+    out = []
+    if not isinstance(query, dict) or len(query) != 1:
+        return out
+    kind, body = next(iter(query.items()))
+    if kind in ("match", "match_phrase", "fuzzy", "prefix", "term"):
+        if isinstance(body, dict) and len(body) == 1:
+            fld, spec = next(iter(body.items()))
+            key = _LEAF_MAP[kind][1]
+            v = spec if isinstance(spec, str) else (
+                spec.get(key) if isinstance(spec, dict) else None
+            )
+            if isinstance(v, str):
+                out.append((fld, v))
+    elif kind == "bool" and isinstance(body, dict):
+        for role in ("must", "should", "must_not"):
+            rs = body.get(role, [])
+            rs = [rs] if isinstance(rs, dict) else rs
+            for e in rs:
+                if isinstance(e, dict):
+                    out.extend(_leaf_texts(e))
+    elif kind == "dis_max" and isinstance(body, dict):
+        for e in body.get("queries", []) or []:
+            if isinstance(e, dict):
+                out.extend(_leaf_texts(e))
+    elif kind == "multi_match" and isinstance(body, dict):
+        # the fielded surface rewrites multi_match to per-field leaves
+        # (fielded.rewrite_multi_match) — pre-warm those texts too
+        v = body.get("query")
+        if isinstance(v, str):
+            for fld in body.get("fields", []) or []:
+                if isinstance(fld, str):
+                    out.append((fld.split("^", 1)[0], v))
+    return out
+
+
+def _distributed_tok_cache(
+    queries: DataFrame,
+    analyzers: dict,
+    distributed_threshold: int | None = None,
+):
+    """(queries_dict, tok_cache) for a DataFrame(query_id, dsl) batch.
+
+    Small batches (the rule-table regime) return (parsed dicts, None) —
+    zero extra Spark jobs, compile tokenizes driver-side as before.
+    Above the engine-wide threshold (bm25_search's
+    _DISTRIBUTED_TOKENIZE_MIN_QUERIES), the expensive per-clause
+    TOKENIZATION fans out to executors: one mapInPandas pass parses the
+    JSON and emits each scoring leaf's (analyzer, text), and the DISTINCT
+    pair set — bounded by distinct clause texts, not batch size — is
+    tokenized with the same JVM/Arrow column tokenizer the plain path
+    uses (query_term_counts) and collected as a {(analyzer, text) ->
+    tokens} memo. Driver-side compile then walks dicts doing cache
+    lookups instead of O(batch x clauses) Python tokenizer calls —
+    mirroring bm25_search.py's scale discipline on the DSL front door.
+    analyzers: {field -> analyzer} ({"text": a} for the single index)."""
+    from openmatch_spark.query.bm25_search import (
+        _DISTRIBUTED_TOKENIZE_MIN_QUERIES,
+    )
+    from openmatch_spark.session import scoped_confs
+
+    if distributed_threshold is None:
+        distributed_threshold = _DISTRIBUTED_TOKENIZE_MIN_QUERIES
+    q = queries.select(
+        F.col("query_id").cast("string").alias("query_id"), "dsl"
+    )
+    sess = q.sparkSession
+    with scoped_confs(
+        sess,
+        {
+            "spark.sql.limit.initialNumPartitions": str(
+                max(sess.sparkContext.defaultParallelism, 16)
+            )
+        },
+    ):
+        head = q.take(distributed_threshold + 1)
+    if len(head) <= distributed_threshold:
+        return {str(r["query_id"]): json.loads(r["dsl"]) for r in head}, None
+
+    fmap = dict(analyzers)
+
+    def _texts_part(it):
+        import json as _json
+
+        import pandas as pd
+
+        from openmatch_spark.query.dsl import _leaf_texts as walk
+
+        for pdf in it:
+            a_out, t_out = [], []
+            for s in pdf["dsl"]:
+                try:
+                    d = _json.loads(s)
+                except (TypeError, ValueError):
+                    continue  # the driver-side parse below raises properly
+                for fld, text in walk(d):
+                    a = fmap.get(fld)
+                    if a is not None:
+                        a_out.append(a)
+                        t_out.append(text)
+            yield pd.DataFrame({"analyzer": a_out, "text": t_out})
+
+    from openmatch_spark.analysis import tokenize_col
+
+    pairs = q.mapInPandas(
+        _texts_part, "analyzer string, text string"
+    ).distinct()
+    cache: dict = {}
+    for a in sorted(set(fmap.values())):
+        for r in pairs.where(F.col("analyzer") == a).select(
+            "text", tokenize_col(F.col("text"), a).alias("toks")
+        ).collect():
+            cache[(a, r["text"])] = tuple(r["toks"])
+    # the full batch still materializes driver-side (compiled clause rows
+    # become broadcast tables either way) — but json.loads is C-speed;
+    # the Python-tokenizer hot loop is what the cache removes
+    rows = q.collect()
+    return {str(r["query_id"]): json.loads(r["dsl"]) for r in rows}, cache
+
+
 def search_dsl(
     index: BM25Index,
     queries,
     k: int = 100,
     max_expansions: int = 50,
     fuzzy_prefix_len: int = 1,
+    distributed_threshold: int | None = None,
 ) -> DataFrame:
     """Top-k run (query_id, doc_id, score, rank) for ES-DSL query dicts.
 
     queries: {query_id: dsl_dict} — or a DataFrame(query_id, dsl) whose
     dsl column holds the JSON text (the CLI shape). Compilation is
-    driver-side (queries are small); execution is the query_string
+    driver-side for rule-table-sized batches; a DataFrame batch above the
+    engine-wide distributed threshold pre-tokenizes its clause texts
+    executor-side (_distributed_tok_cache). Execution is the query_string
     surface's single declarative plan, plus — when any query carries a
     bool.filter — one column-pruned docmap scan per DISTINCT filter
     predicate and one (shard, doc_ord) semi-join over the candidate set
     before the top-k cut (module docstring)."""
-    if isinstance(queries, DataFrame):
-        rows = queries.select(
-            F.col("query_id").cast("string").alias("query_id"), "dsl"
-        ).collect()
-        queries = {
-            str(r["query_id"]): json.loads(r["dsl"]) for r in rows
-        }
     spark = index.spark
     analyzer = index.stats["analyzer"]
+    tok_cache = None
+    if isinstance(queries, DataFrame):
+        queries, tok_cache = _distributed_tok_cache(
+            queries, {"text": analyzer}, distributed_threshold
+        )
 
     # term atomicity holds at every depth (ES term queries are atomic)
-    from openmatch_spark.analysis import tokenize_py
+    from openmatch_spark.query.querystring import _tokens_cached
+
+    def tokenize_py(text, a):
+        return _tokens_cached(text, a, tok_cache)
 
     for qid, qdict in sorted(queries.items()):
         for v in _collect_term_values(qdict):
@@ -1096,7 +1230,7 @@ def search_dsl(
             # top-level constant_score / match_all: the must-of-one form
             body = (qdict["bool"] if kind == "bool"
                     else {"must": [qdict]})
-            root = _compile_bool_node(body, analyzer, _TreeCtx(), 0)
+            root = _compile_bool_node(body, analyzer, _TreeCtx(tok_cache), 0)
             if root is not None:  # None: everything analyzed away
                 trees[qid] = root
         nested_run = (
@@ -1108,16 +1242,35 @@ def search_dsl(
         flat_qs = {q: d for q, d in queries.items() if str(q) not in nested}
         if not flat_qs:
             return nested_run
-        return search_dsl(
-            index, flat_qs, k, max_expansions, fuzzy_prefix_len
-        ).unionByName(nested_run)
+        flat_run = _search_dsl_flat(
+            index, flat_qs, k, max_expansions, fuzzy_prefix_len, tok_cache
+        )
+        return flat_run.unionByName(nested_run)
+    return _search_dsl_flat(
+        index, queries, k, max_expansions, fuzzy_prefix_len, tok_cache
+    )
+
+
+def _search_dsl_flat(
+    index: BM25Index,
+    queries: dict,
+    k: int,
+    max_expansions: int,
+    fuzzy_prefix_len: int,
+    tok_cache: dict | None = None,
+) -> DataFrame:
+    """Flat-DSL execution (no nested bools): compile each dict with
+    compile_dsl, analyze clauses (through the optional executor-filled
+    token cache), then the shared clause executor + filter gating."""
+    spark = index.spark
+    analyzer = index.stats["analyzer"]
 
     per_q: dict = {}
     msm_by_q: dict = {}
     fsql_by_q: dict = {}
     for qid, qdict in sorted(queries.items()):
         raw, msm, filters = compile_dsl(qdict)
-        per_q[str(qid)] = _analyzed(raw, analyzer)
+        per_q[str(qid)] = _analyzed(raw, analyzer, tok_cache)
         if filters:
             if not index.stored_attrs and any(
                 f["kind"] != "ids" for f in filters

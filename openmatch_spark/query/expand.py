@@ -41,20 +41,27 @@ from openmatch_spark.query.bm25_search import search_terms
 EMPTY_RUN = "query_id string, doc_id string, score double, rank int"
 
 
-def _query_tokens(index: BM25Index, queries: DataFrame) -> list:
+def _query_tokens(
+    index: BM25Index, queries: DataFrame,
+    distributed_threshold: int | None = None,
+) -> list:
     """[(query_id, token, qtf)] — tokenized with the index analyzer but NOT
     vocabulary-filtered (out-of-vocabulary tokens are exactly what fuzzy
-    matching exists for)."""
-    from openmatch_spark.analysis import tokenize_py
+    matching exists for). Delegates to query_term_counts, so batches above
+    the engine-wide _DISTRIBUTED_TOKENIZE_MIN_QUERIES tokenize
+    executor-side and only the aggregated (query_id, token, qtf) rows
+    reach the driver — the same scale discipline as the plain path."""
+    from openmatch_spark.query.bm25_search import (
+        _DISTRIBUTED_TOKENIZE_MIN_QUERIES,
+        query_term_counts,
+    )
 
-    analyzer = index.stats["analyzer"]
-    out = []
-    for r in queries.select(
-        F.col("query_id").cast("string").alias("query_id"), "text"
-    ).collect():
-        for tok, c in sorted(Counter(tokenize_py(r["text"], analyzer)).items()):
-            out.append((r["query_id"], tok, float(c)))
-    return out
+    if distributed_threshold is None:
+        distributed_threshold = _DISTRIBUTED_TOKENIZE_MIN_QUERIES
+    qtf = query_term_counts(
+        queries, index.stats["analyzer"], distributed_threshold
+    )
+    return [(q, t, float(c)) for (q, t), c in sorted(qtf.items())]
 
 
 def _expansions(

@@ -39,8 +39,13 @@ score is the sum of its children). Keywords must be uppercase
 as NOT inside grouped queries — a query with no grouping syntax keeps
 the byte-identical legacy flat path.
 
-Not supported (documented deviations from Lucene classic): field
-prefixes (`title:x` — single-field index), inline range syntax. A
+Field prefixes (`title:x`, `-lang:de`) and inline ranges
+(`n:[10 TO 20]`) ARE supported on the FIELDED surface
+(parse_query_string_fielded / search_query_string_fielded over a
+load_fielded_index family — analyzed fields score per-field, attribute
+fields compile to filter context). Remaining deviations: the
+single-index surface here stays field-free (one analyzed field), and
+field prefixes do not compose with grouping parens/keywords yet. A
 segment whose text analyzes to several tokens becomes one clause PER
 TOKEN with the segment's role and boost (the ES match-query
 decomposition).
@@ -59,9 +64,10 @@ Semantics (Lucene BooleanClause composition, shared with search_boolean):
   * expansion caps and orderings are exactly query/expand.py's
     (edits ASC, df DESC, term ASC — deterministic, oracle-replicable).
 
-Plan shape: parsing is driver-side (queries are strings in the dialog
-path; the expansion surfaces collect queries at the driver identically),
-execution is one declarative plan: postings pruned to the referenced
+Plan shape: parsing is driver-side for interactive batches (zero Spark
+jobs), executor-side above the engine-wide distributed threshold
+(_parsed_queries: pure per-row parse + analyze in mapInPandas, only
+compact compiled clause rows return); execution is one declarative plan: postings pruned to the referenced
 term buckets, one decode + one broadcast clause join + one (query, doc)
 aggregate for the term side; the positional sidecar only for phrase
 clauses; must_not postings anti-joined AFTER candidate aggregation so an
@@ -327,12 +333,258 @@ def parse_query_string_grouped(s: str, default_operator: str = "or") -> dict:
     return node
 
 
-def _analyzed(clauses: list[Clause], analyzer: str) -> list[Clause]:
+# fielded grammar segment: optional +/- occur prefix, optional field:
+# prefix, then a quoted phrase (with ~slop / ^boost suffixes), a
+# [a TO b] / {a TO b} range bracket (spaces allowed inside), or a bare
+# token (boost/fuzzy suffixes dissected afterwards)
+_FSEG_RE = re.compile(
+    r'[-+]?(?:[A-Za-z_][\w.]*:)?'
+    r'(?:"[^"]*"(?:~\d+)?(?:\^\d+(?:\.\d+)?)?'
+    r'|[\[{][^\[\]{}]*\bTO\b[^\[\]{}]*[\]}]'
+    r'|\S+)'
+)
+_FIELD_RE = re.compile(r"^([A-Za-z_][\w.]*):")
+_RANGE_RE = re.compile(
+    r"^([\[{])\s*(\S+)\s+TO\s+(\S+)\s*([\]}])$"
+)
+
+
+def parse_query_string_fielded(
+    s: str,
+    analyzed_fields,
+    attr_fields=(),
+    default_operator: str = "or",
+) -> dict:
+    """One field-prefixed query string -> the equivalent fielded DSL dict
+    (search_dsl_fielded input) — Lucene classic QueryParser field syntax:
+
+      title:spark            match on that field's sub-index
+      title:"spark engine"~1 fielded phrase (slop)
+      title:spar*            fielded prefix/wildcard, title:sprk~1 fuzzy
+      lang:en                ATTRIBUTE field (store_attrs doc values) —
+                             compiles to filter context: gates, never
+                             scores (attrs are not analyzed/indexed, so
+                             Lucene's scoring TermQuery has no statistics
+                             to score with here; documented deviation)
+      -lang:de               negated attribute filter (exclusion)
+      n_chars:[100 TO 500]   range filter — [..] inclusive, {..}
+                             exclusive, '*' for an open end; ranges are
+                             attribute-only (an analyzed field has no
+                             ordered doc value to range over)
+      spark                  a bare segment spreads over ALL analyzed
+                             fields as a dis_max (ES query_string's
+                             fields="*" / best_fields default)
+      +x / -x                occur prefixes, ^B boosts — as the flat
+                             grammar
+
+    A `foo:` prefix is treated as a field ONLY when foo names an analyzed
+    or attribute field — otherwise the token (e.g. a URL "https://x")
+    stays literal text. Grouping syntax (parens/AND/OR/NOT) does not
+    compose with field prefixes yet; strings mixing both are refused."""
+    if default_operator not in ("or", "and"):
+        raise ValueError(
+            f"default_operator must be 'or' or 'and', got {default_operator!r}"
+        )
+    analyzed = tuple(sorted(analyzed_fields))
+    attrs = tuple(sorted(attr_fields))
+    if not analyzed:
+        raise ValueError("analyzed_fields must name at least one field")
+    known = set(analyzed) | set(attrs)
+    if _GROUPED_RE.search(s or ""):
+        raise ValueError(
+            "field-prefixed query strings do not compose with grouping "
+            "syntax (parentheses / AND / OR / NOT) — write the query as a "
+            "fielded DSL dict (search_dsl_fielded) instead"
+        )
+    bare_role = "should" if default_operator == "or" else "must"
+    body: dict = {}
+
+    def _add(role, leaf):
+        body.setdefault(role, []).append(leaf)
+
+    def _bound(v: str):
+        # numeric-looking bounds compare numerically (int column vs
+        # string literal would lean on implicit casts); others lexically
+        try:
+            return int(v)
+        except ValueError:
+            try:
+                return float(v)
+            except ValueError:
+                return v
+
+    def _range_spec(m) -> dict:
+        lo_op = "gte" if m.group(1) == "[" else "gt"
+        hi_op = "lte" if m.group(4) == "]" else "lt"
+        spec = {}
+        if m.group(2) != "*":
+            spec[lo_op] = _bound(m.group(2))
+        if m.group(3) != "*":
+            spec[hi_op] = _bound(m.group(3))
+        if not spec:
+            raise ValueError("range needs at least one bound, got [* TO *]")
+        return spec
+
+    for seg in _FSEG_RE.findall(s or ""):
+        role = bare_role
+        if seg.startswith("+"):
+            role, seg = "must", seg[1:]
+        elif seg.startswith("-"):
+            role, seg = "must_not", seg[1:]
+        fld = None
+        fm = _FIELD_RE.match(seg)
+        if fm and fm.group(1) in known:
+            fld, seg = fm.group(1), seg[fm.end():]
+        if not seg:
+            continue
+        boost = 1.0
+        bm = _BOOST_RE.search(seg)
+        if bm and not seg.endswith('"'):
+            boost = float(bm.group(1))
+            seg = seg[: bm.start()]
+            if boost <= 0:
+                raise ValueError(f"boost must be positive, got {boost}")
+        rm = _RANGE_RE.match(seg)
+        if fld in attrs:
+            pm = _PHRASE_RE.match(seg)
+            if pm:  # quoted attribute value: exact term filter
+                spec = {"term": {fld: pm.group(1)}}
+            elif rm:
+                spec = {"range": {fld: _range_spec(rm)}}
+            else:
+                spec = {"term": {fld: seg}}
+            if role == "must_not":
+                # filter-only bool under must_not -> anti_filters
+                # (dsl._compile_bool_node's documented exclusion shape)
+                _add("must_not", {"bool": {"filter": [spec]}})
+            else:
+                # gates never score; '+' vs bare is the same gate
+                _add("filter", spec)
+            continue
+        if rm:
+            raise ValueError(
+                f"range {seg!r} needs an attribute field prefix — analyzed "
+                "fields have no ordered doc value to range over"
+            )
+        targets = (fld,) if fld else analyzed
+        pm = _PHRASE_RE.match(seg)
+        if pm:
+            btext, slop = pm.group(1), int(pm.group(2) or 0)
+            if not btext.strip():
+                continue
+            leaves = [
+                {"match_phrase": {f: {"query": btext, "slop": slop,
+                                      "boost": boost}}}
+                for f in targets
+            ]
+        else:
+            seg = seg.strip('"')
+            if not seg:
+                continue
+            fzm = _FUZZY_RE.match(seg)
+            if fzm and "*" not in seg and "?" not in seg:
+                # Lucene FuzzyQuery clamps maxEdits at 2 (query text is
+                # lenient here, same contract as simple_query_string)
+                edits = min(int(fzm.group(2) or 2), 2)
+                leaves = [
+                    {"fuzzy": {f: {"value": fzm.group(1),
+                                   "fuzziness": edits, "boost": boost}}}
+                    for f in targets
+                ]
+            elif "*" in seg or "?" in seg:
+                if seg.endswith("*") and not re.search(r"[*?]", seg[:-1]):
+                    if not seg[:-1]:
+                        continue
+                    leaves = [
+                        {"prefix": {f: {"value": seg[:-1], "boost": boost}}}
+                        for f in targets
+                    ]
+                else:
+                    leaves = [
+                        {"wildcard": {f: {"value": seg, "boost": boost}}}
+                        for f in targets
+                    ]
+            else:
+                leaves = [
+                    {"match": {f: {"query": seg, "boost": boost}}}
+                    for f in targets
+                ]
+        if len(leaves) == 1:
+            _add(role, leaves[0])
+        elif role == "must_not":
+            # NOT(a OR b) == NOT a AND NOT b: exclusion needs no dis_max
+            for leaf in leaves:
+                _add(role, leaf)
+        else:
+            # bare segment: ES best_fields over every analyzed field
+            _add(role, {"dis_max": {"queries": leaves}})
+    if not body:
+        raise ValueError("empty query string")
+    return {"bool": body}
+
+
+def search_query_string_fielded(
+    findex: dict,
+    queries: DataFrame,
+    k: int = 100,
+    default_operator: str = "or",
+    max_expansions: int = 50,
+    fuzzy_prefix_len: int = 1,
+) -> DataFrame:
+    """Top-k run for field-prefixed query strings over a fielded index
+    ({field: BM25Index} from load_fielded_index) — the query_string front
+    door the fielded DSL was missing (parse_query_string_fielded's
+    grammar). Attribute fields come from the family's common store_attrs;
+    execution is search_dsl_fielded's tree plan."""
+    from openmatch_spark.query.fielded import search_dsl_fielded
+
+    if not findex:
+        raise ValueError("findex is empty")
+    analyzed = tuple(sorted(findex))
+    stored = tuple(sorted(
+        set.intersection(*(set(findex[f].stored_attrs) for f in analyzed))
+    )) if all(findex[f].stored_attrs for f in analyzed) else tuple()
+    rows = queries.select(
+        F.col("query_id").cast("string").alias("query_id"), "text"
+    ).collect()
+    dsls = {
+        str(r["query_id"]): parse_query_string_fielded(
+            r["text"] or "", analyzed, stored, default_operator
+        )
+        for r in rows
+    }
+    return search_dsl_fielded(
+        findex, dsls, k=k, max_expansions=max_expansions,
+        fuzzy_prefix_len=fuzzy_prefix_len,
+    )
+
+
+def _tokens_cached(text: str, analyzer: str, cache: dict | None) -> list:
+    """tokenize_py with an optional {(analyzer, text) -> tokens} memo —
+    filled executor-side for huge batches (query/dsl.py
+    _distributed_tok_cache). A miss falls back to the driver tokenizer,
+    so the cache is purely an optimization: correctness never depends on
+    the walker that filled it having found every text."""
+    if cache is not None:
+        hit = cache.get((analyzer, text))
+        if hit is not None:
+            return list(hit)
+    from openmatch_spark.analysis import tokenize_py
+
+    return tokenize_py(text, analyzer)
+
+
+def _analyzed(
+    clauses: list[Clause], analyzer: str, tok_cache: dict | None = None
+) -> list[Clause]:
     """Normalize parsed clauses against the index analyzer: term texts
     re-tokenize (multi-token segments split into one clause per token),
     phrase bodies tokenize in order, pattern bodies keep only the
-    analyzer-legal chars plus wildcards. Empty results drop."""
-    from openmatch_spark.analysis import tokenize_py
+    analyzer-legal chars plus wildcards. Empty results drop.
+    tok_cache: optional executor-side-filled token memo (_tokens_cached)."""
+
+    def tokenize_py(text, a):
+        return _tokens_cached(text, a, tok_cache)
 
     out: list[Clause] = []
     for c in clauses:
@@ -375,6 +627,120 @@ def _analyzed(clauses: list[Clause], analyzer: str) -> list[Clause]:
     return out
 
 
+def _clause_to_row(c: Clause) -> list:
+    return [c.role, c.kind, c.text, c.boost, c.slop, c.edits, c.group,
+            c.fieldname, list(c.tokens)]
+
+
+def _clause_from_row(r: list) -> Clause:
+    return Clause(r[0], r[1], r[2], boost=float(r[3]), slop=int(r[4]),
+                  edits=int(r[5]), group=int(r[6]), fieldname=r[7],
+                  tokens=tuple(r[8]))
+
+
+def _parsed_queries(
+    queries: DataFrame,
+    default_operator: str,
+    analyzer: str,
+    distributed_threshold: int | None = None,
+) -> tuple[dict, dict]:
+    """(grouped, per_q): grouped = {qid: DSL dict} for queries using
+    parentheses/keywords, per_q = {qid: [Clause]} analyzed flat clauses.
+
+    Small batches (the interactive regime) parse driver-side with zero
+    Spark jobs. Batches above the engine-wide threshold
+    (bm25_search._DISTRIBUTED_TOKENIZE_MIN_QUERIES) parse AND analyze
+    executor-side — the parse + tokenize is pure per-row Python, the
+    expensive part at 100k queries — and only compact compiled clause
+    rows return to the driver (which must hold them anyway: they become
+    the broadcast clause tables). A ValueError raised on any query text
+    (e.g. unbalanced parentheses) is carried back as an error row and
+    re-raised driver-side, preserving the driver-path error contract."""
+    from openmatch_spark.query.bm25_search import (
+        _DISTRIBUTED_TOKENIZE_MIN_QUERIES,
+    )
+    from openmatch_spark.session import scoped_confs
+
+    if distributed_threshold is None:
+        distributed_threshold = _DISTRIBUTED_TOKENIZE_MIN_QUERIES
+    q = queries.select(
+        F.col("query_id").cast("string").alias("query_id"), "text"
+    )
+    sess = q.sparkSession
+    with scoped_confs(
+        sess,
+        {
+            "spark.sql.limit.initialNumPartitions": str(
+                max(sess.sparkContext.defaultParallelism, 16)
+            )
+        },
+    ):
+        head = q.take(distributed_threshold + 1)
+    grouped: dict = {}
+    per_q: dict = {}
+    if len(head) <= distributed_threshold:
+        for r in head:
+            qid, text = str(r["query_id"]), r["text"]
+            if _GROUPED_RE.search(text or ""):
+                grouped[qid] = parse_query_string_grouped(
+                    text, default_operator
+                )
+            else:
+                per_q[qid] = _analyzed(
+                    parse_query_string(text or "", default_operator), analyzer
+                )
+        return grouped, per_q
+
+    import json as _json
+
+    def _compile_part(it):
+        import pandas as pd
+
+        from openmatch_spark.query.querystring import (
+            _GROUPED_RE as G,
+            _analyzed as an,
+            _clause_to_row as tr,
+            parse_query_string as pq,
+            parse_query_string_grouped as pg,
+        )
+
+        for pdf in it:
+            qids, kinds, payloads = [], [], []
+            for qid, text in zip(pdf["query_id"], pdf["text"]):
+                try:
+                    if G.search(text or ""):
+                        kind, payload = "grouped", _json.dumps(
+                            pg(text, default_operator)
+                        )
+                    else:
+                        kind, payload = "flat", _json.dumps(
+                            [tr(c) for c in
+                             an(pq(text or "", default_operator), analyzer)]
+                        )
+                except ValueError as e:
+                    kind, payload = "error", str(e)
+                qids.append(str(qid))
+                kinds.append(kind)
+                payloads.append(payload)
+            yield pd.DataFrame(
+                {"query_id": qids, "kind": kinds, "payload": payloads}
+            )
+
+    compiled = q.mapInPandas(
+        _compile_part, "query_id string, kind string, payload string"
+    ).collect()
+    for r in compiled:
+        if r["kind"] == "error":
+            raise ValueError(r["payload"])
+        if r["kind"] == "grouped":
+            grouped[r["query_id"]] = _json.loads(r["payload"])
+        else:
+            per_q[r["query_id"]] = [
+                _clause_from_row(x) for x in _json.loads(r["payload"])
+            ]
+    return grouped, per_q
+
+
 def search_query_string(
     index: BM25Index,
     queries: DataFrame,
@@ -383,28 +749,19 @@ def search_query_string(
     min_should_match: int = 0,
     max_expansions: int = 50,
     fuzzy_prefix_len: int = 1,
+    distributed_threshold: int | None = None,
 ) -> DataFrame:
     """Top-k run (query_id, doc_id, score, rank) for query strings.
 
     queries: (query_id, text) with text in the module grammar. Clause
     semantics, caps, and weights per the module docstring; phrase clauses
-    need the positional sidecar (index/positions.py)."""
+    need the positional sidecar (index/positions.py). Batches above the
+    engine-wide distributed threshold parse + analyze executor-side
+    (_parsed_queries)."""
     analyzer = index.stats["analyzer"]
-    rows = queries.select(
-        F.col("query_id").cast("string").alias("query_id"), "text"
-    ).collect()
-    grouped = {
-        str(r["query_id"]): parse_query_string_grouped(
-            r["text"], default_operator
-        )
-        for r in rows if _GROUPED_RE.search(r["text"] or "")
-    }
-    per_q = {
-        str(r["query_id"]): _analyzed(
-            parse_query_string(r["text"] or "", default_operator), analyzer
-        )
-        for r in rows if str(r["query_id"]) not in grouped
-    }
+    grouped, per_q = _parsed_queries(
+        queries, default_operator, analyzer, distributed_threshold
+    )
     flat = _execute_clauses(
         index, per_q, k, min_should_match, max_expansions, fuzzy_prefix_len
     )

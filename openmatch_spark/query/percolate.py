@@ -109,6 +109,75 @@ def _phrase_hits(
     )
 
 
+def _apply_rule_filters(
+    matched: DataFrame,
+    docs: DataFrame,
+    stored: DataFrame,
+    id_col: str,
+) -> DataFrame:
+    """Gate matches on the rules' filter-context predicates (module
+    docstring `filter` column). Distinct predicate JSONs compile ONCE
+    (fid = predicate id, exactly the DSL executor's dedup discipline);
+    the doc side pays one projection pass per distinct predicate, never
+    a shuffle of its own bulk."""
+    import json
+
+    from openmatch_spark.query.dsl import _filter_leaf, _filter_sql
+
+    frules = [
+        (str(r["query_id"]), r["filter"])
+        for r in stored.select(
+            F.col("query_id").cast("string").alias("query_id"), "filter"
+        ).collect()
+        if r["filter"] is not None and str(r["filter"]).strip()
+    ]
+    if not frules:
+        return matched
+    doc_cols = tuple(c for c in docs.columns if c != id_col)
+    fids: dict = {}
+    qmap_rows = []
+    for qid, raw in sorted(frules):
+        try:
+            leaves = json.loads(raw)
+        except ValueError as e:
+            raise ValueError(
+                f"rule {qid!r}: filter must be a JSON array of "
+                f"filter-context leaves: {e}"
+            ) from e
+        if not isinstance(leaves, list) or not leaves:
+            raise ValueError(
+                f"rule {qid!r}: filter must be a non-empty JSON array"
+            )
+        specs = []
+        for leaf in leaves:
+            if not isinstance(leaf, dict) or len(leaf) != 1:
+                raise ValueError(
+                    f"rule {qid!r}: filter leaves are single-key query "
+                    f"dicts, got {leaf!r}"
+                )
+            kind, body = next(iter(leaf.items()))
+            specs.append(_filter_leaf(kind, body))
+        sql = " AND ".join(
+            f"({_filter_sql(s, doc_cols)})" for s in specs
+        )
+        qmap_rows.append((qid, fids.setdefault(sql, len(fids))))
+    spark = docs.sparkSession
+    allowed = None
+    for sql, fid in sorted(fids.items(), key=lambda kv: kv[1]):
+        a = docs.where(F.expr(sql)).select(
+            F.col(id_col).cast("string").alias("doc_id"),
+            F.lit(fid).cast("int").alias("fid"),
+        )
+        allowed = a if allowed is None else allowed.unionByName(a)
+    qmap = F.broadcast(
+        spark.createDataFrame(qmap_rows, "query_id string, fid int")
+    )
+    gated = matched.join(qmap, "query_id").join(
+        allowed, ["doc_id", "fid"], "left_semi"
+    ).drop("fid")
+    return matched.join(qmap, "query_id", "left_anti").unionByName(gated)
+
+
 def percolate(
     docs: DataFrame,
     stored: DataFrame,
@@ -134,7 +203,22 @@ def percolate(
         non-adjacently do NOT exclude).
     Docs pay the positional explode only when phrase rules exist; the
     adjacency check is phrase search's offset trick against the doc's
-    own positions (one bounded (doc, query, alignment) aggregate)."""
+    own positions (one bounded (doc, query, alignment) aggregate).
+
+    stored may also carry a FILTER-context column (the ES percolator
+    document-metadata gate — "term X AND lang=en" routing rules):
+      * filter — a JSON array of filter-context leaves in the Query-DSL
+        shape (query/dsl.py bool.filter: term/terms/range/exists/prefix/
+        wildcard), e.g. '[{"term": {"lang": "en"}},
+        {"range": {"n_chars": {"gte": 100}}}]'. Fields name DOC columns
+        (the doc frame IS the doc-values store here); an unknown field
+        raises loudly. NULL/empty = ungated. A rule must still carry at
+        least one term/phrase clause (a filter-only rule would match a
+        corpus-sized constant set — same refusal as the DSL surface).
+    Plan: the DISTINCT predicate set (tiny — it rides the rule table)
+    compiles to SQL fragments evaluated in ONE column-pruned pass over
+    the docs, producing (doc_id, fid) pass rows; matches for gated rules
+    semi-join that set. Docs never shuffle for the gate."""
     roles = _role_table(stored, analyzer)
     # the rule universe comes from `stored` itself — a phrase-only rule
     # has no role terms and must still own a req row
@@ -219,6 +303,8 @@ def percolate(
     if nph is not None and not nph.isEmpty():
         nhits = _phrase_hits(docs, nph, analyzer, id_col, text_col)
         matched = matched.join(nhits, ["doc_id", "query_id"], "left_anti")
+    if "filter" in cols:
+        matched = _apply_rule_filters(matched, docs, stored, id_col)
     return matched.select(
         "doc_id",
         "query_id",

@@ -1982,11 +1982,18 @@ FROM qgrun WHERE rank <= 10
 # one weight table, then each query's composition replayed as group
 # CTEs — outer-join sums for bool, GREATEST + tie_breaker for dis_max,
 # NOT IN for must_not.
-_DSL_FIELDED_SQL = f"""
-WITH docs_toks AS (
+def _fielded_wf_ctes(where: str = "") -> str:
+    """Shared DuckDB prelude for every fielded-index oracle: the per-
+    (doc, field, term) BM25 weight table `wf` over the title/body token
+    split (title = first 8 tokens, body = rest — the _entry_fielded
+    layout). `where` filters the document universe (the lifecycle
+    entry's survivor set) — collection statistics (n_docs, avgflen, df)
+    are computed over the SAME filtered universe, which is exactly what
+    a rebaselined compact converges to."""
+    return f"""docs_toks AS (
   SELECT CAST(d.doc_id AS VARCHAR) AS doc_id,
          list_filter(regexp_split_to_array(lower(d.text), '[^a-z0-9]+'), x -> x <> '') AS toks
-  FROM documents d
+  FROM documents d {where}
 ),
 fields AS (
   SELECT doc_id, list_slice(toks, 1, 8) AS title,
@@ -2006,7 +2013,7 @@ flen AS (
 tff AS (SELECT doc_id, field, term, CAST(COUNT(*) AS DOUBLE) AS tf
         FROM ftok GROUP BY doc_id, field, term),
 avgf AS (SELECT field, AVG(flen) AS avgflen FROM flen GROUP BY field),
-nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents d {where}),
 dff AS (SELECT field, term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
         FROM ftok GROUP BY field, term),
 wf AS (
@@ -2018,7 +2025,11 @@ wf AS (
   JOIN avgf a ON a.field = t.field
   JOIN dff ON dff.field = t.field AND dff.term = t.term
   CROSS JOIN nd
-),
+)"""
+
+
+_DSL_FIELDED_SQL = f"""
+WITH {_fielded_wf_ctes()},
 fd0_t AS (SELECT doc_id, SUM(wgt) AS s FROM wf
           WHERE field = 'title' AND term IN ('spark', 'join') GROUP BY doc_id),
 fd0_b AS (SELECT doc_id, SUM(wgt) AS s FROM wf
@@ -2075,42 +2086,7 @@ FROM fdrun WHERE rank <= 10
 # folded into the branch sum — exact, power of two), most_fields =
 # outer-join sum.
 _DSL_MM_SQL = f"""
-WITH docs_toks AS (
-  SELECT CAST(d.doc_id AS VARCHAR) AS doc_id,
-         list_filter(regexp_split_to_array(lower(d.text), '[^a-z0-9]+'), x -> x <> '') AS toks
-  FROM documents d
-),
-fields AS (
-  SELECT doc_id, list_slice(toks, 1, 8) AS title,
-         list_slice(toks, 9, len(toks)) AS body
-  FROM docs_toks
-),
-ftok AS (
-  SELECT doc_id, 'title' AS field, t.term FROM fields, UNNEST(title) AS t(term)
-  UNION ALL
-  SELECT doc_id, 'body' AS field, t.term FROM fields, UNNEST(body) AS t(term)
-),
-flen AS (
-  SELECT doc_id, 'title' AS field, CAST(len(title) AS DOUBLE) AS flen FROM fields
-  UNION ALL
-  SELECT doc_id, 'body' AS field, CAST(len(body) AS DOUBLE) AS flen FROM fields
-),
-tff AS (SELECT doc_id, field, term, CAST(COUNT(*) AS DOUBLE) AS tf
-        FROM ftok GROUP BY doc_id, field, term),
-avgf AS (SELECT field, AVG(flen) AS avgflen FROM flen GROUP BY field),
-nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
-dff AS (SELECT field, term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
-        FROM ftok GROUP BY field, term),
-wf AS (
-  SELECT t.doc_id, t.field, t.term,
-         ln(1 + (nd.n_docs - dff.df + 0.5) / (dff.df + 0.5))
-           * t.tf / (t.tf + {K1} * (1 - {B} + {B} * l.flen / a.avgflen)) AS wgt
-  FROM tff t
-  JOIN flen l ON l.doc_id = t.doc_id AND l.field = t.field
-  JOIN avgf a ON a.field = t.field
-  JOIN dff ON dff.field = t.field AND dff.term = t.term
-  CROSS JOIN nd
-),
+WITH {_fielded_wf_ctes()},
 mm0_t AS (SELECT doc_id, SUM(2.0 * wgt) AS s FROM wf
           WHERE field = 'title' AND term IN ('spark', 'hash') GROUP BY doc_id),
 mm0_b AS (SELECT doc_id, SUM(wgt) AS s FROM wf
@@ -2148,42 +2124,7 @@ FROM mmrun WHERE rank <= 10
 # predicates over the raw documents table (attrs are doc-level, so the
 # union-of-docmaps evaluation equals one lang lookup per doc).
 _DSL_FF_SQL = f"""
-WITH docs_toks AS (
-  SELECT CAST(d.doc_id AS VARCHAR) AS doc_id,
-         list_filter(regexp_split_to_array(lower(d.text), '[^a-z0-9]+'), x -> x <> '') AS toks
-  FROM documents d
-),
-fields AS (
-  SELECT doc_id, list_slice(toks, 1, 8) AS title,
-         list_slice(toks, 9, len(toks)) AS body
-  FROM docs_toks
-),
-ftok AS (
-  SELECT doc_id, 'title' AS field, t.term FROM fields, UNNEST(title) AS t(term)
-  UNION ALL
-  SELECT doc_id, 'body' AS field, t.term FROM fields, UNNEST(body) AS t(term)
-),
-flen AS (
-  SELECT doc_id, 'title' AS field, CAST(len(title) AS DOUBLE) AS flen FROM fields
-  UNION ALL
-  SELECT doc_id, 'body' AS field, CAST(len(body) AS DOUBLE) AS flen FROM fields
-),
-tff AS (SELECT doc_id, field, term, CAST(COUNT(*) AS DOUBLE) AS tf
-        FROM ftok GROUP BY doc_id, field, term),
-avgf AS (SELECT field, AVG(flen) AS avgflen FROM flen GROUP BY field),
-nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
-dff AS (SELECT field, term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
-        FROM ftok GROUP BY field, term),
-wf AS (
-  SELECT t.doc_id, t.field, t.term,
-         ln(1 + (nd.n_docs - dff.df + 0.5) / (dff.df + 0.5))
-           * t.tf / (t.tf + {K1} * (1 - {B} + {B} * l.flen / a.avgflen)) AS wgt
-  FROM tff t
-  JOIN flen l ON l.doc_id = t.doc_id AND l.field = t.field
-  JOIN avgf a ON a.field = t.field
-  JOIN dff ON dff.field = t.field AND dff.term = t.term
-  CROSS JOIN nd
-),
+WITH {_fielded_wf_ctes()},
 dmeta AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, lang FROM documents),
 ff0_t AS (SELECT doc_id, wgt AS s FROM wf WHERE field = 'title' AND term = 'spark'),
 ff0_b AS (SELECT doc_id, wgt AS s FROM wf WHERE field = 'body' AND term = 'join'),
@@ -7372,6 +7313,137 @@ def q_cross_fields_indexed(spark, sf_dir):
     return run.withColumn("score", F.round("score", 6))
 
 
+# round-5: field-prefixed query strings over the fielded family
+# (querystring.parse_query_string_fielded): analyzed prefixes score on
+# their sub-index, attribute prefixes (lang) gate as filter context,
+# bare segments spread best_fields (dis_max, tie 0)
+QSF_QUERIES = [
+    ("qf0", "title:spark body:join"),
+    ("qf1", "+title:merge -lang:de"),
+    ("qf2", "spark"),
+    ("qf3", "body:scan^2 +lang:en"),
+]
+
+
+def q_query_string_fielded(spark, sf_dir):
+    """Lucene-classic field syntax compiled onto the fielded DSL
+    (VERDICT r4 item 6): per-field scoring with each field's OWN
+    statistics, attribute filters gating without touching scores. The
+    oracle replays every clause against the shared per-field weight
+    table (_fielded_wf_ctes)."""
+    from openmatch_spark.query import search_query_string_fielded
+
+    qs = spark.createDataFrame(QSF_QUERIES, "query_id string, text string")
+    run = search_query_string_fielded(_entry_fielded(spark, sf_dir), qs, k=10)
+    return run.withColumn("score", F.round("score", 6))
+
+
+# round-5: percolation rules with filter context (query/percolate.py
+# `filter` column — "term X AND lang=en" routing rules); pf3 is the
+# ungated control through the same code path
+PERC_FILTER_RULES = [
+    ("pf0", "spark join", None, None, '[{"term": {"lang": "en"}}]'),
+    ("pf1", None, "merge sort stream", None,
+     '[{"range": {"n_chars": {"gte": 300}}}]'),
+    ("pf2", "spark", None, "window", '[{"terms": {"lang": ["de", "fr"]}}]'),
+    ("pf3", "merge", None, None, None),
+]
+_PERC_F_VALUES = ", ".join(
+    "('{}', {}, {}, {})".format(
+        q, *("NULL" if v is None else "'{}'".format(v) for v in (m, s, n))
+    )
+    for (q, m, s, n, _f) in PERC_FILTER_RULES
+)
+
+
+def q_percolate_filtered(spark, sf_dir):
+    """Percolation with doc-values gates (VERDICT r4 item 7): each rule's
+    filter leaves evaluate against the doc frame's own columns; the
+    distinct predicate set compiles once and docs pay one projection
+    pass, never a shuffle of their bulk."""
+    from openmatch_spark.query import percolate
+
+    stored = spark.createDataFrame(
+        PERC_FILTER_RULES,
+        "query_id string, must string, should string, must_not string,"
+        " filter string",
+    )
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text", "lang",
+        "n_chars",
+    )
+    return percolate(docs, stored, min_should_match=0)
+
+
+# round-5: fielded-family lifecycle (VERDICT r4 item 5) — delete docs
+# across every sub-index, compact with stats rebaseline, and land
+# bit-identically on a fresh fielded build over the survivors
+_FIELDED_LC_CACHE: dict[str, str] = {}
+_LC_DROP_MOD = 7  # docs with int(doc_id) % 7 == 0 are deleted
+
+LC_QUERIES = {
+    "lc0": {"bool": {"should": [{"match": {"title": "spark"}},
+                                {"match": {"body": "join"}}]}},
+    "lc1": {"dis_max": {"queries": [{"match": {"title": "merge"}},
+                                    {"match": {"body": "merge"}}],
+            "tie_breaker": 0.5}},
+}
+
+
+def _entry_fielded_lifecycle(spark, sf_dir):
+    """Build (once per sf_dir) the lifecycle family: the _entry_fielded
+    layout over ALL docs, then delete_docs_fielded of every doc_id
+    divisible by _LC_DROP_MOD, then compact_fielded_index with
+    rebaseline_stats=True — so collection statistics equal a build that
+    never saw the deleted docs (the single-index rebaseline contract,
+    lifted per field)."""
+    from openmatch_spark.analysis import tokenize_col
+    from openmatch_spark.query import (
+        build_fielded_index,
+        compact_fielded_index,
+        delete_docs_fielded,
+        load_fielded_index,
+    )
+
+    if sf_dir not in _FIELDED_LC_CACHE:
+        d = tempfile.mkdtemp(prefix="om_fielded_lc_")
+        toks = _docs(spark, sf_dir).select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            tokenize_col(F.col("text"), "simple").alias("toks"),
+        )
+        pages = toks.select(
+            "doc_id",
+            F.array_join(F.slice("toks", 1, 8), " ").alias("title"),
+            F.array_join(F.slice("toks", 9, 1 << 30), " ").alias("body"),
+        )
+        build_fielded_index(
+            spark, pages, d, ["title", "body"],
+            analyzer="simple", num_shards=4, num_term_buckets=8,
+        )
+        doomed = [
+            r["doc_id"] for r in pages.where(
+                F.col("doc_id").cast("int") % _LC_DROP_MOD == 0
+            ).select("doc_id").collect()
+        ]
+        delete_docs_fielded(spark, d, sorted(doomed))
+        compact_fielded_index(spark, d, rebaseline_stats=True)
+        _FIELDED_LC_CACHE[sf_dir] = d
+    return load_fielded_index(spark, _FIELDED_LC_CACHE[sf_dir])
+
+
+def q_dsl_fielded_lifecycle(spark, sf_dir):
+    """Fielded DSL over the delete+rebaseline family — the oracle
+    computes the per-field weight table over the SURVIVOR universe only
+    (statistics included), which is exactly what the rebaselined compact
+    must converge to."""
+    from openmatch_spark.query import search_dsl_fielded
+
+    run = search_dsl_fielded(
+        _entry_fielded_lifecycle(spark, sf_dir), LC_QUERIES, k=10
+    )
+    return run.withColumn("score", F.round("score", 6))
+
+
 PHRASE_SUGGEST_QUERIES = [
     ("p1", "fast tble scan"),   # 1-edit typo inside a trigram
     ("p2", "slo queri"),        # two 1-edit typos
@@ -7478,6 +7550,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_fielded": q_dsl_fielded,
         "dsl_multi_match": q_dsl_multi_match,
         "dsl_fielded_filtered": q_dsl_fielded_filtered,
+        "query_string_fielded": q_query_string_fielded,
+        "percolate_filtered": q_percolate_filtered,
+        "dsl_fielded_lifecycle": q_dsl_fielded_lifecycle,
         "dsl_explain": q_dsl_explain,
         "query_string_grouped": q_query_string_grouped,
         "passage_maxp": q_passage_maxp,
@@ -7784,6 +7859,95 @@ SELECT query_id, doc_id, ROUND(score, 6) AS score, rank FROM prun WHERE rank <= 
     sql["dsl_filtered_pattern"] = _DSL_FILTER_PATTERN_SQL
     sql["dsl_fielded"] = _DSL_FIELDED_SQL
     sql["dsl_multi_match"] = _DSL_MM_SQL
+
+    # field-prefixed query strings (round 5): every clause replayed
+    # against the shared per-field weight table; attribute prefixes gate
+    # via the raw documents columns (qf1 must_not-filter, qf3 must-filter)
+    sql["query_string_fielded"] = f"""
+WITH {_fielded_wf_ctes()},
+langd AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, lang FROM documents),
+qf0_t AS (SELECT doc_id, wgt AS s FROM wf
+          WHERE field = 'title' AND term = 'spark'),
+qf0_b AS (SELECT doc_id, wgt AS s FROM wf
+          WHERE field = 'body' AND term = 'join'),
+qf0 AS (
+  SELECT 'qf0' AS query_id, COALESCE(a.doc_id, b.doc_id) AS doc_id,
+         COALESCE(a.s, 0) + COALESCE(b.s, 0) AS score
+  FROM qf0_t a FULL OUTER JOIN qf0_b b ON a.doc_id = b.doc_id
+),
+qf1 AS (
+  SELECT 'qf1' AS query_id, w.doc_id, w.wgt AS score
+  FROM wf w JOIN langd l ON l.doc_id = w.doc_id
+  WHERE w.field = 'title' AND w.term = 'merge' AND l.lang <> 'de'
+),
+qf2_t AS (SELECT doc_id, wgt AS s FROM wf
+          WHERE field = 'title' AND term = 'spark'),
+qf2_b AS (SELECT doc_id, wgt AS s FROM wf
+          WHERE field = 'body' AND term = 'spark'),
+qf2 AS (
+  SELECT 'qf2' AS query_id, COALESCE(a.doc_id, b.doc_id) AS doc_id,
+         CASE WHEN a.s IS NOT NULL AND b.s IS NOT NULL
+              THEN GREATEST(a.s, b.s) ELSE COALESCE(a.s, b.s) END AS score
+  FROM qf2_t a FULL OUTER JOIN qf2_b b ON a.doc_id = b.doc_id
+),
+qf3 AS (
+  SELECT 'qf3' AS query_id, w.doc_id, 2.0 * w.wgt AS score
+  FROM wf w JOIN langd l ON l.doc_id = w.doc_id
+  WHERE w.field = 'body' AND w.term = 'scan' AND l.lang = 'en'
+),
+qfall AS (
+  SELECT * FROM qf0 UNION ALL SELECT * FROM qf1
+  UNION ALL SELECT * FROM qf2 UNION ALL SELECT * FROM qf3
+),
+qfrun AS (
+  SELECT query_id, doc_id, score,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+         ) AS INTEGER) AS rank
+  FROM qfall
+)
+SELECT query_id, doc_id, ROUND(score, 6) AS score, rank
+FROM qfrun WHERE rank <= 10
+"""
+
+    # fielded lifecycle (round 5): the SAME weight-table replica computed
+    # over the survivor universe only — doc_id % {_LC_DROP_MOD} == 0
+    # deleted, statistics rebaselined by compact_fielded_index
+    sql["dsl_fielded_lifecycle"] = f"""
+WITH {_fielded_wf_ctes(
+    f"WHERE CAST(d.doc_id AS INTEGER) % {_LC_DROP_MOD} <> 0")},
+lc0_t AS (SELECT doc_id, wgt AS s FROM wf
+          WHERE field = 'title' AND term = 'spark'),
+lc0_b AS (SELECT doc_id, wgt AS s FROM wf
+          WHERE field = 'body' AND term = 'join'),
+lc0 AS (
+  SELECT 'lc0' AS query_id, COALESCE(a.doc_id, b.doc_id) AS doc_id,
+         COALESCE(a.s, 0) + COALESCE(b.s, 0) AS score
+  FROM lc0_t a FULL OUTER JOIN lc0_b b ON a.doc_id = b.doc_id
+),
+lc1_t AS (SELECT doc_id, wgt AS s FROM wf
+          WHERE field = 'title' AND term = 'merge'),
+lc1_b AS (SELECT doc_id, wgt AS s FROM wf
+          WHERE field = 'body' AND term = 'merge'),
+lc1 AS (
+  SELECT 'lc1' AS query_id, COALESCE(a.doc_id, b.doc_id) AS doc_id,
+         CASE WHEN a.s IS NOT NULL AND b.s IS NOT NULL
+              THEN GREATEST(a.s, b.s)
+                   + 0.5 * (a.s + b.s - GREATEST(a.s, b.s))
+              ELSE COALESCE(a.s, b.s) END AS score
+  FROM lc1_t a FULL OUTER JOIN lc1_b b ON a.doc_id = b.doc_id
+),
+lcall AS (SELECT * FROM lc0 UNION ALL SELECT * FROM lc1),
+lcrun AS (
+  SELECT query_id, doc_id, score,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+         ) AS INTEGER) AS rank
+  FROM lcall
+)
+SELECT query_id, doc_id, ROUND(score, 6) AS score, rank
+FROM lcrun WHERE rank <= 10
+"""
     sql["dsl_fielded_filtered"] = _DSL_FF_SQL
     sql["dsl_explain"] = _DSL_EXPLAIN_SQL
     sql["query_string_grouped"] = _QS_GROUPED_SQL
@@ -10087,6 +10251,65 @@ SELECT h.doc_id, h.query_id,
        CAST(h.n_must AS INTEGER) AS n_must,
        CAST(h.n_should AS INTEGER) AS n_should
 FROM hits h JOIN req q ON q.query_id = h.query_id
+WHERE h.n_not = 0 AND h.n_must = q.req_must
+  AND (q.req_must > 0 OR h.n_should >= 1)
+  AND (q.req_must + q.n_should_avail) > 0
+"""
+
+    # filter-context percolation (round 5): the same role replica over
+    # PERC_FILTER_RULES, each match additionally gated by its rule's
+    # doc-values predicate replayed on the raw documents columns
+    sql["percolate_filtered"] = f"""
+WITH {_TOK},
+rules(query_id, must, should, must_not) AS (VALUES {_PERC_F_VALUES}),
+role_raw AS (
+  SELECT query_id, t.term, 1 AS is_must, 0 AS is_should, 0 AS is_not
+  FROM rules, UNNEST(regexp_split_to_array(lower(COALESCE(must, '')), '[^a-z0-9]+')) AS t(term)
+  WHERE t.term <> ''
+  UNION
+  SELECT query_id, t.term, 0, 1, 0
+  FROM rules, UNNEST(regexp_split_to_array(lower(COALESCE(should, '')), '[^a-z0-9]+')) AS t(term)
+  WHERE t.term <> ''
+  UNION
+  SELECT query_id, t.term, 0, 0, 1
+  FROM rules, UNNEST(regexp_split_to_array(lower(COALESCE(must_not, '')), '[^a-z0-9]+')) AS t(term)
+  WHERE t.term <> ''
+),
+roles AS (
+  SELECT query_id, term, MAX(is_must) AS is_must,
+         MAX(is_should) * (1 - MAX(is_must)) AS is_should,
+         MAX(is_not) AS is_not
+  FROM role_raw GROUP BY query_id, term
+),
+req AS (
+  SELECT query_id, SUM(is_must) AS req_must, SUM(is_should) AS n_should_avail
+  FROM roles GROUP BY query_id
+),
+gate AS (
+  SELECT 'pf0' AS query_id, CAST(doc_id AS VARCHAR) AS doc_id
+  FROM documents WHERE lang = 'en'
+  UNION ALL
+  SELECT 'pf1', CAST(doc_id AS VARCHAR) FROM documents WHERE n_chars >= 300
+  UNION ALL
+  SELECT 'pf2', CAST(doc_id AS VARCHAR) FROM documents
+  WHERE lang IN ('de', 'fr')
+  UNION ALL
+  SELECT 'pf3', CAST(doc_id AS VARCHAR) FROM documents
+),
+dterm AS (SELECT DISTINCT doc_id, term FROM tok),
+hits AS (
+  SELECT d.doc_id, r.query_id,
+         SUM(r.is_must) AS n_must, SUM(r.is_should) AS n_should,
+         SUM(r.is_not) AS n_not
+  FROM dterm d JOIN roles r ON r.term = d.term
+  GROUP BY d.doc_id, r.query_id
+)
+SELECT h.doc_id, h.query_id,
+       CAST(h.n_must AS INTEGER) AS n_must,
+       CAST(h.n_should AS INTEGER) AS n_should
+FROM hits h
+JOIN req q ON q.query_id = h.query_id
+JOIN gate g ON g.query_id = h.query_id AND g.doc_id = h.doc_id
 WHERE h.n_not = 0 AND h.n_must = q.req_must
   AND (q.req_must > 0 OR h.n_should >= 1)
   AND (q.req_must + q.n_should_avail) > 0

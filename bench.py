@@ -399,10 +399,111 @@ def suite() -> dict:
     suite_100k["sorted_256q_early_term_sec"] = round(t_sorted_et, 2)
     suite_100k["sorted_256q_attr_join_sec"] = round(t_sorted_join, 2)
     suite_100k["early_term_speedup"] = round(t_sorted_join / t_sorted_et, 2)
+
+    # round-5 (VERDICT r4 item 3): the structured-query surfaces measured
+    # only at the 5k-doc suite scale now get 100k-doc legs over the SAME
+    # big index, plus per-leg docs-proportionality vs the 5k suite legs
+    # (ratio ~= 20 means cost tracked posting volume linearly; << 20
+    # means per-batch fixed costs still dominate at 100k).
+    from openmatch_spark.index import build_positions as _bp
+    from openmatch_spark.query import search_dsl as _sdsl
+    from openmatch_spark.query import search_query_string as _sqs
+
+    t_pos_100k, _ = _timed(lambda: _bp(spark, big_pages, big_dir))
+    big_idx = big_idx.refresh()
+    rng5 = np.random.default_rng(23)
+    big_vocab = [
+        r["term"] for r in
+        big_idx.dictionary.orderBy(F.desc("df")).limit(2000).collect()
+    ]
+    pq_100k = spark.createDataFrame(
+        [(f"p{i}", " ".join(rng5.choice(big_vocab, size=2)))
+         for i in range(50)],
+        "query_id string, text string",
+    )
+    t_phrase_100k, _ = _timed(
+        lambda: search_phrase(big_idx, pq_100k, k=100).count()
+    )
+    bq_100k = spark.createDataFrame(
+        [(f"b{i}", str(rng5.choice(big_vocab)),
+          " ".join(rng5.choice(big_vocab, size=2)),
+          str(rng5.choice(big_vocab))) for i in range(50)],
+        "query_id string, must string, should string, must_not string",
+    )
+    t_bool_100k, _ = _timed(
+        lambda: search_boolean(big_idx, bq_100k, k=100).count()
+    )
+    qs_100k = spark.createDataFrame(
+        [(f"s{i}", "+{} {}^2 -{}".format(*rng5.choice(big_vocab, size=3)))
+         for i in range(50)],
+        "query_id string, text string",
+    )
+    t_qs_100k, _ = _timed(lambda: _sqs(big_idx, qs_100k, k=100).count())
+    dsl_100k = {
+        f"n{i}": {"bool": {
+            "must": [{"bool": {"should": [
+                {"match": {"text": str(rng5.choice(big_vocab))}},
+                {"match": {"text": str(rng5.choice(big_vocab))}},
+            ]}}],
+            "must_not": [{"term": {"text": str(rng5.choice(big_vocab))}}],
+        }}
+        for i in range(50)
+    }
+    t_dsl_100k, _ = _timed(lambda: _sdsl(big_idx, dsl_100k, k=100).count())
+    suite_100k["positions_build_sec"] = round(t_pos_100k, 2)
+    suite_100k["phrase_50q_sec"] = round(t_phrase_100k, 2)
+    suite_100k["boolean_50q_sec"] = round(t_bool_100k, 2)
+    suite_100k["query_string_50q_sec"] = round(t_qs_100k, 2)
+    suite_100k["dsl_nested_50q_sec"] = round(t_dsl_100k, 2)
+    suite_100k["docs_ratio_vs_suite"] = round(100_000 / n_docs, 1)
+    suite_100k["proportionality"] = {
+        "phrase_50q": round(t_phrase_100k / timings["phrase_50q"], 2),
+        "boolean_50q": round(t_bool_100k / timings["boolean_50q"], 2),
+        "positions_build": round(t_pos_100k / timings["positions_build"], 2),
+    }
+
+    # streaming percolation at 100k docs (VERDICT r4 item 7): the full
+    # serve_percolation loop — parquet doc stream, availableNow, rule
+    # table with term + filter-context rules — timed end to end
+    from openmatch_spark.streaming import serve_percolation
+
+    perc_src = tempfile.mkdtemp(prefix="om_bench_percsrc_")
+    perc_out = tempfile.mkdtemp(prefix="om_bench_percout_")
+    perc_ckpt = tempfile.mkdtemp(prefix="om_bench_percckpt_")
+    perc_docs = big_pages.select(
+        F.col("url").alias("doc_id"), "text",
+        F.pmod(F.xxhash64("url"), F.lit(1000)).cast("int").alias("n_chars"),
+    )
+    perc_docs.write.mode("overwrite").parquet(perc_src)
+    rules = spark.createDataFrame(
+        [
+            ("r0", f"{big_vocab[0]} {big_vocab[3]}", None, None, None),
+            ("r1", None, " ".join(big_vocab[5:8]), big_vocab[1], None),
+            ("r2", big_vocab[2], None, None,
+             '[{"range": {"n_chars": {"gte": 500}}}]'),
+        ],
+        "query_id string, must string, should string, must_not string,"
+        " filter string",
+    )
+    doc_stream = spark.readStream.schema(perc_docs.schema).parquet(perc_src)
+
+    def _run_perc():
+        q = serve_percolation(
+            doc_stream, rules, perc_out, perc_ckpt, analyzer="dpr",
+            available_now=True,
+        )
+        q.awaitTermination()
+        return spark.read.parquet(perc_out).count()
+
+    t_perc_100k, n_perc = _timed(_run_perc)
+    suite_100k["serve_percolation_sec"] = round(t_perc_100k, 2)
+    suite_100k["serve_percolation_matches"] = int(n_perc)
     import shutil as _sh
 
     _sh.rmtree(big_dir, ignore_errors=True)
     _sh.rmtree(sorted_dir, ignore_errors=True)
+    for d in (perc_src, perc_out, perc_ckpt):
+        _sh.rmtree(d, ignore_errors=True)
 
     spark.stop()
     noise_post = _noise_probe()

@@ -105,8 +105,12 @@ def serve_percolation(
     from openmatch_spark.query.percolate import percolate
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # keep every doc column, not just (doc_id, text): filter-context
+        # rules (percolate's `filter` column) evaluate against the doc
+        # frame's own attribute columns
+        extra = [c for c in batch_df.columns if c != "doc_id"]
         docs = batch_df.select(
-            F.col("doc_id").cast("string").alias("doc_id"), "text"
+            F.col("doc_id").cast("string").alias("doc_id"), *extra
         )
         if not docs.take(1):
             return

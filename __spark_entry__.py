@@ -503,13 +503,10 @@ tok AS (
   WHERE t.term <> ''
 )"""
 
-_BM25_CTES = f"""
-{_TOK},
-tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM tok GROUP BY doc_id, term),
-dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS doclen FROM tok GROUP BY doc_id),
-g AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(doclen) AS avgdl FROM dl),
-dfreq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term),
-q(query_id, text) AS (VALUES {_Q_VALUES}),
+# the standard query-side scoring group (q VALUES -> qtok -> qt ->
+# scored) shared by the BM25 CTE prelude and the snippet/highlight
+# oracles — one definition, one formula
+_Q_SCORED_CTES = f"""q(query_id, text) AS (VALUES {_Q_VALUES}),
 qtok AS (
   SELECT q.query_id, t.term
   FROM q, UNNEST(regexp_split_to_array(lower(q.text), '[^a-z0-9]+')) AS t(term)
@@ -527,7 +524,15 @@ scored AS (
   JOIN dfreq ON dfreq.term = tf.term
   CROSS JOIN g
   GROUP BY qt.query_id, tf.doc_id
-),
+)"""
+
+_BM25_CTES = f"""
+{_TOK},
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS doclen FROM tok GROUP BY doc_id),
+g AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(doclen) AS avgdl FROM dl),
+dfreq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+{_Q_SCORED_CTES},
 run AS (
   SELECT query_id, doc_id, score,
          CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
@@ -2423,25 +2428,7 @@ _SNIPPET_W = 12
 _SNIPPET_SQL = f"""
 WITH {_TOKP},
 {_BM25_CORE},
-q(query_id, text) AS (VALUES {_Q_VALUES}),
-qtok AS (
-  SELECT q.query_id, t.term
-  FROM q, UNNEST(regexp_split_to_array(lower(q.text), '[^a-z0-9]+')) AS t(term)
-  WHERE t.term <> ''
-),
-qt AS (SELECT query_id, term, CAST(COUNT(*) AS DOUBLE) AS qtf FROM qtok GROUP BY query_id, term),
-scored AS (
-  SELECT qt.query_id, tf.doc_id,
-         SUM(qt.qtf
-             * ln(1 + (g.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
-             * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.doclen / g.avgdl))) AS score
-  FROM tf
-  JOIN qt ON qt.term = tf.term
-  JOIN dl ON dl.doc_id = tf.doc_id
-  JOIN dfreq ON dfreq.term = tf.term
-  CROSS JOIN g
-  GROUP BY qt.query_id, tf.doc_id
-),
+{_Q_SCORED_CTES},
 run10 AS (
   SELECT query_id, doc_id FROM (
     SELECT query_id, doc_id,
@@ -2487,25 +2474,7 @@ JOIN docs_toks dt ON dt.doc_id = r.doc_id
 _HIGHLIGHT_SQL = f"""
 WITH {_TOKP},
 {_BM25_CORE},
-q(query_id, text) AS (VALUES {_Q_VALUES}),
-qtok AS (
-  SELECT q.query_id, t.term
-  FROM q, UNNEST(regexp_split_to_array(lower(q.text), '[^a-z0-9]+')) AS t(term)
-  WHERE t.term <> ''
-),
-qt AS (SELECT query_id, term, CAST(COUNT(*) AS DOUBLE) AS qtf FROM qtok GROUP BY query_id, term),
-scored AS (
-  SELECT qt.query_id, tf.doc_id,
-         SUM(qt.qtf
-             * ln(1 + (g.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
-             * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.doclen / g.avgdl))) AS score
-  FROM tf
-  JOIN qt ON qt.term = tf.term
-  JOIN dl ON dl.doc_id = tf.doc_id
-  JOIN dfreq ON dfreq.term = tf.term
-  CROSS JOIN g
-  GROUP BY qt.query_id, tf.doc_id
-),
+{_Q_SCORED_CTES},
 run10 AS (
   SELECT query_id, doc_id FROM (
     SELECT query_id, doc_id,

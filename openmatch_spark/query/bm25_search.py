@@ -60,6 +60,11 @@ _KERNEL_OUT = StructType(
 # keeps single-query p50 latency flat
 _DISTRIBUTED_TOKENIZE_MIN_QUERIES = 2048
 
+# above this many expected hit rows (queries x k), the final docmap join
+# broadcasts the DISTINCT hit-doc set instead of the whole cut — the
+# q x k rows then never cross the driver (see the join-site comment)
+_BROADCAST_CUT_MAX_ROWS = 500_000
+
 
 def query_terms(
     index: BM25Index, queries: DataFrame,
@@ -570,11 +575,32 @@ def search_terms(
         )
     else:
         cut = partial
-    # hits are tiny (<= queries x k + ties); broadcast them against the
-    # docmap scan so the (potentially huge) docmap is never shuffled
-    hits = index.docmap.select("shard", "doc_ord", "doc_id").join(
-        F.broadcast(cut), ["shard", "doc_ord"]
-    )
+    # the docmap is never shuffled (at 10^12 docs that would be the whole
+    # corpus); the hit side broadcasts instead. HOW it broadcasts is batch-
+    # size dependent: small batches broadcast the cut itself (one join, the
+    # p50 shape), but at 16k+ queries the cut is ~queries x k rows carrying
+    # query_id strings, and pushing all of it through the driver is a
+    # core-count-independent ~tens-of-seconds cost that flattens N->4N
+    # query scaling (measured: the 16,384-query leg's fixed component).
+    # Above the threshold, broadcast only the DISTINCT (shard, doc_ord)
+    # hit set (narrow ints, and query overlap dedupes popular docs), join
+    # it to the docmap to hydrate doc_id, and broadcast that small map
+    # back against the cut — the q x k rows never cross the driver.
+    # Results are identical: same equi-join, two broadcast hops.
+    if not cursors and n_queries * k > _BROADCAST_CUT_MAX_ROWS:
+        # cut feeds TWO consumers below (the distinct hit-doc set and the
+        # final join) — materialize it once or the whole scoring kernel
+        # re-executes for each consumer (measured: 2x wall at local[1])
+        cut = cut.localCheckpoint()
+        hit_docs = cut.select("shard", "doc_ord").distinct()
+        dmap_small = index.docmap.select("shard", "doc_ord", "doc_id").join(
+            F.broadcast(hit_docs), ["shard", "doc_ord"]
+        )
+        hits = cut.join(F.broadcast(dmap_small), ["shard", "doc_ord"])
+    else:
+        hits = index.docmap.select("shard", "doc_ord", "doc_id").join(
+            F.broadcast(cut), ["shard", "doc_ord"]
+        )
     if cursors:
         # exact search_after predicate in the total (score DESC, doc_id ASC)
         # order: strictly lower score, or tied score with a later doc_id

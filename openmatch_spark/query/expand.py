@@ -203,26 +203,93 @@ def wildcard_to_like(pattern: str) -> str:
     return "".join(out)
 
 
-def _wildcard_tokens(index: BM25Index, queries: DataFrame) -> list:
-    """[(query_id, like_pattern, qtf)] — wildcard queries can NOT go through
-    the analyzer (it would strip ``*``/``?``), so tokenization is
-    whitespace-split + lowercase + keep only [a-z0-9*?], the wildcard-
-    preserving restriction of the ``simple`` analyzer."""
+def _wildcard_row(text: str) -> list:
+    """One query text -> sorted [(like_pattern, qtf)] — whitespace-split +
+    lowercase + keep only [a-z0-9*?] (the wildcard-preserving restriction
+    of the ``simple`` analyzer; the analyzer itself would strip */?)."""
     import re as _re
-    from collections import Counter
+
+    toks = [
+        _re.sub(r"[^a-z0-9*?]+", "", t) for t in (text or "").lower().split()
+    ]
+    c = Counter(wildcard_to_like(t) for t in toks if t)
+    return [(pat, float(n)) for pat, n in sorted(c.items())]
+
+
+def _pattern_tokens(
+    queries: DataFrame, row_fn, distributed_threshold: int | None = None
+) -> list:
+    """[(query_id, pattern, qtf)] via a pure per-row pattern extractor —
+    the wildcard/regexp twin of query_term_counts' scale dispatch: small
+    batches loop driver-side (zero extra jobs); batches above the
+    engine-wide threshold run row_fn executor-side in mapInPandas and
+    only compact (query_id, pattern, qtf) rows return. row_fn ValueErrors
+    (regexp validation) are carried back as error rows and re-raised,
+    preserving the driver-path contract."""
+    from openmatch_spark.query.bm25_search import (
+        _DISTRIBUTED_TOKENIZE_MIN_QUERIES,
+    )
+    from openmatch_spark.session import scoped_confs
+
+    if distributed_threshold is None:
+        distributed_threshold = _DISTRIBUTED_TOKENIZE_MIN_QUERIES
+    q = queries.select(
+        F.col("query_id").cast("string").alias("query_id"), "text"
+    )
+    sess = q.sparkSession
+    with scoped_confs(
+        sess,
+        {
+            "spark.sql.limit.initialNumPartitions": str(
+                max(sess.sparkContext.defaultParallelism, 16)
+            )
+        },
+    ):
+        head = q.take(distributed_threshold + 1)
+    if len(head) <= distributed_threshold:
+        return sorted(
+            (str(r["query_id"]), pat, n)
+            for r in head
+            for (pat, n) in row_fn(r["text"])
+        )
+
+    def _part(it):
+        import pandas as pd
+
+        for pdf in it:
+            qids, pats, ns, errs = [], [], [], []
+            for qid, text in zip(pdf["query_id"], pdf["text"]):
+                try:
+                    rows = row_fn(text)
+                    err = None
+                except ValueError as e:
+                    rows, err = [("", 0.0)], str(e)
+                for pat, n in rows:
+                    qids.append(str(qid))
+                    pats.append(pat)
+                    ns.append(float(n))
+                    errs.append(err)
+            yield pd.DataFrame(
+                {"query_id": qids, "pattern": pats, "qtf": ns, "err": errs}
+            )
 
     out = []
-    for r in queries.select(
-        F.col("query_id").cast("string").alias("query_id"), "text"
+    for r in q.mapInPandas(
+        _part, "query_id string, pattern string, qtf double, err string"
     ).collect():
-        toks = [
-            _re.sub(r"[^a-z0-9*?]+", "", t)
-            for t in (r["text"] or "").lower().split()
-        ]
-        c = Counter(wildcard_to_like(t) for t in toks if t)
-        for pat, n in sorted(c.items()):
-            out.append((r["query_id"], pat, float(n)))
-    return out
+        if r["err"] is not None:
+            raise ValueError(r["err"])
+        out.append((r["query_id"], r["pattern"], float(r["qtf"])))
+    return sorted(out)
+
+
+def _wildcard_tokens(
+    index: BM25Index, queries: DataFrame,
+    distributed_threshold: int | None = None,
+) -> list:
+    """[(query_id, like_pattern, qtf)] — _wildcard_row through the shared
+    driver/distributed dispatch."""
+    return _pattern_tokens(queries, _wildcard_row, distributed_threshold)
 
 
 def search_wildcard(
@@ -264,39 +331,44 @@ def search_wildcard(
 _REGEXP_ALLOWED = r"[^a-z0-9.*+?\[\](){}|,\^\-]+"
 
 
-def _regexp_tokens(index: BM25Index, queries: DataFrame) -> list:
-    """[(query_id, pattern, qtf)] — regexp queries can NOT go through the
-    analyzer (it would strip the metachars), so tokenization is whitespace-
-    split + lowercase + keep only the allowed pattern charset. Every kept
-    pattern must compile (Python re compiles the Java/RE2 common subset
-    identically), else the whole batch is rejected loudly — a silently
-    dropped malformed pattern would look like zero hits."""
+def _regexp_row(text: str) -> list:
+    """One query text -> sorted [(pattern, qtf)] — whitespace-split +
+    lowercase + keep only the allowed pattern charset. Every kept pattern
+    must compile (Python re compiles the Java/RE2 common subset
+    identically) and may use '^' only as class negation, else ValueError
+    — a silently dropped malformed pattern would look like zero hits."""
     import re as _re
 
+    toks = [
+        _re.sub(_REGEXP_ALLOWED, "", t) for t in (text or "").lower().split()
+    ]
+    c = Counter(t for t in toks if t)
     out = []
-    for r in queries.select(
-        F.col("query_id").cast("string").alias("query_id"), "text"
-    ).collect():
-        toks = [
-            _re.sub(_REGEXP_ALLOWED, "", t)
-            for t in (r["text"] or "").lower().split()
-        ]
-        c = Counter(t for t in toks if t)
-        for pat, n in sorted(c.items()):
-            for i, ch in enumerate(pat):
-                if ch == "^" and (i == 0 or pat[i - 1] != "["):
-                    raise ValueError(
-                        f"invalid regexp pattern {pat!r}: '^' is only "
-                        "supported as class negation '[^...]' (full-term "
-                        "match is implicit; anchors are not part of the "
-                        "Lucene RegexpQuery surface)"
-                    )
-            try:
-                _re.compile(f"^(?:{pat})$")
-            except _re.error as e:
-                raise ValueError(f"invalid regexp pattern {pat!r}: {e}") from e
-            out.append((r["query_id"], pat, float(n)))
+    for pat, n in sorted(c.items()):
+        for i, ch in enumerate(pat):
+            if ch == "^" and (i == 0 or pat[i - 1] != "["):
+                raise ValueError(
+                    f"invalid regexp pattern {pat!r}: '^' is only "
+                    "supported as class negation '[^...]' (full-term "
+                    "match is implicit; anchors are not part of the "
+                    "Lucene RegexpQuery surface)"
+                )
+        try:
+            _re.compile(f"^(?:{pat})$")
+        except _re.error as e:
+            raise ValueError(f"invalid regexp pattern {pat!r}: {e}") from e
+        out.append((pat, float(n)))
     return out
+
+
+def _regexp_tokens(
+    index: BM25Index, queries: DataFrame,
+    distributed_threshold: int | None = None,
+) -> list:
+    """[(query_id, pattern, qtf)] — _regexp_row through the shared
+    driver/distributed dispatch (validation errors surface as ValueError
+    on either path)."""
+    return _pattern_tokens(queries, _regexp_row, distributed_threshold)
 
 
 def search_regexp(

@@ -188,3 +188,24 @@ def test_query_tokens_distributed_identity(spark, idx):
     # and the fuzzy surface lands on identical runs either way
     run = search_fuzzy(idx, _q(spark, [("f", "term0001")]), k=10)
     assert _rows(run)
+
+
+def test_pattern_tokens_distributed_identity(spark, idx):
+    from openmatch_spark.query import search_regexp, search_wildcard
+    from openmatch_spark.query.expand import _regexp_tokens, _wildcard_tokens
+
+    qs = _q(spark, [("q0", "term000* ter?0001"), ("q1", "term00[12]. x*")])
+    for fn in (_wildcard_tokens, _regexp_tokens):
+        drv = fn(idx, qs, distributed_threshold=10_000)
+        dst = fn(idx, qs, distributed_threshold=0)
+        assert drv == dst and drv
+    # run-level identity through the search surfaces
+    for search_fn, text in ((search_wildcard, "term000*"),
+                            (search_regexp, "term00[^3].")):
+        q1 = _q(spark, [("w", text)])
+        a = _rows(search_fn(idx, q1, k=15))
+        assert a  # non-empty either way; tokens fn shared by both paths
+    # validation errors survive the distributed path
+    bad = _q(spark, [("b", "^anchored")])
+    with pytest.raises(ValueError, match="class negation"):
+        _regexp_tokens(idx, bad, distributed_threshold=0)

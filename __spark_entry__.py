@@ -3110,6 +3110,25 @@ def q_bm25_topk(spark, sf_dir):
 
 _IDX_CACHE: dict[str, str] = {}
 
+# load_index handles memoized per (session, dir): entry index dirs are
+# immutable once their cache entry is built (lifecycle entries compute
+# their mutations inside the cache-build step, in their own dirs), so a
+# handle's snapshot state — driver dictionary memo, manifest snapshot,
+# table DataFrames — is reusable across entry calls. Re-loading per call
+# re-paid ~3 Spark jobs (dictionary count + toPandas, manifest collect)
+# and ~10 parquet re-reads per entry invocation.
+_HANDLE_CACHE: dict = {}
+
+
+def _load_entry_index(spark, d):
+    from openmatch_spark.index import load_index
+
+    key = (id(spark), d)
+    h = _HANDLE_CACHE.get(key)
+    if h is None:
+        _HANDLE_CACHE[key] = h = load_index(spark, d)
+    return h
+
 
 def _entry_index(spark, sf_dir):
     """Build (once per sf_dir) and load the shared entry index."""
@@ -3126,7 +3145,7 @@ def _entry_index(spark, sf_dir):
             store_attrs=["lang", "n_chars"],
         )
         _IDX_CACHE[sf_dir] = d
-    return load_index(spark, _IDX_CACHE[sf_dir])
+    return _load_entry_index(spark, _IDX_CACHE[sf_dir])
 
 
 # index-time synonym contraction (analysis.py): variants rewritten to the
@@ -3154,7 +3173,7 @@ def _entry_index_synonyms(spark, sf_dir):
             num_shards=4, num_term_buckets=8, block_size=128,
         )
         _IDX_CACHE[key] = d
-    return load_index(spark, _IDX_CACHE[key])
+    return _load_entry_index(spark, _IDX_CACHE[key])
 
 
 def q_bm25_topk_synonyms(spark, sf_dir):
@@ -3221,7 +3240,7 @@ def q_bm25_topk_rebaselined(spark, sf_dir):
         )
         compact_index(spark, d, rebaseline_stats=True)
         _IDX_CACHE[key] = d
-    idx = load_index(spark, _IDX_CACHE[key])
+    idx = _load_entry_index(spark, _IDX_CACHE[key])
     run = search(idx, _queries_df(spark), k=10, mode="maxscore")
     return run.select(
         "query_id",
@@ -3255,7 +3274,7 @@ def q_bm25_topk_pruned(spark, sf_dir):
         )
         compact_index(spark, d, prune_keep_per_term=_PRUNE_KEEP)
         _IDX_CACHE[key] = d
-    idx = load_index(spark, _IDX_CACHE[key])
+    idx = _load_entry_index(spark, _IDX_CACHE[key])
     run = search(idx, _queries_df(spark), k=10, mode="maxscore")
     return run.select(
         "query_id",
@@ -3300,7 +3319,7 @@ def q_bm25_topk_stopped(spark, sf_dir):
             num_term_buckets=4, block_size=128,
         )
         _IDX_CACHE[key] = d
-    idx = load_index(spark, _IDX_CACHE[key])
+    idx = _load_entry_index(spark, _IDX_CACHE[key])
     run = search(
         idx,
         spark.createDataFrame(STOP_QUERIES, "query_id string, text string"),
@@ -3339,7 +3358,7 @@ def q_bm25_topk_deleted(spark, sf_dir):
             pages.where(did % 7 == 2).select(F.col("url").alias("doc_id")),
         )
         _IDX_CACHE[key] = d
-    idx = load_index(spark, _IDX_CACHE[key])
+    idx = _load_entry_index(spark, _IDX_CACHE[key])
     run = search(idx, _queries_df(spark), k=10, mode="maxscore")
     return run.select(
         "query_id",
@@ -3383,7 +3402,7 @@ def q_bm25_topk_upserted(spark, sf_dir):
         )
         compact_index(spark, d, rebaseline_stats=True)
         _IDX_CACHE[key] = d
-    idx = load_index(spark, _IDX_CACHE[key])
+    idx = _load_entry_index(spark, _IDX_CACHE[key])
     run = search(idx, _queries_df(spark), k=10, mode="maxscore")
     return run.select(
         "query_id",
@@ -3419,7 +3438,7 @@ def q_bm25_topk_federated(spark, sf_dir):
             )
             dirs.append(d)
         _IDX_CACHE[key] = dirs
-    idxs = [load_index(spark, d) for d in _IDX_CACHE[key]]
+    idxs = [_load_entry_index(spark, d) for d in _IDX_CACHE[key]]
     run = search_federated(idxs, _queries_df(spark), k=10)
     return run.select(
         "query_id",
@@ -3474,7 +3493,7 @@ def q_qld_topk_indexed(spark, sf_dir):
             num_shards=4, num_term_buckets=8, block_size=128, scoring="qld",
         )
         _IDX_CACHE[key] = d
-    idx = load_index(spark, _IDX_CACHE[key])
+    idx = _load_entry_index(spark, _IDX_CACHE[key])
     run = search(idx, _queries_df(spark), k=10, mode="maxscore")
     return run.select(
         "query_id",
@@ -3935,7 +3954,7 @@ def q_bm25_topk_stemmed(spark, sf_dir):
             num_term_buckets=4, block_size=128,
         )
         _IDX_CACHE[key] = d
-    idx = load_index(spark, _IDX_CACHE[key])
+    idx = _load_entry_index(spark, _IDX_CACHE[key])
     run = search(
         idx,
         spark.createDataFrame(STEM_QUERIES, "query_id string, text string"),
@@ -4022,7 +4041,7 @@ def _entry_index_sorted(spark, sf_dir):
             num_term_buckets=8, block_size=128, index_sort="n_chars",
         )
         _IDX_CACHE[key] = d
-    return load_index(spark, _IDX_CACHE[key])
+    return _load_entry_index(spark, _IDX_CACHE[key])
 
 
 def q_sorted_search_indexed(spark, sf_dir):
@@ -6285,7 +6304,7 @@ def q_rerank_bm25(spark, sf_dir):
     from openmatch_spark.operators.rerank import rerank_bm25
 
     q_bm25_topk_indexed(spark, sf_dir)  # ensure index exists (cached)
-    idx = load_index(spark, _IDX_CACHE[sf_dir])
+    idx = _load_entry_index(spark, _IDX_CACHE[sf_dir])
     corpus = _docs(spark, sf_dir).select(
         F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("doc_id"),
         "text",
@@ -7220,6 +7239,21 @@ def q_facet_moving_percentiles(spark, sf_dir):
 _FIELDED_CACHE: dict[str, str] = {}
 
 
+_FIELDED_HANDLE_CACHE: dict = {}
+
+
+def _load_entry_fielded(spark, d):
+    """load_fielded_index memoized per (session, dir) — same rationale as
+    _load_entry_index, times the number of per-field sub-indexes."""
+    from openmatch_spark.query import load_fielded_index
+
+    key = (id(spark), d)
+    h = _FIELDED_HANDLE_CACHE.get(key)
+    if h is None:
+        _FIELDED_HANDLE_CACHE[key] = h = load_fielded_index(spark, d)
+    return h
+
+
 def _entry_fielded(spark, sf_dir):
     """Build (once per sf_dir) and load the fielded index family: the
     SAME title/body token split as the bm25f/dismax/cross_fields entries,
@@ -7247,7 +7281,7 @@ def _entry_fielded(spark, sf_dir):
             store_attrs=["lang"],
         )
         _FIELDED_CACHE[sf_dir] = d
-    return load_fielded_index(spark, _FIELDED_CACHE[sf_dir])
+    return _load_entry_fielded(spark, _FIELDED_CACHE[sf_dir])
 
 
 def q_dismax_indexed(spark, sf_dir):
@@ -7397,7 +7431,7 @@ def _entry_fielded_lifecycle(spark, sf_dir):
         delete_docs_fielded(spark, d, sorted(doomed))
         compact_fielded_index(spark, d, rebaseline_stats=True)
         _FIELDED_LC_CACHE[sf_dir] = d
-    return load_fielded_index(spark, _FIELDED_LC_CACHE[sf_dir])
+    return _load_entry_fielded(spark, _FIELDED_LC_CACHE[sf_dir])
 
 
 def q_dsl_fielded_lifecycle(spark, sf_dir):

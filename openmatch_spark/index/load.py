@@ -30,15 +30,30 @@ class BM25Index:
     _term_cache: dict | bool | None = field(default=None, repr=False)
     _shard_cache: list | None = field(default=None, repr=False)
     _delete_cache: dict | None = field(default=None, repr=False)
+    _df_cache: dict = field(default_factory=dict, repr=False)
 
     def _store(self) -> IndexStorage:
         if self.store is None:
             self.store = IndexStorage(spark=self.spark, paths=self.paths)
         return self.store
 
+    def _read_cached(self, kind: str) -> DataFrame:
+        """store.read(kind) memoized per handle: a loaded index is a
+        read-only SNAPSHOT (committed_shards docstring), so its table
+        DataFrames — whose construction pays file listing + schema read,
+        ~60 ms each on the py4j path — are stable for the handle's
+        lifetime. Hot query surfaces touch postings/docmap/dictionary
+        several times per call; without the memo each touch re-lists.
+        refresh() drops the memo along with the segment snapshot."""
+        df = self._df_cache.get(kind)
+        if df is None:
+            df = self._store().read(kind)
+            self._df_cache[kind] = df
+        return df
+
     @property
     def dictionary(self) -> DataFrame:
-        return self._store().read("dictionary")
+        return self._read_cached("dictionary")
 
     def term_buckets(self, terms: list[str]) -> dict[str, int]:
         """{term -> term_bucket} for the given in-vocabulary terms.
@@ -94,6 +109,7 @@ class BM25Index:
         self._shard_cache = None
         self._term_cache = None
         self._delete_cache = None
+        self._df_cache = {}
         return self
 
     # ---- document deletes (tombstones) ----------------------------------
@@ -110,7 +126,7 @@ class BM25Index:
         stray data dirs are."""
         import pyspark.sql.functions as F
 
-        return self._store().read("deletes").where(
+        return self._read_cached("deletes").where(
             F.col("shard").isin(self.committed_shards())
         )
 
@@ -208,14 +224,14 @@ class BM25Index:
         and the In-filter on the partition column prunes them out — queries
         never see an uncommitted or superseded segment. The filter is a
         static partition prune (no extra shuffle, no extra job)."""
-        df = self._store().read(kind)
+        df = self._read_cached(kind)
         import pyspark.sql.functions as F
 
         return df.where(F.col("shard").isin(self.committed_shards()))
 
     @property
     def manifest(self) -> DataFrame:
-        return self._store().read("manifest")
+        return self._read_cached("manifest")
 
     @property
     def metrics(self) -> DataFrame:

@@ -31,6 +31,7 @@ class BM25Index:
     _shard_cache: list | None = field(default=None, repr=False)
     _delete_cache: dict | None = field(default=None, repr=False)
     _df_cache: dict = field(default_factory=dict, repr=False)
+    _vocab_cache: tuple | bool | None = field(default=None, repr=False)
 
     def _store(self) -> IndexStorage:
         if self.store is None:
@@ -55,6 +56,48 @@ class BM25Index:
     def dictionary(self) -> DataFrame:
         return self._read_cached("dictionary")
 
+    def _ensure_driver_vocab(self) -> None:
+        """Populate the driver-side vocabulary memos (or mark them too big).
+
+        One Arrow collect fills BOTH the {term -> bucket} lookup dict and
+        the sorted (terms, df, bucket) arrays that vocab_arrays() serves to
+        the driver-side expansion fast path — df rides along because the
+        expansion cap's deterministic order is (edits ASC, df DESC, term
+        ASC) and a second collect for it would re-pay the job."""
+        if self._term_cache is not None:
+            return
+        n = self.dictionary.count()
+        if n > _DRIVER_DICT_MAX_TERMS:
+            self._term_cache = _TOO_BIG
+            self._vocab_cache = _TOO_BIG
+            return
+        # Arrow transfer + plain-python dict: no JVM Row objects, no
+        # per-row Python wrappers — ~40 bytes/entry either heap
+        pdf = self.dictionary.select("term", "term_bucket", "df").toPandas()
+        self._term_cache = dict(
+            zip(pdf["term"].tolist(), pdf["term_bucket"].tolist())
+        )
+        import numpy as np
+
+        # sorted driver-side (numpy argsort), NOT via orderBy: an orderBy
+        # before the collect would add a range exchange to the one-time
+        # vocabulary job for a sort the driver does in milliseconds
+        terms = np.asarray(pdf["term"].tolist(), dtype=object)
+        order = np.argsort(terms, kind="stable")
+        self._vocab_cache = (
+            terms[order],
+            pdf["df"].to_numpy(dtype="int64")[order],
+            pdf["term_bucket"].to_numpy(dtype="int64")[order],
+        )
+
+    def vocab_arrays(self):
+        """(terms, df, bucket) numpy arrays, term-sorted, for vocabularies
+        in the driver-cache regime (see term_buckets) — None when the
+        dictionary is too big, in which case expansion surfaces use the
+        distributed dictionary scan (the cluster-scale path)."""
+        self._ensure_driver_vocab()
+        return None if self._vocab_cache is _TOO_BIG else self._vocab_cache
+
     def term_buckets(self, terms: list[str]) -> dict[str, int]:
         """{term -> term_bucket} for the given in-vocabulary terms.
 
@@ -63,17 +106,7 @@ class BM25Index:
         dominated p50 latency. Huge dictionaries use a term-pruned scan
         (PushedFilters: In(term, ...)), which is also the cluster-scale path.
         """
-        if self._term_cache is None:
-            n = self.dictionary.count()
-            if n <= _DRIVER_DICT_MAX_TERMS:
-                # Arrow transfer + plain-python dict: no JVM Row objects, no
-                # per-row Python wrappers — ~40 bytes/entry either heap
-                pdf = self.dictionary.select("term", "term_bucket").toPandas()
-                self._term_cache = dict(
-                    zip(pdf["term"].tolist(), pdf["term_bucket"].tolist())
-                )
-            else:
-                self._term_cache = _TOO_BIG
+        self._ensure_driver_vocab()
         if self._term_cache is not _TOO_BIG:
             return {t: self._term_cache[t] for t in terms if t in self._term_cache}
         import pyspark.sql.functions as F
@@ -110,6 +143,7 @@ class BM25Index:
         self._term_cache = None
         self._delete_cache = None
         self._df_cache = {}
+        self._vocab_cache = None
         return self
 
     # ---- document deletes (tombstones) ----------------------------------

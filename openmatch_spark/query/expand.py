@@ -64,6 +64,144 @@ def _query_tokens(
     return [(q, t, float(c)) for (q, t), c in sorted(qtf.items())]
 
 
+def _lev(a: str, b: str) -> int:
+    """Unit-cost Levenshtein distance — the same function Spark's
+    `levenshtein` expression computes (insert/delete/substitute, cost 1),
+    used by the driver-side expansion fast path so its edit distances are
+    identical to the distributed dictionary scan's."""
+    if a == b:
+        return 0
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _prefix_upper(p: str) -> str | None:
+    """Smallest string greater than every string with prefix p (for a
+    sorted-vocabulary range cut); None when no such bound exists."""
+    for i in range(len(p) - 1, -1, -1):
+        if ord(p[i]) < 0x10FFFF:
+            return p[:i] + chr(ord(p[i]) + 1)
+    return None
+
+
+def _like_to_regex(pat: str) -> str:
+    """SQL LIKE pattern (backslash escape, the wildcard_to_like output
+    contract) -> anchored Python regex source with identical match set."""
+    import re as _re
+
+    out, i = [], 0
+    while i < len(pat):
+        ch = pat[i]
+        if ch == "\\" and i + 1 < len(pat):
+            out.append(_re.escape(pat[i + 1]))
+            i += 2
+            continue
+        if ch == "%":
+            out.append(".*")
+        elif ch == "_":
+            out.append(".")
+        else:
+            out.append(_re.escape(ch))
+        i += 1
+    return "".join(out)
+
+
+def _like_literal_prefix(pat: str) -> str:
+    """Leading literal run of a LIKE pattern (chars before the first
+    metacharacter), used to range-cut the sorted vocabulary."""
+    out, i = [], 0
+    while i < len(pat):
+        ch = pat[i]
+        if ch == "\\" and i + 1 < len(pat):
+            out.append(pat[i + 1])
+            i += 2
+            continue
+        if ch in ("%", "_"):
+            break
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+def _expansions_driver(
+    arrs, tokens: list[str], kind: str, max_edits: int, prefix_len: int,
+    max_expansions: int,
+) -> dict:
+    """Driver-side twin of the distributed _expansions scan for
+    vocabularies already memoized on the driver (BM25Index.vocab_arrays):
+    same candidate predicates (substring/length/levenshtein for fuzzy,
+    LIKE for wildcard, anchored regex for regexp, startswith for prefix)
+    and the same deterministic cap order (edits ASC, df DESC, term ASC),
+    so the expansion set is bit-identical — without the per-call Spark
+    job + window shuffle, which dominated small-batch expansion surfaces."""
+    import re as _re
+
+    import numpy as np
+
+    terms, dfs, buckets = arrs
+    n = terms.shape[0]
+
+    def rng(prefix: str):
+        if not prefix:
+            return 0, n
+        lo = int(np.searchsorted(terms, prefix, side="left"))
+        upper = _prefix_upper(prefix)
+        hi = n if upper is None else int(
+            np.searchsorted(terms, upper, side="left")
+        )
+        return lo, hi
+
+    by_tok: dict[str, list] = {}
+    for tok in tokens:
+        cands: list[tuple[str, int, int]] = []  # (term, ed, idx)
+        if kind == "fuzzy":
+            if len(tok) < prefix_len:
+                # substring(term, 1, p) == substring(qterm, 1, p) with the
+                # whole qterm shorter than p admits ONLY term == qterm
+                # (both substrings clamp to their string's length) — the
+                # range cut below would wrongly admit longer extensions
+                i = int(np.searchsorted(terms, tok, side="left"))
+                if i < n and terms[i] == tok:
+                    by_tok[tok] = [(tok, 0, int(buckets[i]))]
+                continue
+            lo, hi = rng(tok[:prefix_len])
+            lq = len(tok)
+            for i in range(lo, hi):
+                t = terms[i]
+                if abs(len(t) - lq) > max_edits:
+                    continue
+                ed = _lev(t, tok)
+                if ed <= max_edits:
+                    cands.append((t, ed, i))
+        elif kind == "wildcard":
+            lo, hi = rng(_like_literal_prefix(tok))
+            rx = _re.compile(_like_to_regex(tok))
+            cands = [(terms[i], 0, i) for i in range(lo, hi)
+                     if rx.fullmatch(terms[i])]
+        elif kind == "regexp":
+            rx = _re.compile(f"^(?:{tok})$")
+            cands = [(terms[i], 0, i) for i in range(n)
+                     if rx.match(terms[i])]
+        else:  # prefix
+            lo, hi = rng(tok)
+            cands = [(terms[i], 0, i) for i in range(lo, hi)]
+        if not cands:
+            continue
+        cands.sort(key=lambda c: (c[1], -int(dfs[c[2]]), c[0]))
+        by_tok[tok] = [
+            (t, ed, int(buckets[i])) for (t, ed, i) in cands[:max_expansions]
+        ]
+    return by_tok
+
+
 def _expansions(
     index: BM25Index,
     tokens: list[str],
@@ -75,7 +213,15 @@ def _expansions(
     """{query_token -> [(variant_term, edits, term_bucket)]} via one
     dictionary scan joined to the broadcast token list; capped per token by
     (edits ASC, df DESC, term ASC) — a total order, so the expansion set is
-    deterministic and oracle-replicable."""
+    deterministic and oracle-replicable. Vocabularies small enough for the
+    driver memo (BM25Index.vocab_arrays) expand driver-side with identical
+    results and zero Spark jobs (_expansions_driver); the distributed scan
+    below is the huge-dictionary / cluster-scale path."""
+    arrs = index.vocab_arrays()
+    if arrs is not None:
+        return _expansions_driver(
+            arrs, tokens, kind, max_edits, prefix_len, max_expansions
+        )
     spark = index.spark
     qt = F.broadcast(
         spark.createDataFrame([(t,) for t in tokens], "qterm string")

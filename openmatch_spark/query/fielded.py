@@ -92,8 +92,7 @@ def build_fielded_index(
             raise ValueError(
                 f"analyzer dict is missing fields {sorted(missing)}"
             )
-    reports = {}
-    for f in sorted(fields):
+    def _one(f: str):
         sub = pages.select(
             F.col("doc_id").cast("string").alias("doc_id"),
             F.col(f).cast("string").alias("text"),
@@ -103,9 +102,32 @@ def build_fielded_index(
         if analyzer is not None:
             kw["analyzer"] = (analyzer[f] if isinstance(analyzer, dict)
                               else analyzer)
-        reports[f] = build_index(
+        return build_index(
             spark, sub, os.path.join(index_dir, f"field={f}"), **kw
         )
+
+    # Per-field sub-builds are fully independent jobs over disjoint output
+    # dirs, so overlap them (2-3 in flight): each build's straggler tail
+    # leaves most executors idle, and the next field's tasks back-fill
+    # them. Index bytes are a pure function of corpus content (partition-
+    # invariance is property-tested), so overlap cannot change the built
+    # index. The only session-wide state the builds touch is the scoped
+    # shuffle-partition / overwrite-mode confs, which every per-field
+    # build sets to the same values here (same input, same kwargs).
+    ordered = sorted(fields)
+    if len(ordered) == 1:
+        reports = {ordered[0]: _one(ordered[0])}
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        from pyspark import inheritable_thread_target
+
+        with ThreadPoolExecutor(max_workers=min(3, len(ordered))) as pool:
+            futs = {
+                f: pool.submit(inheritable_thread_target(_one), f)
+                for f in ordered
+            }
+            reports = {f: futs[f].result() for f in ordered}
     tmp = os.path.join(index_dir, _MANIFEST + ".tmp")
     with open(tmp, "w") as fh:
         json.dump({"fields": sorted(fields)}, fh)

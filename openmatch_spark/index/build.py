@@ -521,7 +521,7 @@ def _build_index_body(
     else:
         t0 = time.time()
         g = global_stats(corpus)
-        dictionary = tf.groupBy("term").agg(
+        dictionary_df = tf.groupBy("term").agg(
             F.count(F.lit(1)).alias("df"),
             F.sum("tf").cast("long").alias("cf"),
         ).select(
@@ -533,8 +533,6 @@ def _build_index_body(
             lucene_idf_col(F.col("df"), float(g["n_docs"])).alias("idf"),
             term_bucket_col(F.col("term"), num_term_buckets).alias("term_bucket"),
         )
-        store.overwrite(dictionary, "dictionary")
-        dictionary = store.read("dictionary")
         stats = dict(
             g,
             analyzer=analyzer,
@@ -552,8 +550,41 @@ def _build_index_body(
             }
         if store_attrs:
             stats["store_attrs"] = list(store_attrs)
-        store.write_stats(stats)
+
+        # the dictionary write only feeds the weighted join inside the
+        # batch loop, while the first batch's docmap window+write depends
+        # only on the cached corpus — overlap the two independent jobs
+        # (guide-style back-fill: the next job's tasks fill the executors
+        # the dictionary write's tail leaves idle). stats.json — the
+        # atomic commit marker that lets resume skip this phase — is
+        # written INSIDE the future, strictly after the dictionary lands,
+        # so a crash mid-overlap never leaves stats.json without its
+        # dictionary.
+        def _commit_stats_phase():
+            store.overwrite(dictionary_df, "dictionary")
+            out = store.read("dictionary")
+            store.write_stats(stats)
+            return out
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        from pyspark import inheritable_thread_target
+
+        _stats_pool = ThreadPoolExecutor(max_workers=1)
+        dict_future = _stats_pool.submit(
+            inheritable_thread_target(_commit_stats_phase)
+        )
+        dictionary = None  # resolved via _resolve_dictionary before use
         _mark("stats_phase", t0)
+
+    def _resolve_dictionary():
+        nonlocal dictionary
+        if dictionary is None:
+            try:
+                dictionary = dict_future.result()
+            finally:
+                _stats_pool.shutdown(wait=False)
+        return dictionary
 
     avgdl = float(stats["avgdl"]) if stats["avgdl"] else 1.0
 
@@ -583,6 +614,7 @@ def _build_index_body(
 
     for bi, shards in enumerate(batches):
         if fail_after_batches is not None and bi >= fail_after_batches:
+            _resolve_dictionary()  # stats phase must land before the crash
             corpus.unpersist()
             raise RuntimeError(f"injected failure before batch {bi} (test hook)")
         batch_t0 = dict(t)
@@ -597,16 +629,40 @@ def _build_index_body(
             # manifest commit. Readers never see these ids yet (manifest
             # gate), so the pre-clean is race-free.
             store.delete_partitions("postings", "shard", shards)
-        store.overwrite(
-            build_docmap(part, sort_col=index_sort, sort_desc=index_sort_desc,
-                         attr_cols=store_attrs),
-            "docmap", ["shard"],
+        # manifest bookkeeping via write-time observed metrics: the per-
+        # shard doc/block/posting counts the manifest rows need used to be
+        # recomputed by re-reading the just-written tables (one docmap agg
+        # + one postings scan + a join/collect — ~5 extra jobs per batch,
+        # and at scale a full re-scan of the postings just written).
+        # Observation aggregates ride the WRITE job itself, so the counts
+        # cost zero extra passes. Per-shard conditional aggregates bound
+        # the observe expression list, so this engages for reasonable
+        # batch widths (a 10^12-doc build batches shards anyway); wider
+        # batches keep the read-back path.
+        from pyspark.sql import Observation
+
+        observe_counts = len(shards) <= 64
+        obs_docmap = Observation() if observe_counts else None
+        docmap_df = build_docmap(
+            part, sort_col=index_sort, sort_desc=index_sort_desc,
+            attr_cols=store_attrs,
         )
+        if observe_counts:
+            docmap_df = docmap_df.observe(
+                obs_docmap,
+                *[
+                    F.count(F.when(F.col("shard") == s, 1)).alias(f"d{s}")
+                    for s in shards
+                ],
+            )
+        store.overwrite(docmap_df, "docmap", ["shard"])
         # re-read what we just wrote: downstream consumers (weighted join,
         # manifest doc counts) would otherwise re-run the window sort per use
         docmap = store.read("docmap").where(F.col("shard").isin(shards))
         _mark("docmap_write", t0)
         t0 = time.time()
+
+        dictionary = _resolve_dictionary()  # overlapped stats commit
 
         part_tf = tf.where(F.col("shard").isin(shards))
         if scoring == "qld":
@@ -657,32 +713,66 @@ def _build_index_body(
             .sortWithinPartitions("shard", "term_bucket", "term", "doc_ord")
             .mapInArrow(_pack_blocks_arrow(block_size), POSTING_SCHEMA)
         )
+        obs_post = Observation() if observe_counts else None
+        if observe_counts:
+            blocks = blocks.observe(
+                obs_post,
+                *[
+                    F.count(F.when(F.col("shard") == s, 1)).alias(f"b{s}")
+                    for s in shards
+                ],
+                *[
+                    F.sum(F.when(F.col("shard") == s, F.col("n"))).alias(
+                        f"p{s}"
+                    )
+                    for s in shards
+                ],
+            )
         store.overwrite(blocks, "postings", ["shard", "term_bucket"])
         _mark("postings_write", t0)
         t0 = time.time()
 
         # write-then-manifest: a shard is committed only once its data is down.
-        summary = (
-            store.read("postings")
-            .where(F.col("shard").isin(shards))
-            .groupBy("shard")
-            .agg(
-                F.count(F.lit(1)).cast("long").alias("n_blocks"),
-                F.sum("n").cast("long").alias("n_postings"),
+        if observe_counts:
+            md, mp = obs_docmap.get, obs_post.get
+            committed_at = float(time.time())
+            # a shard with zero docs gets NO manifest row — identical to
+            # the read-back path, whose docmap agg emits no row for it
+            collected = [
+                (
+                    int(s),
+                    int(md[f"d{s}"] or 0),
+                    int(mp[f"b{s}"] or 0),
+                    int(mp[f"p{s}"] or 0),
+                    committed_at,
+                )
+                for s in shards
+                if int(md[f"d{s}"] or 0) > 0
+            ]
+        else:
+            summary = (
+                store.read("postings")
+                .where(F.col("shard").isin(shards))
+                .groupBy("shard")
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n_blocks"),
+                    F.sum("n").cast("long").alias("n_postings"),
+                )
             )
-        )
-        ndocs = docmap.groupBy("shard").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
-        manifest_rows = (
-            ndocs.join(summary, "shard", "left")
-            .select(
-                F.col("shard").cast("int"),
-                "n_docs",
-                F.coalesce("n_blocks", F.lit(0)).cast("long").alias("n_blocks"),
-                F.coalesce("n_postings", F.lit(0)).cast("long").alias("n_postings"),
-                F.lit(time.time()).cast("double").alias("committed_at"),
+            ndocs = docmap.groupBy("shard").agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs")
             )
-        )
-        collected = manifest_rows.collect()
+            collected = (
+                ndocs.join(summary, "shard", "left")
+                .select(
+                    F.col("shard").cast("int"),
+                    "n_docs",
+                    F.coalesce("n_blocks", F.lit(0)).cast("long").alias("n_blocks"),
+                    F.coalesce("n_postings", F.lit(0)).cast("long").alias("n_postings"),
+                    F.lit(time.time()).cast("double").alias("committed_at"),
+                )
+                .collect()
+            )
         store.append(spark.createDataFrame(collected, MANIFEST_SCHEMA), "manifest")
         _mark("manifest_commit", t0)
 
@@ -693,8 +783,8 @@ def _build_index_body(
         row = (
             int(bi),
             ",".join(str(s) for s in shards),
-            int(sum(r["n_docs"] for r in collected)),
-            int(sum(r["n_postings"] for r in collected)),
+            int(sum(r[1] for r in collected)),  # n_docs (row or tuple)
+            int(sum(r[3] for r in collected)),  # n_postings
             float(batch_t1.get("docmap_write", 0.0) - batch_t0.get("docmap_write", 0.0)),
             float(batch_t1.get("postings_write", 0.0) - batch_t0.get("postings_write", 0.0)),
             float(batch_t1.get("manifest_commit", 0.0) - batch_t0.get("manifest_commit", 0.0)),
@@ -702,5 +792,6 @@ def _build_index_body(
         )
         store.append(spark.createDataFrame([row], METRICS_SCHEMA), "metrics")
 
+    _resolve_dictionary()  # zero-batch build: stats must still commit
     corpus.unpersist()
     return stats

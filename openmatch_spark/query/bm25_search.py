@@ -44,6 +44,7 @@ from pyspark.sql.types import (
 
 from openmatch_spark.functions.codec import decode_postings
 from openmatch_spark.index.load import BM25Index
+from openmatch_spark.functions.localrel import inline_table
 
 _KERNEL_OUT = StructType(
     [
@@ -126,7 +127,7 @@ def decoded_query_postings(
     )
     decoded = index.mask_deleted(decoded)
     qterms = F.broadcast(
-        index.spark.createDataFrame(
+        inline_table(index.spark, 
             sorted({(qid, t) for (qid, t, _, _) in qt}),
             "query_id string, term string",
         )
@@ -534,7 +535,7 @@ def search_terms(
             cursor_scores=cursor_scores, keep_map=keep_map,
         )
     else:
-        qt_small = spark.createDataFrame(
+        qt_small = inline_table(spark, 
             [(q, t, c) for (q, t, c, _) in matched],
             "query_id string, term string, qtf double",
         )
@@ -604,7 +605,7 @@ def search_terms(
     if cursors:
         # exact search_after predicate in the total (score DESC, doc_id ASC)
         # order: strictly lower score, or tied score with a later doc_id
-        cur_df = spark.createDataFrame(
+        cur_df = inline_table(spark, 
             [(q, float(s), str(d)) for q, (s, d) in cursors.items()],
             "query_id string, cur_score double, cur_doc string",
         )

@@ -114,6 +114,7 @@ import json
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
+from openmatch_spark.functions.localrel import inline_table
 from openmatch_spark.index.load import BM25Index
 from openmatch_spark.query.querystring import (
     _CAND_SCHEMA,
@@ -914,10 +915,10 @@ def _execute_tree(
              float(node.boost))
             for (qid, node) in level
         ]
-        meta = F.broadcast(spark.createDataFrame(
+        meta = F.broadcast(inline_table(spark, 
             meta_rows, "query_id string, iid int, node int, role string"
         ))
-        gates = F.broadcast(spark.createDataFrame(
+        gates = F.broadcast(inline_table(spark, 
             gate_rows,
             "query_id string, node int, n_must int, msm int, bonus double,"
             " dismax int, tb double, mult double",
@@ -976,7 +977,7 @@ def _execute_tree(
         if lvl_fmap:
             # single-pass gate: rows of unfiltered nodes carry a NULL
             # fid and pass; filtered nodes need a probe hit
-            fm = F.broadcast(spark.createDataFrame(
+            fm = F.broadcast(inline_table(spark, 
                 lvl_fmap, "query_id string, node int, fid int"
             ))
             probe = allowed.select(
@@ -991,7 +992,7 @@ def _execute_tree(
         lvl_amap = [(q, n, f) for (q, n, f) in amap_rows
                     if (q, n) in level_keys]
         if lvl_amap:
-            am = F.broadcast(spark.createDataFrame(
+            am = F.broadcast(inline_table(spark, 
                 lvl_amap, "query_id string, node int, fid int"
             ))
             excl = am.join(allowed, "fid").select(
@@ -1003,7 +1004,7 @@ def _execute_tree(
             root_out = res.select("query_id", "shard", "doc_ord", "score")
             if zero_roots:
                 zfmap = {q: f for (q, n, f) in fmap_rows if q in zero_roots}
-                zm = F.broadcast(spark.createDataFrame(
+                zm = F.broadcast(inline_table(spark, 
                     [(q, f,
                       float(zero_roots[q].const_bonus * zero_roots[q].boost))
                      for q, f in sorted(zfmap.items())],
@@ -1012,7 +1013,7 @@ def _execute_tree(
                 zp = zm.join(allowed, "fid")
                 zamap = [(q, f) for (q, n, f) in amap_rows if q in zero_roots]
                 if zamap:
-                    za = F.broadcast(spark.createDataFrame(
+                    za = F.broadcast(inline_table(spark, 
                         zamap, "query_id string, fid int"
                     ))
                     excl = za.join(
@@ -1041,7 +1042,7 @@ def _execute_tree(
                 for (iid, _, child) in node.bool_items
                 if child.depth == depth
             ]
-            pm = F.broadcast(spark.createDataFrame(
+            pm = F.broadcast(inline_table(spark, 
                 parent_map, "query_id string, node int, iid int"
             ))
             conv = res.join(pm, ["query_id", "node"]).select(
@@ -1326,7 +1327,7 @@ def _search_dsl_flat(
         # a deleted doc must not consume a filter-only page slot
         allowed = index.mask_deleted(allowed)
     qmap = F.broadcast(
-        spark.createDataFrame(qmap_rows, "query_id string, fid int")
+        inline_table(spark, qmap_rows, "query_id string, fid int")
     )
     gated = (
         cand.join(qmap, "query_id")
@@ -1335,7 +1336,7 @@ def _search_dsl_flat(
     )
     out = cand.join(qmap, "query_id", "left_anti").unionByName(gated)
     if zero_qids:
-        zmap = F.broadcast(spark.createDataFrame(
+        zmap = F.broadcast(inline_table(spark, 
             [(q, fids[fsql_by_q[q]]) for q in zero_qids],
             "query_id string, fid int",
         ))
@@ -1471,7 +1472,7 @@ def explain_dsl(
             "shard", "doc_ord", "doc_id"
         )
     )
-    meta = F.broadcast(spark.createDataFrame(
+    meta = F.broadcast(inline_table(spark, 
         meta_rows,
         "query_id string, iid int, node int, depth int, role string,"
         " kind string, text string, boost double",

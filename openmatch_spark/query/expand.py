@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, Window
 
 from openmatch_spark.index.load import BM25Index
 from openmatch_spark.query.bm25_search import search_terms
+from openmatch_spark.functions.localrel import inline_table
 
 EMPTY_RUN = "query_id string, doc_id string, score double, rank int"
 
@@ -224,7 +225,7 @@ def _expansions(
         )
     spark = index.spark
     qt = F.broadcast(
-        spark.createDataFrame([(t,) for t in tokens], "qterm string")
+        inline_table(spark, [(t,) for t in tokens], "qterm string")
     )
     d = index.dictionary.select("term", "df", "term_bucket")
     if kind == "fuzzy":
@@ -670,7 +671,7 @@ def search_bool_prefix(
     sides = []
     if live_full:
         qt = F.broadcast(
-            spark.createDataFrame(
+            inline_table(spark, 
                 live_full, "query_id string, term string, qtf double"
             )
         )
@@ -681,7 +682,7 @@ def search_bool_prefix(
         )
     if prefix_pairs:
         pq = F.broadcast(
-            spark.createDataFrame(
+            inline_table(spark, 
                 prefix_pairs, "query_id string, term string"
             )
         )

@@ -51,6 +51,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from openmatch_spark.functions.bm25 import lucene_idf_col
 from openmatch_spark.index.load import BM25Index
+from openmatch_spark.functions.localrel import inline_table
 
 _MANIFEST = "fielded.json"
 _TYPES = ("best_fields", "most_fields", "cross_fields")
@@ -175,7 +176,7 @@ def _field_contribs(
     )
     decoded = index.mask_deleted(decoded)
     qdf = F.broadcast(
-        index.spark.createDataFrame(
+        inline_table(index.spark, 
             sorted({(q, t, w) for (q, t, w, _) in qt}),
             "query_id string, term string, qtf double",
         )
@@ -500,10 +501,10 @@ def search_dsl_fielded(
              float(node.boost), float(node.const_bonus))
             for (qid, node) in level
         ]
-        meta = F.broadcast(spark.createDataFrame(
+        meta = F.broadcast(inline_table(spark, 
             meta_rows, "query_id string, iid int, node int, role string"
         ))
-        gates = F.broadcast(spark.createDataFrame(
+        gates = F.broadcast(inline_table(spark, 
             gate_rows,
             "query_id string, node int, n_must int, msm int,"
             " dismax int, tb double, mult double, bonus double",
@@ -555,7 +556,7 @@ def search_dsl_fielded(
         lvl_fmap = [(q, n, f2) for (q, n, f2) in fmap_rows
                     if (q, n) in level_keys]
         if lvl_fmap:
-            fm = F.broadcast(spark.createDataFrame(
+            fm = F.broadcast(inline_table(spark, 
                 lvl_fmap, "query_id string, node int, fid int"
             ))
             probe = allowed.select("fid", "doc_id", F.lit(1).alias("_fhit"))
@@ -568,7 +569,7 @@ def search_dsl_fielded(
         lvl_amap = [(q, n, f2) for (q, n, f2) in amap_rows
                     if (q, n) in level_keys]
         if lvl_amap:
-            am = F.broadcast(spark.createDataFrame(
+            am = F.broadcast(inline_table(spark, 
                 lvl_amap, "query_id string, node int, fid int"
             ))
             excl = am.join(allowed, "fid").select("query_id", "node", "doc_id")
@@ -583,7 +584,7 @@ def search_dsl_fielded(
                 for (iid, _, child) in node.bool_items
                 if child.depth == depth
             ]
-            pm = F.broadcast(spark.createDataFrame(
+            pm = F.broadcast(inline_table(spark, 
                 parent_map, "query_id string, node int, iid int"
             ))
             conv = res.join(pm, ["query_id", "node"]).select(

@@ -51,6 +51,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from openmatch_spark.index.load import BM25Index
+from openmatch_spark.functions.localrel import inline_table
 from openmatch_spark.query.phrase import (
     _bm25_scores,
     _finalize,
@@ -138,7 +139,7 @@ def search_intervals(
     terms = sorted({t for s, _, _ in live.values() for a in s for t in a})
     occ = _pruned_positions(index, terms, bucket_of)
     meta = F.broadcast(
-        spark.createDataFrame(
+        inline_table(spark, 
             [(q, len(s), mg) for q, (s, _, mg) in sorted(live.items())],
             "query_id string, m int, max_gaps int",
         )
@@ -153,7 +154,7 @@ def search_intervals(
     ]
     if ordered_rows:
         slot_df = F.broadcast(
-            spark.createDataFrame(
+            inline_table(spark, 
                 ordered_rows, "query_id string, term string, j int, m int"
             )
         )
@@ -170,7 +171,7 @@ def search_intervals(
     ]
     if unord_rows:
         pair_df = F.broadcast(
-            spark.createDataFrame(
+            inline_table(spark, 
                 unord_rows, "query_id string, term string, j int, m int"
             )
         )

@@ -41,6 +41,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from openmatch_spark.analysis import tokenize_col
+from openmatch_spark.functions.localrel import inline_table
 
 
 def _role_table(stored: DataFrame, analyzer: str) -> DataFrame:
@@ -170,7 +171,7 @@ def _apply_rule_filters(
         )
         allowed = a if allowed is None else allowed.unionByName(a)
     qmap = F.broadcast(
-        spark.createDataFrame(qmap_rows, "query_id string, fid int")
+        inline_table(spark, qmap_rows, "query_id string, fid int")
     )
     gated = matched.join(qmap, "query_id").join(
         allowed, ["doc_id", "fid"], "left_semi"

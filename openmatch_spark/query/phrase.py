@@ -46,6 +46,7 @@ from openmatch_spark.index.compact import _decode_blocks_arrow
 from openmatch_spark.index.load import BM25Index
 from openmatch_spark.index.positions import _decode_positions_arrow
 from openmatch_spark.query.bm25_search import _DISTRIBUTED_TOKENIZE_MIN_QUERIES
+from openmatch_spark.functions.localrel import inline_table
 
 _DECODED_POSTINGS = (
     "shard int, term string, term_bucket int, doc_ord long, weight double"
@@ -76,7 +77,7 @@ def _bm25_scores(index: BM25Index, qterms: list, bucket_of: dict):
         .mapInArrow(_decode_blocks_arrow, _DECODED_POSTINGS)
     )
     qt = F.broadcast(
-        spark.createDataFrame(qterms, "query_id string, term string, qtf double")
+        inline_table(spark, qterms, "query_id string, term string, qtf double")
     )
     return (
         decoded.join(qt, "term")
@@ -199,10 +200,10 @@ def search_phrase(
     terms = sorted({t for (_, t, _) in offsets})
     occ = _pruned_positions(index, terms, bucket_of)
     off_df = F.broadcast(
-        index.spark.createDataFrame(offsets, "query_id string, term string, off long")
+        inline_table(index.spark, offsets, "query_id string, term string, off long")
     )
     plen_df = F.broadcast(
-        index.spark.createDataFrame(plens, "query_id string, plen long")
+        inline_table(index.spark, plens, "query_id string, plen long")
     )
     # an occurrence of the phrase starting at token adj exists iff every
     # phrase offset contributes a row with the same adj = pos - off
@@ -382,7 +383,7 @@ def search_proximity(
     terms = sorted({t for (_, t, _, _) in slot_rows})
     occ = _pruned_positions(index, terms, bucket_of)
     slots_df = F.broadcast(
-        spark.createDataFrame(
+        inline_table(spark, 
             slot_rows, "query_id string, term string, j int, m int"
         )
     )
@@ -583,7 +584,7 @@ def search_span_near(
     terms = sorted({t for (_, t, _, _) in slot_rows})
     occ = _pruned_positions(index, terms, bucket_of)
     slots_df = F.broadcast(
-        spark.createDataFrame(
+        inline_table(spark, 
             slot_rows, "query_id string, term string, j int, m int"
         )
     )
@@ -684,12 +685,12 @@ def search_phrase_prefix(
     all_terms = sorted({t for (_, t, _, _) in combined})
     occ = _pruned_positions(index, all_terms, bucket_of)
     comb_df = F.broadcast(
-        spark.createDataFrame(
+        inline_table(spark, 
             combined, "query_id string, term string, off long, is_exp int"
         )
     )
     plen_df = F.broadcast(
-        spark.createDataFrame(
+        inline_table(spark, 
             [(q, len(toks) - 1) for q, toks in sorted(live.items())],
             "query_id string, n_exact long",
         )
@@ -772,7 +773,7 @@ def search_span_first(
     terms = sorted({t for (_, t) in pairs})
     occ = _pruned_positions(index, terms, bucket_of).where(F.col("pos") < end)
     qt_df = F.broadcast(
-        spark.createDataFrame(pairs, "query_id string, term string")
+        inline_table(spark, pairs, "query_id string, term string")
     )
     firsts = (
         occ.join(qt_df, "term")
@@ -851,14 +852,14 @@ def search_span_not(
     terms = sorted({t for (_, t) in live_inc} | {t for (_, t) in live_exc})
     occ = _pruned_positions(index, terms, bucket_of)
     inc_df = F.broadcast(
-        spark.createDataFrame(live_inc, "query_id string, term string")
+        inline_table(spark, live_inc, "query_id string, term string")
     )
     iocc = occ.join(inc_df, "term").select(
         "query_id", "shard", "doc_ord", F.col("pos").alias("ipos")
     )
     if live_exc:
         exc_df = F.broadcast(
-            spark.createDataFrame(live_exc, "query_id string, term string")
+            inline_table(spark, live_exc, "query_id string, term string")
         )
         eocc = occ.join(exc_df, "term").select(
             "query_id", "shard", "doc_ord", F.col("pos").alias("epos")
@@ -910,10 +911,10 @@ def _phrase_starts(index: BM25Index, keyed: dict, bucket_of: dict) -> DataFrame:
     terms = sorted({t for (_, t, _) in offsets})
     occ = _pruned_positions(index, terms, bucket_of)
     off_df = F.broadcast(
-        spark.createDataFrame(offsets, "ck string, term string, off long")
+        inline_table(spark, offsets, "ck string, term string, off long")
     )
     plen_df = F.broadcast(
-        spark.createDataFrame(plens, "ck string, plen long")
+        inline_table(spark, plens, "ck string, plen long")
     )
     return (
         occ.join(off_df, "term")
@@ -987,7 +988,7 @@ def _span_containment(
     starts = _phrase_starts(index, keyed, bucket_of)
     qid = F.split(F.col("ck"), _SPAN_SEP)[0]
     role = F.split(F.col("ck"), _SPAN_SEP)[1]
-    blen = F.broadcast(spark.createDataFrame(
+    blen = F.broadcast(inline_table(spark, 
         [(q, len(b), len(l)) for q, (b, l) in sorted(live.items())],
         "query_id string, blen long, llen long",
     ))
@@ -1112,7 +1113,7 @@ def search_span_or(
         for i, a in enumerate(alts)
     }
     starts = _phrase_starts(index, keyed, bucket_of)
-    alen = F.broadcast(spark.createDataFrame(
+    alen = F.broadcast(inline_table(spark, 
         [(ck, len(a)) for ck, a in sorted(keyed.items())],
         "ck string, alen long",
     ))

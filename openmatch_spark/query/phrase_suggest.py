@@ -42,6 +42,7 @@ import math
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
+from openmatch_spark.functions.localrel import inline_table
 
 _TOKEN_SPLIT = "[^a-z0-9]+"
 
@@ -135,11 +136,11 @@ def suggest_phrases(
     )
     if not qtok_rows:
         return empty
-    qt = spark.createDataFrame(
+    qt = inline_table(spark, 
         qtok_rows, "query_id string, pos int, token string"
     )
     typed = F.broadcast(
-        spark.createDataFrame(
+        inline_table(spark, 
             sorted({(t,) for _, _, t in qtok_rows}), "token string"
         )
     )

@@ -86,6 +86,7 @@ from pyspark.sql import DataFrame
 from openmatch_spark.index.compact import _decode_blocks_arrow
 from openmatch_spark.index.load import BM25Index
 from openmatch_spark.query.expand import _expansions, wildcard_to_like
+from openmatch_spark.functions.localrel import inline_table
 from openmatch_spark.query.phrase import (
     _DECODED_POSTINGS,
     _bm25_scores,
@@ -934,7 +935,7 @@ def _execute_clauses(
             F.col("term_bucket").isin(buckets) & F.col("term").isin(terms)
         ).mapInArrow(_decode_blocks_arrow, _DECODED_POSTINGS)
         scdf = F.broadcast(
-            spark.createDataFrame(
+            inline_table(spark, 
                 sorted(sc_rows),
                 "query_id string, cid int, is_must int, term string, wgt double",
             )
@@ -965,7 +966,7 @@ def _execute_clauses(
     if ph_rows:
         matches = _phrase_matches(index, ph_rows, bucket_of)  # ck keyed
         meta = F.broadcast(
-            spark.createDataFrame(
+            inline_table(spark, 
                 [(ck, qid, cid, role, boost)
                  for (ck, qid, cid, role, boost, _, _) in ph_rows],
                 "ck string, qid string, cid int, role string, boost double",
@@ -1015,7 +1016,7 @@ def _execute_clauses(
     # never matches, so dead queries also fall out of the equality here —
     # the explicit `dead` prune above is just the cheaper early exit)
     req = F.broadcast(
-        spark.createDataFrame(
+        inline_table(spark, 
             [(q, n) for q, n in sorted(n_must.items()) if q not in dead],
             "query_id string, n_must int",
         )
@@ -1028,7 +1029,7 @@ def _execute_clauses(
         ]
         if msm_rows:
             msmdf = F.broadcast(
-                spark.createDataFrame(msm_rows, "query_id string, msm int")
+                inline_table(spark, msm_rows, "query_id string, msm int")
             )
             cand = (
                 cand.join(msmdf, "query_id", "left")
@@ -1046,7 +1047,7 @@ def _execute_clauses(
             F.col("term_bucket").isin(nbuckets) & F.col("term").isin(nterms)
         ).mapInArrow(_decode_blocks_arrow, _DECODED_POSTINGS)
         ntdf = F.broadcast(
-            spark.createDataFrame(not_terms, "query_id string, term string")
+            inline_table(spark, not_terms, "query_id string, term string")
         )
         hits_not = ndec.join(ntdf, "term").select(
             "query_id", "shard", "doc_ord"
@@ -1082,10 +1083,10 @@ def _phrase_matches(index: BM25Index, ph_rows: list, bucket_of: dict):
         ]
         plens = [(ck, len(toks)) for (ck, _, _, _, _, _, toks) in sorted(exact)]
         off_df = F.broadcast(
-            spark.createDataFrame(offsets, "ck string, term string, off long")
+            inline_table(spark, offsets, "ck string, term string, off long")
         )
         plen_df = F.broadcast(
-            spark.createDataFrame(plens, "ck string, plen long")
+            inline_table(spark, plens, "ck string, plen long")
         )
         parts.append(
             occ.join(off_df, "term")
@@ -1110,12 +1111,12 @@ def _phrase_matches(index: BM25Index, ph_rows: list, bucket_of: dict):
             for (ck, _, _, _, _, slop, toks) in sorted(sloppy)
         ]
         slots_df = F.broadcast(
-            spark.createDataFrame(
+            inline_table(spark, 
                 slot_rows, "query_id string, term string, j int, m int"
             )
         )
         win_df = F.broadcast(
-            spark.createDataFrame(windows, "query_id string, win int")
+            inline_table(spark, windows, "query_id string, win int")
         )
         covered = (
             _min_cover_grouped(occ.join(slots_df, "term"))

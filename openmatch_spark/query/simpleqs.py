@@ -81,6 +81,7 @@ from pyspark.sql import DataFrame
 
 from openmatch_spark.index.load import BM25Index
 from openmatch_spark.query.phrase import _finalize
+from openmatch_spark.functions.localrel import inline_table
 from openmatch_spark.query.querystring import (
     _CAND_SCHEMA,
     _RUN_SCHEMA,
@@ -354,7 +355,7 @@ def search_simple_query_string(
         multi = [(q, n) for q, n in sorted(n_branches.items()) if n > 1]
         if multi:
             mdf = F.broadcast(
-                spark.createDataFrame(multi, "query_id string, nb int")
+                inline_table(spark, multi, "query_id string, nb int")
             )
             summed = (
                 summed.join(mdf, "query_id", "left")

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, Window
 import pyspark.sql.functions as F
 
 from openmatch_spark.index.load import BM25Index
+from openmatch_spark.functions.localrel import inline_table
 
 
 def suggest_spelling(
@@ -56,7 +57,7 @@ def suggest_spelling(
             [], "query_id string, token string, suggestion string, "
                 "edits int, df bigint, sug_rank int"
         )
-    qt = F.broadcast(spark.createDataFrame([(t,) for t in sorted(toks)], "token string"))
+    qt = F.broadcast(inline_table(spark, [(t,) for t in sorted(toks)], "token string"))
     d = index.dictionary.select("term", "df")
     # df of the token as typed (0 if out of vocabulary)
     typed_df = qt.join(d, F.col("token") == F.col("term"), "left").select(
@@ -80,7 +81,7 @@ def suggest_spelling(
         .select(F.col("token"), F.col("term").alias("suggestion"), "edits", "df", "sug_rank")
     )
     qdf = F.broadcast(
-        spark.createDataFrame(qtoks, "query_id string, token string")
+        inline_table(spark, qtoks, "query_id string, token string")
     )
     return qdf.join(kept, "token").select(
         "query_id", "token", "suggestion", "edits", "df", "sug_rank"
@@ -121,6 +122,6 @@ def correct_queries(
             (r["query_id"], r["text"],
              " ".join(sug.get((r["query_id"], t), t) for t in toks))
         )
-    return index.spark.createDataFrame(
+    return inline_table(index.spark, 
         rows, "query_id string, text string, corrected string"
     )

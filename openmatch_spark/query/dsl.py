@@ -114,7 +114,7 @@ import json
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
-from openmatch_spark.functions.localrel import inline_table
+from openmatch_spark.functions.localrel import inline_table, literal_map
 from openmatch_spark.index.load import BM25Index
 from openmatch_spark.query.querystring import (
     _CAND_SCHEMA,
@@ -915,21 +915,44 @@ def _execute_tree(
              float(node.boost))
             for (qid, node) in level
         ]
-        meta = F.broadcast(inline_table(spark, 
-            meta_rows, "query_id string, iid int, node int, role string"
-        ))
-        gates = F.broadcast(inline_table(spark, 
-            gate_rows,
-            "query_id string, node int, n_must int, msm int, bonus double,"
+        # per-level metadata is one-to-one on its key ((query_id, iid)
+        # for item->node/role, (query_id, node) for the gate params), so
+        # both ride as literal maps: element_at + isNotNull is the same
+        # inner equi-join without a broadcast-stage job per table per
+        # depth. Key glue is _GLUE, which query_ids are validated not to
+        # contain.
+        meta_m = literal_map(
+            {f"{q}{_GLUE}{i}": (n, r) for (q, i, n, r) in meta_rows},
+            "string", "node int, role string",
+        )
+        gates_m = literal_map(
+            {f"{q}{_GLUE}{n}": rest for (q, n, *rest) in gate_rows},
+            "string",
+            "n_must int, msm int, bonus double,"
             " dismax int, tb double, mult double",
-        ))
+        )
         # ONE aggregate per level: must_not membership rides the same
         # groupBy as a count (a matched must_not item disqualifies the
         # doc; its score is excluded from the sum), and the positive-
         # match contract (a doc must match >= 1 scoring item) is the
         # must_m + should_m >= 1 conjunct
         res = (
-            item_src.join(meta, ["query_id", "iid"])
+            item_src.withColumn(
+                "_mt",
+                F.element_at(
+                    meta_m,
+                    F.concat_ws(
+                        _GLUE, F.col("query_id"),
+                        F.col("iid").cast("string"),
+                    ),
+                ),
+            )
+            .where(F.col("_mt").isNotNull())
+            .select(
+                "query_id", "iid", "shard", "doc_ord", "score",
+                F.col("_mt.node").alias("node"),
+                F.col("_mt.role").alias("role"),
+            )
             .groupBy("query_id", "node", "shard", "doc_ord")
             .agg(
                 F.sum(
@@ -949,10 +972,19 @@ def _execute_tree(
                     F.when(F.col("role") != "must_not", F.col("score"))
                 ).alias("max_s"),
             )
-            .join(gates, ["query_id", "node"])
+            .withColumn(
+                "_g",
+                F.element_at(
+                    gates_m,
+                    F.concat_ws(
+                        _GLUE, F.col("query_id"), F.col("node").cast("string")
+                    ),
+                ),
+            )
             .where(
-                (F.col("must_m") == F.col("n_must"))
-                & (F.col("should_m") >= F.col("msm"))
+                F.col("_g").isNotNull()
+                & (F.col("must_m") == F.col("_g.n_must"))
+                & (F.col("should_m") >= F.col("_g.msm"))
                 & (F.col("not_m") == 0)
                 & (F.col("must_m") + F.col("should_m") >= 1)
             )
@@ -961,13 +993,14 @@ def _execute_tree(
                 (
                     (
                         F.when(
-                            F.col("dismax") == 1,
+                            F.col("_g.dismax") == 1,
                             F.col("max_s")
-                            + F.col("tb") * (F.col("score") - F.col("max_s")),
+                            + F.col("_g.tb")
+                            * (F.col("score") - F.col("max_s")),
                         ).otherwise(F.col("score"))
-                        + F.col("bonus")
+                        + F.col("_g.bonus")
                     )
-                    * F.col("mult")
+                    * F.col("_g.mult")
                 ).alias("score"),
             )
         )
@@ -977,14 +1010,24 @@ def _execute_tree(
         if lvl_fmap:
             # single-pass gate: rows of unfiltered nodes carry a NULL
             # fid and pass; filtered nodes need a probe hit
-            fm = F.broadcast(inline_table(spark, 
-                lvl_fmap, "query_id string, node int, fid int"
-            ))
+            fm_m = literal_map(
+                {f"{q}{_GLUE}{n}": f for (q, n, f) in lvl_fmap},
+                "string", "fid int",
+            )
             probe = allowed.select(
                 "fid", "shard", "doc_ord", F.lit(1).alias("_fhit")
             )
             res = (
-                res.join(fm, ["query_id", "node"], "left")
+                res.withColumn(
+                    "fid",
+                    F.element_at(
+                        fm_m,
+                        F.concat_ws(
+                            _GLUE, F.col("query_id"),
+                            F.col("node").cast("string"),
+                        ),
+                    ),
+                )
                 .join(probe, ["fid", "shard", "doc_ord"], "left")
                 .where(F.col("fid").isNull() | F.col("_fhit").isNotNull())
                 .select("query_id", "node", "shard", "doc_ord", "score")
@@ -1042,10 +1085,19 @@ def _execute_tree(
                 for (iid, _, child) in node.bool_items
                 if child.depth == depth
             ]
-            pm = F.broadcast(inline_table(spark, 
-                parent_map, "query_id string, node int, iid int"
-            ))
-            conv = res.join(pm, ["query_id", "node"]).select(
+            pm_m = literal_map(
+                {f"{q}{_GLUE}{n}": i for (q, n, i) in parent_map},
+                "string", "iid int",
+            )
+            conv = res.withColumn(
+                "iid",
+                F.element_at(
+                    pm_m,
+                    F.concat_ws(
+                        _GLUE, F.col("query_id"), F.col("node").cast("string")
+                    ),
+                ),
+            ).where(F.col("iid").isNotNull()).select(
                 "query_id", "iid", "shard", "doc_ord", "score"
             )
             if depth > 1:

@@ -51,7 +51,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from openmatch_spark.functions.bm25 import lucene_idf_col
 from openmatch_spark.index.load import BM25Index
-from openmatch_spark.functions.localrel import inline_table
+from openmatch_spark.functions.localrel import inline_table, literal_map
 
 _MANIFEST = "fielded.json"
 _TYPES = ("best_fields", "most_fields", "cross_fields")
@@ -501,16 +501,35 @@ def search_dsl_fielded(
              float(node.boost), float(node.const_bonus))
             for (qid, node) in level
         ]
-        meta = F.broadcast(inline_table(spark, 
-            meta_rows, "query_id string, iid int, node int, role string"
-        ))
-        gates = F.broadcast(inline_table(spark, 
-            gate_rows,
-            "query_id string, node int, n_must int, msm int,"
+        # one-to-one per-level metadata rides as literal maps (same
+        # rationale and key glue as dsl._execute_tree)
+        meta_m = literal_map(
+            {f"{q}{_GLUE}{i}": (n, r) for (q, i, n, r) in meta_rows},
+            "string", "node int, role string",
+        )
+        gates_m = literal_map(
+            {f"{q}{_GLUE}{n}": rest for (q, n, *rest) in gate_rows},
+            "string",
+            "n_must int, msm int,"
             " dismax int, tb double, mult double, bonus double",
-        ))
+        )
         res = (
-            item_src.join(meta, ["query_id", "iid"])
+            item_src.withColumn(
+                "_mt",
+                F.element_at(
+                    meta_m,
+                    F.concat_ws(
+                        _GLUE, F.col("query_id"),
+                        F.col("iid").cast("string"),
+                    ),
+                ),
+            )
+            .where(F.col("_mt").isNotNull())
+            .select(
+                "query_id", "iid", "doc_id", "score",
+                F.col("_mt.node").alias("node"),
+                F.col("_mt.role").alias("role"),
+            )
             .groupBy("query_id", "node", "doc_id")
             .agg(
                 F.sum(
@@ -530,10 +549,19 @@ def search_dsl_fielded(
                     F.when(F.col("role") != "must_not", F.col("score"))
                 ).alias("max_s"),
             )
-            .join(gates, ["query_id", "node"])
+            .withColumn(
+                "_g",
+                F.element_at(
+                    gates_m,
+                    F.concat_ws(
+                        _GLUE, F.col("query_id"), F.col("node").cast("string")
+                    ),
+                ),
+            )
             .where(
-                (F.col("must_m") == F.col("n_must"))
-                & (F.col("should_m") >= F.col("msm"))
+                F.col("_g").isNotNull()
+                & (F.col("must_m") == F.col("_g.n_must"))
+                & (F.col("should_m") >= F.col("_g.msm"))
                 & (F.col("not_m") == 0)
                 & (F.col("must_m") + F.col("should_m") >= 1)
             )
@@ -542,13 +570,14 @@ def search_dsl_fielded(
                 (
                     (
                         F.when(
-                            F.col("dismax") == 1,
+                            F.col("_g.dismax") == 1,
                             F.col("max_s")
-                            + F.col("tb") * (F.col("score") - F.col("max_s")),
+                            + F.col("_g.tb")
+                            * (F.col("score") - F.col("max_s")),
                         ).otherwise(F.col("score"))
-                        + F.col("bonus")
+                        + F.col("_g.bonus")
                     )
-                    * F.col("mult")
+                    * F.col("_g.mult")
                 ).alias("score"),
             )
         )
@@ -556,12 +585,22 @@ def search_dsl_fielded(
         lvl_fmap = [(q, n, f2) for (q, n, f2) in fmap_rows
                     if (q, n) in level_keys]
         if lvl_fmap:
-            fm = F.broadcast(inline_table(spark, 
-                lvl_fmap, "query_id string, node int, fid int"
-            ))
+            fm_m = literal_map(
+                {f"{q}{_GLUE}{n}": f2 for (q, n, f2) in lvl_fmap},
+                "string", "fid int",
+            )
             probe = allowed.select("fid", "doc_id", F.lit(1).alias("_fhit"))
             res = (
-                res.join(fm, ["query_id", "node"], "left")
+                res.withColumn(
+                    "fid",
+                    F.element_at(
+                        fm_m,
+                        F.concat_ws(
+                            _GLUE, F.col("query_id"),
+                            F.col("node").cast("string"),
+                        ),
+                    ),
+                )
                 .join(probe, ["fid", "doc_id"], "left")
                 .where(F.col("fid").isNull() | F.col("_fhit").isNotNull())
                 .select("query_id", "node", "doc_id", "score")
@@ -584,10 +623,19 @@ def search_dsl_fielded(
                 for (iid, _, child) in node.bool_items
                 if child.depth == depth
             ]
-            pm = F.broadcast(inline_table(spark, 
-                parent_map, "query_id string, node int, iid int"
-            ))
-            conv = res.join(pm, ["query_id", "node"]).select(
+            pm_m = literal_map(
+                {f"{q}{_GLUE}{n}": i for (q, n, i) in parent_map},
+                "string", "iid int",
+            )
+            conv = res.withColumn(
+                "iid",
+                F.element_at(
+                    pm_m,
+                    F.concat_ws(
+                        _GLUE, F.col("query_id"), F.col("node").cast("string")
+                    ),
+                ),
+            ).where(F.col("iid").isNotNull()).select(
                 "query_id", "iid", "doc_id", "score"
             )
             if depth > 1:

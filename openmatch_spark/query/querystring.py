@@ -86,7 +86,7 @@ from pyspark.sql import DataFrame
 from openmatch_spark.index.compact import _decode_blocks_arrow
 from openmatch_spark.index.load import BM25Index
 from openmatch_spark.query.expand import _expansions, wildcard_to_like
-from openmatch_spark.functions.localrel import inline_table
+from openmatch_spark.functions.localrel import inline_table, literal_map
 from openmatch_spark.query.phrase import (
     _DECODED_POSTINGS,
     _bm25_scores,
@@ -531,29 +531,87 @@ def search_query_string_fielded(
     default_operator: str = "or",
     max_expansions: int = 50,
     fuzzy_prefix_len: int = 1,
+    distributed_threshold: int | None = None,
 ) -> DataFrame:
     """Top-k run for field-prefixed query strings over a fielded index
     ({field: BM25Index} from load_fielded_index) — the query_string front
     door the fielded DSL was missing (parse_query_string_fielded's
     grammar). Attribute fields come from the family's common store_attrs;
-    execution is search_dsl_fielded's tree plan."""
+    execution is search_dsl_fielded's tree plan.
+
+    Batches above the engine-wide distributed threshold PARSE
+    executor-side (the parser is pure and stateless) and only compact
+    (query_id, dsl-json) rows return; a ValueError raised on any query
+    text comes back as an error row and re-raises driver-side —
+    identical results and error contract to the driver path."""
+    from openmatch_spark.query.bm25_search import (
+        _DISTRIBUTED_TOKENIZE_MIN_QUERIES,
+    )
     from openmatch_spark.query.fielded import search_dsl_fielded
+    from openmatch_spark.session import scoped_confs
 
     if not findex:
         raise ValueError("findex is empty")
+    if distributed_threshold is None:
+        distributed_threshold = _DISTRIBUTED_TOKENIZE_MIN_QUERIES
     analyzed = tuple(sorted(findex))
     stored = tuple(sorted(
         set.intersection(*(set(findex[f].stored_attrs) for f in analyzed))
     )) if all(findex[f].stored_attrs for f in analyzed) else tuple()
-    rows = queries.select(
+    q = queries.select(
         F.col("query_id").cast("string").alias("query_id"), "text"
-    ).collect()
-    dsls = {
-        str(r["query_id"]): parse_query_string_fielded(
-            r["text"] or "", analyzed, stored, default_operator
-        )
-        for r in rows
-    }
+    )
+    sess = q.sparkSession
+    with scoped_confs(
+        sess,
+        {
+            "spark.sql.limit.initialNumPartitions": str(
+                max(sess.sparkContext.defaultParallelism, 16)
+            )
+        },
+    ):
+        rows = q.take(distributed_threshold + 1)
+    if len(rows) <= distributed_threshold:
+        dsls = {
+            str(r["query_id"]): parse_query_string_fielded(
+                r["text"] or "", analyzed, stored, default_operator
+            )
+            for r in rows
+        }
+    else:
+        import json as _json
+
+        def _parse_part(it):
+            import pandas as pd
+
+            from openmatch_spark.query.querystring import (
+                parse_query_string_fielded as pf,
+            )
+
+            for pdf in it:
+                qids, kinds, payloads = [], [], []
+                for qid, text in zip(pdf["query_id"], pdf["text"]):
+                    try:
+                        kind, payload = "ok", _json.dumps(
+                            pf(text or "", analyzed, stored, default_operator)
+                        )
+                    except ValueError as e:
+                        kind, payload = "error", str(e)
+                    qids.append(str(qid))
+                    kinds.append(kind)
+                    payloads.append(payload)
+                yield pd.DataFrame(
+                    {"query_id": qids, "kind": kinds, "payload": payloads}
+                )
+
+        compiled = q.mapInPandas(
+            _parse_part, "query_id string, kind string, payload string"
+        ).collect()
+        dsls = {}
+        for r in compiled:
+            if r["kind"] == "error":
+                raise ValueError(r["payload"])
+            dsls[r["query_id"]] = _json.loads(r["payload"])
     return search_dsl_fielded(
         findex, dsls, k=k, max_expansions=max_expansions,
         fuzzy_prefix_len=fuzzy_prefix_len,
@@ -965,14 +1023,18 @@ def _execute_clauses(
     not_phrase = None
     if ph_rows:
         matches = _phrase_matches(index, ph_rows, bucket_of)  # ck keyed
-        meta = F.broadcast(
-            inline_table(spark, 
-                [(ck, qid, cid, role, boost)
-                 for (ck, qid, cid, role, boost, _, _) in ph_rows],
-                "ck string, qid string, cid int, role string, boost double",
-            )
+        meta_m = literal_map(
+            {ck: (qid, cid, role, boost)
+             for (ck, qid, cid, role, boost, _, _) in ph_rows},
+            "string", "qid string, cid int, role string, boost double",
         )
-        scored = matches.join(meta, "ck")
+        scored = matches.withColumn(
+            "_mt", F.element_at(meta_m, F.col("ck"))
+        ).where(F.col("_mt").isNotNull()).select(
+            "ck", "shard", "doc_ord", "pscore",
+            F.col("_mt.qid").alias("qid"), F.col("_mt.cid").alias("cid"),
+            F.col("_mt.role").alias("role"), F.col("_mt.boost").alias("boost"),
+        )
         not_phrase = (
             scored.where(F.col("role") == "must_not")
             .select(F.col("qid").alias("query_id"), "shard", "doc_ord")
@@ -1014,28 +1076,31 @@ def _execute_clauses(
 
     # MUST composition: every must clause matched (an unsatisfiable must
     # never matches, so dead queries also fall out of the equality here —
-    # the explicit `dead` prune above is just the cheaper early exit)
-    req = F.broadcast(
-        inline_table(spark, 
-            [(q, n) for q, n in sorted(n_must.items()) if q not in dead],
-            "query_id string, n_must int",
-        )
+    # the explicit `dead` prune above is just the cheaper early exit).
+    # One-to-one per-query lookups (required-count, msm quota) are literal
+    # maps, not broadcast joins: element_at + isNotNull is the same inner
+    # equi-join on a unique key, without a broadcast-stage job per table.
+    req_m = literal_map(
+        {q: n for q, n in sorted(n_must.items()) if q not in dead},
+        "string", "n_must int",
     )
-    cand = cand.join(req, "query_id").where(F.col("must_m") == F.col("n_must"))
+    cand = cand.withColumn(
+        "_nm", F.element_at(req_m, F.col("query_id"))
+    ).where(
+        F.col("_nm").isNotNull() & (F.col("must_m") == F.col("_nm"))
+    ).drop("_nm")
     if isinstance(min_should_match, dict):
-        msm_rows = [
-            (q, int(m)) for q, m in sorted(min_should_match.items())
+        msm_rows = {
+            q: int(m) for q, m in sorted(min_should_match.items())
             if q in per_q and int(m) > 0
-        ]
+        }
         if msm_rows:
-            msmdf = F.broadcast(
-                inline_table(spark, msm_rows, "query_id string, msm int")
-            )
-            cand = (
-                cand.join(msmdf, "query_id", "left")
-                .where(F.col("msm").isNull() | (F.col("should_m") >= F.col("msm")))
-                .drop("msm")
-            )
+            msm_m = literal_map(msm_rows, "string", "msm int")
+            cand = cand.withColumn(
+                "_msm", F.element_at(msm_m, F.col("query_id"))
+            ).where(
+                F.col("_msm").isNull() | (F.col("should_m") >= F.col("_msm"))
+            ).drop("_msm")
     elif min_should_match > 0:
         cand = cand.where(F.col("should_m") >= min_should_match)
 
@@ -1085,9 +1150,7 @@ def _phrase_matches(index: BM25Index, ph_rows: list, bucket_of: dict):
         off_df = F.broadcast(
             inline_table(spark, offsets, "ck string, term string, off long")
         )
-        plen_df = F.broadcast(
-            inline_table(spark, plens, "ck string, plen long")
-        )
+        plen_m = literal_map(dict(plens), "string", "plen long")
         parts.append(
             occ.join(off_df, "term")
             .groupBy(
@@ -1095,8 +1158,7 @@ def _phrase_matches(index: BM25Index, ph_rows: list, bucket_of: dict):
                 (F.col("pos") - F.col("off")).alias("adj"),
             )
             .agg(F.count_distinct("off").alias("n_off"))
-            .join(plen_df, "ck")
-            .where(F.col("n_off") == F.col("plen"))
+            .where(F.col("n_off") == F.element_at(plen_m, F.col("ck")))
             .select("ck", "shard", "doc_ord")
             .distinct()
         )
@@ -1115,13 +1177,10 @@ def _phrase_matches(index: BM25Index, ph_rows: list, bucket_of: dict):
                 slot_rows, "query_id string, term string, j int, m int"
             )
         )
-        win_df = F.broadcast(
-            inline_table(spark, windows, "query_id string, win int")
-        )
+        win_m = literal_map(dict(windows), "string", "win int")
         covered = (
             _min_cover_grouped(occ.join(slots_df, "term"))
-            .join(win_df, "query_id")
-            .where(F.col("min_cover") <= F.col("win"))
+            .where(F.col("min_cover") <= F.element_at(win_m, F.col("query_id")))
             .select(F.col("query_id").alias("ck"), "shard", "doc_ord")
         )
         parts.append(covered)

@@ -77,6 +77,54 @@ def test_expansions_driver_equals_distributed(fat_vocab_index):
             rnd.choice([3, 10, 50]))
 
 
+def test_query_string_fielded_distributed_parse_identity(spark, tmp_path):
+    """Above the distributed threshold the field-prefixed query_string
+    surface parses executor-side; results (and parse errors) must be
+    identical to the driver path (VERDICT r5 item 3)."""
+    from openmatch_spark.query import (
+        build_fielded_index,
+        load_fielded_index,
+        search_query_string_fielded,
+    )
+
+    rnd = random.Random(11)
+    docs = [(f"d{i}",
+             " ".join(rnd.choices(["alpha", "beta", "gamma", "delta"], k=4)),
+             " ".join(rnd.choices(["merge", "scan", "join", "sort"], k=8)),
+             rnd.choice(["en", "de"]))
+            for i in range(120)]
+    pages = spark.createDataFrame(
+        docs, "doc_id string, title string, body string, lang string")
+    d = str(tmp_path / "fqs")
+    build_fielded_index(spark, pages, d, ["title", "body"],
+                        analyzer="simple", num_shards=2, num_term_buckets=4,
+                        store_attrs=["lang"])
+    fx = load_fielded_index(spark, d)
+    qs = spark.createDataFrame(
+        [(f"q{i}", rnd.choice([
+            "title:alpha body:merge", "+title:beta -lang:de",
+            "gamma", "body:scan^2 +lang:en",
+        ])) for i in range(20)],
+        "query_id string, text string")
+
+    def run(threshold):
+        out = search_query_string_fielded(
+            fx, qs, k=5, distributed_threshold=threshold)
+        return sorted(
+            (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+            for r in out.collect())
+
+    assert run(10_000) == run(5)  # driver path == executor-side parse
+
+    bad = spark.createDataFrame(
+        [(f"b{i}", "(title:alpha OR body:merge)") for i in range(12)],
+        "query_id string, text string")
+    for threshold in (10_000, 5):
+        with pytest.raises(ValueError):
+            search_query_string_fielded(
+                fx, bad, k=5, distributed_threshold=threshold).collect()
+
+
 def test_handle_df_cache_refresh(fat_vocab_index):
     idx = fat_vocab_index
     idx.postings  # populates the per-handle table memo

@@ -361,7 +361,18 @@ def compact_index(
                 ),
                 attr_cols=attr_cols,
             )
+        # the merged doc count rides the docmap write as an observed
+        # metric (same pattern as build_index's manifest bookkeeping) —
+        # the separate new_docmap.count() job it replaces re-scanned the
+        # just-written table
+        from pyspark.sql import Observation
+
+        obs_docmap = Observation()
+        merged_docmap = merged_docmap.observe(
+            obs_docmap, F.count(F.lit(1)).alias("n_docs")
+        )
         store.overwrite(merged_docmap, "docmap", ["shard"], stage=True)
+        n_docs_written = int(obs_docmap.get["n_docs"])
         new_docmap = store.read("docmap").where(F.col("shard") == new_shard)
         t["docmap_sec"] = time.time() - t0
 
@@ -497,21 +508,21 @@ def compact_index(
             .sortWithinPartitions("shard", "term_bucket", "term", "doc_ord")
             .mapInArrow(_pack_blocks_arrow(block_size), POSTING_SCHEMA)
         )
+        # block/posting counts ride the write (no re-scan of the merged
+        # segment just written)
+        obs_post = Observation()
+        blocks = blocks.observe(
+            obs_post,
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.sum("n").alias("n_postings"),
+        )
         store.overwrite(blocks, "postings", ["shard", "term_bucket"], stage=True)
         t["postings_sec"] = time.time() - t0
 
         # ---- commit: manifest rewrite, then retire the old segment dirs ----
         t0 = time.time()
-        summary = (
-            store.read("postings")
-            .where(F.col("shard") == new_shard)
-            .agg(
-                F.count(F.lit(1)).cast("long").alias("n_blocks"),
-                F.sum("n").cast("long").alias("n_postings"),
-            )
-            .collect()[0]
-        )
-        n_docs = n_docs_new if rebaseline_stats else new_docmap.count()
+        summary = obs_post.get
+        n_docs = n_docs_new if rebaseline_stats else n_docs_written
         now = time.time()
         kept = [
             (int(r["shard"]), int(r["n_docs"]), int(r["n_blocks"]),

@@ -210,8 +210,16 @@ def build_positions(
         .sortWithinPartitions("shard", "term_bucket", "term", "doc_ord", "pos")
         .mapInArrow(_pack_positions_arrow(), POSITIONS_SCHEMA)
     )
+    # summary counts ride the write job as observed metrics — the former
+    # read-back aggregation re-scanned the whole just-written sidecar
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    packed = packed.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("npos").alias("n_positions"),
+    )
     store.overwrite(packed, "positions", ["shard", "term_bucket"])
-    summary = store.read("positions").agg(
-        F.count(F.lit(1)).alias("n_rows"), F.sum("npos").alias("n_positions")
-    ).collect()[0]
+    summary = obs.get
     return {"n_rows": int(summary["n_rows"]), "n_positions": int(summary["n_positions"] or 0)}

@@ -1100,7 +1100,12 @@ def _execute_tree(
             ).where(F.col("iid").isNotNull()).select(
                 "query_id", "iid", "shard", "doc_ord", "score"
             )
-            if depth > 1:
+            if depth > 1 and len(roots) > 64:
+                # big batches: materialize the (post-gate, small) level so
+                # lower levels' plans do not re-embed it. Small batches
+                # skip the checkpoint: its job round costs more than the
+                # re-embedded aggregate over the already-checkpointed
+                # items (results identical either way).
                 conv = conv.localCheckpoint()
             item_src = item_src.unionByName(conv)
     return _finalize(index, root_out, k, [])

@@ -638,9 +638,11 @@ def search_dsl_fielded(
             ).where(F.col("iid").isNotNull()).select(
                 "query_id", "iid", "doc_id", "score"
             )
-            if depth > 1:
+            if depth > 1 and len(trees) > 64:
                 # at depth 1 only the root remains and references this
-                # once — checkpointing there is pure overhead
+                # once — checkpointing there is pure overhead; small
+                # batches skip it entirely (the job round costs more than
+                # the re-embedded aggregate; results identical)
                 conv = conv.localCheckpoint()
             item_src = item_src.unionByName(conv)
     w = Window.partitionBy("query_id").orderBy(

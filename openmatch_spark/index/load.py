@@ -32,6 +32,7 @@ class BM25Index:
     _delete_cache: dict | None = field(default=None, repr=False)
     _df_cache: dict = field(default_factory=dict, repr=False)
     _vocab_cache: tuple | bool | None = field(default=None, repr=False)
+    _shard_docs_cache: dict | None = field(default=None, repr=False)
 
     def _store(self) -> IndexStorage:
         if self.store is None:
@@ -129,11 +130,18 @@ class BM25Index:
         held across an ingest doesn't see the new segments; call refresh()
         (or load_index again) to move the snapshot forward."""
         if self._shard_cache is None:
-            self._shard_cache = sorted(
-                r["shard"]
-                for r in self.manifest.select("shard").distinct().collect()
-            )
+            self._shard_cache = sorted(self._manifest_counts())
         return self._shard_cache
+
+    def _manifest_counts(self) -> dict:
+        """{shard -> n_docs} manifest snapshot — ONE collect feeds both
+        the committed-shard set and the kernel's bucket sizing."""
+        if self._shard_docs_cache is None:
+            rows = self.manifest.select("shard", "n_docs").collect()
+            self._shard_docs_cache = {
+                int(r["shard"]): int(r["n_docs"]) for r in rows
+            }
+        return self._shard_docs_cache
 
     def refresh(self) -> "BM25Index":
         """Drop memoized state (segment snapshot, driver dictionary cache)
@@ -144,6 +152,7 @@ class BM25Index:
         self._delete_cache = None
         self._df_cache = {}
         self._vocab_cache = None
+        self._shard_docs_cache = None
         return self
 
     # ---- document deletes (tombstones) ----------------------------------

@@ -7487,29 +7487,47 @@ def entry(spark: SparkSession) -> DataFrame:
 # samples ~50 entries from the FRONT of queries(); rotating the never-checked
 # long tail to the front gets it driver-verified (VERDICT r4, item 1).
 _DRIVER_CHECKED = frozenset({
+    # r1-r4 sample + the 50 entries the round-5 driver turned green
+    # (CORRECTNESS_r05.json) — so _rotate_unchecked puts the
+    # never-driver-checked tail first for the round-6 sample
     "accuracy_at_k", "bm25_boolean", "bm25_boolean_msm", "bm25_topk",
     "bm25_topk_deleted", "bm25_topk_federated", "bm25_topk_indexed",
     "bm25_topk_pruned", "bm25_topk_rebaselined", "bm25_topk_stemmed",
-    "bm25_topk_stopped", "bm25_topk_upserted", "boosting_search",
-    "canonical_url", "combine_negatives", "corpus_stats", "curate",
-    "decay_search", "dedup_closure", "dedup_exact", "dedup_pipeline",
-    "doc_keywords", "dsl_constant_score", "dsl_dismax", "dsl_explain",
-    "dsl_fielded", "dsl_fielded_filtered", "dsl_filtered",
-    "dsl_filtered_pattern", "dsl_multi_match", "dsl_nested", "dsl_search",
-    "embedding_neardup", "embedding_neardup_ann", "event_window_stats",
-    "filtered_search", "filtered_search_dv", "fuzzy_search", "gopher_quality",
-    "ground_truth_inject", "hard_negatives", "hit_counts", "hit_percentiles",
-    "hit_stats", "ivf_ann", "ivf_ann_df", "knn_cosine", "knn_cosine_df",
-    "lang_id", "mean_pool", "media_features", "minhash_pairs",
-    "minhash_signatures", "mrr10", "ndcg10", "ngram_jaccard", "passage_maxp",
-    "percolate", "percolate_phrase", "phrase_prefix", "phrase_search",
-    "pii_scrub", "prefix_search", "qld_jm", "qld_topk", "qld_topk_indexed",
-    "quality", "query_string_grouped", "rank_window", "recall10",
-    "regexp_search", "repetition", "rerank_bm25", "search_after",
-    "sessionize", "significant_terms", "simhash_neardup", "sorted_search",
-    "span_first", "span_not", "synonym_search", "term_stats", "term_vectors",
-    "terms_set", "text_extract", "token_counts", "trec_roundtrip",
-    "wildcard_search", "winnow_fingerprints",
+    "bm25_topk_stopped", "bm25_topk_upserted", "bm25f", "boosting_search",
+    "canonical_url", "ccnet_buckets", "combine_negatives",
+    "combined_fields", "composite_page", "corpus_stats", "cross_fields",
+    "cross_fields_indexed", "curate", "decay_search", "dedup_closure",
+    "dedup_exact", "dedup_pipeline", "dismax", "dismax_indexed",
+    "doc_keywords", "dsir_weights", "dsl_constant_score", "dsl_dismax",
+    "dsl_explain", "dsl_fielded", "dsl_fielded_filtered",
+    "dsl_fielded_lifecycle", "dsl_filtered", "dsl_filtered_pattern",
+    "dsl_multi_match", "dsl_nested", "dsl_search", "embedding_neardup",
+    "embedding_neardup_ann", "event_window_stats", "facet_bucket_sort",
+    "facet_date_histogram", "facet_histogram", "facet_max_bucket",
+    "facet_normalize", "facet_percentiles_bucket", "facet_pipeline",
+    "facet_ranges", "facet_sibling_stats", "facet_top_hits", "facets",
+    "field_value_factor", "filtered_search", "filtered_search_dv",
+    "fuzzy_search", "geo_distance", "geohash_grid", "geotile_grid",
+    "gopher_quality", "ground_truth_inject", "hard_negatives", "highlight",
+    "hit_cardinality", "hit_counts", "hit_extended_stats", "hit_filters",
+    "hit_mad", "hit_missing", "hit_percentiles", "hit_stats",
+    "hit_string_stats", "hit_value_count", "hit_weighted_avg",
+    "hybrid_combmnz", "hybrid_combsum", "hybrid_rrf", "ivf_ann",
+    "ivf_ann_df", "knn_cosine", "knn_cosine_df", "lang_id",
+    "lm_perplexity", "mean_pool", "media_features", "minhash_pairs",
+    "minhash_signatures", "mrr10", "ndcg10", "ngram_jaccard",
+    "passage_maxp", "percolate", "percolate_filtered", "percolate_phrase",
+    "phrase_prefix", "phrase_search", "pii_scrub", "prefix_search",
+    "proximity_search", "qld_jm", "qld_topk", "qld_topk_indexed",
+    "quality", "query_string", "query_string_fielded",
+    "query_string_grouped", "rank_window", "recall10", "regexp_search",
+    "repetition", "rerank_bm25", "rescore", "rm3_expand", "search_after",
+    "sessionize", "significant_terms", "simhash_neardup",
+    "simple_query_string", "snippets", "sorted_search", "span_containing",
+    "span_first", "span_near", "span_not", "span_or", "span_within",
+    "synonym_search", "term_stats", "term_vectors", "terms_set",
+    "text_extract", "token_counts", "trec_roundtrip", "wildcard_search",
+    "winnow_fingerprints",
 })
 
 

@@ -160,10 +160,20 @@ class IndexStorage:
         if self.is_table_mode:
             return self.spark.catalog.tableExists(self.table_name(kind))
         self._recover_swap(kind)
+        import os
+
+        target = getattr(self.paths, kind)
+        # fast path: path mode already assumes a driver-visible POSIX
+        # filesystem (see _recover_swap) — when the directory is plainly
+        # absent, skip the py4j schema probe and its JVM-exception round
+        # trip. When it IS present, still probe: an existing-but-empty
+        # directory must keep reading as False (UNABLE_TO_INFER_SCHEMA).
+        if not os.path.exists(target):
+            return False
         from pyspark.errors.exceptions.captured import AnalysisException
 
         try:
-            self.spark.read.parquet(getattr(self.paths, kind)).schema
+            self.spark.read.parquet(target).schema
             return True
         except AnalysisException as e:
             if "PATH_NOT_FOUND" in str(e) or "UNABLE_TO_INFER_SCHEMA" in str(e):

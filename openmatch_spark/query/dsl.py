@@ -433,6 +433,13 @@ def resolve_msm(spec, n_should: int) -> int:
 
 _GLUE = "\x1e"  # pseudo-query-id glue: "<query_id>\x1e<item_id>"
 
+# nested-level checkpoint gate: a level may skip its localCheckpoint only
+# when the batch is small AND the index is at most this many docs — the
+# checkpoint costs one fixed job round, the skipped checkpoint costs
+# re-running the level's subplan once per lower level, which scales with
+# corpus size (see _execute_tree / search_dsl_fielded).
+_CHECKPOINT_SMALL_DOCS = 200_000
+
 
 class _BoolNode:
     """One bool in the query tree. clause_items / bool_items are
@@ -1100,12 +1107,19 @@ def _execute_tree(
             ).where(F.col("iid").isNotNull()).select(
                 "query_id", "iid", "shard", "doc_ord", "score"
             )
-            if depth > 1 and len(roots) > 64:
-                # big batches: materialize the (post-gate, small) level so
-                # lower levels' plans do not re-embed it. Small batches
-                # skip the checkpoint: its job round costs more than the
-                # re-embedded aggregate over the already-checkpointed
-                # items (results identical either way).
+            if depth > 1 and (
+                len(roots) > 64
+                or sum(index._manifest_counts().values())
+                > _CHECKPOINT_SMALL_DOCS
+            ):
+                # materialize the (post-gate, small) level so lower
+                # levels' plans do not re-embed it — without this the
+                # deepest level's subplan is duplicated once per lower
+                # level. Skipped only when BOTH the batch and the index
+                # are small: the checkpoint's job round is a fixed
+                # ~0.1 s, while the re-embedded aggregate's recompute
+                # cost scales with corpus size, so on big indexes the
+                # checkpoint always wins (results identical either way).
                 conv = conv.localCheckpoint()
             item_src = item_src.unionByName(conv)
     return _finalize(index, root_out, k, [])

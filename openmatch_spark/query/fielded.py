@@ -305,6 +305,7 @@ def search_dsl_fielded(
     PAGE shapes (top-level match_all / constant_score / filter-only
     bools) — a query must carry at least one scoring clause."""
     from openmatch_spark.query.dsl import (
+        _CHECKPOINT_SMALL_DOCS,
         _GLUE,
         _TreeCtx,
         _compile_bool_node,
@@ -638,11 +639,20 @@ def search_dsl_fielded(
             ).where(F.col("iid").isNotNull()).select(
                 "query_id", "iid", "doc_id", "score"
             )
-            if depth > 1 and len(trees) > 64:
+            if depth > 1 and (
+                len(trees) > 64
+                or max(
+                    sum(ix._manifest_counts().values())
+                    for ix in findex.values()
+                )
+                > _CHECKPOINT_SMALL_DOCS
+            ):
                 # at depth 1 only the root remains and references this
-                # once — checkpointing there is pure overhead; small
-                # batches skip it entirely (the job round costs more than
-                # the re-embedded aggregate; results identical)
+                # once — checkpointing there is pure overhead. Below
+                # that, skip the checkpoint only when BOTH the batch and
+                # the index are small: the job round is a fixed ~0.1 s
+                # while the re-embedded aggregate's recompute scales
+                # with corpus size (results identical either way).
                 conv = conv.localCheckpoint()
             item_src = item_src.unionByName(conv)
     w = Window.partitionBy("query_id").orderBy(

@@ -97,3 +97,38 @@ def literal_map(entries: dict, key_ddl: str, value_ddl: str):
     if scalar:
         return F.transform_values(m, lambda _, v: v.getField(vnames[0]))
     return m
+
+
+def in_list(col: str, values) -> "F.Column":
+    """``F.col(col).isin(values)`` as ONE parsed SQL expression.
+
+    Column.isin builds a py4j Literal per element (~3 ms each), which
+    dominates driver-side plan construction for the engine's pruned-scan
+    predicates once term lists reach a few hundred entries. Parsing a
+    single ``col IN ('a', 'b', ...)`` string yields the identical In
+    predicate — same semantics, same parquet PushedFilters — in one py4j
+    round trip.
+
+    col must be a plain column NAME (it is backtick-quoted); values must
+    be strings or ints (the only key types the pruned scans use). String
+    literals are backslash-escaped for Spark's default (non-ANSI,
+    non-escapedStringLiterals) parser. An empty list returns lit(False)
+    — the same rows-drop behavior isin gives inside a filter, which is
+    the only place the engine uses this.
+    """
+    vals = list(values)
+    if not vals:
+        return F.lit(False)
+    parts = []
+    for v in vals:
+        if isinstance(v, bool) or not isinstance(v, (str, int)):
+            raise TypeError(
+                f"in_list carries str/int values only, got {type(v).__name__}"
+            )
+        if isinstance(v, str):
+            parts.append(
+                "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+            )
+        else:
+            parts.append(str(v))
+    return F.expr(f"`{col}` IN ({', '.join(parts)})")

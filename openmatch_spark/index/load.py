@@ -8,6 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from openmatch_spark.index.layout import IndexPaths
 from openmatch_spark.index.storage import IndexStorage
+from openmatch_spark.functions.localrel import in_list
 
 # vocabularies below this row count are collected driver-side once per
 # BM25Index, making repeated searches (the p50/p99 regime) zero-job for
@@ -33,6 +34,7 @@ class BM25Index:
     _df_cache: dict = field(default_factory=dict, repr=False)
     _vocab_cache: tuple | bool | None = field(default=None, repr=False)
     _shard_docs_cache: dict | None = field(default=None, repr=False)
+    _exists_cache: dict = field(default_factory=dict, repr=False)
 
     def _store(self) -> IndexStorage:
         if self.store is None:
@@ -113,7 +115,7 @@ class BM25Index:
         import pyspark.sql.functions as F
 
         matched = (
-            self.dictionary.where(F.col("term").isin(terms))
+            self.dictionary.where(in_list("term", terms))
             .select("term", "term_bucket")
             .collect()
         )
@@ -153,13 +155,14 @@ class BM25Index:
         self._df_cache = {}
         self._vocab_cache = None
         self._shard_docs_cache = None
+        self._exists_cache = {}
         return self
 
     # ---- document deletes (tombstones) ----------------------------------
 
     def has_deletes(self) -> bool:
         """True if the tombstone table exists (index/deletes.py wrote it)."""
-        return self._store().exists("deletes")
+        return self._exists_cached("deletes")
 
     @property
     def deletes(self) -> DataFrame:
@@ -242,9 +245,22 @@ class BM25Index:
     def postings(self) -> DataFrame:
         return self._gated("postings")
 
+    def _exists_cached(self, kind: str) -> bool:
+        """store.exists(kind) memoized per handle — the same snapshot
+        semantics as _read_cached: whether an optional table (positions
+        sidecar, tombstones) is present is fixed for the handle's
+        lifetime, and the probe costs a py4j schema read (~0.4 s) that
+        hot query surfaces would otherwise re-pay per call. refresh()
+        drops it (e.g. after build_positions / delete_docs)."""
+        v = self._exists_cache.get(kind)
+        if v is None:
+            v = self._store().exists(kind)
+            self._exists_cache[kind] = v
+        return v
+
     def has_positions(self) -> bool:
         """True if the positional sidecar exists (build_positions ran)."""
-        return self._store().exists("positions")
+        return self._exists_cached("positions")
 
     @property
     def positions(self) -> DataFrame:

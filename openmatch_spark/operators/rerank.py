@@ -31,6 +31,7 @@ from pyspark.sql.types import DoubleType
 
 from openmatch_spark.operators.runio import with_rank
 from openmatch_spark.operators.transforms import hydrate_run
+from openmatch_spark.functions.localrel import in_list
 
 
 def bm25_pair_scorer(stats: dict, term_stats: dict[str, tuple[int, float]]):
@@ -129,7 +130,7 @@ def rerank_bm25(index, run: DataFrame, corpus: DataFrame, queries: DataFrame,
         for row in head:
             qterms |= set(Counter(tokenize_py(row["text"], analyzer)))
     rows = (
-        index.dictionary.where(F.col("term").isin(sorted(qterms)))
+        index.dictionary.where(in_list("term", sorted(qterms)))
         .select("term", "df", "idf")
         .collect()
     )

@@ -44,7 +44,7 @@ from pyspark.sql.types import (
 
 from openmatch_spark.functions.codec import decode_postings
 from openmatch_spark.index.load import BM25Index
-from openmatch_spark.functions.localrel import inline_table
+from openmatch_spark.functions.localrel import in_list, inline_table
 
 _KERNEL_OUT = StructType(
     [
@@ -118,7 +118,7 @@ def decoded_query_postings(
         return None, None
     terms = sorted({t for (_, t, _, _) in qt})
     buckets = sorted({b for (_, _, _, b) in qt})
-    pred = F.col("term_bucket").isin(buckets) & F.col("term").isin(terms)
+    pred = in_list("term_bucket", buckets) & in_list("term", terms)
     if block_cap is not None:
         pred = pred & (F.col("block_id") < F.lit(int(block_cap)))
     decoded = index.postings.where(pred).mapInArrow(
@@ -510,8 +510,8 @@ def search_terms(
     buckets = sorted({b for (_, _, _, b) in matched})
     terms = sorted({t for (_, t, _, _) in matched})
     pruned = index.postings.where(
-        F.col("term_bucket").isin(buckets)  # partition (directory) pruning
-        & F.col("term").isin(terms)  # row-group pruning (PushedFilters)
+        in_list("term_bucket", buckets)  # partition (directory) pruning
+        & in_list("term", terms)  # row-group pruning (PushedFilters)
     )
     # live segment count, NOT stats["num_shards"]: incremental ingest grows
     # the segment set and compaction shrinks it, while build-time stats stay

@@ -56,6 +56,7 @@ from pyspark.sql import DataFrame, Window
 from openmatch_spark.index.compact import _decode_blocks_arrow
 from openmatch_spark.index.load import BM25Index
 from openmatch_spark.query.bm25_search import _DISTRIBUTED_TOKENIZE_MIN_QUERIES
+from openmatch_spark.functions.localrel import in_list
 
 _DECODED = "shard int, term string, term_bucket int, doc_ord long, weight double"
 
@@ -186,7 +187,7 @@ def _search_boolean_distributed(
         )
     buckets = sorted({bucket_of[t] for t in in_vocab})
     decoded = index.postings.where(
-        F.col("term_bucket").isin(buckets) & F.col("term").isin(in_vocab)
+        in_list("term_bucket", buckets) & in_list("term", in_vocab)
     ).mapInArrow(_decode_blocks_arrow, _DECODED)
     candidates = (
         decoded.join(scoring, "term")
@@ -271,7 +272,7 @@ def search_boolean(
     buckets = sorted({bucket_of[t] for t in terms})
     decoded = (
         index.postings.where(
-            F.col("term_bucket").isin(buckets) & F.col("term").isin(terms)
+            in_list("term_bucket", buckets) & in_list("term", terms)
         )
         .mapInArrow(_decode_blocks_arrow, _DECODED)
     )
@@ -306,7 +307,7 @@ def search_boolean(
             spark.createDataFrame(live_nots, "query_id string, term string")
         )
         excluded = (
-            decoded.where(F.col("term").isin(not_terms))
+            decoded.where(in_list("term", not_terms))
             .join(qn, "term")
             .select("query_id", "shard", "doc_ord")
             .distinct()
@@ -373,7 +374,7 @@ def search_terms_set(
     terms = sorted({t for (_, t, _) in live})
     buckets = sorted({bucket_of[t] for t in terms})
     decoded = index.postings.where(
-        F.col("term_bucket").isin(buckets) & F.col("term").isin(terms)
+        in_list("term_bucket", buckets) & in_list("term", terms)
     ).mapInArrow(_decode_blocks_arrow, _DECODED)
     qt = F.broadcast(
         spark.createDataFrame(live, "query_id string, term string, qtf double")

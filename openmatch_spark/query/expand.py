@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame, Window
 
 from openmatch_spark.index.load import BM25Index
 from openmatch_spark.query.bm25_search import search_terms
-from openmatch_spark.functions.localrel import inline_table
+from openmatch_spark.functions.localrel import in_list, inline_table
 
 EMPTY_RUN = "query_id string, doc_id string, score double, rank int"
 
@@ -576,7 +576,7 @@ def search_synonyms(
     toks = sorted({t for (_, t, _) in qtoks})
     if isinstance(synonyms, DataFrame):
         rows = (
-            synonyms.where(F.col("term").isin(toks))
+            synonyms.where(in_list("term", toks))
             .select("term", "variant", F.col("weight").cast("double"))
             .collect()
         )
@@ -662,7 +662,7 @@ def search_bool_prefix(
     if not all_terms:
         return empty
     decoded = index.postings.where(
-        F.col("term_bucket").isin(buckets) & F.col("term").isin(all_terms)
+        in_list("term_bucket", buckets) & in_list("term", all_terms)
     ).mapInArrow(
         _decode_blocks_arrow,
         "shard int, term string, term_bucket int, doc_ord long, weight double",

@@ -58,6 +58,7 @@ from pyspark.sql import DataFrame, Window
 from openmatch_spark.functions.bm25 import bm25_weight_col, lucene_idf_col
 from openmatch_spark.index.load import BM25Index
 from openmatch_spark.query.bm25_search import query_term_counts
+from openmatch_spark.functions.localrel import in_list
 
 _DECODED_SCHEMA = (
     "shard int, term string, term_bucket int, doc_ord long, weight double"
@@ -121,7 +122,7 @@ def search_federated(
     df_g: dict[str, int] = {}
     for idx in indexes:
         rows = (
-            idx.dictionary.where(F.col("term").isin(terms))
+            idx.dictionary.where(in_list("term", terms))
             .select("term", "df", "idf")
             .collect()
         )
@@ -144,8 +145,8 @@ def search_federated(
             continue
         bucket_of = idx.term_buckets(in_vocab)
         pruned = idx.postings.where(
-            F.col("term_bucket").isin(sorted(set(bucket_of.values())))
-            & F.col("term").isin(in_vocab)
+            in_list("term_bucket", sorted(set(bucket_of.values())))
+            & in_list("term", in_vocab)
         )
         decoded = pruned.mapInArrow(_decode_blocks_arrow, _DECODED_SCHEMA)
         # a tombstoned doc must not enter the candidate set (liveDocs)

@@ -51,7 +51,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from openmatch_spark.functions.bm25 import lucene_idf_col
 from openmatch_spark.index.load import BM25Index
-from openmatch_spark.functions.localrel import inline_table, literal_map
+from openmatch_spark.functions.localrel import in_list, inline_table, literal_map
 
 _MANIFEST = "fielded.json"
 _TYPES = ("best_fields", "most_fields", "cross_fields")
@@ -169,7 +169,7 @@ def _field_contribs(
     terms = sorted({t for (_, t, _, _) in qt})
     buckets = sorted({b for (_, _, _, b) in qt})
     decoded = index.postings.where(
-        F.col("term_bucket").isin(buckets) & F.col("term").isin(terms)
+        in_list("term_bucket", buckets) & in_list("term", terms)
     ).mapInArrow(
         _decode_blocks_arrow,
         "shard int, term string, term_bucket int, doc_ord long, weight double",
@@ -196,7 +196,7 @@ def _field_contribs(
     # cross_fields: expose this field's df and docCount so the caller can
     # divide the baked idf_f back out and multiply the blended idf in
     dic = F.broadcast(
-        index.dictionary.where(F.col("term").isin(terms)).select("term", "df")
+        index.dictionary.where(in_list("term", terms)).select("term", "df")
     )
     n_docs = float(index.stats["n_docs"])
     return (

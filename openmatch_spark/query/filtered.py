@@ -33,6 +33,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
 from openmatch_spark.index.load import BM25Index
+from openmatch_spark.functions.localrel import in_list
 from openmatch_spark.query.bm25_search import (
     _KERNEL_OUT,
     _shard_topk,
@@ -138,7 +139,7 @@ def _partials_with_dead(index, matched, k, dead_map):
     buckets = sorted({b for (_, _, _, b) in matched})
     terms = sorted({t for (_, t, _, _) in matched})
     pruned = index.postings.where(
-        F.col("term_bucket").isin(buckets) & F.col("term").isin(terms)
+        in_list("term_bucket", buckets) & in_list("term", terms)
     )
     return _batch_partials(
         pruned, matched, k, len(index.committed_shards()), dead_map or None
@@ -163,7 +164,7 @@ def _cogroup_partials(index, matched, k, ords: DataFrame):
     buckets = sorted({b for (_, _, _, b) in matched})
     terms_l = sorted({t for (_, t, _, _) in matched})
     blocks = index.postings.where(
-        F.col("term_bucket").isin(buckets) & F.col("term").isin(terms_l)
+        in_list("term_bucket", buckets) & in_list("term", terms_l)
     ).select("shard", "term", "docs", "scores")
 
     def kernel(key, blocks_pdf: pd.DataFrame, ords_pdf: pd.DataFrame) -> pd.DataFrame:

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame
 import pyspark.sql.functions as F
 
 from openmatch_spark.index.load import BM25Index
+from openmatch_spark.functions.localrel import in_list
 
 
 def mlt_terms(
@@ -54,7 +55,7 @@ def mlt_terms(
     if not vocab:
         return []
     dict_rows = (
-        index.dictionary.where(F.col("term").isin(vocab))
+        index.dictionary.where(in_list("term", vocab))
         .select("term", "df", "term_bucket")
         .collect()
     )

@@ -46,7 +46,7 @@ from openmatch_spark.index.compact import _decode_blocks_arrow
 from openmatch_spark.index.load import BM25Index
 from openmatch_spark.index.positions import _decode_positions_arrow
 from openmatch_spark.query.bm25_search import _DISTRIBUTED_TOKENIZE_MIN_QUERIES
-from openmatch_spark.functions.localrel import inline_table
+from openmatch_spark.functions.localrel import in_list, inline_table
 
 _DECODED_POSTINGS = (
     "shard int, term string, term_bucket int, doc_ord long, weight double"
@@ -58,7 +58,7 @@ def _pruned_positions(index: BM25Index, terms: list[str], bucket_of: dict):
     buckets = sorted({bucket_of[t] for t in terms})
     return (
         index.positions.where(
-            F.col("term_bucket").isin(buckets) & F.col("term").isin(terms)
+            in_list("term_bucket", buckets) & in_list("term", terms)
         )
         .select("shard", "term", "doc_ord", "positions")
         .mapInArrow(_decode_positions_arrow, _DECODED_POSITIONS)
@@ -72,7 +72,7 @@ def _bm25_scores(index: BM25Index, qterms: list, bucket_of: dict):
     buckets = sorted({bucket_of[t] for t in terms})
     decoded = (
         index.postings.where(
-            F.col("term_bucket").isin(buckets) & F.col("term").isin(terms)
+            in_list("term_bucket", buckets) & in_list("term", terms)
         )
         .mapInArrow(_decode_blocks_arrow, _DECODED_POSTINGS)
     )
@@ -144,8 +144,8 @@ def _search_phrase_distributed(index: BM25Index, q: DataFrame, k: int) -> DataFr
         F.count(F.lit(1)).cast("double").alias("qtf")
     )
     decoded = index.postings.where(
-        F.col("term_bucket").isin(sorted({bucket_of[t] for t in in_vocab}))
-        & F.col("term").isin(in_vocab)
+        in_list("term_bucket", sorted({bucket_of[t] for t in in_vocab}))
+        & in_list("term", in_vocab)
     ).mapInArrow(_decode_blocks_arrow, _DECODED_POSTINGS)
     scores = (
         decoded.join(qt, "term")
@@ -325,8 +325,8 @@ def _search_proximity_distributed(
         F.count(F.lit(1)).cast("double").alias("qtf")
     )
     decoded = index.postings.where(
-        F.col("term_bucket").isin(sorted({bucket_of[t] for t in in_vocab}))
-        & F.col("term").isin(in_vocab)
+        in_list("term_bucket", sorted({bucket_of[t] for t in in_vocab}))
+        & in_list("term", in_vocab)
     ).mapInArrow(_decode_blocks_arrow, _DECODED_POSTINGS)
     scores = (
         decoded.join(qt, "term")
@@ -513,8 +513,8 @@ def _search_span_near_distributed(
         F.count(F.lit(1)).cast("double").alias("qtf")
     )
     decoded = index.postings.where(
-        F.col("term_bucket").isin(sorted({bucket_of[t] for t in in_vocab}))
-        & F.col("term").isin(in_vocab)
+        in_list("term_bucket", sorted({bucket_of[t] for t in in_vocab}))
+        & in_list("term", in_vocab)
     ).mapInArrow(_decode_blocks_arrow, _DECODED_POSTINGS)
     scores = (
         decoded.join(qt, "term")

@@ -86,7 +86,7 @@ from pyspark.sql import DataFrame
 from openmatch_spark.index.compact import _decode_blocks_arrow
 from openmatch_spark.index.load import BM25Index
 from openmatch_spark.query.expand import _expansions, wildcard_to_like
-from openmatch_spark.functions.localrel import inline_table, literal_map
+from openmatch_spark.functions.localrel import in_list, inline_table, literal_map
 from openmatch_spark.query.phrase import (
     _DECODED_POSTINGS,
     _bm25_scores,
@@ -990,7 +990,7 @@ def _execute_clauses(
         terms = sorted({t for (_, _, _, t, _) in sc_rows})
         buckets = sorted({bucket_of[t] for t in terms})
         decoded = index.postings.where(
-            F.col("term_bucket").isin(buckets) & F.col("term").isin(terms)
+            in_list("term_bucket", buckets) & in_list("term", terms)
         ).mapInArrow(_decode_blocks_arrow, _DECODED_POSTINGS)
         scdf = F.broadcast(
             inline_table(spark, 
@@ -1109,7 +1109,7 @@ def _execute_clauses(
         nterms = sorted({t for (_, t) in not_terms})
         nbuckets = sorted({bucket_of[t] for t in nterms})
         ndec = index.postings.where(
-            F.col("term_bucket").isin(nbuckets) & F.col("term").isin(nterms)
+            in_list("term_bucket", nbuckets) & in_list("term", nterms)
         ).mapInArrow(_decode_blocks_arrow, _DECODED_POSTINGS)
         ntdf = F.broadcast(
             inline_table(spark, not_terms, "query_id string, term string")

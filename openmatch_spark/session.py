@@ -65,6 +65,13 @@ def get_spark(
         "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
         # AQE: runtime coalesce + skew-join splitting; we still salt explicitly
         # for groupBy skew (AQE only fixes join skew).
+        # limit/take probes: Spark's CollectLimit ramps up from ONE scanned
+        # partition (then 4x per round), so a take(n) over a small table
+        # split into defaultParallelism partitions pays 3-4 sequential job
+        # rounds before it has seen every row. Starting the ramp at one
+        # executor wave collapses that to a single job; for genuinely huge
+        # inputs the first probe still scans only `cpus` partitions.
+        "spark.sql.limit.initialNumPartitions": str(cpus),
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",

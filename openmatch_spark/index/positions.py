@@ -6,22 +6,21 @@ the postings — the Lucene .doc/.pos split — so pure-BM25 queries never
 scan them, and the same (shard, term_bucket) partitioning gives phrase
 queries the same directory pruning the scorer gets.
 
-Build plan (ONE data shuffle, same shape as the postings packer):
+Build plan (ONE data shuffle, and it carries already-encoded rows):
 
-  pages ─extract/tokenize─► (doc_id, terms)
-        ─posexplode─► (doc_id, pos, term)
-        ─join docmap (doc_id → shard, doc_ord)─► keyed occurrences
+  pages ─extract/tokenize + map-side run encode (one mapInArrow stage)─►
+              one row per (doc, term): npos, delta+varbyte payload
+        ─join docmap (doc_id → shard, doc_ord)─► keyed rows
         ─repartition(shard, term_bucket) + sortWithinPartitions
-              (shard, term_bucket, term, doc_ord, pos)─►
-        ─mapInArrow run-packer─► one row per (term, doc): npos,
-              delta+varbyte positions payload
+              (shard, term_bucket, term, doc_ord)─►
         ─write partitioned by (shard, term_bucket)
 
-The run packer holds back the partition tail's (term, doc) run on every
-buffer flush, so a run is never split across emits; carried state is
-bounded by the longest document, the same bound extract_corpus already
-accepts per row. term_bucket is a pure hash of the term (no dictionary
-join), and the docmap join shuffles occurrences once — on a cluster where
+A positions run never spans documents and each input row is one whole
+document, so the payload is final before anything is shuffled — the
+exchange moves one compact encoded row per (doc, term) instead of one
+row per token occurrence, and no Python kernel runs after it.
+term_bucket is a pure hash of the term (no dictionary join), and the
+docmap join moves each encoded row at most once — on a cluster where
 docmap is bucketed by doc_id it collapses to a co-located join.
 
 Compaction note: compact_index re-assigns doc_ords when it merges shards,
@@ -38,95 +37,73 @@ from pyspark.sql import DataFrame, SparkSession
 from openmatch_spark.analysis import extract_corpus
 from openmatch_spark.functions.codec import encode_sequences_batch
 from openmatch_spark.index.build import term_bucket_col
-from openmatch_spark.index.layout import POSITIONS_SCHEMA
 from openmatch_spark.index.storage import IndexStorage
 
-_PACK_BUFFER_ROWS = 1 << 17
 
+def _encode_doc_positions_arrow():
+    """mapInArrow kernel: (doc_id, terms) -> one encoded positions row per
+    (doc, term): (doc_id, term, npos, positions payload).
 
-def _pack_positions_arrow():
-    """mapInArrow kernel: sorted (shard, term_bucket, term, doc_ord, pos)
-    stream -> one encoded row per (shard, term, doc_ord) run.
-
-    Complete runs are emitted eagerly; the (possibly unfinished) tail run is
-    carried to the next flush, so state is bounded by buffer + one run
-    (<= longest doclen)."""
+    A positions run never spans documents and every input row IS one whole
+    document, so the final delta+varbyte payload can be built map-side in
+    the same stage as tokenization — the shuffle then moves one compact
+    encoded row per (doc, term) instead of one 40-byte row per token
+    occurrence (guide: shuffle encoded payloads once, not raw occurrence
+    streams). Payload bytes are identical to the former post-shuffle
+    packer: same positions, same encode_sequences_batch."""
     import pyarrow as pa
+    import pyarrow.compute as pc
 
     out_schema = pa.schema(
         [
+            ("doc_id", pa.string()),
             ("term", pa.string()),
-            ("term_bucket", pa.int32()),
-            ("shard", pa.int32()),
-            ("doc_ord", pa.int64()),
             ("npos", pa.int32()),
             ("positions", pa.binary()),
         ]
     )
 
     def kernel(iterator):
-        buf: list = []
-        nbuf = 0
-
-        def flush(final: bool):
-            nonlocal buf, nbuf
-            if not nbuf:
-                return None
-            tbl = pa.Table.from_batches(buf).combine_chunks()
-            shard = tbl.column("shard").to_numpy()
-            bucket = tbl.column("term_bucket").to_numpy()
-            terms = tbl.column("term").to_numpy(zero_copy_only=False)
-            ords = tbl.column("doc_ord").to_numpy()
-            pos = tbl.column("pos").to_numpy()
-            nrows = len(pos)
-
-            change = np.empty(nrows, dtype=bool)
-            change[0] = True
-            change[1:] = (
-                (terms[1:] != terms[:-1])
-                | (ords[1:] != ords[:-1])
-                | (shard[1:] != shard[:-1])
-            )
-            run_starts = np.flatnonzero(change)
-            emit_upto = nrows if final else int(run_starts[-1])
-            out = None
-            if emit_upto > 0:
-                rs = run_starts[run_starts < emit_upto]
-                lens = np.empty(rs.shape[0], dtype=np.int64)
-                lens[:-1] = rs[1:] - rs[:-1]
-                lens[-1] = emit_upto - rs[-1]
-                payloads = encode_sequences_batch(pos[:emit_upto], rs)
-                out = pa.RecordBatch.from_arrays(
-                    [
-                        pa.array(terms[rs], type=pa.string()),
-                        pa.array(bucket[rs], type=pa.int32()),
-                        pa.array(shard[rs], type=pa.int32()),
-                        pa.array(ords[rs], type=pa.int64()),
-                        pa.array(lens, type=pa.int32()),
-                        pa.array(payloads, type=pa.binary()),
-                    ],
-                    schema=out_schema,
-                )
-            if final:
-                buf, nbuf = [], 0
-            else:
-                rest = tbl.slice(emit_upto)
-                buf = rest.to_batches()
-                nbuf = nrows - emit_upto
-            return out
-
         for batch in iterator:
             if batch.num_rows == 0:
                 continue
-            buf.append(batch)
-            nbuf += batch.num_rows
-            if nbuf >= _PACK_BUFFER_ROWS:
-                out = flush(final=False)
-                if out is not None:
-                    yield out
-        out = flush(final=True)
-        if out is not None:
-            yield out
+            terms_col = batch.column("terms")
+            lens = pc.fill_null(
+                pc.list_value_length(terms_col), 0
+            ).to_numpy().astype(np.int64)
+            total = int(lens.sum())
+            if total == 0:
+                continue
+            flat = terms_col.flatten()
+            codes_arr = flat.dictionary_encode()
+            codes = codes_arr.indices.to_numpy().astype(np.int64)
+            vocab = codes_arr.dictionary
+            doc_idx = np.repeat(np.arange(batch.num_rows, dtype=np.int64), lens)
+            starts = np.zeros(batch.num_rows, dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            pos = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
+            # group occurrences into (doc, term) runs; pos stays ascending
+            # within a run because lexsort is stable and input order is
+            # ascending pos
+            order = np.lexsort((pos, codes, doc_idx))
+            sd, sc, sp = doc_idx[order], codes[order], pos[order]
+            change = np.empty(total, dtype=bool)
+            change[0] = True
+            change[1:] = (sd[1:] != sd[:-1]) | (sc[1:] != sc[:-1])
+            run_starts = np.flatnonzero(change)
+            run_lens = np.empty(run_starts.shape[0], dtype=np.int64)
+            run_lens[:-1] = run_starts[1:] - run_starts[:-1]
+            run_lens[-1] = total - run_starts[-1]
+            payloads = encode_sequences_batch(sp, run_starts)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id").take(pa.array(sd[run_starts])),
+                    vocab.take(pa.array(sc[run_starts])).cast(pa.string()),
+                    pa.array(run_lens, type=pa.int32()),
+                    pa.array(payloads, type=pa.binary()),
+                ],
+                schema=out_schema,
+            )
 
     return kernel
 
@@ -189,16 +166,24 @@ def build_positions(
     num_term_buckets = int(stats["num_term_buckets"])
 
     corpus = extract_corpus(pages, analyzer=analyzer)
-    occ = corpus.select(
-        "doc_id", F.posexplode("terms").alias("pos", "term")
+    # encode each document's (term -> positions payload) rows MAP-SIDE, in
+    # the same stage as tokenization (kernel docstring): the only shuffle
+    # then carries one compact encoded row per (doc, term) — at web-corpus
+    # token counts that is several times fewer rows and bytes than the
+    # former per-occurrence stream, and no Python kernel runs after the
+    # exchange.
+    enc = corpus.select("doc_id", "terms").mapInArrow(
+        _encode_doc_positions_arrow(),
+        "doc_id string, term string, npos int, positions binary",
     )
     docmap = store.read("docmap").select("shard", "doc_id", "doc_ord")
-    keyed = occ.join(docmap, "doc_id").select(
-        "shard",
-        term_bucket_col(F.col("term"), num_term_buckets).alias("term_bucket"),
+    keyed = enc.join(docmap, "doc_id").select(
         "term",
+        term_bucket_col(F.col("term"), num_term_buckets).alias("term_bucket"),
+        "shard",
         "doc_ord",
-        F.col("pos").cast("long").alias("pos"),
+        "npos",
+        "positions",
     )
     if shuffle_partitions is None:
         shuffle_partitions = max(
@@ -207,8 +192,7 @@ def build_positions(
         )
     packed = (
         keyed.repartition(shuffle_partitions, "shard", "term_bucket")
-        .sortWithinPartitions("shard", "term_bucket", "term", "doc_ord", "pos")
-        .mapInArrow(_pack_positions_arrow(), POSITIONS_SCHEMA)
+        .sortWithinPartitions("shard", "term_bucket", "term", "doc_ord")
     )
     # summary counts ride the write job as observed metrics — the former
     # read-back aggregation re-scanned the whole just-written sidecar

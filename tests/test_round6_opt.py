@@ -134,3 +134,49 @@ def test_handle_df_cache_refresh(fat_vocab_index):
     assert idx._df_cache.get("postings") is first  # memo hit, no re-read
     idx.refresh()
     assert idx._df_cache == {} and idx._vocab_cache is None
+
+
+def test_positions_mapside_kernel_reference():
+    """The map-side positions encoder (index/positions.py round-6 rewrite)
+    must emit exactly one run per (doc, term) whose payload decodes to the
+    term's occurrence positions in order — pinned against a brute-force
+    Python reference over randomized documents (duplicates, empty docs,
+    single-token docs, null terms lists)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from openmatch_spark.functions.codec import decode_postings
+    from openmatch_spark.index.positions import _encode_doc_positions_arrow
+
+    rng = np.random.default_rng(13)
+    vocab = [f"t{i}" for i in range(17)]
+    docs = []
+    for i in range(60):
+        n = int(rng.integers(0, 30))
+        docs.append((f"d{i}", [str(rng.choice(vocab)) for _ in range(n)]))
+    docs.append(("empty", []))
+    docs.append(("single", ["t3"]))
+    docs.append(("nulldoc", None))
+
+    batch = pa.RecordBatch.from_arrays(
+        [
+            pa.array([d for d, _ in docs], type=pa.string()),
+            pa.array([t for _, t in docs], type=pa.list_(pa.string())),
+        ],
+        names=["doc_id", "terms"],
+    )
+    out = list(_encode_doc_positions_arrow()([batch]))
+    got = {}
+    for b in out:
+        for r in b.to_pylist():
+            key = (r["doc_id"], r["term"])
+            assert key not in got, f"duplicate run {key}"
+            positions = decode_postings(r["positions"]).tolist()
+            assert len(positions) == r["npos"]
+            got[key] = positions
+
+    want = {}
+    for doc_id, terms in docs:
+        for pos, t in enumerate(terms or []):
+            want.setdefault((doc_id, t), []).append(pos)
+    assert got == want

@@ -23,6 +23,12 @@ from collections.abc import Callable
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+# query/fixture tables route through the Arrow LocalRelation fast path:
+# identical rows and schema to spark.createDataFrame(rows, ddl), but
+# take()/collect() probes over them run zero Spark jobs (the tuple-list
+# path pays one Python-runner task per partition per action)
+from openmatch_spark.functions.localrel import local_df as _ldf
+
 # ---------------------------------------------------------------------------
 # shared definitions (identical constants on both engines)
 # ---------------------------------------------------------------------------
@@ -454,14 +460,14 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _queries_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(QUERIES, "query_id string, text string")
+    return _ldf(spark, QUERIES, "query_id string, text string")
 
 
 def _qrels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic synthetic qrels: query i is 'relevant' to docs with
     doc_id % 83 == (7*i + 3) % 83 — derivable identically in SQL."""
     docs = _docs(spark, sf_dir).select(F.col("doc_id"))
-    q = spark.createDataFrame(
+    q = _ldf(spark, 
         [(qid, i) for i, (qid, _) in enumerate(QUERIES)], "query_id string, qidx int"
     )
     return (
@@ -3186,7 +3192,7 @@ def q_bm25_topk_synonyms(spark, sf_dir):
     from openmatch_spark.query import search
 
     idx = _entry_index_synonyms(spark, sf_dir)
-    q = spark.createDataFrame(SYN_QUERIES, "query_id string, text string")
+    q = _ldf(spark, SYN_QUERIES, "query_id string, text string")
     run = search(idx, q, k=10, mode="maxscore")
     return run.select(
         "query_id",
@@ -3322,7 +3328,7 @@ def q_bm25_topk_stopped(spark, sf_dir):
     idx = _load_entry_index(spark, _IDX_CACHE[key])
     run = search(
         idx,
-        spark.createDataFrame(STOP_QUERIES, "query_id string, text string"),
+        _ldf(spark, STOP_QUERIES, "query_id string, text string"),
         k=10,
     )
     return run.select(
@@ -3512,7 +3518,7 @@ def q_fuzzy_search(spark, sf_dir):
     from openmatch_spark.query import search_fuzzy
 
     idx = _entry_index(spark, sf_dir)
-    fq = spark.createDataFrame(FUZZY_QUERIES, "query_id string, text string")
+    fq = _ldf(spark, FUZZY_QUERIES, "query_id string, text string")
     run = search_fuzzy(
         idx, fq, k=10, max_edits=1, prefix_len=1, max_expansions=FUZZY_MAX_EXP
     )
@@ -3531,7 +3537,7 @@ def q_prefix_search(spark, sf_dir):
     from openmatch_spark.query import search_prefix
 
     idx = _entry_index(spark, sf_dir)
-    pq = spark.createDataFrame(PREFIX_QUERIES, "query_id string, text string")
+    pq = _ldf(spark, PREFIX_QUERIES, "query_id string, text string")
     run = search_prefix(idx, pq, k=10, max_expansions=PREFIX_MAX_EXP)
     return run.select(
         "query_id",
@@ -3550,7 +3556,7 @@ def q_wildcard_search(spark, sf_dir):
     from openmatch_spark.query import search_wildcard
 
     idx = _entry_index(spark, sf_dir)
-    wq = spark.createDataFrame(WILD_QUERIES, "query_id string, text string")
+    wq = _ldf(spark, WILD_QUERIES, "query_id string, text string")
     run = search_wildcard(idx, wq, k=10, max_expansions=WILD_MAX_EXP)
     return run.select(
         "query_id",
@@ -3569,7 +3575,7 @@ def q_regexp_search(spark, sf_dir):
     from openmatch_spark.query import search_regexp
 
     idx = _entry_index(spark, sf_dir)
-    rq = spark.createDataFrame(REGEXP_QUERIES, "query_id string, text string")
+    rq = _ldf(spark, REGEXP_QUERIES, "query_id string, text string")
     run = search_regexp(idx, rq, k=10, max_expansions=REGEXP_MAX_EXP)
     return run.select(
         "query_id",
@@ -3731,7 +3737,7 @@ def q_query_string_grouped(spark, sf_dir):
     from openmatch_spark.query import search_query_string
 
     idx = _entry_index(spark, sf_dir)
-    qdf = spark.createDataFrame(
+    qdf = _ldf(spark, 
         QS_GROUPED_QUERIES, "query_id string, text string"
     )
     run = search_query_string(idx, qdf, k=10)
@@ -3882,7 +3888,7 @@ def q_bm25_boolean(spark, sf_dir):
     from openmatch_spark.query import search_boolean
 
     idx = _entry_index(spark, sf_dir)
-    bq = spark.createDataFrame(
+    bq = _ldf(spark, 
         BOOL_QUERIES, "query_id string, must string, should string, must_not string"
     )
     run = search_boolean(idx, bq, k=10)
@@ -3904,7 +3910,7 @@ def q_bm25_boolean_msm(spark, sf_dir):
     from openmatch_spark.query import search_boolean
 
     idx = _entry_index(spark, sf_dir)
-    bq = spark.createDataFrame(
+    bq = _ldf(spark, 
         BOOL_QUERIES, "query_id string, must string, should string, must_not string"
     )
     run = search_boolean(idx, bq, k=10, min_should_match=1)
@@ -3957,7 +3963,7 @@ def q_bm25_topk_stemmed(spark, sf_dir):
     idx = _load_entry_index(spark, _IDX_CACHE[key])
     run = search(
         idx,
-        spark.createDataFrame(STEM_QUERIES, "query_id string, text string"),
+        _ldf(spark, STEM_QUERIES, "query_id string, text string"),
         k=10,
     )
     return run.select(
@@ -4115,7 +4121,7 @@ def q_percolate(spark, sf_dir):
     search_boolean's Lucene semantics)."""
     from openmatch_spark.query import percolate
 
-    stored = spark.createDataFrame(
+    stored = _ldf(spark, 
         PERC_RULES, "query_id string, must string, should string, must_not string"
     )
     docs = _docs(spark, sf_dir).select(
@@ -4149,7 +4155,7 @@ def q_percolate_phrase(spark, sf_dir):
     positional tokenization."""
     from openmatch_spark.query import percolate
 
-    stored = spark.createDataFrame(
+    stored = _ldf(spark, 
         PERC_PHRASE_RULES,
         "query_id string, must string, should string, must_not string,"
         " must_phrase string, not_phrase string",
@@ -4294,7 +4300,7 @@ def q_significant_text(spark, sf_dir):
     are document-frequency lift vs the raw-corpus background."""
     from openmatch_spark.query import significant_text
 
-    run = spark.createDataFrame(SIGTEXT_RUN, "query_id string, doc_id string")
+    run = _ldf(spark, SIGTEXT_RUN, "query_id string, doc_id string")
     out = significant_text(
         run, _sigtext_corpus(spark, sf_dir),
         n=10, min_doc_count=2, filter_duplicate_text=True, dup_window=5,
@@ -4599,7 +4605,7 @@ def q_phrase_search(spark, sf_dir):
     from openmatch_spark.query import search_phrase
 
     idx = _entry_index_with_positions(spark, sf_dir)
-    pq = spark.createDataFrame(PHRASE_QUERIES, "query_id string, text string")
+    pq = _ldf(spark, PHRASE_QUERIES, "query_id string, text string")
     run = search_phrase(idx, pq, k=10)
     return run.select(
         "query_id",
@@ -4618,7 +4624,7 @@ def q_phrase_prefix(spark, sf_dir):
     from openmatch_spark.query import search_phrase_prefix
 
     idx = _entry_index_with_positions(spark, sf_dir)
-    pq = spark.createDataFrame(
+    pq = _ldf(spark, 
         PHRASE_PREFIX_QUERIES, "query_id string, text string"
     )
     run = search_phrase_prefix(idx, pq, k=10, max_expansions=PHRASE_PREFIX_MAX_EXP)
@@ -4661,7 +4667,7 @@ def q_span_first(spark, sf_dir):
     from openmatch_spark.query import search_span_first
 
     idx = _entry_index_with_positions(spark, sf_dir)
-    q = spark.createDataFrame(
+    q = _ldf(spark, 
         SPAN_FIRST_QUERIES, "query_id string, text string"
     )
     run = search_span_first(idx, q, end=SPAN_FIRST_END, k=10)
@@ -4682,10 +4688,10 @@ def q_span_not(spark, sf_dir):
     from openmatch_spark.query import search_span_not
 
     idx = _entry_index_with_positions(spark, sf_dir)
-    inc = spark.createDataFrame(
+    inc = _ldf(spark, 
         [(q, i) for q, i, _ in SPAN_NOT_QUERIES], "query_id string, text string"
     )
-    exc = spark.createDataFrame(
+    exc = _ldf(spark, 
         [(q, e) for q, _, e in SPAN_NOT_QUERIES], "query_id string, text string"
     )
     run = search_span_not(
@@ -4708,7 +4714,7 @@ def q_proximity_search(spark, sf_dir):
     from openmatch_spark.query import search_proximity
 
     idx = _entry_index_with_positions(spark, sf_dir)
-    xq = spark.createDataFrame(PROX_QUERIES, "query_id string, text string")
+    xq = _ldf(spark, PROX_QUERIES, "query_id string, text string")
     run = search_proximity(idx, xq, within=PROX_WITHIN, k=10)
     return run.select(
         "query_id",
@@ -4729,7 +4735,7 @@ def q_query_string(spark, sf_dir):
     from openmatch_spark.query import search_query_string
 
     idx = _entry_index_with_positions(spark, sf_dir)
-    qdf = spark.createDataFrame(QS_QUERIES, "query_id string, text string")
+    qdf = _ldf(spark, QS_QUERIES, "query_id string, text string")
     run = search_query_string(idx, qdf, k=10, max_expansions=QS_MAX_EXP)
     return run.select(
         "query_id",
@@ -4767,7 +4773,7 @@ def q_span_near(spark, sf_dir):
     from openmatch_spark.query import search_span_near
 
     idx = _entry_index_with_positions(spark, sf_dir)
-    xq = spark.createDataFrame(
+    xq = _ldf(spark, 
         SPAN_NEAR_QUERIES, "query_id string, text string"
     )
     run = search_span_near(idx, xq, within=SPAN_NEAR_WITHIN, k=10)
@@ -4781,7 +4787,7 @@ def q_span_near(spark, sf_dir):
 
 
 def _span_contain_queries_df(spark):
-    return spark.createDataFrame(
+    return _ldf(spark, 
         SPAN_CONTAIN_QUERIES, "query_id string, big string, little string"
     )
 
@@ -4828,7 +4834,7 @@ def q_span_or(spark, sf_dir):
     from openmatch_spark.query import search_span_or
 
     idx = _entry_index_with_positions(spark, sf_dir)
-    qdf = spark.createDataFrame(
+    qdf = _ldf(spark, 
         SPAN_OR_QUERIES, "query_id string, alternatives array<string>"
     )
     run = search_span_or(idx, qdf, k=10)
@@ -4851,7 +4857,7 @@ def q_simple_query_string(spark, sf_dir):
     from openmatch_spark.query import search_simple_query_string
 
     idx = _entry_index_with_positions(spark, sf_dir)
-    qdf = spark.createDataFrame(SQS_QUERIES, "query_id string, text string")
+    qdf = _ldf(spark, SQS_QUERIES, "query_id string, text string")
     run = search_simple_query_string(
         idx, qdf, k=10, max_expansions=QS_MAX_EXP
     )
@@ -5470,7 +5476,7 @@ def q_spell_suggest(spark, sf_dir):
     from openmatch_spark.query import suggest_spelling
 
     idx = _entry_index(spark, sf_dir)
-    sq = spark.createDataFrame(SPELL_QUERIES, "query_id string, text string")
+    sq = _ldf(spark, SPELL_QUERIES, "query_id string, text string")
     out = suggest_spelling(idx, sq, max_edits=2, prefix_len=1, n_suggestions=3)
     return out.select(
         "query_id", "token", "suggestion", "edits",
@@ -5682,7 +5688,7 @@ def _qrels_graded(spark, sf_dir):
     doc_id % 83 == (7*qidx + 4) % 83 are judged irrelevant — the judged
     pool bpref needs (see _QRELS_GRADED_CTE for the SQL twin)."""
     docs = _docs(spark, sf_dir).select(F.col("doc_id"))
-    q = spark.createDataFrame(
+    q = _ldf(spark, 
         [(qid, i) for i, (qid, _) in enumerate(QUERIES)], "query_id string, qidx int"
     )
     pos = F.col("doc_id") % 83 == (7 * F.col("qidx") + 3) % 83
@@ -6087,7 +6093,7 @@ def q_knn_filtered(spark, sf_dir):
 def _query_vectors_df(spark, sf_dir, n=5):
     """The same query vectors as _query_vectors, as a DataFrame — drives
     the distributed dense paths (broadcast matrix / cogroup-on-bucket)."""
-    return spark.createDataFrame(
+    return _ldf(spark, 
         _query_vectors(spark, sf_dir, n=n),
         "query_id string, embedding array<double>",
     )
@@ -6258,7 +6264,7 @@ def q_accuracy_at_k(spark, sf_dir):
     corpus = _docs(spark, sf_dir).select(
         F.col("doc_id").cast("string").alias("doc_id"), "text"
     )
-    answers = spark.createDataFrame(
+    answers = _ldf(spark, 
         [(qid, text.split()[:1]) for qid, text in QUERIES],
         "query_id string, answers array<string>",
     )
@@ -6713,7 +6719,7 @@ def q_pinned_search(spark, sf_dir):
         "query_id", "doc_id", "score"
     )
     qids = [qid for qid, _ in QUERIES]
-    pins = spark.createDataFrame(
+    pins = _ldf(spark, 
         [(q, "3", 1) for q in qids] + [(q, "1", 2) for q in qids],
         "query_id string, doc_id string, pin_order int",
     )
@@ -7207,7 +7213,7 @@ def q_match_bool_prefix(spark, sf_dir):
     from openmatch_spark.query import search_bool_prefix
 
     idx = _entry_index(spark, sf_dir)
-    bq = spark.createDataFrame(
+    bq = _ldf(spark, 
         BOOL_PREFIX_QUERIES, "query_id string, text string"
     )
     run = search_bool_prefix(idx, bq, k=10, max_expansions=PREFIX_MAX_EXP)
@@ -7336,7 +7342,7 @@ def q_query_string_fielded(spark, sf_dir):
     table (_fielded_wf_ctes)."""
     from openmatch_spark.query import search_query_string_fielded
 
-    qs = spark.createDataFrame(QSF_QUERIES, "query_id string, text string")
+    qs = _ldf(spark, QSF_QUERIES, "query_id string, text string")
     run = search_query_string_fielded(_entry_fielded(spark, sf_dir), qs, k=10)
     return run.withColumn("score", F.round("score", 6))
 
@@ -7366,7 +7372,7 @@ def q_percolate_filtered(spark, sf_dir):
     pass, never a shuffle of their bulk."""
     from openmatch_spark.query import percolate
 
-    stored = spark.createDataFrame(
+    stored = _ldf(spark, 
         PERC_FILTER_RULES,
         "query_id string, must string, should string, must_not string,"
         " filter string",
@@ -7465,7 +7471,7 @@ def q_phrase_suggest(spark, sf_dir):
     docs = _docs(spark, sf_dir).select(
         F.col("doc_id").cast("string").alias("doc_id"), "text"
     )
-    qs = spark.createDataFrame(
+    qs = _ldf(spark, 
         PHRASE_SUGGEST_QUERIES, "query_id string, text string"
     )
     out = suggest_phrases(docs, qs)

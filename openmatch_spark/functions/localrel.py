@@ -132,3 +132,41 @@ def in_list(col: str, values) -> "F.Column":
         else:
             parts.append(str(v))
     return F.expr(f"`{col}` IN ({', '.join(parts)})")
+
+
+def local_df(spark: SparkSession, rows, ddl: str) -> DataFrame:
+    """``spark.createDataFrame(rows, ddl)`` routed through the Arrow
+    LocalRelation fast path.
+
+    The tuple-list path parallelizes rows into a pickled Python RDD split
+    across defaultParallelism partitions, so EVERY downstream action — the
+    engine's take()-probes included — pays one Python-runner task per
+    partition (~0.3 s per action on local[32]). Routing the same rows
+    through a pandas frame (dtype=object so None survives in numeric
+    columns) makes Spark build a driver-held LocalRelation: take/collect
+    run with ZERO Spark jobs, and the values and schema are identical
+    (A/B-tested incl. arrays, nulls, mixed ints/floats).
+
+    The one semantic difference is non-finite floats (the pandas path
+    turns NaN into null), so any row carrying one falls back to the
+    classic path unchanged.
+    """
+    rows = list(rows)
+    st = _ddl_struct(ddl)
+    if rows and _finite_deep(rows):
+        import pandas as pd
+
+        pdf = pd.DataFrame(rows, columns=st.fieldNames(), dtype=object)
+        return spark.createDataFrame(pdf, st)
+    return spark.createDataFrame(rows, st)
+
+
+def _finite_deep(rows) -> bool:
+    def ok(v) -> bool:
+        if isinstance(v, float):
+            return math.isfinite(v)
+        if isinstance(v, (list, tuple)):
+            return all(ok(x) for x in v)
+        return True
+
+    return all(ok(v) for r in rows for v in r)

@@ -56,7 +56,7 @@ from pyspark.sql import DataFrame, Window
 from openmatch_spark.index.compact import _decode_blocks_arrow
 from openmatch_spark.index.load import BM25Index
 from openmatch_spark.query.bm25_search import _DISTRIBUTED_TOKENIZE_MIN_QUERIES
-from openmatch_spark.functions.localrel import in_list
+from openmatch_spark.functions.localrel import in_list, inline_table, literal_map
 
 _DECODED = "shard int, term string, term_bucket int, doc_ord long, weight double"
 
@@ -278,15 +278,18 @@ def search_boolean(
     )
 
     qt = F.broadcast(
-        spark.createDataFrame(
-            live_scoring, "query_id string, term string, qtf double, is_must int"
+        inline_table(
+            spark, live_scoring,
+            "query_id string, term string, qtf double, is_must int",
         )
     )
-    req = F.broadcast(
-        spark.createDataFrame(
-            [(q, n) for q, n in sorted(required.items()) if q not in dead],
-            "query_id string, n_required int",
-        )
+    # required-must counts are a one-to-one lookup on the unique query_id:
+    # a literal map + isNotNull reproduces the former inner broadcast join
+    # (same dropped-rows semantics for queries absent from the map) with
+    # no broadcast stage (the dsl/querystring executors' discipline)
+    req_m = literal_map(
+        {q: n for q, n in sorted(required.items()) if q not in dead},
+        "string", "n_required int",
     )
     candidates = (
         decoded.join(qt, "term")
@@ -296,15 +299,19 @@ def search_boolean(
             F.sum("is_must").alias("n_must"),
             F.sum(F.lit(1) - F.col("is_must")).alias("n_should"),
         )
-        .join(req, "query_id")
-        .where(F.col("n_must") == F.col("n_required"))
+        .withColumn("n_required", F.element_at(req_m, F.col("query_id")))
+        .where(
+            F.col("n_required").isNotNull()
+            & (F.col("n_must") == F.col("n_required"))
+        )
+        .drop("n_required")
     )
     candidates = _msm_filter(candidates, min_should_match).select(
         "query_id", "shard", "doc_ord", "score"
     )
     if live_nots:
         qn = F.broadcast(
-            spark.createDataFrame(live_nots, "query_id string, term string")
+            inline_table(spark, live_nots, "query_id string, term string")
         )
         excluded = (
             decoded.where(in_list("term", not_terms))

@@ -384,7 +384,7 @@ def search_terms_set(
         in_list("term_bucket", buckets) & in_list("term", terms)
     ).mapInArrow(_decode_blocks_arrow, _DECODED)
     qt = F.broadcast(
-        spark.createDataFrame(live, "query_id string, term string, qtf double")
+        inline_table(spark, live, "query_id string, term string, qtf double")
     )
     cand = (
         decoded.join(qt, "term")

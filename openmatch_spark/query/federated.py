@@ -58,7 +58,7 @@ from pyspark.sql import DataFrame, Window
 from openmatch_spark.functions.bm25 import bm25_weight_col, lucene_idf_col
 from openmatch_spark.index.load import BM25Index
 from openmatch_spark.query.bm25_search import query_term_counts
-from openmatch_spark.functions.localrel import in_list
+from openmatch_spark.functions.localrel import in_list, inline_table
 
 _DECODED_SCHEMA = (
     "shard int, term string, term_bucket int, doc_ord long, weight double"
@@ -133,7 +133,8 @@ def search_federated(
         return empty
 
     # (query_id, term, qtf) — bounded by query vocabulary, broadcast below
-    qt_df = spark.createDataFrame(
+    qt_df = inline_table(
+        spark,
         [(q, t, float(c)) for (q, t), c in sorted(qtf.items()) if t in df_g],
         "query_id string, term string, qtf double",
     )
@@ -162,7 +163,8 @@ def search_federated(
         # expression (functions/bm25.py lucene_idf_col): a driver-side
         # numpy/math log can differ from Math.log by 1 ULP, which would
         # break the bit-identity contract with a union-corpus build
-        term_meta = spark.createDataFrame(
+        term_meta = inline_table(
+            spark,
             [(t, member_idf[mi][t], df_g[t]) for t in in_vocab],
             "term string, idf_old double, df_g long",
         ).select(

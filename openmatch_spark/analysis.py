@@ -83,6 +83,57 @@ def tokenize_dpr_py(text: str) -> list[str]:
     return [m.group().lower() for m in rx.finditer(text)]
 
 
+# Fast doc-bulk kernel for the same DPR semantics. tokenize_dpr_py above
+# stays the reference implementation (it is what the DuckDB oracle calls and
+# what the bench noise probe times — both must stay frozen); the UDF below
+# uses this provably token-identical kernel instead:
+#
+# - Pure-ASCII rows (text.isascii(), a C-speed check) skip NFD entirely
+#   (ASCII is NFD-invariant), lowercase the whole string once (ASCII
+#   lowercasing is per-char A-Z -> a-z, category-stable, no expansion), and
+#   match with the stdlib-`re` ASCII projection of the DPR pattern:
+#   [\p{L}\p{N}\p{M}]+ over lowered ASCII is [0-9a-z]+, and [^\p{Z}\p{C}]
+#   restricted to ASCII is the printable punctuation ranges (space 0x20 is
+#   Zs; 0x00-0x1F and 0x7F are Cc). Measured 4.7x on the synthetic corpus.
+# - Non-ASCII rows keep the `regex` engine but use a GROUPLESS alternation
+#   with findall (same leftmost-first matches as the grouped finditer,
+#   returning strings directly instead of building match objects). 1.4x.
+#
+# Identity with tokenize_dpr_py is pinned by tests/test_round6_opt.py
+# (adversarial unicode battery + random-codepoint fuzz + full-corpus sweep).
+_ASCII_DPR_RX = None
+_FAST_DPR_RX = None
+
+
+def _get_fast_dpr_rx():
+    global _ASCII_DPR_RX, _FAST_DPR_RX
+    if _ASCII_DPR_RX is None:
+        import re as _re
+
+        _ASCII_DPR_RX = _re.compile(r"[0-9a-z]+|[!-/:-@\[-`{-~]")
+        if _HAVE_REGEX:
+            _FAST_DPR_RX = _regex.compile(
+                r"[\p{L}\p{N}\p{M}]+|[^\p{Z}\p{C}]",
+                flags=_regex.IGNORECASE | _regex.UNICODE | _regex.MULTILINE,
+            )
+        else:  # pragma: no cover - sandbox always has `regex`
+            _FAST_DPR_RX = _get_dpr_regexp()
+    return _ASCII_DPR_RX, _FAST_DPR_RX
+
+
+def tokenize_dpr_fast(text: str) -> list[str]:
+    """Token-identical fast kernel for tokenize_dpr_py (doc-bulk UDF path)."""
+    if text is None:
+        return []
+    ascii_rx, uni_rx = _get_fast_dpr_rx()
+    if text.isascii():
+        return ascii_rx.findall(text.lower())
+    text = unicodedata.normalize("NFD", text)
+    if uni_rx is _get_dpr_regexp():  # pragma: no cover - no-`regex` fallback
+        return [m.group().lower() for m in uni_rx.finditer(text)]
+    return [t.lower() for t in uni_rx.findall(text)]
+
+
 def tokenize_simple_py(text: str) -> list[str]:
     """SQL-expressible tokenization of one string; mirrors
     DuckDB ``regexp_split_to_array(lower(text), '[^a-z0-9]+')`` minus empties.
@@ -137,7 +188,7 @@ def tokenize_py(text: str, analyzer: str = "dpr") -> list[str]:
 
 @pandas_udf(ArrayType(StringType()))
 def tokenize_dpr_udf(texts: pd.Series) -> pd.Series:
-    return texts.map(tokenize_dpr_py)
+    return texts.map(tokenize_dpr_fast)
 
 
 def tokenize_col_simple(col: Column) -> Column:
@@ -236,13 +287,29 @@ def extract_corpus(
     ).withColumn("doclen", F.size("terms"))
 
 
+def tokenizer_fn(analyzer: str = "dpr"):
+    """Per-row tokenize callable for doc-bulk kernels: same token stream as
+    ``tokenize_py(text, analyzer)`` with the fast dpr kernel substituted
+    where the base analyzer is dpr (see tokenize_dpr_fast)."""
+    if _SYN_SEP in analyzer:
+        base, mapping = split_synonym_analyzer(analyzer)
+        base_fn = tokenizer_fn(base)
+        get = mapping.get
+        return lambda t: [get(x, x) for x in base_fn(t)]
+    if analyzer == "dpr":
+        return tokenize_dpr_fast
+    tokenize_py("probe", analyzer)  # raises on unknown analyzer
+    return lambda t: tokenize_py(t, analyzer)
+
+
 def iter_tokenize(batches: Iterator[pd.DataFrame], analyzer: str = "dpr") -> Iterator[pd.DataFrame]:
     """mapInPandas kernel variant (used by the streaming/incremental path)."""
+    tok = tokenizer_fn(analyzer)
     for pdf in batches:
         out = pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"].astype(str),
-                "terms": pdf["text"].map(lambda t: tokenize_py(t, analyzer)),
+                "terms": pdf["text"].map(tok),
             }
         )
         out["doclen"] = out["terms"].map(len)

@@ -180,3 +180,68 @@ def test_positions_mapside_kernel_reference():
         for pos, t in enumerate(terms or []):
             want.setdefault((doc_id, t), []).append(pos)
     assert got == want
+
+
+def test_tokenize_dpr_fast_identity():
+    """tokenize_dpr_fast (the doc-bulk UDF kernel) must be token-identical
+    to tokenize_dpr_py (the reference / oracle kernel) on: an adversarial
+    unicode battery (case-expansion, titlecase digraphs, NFC-vs-NFD input,
+    combining marks, non-ASCII spaces, format/control chars, supplementary
+    plane, final sigma), random-codepoint fuzz, and the sf0.001 corpus."""
+    import random
+
+    from openmatch_spark.analysis import tokenize_dpr_fast, tokenize_dpr_py
+
+    cases = [
+        None, "", " ", "\t\n\r\f\v", "\x00\x01\x1f\x7f", "a\x00b",
+        "Hello, World! 123", "foo_bar-baz", "a" * 5000,
+        "İstanbul", "STRASSE straße ß", "ǅungla ǄUNGLA",
+        "café CAFÉ café", "naïve NAÏVE", "ﬁle ﬂow",
+        "日本語のテキスト", "中文 测试", "한국어 텍스트",
+        "עברית عربي", "Ελληνικά ΕΛΛΗΝΙΚΆ",
+        "a b", "a b", "a​b", "a­b",
+        "x́̂y", "é", "́e",
+        "１２３ fullwidth ＡＢＣ", "emoji 😀 test 🎉",
+        "Ⅻ roman ⅻ", "½ vulgar ¾", "tab\tsep", "mixed İ ascii",
+        "ʼn", "ΐ ΰ", "Σ sigma ΣΣ τέλοΣ", "𝔘𝔫𝔦𝔠𝔬𝔡𝔢",
+        "🇺🇸 flags", "ᾈ ᾨ",
+    ]
+    for c in cases:
+        assert tokenize_dpr_py(c) == tokenize_dpr_fast(c), repr(c)
+
+    rnd = random.Random(99)
+    pools = [(32, 126), (0x20, 0x2FFF), (0x1F300, 0x1F6FF), (0x41, 0x5A)]
+    for _ in range(2000):
+        s = "".join(
+            chr(rnd.randint(*rnd.choice(pools))) for _ in range(rnd.randint(0, 60))
+        )
+        assert tokenize_dpr_py(s) == tokenize_dpr_fast(s), repr(s)
+
+
+def test_tokenizer_fn_matches_tokenize_py():
+    """tokenizer_fn(analyzer) (mapInPandas doc-bulk path) must match
+    tokenize_py(text, analyzer) for every analyzer family incl. synonym
+    maps layered on a dpr base."""
+    from openmatch_spark.analysis import (
+        make_synonym_analyzer,
+        tokenize_py,
+        tokenizer_fn,
+    )
+
+    texts = [
+        None, "", "Quick FAST rapid big large words!",
+        "İstanbul café ﬂow 123", "dogs boss virus classes",
+        "the a of and keep these words",
+    ]
+    analyzers = ["dpr", "simple", "english", "english_stop",
+                 make_synonym_analyzer("dpr", {"fast": ["quick", "rapid"]}),
+                 make_synonym_analyzer("simple", {"big": ["large"]})]
+    for az in analyzers:
+        fn = tokenizer_fn(az)
+        for t in texts:
+            assert fn(t) == tokenize_py(t, az), (az, t)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        tokenizer_fn("no_such_analyzer")

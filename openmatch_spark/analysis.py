@@ -245,6 +245,11 @@ def extract_text_udf(html: pd.Series, text: pd.Series) -> pd.Series:
     """
     import re
 
+    # whole-batch fast path: every row has text -> verbatim passthrough
+    # (no per-row Python loop; the common shape for pre-extracted corpora)
+    if not text.isna().any():
+        return text
+
     script = re.compile(rb"(?is)<(script|style)[^>]*>.*?</\1>")
     tag = re.compile(rb"(?s)<[^>]*>")
 
@@ -275,6 +280,15 @@ def extract_corpus(
     doc_id = F.col("url") if "url" in cols else F.col("doc_id").cast("string")
     html = F.col("html") if "html" in cols else F.lit(None).cast("binary")
     text = F.col("text") if "text" in cols else F.lit(None).cast("string")
+    # extract_text_udf ignores html whenever text is present, so null the
+    # html argument out for those rows BEFORE the Python boundary: the Arrow
+    # transfer then ships no html bytes for any text-bearing row (guide-§4
+    # "pass only the columns the function needs", applied row-wise — on
+    # corpora that carry both columns this halves the bytes crossing into
+    # the tokenize worker). Row semantics are unchanged: the UDF sees
+    # html=None exactly where it would not have read html anyway.
+    if "html" in cols:
+        html = F.when(text.isNull(), html)
     extracted = pages.select(
         doc_id.alias("doc_id"),
         extract_text_udf(html, text).alias("text"),

@@ -245,3 +245,47 @@ def test_tokenizer_fn_matches_tokenize_py():
 
     with pytest.raises(ValueError):
         tokenizer_fn("no_such_analyzer")
+
+
+def test_extract_corpus_html_gate_identity(spark):
+    """extract_corpus must produce identical (doc_id, terms, doclen) whether
+    a row carries text, only html, or neither — the round-6 html-argument
+    gate (ship html to Python only where text is null) and the whole-batch
+    text passthrough must not change any row."""
+    from openmatch_spark.analysis import extract_corpus, tokenize_py
+
+    rows = [
+        ("u1", b"<b>ignored html</b>", "kept text one", "en"),
+        ("u2", b"<p>from <script>drop()</script>html Two</p>", None, "en"),
+        ("u3", None, None, "en"),
+        ("u4", None, "only text four", "en"),
+        ("u5", b"<style>x{}</style>tag<br/>soup", None, "en"),
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, html binary, text string, lang string"
+    )
+    got = {
+        r["doc_id"]: (r["terms"], r["doclen"])
+        for r in extract_corpus(pages, analyzer="dpr").collect()
+    }
+
+    def strip(h):
+        import re
+
+        raw = re.sub(rb"(?s)<[^>]*>", b" ",
+                     re.sub(rb"(?is)<(script|style)[^>]*>.*?</\1>", b" ", h))
+        return raw.decode("utf-8", errors="replace")
+
+    for url, h, t, _ in rows:
+        txt = t if t is not None else (strip(h) if h is not None else None)
+        want = tokenize_py(txt, "dpr") if txt is not None else []
+        assert got[url][0] == want, url
+        assert got[url][1] == len(want), url
+
+    # all-text frame (no html column at all) still works
+    pages2 = spark.createDataFrame(
+        [("u1", "alpha beta"), ("u2", "gamma")], "url string, text string"
+    )
+    got2 = {r["doc_id"]: r["terms"]
+            for r in extract_corpus(pages2, analyzer="dpr").collect()}
+    assert got2 == {"u1": ["alpha", "beta"], "u2": ["gamma"]}

@@ -113,25 +113,28 @@ def _phrase_hits(
 def _apply_rule_filters(
     matched: DataFrame,
     docs: DataFrame,
-    stored: DataFrame,
+    stored: DataFrame | None,
     id_col: str,
+    frules: list[tuple[str, str]] | None = None,
 ) -> DataFrame:
     """Gate matches on the rules' filter-context predicates (module
     docstring `filter` column). Distinct predicate JSONs compile ONCE
     (fid = predicate id, exactly the DSL executor's dedup discipline);
     the doc side pays one projection pass per distinct predicate, never
-    a shuffle of its own bulk."""
+    a shuffle of its own bulk. frules: precollected (query_id, filter)
+    rows (compile_rules); when None they are collected from `stored`."""
     import json
 
     from openmatch_spark.query.dsl import _filter_leaf, _filter_sql
 
-    frules = [
-        (str(r["query_id"]), r["filter"])
-        for r in stored.select(
-            F.col("query_id").cast("string").alias("query_id"), "filter"
-        ).collect()
-        if r["filter"] is not None and str(r["filter"]).strip()
-    ]
+    if frules is None:
+        frules = [
+            (str(r["query_id"]), r["filter"])
+            for r in stored.select(
+                F.col("query_id").cast("string").alias("query_id"), "filter"
+            ).collect()
+            if r["filter"] is not None and str(r["filter"]).strip()
+        ]
     if not frules:
         return matched
     doc_cols = tuple(c for c in docs.columns if c != id_col)
@@ -192,6 +195,76 @@ def _apply_rule_filters(
     )
 
 
+class CompiledRules:
+    """Driver-compiled percolation rule tables: tokenized role terms,
+    per-rule requirement counts, phrase rows, filter rules. Rule tables
+    are driver-sized by contract (thousands, not billions — the filter
+    gate already collects them), so a serving stream compiles its STATIC
+    rule set once and every micro-batch builds pure-JVM inline tables
+    from these rows instead of re-running the rule-side tokenize jobs
+    and pickled-RDD table builds per batch."""
+
+    __slots__ = ("roles", "req", "mph", "nph", "frules")
+
+    def __init__(self, roles, req, mph, nph, frules):
+        self.roles = roles
+        self.req = req
+        self.mph = mph
+        self.nph = nph
+        self.frules = frules
+
+
+def compile_rules(stored: DataFrame, analyzer: str = "simple") -> CompiledRules:
+    """Collect + tokenize the rule table once, driver-side (same kernel
+    semantics as the distributed role table: per-role DISTINCT terms,
+    must∩should merged into must; phrase rows kept only when the phrase
+    analyzes to >= 1 token; filter rows kept only when non-blank)."""
+    from openmatch_spark.analysis import tokenize_py
+
+    cols = set(stored.columns)
+    rows = stored.collect()
+    must_t: dict[str, set] = {}
+    should_t: dict[str, set] = {}
+    not_t: dict[str, set] = {}
+    mph_rows: list[tuple[str, str]] = []
+    nph_rows: list[tuple[str, str]] = []
+    frules: list[tuple[str, str]] = []
+    for r in rows:
+        qid = str(r["query_id"])
+        must_t.setdefault(qid, set()).update(tokenize_py(r["must"], analyzer))
+        should_t.setdefault(qid, set()).update(
+            tokenize_py(r["should"], analyzer)
+        )
+        not_t.setdefault(qid, set()).update(
+            tokenize_py(r["must_not"], analyzer)
+        )
+        if "must_phrase" in cols and tokenize_py(r["must_phrase"], analyzer):
+            mph_rows.append((qid, r["must_phrase"]))
+        if "not_phrase" in cols and tokenize_py(r["not_phrase"], analyzer):
+            nph_rows.append((qid, r["not_phrase"]))
+        if (
+            "filter" in cols
+            and r["filter"] is not None
+            and str(r["filter"]).strip()
+        ):
+            frules.append((qid, r["filter"]))
+    roles_rows = []
+    for qid in sorted(must_t):
+        m, s, n = must_t[qid], should_t[qid], not_t[qid]
+        for term in sorted(m | s | n):
+            roles_rows.append(
+                (qid, term, int(term in m),
+                 int(term in s and term not in m), int(term in n))
+            )
+    mph_qids = {q for q, _ in mph_rows}
+    req_rows = [
+        (qid, len(must_t[qid]), len(should_t[qid] - must_t[qid]),
+         int(qid in mph_qids))
+        for qid in sorted(must_t)
+    ]
+    return CompiledRules(roles_rows, req_rows, mph_rows, nph_rows, frules)
+
+
 def percolate(
     docs: DataFrame,
     stored: DataFrame,
@@ -199,6 +272,7 @@ def percolate(
     min_should_match: int = 0,
     id_col: str = "doc_id",
     text_col: str = "text",
+    compiled: CompiledRules | None = None,
 ) -> DataFrame:
     """(doc_id, query_id, n_must, n_should) — one row per (document,
     stored query) MATCH under the module-doc role contract.
@@ -233,47 +307,75 @@ def percolate(
     compiles to SQL fragments evaluated in ONE column-pruned pass over
     the docs, producing (doc_id, fid) pass rows; matches for gated rules
     semi-join that set. Docs never shuffle for the gate."""
-    roles = _role_table(stored, analyzer)
-    # the rule universe comes from `stored` itself — a phrase-only rule
-    # has no role terms and must still own a req row
-    req = (
-        stored.select(F.col("query_id").cast("string").alias("query_id"))
-        .distinct()
-        .join(
-            roles.groupBy("query_id").agg(
-                F.sum("is_must").alias("req_must"),
-                F.sum("is_should").alias("n_should_avail"),
-            ),
-            "query_id",
-            "left",
+    if compiled is not None:
+        # serving path: the static rule set was compiled ONCE (driver-side
+        # rows); every batch builds pure-JVM inline tables — no rule-side
+        # tokenize jobs, no isEmpty probes, no pickled-RDD scans per batch
+        spark = docs.sparkSession
+        roles = inline_table(
+            spark, compiled.roles,
+            "query_id string, term string, is_must int, is_should int,"
+            " is_not int",
         )
-        .fillna({"req_must": 0, "n_should_avail": 0})
-    )
-    cols = set(stored.columns)
-    mph = (
-        stored.select(
-            F.col("query_id").cast("string").alias("query_id"),
-            F.col("must_phrase").alias("phrase"),
-        ).where(F.size(tokenize_col(F.col("phrase"), analyzer)) > 0)
-        if "must_phrase" in cols else None
-    )
-    nph = (
-        stored.select(
-            F.col("query_id").cast("string").alias("query_id"),
-            F.col("not_phrase").alias("phrase"),
-        ).where(F.size(tokenize_col(F.col("phrase"), analyzer)) > 0)
-        if "not_phrase" in cols else None
-    )
-    if mph is not None and not mph.isEmpty():
-        has_mph = mph.select(
-            "query_id", F.lit(1).alias("req_phrase")
-        ).distinct()
-        req = req.join(has_mph, "query_id", "left").fillna(
-            {"req_phrase": 0}
+        req = inline_table(
+            spark, compiled.req,
+            "query_id string, req_must bigint, n_should_avail bigint,"
+            " req_phrase int",
         )
+        mph = (
+            inline_table(spark, compiled.mph, "query_id string, phrase string")
+            if compiled.mph else None
+        )
+        nph = (
+            inline_table(spark, compiled.nph, "query_id string, phrase string")
+            if compiled.nph else None
+        )
+        frules = compiled.frules
     else:
-        mph = None
-        req = req.withColumn("req_phrase", F.lit(0))
+        roles = _role_table(stored, analyzer)
+        # the rule universe comes from `stored` itself — a phrase-only rule
+        # has no role terms and must still own a req row
+        req = (
+            stored.select(F.col("query_id").cast("string").alias("query_id"))
+            .distinct()
+            .join(
+                roles.groupBy("query_id").agg(
+                    F.sum("is_must").alias("req_must"),
+                    F.sum("is_should").alias("n_should_avail"),
+                ),
+                "query_id",
+                "left",
+            )
+            .fillna({"req_must": 0, "n_should_avail": 0})
+        )
+        cols = set(stored.columns)
+        frules = None
+        mph = (
+            stored.select(
+                F.col("query_id").cast("string").alias("query_id"),
+                F.col("must_phrase").alias("phrase"),
+            ).where(F.size(tokenize_col(F.col("phrase"), analyzer)) > 0)
+            if "must_phrase" in cols else None
+        )
+        nph = (
+            stored.select(
+                F.col("query_id").cast("string").alias("query_id"),
+                F.col("not_phrase").alias("phrase"),
+            ).where(F.size(tokenize_col(F.col("phrase"), analyzer)) > 0)
+            if "not_phrase" in cols else None
+        )
+        if nph is not None and nph.isEmpty():
+            nph = None
+        if mph is not None and not mph.isEmpty():
+            has_mph = mph.select(
+                "query_id", F.lit(1).alias("req_phrase")
+            ).distinct()
+            req = req.join(has_mph, "query_id", "left").fillna(
+                {"req_phrase": 0}
+            )
+        else:
+            mph = None
+            req = req.withColumn("req_phrase", F.lit(0))
     # rules table is small by contract: broadcast both sides of it
     doc_terms = docs.select(
         F.col(id_col).cast("string").alias("doc_id"),
@@ -314,10 +416,15 @@ def percolate(
         & ((F.col("req_must") + F.col("n_should_avail")
             + F.col("req_phrase")) > 0)
     )
-    if nph is not None and not nph.isEmpty():
+    if nph is not None:
         nhits = _phrase_hits(docs, nph, analyzer, id_col, text_col)
         matched = matched.join(nhits, ["doc_id", "query_id"], "left_anti")
-    if "filter" in cols:
+    if frules is not None:
+        if frules:
+            matched = _apply_rule_filters(
+                matched, docs, None, id_col, frules=frules
+            )
+    elif "filter" in cols:
         matched = _apply_rule_filters(matched, docs, stored, id_col)
     return matched.select(
         "doc_id",

@@ -102,7 +102,14 @@ def serve_percolation(
     percolate() is stateless column algebra over one micro-batch, so no
     watermarks or state stores are involved — each batch pays exactly the
     batch-mode plan (broadcast rules, one bounded aggregate)."""
-    from openmatch_spark.query.percolate import percolate
+    from openmatch_spark.query.percolate import compile_rules, percolate
+
+    # rules are a STATIC config table for the stream's lifetime (module
+    # docstring: re-registering rules means restarting the stream), so
+    # tokenize/compile them once here; every micro-batch then builds
+    # pure-JVM inline rule tables instead of re-running the rule-side
+    # tokenize jobs and table builds per batch
+    compiled = compile_rules(stored, analyzer=analyzer)
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
         # keep every doc column, not just (doc_id, text): filter-context
@@ -115,7 +122,8 @@ def serve_percolation(
         if not docs.take(1):
             return
         matches = percolate(
-            docs, stored, analyzer=analyzer, min_should_match=min_should_match
+            docs, stored, analyzer=analyzer,
+            min_should_match=min_should_match, compiled=compiled,
         ).withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
         (
             matches.write.mode("overwrite")

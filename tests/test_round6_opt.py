@@ -289,3 +289,55 @@ def test_extract_corpus_html_gate_identity(spark):
     got2 = {r["doc_id"]: r["terms"]
             for r in extract_corpus(pages2, analyzer="dpr").collect()}
     assert got2 == {"u1": ["alpha", "beta"], "u2": ["gamma"]}
+
+
+def test_percolate_compiled_rules_identity(spark):
+    """percolate(compiled=compile_rules(...)) — the per-stream rule
+    compile serve_percolation uses — must produce the identical match set
+    as the uncompiled distributed plan, across role mixes, phrase rules,
+    filter-context gates, duplicate-qid rows, and min_should_match."""
+    import json
+    import random
+
+    from openmatch_spark.query.percolate import compile_rules, percolate
+
+    rnd = random.Random(17)
+    vocab = [f"w{i}" for i in range(25)]
+    docs = spark.createDataFrame(
+        [(f"d{i}",
+          " ".join(rnd.choice(vocab) for _ in range(rnd.randint(0, 18))),
+          rnd.randint(0, 999), rnd.choice(["en", "de"]))
+         for i in range(150)],
+        "doc_id string, text string, n_chars int, lang string",
+    )
+    rule_rows = []
+    for i in range(25):
+        must = " ".join(rnd.sample(vocab, rnd.randint(0, 2))) or None
+        should = " ".join(rnd.sample(vocab, rnd.randint(0, 3))) or None
+        mnot = rnd.choice([None, rnd.choice(vocab)])
+        filt = rnd.choice([None, None, json.dumps(
+            [{"range": {"n_chars": {"gte": rnd.randint(0, 900)}}}]),
+            json.dumps([{"term": {"lang": "en"}}])])
+        mph = rnd.choice([None, None, None, " ".join(rnd.sample(vocab, 2))])
+        nph = rnd.choice([None] * 4 + [" ".join(rnd.sample(vocab, 2))])
+        if not (must or should or mph):
+            must = rnd.choice(vocab)
+        rule_rows.append((f"r{i}", must, should, mnot, filt, mph, nph))
+    # a duplicate-qid row (roles must merge across rows, like the
+    # distributed union+groupBy does)
+    rule_rows.append(("r0", vocab[0], None, None, None, None, None))
+    rules = spark.createDataFrame(
+        rule_rows,
+        "query_id string, must string, should string, must_not string,"
+        " filter string, must_phrase string, not_phrase string",
+    )
+    comp = compile_rules(rules, analyzer="simple")
+    for msm in (0, 2):
+        a = sorted((r.doc_id, r.query_id, r.n_must, r.n_should)
+                   for r in percolate(docs, rules, analyzer="simple",
+                                      min_should_match=msm).collect())
+        b = sorted((r.doc_id, r.query_id, r.n_must, r.n_should)
+                   for r in percolate(docs, rules, analyzer="simple",
+                                      min_should_match=msm,
+                                      compiled=comp).collect())
+        assert a == b and a, msm
